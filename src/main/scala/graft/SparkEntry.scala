@@ -1,13 +1,193 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory and §7
+  * for the build plan. Every implemented operator appears in `queries`;
+  * SQL-expressible ones carry a DuckDB oracle in `oracleSql` with
+  * identical output column names.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the
+    * 3-way-join usage/win-rate aggregation (reference usp_card_usage_wins,
+    * sql/db_creation_script.sql:224-242) — exercises two joins (one
+    * broadcast), aggregation, a window total, and ordering.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalOps.q22UsageRate(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project" -> (RelationalOps.q01ScanProject _),
+    "q02_filter" -> (RelationalOps.q02Filter _),
+    "q03_derived_flag" -> (RelationalOps.q03DerivedFlag _),
+    "q04_concat_key" -> (RelationalOps.q04ConcatKey _),
+    "q05_ts_parse" -> (RelationalOps.q05TsParse _),
+    "q06_season_assign" -> (RelationalOps.q06SeasonAssign _),
+    "q07_union_dedup" -> (RelationalOps.q07UnionDedup _),
+    "q08_insert_new_only" -> (RelationalOps.q08InsertNewOnly _),
+    "q09_semi_join" -> (RelationalOps.q09SemiJoin _),
+    "q10_blocklist" -> (RelationalOps.q10Blocklist _),
+    "q11_inner_join" -> (RelationalOps.q11InnerJoin _),
+    "q12_upsert_last_wins" -> (RelationalOps.q12UpsertLastWins _),
+    "q13_purge_keys" -> (RelationalOps.q13PurgeKeys _),
+    "q14_distinct" -> (RelationalOps.q14Distinct _),
+    "q15_json_flatten" -> (RelationalOps.q15JsonFlatten _),
+    "q16_array_guard" -> (RelationalOps.q16ArrayGuard _),
+    "q17_explode" -> (RelationalOps.q17Explode _),
+    "q18_cast_null" -> (RelationalOps.q18CastNull _),
+    "q19_recent_topk" -> (RelationalOps.q19RecentTopK _),
+    "q20_dim_join" -> (RelationalOps.q20DimJoin _),
+    "q21_win_rate" -> (RelationalOps.q21WinRate _),
+    "q22_usage_rate" -> (RelationalOps.q22UsageRate _),
+  )
+
+  /** DuckDB-runnable equivalents over the same parquet tables. Output
+    * column names match the Spark results exactly (the driver sorts
+    * columns by name before hashing).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders",
+    "q02_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
+         FROM lineitem
+         WHERE l_returnflag = 'R' AND l_shipdate < TIMESTAMP '1998-01-01'""",
+    "q03_derived_flag" ->
+      """SELECT l_orderkey, l_linenumber,
+                (l_extendedprice * (1 - l_discount) > 30000) AS high_value
+         FROM lineitem""",
+    "q04_concat_key" ->
+      """SELECT event_id,
+                strftime(ts, '%Y%m%d%H%M%S') || '_' || CAST(user_id AS VARCHAR)
+                  AS match_key
+         FROM events""",
+    "q05_ts_parse" ->
+      """SELECT event_id,
+                try_strptime(
+                  CASE WHEN event_type = 'error' THEN 'not-a-timestamp'
+                       ELSE strftime(ts, '%Y%m%dT%H%M%S.%fZ') END,
+                  '%Y%m%dT%H%M%S.%fZ') AS parsed_ts
+         FROM events""",
+    "q06_season_assign" ->
+      """WITH e AS (
+           SELECT event_id, ts, date_trunc('month', ts) AS m0 FROM events
+         ), s AS (
+           SELECT event_id, ts, m0,
+                  m0 + ((8 - isodow(m0)) % 7) * INTERVAL '1 day'
+                     + INTERVAL '9 hours' + INTERVAL '5 minutes' AS sstart
+           FROM e
+         )
+         SELECT event_id,
+                CASE WHEN ts >= sstart THEN strftime(m0, '%Y-%m')
+                     ELSE strftime(m0 - INTERVAL '1 month', '%Y-%m') END
+                  AS season_id
+         FROM s""",
+    "q07_union_dedup" ->
+      """SELECT DISTINCT * FROM (
+           SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+           UNION ALL
+           SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         )""",
+    "q08_insert_new_only" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o
+         WHERE NOT EXISTS (
+           SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""",
+    "q09_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+         FROM lineitem l
+         WHERE EXISTS (SELECT 1 FROM part p
+                       WHERE p.p_partkey = l.l_partkey AND p.p_size > 45)""",
+    "q10_blocklist" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE c_custkey NOT IN (1, 7, 13, 42, 99)""",
+    "q11_inner_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, o_custkey, o_orderdate
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+    "q12_upsert_last_wins" ->
+      """SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+                "value" AS last_value
+         FROM events
+         QUALIFY row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
+    "q13_purge_keys" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem l
+         WHERE NOT EXISTS (
+           SELECT 1 FROM supplier s
+           WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)""",
+    "q14_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q15_json_flatten" ->
+      """SELECT event_id, event_type,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events""",
+    "q16_array_guard" ->
+      """SELECT vec_id,
+                CAST(CASE WHEN len(embedding) >= 1 THEN embedding[1]
+                          ELSE 0 END AS DOUBLE) AS e1,
+                CAST(CASE WHEN len(embedding) >= 2 THEN embedding[2]
+                          ELSE 0 END AS DOUBLE) AS e2
+         FROM embeddings""",
+    "q17_explode" ->
+      """SELECT vec_id, CAST(ord - 1 AS INTEGER) AS pos,
+                CAST(v AS DOUBLE) AS val
+         FROM (SELECT vec_id, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS ord
+               FROM embeddings)""",
+    "q18_cast_null" ->
+      """SELECT p_partkey, CAST(p_partkey AS VARCHAR) AS pk_str,
+                CAST(CASE WHEN p_size > 40 THEN NULL ELSE p_size END
+                     AS BIGINT) AS size_masked,
+                CAST(round(p_retailprice * 100) AS BIGINT) AS retail_cents
+         FROM part""",
+    "q19_recent_topk" ->
+      """WITH o AS (
+           SELECT *, date_trunc('month', o_orderdate) AS period_m FROM orders
+         ), latest AS (SELECT max(period_m) AS m FROM o),
+         ranked AS (
+           SELECT strftime(l.m, '%Y-%m') AS period, o.o_orderkey, c.c_name,
+                  o.o_totalprice,
+                  CAST(row_number() OVER (
+                    ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT)
+                    AS rank
+           FROM o, latest l
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE o.period_m = l.m
+         )
+         SELECT * FROM ranked WHERE rank <= 100""",
+    "q20_dim_join" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+         FROM customer c
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey""",
+    "q21_win_rate" ->
+      """SELECT o_custkey,
+                CASE WHEN COUNT(*) = 0 THEN NULL
+                     ELSE ROUND(100.0 * SUM(CASE WHEN o_orderstatus = 'F'
+                                                 THEN 1 ELSE 0 END)
+                                / COUNT(*), 2) END AS win_rate,
+                CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         GROUP BY o_custkey""",
+    "q22_usage_rate" ->
+      """WITH j AS (
+           SELECT l.l_returnflag, p.p_brand
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+         ), b AS (
+           SELECT p_brand, COUNT(*) AS n_uses,
+                  SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS wins
+           FROM j GROUP BY p_brand
+         ), t AS (SELECT SUM(n_uses) AS total FROM b)
+         SELECT p_brand,
+                ROUND(100.0 * n_uses / total, 2) AS usage_rate,
+                ROUND(100.0 * wins / n_uses, 2) AS win_rate,
+                CAST(n_uses AS BIGINT) AS n_uses
+         FROM b, t""",
+  )
 }

@@ -1,0 +1,285 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference pipeline's relational/ETL capabilities re-expressed as
+  * declarative Spark programs over the TPC-H-ish test tables.
+  *
+  * Reference capabilities covered here (SURVEY.md §2 rows 1–22):
+  * column-select extracts (api_extract.py:221-225), predicate filters
+  * (api_extract.py:217), derived flags (api_extract.py:212), concat keys
+  * (api_extract.py:216), timestamp parse with coercion
+  * (api_extract.py:213-214), season windows (helper_functions.py:7-85),
+  * incremental loads (etl_pipeline_script.py:40-48,128-137), MERGE upserts
+  * (db_ops.py:62-148), purge cascades (db_ops.py:53-59), and the SQL
+  * analytics views/procs (sql/db_creation_script.sql:185-242).
+  *
+  * Scale notes: every incremental op is a join (anti/semi) or a window —
+  * never a driver-side key set (the reference collects existing keys into a
+  * Python set at etl_pipeline_script.py:43; at 100 TB that is a driver OOM).
+  * Dimension joins are explicitly broadcast. Top-K filters to the target
+  * group before any sort so no global sort of the fact table ever happens.
+  */
+object RelationalOps {
+
+  /** 1. Scan + projection — column pruning must reach the parquet reader. */
+  def q01ScanProject(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderpriority")
+
+  /** 2. Predicate filter (reference: game_mode == 'pathOfLegend'). */
+  def q02Filter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+
+  /** 3. Derived boolean column (reference: is_win = crowns > opp_crowns). */
+  def q03DerivedFlag(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount")) > 30000)
+        .as("high_value"))
+
+  /** 4. String concat surrogate key (reference: match_key = time_id). */
+  def q04ConcatKey(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      concat(date_format(col("ts"), "yyyyMMddHHmmss"), lit("_"),
+        col("user_id")).as("match_key"))
+
+  /** 5. Timestamp parse with explicit format + coerce-to-null
+    * (reference: pd.to_datetime(..., errors='coerce')). Rows flagged as
+    * 'error' events carry an unparseable string and must become NULL.
+    */
+  def q05TsParse(s: SparkSession, d: String): DataFrame = {
+    val fmt = "yyyyMMdd'T'HHmmss.SSSSSS'Z'"
+    Tables.events(s, d)
+      .select(col("event_id"),
+        when(col("event_type") === "error", lit("not-a-timestamp"))
+          .otherwise(date_format(col("ts"), fmt)).as("raw_ts"))
+      .select(col("event_id"),
+        try_to_timestamp(col("raw_ts"), lit(fmt)).as("parsed_ts"))
+  }
+
+  /** First Monday of the month containing `monthStart` (a month-truncated
+    * timestamp), as a timestamp at the season reset instant 09:05 UTC.
+    * Pure column arithmetic — no per-row UDF, no join (the reference loops
+    * a pandas frame per row at helper_functions.py:82-84).
+    */
+  private def seasonStart(monthStart: Column): Column = {
+    // dayofweek: Sunday=1 … Saturday=7; Monday=2.
+    val firstMonday = date_add(to_date(monthStart),
+      (lit(9) - dayofweek(monthStart)) % 7)
+    to_timestamp(firstMonday) + expr("INTERVAL 9 HOURS 5 MINUTES")
+  }
+
+  /** 6. Season assignment from event time (reference battle_time_to_sid):
+    * seasons run first-Monday-of-month 09:05 UTC to the next one; an event
+    * before its month's reset belongs to the previous month's season.
+    */
+  def q06SeasonAssign(s: SparkSession, d: String): DataFrame = {
+    val m0 = date_trunc("month", col("ts"))
+    Tables.events(s, d).select(
+      col("event_id"),
+      when(col("ts") >= seasonStart(m0), date_format(m0, "yyyy-MM"))
+        .otherwise(date_format(add_months(m0, -1), "yyyy-MM"))
+        .as("season_id"))
+  }
+
+  /** 7. Union + dedup by key (reference: pd.concat + drop_duplicates).
+    * Two overlapping extract windows unioned, one row kept per key.
+    */
+  def q07UnionDedup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val older = o.filter(col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+    val newer = o.filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")))
+    older.unionByName(newer).dropDuplicates("o_orderkey")
+  }
+
+  /** 8. Insert-new-only (reference: keys not in existing table →
+    * etl_pipeline_script.py:128-133). Left-anti join, never a collected
+    * key set.
+    */
+  def q08InsertNewOnly(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val existing = Tables.lineitem(s, d).select(col("l_orderkey"))
+    o.join(existing, o("o_orderkey") === existing("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+  }
+
+  /** 9. Semi-join membership filter (reference: df[col.isin(keys)]). */
+  def q09SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val bigParts = Tables.part(s, d).filter(col("p_size") > 45)
+      .select(col("p_partkey"))
+    li.join(broadcast(bigParts), li("l_partkey") === bigParts("p_partkey"),
+        "left_semi")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+  }
+
+  /** 10. Static blocklist filter (reference: dropped_players.json skip). */
+  def q10Blocklist(s: SparkSession, d: String): DataFrame = {
+    val blocked = Seq(1L, 7L, 13L, 42L, 99L)
+    Tables.customer(s, d)
+      .filter(!col("c_custkey").isin(blocked: _*))
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  /** 11. Inner join fact→mapping (reference: match_cards ⋈ key mapping,
+    * etl_pipeline_script.py:144).
+    */
+  def q11InnerJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "o_custkey",
+        "o_orderdate")
+  }
+
+  /** 12. Upsert last-write-wins by key (reference MERGE, db_ops.py:62-148).
+    * Latest event per user wins; window + row_number, shuffle keyed on the
+    * upsert key — the scalable MERGE.
+    */
+  def q12UpsertLastWins(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+  }
+
+  /** 13. Purge cascade by key (reference: DELETE per dropped player,
+    * db_ops.py:53-59). Anti-join against the purge set.
+    */
+  def q13PurgeKeys(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val purged = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    li.join(broadcast(purged), li("l_suppkey") === purged("s_suppkey"),
+        "left_anti")
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+  }
+
+  /** 14. DISTINCT column extraction (reference: SELECT DISTINCT col,
+    * db_ops.py:32-35).
+    */
+  def q14Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
+
+  /** 15. Nested JSON flatten (reference: clan.tag access + battlelog
+    * normalization, api_extract.py:39-49,179-196) over events.props.
+    */
+  def q15JsonFlatten(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  /** 16. Guarded array element extraction (reference:
+    * princess_towers_hp[0]/[1] with length guard, api_extract.py:218-219).
+    */
+  def q16ArrayGuard(s: SparkSession, d: String): DataFrame = {
+    def guarded(i: Int): Column =
+      when(size(col("embedding")) >= i, element_at(col("embedding"), i))
+        .otherwise(lit(0f)).cast("double")
+    Tables.embeddings(s, d).select(
+      col("vec_id"), guarded(1).as("e1"), guarded(2).as("e2"))
+  }
+
+  /** 17. Array explode to rows (reference: cards-per-match → rows,
+    * api_extract.py:230-241).
+    */
+  def q17Explode(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"), col("v").cast("double").as("val"))
+
+  /** 18. Type cast + null masking (reference: astype(str) + Int64 mask,
+    * api_extract.py:129,154-157).
+    */
+  def q18CastNull(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      col("p_partkey").cast("string").as("pk_str"),
+      when(col("p_size") > 40, lit(null)).otherwise(col("p_size"))
+        .cast("long").as("size_masked"),
+      round(col("p_retailprice") * 100).cast("long").as("retail_cents"))
+
+  /** 19. Top-K within the latest group (reference vw_recent_rankings,
+    * sql/db_creation_script.sql:185-195): restrict to max(period) first
+    * (broadcast single-row scalar), then sort-limit — no global sort.
+    */
+  def q19RecentTopK(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("period_m", date_trunc("month", col("o_orderdate")))
+    val latest = o.agg(max(col("period_m")).as("m"))
+    val c = Tables.customer(s, d).select("c_custkey", "c_name")
+    val top = o.join(broadcast(latest), col("period_m") === col("m"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("o_totalprice").desc,
+          col("o_orderkey"))).cast("long"))
+      .select(date_format(col("m"), "yyyy-MM").as("period"),
+        col("o_orderkey"), col("c_name"), col("o_totalprice"), col("rank"))
+  }
+
+  /** 20. Dimension join view (reference vw_player_clan, sql:197-205):
+    * customer ⋈ nation ⋈ region with small dims broadcast.
+    */
+  def q20DimJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("c_custkey", "c_name", "n_name", "r_name")
+  }
+
+  /** 21. Filtered group-by ratio with zero-guard (reference
+    * usp_player_win_rate, sql:209-222): per-customer rate of fulfilled
+    * orders in a period.
+    */
+  def q21WinRate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("wins"))
+      .select(col("o_custkey"),
+        when(col("n_orders") === 0, lit(null))
+          .otherwise(round(lit(100.0) * col("wins") / col("n_orders"), 2))
+          .as("win_rate"),
+        col("n_orders").cast("long").as("n_orders"))
+
+  /** 22. 3-way join + scalar-subquery usage/win rate (reference
+    * usp_card_usage_wins, sql:224-242): per-brand share of line items in
+    * the season plus per-brand win rate. The season total comes from an
+    * unpartitioned window over the ~25 brand rows — not a re-scan.
+    */
+  def q22UsageRate(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey",
+      "l_returnflag")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey")
+    val p = Tables.part(s, d).select("p_partkey", "p_brand")
+    val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    val byBrand = joined.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_uses"),
+        sum(when(col("l_returnflag") === "N", 1).otherwise(0)).as("wins"))
+    byBrand
+      .withColumn("total", sum(col("n_uses")).over(Window.partitionBy()))
+      .select(col("p_brand"),
+        round(lit(100.0) * col("n_uses") / col("total"), 2).as("usage_rate"),
+        round(lit(100.0) * col("wins") / col("n_uses"), 2).as("win_rate"),
+        col("n_uses").cast("long").as("n_uses"))
+  }
+}
