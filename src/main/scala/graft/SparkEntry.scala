@@ -42,6 +42,19 @@ object SparkEntry {
     "q20_dim_join" -> (RelationalOps.q20DimJoin _),
     "q21_win_rate" -> (RelationalOps.q21WinRate _),
     "q22_usage_rate" -> (RelationalOps.q22UsageRate _),
+    "q23_exact_dedup" -> (DedupOps.q23ExactDedup _),
+    "q24_text_stats" -> (TextOps.q24TextStats _),
+    "q25_token_count" -> (TextOps.q25TokenCount _),
+    "q26_quality_score" -> (TextOps.q26QualityScore _),
+    "q27_lang_id" -> (TextOps.q27LangId _),
+    "q28_fingerprint" -> (TextOps.q28Fingerprint _),
+    "q29_minhash_lsh" -> (DedupOps.q29MinhashLsh _),
+    "q30_simhash" -> (DedupOps.q30Simhash _),
+    "q31_ngram_jaccard" -> (DedupOps.q31NgramJaccard _),
+    "q32_knn_bruteforce" -> (SimilarityOps.q32KnnBruteforce _),
+    "q33_ann_lsh" -> (SimilarityOps.q33AnnLsh _),
+    "q34_vector_ops" -> (SimilarityOps.q34VectorOps _),
+    "q35_multimodal" -> (MultimodalOps.q35Multimodal _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -189,5 +202,97 @@ object SparkEntry {
                 ROUND(100.0 * wins / n_uses, 2) AS win_rate,
                 CAST(n_uses AS BIGINT) AS n_uses
          FROM b, t""",
+    "q23_exact_dedup" ->
+      """SELECT md5(lower(trim(text))) AS content_hash,
+                CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+                CAST(COUNT(*) AS BIGINT) AS dup_count
+         FROM documents GROUP BY 1""",
+    "q24_text_stats" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+                ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
+         FROM documents GROUP BY lang, source""",
+    "q25_token_count" ->
+      """SELECT doc_id,
+                CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                     AS BIGINT) AS n_tokens,
+                CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+'))
+                     AS BIGINT) AS n_subtokens,
+                CAST(len(list_distinct(
+                       string_split_regex(lower(trim(text)), '\s+')))
+                     AS BIGINT) AS n_distinct_tokens
+         FROM documents""",
+    "q26_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                       AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(
+                         string_split_regex(lower(trim(text)), '\s+'),
+                         t -> list_contains(
+                           ['the','a','of','and','to','in'], t)))
+                       AS BIGINT) AS stop_cnt,
+                  CAST(length(regexp_replace(lower(trim(text)), '\s+', '',
+                       'g')) AS BIGINT) AS nonspace
+           FROM documents
+         )
+         SELECT doc_id, n_tokens,
+                ((stop_cnt * 2000 + n_tokens) // (2 * n_tokens)) / 1000.0
+                  AS stop_ratio,
+                ((nonspace * 200 + n_tokens) // (2 * n_tokens)) / 100.0
+                  AS avg_token_len,
+                (n_tokens >= 20 AND n_tokens <= 1000) AS length_ok
+         FROM t""",
+    "q31_ngram_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  list_distinct(string_split_regex(lower(trim(text)), '\s+'))
+                    AS toks
+           FROM documents
+         )
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.toks, b.toks))), 3)
+                  AS jaccard
+         FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id""",
+    "q32_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                    WHERE vec_id < 10),
+         pairs AS (SELECT q.qid, e.vec_id AS nid, q.qe, e.embedding AS ne
+                   FROM q, embeddings e WHERE e.vec_id <> q.qid),
+         un AS (SELECT qid, nid, CAST(unnest(qe) AS DOUBLE) AS x,
+                       CAST(unnest(ne) AS DOUBLE) AS y
+                FROM pairs),
+         dots AS (SELECT qid, nid, SUM(x*y) AS dot, SUM(x*x) AS na,
+                         SUM(y*y) AS nb
+                  FROM un GROUP BY qid, nid),
+         scored AS (SELECT qid, nid,
+                           ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+                    FROM dots),
+         ranked AS (SELECT qid, nid, cos_sim,
+                           CAST(row_number() OVER (PARTITION BY qid
+                             ORDER BY cos_sim DESC, nid) AS BIGINT) AS rank
+                    FROM scored)
+         SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 5""",
+    "q34_vector_ops" ->
+      """WITH un AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                            CAST(unnest(list_reverse(embedding)) AS DOUBLE)
+                              AS y
+                     FROM embeddings)
+         SELECT vec_id,
+                ROUND(sqrt(SUM(x*x)), 4) AS l2_norm,
+                ROUND(SUM(x*y), 4) AS dot_rev
+         FROM un GROUP BY vec_id""",
+    "q35_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+                  AS byte_len,
+                md5(text) AS checksum,
+                CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INTEGER)
+                  AS frame_w,
+                CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INTEGER)
+                  AS frame_h
+         FROM documents""",
   )
 }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — the core of any
+  * LLM training-data pipeline.
+  *
+  * Exact dedup is a hash-groupBy (one shuffle on the content hash).
+  * Near-dup detection is MinHash + banded LSH: the shuffle key is the
+  * (band, band-hash) bucket, so candidate pairs are generated inside
+  * buckets — all-pairs comparison never happens, which is what keeps this
+  * linear-ish at 100 TB.
+  */
+object DedupOps {
+
+  private def normText: Column = lower(trim(col("text")))
+  private def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** 23. Exact dedup: md5 over normalized text, keep the smallest doc_id
+    * per content hash (deterministic winner), count the duplicates.
+    */
+  def q23ExactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(encode(normText, "UTF-8")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("dup_count"))
+
+  // ---- MinHash machinery ------------------------------------------------
+
+  private val NumHashes = 32
+  private val Bands = 8                   // 8 bands × 4 rows
+  private val RowsPerBand = NumHashes / Bands
+  private val ShingleSize = 3
+
+  /** Word-level shingles of `k` tokens, distinct, as strings. */
+  private def shingles(toks: Column, k: Int): Column =
+    array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        .otherwise(array(concat_ws(" ", toks))))
+
+  /** MinHash signature: hash function j is xxhash64 seeded by j (an
+    * independent-enough family, and overflow-free under ANSI mode —
+    * multiply-add families wrap Long and throw). Pure per-row
+    * expressions — no shuffle, no UDF.
+    */
+  private def signature(shingleCol: Column): Column =
+    array((0 until NumHashes).map { j =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(j))))
+    }: _*)
+
+  /** A corpus with planted near-duplicates: every document plus a copy
+    * (doc_id + 1,000,000) with its first token dropped. Gives the near-dup
+    * detectors a known ground truth (and a non-empty result) on data whose
+    * natural documents are mutually dissimilar.
+    */
+  def corpusWithPlantedDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val perturbed = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      // drop the first token: everything after the first space
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    docs.unionByName(perturbed)
+  }
+
+  /** 29. MinHash + LSH banded near-dup candidates: signature → band
+    * hashes → explode (band_id, band_hash) → self-join on the bucket →
+    * estimate Jaccard from signature agreement → threshold.
+    */
+  def minhashCandidates(docs: DataFrame, threshold: Double): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), shingles(tokens(normText), ShingleSize).as("sh"))
+      .select(col("doc_id"), signature(col("sh")).as("sig"))
+
+    val bandHashes = array((0 until Bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), b * RowsPerBand + r + 1)): _*))
+    }: _*)
+
+    val banded = sig
+      .select(col("doc_id"), col("sig"),
+        posexplode(bandHashes).as(Seq("band_id", "band_hash")))
+
+    val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("band_id"), col("band_hash"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("band_id"), col("band_hash"))
+
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / NumHashes
+
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est_jaccard", round(est, 3))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  def q29MinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashCandidates(corpusWithPlantedDups(s, d), threshold = 0.5)
+
+  /** 30. SimHash: 64-bit signature from token hashes; bit i is the sign
+    * of the ±1 vote sum at position i. Computed entirely per-row
+    * (64 folds over the token-hash array) — zero shuffle, codegen'd.
+    */
+  def simhashCol(textCol: Column): Column = {
+    val hashes = transform(tokens(lower(trim(textCol))), t => xxhash64(t))
+    (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(1L) * 2L - 1L)
+      when(vote > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  def q30Simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), simhashCol(col("text")).as("simhash"))
+
+  /** 31. Exact n-gram (token-set) Jaccard over blocked pairs — the verify
+    * stage behind LSH candidates. Blocking key here: same `source`
+    * (25 docs per source → bounded pair counts per block).
+    */
+  def q31NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        array_distinct(tokens(normText)).as("toks"))
+    val a = t.select(col("doc_id").as("doc_a"), col("source"),
+      col("toks").as("toks_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("source"),
+      col("toks").as("toks_b"))
+    a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("toks_a"), col("toks_b")))
+          .cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))), 3).as("jaccard"))
+  }
+}

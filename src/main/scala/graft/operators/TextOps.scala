@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: corpus stats,
+  * token counting, quality scoring, language ID, fingerprinting. All pure
+  * column expressions (codegen'd) — no UDFs, no shuffle except the
+  * explicit group-bys.
+  */
+object TextOps {
+
+  private def normText: Column = lower(trim(col("text")))
+  private def toks: Column = split(normText, "\\s+")
+
+  /** 24. Corpus stats per (lang, source): doc counts and char-length
+    * distribution — the first report any data pipeline runs.
+    */
+  def q24TextStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 2)
+          .as("avg_chars"))
+
+  /** 25. Token counting: whitespace tokens, alpha "BPE-ish" subtokens
+    * (maximal [a-z]+ runs), distinct token count.
+    */
+  def q25TokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(regexp_extract_all(normText, lit("[a-z]+"), lit(0))).cast("long")
+        .as("n_subtokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** 26. Quality scoring: token count, stopword ratio, average token
+    * length, and a composite score — the filters an LLM-data pipeline
+    * applies before training.
+    */
+  def q26QualityScore(s: SparkSession, d: String): DataFrame = {
+    // Ratios via integer round-half-up ((2000x + n) div 2n) so the result
+    // is exact — round(float-division) is nondeterministic across engines
+    // at .xx5 boundaries.
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, t => t.isin(Stopwords.map(x => x: Any): _*)))
+        .cast("long").as("stop_cnt"),
+      length(regexp_replace(normText, "\\s+", "")).cast("long").as("nonspace"))
+    .select(
+      col("doc_id"), col("n_tokens"),
+      (expr("(stop_cnt * 2000 + n_tokens) div (2 * n_tokens)")
+        .cast("double") / 1000).as("stop_ratio"),
+      (expr("(nonspace * 200 + n_tokens) div (2 * n_tokens)")
+        .cast("double") / 100).as("avg_token_len"),
+      (col("n_tokens") >= 20 && col("n_tokens") <= 1000).as("length_ok"))
+  }
+
+  /** Marker stopwords per language — the classic cheap lang-ID heuristic.
+    * (The synthetic corpus is English-vocabulary-only; real-language
+    * behavior is exercised in the test suite on multilingual samples.)
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "un", "una", "que"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "un", "une", "dans", "ce"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Language scores: fraction of tokens that are markers of each lang
+    * (zh scored by character occurrence since it doesn't whitespace-split).
+    */
+  def langIdCol(textCol: Column): Column = {
+    val t = split(lower(trim(textCol)), "\\s+")
+    val scores: Seq[(String, Column)] = LangMarkers.map { case (lang, ms) =>
+      val sc =
+        if (lang == "zh")
+          ms.map(m => length(textCol) - length(regexp_replace(textCol, m, "")))
+            .reduce(_ + _).cast("double")
+        else
+          size(filter(t, x => x.isin(ms.map(m => m: Any): _*))).cast("double")
+      lang -> sc
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(lit("und")) { case (acc, (lang, sc)) =>
+      when(sc === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** 27. Language ID over documents (rows-only check; accuracy asserted
+    * in the test suite on real multilingual samples).
+    */
+  def q27LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), langIdCol(col("text")).as("predicted_lang"))
+
+  /** 28. Document fingerprint: rolling hash over tokens — each step
+    * chains the accumulator with the next token hash (order-sensitive,
+    * unlike the minhash set signature; overflow-free under ANSI mode,
+    * unlike a polynomial multiply-add). Pure fold — no shuffle.
+    */
+  def fingerprintCol(textCol: Column): Column =
+    aggregate(
+      transform(split(lower(trim(textCol)), "\\s+"), t => xxhash64(t)),
+      lit(0L), (acc, h) => xxhash64(acc, h))
+
+  def q28Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
+}
