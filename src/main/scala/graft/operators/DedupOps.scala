@@ -21,12 +21,15 @@ object DedupOps {
   /** 23. Exact dedup: md5 over normalized text, keep the smallest doc_id
     * per content hash (deterministic winner), count the duplicates.
     */
-  def q23ExactDedup(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), md5(encode(normText, "UTF-8")).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("dup_count"))
+
+  def q23ExactDedup(s: SparkSession, d: String): DataFrame =
+    exactDedup(Tables.documents(s, d))
 
   // ---- MinHash machinery ------------------------------------------------
 

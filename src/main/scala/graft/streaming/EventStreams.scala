@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table: watermarked windowed
+  * aggregation and stateful sessionization. The same transforms run
+  * identically on a batch DataFrame (tested batch-vs-stream) — Spark's
+  * unified model means the streaming path at scale is the batch logic
+  * plus a watermark.
+  */
+object EventStreams {
+
+  /** Parquet schema for streaming reads (readStream needs it up front).
+    * ts is INT64 nanos in the files (read as long, converted below).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Nanos-long → microsecond TimestampType, same rule as Tables.events. */
+  private def withTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+
+  /** The file stream source wants a directory; the testdata dir holds all
+    * tables, so filter to the events file.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    withTs(spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir))
+
+  /** Tumbling-window counts/sums per event type with a watermark: the
+    * streaming form of `groupBy(window(ts), type).agg(...)`. Late data
+    * beyond 30 min is dropped; state is bounded — this is what survives
+    * an unbounded stream.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  // ---- Sessionization ---------------------------------------------------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+  private case class SessionState(start: Long, end: Long, n: Long)
+
+  val SessionGapMs: Long = 30 * 60 * 1000
+
+  /** Batch-mode sessionization (ground truth for the stateful variant):
+    * a session breaks when the gap to the previous event exceeds 30 min.
+    * Pure window functions — shuffle keyed by user only.
+    */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > SessionGapMs)
+          .cast("long"))
+      .withColumn("session_no", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+  }
+
+  /** Streaming sessionization via flatMapGroupsWithState: one state object
+    * per user, emitting a session when the gap closes it. Event-time
+    * timeout would close idle sessions on a live stream; in availableNow
+    * test mode the final flush happens on state timeout/stream end.
+    */
+  def sessionizeStateful(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(st) if t - st.end <= SessionGapMs =>
+                cur = Some(st.copy(end = t, n = st.n + 1))
+              case Some(st) =>
+                out += Session(userId, new java.sql.Timestamp(st.start),
+                  new java.sql.Timestamp(st.end), st.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.RelationalOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("q06 season boundary: before first-Monday 09:05 belongs to previous month") {
+    // Jan 2024's first Monday is Jan 1 → season 2024-01 starts
+    // 2024-01-01T09:05Z; events earlier that morning are season 2023-12.
+    val seasons = RelationalOps.q06SeasonAssign(spark, Sf)
+    val ev = Tables.events(spark, Sf).select(col("event_id"), col("ts"))
+    val joined = seasons.join(ev, "event_id")
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-01 09:05:00")
+    val early = joined.filter(col("ts") < lit(cutoff))
+    val late = joined.filter(col("ts") >= lit(cutoff))
+    assert(early.count() > 0 && late.count() > 0) // both sides exercised
+    assert(early.filter(col("season_id") =!= "2023-12").count() == 0)
+    assert(late.filter(col("season_id") =!= "2024-01").count() == 0)
+  }
+
+  test("q12 upsert keeps exactly the latest event per user") {
+    val got = RelationalOps.q12UpsertLastWins(spark, Sf)
+    val ev = Tables.events(spark, Sf)
+    val expected = ev.groupBy("user_id").agg(max("ts").as("last_ts"))
+    assert(got.count() == expected.count())
+    assert(got.join(expected, Seq("user_id", "last_ts"), "left_anti")
+      .count() == 0)
+  }
+
+  test("q19 top-k: TOP-100 semantics, dense ranks, non-increasing price") {
+    val rows = RelationalOps.q19RecentTopK(spark, Sf)
+      .orderBy("rank").collect()
+    // TOP 100 = up to 100: the latest month may hold fewer orders
+    val o = Tables.orders(spark, Sf)
+      .withColumn("m", date_trunc("month", col("o_orderdate")))
+    val latestCount = o.join(broadcast(o.agg(max(col("m")).as("mx"))),
+      col("m") === col("mx")).count()
+    assert(rows.length == math.min(100L, latestCount))
+    assert(rows.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to rows.length.toLong))
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.length <= 1 || prices.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("q08 anti-join result has no matching lineitems") {
+    val newOnly = RelationalOps.q08InsertNewOnly(spark, Sf)
+    val li = Tables.lineitem(spark, Sf).select(col("l_orderkey"))
+    assert(newOnly.join(li,
+      newOnly("o_orderkey") === li("l_orderkey"), "left_semi").count() == 0)
+  }
+
+  test("q07 union+dedup has one row per order key and covers all orders") {
+    val deduped = RelationalOps.q07UnionDedup(spark, Sf)
+    assert(deduped.count() == deduped.select("o_orderkey").distinct().count())
+    assert(deduped.count() == Tables.orders(spark, Sf).count())
+  }
+
+  test("q21 win rate bounded 0..100 and counts positive") {
+    val wr = RelationalOps.q21WinRate(spark, Sf)
+    assert(wr.filter(col("win_rate") < 0 || col("win_rate") > 100)
+      .count() == 0)
+    assert(wr.filter(col("n_orders") <= 0).count() == 0)
+  }
+
+  test("q22 usage rates sum to ~100%") {
+    val total = RelationalOps.q22UsageRate(spark, Sf)
+      .agg(sum("usage_rate")).first().getDouble(0)
+    assert(math.abs(total - 100.0) < 0.5) // rounding slack across brands
+  }
+
+  test("q05 parse coerces bad input to null, parses good input") {
+    val parsed = RelationalOps.q05TsParse(spark, Sf)
+    val ev = Tables.events(spark, Sf)
+    val nErrors = ev.filter(col("event_type") === "error").count()
+    assert(parsed.filter(col("parsed_ts").isNull).count() == nErrors)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.VectorExpressions
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def vec(xs: Float*): Array[Float] = xs.toArray
+
+  test("native cosine: orthogonal=0, parallel=1, antiparallel=-1") {
+    val df = Seq(
+      (1L, vec(1, 0), vec(0, 1)),
+      (2L, vec(1, 2), vec(2, 4)),
+      (3L, vec(1, 0), vec(-1, 0))).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      VectorExpressions.cosine(spark, col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L)) < 1e-12)
+    assert(math.abs(got(2L) - 1.0) < 1e-12)
+    assert(math.abs(got(3L) + 1.0) < 1e-12)
+  }
+
+  test("native cosine: zero vector yields null") {
+    val df = Seq((1L, vec(0, 0), vec(1, 1))).toDF("id", "a", "b")
+    val r = df.select(
+      VectorExpressions.cosine(spark, col("a"), col("b")).as("c")).first()
+    assert(r.isNullAt(0))
+  }
+
+  test("native norm and dot match manual math") {
+    val df = Seq((1L, vec(3, 4))).toDF("id", "a")
+    val r = df.select(
+      VectorExpressions.norm(spark, col("a")).as("n"),
+      VectorExpressions.dot(spark, col("a"), col("a")).as("d")).first()
+    assert(math.abs(r.getDouble(0) - 5.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 25.0) < 1e-12)
+  }
+
+  test("functions usable from SQL after registration") {
+    VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .first().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("brute-force knn: 5 neighbors per query, ranks ordered by cosine") {
+    val bf = SimilarityOps.q32KnnBruteforce(spark, Sf)
+    val perQ = bf.groupBy("qid").count().collect()
+    assert(perQ.length == 10 && perQ.forall(_.getLong(1) == 5L))
+    val r0 = bf.filter(col("qid") === 0).orderBy("rank")
+      .select("cos_sim").collect().map(_.getDouble(0))
+    assert(r0.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("LSH ANN recall@5 vs brute force is useful (>= 0.3)") {
+    val bf = SimilarityOps.q32KnnBruteforce(spark, Sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ann = SimilarityOps.q33AnnLsh(spark, Sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (ann & bf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"recall@5 = $recall")
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("streaming windowed agg (availableNow) equals batch computation") {
+    val stream = EventStreams.readEventStream(spark, Sf)
+    val q = EventStreams.windowedAgg(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("win_agg").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("win_agg")
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // same transform on the batch DataFrame (watermark is a no-op there)
+    val batch = EventStreams.windowedAgg(Tables.events(spark, Sf))
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // append mode only emits windows closed by the watermark; every
+    // emitted window must match batch, and most windows must be emitted
+    assert(got.subsetOf(batch))
+    assert(got.size >= (batch.size * 0.8).toInt, s"${got.size}/${batch.size}")
+  }
+
+  test("batch sessionization splits on the 30-minute gap") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 7L),
+      (2L, t("2024-01-01 10:10:00"), 7L),
+      (3L, t("2024-01-01 11:30:00"), 7L), // 80-min gap → new session
+      (4L, t("2024-01-01 09:00:00"), 8L))
+      .toDF("event_id", "ts", "user_id")
+    val sessions = EventStreams.sessionizeBatch(ev).collect()
+    assert(sessions.length == 3)
+    val u7 = sessions.filter(_.getAs[Long]("user_id") == 7L)
+      .sortBy(_.getAs[java.sql.Timestamp]("session_start").getTime)
+    assert(u7.length == 2)
+    assert(u7(0).getAs[Long]("n_events") == 2L)
+    assert(u7(1).getAs[Long]("n_events") == 1L)
+  }
+
+  test("stateful sessionization emits the closed sessions") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      Event(1L, t("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      Event(2L, t("2024-01-01 10:10:00"), 7L, "click", 1.0),
+      Event(3L, t("2024-01-01 12:00:00"), 7L, "click", 1.0),
+      Event(4L, t("2024-01-01 13:00:00"), 7L, "click", 1.0)).toDS()
+    // batch (non-streaming) execution of the stateful function: all
+    // groups flush, the still-open trailing session stays in state
+    val sessions = EventStreams.sessionizeStateful(ev).collect()
+    assert(sessions.length == 2)
+    assert(sessions.map(_.n_events).sorted.toSeq == Seq(1L, 2L))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("lang-id classifies real multilingual samples") {
+    val samples = Seq(
+      (1L, "the cat is in the house and it is very happy", "en"),
+      (2L, "der hund ist nicht das problem und er ist ein freund", "de"),
+      (3L, "el gato es un animal y la casa es grande que bonita", "es"),
+      (4L, "le chat est dans la maison et ce chien est un ami", "fr"),
+      (5L, "我是一个学生我在学校里有很多的朋友", "zh"))
+    val df = samples.toDF("id", "text", "expected")
+    val got = df.select(col("id"), col("expected"),
+      TextOps.langIdCol(col("text")).as("got")).collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"id=${r.getLong(0)}: expected ${r.getString(1)} got ${r.getString(2)}")
+    }
+  }
+
+  test("lang-id returns 'und' for marker-free text") {
+    val r = Seq((1L, "zzz qqq xxx")).toDF("id", "text")
+      .select(TextOps.langIdCol(col("text"))).first().getString(0)
+    assert(r == "und")
+  }
+
+  test("token counts on a known string") {
+    val df = Seq((1L, "Spark runs fast fast 123")).toDF("doc_id", "text")
+    val r = df.select(
+      size(split(lower(trim(col("text"))), "\\s+")).as("n"),
+      size(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+        .as("nd")).first()
+    assert(r.getInt(0) == 5 && r.getInt(1) == 4)
+  }
+
+  test("quality score: all-stopword text has stop_ratio 1.0") {
+    // route through the same expressions as q26 via a known document
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val stop = size(filter(toks, t => t.isin("the", "a", "of", "and", "to",
+      "in")))
+    val r = Seq((1L, "the a of and to in")).toDF("id", "text")
+      .select((stop.cast("double") / size(toks)).as("ratio")).first()
+    assert(r.getDouble(0) == 1.0)
+  }
+
+  test("text stats group math is exact") {
+    val stats = TextOps.q24TextStats(spark, Sf)
+    val totalDocs = stats.agg(sum("n_docs")).first().getLong(0)
+    assert(totalDocs == Tables.documents(spark, Sf).count())
+    assert(stats.filter(col("min_chars") > col("max_chars")).count() == 0)
+  }
+}
