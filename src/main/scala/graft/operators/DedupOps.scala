@@ -46,15 +46,15 @@ object DedupOps {
           i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
         .otherwise(array(concat_ws(" ", toks))))
 
-  /** MinHash signature: hash function j is xxhash64 seeded by j (an
-    * independent-enough family, and overflow-free under ANSI mode —
-    * multiply-add families wrap Long and throw). Pure per-row
-    * expressions — no shuffle, no UDF.
+  /** MinHash signature. Each shingle STRING is hashed exactly once; the
+    * 32-function family is derived inside the native MinHashSig
+    * expression by re-hashing the long with the function index (one
+    * codegen'd k×L loop — the built-in HOF formulation ran interpreted
+    * and dominated the benchmark). No shuffle, no UDF.
     */
-  private def signature(shingleCol: Column): Column =
-    array((0 until NumHashes).map { j =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(j))))
-    }: _*)
+  private def signature(s: SparkSession, shingleCol: Column): Column =
+    graft.functions.MinHashExpression.minhashSig(s,
+      transform(shingleCol, x => xxhash64(x)), NumHashes)
 
   /** A corpus with planted near-duplicates: every document plus a copy
     * (doc_id + 1,000,000) with its first token dropped. Gives the near-dup
@@ -77,7 +77,8 @@ object DedupOps {
   def minhashCandidates(docs: DataFrame, threshold: Double): DataFrame = {
     val sig = docs
       .select(col("doc_id"), shingles(tokens(normText), ShingleSize).as("sh"))
-      .select(col("doc_id"), signature(col("sh")).as("sig"))
+      .select(col("doc_id"),
+        signature(docs.sparkSession, col("sh")).as("sig"))
 
     val bandHashes = array((0 until Bands).map { b =>
       xxhash64(concat_ws(",",
@@ -85,19 +86,22 @@ object DedupOps {
           element_at(col("sig"), b * RowsPerBand + r + 1)): _*))
     }: _*)
 
+    // Persist the banded signature table: both sides of the self-join
+    // read it (without this the whole shingle+signature pipeline runs
+    // twice). At cluster scale this is the materialized signature table.
     val banded = sig
       .select(col("doc_id"), col("sig"),
         posexplode(bandHashes).as(Seq("band_id", "band_hash")))
+      .persist()
 
     val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("band_id"), col("band_hash"))
     val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
       col("band_id"), col("band_hash"))
 
-    val est = aggregate(
-      zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / NumHashes
+    val est = graft.functions.MinHashExpression
+      .sigAgreement(docs.sparkSession, col("sig_a"), col("sig_b"))
+      .cast("double") / NumHashes
 
     a.join(b, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
@@ -112,21 +116,17 @@ object DedupOps {
     minhashCandidates(corpusWithPlantedDups(s, d), threshold = 0.5)
 
   /** 30. SimHash: 64-bit signature from token hashes; bit i is the sign
-    * of the ±1 vote sum at position i. Computed entirely per-row
-    * (64 folds over the token-hash array) — zero shuffle, codegen'd.
+    * of the ±1 vote sum at position i. The vote loop is the native
+    * codegen'd SimHash64 expression — zero shuffle, one tight loop/row.
     */
-  def simhashCol(textCol: Column): Column = {
+  def simhashCol(s: SparkSession, textCol: Column): Column = {
     val hashes = transform(tokens(lower(trim(textCol))), t => xxhash64(t))
-    (0 until 64).map { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(1L) * 2L - 1L)
-      when(vote > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.SimHashExpression.simhash(s, hashes)
   }
 
   def q30Simhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), simhashCol(col("text")).as("simhash"))
+      .select(col("doc_id"), simhashCol(s, col("text")).as("simhash"))
 
   /** 31. Exact n-gram (token-set) Jaccard over blocked pairs — the verify
     * stage behind LSH candidates. Blocking key here: same `source`
@@ -136,14 +136,16 @@ object DedupOps {
     val t = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         array_distinct(tokens(normText)).as("toks"))
-    val a = t.select(col("doc_id").as("doc_a"), col("source"),
-      col("toks").as("toks_a"))
-    val b = t.select(col("doc_id").as("doc_b"), col("source"),
-      col("toks").as("toks_b"))
-    a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+    val aa = t.select(col("doc_id").as("doc_a"), col("source"),
+      col("toks").as("toks_a"), size(col("toks")).as("na"))
+    val bb = t.select(col("doc_id").as("doc_b"), col("source"),
+      col("toks").as("toks_b"), size(col("toks")).as("nb"))
+    // |A∪B| = |A| + |B| - |A∩B|: one intersect per pair, no union array
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    aa.join(bb, Seq("source")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", inter)
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("toks_a"), col("toks_b")))
-          .cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))), 3).as("jaccard"))
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 3).as("jaccard"))
   }
 }

@@ -44,7 +44,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (4L, "completely different words about gardens flowers and sunshine"))
       .toDF("doc_id", "text")
     val hashes = df.select(col("doc_id"),
-      DedupOps.simhashCol(col("text")).as("h"))
+      DedupOps.simhashCol(spark, col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hashes(1L) == hashes(2L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that decide whether these
+  * operators survive a 100× scale-up — filters pushed to the parquet
+  * scan, columns pruned, small dimensions broadcast, no cartesian
+  * products — asserted on `.explain` output so regressions fail loudly.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 filter reaches the parquet scan (PushedFilters)") {
+    val p = plan(RelationalOps.q02Filter(spark, Sf))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p.take(2000))
+  }
+
+  test("q01 projection prunes the scan to the 3 selected columns") {
+    val p = plan(RelationalOps.q01ScanProject(spark, Sf))
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") &&
+      readSchema.contains("o_custkey") &&
+      readSchema.contains("o_orderpriority"))
+    assert(!readSchema.contains("o_totalprice") &&
+      !readSchema.contains("o_orderdate"), readSchema)
+  }
+
+  test("dimension joins broadcast the small side, never shuffle it") {
+    for (df <- Seq(RelationalOps.q20DimJoin(spark, Sf),
+        RelationalOps.q09SemiJoin(spark, Sf),
+        RelationalOps.q13PurgeKeys(spark, Sf),
+        RelationalOps.q22UsageRate(spark, Sf))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        p.take(1500))
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q32 brute-force knn broadcasts the query set (no cartesian)") {
+    val p = plan(SimilarityOps.q32KnnBruteforce(spark, Sf))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("hot-path operators stay inside WholeStageCodegen") {
+    // "*(n) Op" is the whole-stage-codegen marker in compact plan strings
+    for (df <- Seq(RelationalOps.q03DerivedFlag(spark, Sf),
+        SimilarityOps.q34VectorOps(spark, Sf),
+        DedupOps.q30Simhash(spark, Sf))) {
+      val p = plan(df)
+      assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p.take(800))
+    }
+  }
+
+  test("q12 upsert shuffles once, keyed on the upsert key") {
+    val p = plan(RelationalOps.q12UpsertLastWins(spark, Sf))
+    assert(p.contains("hashpartitioning(user_id"), p.take(1500))
+  }
+
+  test("q19 top-k never globally sorts the fact table") {
+    val p = plan(RelationalOps.q19RecentTopK(spark, Sf))
+    // sort-limit pattern: TakeOrderedAndProject (or a local limit), not a
+    // full Sort of orders
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
+      p.take(1500))
+  }
+}
