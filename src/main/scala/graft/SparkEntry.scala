@@ -55,6 +55,12 @@ object SparkEntry {
     "q33_ann_lsh" -> (SimilarityOps.q33AnnLsh _),
     "q34_vector_ops" -> (SimilarityOps.q34VectorOps _),
     "q35_multimodal" -> (MultimodalOps.q35Multimodal _),
+    "q36_embed_neardup" -> (SimilarityOps.q36EmbedNearDup _),
+    "q37_json_ingest" -> (graft.sources.JsonIngest.q37JsonIngest _),
+    "q38_topk_per_key" -> ((s, d) => graft.plans.TopK.perKey(
+      Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+      keys = Seq("o_custkey"),
+      order = Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -294,5 +300,57 @@ object SparkEntry {
                 CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INTEGER)
                   AS frame_h
          FROM documents""",
+    "q36_embed_neardup" ->
+      """WITH c AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                    AS e
+           FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.02)
+           FROM embeddings
+         ), pairs AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb, a.e AS ea, b.e AS eb
+           FROM c a, c b WHERE a.vec_id < b.vec_id
+         ), un AS (
+           SELECT va, vb, unnest(ea) AS x, unnest(eb) AS y FROM pairs
+         ), d AS (
+           SELECT va, vb, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+           FROM un GROUP BY va, vb
+         )
+         SELECT va AS vec_a, vb AS vec_b,
+                ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+         FROM d
+         WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.9""",
+    "q37_json_ingest" ->
+      """WITH e AS (
+           SELECT event_id, ts, user_id, event_type, "value",
+                  CAST(json_extract_string(props, '$.k') AS INT) AS k
+           FROM events
+         )
+         SELECT strftime(ts, '%Y%m%dT%H%M%S.%gZ') || '_#P' || user_id
+                  AS match_key,
+                try_strptime(strftime(ts, '%Y%m%dT%H%M%S.%gZ'),
+                  '%Y%m%dT%H%M%S.%gZ') AS battle_time,
+                (event_id % 4) > ((event_id + 1) % 4) AS is_win,
+                CAST(user_id % 7 + 1 AS INT) AS league,
+                '#P' || user_id AS player_id,
+                '#O' || user_id AS opponent_id,
+                CAST(event_id % 100 AS INT) AS current_global_rank,
+                CAST(1000 + event_id % 500 AS INT) AS starting_rating,
+                CAST(event_id % 60 - 30 AS INT) AS rating_change,
+                CAST(event_id % 4 AS INT) AS crowns,
+                CAST((event_id + 1) % 4 AS INT) AS opp_crowns,
+                CAST(5000 + event_id % 1000 AS INT) AS king_tower_hp,
+                CAST(k * 10 AS INT) AS princess_tower1_hp,
+                CAST(CASE WHEN event_id % 3 = 0 THEN 0 ELSE k * 5 END AS INT)
+                  AS princess_tower2_hp,
+                "value" AS elixir_leaked
+         FROM e WHERE event_type <> 'error'""",
+    "q38_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+         QUALIFY row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) <= 3""",
   )
 }

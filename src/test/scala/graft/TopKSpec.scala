@@ -1,0 +1,52 @@
+package graft
+
+import graft.plans.TopK
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("matches the window-function formulation exactly") {
+    val df = Tables.orders(spark, Sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val got = TopK.perKey(df, Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("ties within k and duplicate sort values are handled") {
+    val df = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 5.0), (1L, 13L, 5.0),
+      (2L, 20L, 1.0)).toDF("k", "id", "v")
+    val got = TopK.perKey(df, Seq("k"), Seq(("v", true), ("id", false)), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // equal v → lowest ids win via the tie-break column
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 20L)))
+  }
+
+  test("k larger than group size returns the whole group") {
+    val df = Seq((1L, 10L, 1.0), (1L, 11L, 2.0)).toDF("k", "id", "v")
+    assert(TopK.perKey(df, Seq("k"), Seq(("v", true)), 5).count() == 2)
+  }
+
+  test("physical plan is the two-phase heap operator, not sort+window") {
+    val df = Tables.orders(spark, Sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val p = TopK.perKey(df, Seq("o_custkey"), Seq(("o_totalprice", true)), 3)
+      .queryExecution.executedPlan.toString
+    // node prints as "TopKPerKey" (Spark strips the Exec suffix):
+    // map-side partial + final around a key-hashed Exchange
+    assert("TopKPerKey \\[".r.findAllIn(p).length == 2, p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("Exchange hashpartitioning(o_custkey"), p.take(1500))
+  }
+}
