@@ -61,6 +61,7 @@ object SparkEntry {
       Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
       keys = Seq("o_custkey"),
       order = Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)),
+    "q39_asof_join" -> (AsOfJoin.q39AsOfJoin _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -352,5 +353,11 @@ object SparkEntry {
          QUALIFY row_number() OVER (
            PARTITION BY o_custkey
            ORDER BY o_totalprice DESC, o_orderkey) <= 3""",
+    "q39_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, p.purchase_ts AS last_purchase_ts
+         FROM events e
+         ASOF LEFT JOIN (SELECT user_id, ts, ts AS purchase_ts FROM events
+                         WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id AND e.ts >= p.ts""",
   )
 }

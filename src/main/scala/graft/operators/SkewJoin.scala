@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for large⋈small joins on skewed keys, for when
+  * AQE's runtime skew splitting isn't available (e.g. the skewed side
+  * feeds a non-shuffle stage) or the skew is known up front.
+  *
+  * The large side gets a deterministic per-row salt in [0, n); the small
+  * side is replicated n times. The join key becomes (key, salt), so a hot
+  * key's rows spread over n reducers instead of one.
+  */
+object SkewJoin {
+
+  /** Per-row deterministic salt from a stable column (row identity —
+    * e.g. a primary key), NOT from the join key (salting the key's hash
+    * would keep each hot key on one reducer).
+    */
+  private def saltOf(stable: Column, n: Int): Column =
+    pmod(xxhash64(stable), lit(n.toLong)).cast("int")
+
+  def saltedJoin(large: DataFrame, largeKey: String, stableCol: String,
+      small: DataFrame, smallKey: String, n: Int,
+      joinType: String = "inner"): DataFrame = {
+    val salted = large.withColumn("_salt", saltOf(col(stableCol), n))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(n - 1))))
+    salted.join(replicated,
+        salted(largeKey) === replicated(smallKey) &&
+          salted("_salt") === replicated("_salt"), joinType)
+      .drop("_salt")
+  }
+
+  /** Key histogram — find candidates for salting: keys whose row count
+    * exceeds `threshold` times the mean.
+    */
+  def skewedKeys(df: DataFrame, key: String, threshold: Double): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val mean = counts.agg(avg(col("n")).as("mean_n"))
+    counts.crossJoin(broadcast(mean))
+      .filter(col("n") > col("mean_n") * threshold)
+      .select(col(key), col("n"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{AsOfJoin, SkewJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("as-of join picks the latest prior right row, null before any") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, t("2024-01-01 09:00:00")),   // before any purchase → null
+      (2L, 7L, t("2024-01-01 10:00:00")),   // exactly at p1 → p1 (<=)
+      (3L, 7L, t("2024-01-01 11:30:00")),   // between p1 and p2 → p1
+      (4L, 7L, t("2024-01-01 13:00:00")),   // after p2 → p2
+      (5L, 8L, t("2024-01-01 13:00:00")))   // other key, no rights → null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, t("2024-01-01 10:00:00")),
+      (7L, t("2024-01-01 12:00:00")))
+      .toDF("user_id", "pts")
+      .select(col("user_id"), col("pts").as("ts"),
+        col("pts").as("purchase_ts"))
+    val got = AsOfJoin.lastPrior(left, right, Seq("user_id"), "ts", "ts",
+      Seq("purchase_ts"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.sql.Timestamp]("asof_purchase_ts"))).toMap
+    assert(got(1L).isEmpty && got(5L).isEmpty)
+    assert(got(2L).contains(t("2024-01-01 10:00:00")))
+    assert(got(3L).contains(t("2024-01-01 10:00:00")))
+    assert(got(4L).contains(t("2024-01-01 12:00:00")))
+  }
+
+  test("as-of join keeps every left row (left-outer semantics)") {
+    val q = AsOfJoin.q39AsOfJoin(spark, Sf)
+    assert(q.count() == Tables.events(spark, Sf).count())
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val li = Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val p = Tables.part(spark, Sf).select("p_partkey", "p_brand")
+    val plain = li.join(p, li("l_partkey") === p("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "p_brand")
+      .collect().map(_.toSeq).toSet
+    val salted = SkewJoin.saltedJoin(li, "l_partkey", "l_orderkey",
+        p, "p_partkey", n = 4)
+      .select("l_orderkey", "l_linenumber", "p_brand")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("skewedKeys flags a hot key") {
+    val df = (Seq.fill(1000)(42L) ++ (1L to 100L)).toDF("k")
+    val hot = SkewJoin.skewedKeys(df, "k", threshold = 10.0)
+      .collect().map(_.getLong(0))
+    assert(hot.toSeq == Seq(42L))
+  }
+}
