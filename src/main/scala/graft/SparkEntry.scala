@@ -62,6 +62,8 @@ object SparkEntry {
       keys = Seq("o_custkey"),
       order = Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)),
     "q39_asof_join" -> (AsOfJoin.q39AsOfJoin _),
+    "q40_ann_ivf" -> (IvfAnn.q40AnnIvf _),
+    "q41_table_stats" -> (RelationalOps.q41TableStats _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -359,5 +361,13 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, ts, ts AS purchase_ts FROM events
                          WHERE event_type = 'purchase') p
            ON e.user_id = p.user_id AND e.ts >= p.ts""",
+    "q41_table_stats" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+                MIN(l_shipdate) AS min_shipdate,
+                MAX(l_shipdate) AS max_shipdate,
+                SUM(l_quantity) AS sum_qty
+         FROM lineitem""",
   )
 }

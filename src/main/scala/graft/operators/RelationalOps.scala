@@ -258,6 +258,20 @@ object RelationalOps {
           .as("win_rate"),
         col("n_orders").cast("long").as("n_orders"))
 
+  /** 41. Table statistics collection (ANALYZE-style): per-column
+    * min/max/count/distinct over the fact table in ONE pass — the
+    * numbers a cost-based optimizer and a data-quality report both need.
+    */
+  def q41TableStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      min(col("l_shipdate")).as("min_shipdate"),
+      max(col("l_shipdate")).as("max_shipdate"),
+      sum(col("l_quantity")).as("sum_qty"))
+
   /** 22. 3-way join + scalar-subquery usage/win rate (reference
     * usp_card_usage_wins, sql:224-242): per-brand share of line items in
     * the season plus per-brand win rate. The season total comes from an

@@ -49,6 +49,15 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact-dedup: drop repeat keys while bounding state with
+    * the watermark — the streaming form of the LLM-pipeline exact dedup
+    * (state for a key can be evicted once the watermark passes it).
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ---- Sessionization ---------------------------------------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

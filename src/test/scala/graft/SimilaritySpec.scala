@@ -56,6 +56,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(r0.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("IVF ANN recall@5 vs brute force is useful (>= 0.5)") {
+    val bf = SimilarityOps.q32KnnBruteforce(spark, Sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ivf = graft.operators.IvfAnn.q40AnnIvf(spark, Sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (ivf & bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall@5 = $recall")
+  }
+
   test("LSH ANN recall@5 vs brute force is useful (>= 0.3)") {
     val bf = SimilarityOps.q32KnnBruteforce(spark, Sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -31,6 +31,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size >= (batch.size * 0.8).toInt, s"${got.size}/${batch.size}")
   }
 
+  test("streaming dedup with watermark drops repeat keys") {
+    val stream = EventStreams.readEventStream(spark, Sf)
+    val q = EventStreams.streamingDedup(stream, Seq("user_id"))
+      .select("user_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_out").count()
+    val distinctUsers = Tables.events(spark, Sf)
+      .select("user_id").distinct().count()
+    assert(got == distinctUsers)
+  }
+
+  test("approx distinct sketch lands within 5% of exact") {
+    val ev = Tables.events(spark, Sf)
+    val exact = ev.select("user_id").distinct().count().toDouble
+    val approx = ev.agg(approx_count_distinct("user_id"))
+      .first().getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"$approx vs $exact")
+  }
+
   test("batch sessionization splits on the 30-minute gap") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
