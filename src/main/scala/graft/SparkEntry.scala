@@ -64,6 +64,11 @@ object SparkEntry {
     "q39_asof_join" -> (AsOfJoin.q39AsOfJoin _),
     "q40_ann_ivf" -> (IvfAnn.q40AnnIvf _),
     "q41_table_stats" -> (RelationalOps.q41TableStats _),
+    "q42_running_total" -> (RelationalOps.q42RunningTotal _),
+    "q43_rollup" -> (RelationalOps.q43Rollup _),
+    "q44_pivot" -> (RelationalOps.q44Pivot _),
+    "q45_percentiles" -> (RelationalOps.q45Percentiles _),
+    "q46_seasons_table" -> (RelationalOps.q46SeasonsTable _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -369,5 +374,56 @@ object SparkEntry {
                 MAX(l_shipdate) AS max_shipdate,
                 SUM(l_quantity) AS sum_qty
          FROM lineitem""",
+    "q42_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS running_spend,
+                CAST(date_diff('day',
+                  lag(o_orderdate) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS BIGINT) AS days_since_prev
+         FROM orders""",
+    "q43_rollup" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY ROLLUP (lang, source)""",
+    "q44_pivot" ->
+      """SELECT user_id,
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_click,
+                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_view,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_purchase,
+                CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_signup,
+                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_error
+         FROM events GROUP BY user_id""",
+    "q45_percentiles" ->
+      """SELECT l_returnflag,
+                ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+         FROM lineitem GROUP BY l_returnflag""",
+    "q46_seasons_table" ->
+      """WITH m0 AS (SELECT DISTINCT date_trunc('month', ts) AS m0
+                     FROM events),
+         ms AS (SELECT DISTINCT unnest([m0 - INTERVAL '1 month', m0,
+                                        m0 + INTERVAL '1 month']) AS m
+                FROM m0)
+         SELECT strftime(m, '%Y-%m') AS season_id,
+                m + ((8 - isodow(m)) % 7) * INTERVAL '1 day'
+                  + INTERVAL '9 hours' + INTERVAL '5 minutes'
+                  AS sn_start_date,
+                (m + INTERVAL '1 month')
+                  + ((8 - isodow(m + INTERVAL '1 month')) % 7)
+                    * INTERVAL '1 day'
+                  + INTERVAL '9 hours' + INTERVAL '5 minutes'
+                  - INTERVAL '1 second' AS sn_end_date
+         FROM ms""",
   )
 }

@@ -272,6 +272,74 @@ object RelationalOps {
       max(col("l_shipdate")).as("max_shipdate"),
       sum(col("l_quantity")).as("sum_qty"))
 
+  /** 42. Running aggregates per key (lag/running-sum window analytics):
+    * per customer, each order with its running spend and the gap in days
+    * since the previous order.
+    */
+  def q42RunningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      // decimal accumulation: float window-sums are order-dependent and
+      // engines disagree (DuckDB sums via a segment tree)
+      sum(col("o_totalprice").cast("decimal(18,4)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double").as("running_spend"),
+      datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+        .cast("long").as("days_since_prev"))
+  }
+
+  /** 43. Hierarchical totals (ROLLUP): doc counts and char totals per
+    * (lang, source), per lang, and grand total in one pass.
+    */
+  def q43Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  /** 44. Pivot: events per user pivoted into one column per event type
+    * (fixed type list → deterministic schema).
+    */
+  def q44Pivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+      .select(col("user_id") +: types.map(t => col(t).as(s"n_$t")): _*)
+  }
+
+  /** 45. Percentiles (exact, linear interpolation) of extended price per
+    * return flag.
+    */
+  def q45Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+
+  /** 46. Calendar/dimension generation: the seasons table (reference
+    * last_n_completed_seasons, helper_functions.py:7-37) materialized
+    * from a month sequence — season start is the first Monday of each
+    * month at 09:05 UTC, end is one second before the next start.
+    */
+  def q46SeasonsTable(s: SparkSession, d: String): DataFrame = {
+    val months = Tables.events(s, d)
+      .select(date_trunc("month", col("ts")).as("m0"))
+      .distinct()
+      .select(explode(array(add_months(col("m0"), -1), col("m0"),
+        add_months(col("m0"), 1))).as("m"))
+      .distinct()
+    months.select(
+        date_format(col("m"), "yyyy-MM").as("season_id"),
+        seasonStart(col("m")).as("sn_start_date"),
+        (seasonStart(add_months(col("m"), 1)) - expr("INTERVAL 1 SECOND"))
+          .as("sn_end_date"))
+  }
+
   /** 22. 3-way join + scalar-subquery usage/win rate (reference
     * usp_card_usage_wins, sql:224-242): per-brand share of line items in
     * the season plus per-brand win rate. The season total comes from an
