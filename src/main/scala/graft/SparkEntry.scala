@@ -69,6 +69,8 @@ object SparkEntry {
     "q44_pivot" -> (RelationalOps.q44Pivot _),
     "q45_percentiles" -> (RelationalOps.q45Percentiles _),
     "q46_seasons_table" -> (RelationalOps.q46SeasonsTable _),
+    "q47_top_ngrams" -> (TextOps.q47TopNgrams _),
+    "q48_fk_check" -> (RelationalOps.q48FkCheck _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -425,5 +427,34 @@ object SparkEntry {
                   + INTERVAL '9 hours' + INTERVAL '5 minutes'
                   - INTERVAL '1 second' AS sn_end_date
          FROM ms""",
+    "q47_top_ngrams" ->
+      """WITH t AS (
+           SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents
+         ), g AS (
+           SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS trigram
+           FROM t, LATERAL unnest(range(1, len(toks) - 1)) AS u(i)
+           WHERE len(toks) >= 3
+         )
+         SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+         FROM g GROUP BY trigram
+         ORDER BY n DESC, trigram ASC LIMIT 20""",
+    "q48_fk_check" ->
+      """SELECT 'lineitem_orders' AS fk, CAST(COUNT(*) AS BIGINT)
+                  AS n_orphans
+         FROM lineitem l WHERE NOT EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+         UNION ALL
+         SELECT 'orders_customer', CAST(COUNT(*) AS BIGINT)
+         FROM orders o WHERE NOT EXISTS (
+           SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+         UNION ALL
+         SELECT 'customer_nation', CAST(COUNT(*) AS BIGINT)
+         FROM customer c WHERE NOT EXISTS (
+           SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+         UNION ALL
+         SELECT 'nation_region', CAST(COUNT(*) AS BIGINT)
+         FROM nation n WHERE NOT EXISTS (
+           SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)""",
   )
 }

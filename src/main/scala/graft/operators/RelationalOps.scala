@@ -340,6 +340,28 @@ object RelationalOps {
           .as("sn_end_date"))
   }
 
+  /** 48. Referential-integrity validation — the engine's form of the
+    * reference's FK constraints (sql/db_creation_script.sql:119-159):
+    * count orphaned rows per declared relationship via anti-joins.
+    */
+  def q48FkCheck(s: SparkSession, d: String): DataFrame = {
+    def orphans(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame =
+      child.join(parent, child(childKey) === parent(parentKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_orphans"))
+    Seq(
+      orphans("lineitem_orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      orphans("orders_customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"),
+      orphans("customer_nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+      orphans("nation_region", Tables.nation(s, d), "n_regionkey",
+        Tables.region(s, d), "r_regionkey"))
+      .reduce(_ unionByName _)
+  }
+
   /** 22. 3-way join + scalar-subquery usage/win rate (reference
     * usp_card_usage_wins, sql:224-242): per-brand share of line items in
     * the season plus per-brand win rate. The season total comes from an

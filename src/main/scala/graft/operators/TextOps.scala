@@ -114,4 +114,23 @@ object TextOps {
   def q28Fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
+
+  /** 47. Corpus n-gram mining: top-20 word trigrams by frequency.
+    * Shingle per row (no shuffle), explode, one count shuffle, sort-limit
+    * the tiny aggregate — the shape that survives any corpus size.
+    */
+  def q47TopNgrams(s: SparkSession, d: String): DataFrame = {
+    // element_at per position instead of slice(): no per-window array copy
+    val t = toks
+    val trigrams = transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2)))
+    Tables.documents(s, d)
+      .filter(size(toks) >= 3)
+      .select(explode(trigrams).as("trigram"))
+      .groupBy(col("trigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram").asc)
+      .limit(20)
+  }
 }

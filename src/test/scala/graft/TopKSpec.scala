@@ -33,6 +33,56 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 20L)))
   }
 
+  test("optimizer rule rewrites window-rank-filter into TopKPerKey") {
+    val exp = spark.experimental
+    val (savedS, savedO) = (exp.extraStrategies, exp.extraOptimizations)
+    try {
+      graft.plans.TopKRewrite.install(spark)
+      val df = Tables.orders(spark, Sf)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val q = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), plan.take(1500))
+      // no window exec, no sort-based WindowGroupLimit, no Sort at all
+      assert(!plan.contains("WindowGroupLimit"), plan.take(1500))
+      assert(!plan.contains("Sort "), plan.take(1500))
+      // and the rewritten plan returns the exact same rows
+      val expected = graft.plans.TopK.perKey(df, Seq("o_custkey"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    } finally {
+      exp.extraStrategies = savedS
+      exp.extraOptimizations = savedO
+    }
+  }
+
+  test("rewrite does NOT fire when the rank column is kept") {
+    val exp = spark.experimental
+    val (savedS, savedO) = (exp.extraStrategies, exp.extraOptimizations)
+    try {
+      graft.plans.TopKRewrite.install(spark)
+      val df = Tables.orders(spark, Sf)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val q = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)   // rn survives in the output
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("Window"), plan.take(1500))
+    } finally {
+      exp.extraStrategies = savedS
+      exp.extraOptimizations = savedO
+    }
+  }
+
   test("k larger than group size returns the whole group") {
     val df = Seq((1L, 10L, 1.0), (1L, 11L, 2.0)).toDF("k", "id", "v")
     assert(TopK.perKey(df, Seq("k"), Seq(("v", true)), 5).count() == 2)
