@@ -24,6 +24,10 @@ object GraftSession {
   def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SQL users get the native functions without touching Scala helpers
+    graft.functions.VectorExpressions.register(spark)
+    graft.functions.SimHashExpression.register(spark)
+    graft.functions.MinHashExpression.register(spark)
     spark
   }
 }

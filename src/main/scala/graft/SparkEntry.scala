@@ -71,6 +71,7 @@ object SparkEntry {
     "q46_seasons_table" -> (RelationalOps.q46SeasonsTable _),
     "q47_top_ngrams" -> (TextOps.q47TopNgrams _),
     "q48_fk_check" -> (RelationalOps.q48FkCheck _),
+    "q49_doc_embedding" -> (SimilarityOps.q49DocEmbedding _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -456,5 +457,14 @@ object SparkEntry {
          SELECT 'nation_region', CAST(COUNT(*) AS BIGINT)
          FROM nation n WHERE NOT EXISTS (
            SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)""",
+    "q49_doc_embedding" ->
+      """WITH norms AS (
+           SELECT vec_id, label, ROUND(sqrt(SUM(x * x)), 4) AS l2_norm
+           FROM (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
+                 FROM embeddings)
+           GROUP BY vec_id, label
+         )
+         SELECT d.doc_id, d.lang, d.n_chars, n.label, n.l2_norm
+         FROM documents d JOIN norms n ON d.doc_id = n.vec_id""",
   )
 }

@@ -53,10 +53,13 @@ object ParquetUpsertSink {
     */
   def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
       keys: Seq[String], versionCol: String): Unit = {
+    // allowMissingColumns: schema evolution — updates may add columns
+    // (nulls backfill the history) or omit dropped ones
     val tagged =
       if (!exists(spark, tableDir)) updates.withColumn("_src", lit(1))
       else read(spark, tableDir).withColumn("_src", lit(0))
-        .unionByName(updates.withColumn("_src", lit(1)))
+        .unionByName(updates.withColumn("_src", lit(1)),
+          allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc, col("_src").desc)
     val merged = tagged
@@ -77,6 +80,13 @@ object ParquetUpsertSink {
       Seq(keyCol), "left_anti")
     replace(spark, tableDir, remaining)
   }
+
+  /** Compact the table's data files into `numFiles` (small-file cleanup
+    * after many incremental upserts — at scale, file count drives both
+    * listing time and task overhead).
+    */
+  def compact(spark: SparkSession, tableDir: String, numFiles: Int): Unit =
+    replace(spark, tableDir, read(spark, tableDir).coalesce(numFiles))
 
   /** Insert-new-only (append rows whose key is absent — the reference's
     * incremental season/match load, etl_pipeline_script.py:128-137).

@@ -44,6 +44,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == distinctUsers)
   }
 
+  test("stream-stream self-join within a time bound matches batch") {
+    def sides(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val c = df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      (p, c)
+    }
+    val cond = expr(
+      "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 10 MINUTES AND p_ts")
+
+    val (ps, cs) = sides(EventStreams.readEventStream(spark, Sf))
+    val q = ps.withWatermark("p_ts", "1 hour")
+      .join(cs.withWatermark("c_ts", "1 hour"), cond)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val (pb, cb) = sides(Tables.events(spark, Sf))
+    val batchCount = pb.join(cb, cond).count()
+    assert(spark.table("ssj_out").count() == batchCount)
+    assert(batchCount > 0)
+  }
+
   test("approx distinct sketch lands within 5% of exact") {
     val ev = Tables.events(spark, Sf)
     val exact = ev.select("user_id").distinct().count().toDouble
