@@ -72,6 +72,7 @@ object SparkEntry {
     "q47_top_ngrams" -> (TextOps.q47TopNgrams _),
     "q48_fk_check" -> (RelationalOps.q48FkCheck _),
     "q49_doc_embedding" -> (SimilarityOps.q49DocEmbedding _),
+    "q50_sample_per_group" -> (TextOps.q50SamplePerGroup _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -466,5 +467,11 @@ object SparkEntry {
          )
          SELECT d.doc_id, d.lang, d.n_chars, n.label, n.l2_norm
          FROM documents d JOIN norms n ON d.doc_id = n.vec_id""",
+    "q50_sample_per_group" ->
+      """SELECT doc_id, lang, source,
+                md5(CAST(doc_id AS VARCHAR)) AS sample_key
+         FROM documents
+         QUALIFY row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) <= 5""",
   )
 }

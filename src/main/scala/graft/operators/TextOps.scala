@@ -115,6 +115,18 @@ object TextOps {
     Tables.documents(s, d)
       .select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
 
+  /** 50. Deterministic per-group sampling: k docs per lang by hash
+    * order (uniform, reproducible, mergeable — the distributed way to
+    * sample; rand() samples aren't reproducible across retries and
+    * drivers). Hash = md5 of the id so the oracle can reproduce it.
+    */
+  def q50SamplePerGroup(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.perKey(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("doc_id").cast("string").cast("binary")).as("sample_key")),
+      keys = Seq("lang"), order = Seq(("sample_key", false)), k = 5)
+
   /** 47. Corpus n-gram mining: top-20 word trigrams by frequency.
     * Shingle per row (no shuffle), explode, one count shuffle, sort-limit
     * the tiny aggregate — the shape that survives any corpus size.

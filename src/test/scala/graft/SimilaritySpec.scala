@@ -67,6 +67,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"IVF recall@5 = $recall")
   }
 
+  test("centroid aggregator equals driver-side mean per label") {
+    import graft.functions.CentroidAggregator
+    val ds = Tables.embeddings(spark, Sf)
+      .select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+    val got = ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(CentroidAggregator.centroid)
+      .collect().toMap
+    val local = ds.collect().groupBy(_._1).map { case (label, rows) =>
+      val dim = rows.head._2.length
+      val sums = new Array[Double](dim)
+      rows.foreach(r => (0 until dim).foreach(i => sums(i) += r._2(i)))
+      label -> sums.map(_ / rows.length)
+    }
+    assert(got.keySet == local.keySet)
+    for (label <- got.keySet; i <- got(label).indices)
+      assert(math.abs(got(label)(i) - local(label)(i)) < 1e-9)
+  }
+
   test("LSH ANN recall@5 vs brute force is useful (>= 0.3)") {
     val bf = SimilarityOps.q32KnnBruteforce(spark, Sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
