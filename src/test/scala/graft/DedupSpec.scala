@@ -72,6 +72,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(j((1L, 3L)) == 0.0)
   }
 
+  test("null text: dedup groups nulls together, hashes stay null") {
+    val docs = Seq((1L, null: String), (2L, null: String), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.exactDedup(docs).collect()
+    assert(got.length == 2)
+    val nullGroup = got.find(_.isNullAt(0)).get
+    assert(nullGroup.getAs[Long]("dup_count") == 2L)
+    assert(nullGroup.getAs[Long]("keep_doc_id") == 1L)
+  }
+
+  test("null/empty text: simhash and fingerprint do not crash") {
+    val df = Seq((1L, null: String), (2L, ""), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+      DedupOps.simhashCol(spark, col("text")).as("sh"),
+      TextOps.fingerprintCol(col("text")).as("fp")).collect()
+    assert(rows.length == 3)
+    assert(rows.find(_.getLong(0) == 1L).get.isNullAt(1)) // null in → null out
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a"))
       .toDF("doc_id", "text")
