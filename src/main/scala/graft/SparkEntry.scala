@@ -73,6 +73,8 @@ object SparkEntry {
     "q48_fk_check" -> (RelationalOps.q48FkCheck _),
     "q49_doc_embedding" -> (SimilarityOps.q49DocEmbedding _),
     "q50_sample_per_group" -> (TextOps.q50SamplePerGroup _),
+    "q51_simhash_neardup" -> (DedupOps.q51SimhashNearDup _),
+    "q52_repetition_filters" -> (TextOps.q52RepetitionFilters _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -473,5 +475,25 @@ object SparkEntry {
          FROM documents
          QUALIFY row_number() OVER (
            PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) <= 5""",
+    "q52_repetition_filters" ->
+      """WITH perTok AS (
+           SELECT doc_id, tok, COUNT(*) AS c
+           FROM (SELECT doc_id,
+                        unnest(string_split_regex(lower(trim(text)), '\s+'))
+                          AS tok
+                 FROM documents)
+           GROUP BY doc_id, tok
+         ), agg AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  CAST(MAX(c) AS BIGINT) AS top_token_freq,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct
+           FROM perTok GROUP BY doc_id
+         )
+         SELECT doc_id, n_tokens, top_token_freq,
+                ((top_token_freq * 2000 + n_tokens) // (2 * n_tokens))
+                  / 1000.0 AS top_token_share,
+                ((n_distinct * 2000 + n_tokens) // (2 * n_tokens))
+                  / 1000.0 AS distinct_ratio
+         FROM agg""",
   )
 }

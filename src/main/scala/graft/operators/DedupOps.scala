@@ -128,6 +128,35 @@ object DedupOps {
     Tables.documents(s, d)
       .select(col("doc_id"), simhashCol(s, col("text")).as("simhash"))
 
+  /** 51. SimHash near-dup pairs at scale: split the 64-bit signature
+    * into 4 16-bit bands — by pigeonhole, any pair within Hamming
+    * distance 3 shares at least one exact band, so candidates come from
+    * 4 band-keyed bucket joins (never all-pairs); then the exact
+    * `bit_count(a XOR b)` filter keeps pairs ≤ `maxHamming`.
+    */
+  def simhashNearDup(s: SparkSession, docs: DataFrame, maxHamming: Int)
+      : DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      simhashCol(s, col("text")).as("simhash"))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band_id", "band_val")))
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sh_a"), col("band_id"), col("band_val"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sh_b"), col("band_id"), col("band_val"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def q51SimhashNearDup(s: SparkSession, d: String): DataFrame =
+    simhashNearDup(s, corpusWithPlantedDups(s, d), maxHamming = 12)
+
   /** 31. Exact n-gram (token-set) Jaccard over blocked pairs — the verify
     * stage behind LSH candidates. Blocking key here: same `source`
     * (25 docs per source → bounded pair counts per block).

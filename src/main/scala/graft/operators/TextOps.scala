@@ -127,6 +127,28 @@ object TextOps {
           md5(col("doc_id").cast("string").cast("binary")).as("sample_key")),
       keys = Seq("lang"), order = Seq(("sample_key", false)), k = 5)
 
+  /** 52. Repetition quality filters (the Gopher-style signals): top
+    * single-token share and distinct-token ratio — high repetition is
+    * the classic low-quality-document marker. One explode + count
+    * shuffle; ratios in exact integer round-half-up arithmetic.
+    */
+  def q52RepetitionFilters(s: SparkSession, d: String): DataFrame = {
+    val perTok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    perTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        max(col("c")).as("top_token_freq"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("top_token_freq").cast("long").as("top_token_freq"),
+        (expr("(top_token_freq * 2000 + n_tokens) div (2 * n_tokens)")
+          .cast("double") / 1000).as("top_token_share"),
+        (expr("(n_distinct * 2000 + n_tokens) div (2 * n_tokens)")
+          .cast("double") / 1000).as("distinct_ratio"))
+  }
+
   /** 47. Corpus n-gram mining: top-20 word trigrams by frequency.
     * Shingle per row (no shuffle), explode, one count shuffle, sort-limit
     * the tiny aggregate — the shape that survives any corpus size.

@@ -92,6 +92,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.find(_.getLong(0) == 1L).get.isNullAt(1)) // null in → null out
   }
 
+  test("simhash banded near-dup finds planted pairs, not random ones") {
+    val cands = DedupOps.simhashNearDup(spark,
+      DedupOps.corpusWithPlantedDups(spark, Sf), maxHamming = 12)
+    val planted = cands.filter(col("doc_b") === col("doc_a") + 1000000L)
+      .count()
+    val nDocs = Tables.documents(spark, Sf).count()
+    assert(planted >= (nDocs * 0.8).toLong,
+      s"found $planted of $nDocs planted pairs")
+    // hamming values are genuine
+    assert(cands.filter(col("hamming") > 12).count() == 0)
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a"))
       .toDF("doc_id", "text")

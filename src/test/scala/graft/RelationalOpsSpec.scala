@@ -6,6 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
 
+  test("flagship entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q06 season boundary: before first-Monday 09:05 belongs to previous month") {
     // Jan 2024's first Monday is Jan 1 → season 2024-01 starts
     // 2024-01-01T09:05Z; events earlier that morning are season 2023-12.
