@@ -75,8 +75,12 @@ object DedupOps {
     * estimate Jaccard from signature agreement → threshold.
     */
   def minhashCandidates(docs: DataFrame, threshold: Double): DataFrame = {
+    // tokens materialized as a bound column BEFORE shingling: the slice
+    // inside the shingle lambda would otherwise re-tokenize the text
+    // once per shingle window (O(L²) per doc)
     val sig = docs
-      .select(col("doc_id"), shingles(tokens(normText), ShingleSize).as("sh"))
+      .select(col("doc_id"), tokens(normText).as("tk"))
+      .select(col("doc_id"), shingles(col("tk"), ShingleSize).as("sh"))
       .select(col("doc_id"),
         signature(docs.sparkSession, col("sh")).as("sig"))
 

@@ -154,13 +154,17 @@ object TextOps {
     * the tiny aggregate — the shape that survives any corpus size.
     */
   def q47TopNgrams(s: SparkSession, d: String): DataFrame = {
-    // element_at per position instead of slice(): no per-window array copy
-    val t = toks
+    // Materialize the token array as a bound column FIRST: referencing
+    // the raw split() expression inside the lambda re-tokenizes the
+    // whole text per element_at call (O(L²) per doc — measured 3×
+    // slower at sf0.1).
+    val t = col("tk")
     val trigrams = transform(sequence(lit(1), size(t) - 2),
       i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
         element_at(t, i + 2)))
     Tables.documents(s, d)
-      .filter(size(toks) >= 3)
+      .select(toks.as("tk"))
+      .filter(size(t) >= 3)
       .select(explode(trigrams).as("trigram"))
       .groupBy(col("trigram"))
       .agg(count(lit(1)).as("n"))
