@@ -59,6 +59,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q36 near-dup: no cartesian product anywhere in the plan") {
+    val p = plan(SimilarityOps.q36EmbedNearDup(spark, Sf))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q39 as-of join: exactly one shuffle, keyed by the join key") {
+    val p = plan(AsOfJoin.q39AsOfJoin(spark, Sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"$shuffles shuffles\n${p.take(1500)}")
+    assert(p.contains("hashpartitioning(user_id"), p.take(1500))
+  }
+
+  test("q47 ngram count: partial aggregation before the shuffle") {
+    val p = plan(TextOps.q47TopNgrams(spark, Sf))
+    // map-side partial + final HashAggregate around one exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q50 sampling runs on the heap operator, not a window sort") {
+    val p = plan(TextOps.q50SamplePerGroup(spark, Sf))
+    assert(p.contains("TopKPerKey"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("q12 upsert shuffles once, keyed on the upsert key") {
     val p = plan(RelationalOps.q12UpsertLastWins(spark, Sf))
     assert(p.contains("hashpartitioning(user_id"), p.take(1500))
