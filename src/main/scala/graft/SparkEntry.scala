@@ -75,6 +75,10 @@ object SparkEntry {
     "q50_sample_per_group" -> (TextOps.q50SamplePerGroup _),
     "q51_simhash_neardup" -> (DedupOps.q51SimhashNearDup _),
     "q52_repetition_filters" -> (TextOps.q52RepetitionFilters _),
+    "q53_quantize" -> (SimilarityOps.q53Quantize _),
+    "q54_text_clean" -> (TextOps.q54TextClean _),
+    "q55_full_outer" -> (RelationalOps.q55FullOuter _),
+    "q56_set_ops" -> (RelationalOps.q56SetOps _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -495,5 +499,60 @@ object SparkEntry {
                 ((n_distinct * 2000 + n_tokens) // (2 * n_tokens))
                   / 1000.0 AS distinct_ratio
          FROM agg""",
+    "q53_quantize" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings
+         ), b AS (
+           SELECT vec_id, emb, list_min(emb) AS lo, list_max(emb) AS hi
+           FROM e
+         ), u AS (
+           SELECT vec_id, lo, hi,
+                  CAST(generate_subscripts(emb, 1) - 1 AS INTEGER) AS pos,
+                  unnest(emb) AS x
+           FROM b
+         )
+         SELECT vec_id, pos,
+                CAST(floor((x - lo) * 254 / (hi - lo) + 0.5) AS INTEGER)
+                  - 127 AS code
+         FROM u""",
+    "q54_text_clean" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_raw,
+                lower(trim(regexp_replace(regexp_replace(text,
+                  '[^\x20-\x7e]', ' ', 'g'), '\s+', ' ', 'g')))
+                  AS text_clean,
+                CAST(length(lower(trim(regexp_replace(regexp_replace(text,
+                  '[^\x20-\x7e]', ' ', 'g'), '\s+', ' ', 'g'))))
+                  AS BIGINT) AS len_clean
+         FROM documents""",
+    "q55_full_outer" ->
+      """WITH perCust AS (
+           SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_recent
+           FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+           GROUP BY o_custkey
+         )
+         SELECT c.c_custkey, c.c_mktsegment,
+                COALESCE(p.n_recent, 0) AS n_recent
+         FROM customer c FULL OUTER JOIN perCust p
+           ON c.c_custkey = p.o_custkey""",
+    "q56_set_ops" ->
+      """SELECT o_custkey, 'both' AS bucket FROM (
+           SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+           INTERSECT
+           SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+             AND o_orderdate < TIMESTAMP '1999-01-01')
+         UNION ALL
+         SELECT o_custkey, 'only_1997' AS bucket FROM (
+           SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+           EXCEPT
+           SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+             AND o_orderdate < TIMESTAMP '1999-01-01')""",
   )
 }

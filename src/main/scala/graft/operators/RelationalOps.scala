@@ -340,6 +340,34 @@ object RelationalOps {
           .as("sn_end_date"))
   }
 
+  /** 55. Full-outer join with null-side handling: every customer and
+    * every order bucket, including customers with no orders.
+    */
+  def q55FullOuter(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_recent"))
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    c.join(perCust, c("c_custkey") === perCust("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("n_recent"), lit(0L)).as("n_recent"))
+  }
+
+  /** 56. Set operations: customers ordering in BOTH 1997 and 1998
+    * (INTERSECT) and in 1997 but NOT 1998 (EXCEPT).
+    */
+  def q56SetOps(s: SparkSession, d: String): DataFrame = {
+    def custsIn(year: Int) = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit(s"$year-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit(s"${year + 1}-01-01")))
+      .select(col("o_custkey"))
+    val both = custsIn(1997).intersect(custsIn(1998))
+      .select(col("o_custkey"), lit("both").as("bucket"))
+    val only97 = custsIn(1997).except(custsIn(1998))
+      .select(col("o_custkey"), lit("only_1997").as("bucket"))
+    both.unionByName(only97)
+  }
+
   /** 48. Referential-integrity validation — the engine's form of the
     * reference's FK constraints (sql/db_creation_script.sql:119-159):
     * count orphaned rows per declared relationship via anti-joins.

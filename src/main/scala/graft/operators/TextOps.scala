@@ -127,6 +127,20 @@ object TextOps {
           md5(col("doc_id").cast("string").cast("binary")).as("sample_key")),
       keys = Seq("lang"), order = Seq(("sample_key", false)), k = 5)
 
+  /** 54. Text cleaning for training data: strip non-printable chars,
+    * collapse whitespace runs, trim, lowercase — with before/after
+    * lengths so the aggressiveness is observable.
+    */
+  def q54TextClean(s: SparkSession, d: String): DataFrame = {
+    val cleaned = lower(trim(regexp_replace(
+      regexp_replace(col("text"), "[^\\x20-\\x7e]", " "), "\\s+", " ")))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_raw"),
+      cleaned.as("text_clean"),
+      length(cleaned).cast("long").as("len_clean"))
+  }
+
   /** 52. Repetition quality filters (the Gopher-style signals): top
     * single-token share and distinct-token ratio — high repetition is
     * the classic low-quality-document marker. One explode + count
