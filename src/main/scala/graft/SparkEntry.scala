@@ -269,18 +269,58 @@ object SparkEntry {
                   AS avg_token_len,
                 (n_tokens >= 20 AND n_tokens <= 1000) AS length_ok
          FROM t""",
+    // full LSH-candidates → exact-verify pipeline: md5 minhash minima are
+    // engine-identical hex strings, so DuckDB reproduces the candidate
+    // set exactly — never all-pairs on either side
     "q31_ngram_jaccard" ->
-      """WITH t AS (
-           SELECT doc_id, source,
-                  list_distinct(string_split_regex(lower(trim(text)), '\s+'))
-                    AS toks
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
            FROM documents
+         ), base AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM corpus
+         ), sh AS (
+           SELECT doc_id, list_distinct(tk) AS toks,
+                  CASE WHEN len(tk) >= 3 THEN
+                    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                   for i in range(1, len(tk) - 1)])
+                  ELSE [array_to_string(tk, ' ')] END AS sh
+           FROM base
+         ), sigs AS (
+           SELECT doc_id, toks,
+                  list_min(list_transform(sh, x -> md5('0|' || x))) AS m0,
+                  list_min(list_transform(sh, x -> md5('1|' || x))) AS m1,
+                  list_min(list_transform(sh, x -> md5('2|' || x))) AS m2,
+                  list_min(list_transform(sh, x -> md5('3|' || x))) AS m3,
+                  list_min(list_transform(sh, x -> md5('4|' || x))) AS m4,
+                  list_min(list_transform(sh, x -> md5('5|' || x))) AS m5,
+                  list_min(list_transform(sh, x -> md5('6|' || x))) AS m6,
+                  list_min(list_transform(sh, x -> md5('7|' || x))) AS m7
+           FROM sh
+         ), banded AS (
+           SELECT doc_id,
+                  unnest([0, 1, 2, 3]) AS band_id,
+                  unnest([m0 || ',' || m1, m2 || ',' || m3,
+                          m4 || ',' || m5, m6 || ',' || m7]) AS band_key
+           FROM sigs
+         ), pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+         ), iv AS (
+           SELECT p.doc_a, p.doc_b,
+                  len(list_intersect(ta.toks, tb.toks)) AS inter,
+                  len(ta.toks) AS na, len(tb.toks) AS nb
+           FROM pairs p
+           JOIN sh ta ON ta.doc_id = p.doc_a
+           JOIN sh tb ON tb.doc_id = p.doc_b
          )
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                      / len(list_distinct(list_concat(a.toks, b.toks))), 3)
-                  AS jaccard
-         FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id""",
+         SELECT doc_a, doc_b,
+                ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 3) AS jaccard
+         FROM iv""",
     "q32_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
                     WHERE vec_id < 10),

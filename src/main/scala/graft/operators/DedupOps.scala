@@ -78,11 +78,19 @@ object DedupOps {
     // tokens materialized as a bound column BEFORE shingling: the slice
     // inside the shingle lambda would otherwise re-tokenize the text
     // once per shingle window (O(L²) per doc)
+    //
+    // localCheckpoint (lazy): the signature table is read three times
+    // (band explode + the two re-attach joins) — materialize the
+    // shingle+signature pipeline once. Unlike persist(), checkpoint
+    // blocks are released by the ContextCleaner when the plan is
+    // unreferenced — no leaked cache across bench reps. At cluster
+    // scale this is the signature table written to storage.
     val sig = docs
       .select(col("doc_id"), tokens(normText).as("tk"))
       .select(col("doc_id"), shingles(col("tk"), ShingleSize).as("sh"))
       .select(col("doc_id"),
         signature(docs.sparkSession, col("sh")).as("sig"))
+      .localCheckpoint(false)
 
     val bandHashes = array((0 until Bands).map { b =>
       xxhash64(concat_ws(",",
@@ -90,27 +98,34 @@ object DedupOps {
           element_at(col("sig"), b * RowsPerBand + r + 1)): _*))
     }: _*)
 
-    // Persist the banded signature table: both sides of the self-join
-    // read it (without this the whole shingle+signature pipeline runs
-    // twice). At cluster scale this is the materialized signature table.
+    // Candidate generation carries IDS ONLY (doc_id + one band hash)
+    // through the bucket self-join and the pair dedup — the 32-long
+    // signatures would multiply shuffle volume ~30× (CLAUDE.md rule;
+    // same shape as simhashNearDup below). Signatures re-attach by id
+    // AFTER the dedup, when pairs are a tiny fraction of the corpus.
     val banded = sig
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"),
         posexplode(bandHashes).as(Seq("band_id", "band_hash")))
-      .persist()
 
-    val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("band_id"), col("band_hash"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("band_id"), col("band_hash"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("band_id"),
+      col("band_hash"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band_id"),
+      col("band_hash"))
+
+    val pairs = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
 
     val est = graft.functions.MinHashExpression
       .sigAgreement(docs.sparkSession, col("sig_a"), col("sig_b"))
       .cast("double") / NumHashes
 
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
       .withColumn("est_jaccard", round(est, 3))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
@@ -161,24 +176,74 @@ object DedupOps {
   def q51SimhashNearDup(s: SparkSession, d: String): DataFrame =
     simhashNearDup(s, corpusWithPlantedDups(s, d), maxHamming = 12)
 
-  /** 31. Exact n-gram (token-set) Jaccard over blocked pairs — the verify
-    * stage behind LSH candidates. Blocking key here: same `source`
-    * (25 docs per source → bounded pair counts per block).
+  // ---- Exact-Jaccard verify over LSH candidates (q31) -------------------
+
+  private val VerifyBands = 4
+  private val VerifyRowsPerBand = 2
+
+  /** 31. Exact n-gram (token-set) Jaccard — the verify stage behind LSH
+    * candidates. Candidates come from a banded MinHash over md5 shingle
+    * hashes: md5 produces the same hex string in every engine and min
+    * over hex strings is plain lexicographic order, so the ENTIRE
+    * pipeline (candidate generation + exact verify) is reproducible in
+    * ANSI SQL and oracle-checked end to end. Never all-pairs: the only
+    * pair-producing shuffle is keyed by (band, band-minima) — a blocked
+    * all-pairs join (e.g. on `source`) grows quadratically with block
+    * population and dies at 100×.
+    *
+    * The hot-path family (minhashCandidates above) keeps the codegen'd
+    * xxhash64 signatures; this md5 family is the cross-engine-checkable
+    * verify stage layered on the same LSH shape.
     */
-  def q31NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val t = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        array_distinct(tokens(normText)).as("toks"))
-    val aa = t.select(col("doc_id").as("doc_a"), col("source"),
-      col("toks").as("toks_a"), size(col("toks")).as("na"))
-    val bb = t.select(col("doc_id").as("doc_b"), col("source"),
-      col("toks").as("toks_b"), size(col("toks")).as("nb"))
-    // |A∪B| = |A| + |B| - |A∩B|: one intersect per pair, no union array
+  def ngramJaccardVerify(docs: DataFrame): DataFrame = {
+    // toks (for the exact verify) and shingles (for the candidate
+    // stage) materialized once; read by the band explode and both
+    // re-attach joins.
+    val base = docs
+      .select(col("doc_id"), tokens(normText).as("tk"))
+      .select(col("doc_id"), array_distinct(col("tk")).as("toks"),
+        shingles(col("tk"), ShingleSize).as("sh"))
+      .localCheckpoint(false)
+
+    // 8 MinHash functions = min over md5(i + '|' + shingle) hex strings.
+    val mins = (0 until VerifyBands * VerifyRowsPerBand).map { i =>
+      array_min(transform(col("sh"),
+        x => md5(encode(concat(lit(s"$i|"), x), "UTF-8")))).as(s"m$i")
+    }
+    val bandKeys = array((0 until VerifyBands).map { b =>
+      concat_ws(",", (0 until VerifyRowsPerBand).map(r =>
+        col(s"m${b * VerifyRowsPerBand + r}")): _*)
+    }: _*)
+
+    // ids only through the bucket join + pair dedup
+    val banded = base
+      .select(col("doc_id") +: mins: _*)
+      .select(col("doc_id"),
+        posexplode(bandKeys).as(Seq("band_id", "band_key")))
+    val aa = banded.select(col("doc_id").as("doc_a"), col("band_id"),
+      col("band_key"))
+    val bb = banded.select(col("doc_id").as("doc_b"), col("band_id"),
+      col("band_key"))
+    val pairs = aa.join(bb, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+
+    // exact verify: re-attach distinct-token sets by id, one intersect
+    // per surviving pair; |A∪B| = |A| + |B| - |A∩B| (no union array)
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-    aa.join(bb, Seq("source")).filter(col("doc_a") < col("doc_b"))
+    pairs
+      .join(base.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        "doc_b")
       .withColumn("inter", inter)
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 3).as("jaccard"))
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 3)
+          .as("jaccard"))
   }
+
+  def q31NgramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardVerify(corpusWithPlantedDups(s, d))
 }

@@ -23,14 +23,26 @@ object IvfAnn {
   private val K = 5
 
   /** Assign each row a `cell` id using a deterministic KMeans quantizer
-    * trained on the corpus (fixed seed; at scale you'd train on a
-    * sample and reuse the model across queries).
+    * trained on a SEEDED SAMPLE of the corpus — never the full corpus:
+    * KMeans is iterative (maxIter full passes), so training on
+    * everything inside the query path is a multi-pass driver-coordinated
+    * job per query at 100 TB. The quantizer only needs the density
+    * shape, which a sample captures; the fitted model is returned so
+    * callers reuse it across queries instead of re-fitting.
+    *
+    * @param sampleFraction fraction used for training (falls back to the
+    *   full corpus only when the sample is too small to support k cells)
     */
-  def assignCells(emb: DataFrame, nCells: Int): (DataFrame, Array[Array[Double]]) = {
+  def assignCells(emb: DataFrame, nCells: Int, sampleFraction: Double = 0.25)
+      : (DataFrame, Array[Array[Double]]) = {
     val withVec = emb.withColumn("features",
       array_to_vector(transform(col("embedding"), x => x.cast("double"))))
+    val sample = withVec.select("features")
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
+    val trainSet =
+      if (sample.count() >= nCells * 4L) sample else withVec.select("features")
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(20)
-      .fit(withVec)
+      .fit(trainSet)
     val assigned = model.transform(withVec)
       .withColumnRenamed("prediction", "cell")
       .drop("features")
@@ -54,9 +66,15 @@ object IvfAnn {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("cdist").asc, col("cell"))
+    // probe ranking must use the SAME metric as the quantizer (KMeans
+    // assigns by Euclidean distance) — ranking cells by cosine sends
+    // queries to cells their Euclidean-assigned neighbors aren't in
+    val dist2 = aggregate(
+      zip_with(transform(col("qe"), x => x.cast("double")), col("centroid"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
     val probed = queries.crossJoin(broadcast(centroidDf))
-      .withColumn("cdist", -VectorExpressions.cosine(spark, col("qe"),
-        col("centroid")))
+      .withColumn("cdist", dist2)
       .withColumn("crank", row_number().over(probeW))
       .filter(col("crank") <= nProbe)
       .select("qid", "qe", "cell")
@@ -76,5 +94,5 @@ object IvfAnn {
   }
 
   def q40AnnIvf(s: SparkSession, d: String): DataFrame =
-    search(s, Tables.embeddings(s, d), nCells = 16, nProbe = 4)
+    search(s, Tables.embeddings(s, d), nCells = 16, nProbe = 6)
 }

@@ -64,6 +64,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q36 near-dup: corpus re-attach is never a hard-coded broadcast") {
+    // With auto-broadcast off, any BroadcastExchange left in the plan
+    // must come from an explicit broadcast() hint — at 100 TB the
+    // corpus-sized re-attach sides must go through size-gated planning,
+    // never a forced broadcast (guaranteed OOM at scale).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan(SimilarityOps.q36EmbedNearDup(spark, Sf))
+      assert(!p.contains("BroadcastExchange"), p.take(2000))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q39 as-of join: exactly one shuffle, keyed by the join key") {
     val p = plan(AsOfJoin.q39AsOfJoin(spark, Sf))
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length

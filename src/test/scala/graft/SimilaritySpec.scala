@@ -56,7 +56,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(r0.sliding(2).forall(p => p(0) >= p(1)))
   }
 
-  test("IVF ANN recall@5 vs brute force is useful (>= 0.5)") {
+  test("IVF ANN (sample-trained quantizer) recall@5 vs brute force >= 0.8") {
     val bf = SimilarityOps.q32KnnBruteforce(spark, Sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSet
@@ -64,7 +64,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     val recall = (ivf & bf).size.toDouble / bf.size
-    assert(recall >= 0.5, s"IVF recall@5 = $recall")
+    assert(recall >= 0.8, s"IVF recall@5 = $recall")
   }
 
   test("centroid aggregator equals driver-side mean per label") {
