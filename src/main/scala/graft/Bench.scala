@@ -11,23 +11,30 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
 
-    def runOnce(name: String): Double = {
+    // a failing query must be VISIBLE in the JSON (null + errors list),
+    // never a sentinel that min-of-2 selects and the total absorbs
+    def runOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce)               // warm-up: codegen + JIT + file listing
     // min of 2 measured reps: robust against GC/scheduler noise
-    val results = names.map(n => n -> math.min(runOnce(n), runOnce(n)))
+    val results = names.map { n =>
+      n -> (for (a <- runOnce(n); b <- runOnce(n)) yield math.min(a, b))
+    }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, None) => "\"" + k + "\"" }
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -79,6 +79,7 @@ object SparkEntry {
     "q54_text_clean" -> (TextOps.q54TextClean _),
     "q55_full_outer" -> (RelationalOps.q55FullOuter _),
     "q56_set_ops" -> (RelationalOps.q56SetOps _),
+    "q57_surrogate_keys" -> (SurrogateKeys.q57SurrogateKeys _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -269,6 +270,50 @@ object SparkEntry {
                   AS avg_token_len,
                 (n_tokens >= 20 AND n_tokens <= 1000) AS length_ok
          FROM t""",
+    // marker-count heuristic; tie-break priority zh>fr>es>de>en mirrors
+    // the Spark foldLeft (later langs overwrite on equal score)
+    "q27_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents
+         ), s AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(toks, x -> list_contains(
+                    ['the','a','of','and','is','to','in','that','it'], x)))
+                    AS DOUBLE) AS sc_en,
+                  CAST(len(list_filter(toks, x -> list_contains(
+                    ['der','die','das','und','ist','nicht','ein','zu'], x)))
+                    AS DOUBLE) AS sc_de,
+                  CAST(len(list_filter(toks, x -> list_contains(
+                    ['el','la','los','las','es','y','un','una','que'], x)))
+                    AS DOUBLE) AS sc_es,
+                  CAST(len(list_filter(toks, x -> list_contains(
+                    ['le','la','les','est','et','un','une','dans','ce'], x)))
+                    AS DOUBLE) AS sc_fr,
+                  CAST((length(text) - length(regexp_replace(text, '的', '', 'g')))
+                     + (length(text) - length(regexp_replace(text, '是', '', 'g')))
+                     + (length(text) - length(regexp_replace(text, '了', '', 'g')))
+                     + (length(text) - length(regexp_replace(text, '在', '', 'g')))
+                     + (length(text) - length(regexp_replace(text, '我', '', 'g')))
+                     + (length(text) - length(regexp_replace(text, '有', '', 'g')))
+                     + (length(text) - length(regexp_replace(text, '和', '', 'g')))
+                     + (length(text) - length(regexp_replace(text, '不', '', 'g')))
+                    AS DOUBLE) AS sc_zh
+           FROM t
+         ), g AS (
+           SELECT doc_id, sc_en, sc_de, sc_es, sc_fr, sc_zh,
+                  greatest(sc_en, sc_de, sc_es, sc_fr, sc_zh) AS best
+           FROM s
+         )
+         SELECT doc_id,
+                CASE WHEN best > 0 AND sc_zh = best THEN 'zh'
+                     WHEN best > 0 AND sc_fr = best THEN 'fr'
+                     WHEN best > 0 AND sc_es = best THEN 'es'
+                     WHEN best > 0 AND sc_de = best THEN 'de'
+                     WHEN best > 0 AND sc_en = best THEN 'en'
+                     ELSE 'und' END AS predicted_lang
+         FROM g""",
     // full LSH-candidates → exact-verify pipeline: md5 minhash minima are
     // engine-identical hex strings, so DuckDB reproduces the candidate
     // set exactly — never all-pairs on either side
@@ -594,5 +639,17 @@ object SparkEntry {
            SELECT o_custkey FROM orders
            WHERE o_orderdate >= TIMESTAMP '1998-01-01'
              AND o_orderdate < TIMESTAMP '1999-01-01')""",
+    // dense ids in key order == dense_rank over the fact by that key
+    "q57_surrogate_keys" ->
+      """WITH e AS (
+           SELECT event_id,
+                  strftime(ts, '%Y%m%d%H%M%S') || '_'
+                    || CAST(user_id AS VARCHAR) AS match_key
+           FROM events
+         )
+         SELECT event_id, match_key,
+                CAST(dense_rank() OVER (ORDER BY match_key) AS BIGINT)
+                  AS match_id
+         FROM e""",
   )
 }

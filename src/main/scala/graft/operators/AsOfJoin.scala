@@ -19,18 +19,26 @@ object AsOfJoin {
 
   /** @param payload right-side columns carried to the match (emitted as
     *   `asof_<name>`); right must contain keys ++ tsCol ++ payload.
+    *
+    * Payloads travel inside ONE struct: the struct is non-null for
+    * every right row even when its fields are null, so
+    * `last(_, ignoreNulls)` anchors on the latest right ROW — per-column
+    * sentinels would skip a genuinely-null payload value and silently
+    * fall back to an earlier right row.
     */
   def lastPrior(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsCol: String, rightTsCol: String, payload: Seq[String])
       : DataFrame = {
+    val pType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p)))
     val leftTagged = left.select(
       (Seq(struct(left.columns.map(col): _*).as("_lrow"),
-        col(leftTsCol).as("_ts"), lit(0).as("_isr")) ++ keys.map(col)): _*)
-      .withColumns(payload.map(p => s"_p_$p" -> lit(null)).toMap)
+        col(leftTsCol).as("_ts"), lit(0).as("_isr"),
+        lit(null).cast(pType).as("_p")) ++ keys.map(col)): _*)
     val rightTagged = right.select(
       (Seq(lit(null).cast(leftTagged.schema("_lrow").dataType).as("_lrow"),
-        col(rightTsCol).as("_ts"), lit(1).as("_isr")) ++ keys.map(col) ++
-        payload.map(p => col(p).as(s"_p_$p"))): _*)
+        col(rightTsCol).as("_ts"), lit(1).as("_isr"),
+        struct(payload.map(col): _*).as("_p")) ++ keys.map(col)): _*)
 
     // rights sort before lefts at equal ts → "<=" semantics
     val w = Window.partitionBy(keys.map(col): _*)
@@ -38,12 +46,11 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val withAsOf = leftTagged.unionByName(rightTagged)
-      .withColumns(payload.map(p =>
-        s"_a_$p" -> last(col(s"_p_$p"), ignoreNulls = true).over(w)).toMap)
+      .withColumn("_a", last(col("_p"), ignoreNulls = true).over(w))
 
     withAsOf.filter(col("_isr") === 0)
       .select(col("_lrow.*") +:
-        payload.map(p => col(s"_a_$p").as(s"asof_$p")): _*)
+        payload.map(p => col(s"_a.$p").as(s"asof_$p")): _*)
   }
 
   /** 39. Latest prior purchase per user for every event (left outer

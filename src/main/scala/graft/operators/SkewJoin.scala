@@ -20,9 +20,19 @@ object SkewJoin {
   private def saltOf(stable: Column, n: Int): Column =
     pmod(xxhash64(stable), lit(n.toLong)).cast("int")
 
+  /** Only inner and left-outer are supported: the small side is
+    * replicated n times, so a right/full outer join would emit every
+    * UNMATCHED small-side row n times (matched rows join exactly once
+    * because the salt must agree). Left-outer is safe — unmatched rows
+    * come from the un-replicated large side.
+    */
   def saltedJoin(large: DataFrame, largeKey: String, stableCol: String,
       small: DataFrame, smallKey: String, n: Int,
       joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter").contains(jt),
+      s"saltedJoin supports inner/left_outer only, got '$joinType': " +
+        "the replicated small side would duplicate unmatched right rows")
     val salted = large.withColumn("_salt", saltOf(col(stableCol), n))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(n - 1))))

@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object ParquetUpsertSink {
 
+  /** Row-count accounting for a sink mutation — the reference logs the
+    * inserted/updated/purged counts of every incremental run
+    * (etl_pipeline_script.py:25-29,50-51); a pipeline that can't say
+    * what it changed can't be audited.
+    */
+  case class SinkStats(inserted: Long, updated: Long, deleted: Long)
+
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -52,7 +59,7 @@ object ParquetUpsertSink {
     *   rows from `updates` always beat existing rows at equal version.
     */
   def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
-      keys: Seq[String], versionCol: String): Unit = {
+      keys: Seq[String], versionCol: String): SinkStats = {
     // allowMissingColumns: schema evolution — updates may add columns
     // (nulls backfill the history) or omit dropped ones
     val tagged =
@@ -66,7 +73,18 @@ object ParquetUpsertSink {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_src")
+    // mutation accounting: a key only in updates was inserted, a key on
+    // both sides was updated (computed BEFORE replace — the old
+    // snapshot's files are gone afterwards)
+    val st = tagged.groupBy(keys.map(col): _*)
+      .agg(min(col("_src")).as("_mn"), max(col("_src")).as("_mx"))
+      .agg(
+        coalesce(sum(when(col("_mn") === 1, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("_mn") === 0 && col("_mx") === 1, 1L)
+          .otherwise(0L)), lit(0L)))
+      .first()
     replace(spark, tableDir, merged)
+    SinkStats(inserted = st.getLong(0), updated = st.getLong(1), deleted = 0L)
   }
 
   /** DELETE cascade: drop every row whose key appears in `purgeKeys`
@@ -74,11 +92,14 @@ object ParquetUpsertSink {
     * loop).
     */
   def purge(spark: SparkSession, tableDir: String, purgeKeys: DataFrame,
-      keyCol: String): Unit = {
+      keyCol: String): SinkStats = {
     val current = read(spark, tableDir)
+    val before = current.count()
     val remaining = current.join(broadcast(purgeKeys.select(keyCol).distinct()),
       Seq(keyCol), "left_anti")
     replace(spark, tableDir, remaining)
+    val after = read(spark, tableDir).count()
+    SinkStats(inserted = 0L, updated = 0L, deleted = before - after)
   }
 
   /** Compact the table's data files into `numFiles` (small-file cleanup
@@ -92,11 +113,17 @@ object ParquetUpsertSink {
     * incremental season/match load, etl_pipeline_script.py:128-137).
     */
   def insertNewOnly(spark: SparkSession, tableDir: String, rows: DataFrame,
-      keys: Seq[String]): Unit = {
-    if (!exists(spark, tableDir)) { replace(spark, tableDir, rows); return }
+      keys: Seq[String]): SinkStats = {
+    if (!exists(spark, tableDir)) {
+      replace(spark, tableDir, rows)
+      return SinkStats(read(spark, tableDir).count(), 0L, 0L)
+    }
     val existing = read(spark, tableDir)
+    val before = existing.count()
     val newRows = rows.join(existing.select(keys.map(col): _*).distinct(),
       keys, "left_anti")
     replace(spark, tableDir, existing.unionByName(newRows))
+    val after = read(spark, tableDir).count()
+    SinkStats(inserted = after - before, updated = 0L, deleted = 0L)
   }
 }

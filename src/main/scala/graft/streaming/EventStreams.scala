@@ -58,13 +58,32 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream inner join bounded in event time: pairs a left row
+    * with right rows of the same key whose timestamp falls in
+    * [leftTs - lookback, leftTs]. Both sides are watermarked so the
+    * join state is bounded — without the time bound (and the watermark)
+    * a stream-stream join buffers both streams forever. Column names
+    * must be disjoint across the two sides.
+    */
+  def timeBoundedJoin(left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      lookback: String, watermark: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs).between(
+            col(leftTs) - expr(s"INTERVAL $lookback"), col(leftTs)))
+
   // ---- Sessionization ---------------------------------------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
-  private case class SessionState(start: Long, end: Long, n: Long)
+  // NOT private: the streaming state encoder's generated code must be
+  // able to resolve the accessors (batch execution never serializes
+  // state, so the visibility problem only appears on a real stream)
+  case class SessionState(start: Long, end: Long, n: Long)
 
   val SessionGapMs: Long = 30 * 60 * 1000
 
@@ -88,35 +107,56 @@ object EventStreams {
       .select("user_id", "session_start", "session_end", "n_events")
   }
 
-  /** Streaming sessionization via flatMapGroupsWithState: one state object
-    * per user, emitting a session when the gap closes it. Event-time
-    * timeout would close idle sessions on a live stream; in availableNow
-    * test mode the final flush happens on state timeout/stream end.
+  /** Streaming sessionization via flatMapGroupsWithState with an
+    * EVENT-TIME timeout: one state object per user, a session is emitted
+    * when the gap closes it, and an idle session is flushed when the
+    * watermark passes its end + gap — on a live stream, NoTimeout state
+    * for a user who never returns is never emitted and never evicted
+    * (unbounded state). Batch execution of the same function (where
+    * timeouts don't exist) skips the timeout registration and flushes
+    * nothing early — identical session boundaries, tested both ways.
     */
-  def sessionizeStateful(events: Dataset[Event]): Dataset[Session] = {
+  def sessionizeStateful(events: Dataset[Event],
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, if (streaming) GroupStateTimeout.EventTimeTimeout
+          else GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val out = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(st) if t - st.end <= SessionGapMs =>
-                cur = Some(st.copy(end = t, n = st.n + 1))
-              case Some(st) =>
-                out += Session(userId, new java.sql.Timestamp(st.start),
-                  new java.sql.Timestamp(st.end), st.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            // watermark passed end+gap with no new events: the session
+            // can never be extended — emit and evict
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId, new java.sql.Timestamp(st.start),
+              new java.sql.Timestamp(st.end), st.n))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.end <= SessionGapMs =>
+                  cur = Some(st.copy(end = t, n = st.n + 1))
+                case Some(st) =>
+                  out += Session(userId, new java.sql.Timestamp(st.start),
+                    new java.sql.Timestamp(st.end), st.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              if (streaming) state.setTimeoutTimestamp(st.end + SessionGapMs)
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
       }
   }
 }

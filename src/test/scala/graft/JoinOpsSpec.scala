@@ -38,6 +38,30 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(q.count() == Tables.events(spark, Sf).count())
   }
 
+  test("as-of join: a genuinely-null payload on the latest right row wins") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 7L, t("2024-01-01 13:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    // latest prior right row carries a NULL payload — the match must be
+    // that row's null, not a fallback to the earlier non-null row
+    val right = Seq(
+      (7L, t("2024-01-01 10:00:00"), Some("early")),
+      (7L, t("2024-01-01 12:00:00"), None: Option[String]))
+      .toDF("user_id", "ts", "note")
+    val got = AsOfJoin.lastPrior(left, right, Seq("user_id"), "ts", "ts",
+      Seq("note")).collect()
+    assert(got.length == 1)
+    assert(got.head.isNullAt(got.head.fieldIndex("asof_note")))
+  }
+
+  test("salted join rejects right/full outer (replication would duplicate)") {
+    val df = Seq((1L, 1L)).toDF("k", "id")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(df, "k", "id", df, "k", n = 4,
+        joinType = "full_outer")
+    }
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val li = Tables.lineitem(spark, Sf)
       .select("l_orderkey", "l_linenumber", "l_partkey")

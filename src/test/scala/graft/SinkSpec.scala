@@ -13,10 +13,14 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
   test("upsert: updates win over existing, later version wins in-batch") {
     val dir = tmpTable()
     val v1 = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("id", "val", "ver")
-    ParquetUpsertSink.upsert(spark, dir, v1, Seq("id"), "ver")
+    val s1 = ParquetUpsertSink.upsert(spark, dir, v1, Seq("id"), "ver")
+    assert(s1 == ParquetUpsertSink.SinkStats(2, 0, 0))
     val v2 = Seq((2L, "b2", 11L), (3L, "c", 11L), (3L, "c_newer", 12L))
       .toDF("id", "val", "ver")
-    ParquetUpsertSink.upsert(spark, dir, v2, Seq("id"), "ver")
+    val s2 = ParquetUpsertSink.upsert(spark, dir, v2, Seq("id"), "ver")
+    // key 3 is new (inserted once, despite two in-batch versions);
+    // key 2 existed (updated); key 1 untouched
+    assert(s2 == ParquetUpsertSink.SinkStats(1, 1, 0))
 
     val got = ParquetUpsertSink.read(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -37,18 +41,21 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     ParquetUpsertSink.upsert(spark, dir,
       Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
         .toDF("id", "val", "ver"), Seq("id"), "ver")
-    ParquetUpsertSink.purge(spark, dir, Seq(1L, 3L).toDF("id"), "id")
+    val st = ParquetUpsertSink.purge(spark, dir, Seq(1L, 3L).toDF("id"), "id")
+    assert(st == ParquetUpsertSink.SinkStats(0, 0, 2))
     assert(ParquetUpsertSink.read(spark, dir).select("id")
       .collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
   test("insertNewOnly appends only unseen keys") {
     val dir = tmpTable()
-    ParquetUpsertSink.insertNewOnly(spark, dir,
+    val s1 = ParquetUpsertSink.insertNewOnly(spark, dir,
       Seq((1L, "a"), (2L, "b")).toDF("id", "val"), Seq("id"))
-    ParquetUpsertSink.insertNewOnly(spark, dir,
+    assert(s1 == ParquetUpsertSink.SinkStats(2, 0, 0))
+    val s2 = ParquetUpsertSink.insertNewOnly(spark, dir,
       Seq((2L, "b_SHOULD_NOT_APPEAR"), (3L, "c")).toDF("id", "val"),
       Seq("id"))
+    assert(s2 == ParquetUpsertSink.SinkStats(1, 0, 0))
     val got = ParquetUpsertSink.read(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"))
@@ -58,9 +65,11 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     val dir = tmpTable()
     val stream = graft.streaming.EventStreams.readEventStream(spark, Sf)
     val q = stream.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      (batch: org.apache.spark.sql.DataFrame, _: Long) => {
         ParquetUpsertSink.upsert(spark, dir,
           batch.select("user_id", "ts", "event_type"), Seq("user_id"), "ts")
+        ()
+      }
     }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
 

@@ -44,7 +44,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == distinctUsers)
   }
 
-  test("stream-stream self-join within a time bound matches batch") {
+  test("stream-stream time-bounded join (engine API) matches batch") {
     def sides(df: org.apache.spark.sql.DataFrame) = {
       val p = df.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
@@ -52,18 +52,18 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
       (p, c)
     }
-    val cond = expr(
-      "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 10 MINUTES AND p_ts")
 
     val (ps, cs) = sides(EventStreams.readEventStream(spark, Sf))
-    val q = ps.withWatermark("p_ts", "1 hour")
-      .join(cs.withWatermark("c_ts", "1 hour"), cond)
+    val q = EventStreams.timeBoundedJoin(ps, "p_user", "p_ts",
+        cs, "c_user", "c_ts", lookback = "10 MINUTES", watermark = "1 hour")
       .writeStream.outputMode("append").format("memory")
       .queryName("ssj_out").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
 
     val (pb, cb) = sides(Tables.events(spark, Sf))
-    val batchCount = pb.join(cb, cond).count()
+    val batchCount = EventStreams.timeBoundedJoin(pb, "p_user", "p_ts",
+      cb, "c_user", "c_ts", lookback = "10 MINUTES", watermark = "1 hour")
+      .count()
     assert(spark.table("ssj_out").count() == batchCount)
     assert(batchCount > 0)
   }
@@ -105,5 +105,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val sessions = EventStreams.sessionizeStateful(ev).collect()
     assert(sessions.length == 2)
     assert(sessions.map(_.n_events).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("streaming sessionization flushes an idle session via event-time timeout") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+
+    def addFile(name: String, rows: Seq[Event]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_w")
+      rows.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(srcDir, name))
+    }
+
+    // file 1: one open session for user 7; file 2 (later mod time): a
+    // much-later event from ANOTHER user advances the watermark past
+    // user 7's end + gap, so only the event-time timeout can flush it
+    addFile("f1.parquet", Seq(
+      Event(1L, t("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      Event(2L, t("2024-01-01 10:10:00"), 7L, "click", 1.0)))
+    Thread.sleep(1500)
+    addFile("f2.parquet", Seq(
+      Event(3L, t("2024-01-01 18:00:00"), 8L, "click", 1.0)))
+
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Event].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .as[Event]
+    val q = EventStreams.sessionizeStateful(stream, "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("sess_out")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+    // user 7's idle session flushed by the timeout; user 8's session is
+    // still open (watermark hasn't passed its end + gap) and unemitted
+    assert(got.toSeq == Seq((7L, 2L)), got.mkString(","))
   }
 }
