@@ -205,19 +205,19 @@ object DedupOps {
         shingles(col("tk"), ShingleSize).as("sh"))
       .localCheckpoint(false)
 
-    // 8 MinHash functions = min over md5(i + '|' + shingle) hex strings.
-    val mins = (0 until VerifyBands * VerifyRowsPerBand).map { i =>
-      array_min(transform(col("sh"),
-        x => md5(encode(concat(lit(s"$i|"), x), "UTF-8")))).as(s"m$i")
-    }
+    // 8 MinHash functions = min over md5(i + '|' + shingle) hex strings,
+    // computed by the native codegen'd expression (one k×L loop per row)
+    val nHashes = VerifyBands * VerifyRowsPerBand
     val bandKeys = array((0 until VerifyBands).map { b =>
       concat_ws(",", (0 until VerifyRowsPerBand).map(r =>
-        col(s"m${b * VerifyRowsPerBand + r}")): _*)
+        element_at(col("ms"), b * VerifyRowsPerBand + r + 1)): _*)
     }: _*)
 
     // ids only through the bucket join + pair dedup
     val banded = base
-      .select(col("doc_id") +: mins: _*)
+      .select(col("doc_id"),
+        graft.functions.Md5MinHashExpression
+          .md5MinHash(docs.sparkSession, col("sh"), nHashes).as("ms"))
       .select(col("doc_id"),
         posexplode(bandKeys).as(Seq("band_id", "band_key")))
     val aa = banded.select(col("doc_id").as("doc_a"), col("band_id"),
