@@ -35,6 +35,22 @@ class DifferentialSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mintKeys equals global row_number over distinct keys on random data") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 10) {
+      val n = 1 + rnd.nextInt(400)
+      // small alphabet → plenty of duplicate keys across partitions
+      val rows = (0 until n).map(_ =>
+        s"k${rnd.nextInt(60)}_${rnd.nextInt(3)}")
+      val df = rows.toDF("k").repartition(1 + rnd.nextInt(8))
+      val got = graft.operators.SurrogateKeys.mintKeys(df, Seq("k"), "id")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = rows.distinct.sorted.zipWithIndex
+        .map { case (k, i) => k -> (i + 1).toLong }.toMap
+      assert(got == expected, s"trial $trial (n=$n)")
+    }
+  }
+
   test("as-of join equals a per-row reference computation on random data") {
     val rnd = new scala.util.Random(777)
     for (trial <- 1 to 10) {
