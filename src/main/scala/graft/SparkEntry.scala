@@ -80,6 +80,8 @@ object SparkEntry {
     "q55_full_outer" -> (RelationalOps.q55FullOuter _),
     "q56_set_ops" -> (RelationalOps.q56SetOps _),
     "q57_surrogate_keys" -> (SurrogateKeys.q57SurrogateKeys _),
+    "q58_tfidf_terms" -> (TextOps.q58TfIdfTerms _),
+    "q59_token_histogram" -> (TextOps.q59TokenHistogram _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -651,5 +653,28 @@ object SparkEntry {
                 CAST(dense_rank() OVER (ORDER BY match_key) AS BIGINT)
                   AS match_id
          FROM e""",
+    // integer-exact df-weighted score — ln-based idf is not bit-stable
+    // across engines; tf * (N+1) * 1000 div (df+1) is
+    "q58_tfidf_terms" ->
+      """WITH tf AS (
+           SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id,
+                        unnest(string_split_regex(lower(trim(text)), '\s+'))
+                          AS tok
+                 FROM documents)
+           GROUP BY doc_id, tok
+         ), dfreq AS (
+           SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+         ), n AS (SELECT COUNT(*) AS n FROM documents)
+         SELECT doc_id, tok, tf, df,
+                CAST(tf * (n + 1) * 1000 // (df + 1) AS BIGINT) AS score
+         FROM tf JOIN dfreq USING (tok), n
+         QUALIFY row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, tok) <= 3""",
+    "q59_token_histogram" ->
+      """SELECT CAST(len(string_split_regex(lower(trim(text)), '\s+')) // 10
+                     * 10 AS BIGINT) AS bucket_lo,
+                CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY 1""",
   )
 }

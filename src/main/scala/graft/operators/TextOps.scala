@@ -163,6 +163,41 @@ object TextOps {
           .cast("double") / 1000).as("distinct_ratio"))
   }
 
+  /** 58. TF-IDF-style top terms per document — the classic
+    * distinguishing-term extraction over a training corpus. Score is the
+    * INTEGER-exact df-weighted frequency `tf * (N+1) * 1000 div (df+1)`
+    * (a monotone transform of tf/df): `ln`-based idf differs in the last
+    * ulp across libm implementations, which breaks cross-engine
+    * hash-equality at rounding boundaries — integer arithmetic can't.
+    * Corpus size N comes from parquet footer stats (no plan-build scan);
+    * ranking runs on the TopKPerKey heap operator (no sort).
+    */
+  def q58TfIdfTerms(s: SparkSession, d: String): DataFrame = {
+    val n = graft.sources.TableStatistics.tableRowCount(s, d, "documents")
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "tok")
+      .withColumn("score",
+        expr(s"tf * ${n + 1}L * 1000L div (df + 1)"))
+    graft.plans.TopK.perKey(
+      scored.select("doc_id", "tok", "tf", "df", "score"),
+      keys = Seq("doc_id"), order = Seq(("score", true), ("tok", false)),
+      k = 3)
+  }
+
+  /** 59. Token-count histogram (fixed-width buckets) — the corpus
+    * length-distribution report that sizes training shards. One
+    * explode-free pass + one tiny aggregation shuffle.
+    */
+  def q59TokenHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(size(toks).cast("long").as("nt"))
+      .select((expr("nt div 10") * 10).as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** 47. Corpus n-gram mining: top-20 word trigrams by frequency.
     * Shingle per row (no shuffle), explode, one count shuffle, sort-limit
     * the tiny aggregate — the shape that survives any corpus size.

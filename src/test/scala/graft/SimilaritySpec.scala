@@ -87,7 +87,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(got(label)(i) - local(label)(i)) < 1e-9)
   }
 
-  test("LSH ANN recall@5 vs brute force is useful (>= 0.3)") {
+  test("LSH ANN recall@5 vs brute force is useful (>= 0.6)") {
     val bf = SimilarityOps.q32KnnBruteforce(spark, Sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSet
@@ -95,6 +95,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     val recall = (ann & bf).size.toDouble / bf.size
-    assert(recall >= 0.3, s"recall@5 = $recall")
+    info(s"LSH ANN recall@5 = $recall")
+    assert(recall >= 0.6, s"recall@5 = $recall")
   }
 }

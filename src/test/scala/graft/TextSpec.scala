@@ -54,4 +54,22 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
     assert(totalDocs == Tables.documents(spark, Sf).count())
     assert(stats.filter(col("min_chars") > col("max_chars")).count() == 0)
   }
+
+  test("tfidf terms: rare terms outrank common ones, 3 per doc") {
+    val t = TextOps.q58TfIdfTerms(spark, Sf)
+    val perDoc = t.groupBy("doc_id").count().collect()
+    assert(perDoc.nonEmpty && perDoc.forall(_.getLong(1) <= 3L))
+    // within a doc, equal tf ⇒ the lower-df (rarer) term scores higher
+    val bad = t.as("a").join(t.as("b"), Seq("doc_id"))
+      .filter(col("a.tf") === col("b.tf") && col("a.df") < col("b.df") &&
+        col("a.score") < col("b.score"))
+    assert(bad.count() == 0)
+  }
+
+  test("token histogram buckets partition the corpus exactly") {
+    val h = TextOps.q59TokenHistogram(spark, Sf).collect()
+    assert(h.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, Sf).count())
+    assert(h.forall(_.getAs[Long]("bucket_lo") % 10 == 0))
+  }
 }
