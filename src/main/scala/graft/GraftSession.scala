@@ -21,7 +21,9 @@ object GraftSession {
         sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
 
-  def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+  // default matches the deployment contract (local[32] on this box);
+  // tests pass "4" explicitly to keep suite startup light
+  def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SQL users get the native functions without touching Scala helpers

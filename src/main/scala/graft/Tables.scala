@@ -14,6 +14,30 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Rebalance gate for PER-ROW-COST-HEAVY sources (text and raw-event
+    * tables feeding JSON round-trips, shingling, hashing, scoring): the
+    * testdata files are single-row-group parquet, so a scan is ONE task
+    * no matter the split size and the expensive per-row work would run
+    * single-threaded on a 32-core box. Files under HiBytes repartition
+    * to core count — the shuffle moves a few MB once and unlocks
+    * full-core scans. Tables whose per-row work is cheap (lineitem,
+    * orders, embeddings) are NOT rebalanced: measured at sf0.1, the
+    * extra exchange costs more than the parallelism returns there. At
+    * production scale files carry many row groups, exceed HiBytes, and
+    * the gate never fires — size-based, like broadcast selection.
+    */
+  private val HiBytes = 256L << 20
+
+  private def rebalanceSmall(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes =
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else Long.MaxValue
+    if (bytes < HiBytes) df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
@@ -27,11 +51,12 @@ object Tables {
     * so no precision is lost.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
+    val raw = rebalanceSmall(s, s"$d/events.parquet", load(s, d, "events"))
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     else raw
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def documents(s: SparkSession, d: String): DataFrame =
+    rebalanceSmall(s, s"$d/documents.parquet", load(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

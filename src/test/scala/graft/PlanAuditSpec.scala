@@ -50,12 +50,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("hot-path operators stay inside WholeStageCodegen") {
-    // "*(n) Op" is the whole-stage-codegen marker in compact plan strings
+    // "*(n) Op" is the whole-stage-codegen marker in compact plan
+    // strings; execute first — an unexecuted AdaptiveSparkPlan prints
+    // the pre-codegen plan
     for (df <- Seq(RelationalOps.q03DerivedFlag(spark, Sf),
         SimilarityOps.q34VectorOps(spark, Sf),
         DedupOps.q30Simhash(spark, Sf))) {
-      val p = plan(df)
-      assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p.take(800))
+      df.collect() // finalize the adaptive plan on THIS queryExecution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(800))
     }
   }
 
