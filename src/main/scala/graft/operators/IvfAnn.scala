@@ -79,11 +79,13 @@ object IvfAnn {
       .filter(col("crank") <= nProbe)
       .select("qid", "qe", "cell")
 
+    // no pair dedup needed: KMeans assigns each vector to exactly ONE
+    // cell, so the cell join can't produce a (qid, nid) twice — a
+    // dropDuplicates here would be a redundant shuffle carrying vectors
     val scored = probed.join(
         assigned.select(col("vec_id").as("nid"), col("embedding").as("ne"),
           col("cell")), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .dropDuplicates("qid", "nid")
       .withColumn("cos_sim",
         round(VectorExpressions.cosine(spark, col("qe"), col("ne")), 4))
     val w = Window.partitionBy(col("qid"))
