@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global per-group row ranks without a per-group single-reducer sort.
+  *
+  * `row_number() OVER (PARTITION BY group ORDER BY ord)` sends EVERY row
+  * of a group through one reducer — fatal when groups are few and large
+  * (3 return flags × 33 TB each). This formulation range-partitions by
+  * (group, ord) so partitions are ordered slices, ranks each slice in
+  * parallel, and adds per-(partition, group) offsets computed from a
+  * #partitions × #groups count table (driver-scale, broadcast back).
+  * The result equals the global window rank wherever ties are resolved
+  * by value (ties share a partition under range partitioning).
+  */
+object DistributedRank {
+
+  /** Append `rankCol` = 1-based rank of each row within its
+    * `groupCols` group ordered by `orderCols` (ascending).
+    */
+  def withRank(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], rankCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val oc = orderCols.map(col)
+    val parted = df.repartitionByRange((gc ++ oc): _*)
+      .withColumn("_part", spark_partition_id())
+    // per-partition rank: parallel (each range slice independently)
+    val localW = Window.partitionBy(col("_part") +: gc: _*).orderBy(oc: _*)
+    val local = parted.withColumn("_lrn",
+      row_number().over(localW).cast("long"))
+    // one row per (partition, group) — driver-scale however big df is
+    val counts = local.groupBy(col("_part") +: gc: _*)
+      .agg(count(lit(1)).as("_n"))
+    val offW = Window.partitionBy(gc: _*).orderBy(col("_part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_n")).over(offW), lit(0L)))
+      .select(col("_part") +: gc :+ col("_off"): _*)
+    local.join(broadcast(offsets), "_part" +: groupCols)
+      .withColumn(rankCol, col("_off") + col("_lrn"))
+      .drop("_part", "_lrn", "_off")
+  }
+}

@@ -315,9 +315,11 @@ object RelationalOps {
     * return flag — computed as distributed order statistics: rank within
     * group, keep ONLY the two rows flanking each target position, and
     * interpolate. The built-in exact `percentile` aggregate builds and
-    * merges a value→count hash map per partition (~200k entries here);
-    * this formulation shuffles once, touches 4 rows per group after
-    * ranking, and ran 3× faster at sf0.1.
+    * merges a value→count hash map per partition (~200k entries here).
+    * Ranking runs on DistributedRank (range partition + parallel local
+    * ranks + offsets) because a `PARTITION BY l_returnflag` window has
+    * only 3 groups — three reducers would each sort a third of the
+    * table at any scale.
     */
   def q45Percentiles(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_returnflag"),
@@ -329,9 +331,8 @@ object RelationalOps {
       .withColumn("pos", (col("n") - 1) * col("p"))
       .withColumn("lo_rn", floor(col("pos")).cast("long") + 1)
       .withColumn("hi_rn", ceil(col("pos")).cast("long") + 1)
-    val ranked = li.withColumn("rn", row_number().over(
-      Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    ).cast("long"))
+    val ranked = DistributedRank.withRank(li, Seq("l_returnflag"),
+      Seq("l_extendedprice"), "rn")
     ranked.join(broadcast(targets), Seq("l_returnflag"))
       .filter(col("rn") === col("lo_rn") || col("rn") === col("hi_rn"))
       .groupBy(col("l_returnflag"), col("p"), col("pos"))

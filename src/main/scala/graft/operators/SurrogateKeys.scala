@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed surrogate-key minting — the warehouse IDENTITY column
@@ -24,30 +23,15 @@ object SurrogateKeys {
   /** Mint a dense surrogate id (1..N, ordered by `keyCols`) for each
     * distinct value of `keyCols` in `df`. Returns the key-mapping table
     * (keyCols + `idCol`), ready to join back onto facts.
+    *
+    * Ranking runs on DistributedRank: range partitions are ordered, so
+    * parallel local ranks + preceding-partition offsets equal the
+    * global dense rank with no single-partition stage.
     */
   def mintKeys(df: DataFrame, keyCols: Seq[String], idCol: String)
-      : DataFrame = {
-    val kc = keyCols.map(col)
-    // range partitions are ordered (partition i's keys all sort before
-    // partition i+1's), so local rank + preceding-partition offset is
-    // exactly the global dense rank — with no single-partition stage
-    val parted = df.select(kc: _*).distinct()
-      .repartitionByRange(kc: _*)
-      .withColumn("_part", spark_partition_id())
-    val localW = Window.partitionBy(col("_part")).orderBy(kc: _*)
-    val local = parted.withColumn("_local_rn",
-      row_number().over(localW).cast("long"))
-    // one row per partition — driver-scale regardless of key count
-    val counts = local.groupBy(col("_part")).agg(count(lit(1)).as("_n"))
-    val offW = Window.orderBy(col("_part"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("_off", coalesce(sum(col("_n")).over(offW), lit(0L)))
-      .select(col("_part"), col("_off"))
-    local.join(broadcast(offsets), "_part")
-      .withColumn(idCol, col("_off") + col("_local_rn"))
-      .drop("_part", "_local_rn", "_off")
-  }
+      : DataFrame =
+    DistributedRank.withRank(df.select(keyCols.map(col): _*).distinct(),
+      groupCols = Seq.empty, orderCols = keyCols, rankCol = idCol)
 
   /** 57. The reference's match-view load: mint ids for the distinct
     * match keys, then the key→id mapping join back onto the fact rows

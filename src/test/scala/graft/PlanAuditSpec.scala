@@ -101,6 +101,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("q45 percentile ranking is range-partitioned, not per-group windowed") {
+    // a PARTITION BY l_returnflag window would put a third of the table
+    // through each of 3 reducers; the distributed-rank plan partitions
+    // by (_part, group) after a range exchange
+    val p = plan(RelationalOps.q45Percentiles(spark, Sf))
+    assert(p.contains("rangepartitioning"), p.take(2000))
+    assert(p.contains("hashpartitioning(_part"), p.take(2000))
+  }
+
   test("q12 upsert shuffles once, keyed on the upsert key") {
     val p = plan(RelationalOps.q12UpsertLastWins(spark, Sf))
     assert(p.contains("hashpartitioning(user_id"), p.take(1500))
