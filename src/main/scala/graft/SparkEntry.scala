@@ -82,6 +82,7 @@ object SparkEntry {
     "q57_surrogate_keys" -> (SurrogateKeys.q57SurrogateKeys _),
     "q58_tfidf_terms" -> (TextOps.q58TfIdfTerms _),
     "q59_token_histogram" -> (TextOps.q59TokenHistogram _),
+    "q60_sketch_stats" -> (RelationalOps.q60SketchStats _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output

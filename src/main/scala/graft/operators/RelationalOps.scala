@@ -416,6 +416,24 @@ object RelationalOps {
       .reduce(_ unionByName _)
   }
 
+  /** 60. Sketch aggregates — the 100-TB alternative to exact
+    * distinct/percentile shuffles: HyperLogLog++ distinct counts and
+    * quantile sketches combine map-side (constant memory per
+    * partition), so the shuffle carries sketches, not values. Tolerance
+    * vs the exact answers is asserted in the test suite (approximate →
+    * no SQL-hash oracle; rows-only in the driver gate).
+    */
+  def q60SketchStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        // rsd 2%: the sketch is still KBs — precision is the cheap dial
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_p50"),
+        count(lit(1)).as("n_rows"))
+
   /** 22. 3-way join + scalar-subquery usage/win rate (reference
     * usp_card_usage_wins, sql:224-242): per-brand share of line items in
     * the season plus per-brand win rate. The season total comes from an

@@ -51,6 +51,32 @@ class DifferentialSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("DistributedRank: per group, ranks are 1..n and values ascend") {
+    val rnd = new scala.util.Random(31337)
+    for (trial <- 1 to 10) {
+      val n = 1 + rnd.nextInt(500)
+      val nGroups = 1 + rnd.nextInt(4)
+      // tiny value domain → heavy ties across range-partition boundaries
+      val rows = (0 until n).map(_ =>
+        (rnd.nextInt(nGroups).toString, rnd.nextInt(6).toDouble))
+      val df = rows.toDF("g", "v").repartition(1 + rnd.nextInt(8))
+      val got = graft.operators.DistributedRank
+        .withRank(df, Seq("g"), Seq("v"), "rn")
+        .collect().map(r => (r.getAs[String]("g"), r.getAs[Double]("v"),
+          r.getAs[Long]("rn")))
+      got.groupBy(_._1).foreach { case (g, rs) =>
+        val byRank = rs.sortBy(_._3)
+        // ranks are exactly 1..n with no gaps, and value order is
+        // non-decreasing along ranks (ties may permute within a value)
+        assert(byRank.map(_._3).toSeq == (1L to byRank.length).toSeq,
+          s"trial $trial group $g")
+        assert(byRank.map(_._2).sliding(2).forall(p =>
+          p.length < 2 || p(0) <= p(1)), s"trial $trial group $g")
+      }
+      assert(got.length == rows.length, s"trial $trial")
+    }
+  }
+
   test("as-of join equals a per-row reference computation on random data") {
     val rnd = new scala.util.Random(777)
     for (trial <- 1 to 10) {

@@ -80,4 +80,25 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     val nErrors = ev.filter(col("event_type") === "error").count()
     assert(parsed.filter(col("parsed_ts").isNull).count() == nErrors)
   }
+
+  test("q60 sketch aggregates land within tolerance of exact answers") {
+    val got = RelationalOps.q60SketchStats(spark, Sf)
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("approx_orders"), r.getAs[Double]("approx_p50")))
+      .toMap
+    val exact = Tables.lineitem(spark, Sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("orders"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("orders"), r.getAs[Double]("p50")))
+      .toMap
+    assert(got.keySet == exact.keySet)
+    for (k <- got.keySet) {
+      assert(math.abs(got(k)._1 - exact(k)._1).toDouble / exact(k)._1 < 0.05,
+        s"$k distinct: ${got(k)._1} vs ${exact(k)._1}")
+      assert(math.abs(got(k)._2 - exact(k)._2) / exact(k)._2 < 0.02,
+        s"$k p50: ${got(k)._2} vs ${exact(k)._2}")
+    }
+  }
 }
