@@ -56,6 +56,15 @@ case class TopKPerKeyExec(keyExprs: Seq[Expression], order: Seq[SortOrder],
     val orderEs = order
     val childOutput = child.output
     val kk = k
+    val isPartial = partial
+    // Bound on map-side state: the heap map grows with DISTINCT KEYS per
+    // input partition, and at high key cardinality that is executor OOM.
+    // Past the bound, rows of unseen keys pass through unfiltered — the
+    // map-side heap is an optimization, not a correctness requirement;
+    // the final (post-shuffle) phase reduces every key exactly.
+    val maxKeys = math.max(1L,
+      conf.getConfString("spark.graft.topk.maxMapKeys",
+        ((1L << 22) / math.max(1, kk)).toString).toLong)
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyEs, childOutput)
       val rowOrd = GenerateOrdering.generate(orderEs, childOutput)
@@ -65,17 +74,28 @@ case class TopKPerKeyExec(keyExprs: Seq[Expression], order: Seq[SortOrder],
       }
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      it.foreach { row =>
+      val passedThrough = it.flatMap { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          scala.collection.mutable.PriorityQueue.empty(heapOrd))
-        if (heap.size < kk) {
-          heap.enqueue(row.copy())
-        } else if (rowOrd.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < kk) heap.enqueue(row.copy())
+            else if (rowOrd.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+            Nil
+          case None if isPartial && heaps.size >= maxKeys =>
+            row.copy() :: Nil // state bound hit: defer to the final phase
+          case None =>
+            val heap = scala.collection.mutable.PriorityQueue
+              .empty[InternalRow](heapOrd)
+            heap.enqueue(row.copy())
+            heaps(key.copy()) = heap
+            Nil
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      // ++ is lazy in its right operand: heaps drain only after the
+      // input (and thus every heap update) is exhausted
+      passedThrough ++ heaps.valuesIterator.flatMap(_.iterator)
     }, preservesPartitioning = true)
   }
 

@@ -88,6 +88,27 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(TopK.perKey(df, Seq("k"), Seq(("v", true)), 5).count() == 2)
   }
 
+  test("map-side state bound: results stay exact when keys overflow it") {
+    // force the partial phase to pass rows through after 2 tracked keys;
+    // the final phase must still produce the exact top-k per key
+    val key = "spark.graft.topk.maxMapKeys"
+    spark.conf.set(key, "2")
+    try {
+      val rnd = new scala.util.Random(7)
+      val rows = (0 until 2000).map(i =>
+        (rnd.nextInt(200).toLong, i.toLong, rnd.nextInt(50).toDouble))
+      val df = rows.toDF("k", "id", "v").repartition(8)
+      val got = TopK.perKey(df, Seq("k"), Seq(("v", true), ("id", false)), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("v").desc, col("id"))
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    } finally spark.conf.unset(key)
+  }
+
   test("physical plan is the two-phase heap operator, not sort+window") {
     val df = Tables.orders(spark, Sf)
       .select("o_custkey", "o_orderkey", "o_totalprice")
