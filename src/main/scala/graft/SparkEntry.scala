@@ -83,6 +83,7 @@ object SparkEntry {
     "q58_tfidf_terms" -> (TextOps.q58TfIdfTerms _),
     "q59_token_histogram" -> (TextOps.q59TokenHistogram _),
     "q60_sketch_stats" -> (RelationalOps.q60SketchStats _),
+    "q61_dedup_clusters" -> (DedupOps.q61DedupClusters _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -677,5 +678,66 @@ object SparkEntry {
                      * 10 AS BIGINT) AS bucket_lo,
                 CAST(COUNT(*) AS BIGINT) AS n_docs
          FROM documents GROUP BY 1""",
+    // connected components over the SAME md5-LSH verified pairs as q31
+    // (threshold 0.5): transitive closure + component-min — equals the
+    // engine's min-label propagation fixpoint
+    "q61_dedup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
+           FROM documents
+         ), base AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM corpus
+         ), sh AS (
+           SELECT doc_id, list_distinct(tk) AS toks,
+                  CASE WHEN len(tk) >= 3 THEN
+                    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                   for i in range(1, len(tk) - 1)])
+                  ELSE [array_to_string(tk, ' ')] END AS sh
+           FROM base
+         ), sigs AS (
+           SELECT doc_id, toks,
+                  list_min(list_transform(sh, x -> md5('0|' || x))) AS m0,
+                  list_min(list_transform(sh, x -> md5('1|' || x))) AS m1,
+                  list_min(list_transform(sh, x -> md5('2|' || x))) AS m2,
+                  list_min(list_transform(sh, x -> md5('3|' || x))) AS m3,
+                  list_min(list_transform(sh, x -> md5('4|' || x))) AS m4,
+                  list_min(list_transform(sh, x -> md5('5|' || x))) AS m5,
+                  list_min(list_transform(sh, x -> md5('6|' || x))) AS m6,
+                  list_min(list_transform(sh, x -> md5('7|' || x))) AS m7
+           FROM sh
+         ), banded AS (
+           SELECT doc_id,
+                  unnest([0, 1, 2, 3]) AS band_id,
+                  unnest([m0 || ',' || m1, m2 || ',' || m3,
+                          m4 || ',' || m5, m6 || ',' || m7]) AS band_key
+           FROM sigs
+         ), pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+         ), strong AS (
+           SELECT p.doc_a, p.doc_b
+           FROM pairs p
+           JOIN sh ta ON ta.doc_id = p.doc_a
+           JOIN sh tb ON tb.doc_id = p.doc_b
+           WHERE ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                 / (len(ta.toks) + len(tb.toks)
+                    - len(list_intersect(ta.toks, tb.toks))), 3) >= 0.5
+         ), edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM strong
+           UNION
+           SELECT doc_b, doc_a FROM strong
+         ), reach AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         )
+         SELECT src AS doc_id,
+                least(src, MIN(dst)) AS canonical_id
+         FROM reach GROUP BY src""",
   )
 }

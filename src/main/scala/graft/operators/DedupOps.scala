@@ -246,4 +246,48 @@ object DedupOps {
 
   def q31NgramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardVerify(corpusWithPlantedDups(s, d))
+
+  /** 61. Near-dup clusters: connected components over the verified
+    * candidate pairs, canonical doc = component minimum — the step that
+    * turns pairwise similarity into an actual keep/drop decision.
+    * Distributed min-label propagation: each round is one join + one
+    * aggregation, state is (node, label) only, lineage cut per round
+    * (localCheckpoint) so plans don't stack. Rounds needed = component
+    * diameter — near-dup clusters are shallow (pairs/triangles), so
+    * convergence is 2–3 rounds; the loop stops at fixpoint.
+    */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("label")).as("nl"))
+      val updated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label")))
+            .as("label"))
+        .localCheckpoint(false)
+      changed = updated
+        .join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") < col("prev")).count()
+      labels = updated
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
+  }
+
+  def q61DedupClusters(s: SparkSession, d: String): DataFrame =
+    dedupClusters(
+      ngramJaccardVerify(corpusWithPlantedDups(s, d))
+        .filter(col("jaccard") >= 0.5))
 }

@@ -104,6 +104,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(cands.filter(col("hamming") > 12).count() == 0)
   }
 
+  test("dedup clusters: chains collapse to one canonical minimum") {
+    // 1-2-3 form a chain (1~2, 2~3 but never 1~3 directly); 10-11 a pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = DedupOps.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a"))
       .toDF("doc_id", "text")
