@@ -24,9 +24,17 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce)               // warm-up: codegen + JIT + file listing
-    // min of 2 measured reps: robust against GC/scheduler noise
+    // min of 2 measured reps: robust against GC/scheduler noise. When
+    // the two reps disagree >3× the box hit a cold spike (JIT/load) on
+    // one of them — take a third rep so the reported number reflects
+    // the engine, not the spike (r3's q51 read 9.7 s vs 1.1 s steady).
     val results = names.map { n =>
-      n -> (for (a <- runOnce(n); b <- runOnce(n)) yield math.min(a, b))
+      n -> (for (a <- runOnce(n); b <- runOnce(n)) yield {
+        val m = math.min(a, b)
+        if (math.max(a, b) > 3.0 * m)
+          runOnce(n).map(math.min(m, _)).getOrElse(m)
+        else m
+      })
     }
 
     val qs = results.map { case (k, v) =>

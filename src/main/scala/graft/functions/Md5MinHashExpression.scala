@@ -28,6 +28,15 @@ object Md5MinHashImpl {
   }
   private val Hex = "0123456789abcdef".getBytes
 
+  // "j|" prefix bytes per hash index, built once per k — rebuilding the
+  // k arrays inside compute() put k allocations on every ROW of the
+  // pipeline this codegen expression exists to speed up
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]
+  private def prefixesFor(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k,
+      kk => Array.tabulate(kk)(j => s"$j|".getBytes("UTF-8")))
+
   private def toHex(b: Array[Byte]): UTF8String = {
     val out = new Array[Byte](32)
     var i = 0
@@ -41,7 +50,7 @@ object Md5MinHashImpl {
 
   def compute(arr: ArrayData, k: Int): ArrayData = {
     val md = digest.get()
-    val prefixes = Array.tabulate(k)(j => s"$j|".getBytes("UTF-8"))
+    val prefixes = prefixesFor(k)
     val mins = new Array[UTF8String](k)
     var i = 0
     while (i < arr.numElements()) {

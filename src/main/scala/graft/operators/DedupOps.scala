@@ -147,19 +147,53 @@ object DedupOps {
     Tables.documents(s, d)
       .select(col("doc_id"), simhashCol(s, col("text")).as("simhash"))
 
-  /** 51. SimHash near-dup pairs at scale: split the 64-bit signature
-    * into 4 16-bit bands — by pigeonhole, any pair within Hamming
-    * distance 3 shares at least one exact band, so candidates come from
-    * 4 band-keyed bucket joins (never all-pairs); then the exact
-    * `bit_count(a XOR b)` filter keeps pairs ≤ `maxHamming`.
+  /** Band plan for a 64-bit simhash at corpus size `nRows`: disjoint
+    * bands sized so the band keyspace 2^bits stays ≥ nRows/32 — i.e.
+    * average bucket population stays ~32 as the corpus grows. A FIXED
+    * band width is the scale-killer here: 16-bit bands have only 65,536
+    * keys per band, so bucket population grows linearly with the corpus
+    * and candidate pairs grow ~n²/2^16 — quadratic once n ≫ 65k.
+    * Widening the bands (fewer of them) keeps the bucket join linear.
+    *
+    * Trade-off (documented, deliberate): `bands` disjoint bands
+    * pigeonhole-guarantee recall only up to Hamming distance bands-1
+    * (4 bands → ≤3, 2 bands → ≤1). Pairs at larger distances are found
+    * only when they happen to agree on a full band — the output is a
+    * CANDIDATE set, refined by the exact `bit_count` filter, not an
+    * exhaustive enumeration at distances above bands-1. Raising recall
+    * at scale means more tables (re-banding under independent bit
+    * permutations), not narrower bands.
+    *
+    * @return (bands, bitsPerBand); bands × bits ≤ 64, bits ∈ [16, 32].
     */
-  def simhashNearDup(s: SparkSession, docs: DataFrame, maxHamming: Int)
-      : DataFrame = {
+  def simhashBandPlan(nRows: Long): (Int, Int) = {
+    val needed = math.max(16, math.ceil(
+      math.log(math.max(nRows, 1L).toDouble / 32) / math.log(2)).toInt)
+    val bands = math.max(2, 64 / math.min(needed, 32))
+    (bands, 64 / bands)
+  }
+
+  /** 51. SimHash near-dup pairs at scale: split the 64-bit signature
+    * into disjoint bands (width sized from the corpus row count — see
+    * [[simhashBandPlan]]) — by pigeonhole, any pair within Hamming
+    * distance bands-1 shares at least one exact band, so candidates come
+    * from band-keyed bucket joins (never all-pairs); then the exact
+    * `bit_count(a XOR b)` filter keeps pairs ≤ `maxHamming`. Note
+    * maxHamming above bands-1 is candidates-only recall (partial), per
+    * the band-plan scaladoc.
+    *
+    * @param nRows corpus row count (from catalog/footer stats — sizes
+    *   the bands without scanning).
+    */
+  def simhashNearDup(s: SparkSession, docs: DataFrame, maxHamming: Int,
+      nRows: Long): DataFrame = {
+    val (bands, bits) = simhashBandPlan(nRows)
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val sigs = docs.select(col("doc_id"),
       simhashCol(s, col("text")).as("simhash"))
     val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("simhash"), b * bits).bitwiseAND(mask)): _*))
         .as(Seq("band_id", "band_val")))
     val a = banded.select(col("doc_id").as("doc_a"),
       col("simhash").as("sh_a"), col("band_id"), col("band_val"))
@@ -174,7 +208,9 @@ object DedupOps {
   }
 
   def q51SimhashNearDup(s: SparkSession, d: String): DataFrame =
-    simhashNearDup(s, corpusWithPlantedDups(s, d), maxHamming = 12)
+    simhashNearDup(s, corpusWithPlantedDups(s, d), maxHamming = 12,
+      nRows = 2 * graft.sources.TableStatistics
+        .tableRowCount(s, d, "documents"))
 
   // ---- Exact-Jaccard verify over LSH candidates (q31) -------------------
 
@@ -250,13 +286,24 @@ object DedupOps {
   /** 61. Near-dup clusters: connected components over the verified
     * candidate pairs, canonical doc = component minimum — the step that
     * turns pairwise similarity into an actual keep/drop decision.
-    * Distributed min-label propagation: each round is one join + one
-    * aggregation, state is (node, label) only, lineage cut per round
-    * (localCheckpoint) so plans don't stack. Rounds needed = component
-    * diameter — near-dup clusters are shallow (pairs/triangles), so
-    * convergence is 2–3 rounds; the loop stops at fixpoint.
+    * Distributed min-label propagation: each round is ONE job — the
+    * eager localCheckpoint that materializes the round's labels also
+    * drives a changed-row accumulator, so fixpoint detection costs no
+    * separate count() job. (Accumulator updates from retried/speculative
+    * tasks can only OVER-count, which at worst buys one extra no-op
+    * round — never a premature stop.) State is (node, label) only,
+    * lineage cut per round. Rounds needed = component diameter —
+    * near-dup clusters are shallow (pairs/triangles), so convergence is
+    * 2–3 rounds; the loop stops at fixpoint.
+    *
+    * @param maxRounds cap on propagation rounds (≥ the deepest expected
+    *   component diameter). If the cap is hit before fixpoint the result
+    *   labels are NOT fully converged and would diverge from a
+    *   transitive-closure oracle — that is logged loudly rather than
+    *   returned silently.
     */
-  def dedupClusters(pairs: DataFrame): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
@@ -268,21 +315,27 @@ object DedupOps {
       .localCheckpoint(false)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    while (changed > 0 && rounds < maxRounds) {
+      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
+      val mark = udf { chg: Boolean => if (chg) acc.add(1L); chg }
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(min(col("label")).as("nl"))
       val updated = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label")))
-            .as("label"))
-        .localCheckpoint(false)
-      changed = updated
-        .join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") < col("prev")).count()
-      labels = updated
+            .as("label"),
+          mark(coalesce(col("nl") < col("label"), lit(false))).as("_chg"))
+        .localCheckpoint() // eager: materializes the round, flushes acc
+      changed = acc.value
+      labels = updated.drop("_chg")
       rounds += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupClusters: fixpoint NOT reached after $maxRounds rounds " +
+          s"($changed labels still improving) — returned labels are not " +
+          "fully transitive; raise maxRounds")
     labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
   }
 

@@ -19,6 +19,17 @@ object DistributedRank {
 
   /** Append `rankCol` = 1-based rank of each row within its
     * `groupCols` group ordered by `orderCols` (ascending).
+    *
+    * INVARIANT the correctness of `_off + _lrn` rests on: the offsets
+    * branch and the join's left branch both read `local`, so
+    * `spark_partition_id()` must evaluate identically in both. That is
+    * physically guaranteed because the two branches contain the SAME
+    * range Exchange and Spark's ReuseExchange rule materializes it once
+    * — both consumers read one set of shuffle files, so partition ids
+    * agree even under a nondeterministic upstream (a retried upstream
+    * task re-feeds the same single shuffle, never two divergent copies).
+    * PlanAuditSpec pins the ReusedExchange in q45's executed plan so a
+    * plan change that silently splits the exchange fails the suite.
     */
   def withRank(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[String], rankCol: String): DataFrame = {

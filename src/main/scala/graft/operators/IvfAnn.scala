@@ -30,17 +30,21 @@ object IvfAnn {
     * shape, which a sample captures; the fitted model is returned so
     * callers reuse it across queries instead of re-fitting.
     *
+    * @param nRows corpus row count (from catalog/footer stats) — gates
+    *   the small-sample fallback WITHOUT an eager count() job in the
+    *   query path (at 100 TB that count is a full scan per plan build)
     * @param sampleFraction fraction used for training (falls back to the
     *   full corpus only when the sample is too small to support k cells)
     */
-  def assignCells(emb: DataFrame, nCells: Int, sampleFraction: Double = 0.25)
-      : (DataFrame, Array[Array[Double]]) = {
+  def assignCells(emb: DataFrame, nCells: Int, nRows: Long,
+      sampleFraction: Double = 0.25): (DataFrame, Array[Array[Double]]) = {
     val withVec = emb.withColumn("features",
       array_to_vector(transform(col("embedding"), x => x.cast("double"))))
     val sample = withVec.select("features")
       .sample(withReplacement = false, sampleFraction, seed = 42L)
     val trainSet =
-      if (sample.count() >= nCells * 4L) sample else withVec.select("features")
+      if (nRows * sampleFraction >= nCells * 4L) sample
+      else withVec.select("features")
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(20)
       .fit(trainSet)
     val assigned = model.transform(withVec)
@@ -52,9 +56,9 @@ object IvfAnn {
   /** Top-k cosine neighbors for queries (vec_id < 10), searching only
     * the nProbe cells nearest each query.
     */
-  def search(spark: SparkSession, emb: DataFrame, nCells: Int, nProbe: Int)
-      : DataFrame = {
-    val (assigned, centers) = assignCells(emb, nCells)
+  def search(spark: SparkSession, emb: DataFrame, nCells: Int, nProbe: Int,
+      nRows: Long): DataFrame = {
+    val (assigned, centers) = assignCells(emb, nCells, nRows)
 
     // tiny centroid table → broadcast; each query scores all centroids
     // (nCells × dim flops) and keeps its nProbe nearest cells
@@ -96,5 +100,6 @@ object IvfAnn {
   }
 
   def q40AnnIvf(s: SparkSession, d: String): DataFrame =
-    search(s, Tables.embeddings(s, d), nCells = 16, nProbe = 6)
+    search(s, Tables.embeddings(s, d), nCells = 16, nProbe = 6,
+      nRows = graft.sources.TableStatistics.tableRowCount(s, d, "embeddings"))
 }

@@ -69,21 +69,25 @@ object ParquetUpsertSink {
           allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc, col("_src").desc)
-    val merged = tagged
+    // winner row per key plus whether the key pre-existed (_mn = 0) —
+    // both windows share the partition spec, so this is still ONE
+    // shuffle on the key
+    val winners = tagged
       .withColumn("_rn", row_number().over(w))
+      .withColumn("_mn", min(col("_src")).over(Window.partitionBy(
+        keys.map(col): _*)))
       .filter(col("_rn") === 1)
-      .drop("_rn", "_src")
-    // mutation accounting: a key only in updates was inserted, a key on
-    // both sides was updated (computed BEFORE replace — the old
-    // snapshot's files are gone afterwards)
-    val st = tagged.groupBy(keys.map(col): _*)
-      .agg(min(col("_src")).as("_mn"), max(col("_src")).as("_mx"))
-      .agg(
+    // mutation accounting (computed BEFORE replace — the old snapshot's
+    // files are gone afterwards): inserted = key only in updates;
+    // updated = key pre-existed AND the WINNING row came from updates —
+    // a key merely present on both sides whose incoming row loses the
+    // version ordering leaves the table unchanged and is not an update
+    val st = winners.agg(
         coalesce(sum(when(col("_mn") === 1, 1L).otherwise(0L)), lit(0L)),
-        coalesce(sum(when(col("_mn") === 0 && col("_mx") === 1, 1L)
+        coalesce(sum(when(col("_mn") === 0 && col("_src") === 1, 1L)
           .otherwise(0L)), lit(0L)))
       .first()
-    replace(spark, tableDir, merged)
+    replace(spark, tableDir, winners.drop("_rn", "_src", "_mn"))
     SinkStats(inserted = st.getLong(0), updated = st.getLong(1), deleted = 0L)
   }
 
@@ -94,12 +98,14 @@ object ParquetUpsertSink {
   def purge(spark: SparkSession, tableDir: String, purgeKeys: DataFrame,
       keyCol: String): SinkStats = {
     val current = read(spark, tableDir)
-    val before = current.count()
-    val remaining = current.join(broadcast(purgeKeys.select(keyCol).distinct()),
-      Seq(keyCol), "left_anti")
-    replace(spark, tableDir, remaining)
-    val after = read(spark, tableDir).count()
-    SinkStats(inserted = 0L, updated = 0L, deleted = before - after)
+    val keySet = broadcast(purgeKeys.select(keyCol).distinct())
+    // deleted = semi-join count BEFORE replace — deriving it from
+    // before/after full counts costs two extra table scans AND races
+    // with concurrent writers on the post-write read
+    val deleted = current.join(keySet, Seq(keyCol), "left_semi").count()
+    replace(spark, tableDir,
+      current.join(keySet, Seq(keyCol), "left_anti"))
+    SinkStats(inserted = 0L, updated = 0L, deleted = deleted)
   }
 
   /** Compact the table's data files into `numFiles` (small-file cleanup
@@ -116,14 +122,39 @@ object ParquetUpsertSink {
       keys: Seq[String]): SinkStats = {
     if (!exists(spark, tableDir)) {
       replace(spark, tableDir, rows)
-      return SinkStats(read(spark, tableDir).count(), 0L, 0L)
+      // footer metadata of the snapshot just written — no data scan
+      return SinkStats(
+        TableStatistics.parquetRowCount(spark, dataPath(tableDir).toString),
+        0L, 0L)
     }
     val existing = read(spark, tableDir)
-    val before = existing.count()
+    // inserted = count of the appended rows BEFORE replace (before/after
+    // full-table counts are two extra scans and race with concurrent
+    // writers). localCheckpoint so the anti-join runs once — the count
+    // and the write both read the materialized new rows.
     val newRows = rows.join(existing.select(keys.map(col): _*).distinct(),
-      keys, "left_anti")
+      keys, "left_anti").localCheckpoint()
+    val inserted = newRows.count()
     replace(spark, tableDir, existing.unionByName(newRows))
-    val after = read(spark, tableDir).count()
-    SinkStats(inserted = after - before, updated = 0L, deleted = 0L)
+    SinkStats(inserted = inserted, updated = 0L, deleted = 0L)
+  }
+
+  /** Blocklist feedback: this run's failed keys become the next run's
+    * blocklist — the reference appends failed player ids to
+    * `dropped_players.json` so later extracts skip them
+    * (etl_pipeline_script.py:63-70, api_extract.py:79). Composed from
+    * the existing primitives: purge the failed keys from the target
+    * table, then insert-new-only them into the blocklist table (re-runs
+    * re-append nothing). q10's blocklist filter reads the updated list.
+    *
+    * @return (purge stats on the target, append stats on the blocklist)
+    */
+  def blocklistFeedback(spark: SparkSession, tableDir: String,
+      blocklistDir: String, failedKeys: DataFrame, keyCol: String)
+      : (SinkStats, SinkStats) = {
+    val keys = failedKeys.select(keyCol).distinct()
+    val purged = purge(spark, tableDir, keys, keyCol)
+    val appended = insertNewOnly(spark, blocklistDir, keys, Seq(keyCol))
+    (purged, appended)
   }
 }

@@ -93,15 +93,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("simhash banded near-dup finds planted pairs, not random ones") {
-    val cands = DedupOps.simhashNearDup(spark,
-      DedupOps.corpusWithPlantedDups(spark, Sf), maxHamming = 12)
+    val corpus = DedupOps.corpusWithPlantedDups(spark, Sf)
+    val nDocs = Tables.documents(spark, Sf).count()
+    val cands = DedupOps.simhashNearDup(spark, corpus, maxHamming = 12,
+      nRows = 2 * nDocs)
     val planted = cands.filter(col("doc_b") === col("doc_a") + 1000000L)
       .count()
-    val nDocs = Tables.documents(spark, Sf).count()
     assert(planted >= (nDocs * 0.8).toLong,
       s"found $planted of $nDocs planted pairs")
     // hamming values are genuine
     assert(cands.filter(col("hamming") > 12).count() == 0)
+  }
+
+  test("simhash band plan keeps bucket population bounded as corpus grows") {
+    // small corpora: the classic 4×16 split
+    assert(DedupOps.simhashBandPlan(1000L) == (4, 16))
+    assert(DedupOps.simhashBandPlan(2000000L) == (4, 16))
+    // past 2^21 rows the 16-bit keyspace saturates → widen the bands
+    assert(DedupOps.simhashBandPlan(1L << 24) == (3, 21))
+    assert(DedupOps.simhashBandPlan(1L << 30) == (2, 32))
+    assert(DedupOps.simhashBandPlan(1L << 40) == (2, 32))
+    // invariant: keyspace 2^bits stays >= nRows/32 up to the 32-bit clamp
+    for (lg <- Seq(10, 16, 20, 24, 28, 34)) {
+      val n = 1L << lg
+      val (_, bits) = DedupOps.simhashBandPlan(n)
+      assert(bits >= math.min(32, lg - 5),
+        s"n=2^$lg -> $bits-bit bands: bucket population unbounded")
+    }
   }
 
   test("dedup clusters: chains collapse to one canonical minimum") {

@@ -105,9 +105,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // a PARTITION BY l_returnflag window would put a third of the table
     // through each of 3 reducers; the distributed-rank plan partitions
     // by (_part, group) after a range exchange
-    val p = plan(RelationalOps.q45Percentiles(spark, Sf))
+    val df = RelationalOps.q45Percentiles(spark, Sf)
+    val p = plan(df)
     assert(p.contains("rangepartitioning"), p.take(2000))
     assert(p.contains("hashpartitioning(_part"), p.take(2000))
+    // DistributedRank's `_off + _lrn` invariant: both plan branches must
+    // read ONE materialized range exchange, so spark_partition_id()
+    // agrees between the local ranks and the offsets even under a
+    // nondeterministic upstream. AQE performs the reuse at runtime, so
+    // execute first and assert on the final adaptive plan.
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") ||
+      finalPlan.contains("ReusedQueryStage") ||
+      "rangepartitioning".r.findAllIn(finalPlan).size == 1,
+      finalPlan.take(3000))
   }
 
   test("q12 upsert shuffles once, keyed on the upsert key") {
