@@ -84,6 +84,9 @@ object SparkEntry {
     "q59_token_histogram" -> (TextOps.q59TokenHistogram _),
     "q60_sketch_stats" -> (RelationalOps.q60SketchStats _),
     "q61_dedup_clusters" -> (DedupOps.q61DedupClusters _),
+    "q62_contamination" -> (DedupOps.q62Contamination _),
+    "q63_source_mix" -> (TextOps.q63SourceMix _),
+    "q64_pii_scrub" -> (TextOps.q64PiiScrub _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -739,5 +742,63 @@ object SparkEntry {
          SELECT src AS doc_id,
                 least(src, MIN(dst)) AS canonical_id
          FROM reach GROUP BY src""",
+    // contamination: corpus docs sharing any word trigram with the
+    // doc_id%20==0 benchmark slice (same shingle family as q31/q61)
+    "q62_contamination" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) >= 3 THEN
+                    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                   for i in range(1, len(tk) - 1)])
+                  ELSE [array_to_string(tk, ' ')] END AS sh
+           FROM tk
+         ), ex AS (
+           SELECT doc_id, unnest(sh) AS s FROM sh
+         ), bench AS (
+           SELECT DISTINCT s FROM ex WHERE doc_id % 20 = 0
+         )
+         SELECT e.doc_id, CAST(COUNT(DISTINCT e.s) AS BIGINT) AS n_shared
+         FROM ex e JOIN bench b ON e.s = b.s
+         WHERE e.doc_id % 20 <> 0
+         GROUP BY e.doc_id""",
+    // deterministic md5-threshold sampling to the smallest language's
+    // count; equal-length lowercase-hex compare == top-32-bit compare
+    "q63_source_mix" ->
+      """WITH counts AS (
+           SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+         ), thr AS (
+           SELECT lang,
+                  printf('%08x', CAST(floor(
+                    CAST((SELECT MIN(cnt) FROM counts) AS DOUBLE)
+                      / CAST(cnt AS DOUBLE) * 4294967295.0) AS BIGINT))
+                    AS thr
+           FROM counts
+         )
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN thr USING (lang)
+         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <= thr.thr""",
+    // deterministic contact-line injection, then regex redaction —
+    // patterns are RE2-safe and behave identically in both engines
+    "q64_pii_scrub" ->
+      """WITH raw AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example tel '
+                       || CAST(doc_id * 37 + 10000000 AS VARCHAR) AS raw
+           FROM documents
+         )
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(raw,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+                  AS n_emails,
+                CAST(len(regexp_extract_all(raw, '[0-9]{7,}')) AS BIGINT)
+                  AS n_numbers,
+                regexp_replace(regexp_replace(raw,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]{7,}', '<NUM>', 'g') AS clean_text
+         FROM raw""",
   )
 }

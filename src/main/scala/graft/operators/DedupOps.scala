@@ -343,4 +343,36 @@ object DedupOps {
     dedupClusters(
       ngramJaccardVerify(corpusWithPlantedDups(s, d))
         .filter(col("jaccard") >= 0.5))
+
+  /** 76. Benchmark-contamination check — the training-data hygiene step
+    * every LLM pipeline needs: flag corpus documents sharing any word
+    * n-gram with a held-out benchmark/eval set, so eval questions never
+    * leak into training data. (The reference has no counterpart; the
+    * shingle machinery is shared with the near-dup family above.)
+    *
+    * 100-TB shape: eval suites are tiny (thousands of documents) next
+    * to the corpus, so the benchmark's distinct shingles BROADCAST and
+    * the corpus is never shuffled — one scan, a broadcast-hash join per
+    * shingle, then a map-side-combining count per doc. All-pairs or a
+    * shuffle keyed by shingle (corpus-sized explode through the wire)
+    * never happens.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    def shingled(df: DataFrame) = df
+      .select(col("doc_id"), tokens(normText).as("tk"))
+      .select(col("doc_id"),
+        explode(shingles(col("tk"), ShingleSize)).as("sh"))
+    val bench = broadcast(shingled(benchmark).select("sh").distinct())
+    shingled(docs)
+      .join(bench, "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_shared"))
+  }
+
+  def q62Contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    contamination(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+  }
 }

@@ -220,4 +220,61 @@ object TextOps {
       .orderBy(col("n").desc, col("trigram").asc)
       .limit(20)
   }
+
+  /** 77. Source-mix sampling: downsample every language/domain to the
+    * smallest one's size — the "data mixing" step that rebalances a
+    * web-scale corpus before training. Keep decisions are a
+    * DETERMINISTIC md5-hash threshold per row (uniform, reproducible
+    * across retries and engines — rand() is neither), with per-domain
+    * thresholds derived from group counts.
+    *
+    * 100-TB shape: the counts/threshold table is O(#domains) — driver
+    * scale — and broadcasts; the corpus takes ONE scan + filter with no
+    * shuffle at all (the count aggregation ships only map-side partial
+    * counts). Threshold arithmetic is integer/IEEE-double exact, so the
+    * DuckDB oracle reproduces the exact sampled row set.
+    */
+  def q63SourceMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    // thr = first 8 md5 hex chars ≤ printf("%08x", floor(rate × (2³²-1)))
+    // — lexicographic compare of equal-length lowercase hex == numeric
+    // compare of the top 32 hash bits, identical in any engine
+    val thr = counts
+      .crossJoin(broadcast(counts.agg(min(col("cnt")).as("min_cnt"))))
+      .select(col("lang"), format_string("%08x",
+        floor(col("min_cnt").cast("double") / col("cnt").cast("double")
+          * 4294967295.0d).cast("long")).as("thr"))
+    docs.join(broadcast(thr), "lang")
+      .filter(substring(md5(encode(col("doc_id").cast("string"), "UTF-8")),
+        1, 8) <= col("thr"))
+      .select("doc_id", "lang")
+  }
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val NumRe = "[0-9]{7,}"
+
+  /** 78. PII scrubbing: redact email addresses and long digit runs from
+    * text — mandatory hygiene before training on scraped data. Pure
+    * per-row codegen'd regex (embarrassingly parallel, no shuffle); the
+    * patterns are RE2-safe (character classes + bounded quantifiers, no
+    * backtracking blowup), so a hostile document can't wedge an
+    * executor. The synthetic corpus carries no PII, so a deterministic
+    * contact line derived from doc_id is appended first — making the
+    * scrub verifiable end to end against the oracle (counts + cleaned
+    * text hash-match).
+    */
+  def q64PiiScrub(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example tel "),
+        (col("doc_id") * 37 + 10000000L).cast("string")).as("raw"))
+    raw.select(col("doc_id"),
+      size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("raw"), lit(NumRe), lit(0)))
+        .cast("long").as("n_numbers"),
+      regexp_replace(regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+        NumRe, "<NUM>").as("clean_text"))
+  }
 }

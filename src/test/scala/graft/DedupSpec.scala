@@ -131,6 +131,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("contamination flags docs sharing a trigram with the benchmark") {
+    val corpus = Seq((1L, "a b c d e"), (2L, "x y z w v"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val bench = Seq((100L, "b c d zz")).toDF("doc_id", "text")
+    // doc 1 shares exactly the trigram "b c d"; docs 2/3 share nothing
+    val got = DedupOps.contamination(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L)))
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a"))
       .toDF("doc_id", "text")

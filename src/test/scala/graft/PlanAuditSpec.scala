@@ -122,6 +122,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       finalPlan.take(3000))
   }
 
+  test("q62 contamination broadcasts the benchmark shingles — the corpus " +
+      "is never shuffled by shingle") {
+    val p = plan(DedupOps.q62Contamination(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("q12 upsert shuffles once, keyed on the upsert key") {
     val p = plan(RelationalOps.q12UpsertLastWins(spark, Sf))
     assert(p.contains("hashpartitioning(user_id"), p.take(1500))

@@ -72,4 +72,37 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
       Tables.documents(spark, Sf).count())
     assert(h.forall(_.getAs[Long]("bucket_lo") % 10 == 0))
   }
+
+  test("source mix: smallest language kept whole, others downsampled " +
+      "toward it, deterministically") {
+    val orig = Tables.documents(spark, Sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCnt = orig.values.min
+    val kept = TextOps.q63SourceMix(spark, Sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // never upsample; the smallest language survives intact
+    kept.foreach { case (l, c) => assert(c <= orig(l), s"$l upsampled") }
+    assert(kept(orig.minBy(_._2)._1) == minCnt)
+    // every language lands within binomial noise of the target
+    kept.foreach { case (l, c) =>
+      val sigma = math.sqrt(minCnt.toDouble)
+      assert(math.abs(c - minCnt) <= 5 * sigma + 1,
+        s"$l kept $c, target $minCnt")
+    }
+    // hash sampling is deterministic: identical row set on a re-run
+    val a = TextOps.q63SourceMix(spark, Sf).collect().map(_.getLong(0)).toSet
+    val b = TextOps.q63SourceMix(spark, Sf).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("pii scrub: no emails or long digit runs survive; counts recorded") {
+    val got = TextOps.q64PiiScrub(spark, Sf)
+    assert(got.filter(col("clean_text").rlike("@")).count() == 0)
+    assert(got.filter(col("clean_text").rlike("[0-9]{7,}")).count() == 0)
+    val n = got.count()
+    assert(got.filter(col("n_emails") >= 1).count() == n)
+    assert(got.filter(col("n_numbers") >= 1).count() == n)
+    assert(got.filter(col("clean_text").contains("<EMAIL>")).count() == n)
+    assert(got.filter(col("clean_text").contains("<NUM>")).count() == n)
+  }
 }
