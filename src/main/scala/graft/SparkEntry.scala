@@ -87,6 +87,8 @@ object SparkEntry {
     "q62_contamination" -> (DedupOps.q62Contamination _),
     "q63_source_mix" -> (TextOps.q63SourceMix _),
     "q64_pii_scrub" -> (TextOps.q64PiiScrub _),
+    "q65_chunking" -> (TextOps.q65Chunking _),
+    "q66_seq_packing" -> (TextOps.q66SequencePacking _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -800,5 +802,46 @@ object SparkEntry {
                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
                   '[0-9]{7,}', '<NUM>', 'g') AS clean_text
          FROM raw""",
+    // 64-token windows, 16-token overlap (step 48); list slice is
+    // end-inclusive in DuckDB, so [start+1 : start+64] is 64 tokens
+    "q65_chunking" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents WHERE text IS NOT NULL
+         ), n AS (
+           SELECT doc_id, tk,
+                  GREATEST(1, CAST(ceil((len(tk) - 16) / 48.0) AS BIGINT))
+                    AS n_chunks
+           FROM tk
+         ), c AS (
+           SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, tk FROM n
+         )
+         SELECT doc_id, chunk_id,
+                array_to_string(tk[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')
+                  AS chunk_text,
+                CAST(len(string_split(
+                  array_to_string(tk[chunk_id*48 + 1 : chunk_id*48 + 64],
+                                  ' '), ' ')) AS BIGINT) AS n_tokens
+         FROM c""",
+    // concat-then-chunk packing: exclusive running token sum per lang
+    // in doc_id order; integer window sum is exact (HUGEINT → BIGINT)
+    "q66_seq_packing" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS n_tokens
+           FROM documents WHERE text IS NOT NULL
+         ), r AS (
+           SELECT doc_id, lang, n_tokens,
+                  CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS tok_offset
+           FROM t
+         )
+         SELECT doc_id, lang, n_tokens, tok_offset,
+                tok_offset // 2048 AS bin_first,
+                (tok_offset + n_tokens - 1) // 2048 AS bin_last
+         FROM r""",
   )
 }

@@ -53,4 +53,36 @@ object DistributedRank {
       .withColumn(rankCol, col("_off") + col("_lrn"))
       .drop("_part", "_lrn", "_off")
   }
+
+  /** Append `outCol` = EXCLUSIVE running sum of `valueCol` (long) within
+    * its `groupCols` group ordered by `orderCols` — the distributed
+    * prefix-sum primitive. Same shape as [[withRank]]: a global
+    * `SUM OVER (PARTITION BY group ORDER BY ord)` window sends every
+    * row of a group through one reducer; here partitions are ordered
+    * range slices summed in parallel, plus broadcast per-(partition,
+    * group) offsets (a #partitions × #groups table — driver-scale).
+    * Shares withRank's ReusedExchange invariant: both consumers of
+    * `local` read the one materialized range exchange.
+    */
+  def withRunningSum(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], valueCol: String, outCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val oc = orderCols.map(col)
+    val parted = df.repartitionByRange((gc ++ oc): _*)
+      .withColumn("_part", spark_partition_id())
+    val localW = Window.partitionBy(col("_part") +: gc: _*).orderBy(oc: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("_lcs",
+      coalesce(sum(col(valueCol)).over(localW), lit(0L)))
+    val counts = local.groupBy(col("_part") +: gc: _*)
+      .agg(sum(col(valueCol)).as("_n"))
+    val offW = Window.partitionBy(gc: _*).orderBy(col("_part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_n")).over(offW), lit(0L)))
+      .select(col("_part") +: gc :+ col("_off"): _*)
+    local.join(broadcast(offsets), "_part" +: groupCols)
+      .withColumn(outCol, col("_off") + col("_lcs"))
+      .drop("_part", "_lcs", "_off")
+  }
 }

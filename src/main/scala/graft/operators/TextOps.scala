@@ -277,4 +277,57 @@ object TextOps {
       regexp_replace(regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
         NumRe, "<NUM>").as("clean_text"))
   }
+
+  /** 79. Document chunking: split each document's token stream into
+    * fixed-size windows with overlap — the step that turns raw
+    * documents into model-sized training examples (and RAG index
+    * entries). Pure per-row array arithmetic: ONE corpus scan, zero
+    * shuffle, and the explode multiplies rows only by tokens/step —
+    * shape-invariant at any corpus size.
+    */
+  def q65Chunking(s: SparkSession, d: String): DataFrame = {
+    val chunkTokens = 64
+    val overlap = 16
+    val step = chunkTokens - overlap
+    val t = col("tk")
+    val nChunks = greatest(lit(1L),
+      ceil((size(t).cast("double") - overlap) / step).cast("long"))
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), nChunks - 1),
+          i => concat_ws(" ",
+            slice(t, (i * step + 1).cast("int"), lit(chunkTokens)))))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"),
+        size(split(col("chunk_text"), " ")).cast("long").as("n_tokens"))
+  }
+
+  /** 80. Sequence packing: lay every language's documents end to end
+    * (deterministic doc_id order) into one token stream and cut it
+    * every `capacity` tokens — exactly how pretraining packs short
+    * documents into fixed-length sequences without padding waste. Each
+    * doc gets its stream offset and first/last bin; a doc may straddle
+    * a bin boundary (concat-then-chunk semantics).
+    *
+    * The offset is a [[DistributedRank.withRunningSum]] prefix sum —
+    * a plain `SUM OVER (PARTITION BY lang ORDER BY doc_id)` window is
+    * one reducer per language (5 reducers sorting a fifth of a 100-TB
+    * corpus each); the primitive range-partitions, sums slices in
+    * parallel, and broadcasts the per-slice offsets.
+    */
+  def q66SequencePacking(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"))
+    DistributedRank
+      .withRunningSum(docs, Seq("lang"), Seq("doc_id"), "n_tokens",
+        "tok_offset")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("tok_offset"),
+        expr("tok_offset div 2048").as("bin_first"),
+        expr("(tok_offset + n_tokens - 1) div 2048").as("bin_last"))
+  }
 }

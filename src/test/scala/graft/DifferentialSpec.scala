@@ -51,6 +51,32 @@ class DifferentialSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("withRunningSum equals the global window prefix sum on random data") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 8) {
+      val n = 1 + rnd.nextInt(400)
+      val nGroups = 1 + rnd.nextInt(4)
+      // unique order key per group → the exclusive prefix sum is
+      // well-defined and comparable row by row
+      val rows = (0 until n).map(i =>
+        (rnd.nextInt(nGroups).toString, i.toLong, rnd.nextInt(100).toLong))
+      val df = rows.toDF("g", "k", "v").repartition(1 + rnd.nextInt(8))
+      val got = graft.operators.DistributedRank
+        .withRunningSum(df, Seq("g"), Seq("k"), "v", "cum")
+        .collect()
+        .map(r => (r.getAs[String]("g"), r.getAs[Long]("k")) ->
+          r.getAs[Long]("cum")).toMap
+      val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.sortBy(_._2).scanLeft((g, -1L, 0L)) { case ((_, _, acc), r) =>
+          (g, r._2, acc + r._3)
+        }.sliding(2).map { case Seq((_, _, prev), (_, k, _)) =>
+          (g, k) -> prev
+        }
+      }.toMap
+      assert(got == expected, s"trial $trial (n=$n)")
+    }
+  }
+
   test("DistributedRank: per group, ranks are 1..n and values ascend") {
     val rnd = new scala.util.Random(31337)
     for (trial <- 1 to 10) {

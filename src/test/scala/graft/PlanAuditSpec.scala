@@ -129,6 +129,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("q66 packing prefix-sum is range-partitioned, not per-lang windowed") {
+    val p = plan(graft.operators.TextOps.q66SequencePacking(spark, Sf))
+    assert(p.contains("rangepartitioning"), p.take(2000))
+    assert(p.contains("hashpartitioning(_part"), p.take(2000))
+  }
+
   test("q12 upsert shuffles once, keyed on the upsert key") {
     val p = plan(RelationalOps.q12UpsertLastWins(spark, Sf))
     assert(p.contains("hashpartitioning(user_id"), p.take(1500))
