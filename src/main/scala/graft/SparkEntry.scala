@@ -89,6 +89,8 @@ object SparkEntry {
     "q64_pii_scrub" -> (TextOps.q64PiiScrub _),
     "q65_chunking" -> (TextOps.q65Chunking _),
     "q66_seq_packing" -> (TextOps.q66SequencePacking _),
+    "q67_boilerplate" -> (TextOps.q67Boilerplate _),
+    "q68_shuffle_order" -> (TextOps.q68ShuffleOrder _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -843,5 +845,36 @@ object SparkEntry {
                 tok_offset // 2048 AS bin_first,
                 (tok_offset + n_tokens - 1) // 2048 AS bin_last
          FROM r""",
+    // tokens in > 50% of docs are corpus boilerplate; hot set is a
+    // broadcastable list, membership via list_contains
+    "q67_boilerplate" ->
+      """WITH base AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents WHERE text IS NOT NULL
+         ), d AS (
+           SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM base
+         ), dfq AS (
+           SELECT tok, COUNT(*) AS df FROM d GROUP BY tok
+         ), n AS (SELECT COUNT(*) AS n_docs FROM base),
+         hot AS (
+           SELECT COALESCE(list(tok), []) AS hotl
+           FROM dfq, n WHERE df > n_docs * 0.5
+         )
+         SELECT doc_id,
+                array_to_string(
+                  list_filter(tk, t -> NOT list_contains(hotl, t)), ' ')
+                  AS clean_text,
+                CAST(len(tk) - len(
+                  list_filter(tk, t -> NOT list_contains(hotl, t)))
+                  AS BIGINT) AS n_removed
+         FROM base, hot""",
+    // md5-keyed permutation — reproducible global shuffle order
+    "q68_shuffle_order" ->
+      """SELECT doc_id,
+                md5(CAST(doc_id AS VARCHAR)) AS h,
+                CAST(row_number() OVER (
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                  AS BIGINT) AS shuffle_pos
+         FROM documents""",
   )
 }

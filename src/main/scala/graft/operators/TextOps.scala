@@ -330,4 +330,52 @@ object TextOps {
         expr("tok_offset div 2048").as("bin_first"),
         expr("(tok_offset + n_tokens - 1) div 2048").as("bin_last"))
   }
+
+  /** 81. Corpus-adaptive boilerplate removal: drop every token whose
+    * document frequency exceeds half the corpus — the data-driven
+    * cousin of a fixed stopword list (CCNet/C4-style boilerplate
+    * filtering learns what is boilerplate FROM the corpus).
+    *
+    * 100-TB shape: the document-frequency aggregation ships only
+    * map-side partial (token, count) pairs; the resulting hot set is
+    * inherently tiny (only near-universal tokens clear a 50% df bar —
+    * stopword-scale, kilobytes) so it broadcasts as one array and the
+    * corpus takes one scan + per-row filter. The hot-set lambda is
+    * O(tokens × |hot|) per row — fine precisely because |hot| is
+    * bounded by the threshold's semantics, never corpus-sized.
+    */
+  def q67Boilerplate(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("tk"))
+    val dfreq = base
+      .select(explode(array_distinct(col("tk"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val hot = dfreq.crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("n_docs") * 0.5)
+      .agg(sort_array(collect_set(col("tok"))).as("hot"))
+    base.crossJoin(broadcast(hot))
+      .select(col("doc_id"),
+        filter(col("tk"), t => !array_contains(col("hot"), t)).as("kept"),
+        size(col("tk")).as("n_in"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        (col("n_in") - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
+  /** 82. Deterministic global shuffle order: assign every document a
+    * dense position in an md5-keyed permutation — the "shuffle the
+    * corpus before training" step, made reproducible across runs,
+    * retries and engines (ORDER BY rand() is none of those). Built on
+    * [[DistributedRank.withRank]] with no grouping: range partition by
+    * the hash, rank slices in parallel, broadcast slice offsets —
+    * never a single-reducer global row_number.
+    */
+  def q68ShuffleOrder(s: SparkSession, d: String): DataFrame =
+    DistributedRank.withRank(
+      Tables.documents(s, d).select(col("doc_id"),
+        md5(encode(col("doc_id").cast("string"), "UTF-8")).as("h")),
+      Seq(), Seq("h", "doc_id"), "shuffle_pos")
+      .select("doc_id", "h", "shuffle_pos")
 }
