@@ -37,12 +37,21 @@ object Bench {
       })
     }
 
+    // the driver parses this line from a bounded stdout tail (2000 chars
+    // in rounds 3-4, where full-precision doubles overflowed it and the
+    // line went unparsed): 2-decimal values and no empty errors array
+    // keep the whole line + sbt's trailing "[success]" inside the window
+    def fmt(d: Double): String =
+      BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+      "\"" + k + "\":" + v.map(fmt).getOrElse("null")
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, None) => "\"" + k + "\"" }
+    val errPart =
+      if (errors.isEmpty) ""
+      else s""","errors":${errors.mkString("[", ",", "]")}"""
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_errors":${errors.size}$errPart,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -861,8 +861,8 @@ object SparkEntry {
            FROM dfq, n WHERE df > n_docs * 0.5
          )
          SELECT doc_id,
-                array_to_string(
-                  list_filter(tk, t -> NOT list_contains(hotl, t)), ' ')
+                COALESCE(array_to_string(
+                  list_filter(tk, t -> NOT list_contains(hotl, t)), ' '), '')
                   AS clean_text,
                 CAST(len(tk) - len(
                   list_filter(tk, t -> NOT list_contains(hotl, t)))
