@@ -91,6 +91,13 @@ object SparkEntry {
     "q66_seq_packing" -> (TextOps.q66SequencePacking _),
     "q67_boilerplate" -> (TextOps.q67Boilerplate _),
     "q68_shuffle_order" -> (TextOps.q68ShuffleOrder _),
+    "q69_split" -> (TextOps.q69Split _),
+    "q70_domain_cap" -> (TextOps.q70DomainCap _),
+    "q71_mix_weights" -> (TextOps.q71MixWeights _),
+    "q72_user_seq" -> (RelationalOps.q72UserSeq _),
+    "q73_snap_diff" -> (RelationalOps.q73SnapDiff _),
+    "q74_bigram_cov" -> (TextOps.q74BigramCov _),
+    "q75_semdedup" -> (SimilarityOps.q75SemDedup _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -876,5 +883,81 @@ object SparkEntry {
                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                   AS BIGINT) AS shuffle_pos
          FROM documents""",
+    // hash-split on md5 hex prefix: 'e666'/'f333' ≈ 0.9/0.95 of 16^4
+    "q69_split" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e666' THEN 'train'
+                     WHEN md5(CAST(doc_id AS VARCHAR)) < 'f333' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents""",
+    "q70_domain_cap" ->
+      """SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS cap_key
+         FROM documents
+         QUALIFY row_number() OVER (PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 8""",
+    // sqrt is IEEE-correctly-rounded in every engine; the weight is
+    // fixed as an integer and the share is integer round-half-up
+    "q71_mix_weights" ->
+      """WITH c AS (
+           SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(floor(sqrt(COUNT(*)) * 1e6) AS BIGINT) AS w_fixed
+           FROM documents GROUP BY lang, source
+         ), t AS (SELECT CAST(SUM(w_fixed) AS BIGINT) AS w_total FROM c)
+         SELECT lang, source, n_docs, w_fixed,
+                (w_fixed * 1000000 * 2 + w_total) // (2 * w_total)
+                  AS share_ppm
+         FROM c, t""",
+    "q72_user_seq" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                array_to_string(
+                  (list(event_type ORDER BY ts, event_id))[1:50], ' ')
+                  AS seq
+         FROM events GROUP BY user_id""",
+    "q73_snap_diff" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+         ), a AS (
+           SELECT o_orderkey AS k, o_orderstatus AS a_st,
+                  o_orderpriority AS a_pr
+           FROM o WHERE o_orderkey % 97 <> 0
+         ), b AS (
+           SELECT o_orderkey AS k, o_orderstatus AS b_st,
+                  CASE WHEN o_orderkey % 31 = 0 THEN 'X-' || o_orderpriority
+                       ELSE o_orderpriority END AS b_pr
+           FROM o WHERE o_orderkey % 89 <> 0
+         ), j AS (
+           SELECT COALESCE(a.k, b.k) AS o_orderkey,
+                  CASE WHEN a.k IS NULL THEN 'added'
+                       WHEN b.k IS NULL THEN 'removed'
+                       WHEN a_st <> b_st OR a_pr <> b_pr THEN 'changed'
+                  END AS change_type
+           FROM a FULL OUTER JOIN b ON a.k = b.k
+         )
+         SELECT o_orderkey, change_type FROM j
+         WHERE change_type IS NOT NULL""",
+    "q74_bigram_cov" ->
+      """WITH base AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents WHERE text IS NOT NULL
+         ), bgs AS (
+           SELECT doc_id,
+                  list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1]) AS bg
+           FROM base
+         ), flat AS (SELECT unnest(bg) AS b FROM bgs),
+         hotk AS (
+           SELECT b, COUNT(*) AS cnt FROM flat GROUP BY b
+           ORDER BY cnt DESC, b LIMIT 1000
+         ), hot AS (SELECT COALESCE(list(b), []) AS hotbg FROM hotk)
+         SELECT doc_id,
+                CAST(len(bg) AS BIGINT) AS n_bigrams,
+                CAST(len(list_filter(bg, x -> list_contains(hotbg, x)))
+                  AS BIGINT) AS n_hot,
+                CASE WHEN len(bg) = 0 THEN 0
+                     ELSE (CAST(len(list_filter(bg,
+                              x -> list_contains(hotbg, x))) AS BIGINT)
+                           * 1000 * 2 + len(bg)) // (2 * len(bg))
+                END AS cov_ppt
+         FROM bgs, hot""",
   )
 }

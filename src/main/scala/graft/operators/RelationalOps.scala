@@ -458,4 +458,57 @@ object RelationalOps {
         round(lit(100.0) * col("wins") / col("n_uses"), 2).as("win_rate"),
         col("n_uses").cast("long").as("n_uses"))
   }
+
+  /** 87. Event-sequence export: each user's time-ordered action string
+    * (capped at the first 50 events) — raw event logs turned into
+    * behavioral training sequences. One shuffle on user_id; the
+    * per-group sort happens inside `array_sort` on the collected structs
+    * (struct ordering = field order: ts, then event_id as the
+    * deterministic tie-break), never a global sort. The 50-cap bounds
+    * output row width; heavy users at corpus scale otherwise produce
+    * multi-MB rows that skew downstream batches.
+    */
+  def q72UserSeq(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        slice(array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))), 1, 50)
+          .as("ord"))
+      .select(col("user_id"), col("n_events"),
+        concat_ws(" ", expr("transform(ord, x -> x.event_type)")).as("seq"))
+
+  /** 88. Snapshot diff (CDC between two table versions): full-outer
+    * join on the key, classify each key as added / removed / changed by
+    * direct column comparison, drop the unchanged majority. The two
+    * "versions" are derived deterministically from `orders` (every
+    * 97th key absent from the old snapshot, every 89th absent from the
+    * new, every 31st reprioritized) so an exact oracle can reproduce
+    * them. At scale this is one co-partitioned shuffle join emitting
+    * only the delta — the pattern for incremental corpus refreshes,
+    * where re-processing the unchanged 99% is the cost to avoid.
+    */
+  def q73SnapDiff(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    val old = o.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("a_st"),
+        col("o_orderpriority").as("a_pr"))
+    val nw = o.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 31 === 0,
+          concat(lit("X-"), col("o_orderpriority")))
+          .otherwise(col("o_orderpriority")))
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("b_st"),
+        col("o_orderpriority").as("b_pr"))
+    old.join(nw, Seq("k"), "full_outer")
+      .withColumn("change_type",
+        when(col("a_st").isNull, "added")
+          .when(col("b_st").isNull, "removed")
+          .when(col("a_st") =!= col("b_st") || col("a_pr") =!= col("b_pr"),
+            "changed"))
+      .filter(col("change_type").isNotNull)
+      .select(col("k").as("o_orderkey"), col("change_type"))
+  }
 }

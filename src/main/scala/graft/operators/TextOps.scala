@@ -378,4 +378,91 @@ object TextOps {
         md5(encode(col("doc_id").cast("string"), "UTF-8")).as("h")),
       Seq(), Seq("h", "doc_id"), "shuffle_pos")
       .select("doc_id", "h", "shuffle_pos")
+
+  /** 83. Deterministic train/val/test split: each doc's md5 hex keys a
+    * uniform position in [0,1) and fixed hex-prefix thresholds carve
+    * 90/5/5 ("e666" ≈ 0.9 × 16^4, "f333" ≈ 0.95). Hash-split beats
+    * rand() splits everywhere it matters at scale: reproducible across
+    * runs/retries/engines, stable under corpus growth (a doc never
+    * migrates between splits when new data arrives), and pure per-row
+    * work — one scan, zero shuffle, no state.
+    */
+  def q69Split(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(encode(col("doc_id").cast("string"), "UTF-8")).as("h"))
+      .withColumn("split",
+        when(col("h") < "e666", "train")
+          .when(col("h") < "f333", "val")
+          .otherwise("test"))
+
+  /** 84. Per-domain quota (RefinedWeb/C4-style source caps): keep at
+    * most k docs per (lang, source), chosen by hash order so the cap is
+    * a uniform sample, not a scan-order artifact. Runs on the TopKPerKey
+    * heap operator: map-side size-k heaps mean the shuffle carries ≤ k
+    * rows per (partition, domain) — a window row_number() would shuffle
+    * and sort the whole corpus to throw most of it away.
+    */
+  def q70DomainCap(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.perKey(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(encode(col("doc_id").cast("string"), "UTF-8")).as("cap_key")),
+      keys = Seq("lang", "source"),
+      order = Seq(("cap_key", false), ("doc_id", false)), k = 8)
+
+  /** 85. Temperature-scaled source mixing weights (multinomial-sampling
+    * α = 0.5, the "rebalance heads and tails" step before training):
+    * weight ∝ n_docs^0.5, reported as exact ppm shares. Determinism
+    * across engines: IEEE sqrt is correctly rounded (bit-identical in
+    * every libm), `floor(sqrt(n)·1e6)` fixes the weight as an integer,
+    * and the share is integer round-half-up — no float division, no
+    * .xx5 shortest-repr divergence. One groupBy of domain cardinality
+    * (tiny) + a broadcast total; the corpus is scanned once.
+    */
+  def q71MixWeights(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_fixed",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    val total = counts.agg(sum(col("w_fixed")).as("w_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("w_fixed"),
+        expr("(w_fixed * 1000000 * 2 + w_total) div (2 * w_total)")
+          .as("share_ppm"))
+  }
+
+  /** 86. Bigram-coverage quality score: the share of a doc's word
+    * bigrams that appear in the corpus's top-1000 bigram list — a
+    * counts-only stand-in for n-gram LM scoring (docs whose local word
+    * order matches the corpus's dominant patterns score high; shuffled
+    * or boilerplate-injected text scores low). The hot list is bounded
+    * by construction (top-k of a group-by, ranked with a deterministic
+    * tie-break) so it broadcasts; coverage is then one scan of per-row
+    * array work. Score is integer round-half-up parts-per-thousand.
+    */
+  def q74BigramCov(s: SparkSession, d: String): DataFrame = {
+    val n1 = greatest(size(col("tk")) - 1, lit(0))
+    val base = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("tk"))
+      .withColumn("bg",
+        zip_with(slice(col("tk"), lit(1), n1), slice(col("tk"), lit(2), n1),
+          (a, b) => concat(a, lit(" "), b)))
+    val hot = base
+      .select(explode(col("bg")).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bg").asc)
+      .limit(1000)
+      .agg(sort_array(collect_list(col("bg"))).as("hotbg"))
+    base.crossJoin(broadcast(hot))
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(filter(col("bg"), x => array_contains(col("hotbg"), x)))
+          .cast("long").as("n_hot"))
+      .withColumn("cov_ppt",
+        when(col("n_bigrams") === 0, lit(0L))
+          .otherwise(expr("(n_hot * 1000 * 2 + n_bigrams) div (2 * n_bigrams)")))
+  }
 }

@@ -101,4 +101,42 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
         s"$k p50: ${got(k)._2} vs ${exact(k)._2}")
     }
   }
+
+  test("user sequences: seq length = min(n_events, 50), time-ordered") {
+    val got = RelationalOps.q72UserSeq(spark, Sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val toks = r.getAs[String]("seq").split(" ").filter(_.nonEmpty)
+      assert(toks.length == math.min(n, 50L), s"user ${r.get(0)}")
+    }
+    // spot-check ordering for one user against an explicit sort
+    val u = got.head.getAs[Long]("user_id")
+    val want = Tables.events(spark, Sf).filter(col("user_id") === u)
+      .orderBy("ts", "event_id").select("event_type")
+      .collect().map(_.getString(0)).take(50).mkString(" ")
+    assert(got.find(_.getAs[Long]("user_id") == u).get
+      .getAs[String]("seq") == want)
+  }
+
+  test("snapshot diff classifies added/removed/changed correctly") {
+    val got = RelationalOps.q73SnapDiff(spark, Sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("change_type"))
+      .toMap
+    assert(got.values.toSet.subsetOf(Set("added", "removed", "changed")))
+    got.foreach { case (k, t) =>
+      t match {
+        case "added"   => assert(k % 97 == 0 && k % 89 != 0, s"key $k")
+        case "removed" => assert(k % 89 == 0 && k % 97 != 0, s"key $k")
+        case "changed" => assert(k % 31 == 0 && k % 97 != 0 && k % 89 != 0,
+          s"key $k")
+      }
+    }
+    // every surviving %31 key (present in both snapshots) is flagged
+    val expectChanged = Tables.orders(spark, Sf)
+      .filter(col("o_orderkey") % 31 === 0 && col("o_orderkey") % 97 =!= 0 &&
+        col("o_orderkey") % 89 =!= 0)
+      .count()
+    assert(got.count(_._2 == "changed") == expectChanged)
+  }
 }

@@ -98,4 +98,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     info(s"LSH ANN recall@5 = $recall")
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
+
+  test("semantic dedup: one representative per cell, argmax of cosine") {
+    val kept = SimilarityOps.q75SemDedup(spark, Sf)
+    val rows = kept.collect()
+    assert(rows.nonEmpty && rows.length <= 32)
+    assert(rows.map(_.getAs[Int]("cell")).distinct.length == rows.length,
+      "exactly one representative per cluster")
+    // re-derive assignments with the same seeded quantizer: the kept
+    // vec must score >= every other member of its cell (rounded cosine,
+    // vec_id tie-break)
+    val emb = Tables.embeddings(spark, Sf)
+    val nRows = graft.sources.TableStatistics
+      .tableRowCount(spark, Sf, "embeddings")
+    val (assigned, centers) =
+      graft.operators.IvfAnn.assignCells(emb, nCells = 32, nRows)
+    val centroidDf = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+    val scored = assigned.join(broadcast(centroidDf), Seq("cell"))
+      .withColumn("cos_r", round(
+        VectorExpressions.cosine(spark, col("embedding"), col("centroid")), 4))
+      .select(col("cell"), col("vec_id"), col("cos_r"))
+      .collect()
+      .groupBy(_.getAs[Int]("cell"))
+    rows.foreach { r =>
+      val cell = r.getAs[Int]("cell")
+      val best = scored(cell)
+        .map(x => (x.getAs[Double]("cos_r"), x.getAs[Long]("vec_id")))
+        .minBy { case (c, id) => (-c, id) }
+      assert((r.getAs[Double]("cos_r"), r.getAs[Long]("vec_id")) == best,
+        s"cell $cell")
+    }
+  }
 }

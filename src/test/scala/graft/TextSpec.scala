@@ -105,4 +105,58 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
     assert(got.filter(col("clean_text").contains("<EMAIL>")).count() == n)
     assert(got.filter(col("clean_text").contains("<NUM>")).count() == n)
   }
+
+  test("hash split: covers every doc, thresholds honored, ~90/5/5") {
+    val got = TextOps.q69Split(spark, Sf).collect()
+    val n = got.length.toDouble
+    assert(n > 0)
+    val byLabel = got.groupBy(_.getAs[String]("split")).view.mapValues(_.length)
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") / n > 0.8 && byLabel("train") / n < 0.97)
+    got.foreach { r =>
+      val (h, sp) = (r.getAs[String]("h"), r.getAs[String]("split"))
+      val want = if (h < "e666") "train" else if (h < "f333") "val" else "test"
+      assert(sp == want, s"h=$h split=$sp")
+    }
+  }
+
+  test("domain cap matches the window formulation and caps at 8") {
+    val got = TextOps.q70DomainCap(spark, Sf)
+    val perDomain = got.groupBy("lang", "source").count().collect()
+    assert(perDomain.forall(_.getAs[Long]("count") <= 8))
+    val win = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(encode(col("doc_id").cast("string"), "UTF-8")).as("cap_key"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "source").orderBy("cap_key", "doc_id")))
+      .filter(col("rn") <= 8).drop("rn")
+    assert(got.exceptAll(win).isEmpty && win.exceptAll(got).isEmpty)
+  }
+
+  test("mix weights: ppm shares sum to ~1e6, monotone in group size") {
+    val rows = TextOps.q71MixWeights(spark, Sf).collect()
+    val tot = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(math.abs(tot - 1000000L) <= rows.length,
+      s"ppm total $tot for ${rows.length} groups")
+    val sorted = rows.sortBy(_.getAs[Long]("n_docs"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("w_fixed") <= b.getAs[Long]("w_fixed"))
+      case _ =>
+    }
+  }
+
+  test("bigram coverage: bounded score, counts consistent") {
+    val got = TextOps.q74BigramCov(spark, Sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nb, nh, cov) = (r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("n_hot"), r.getAs[Long]("cov_ppt"))
+      assert(nh <= nb)
+      assert(cov >= 0L && cov <= 1000L)
+      if (nb > 0)
+        assert(math.abs(cov - 1000.0 * nh / nb) <= 0.5 + 1e-9)
+    }
+  }
 }
