@@ -36,8 +36,15 @@ object IvfAnn {
     * @param sampleFraction fraction used for training (falls back to the
     *   full corpus only when the sample is too small to support k cells)
     */
+  /** @param initMode / maxIter quantizer cost dials: ANN search (q40)
+    *   keeps the k-means&#124;&#124; default for cell balance (recall depends on
+    *   it); semantic dedup (q75) only needs a stable space partition, so
+    *   it passes "random" + fewer iterations — k-means&#124;&#124; init alone is
+    *   several extra passes over the sample.
+    */
   def assignCells(emb: DataFrame, nCells: Int, nRows: Long,
-      sampleFraction: Double = 0.25): (DataFrame, Array[Array[Double]]) = {
+      sampleFraction: Double = 0.25, initMode: String = "k-means||",
+      maxIter: Int = 20): (DataFrame, Array[Array[Double]]) = {
     val withVec = emb.withColumn("features",
       array_to_vector(transform(col("embedding"), x => x.cast("double"))))
     val sample = withVec.select("features")
@@ -45,7 +52,8 @@ object IvfAnn {
     val trainSet =
       if (nRows * sampleFraction >= nCells * 4L) sample
       else withVec.select("features")
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(20)
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(maxIter)
+      .setInitMode(initMode)
       .fit(trainSet)
     val assigned = model.transform(withVec)
       .withColumnRenamed("prediction", "cell")

@@ -147,4 +147,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
       p.take(1500))
   }
+
+  test("q69 hash split is one scan: no shuffle, no join") {
+    val p = plan(TextOps.q69Split(spark, Sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(1500))
+    // the only exchange allowed is the small-file rebalance gate
+    assert(!p.contains("hashpartitioning(doc_id"), p.take(1500))
+  }
+
+  test("q70 domain cap runs on the heap operator, not a window sort") {
+    val p = plan(TextOps.q70DomainCap(spark, Sf))
+    assert(p.contains("TopKPerKey"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("q74 bigram hot list: top-k via TakeOrdered, membership via " +
+      "broadcast — corpus never shuffled by bigram for the final scan") {
+    val p = plan(TextOps.q74BigramCov(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q72 sequences: one shuffle on user_id, no global sort") {
+    val p = plan(RelationalOps.q72UserSeq(spark, Sf))
+    assert(p.contains("hashpartitioning(user_id"), p.take(2000))
+    // ordering happens inside array_sort per group, never a Sort node
+    // over the events table
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("q75 semantic dedup: centroids broadcast; representative choice " +
+      "is the heap operator") {
+    val p = plan(SimilarityOps.q75SemDedup(spark, Sf))
+    assert(p.contains("TopKPerKey"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }

@@ -112,7 +112,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val nRows = graft.sources.TableStatistics
       .tableRowCount(spark, Sf, "embeddings")
     val (assigned, centers) =
-      graft.operators.IvfAnn.assignCells(emb, nCells = 32, nRows)
+      graft.operators.IvfAnn.assignCells(emb, nCells = 32, nRows,
+        initMode = "random", maxIter = 8)
     val centroidDf = centers.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
     val scored = assigned.join(broadcast(centroidDf), Seq("cell"))
