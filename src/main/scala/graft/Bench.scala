@@ -41,8 +41,11 @@ object Bench {
     // in rounds 3-4, where full-precision doubles overflowed it and the
     // line went unparsed): 2-decimal values and no empty errors array
     // keep the whole line + sbt's trailing "[success]" inside the window
-    def fmt(d: Double): String =
-      BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt(d: Double): String = {
+      val s = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
+      if (s == "-0") "0" else s
+    }
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(fmt).getOrElse("null")
     }.mkString("{", ",", "}")

@@ -98,6 +98,9 @@ object SparkEntry {
     "q73_snap_diff" -> (RelationalOps.q73SnapDiff _),
     "q74_bigram_cov" -> (TextOps.q74BigramCov _),
     "q75_semdedup" -> (SimilarityOps.q75SemDedup _),
+    "q76_bpe" -> (BpeTrain.q76Bpe _),
+    "q77_hh" -> (TextOps.q77Hh _),
+    "q78_winsor" -> (RelationalOps.q78Winsor _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -959,5 +962,26 @@ object SparkEntry {
                            * 1000 * 2 + len(bg)) // (2 * len(bg))
                 END AS cov_ppt
          FROM bgs, hot""",
+    // the sketch-pruned output is EXACT heavy hitters (> n/64), so the
+    // oracle is the plain groupBy it avoids at scale
+    "q77_hh" ->
+      """WITH base AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           FROM documents WHERE text IS NOT NULL
+         ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base)
+         SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM base, tot GROUP BY tok, n HAVING COUNT(*) * 64 > n""",
+    // quantile_cont = the engine's lo/hi interpolation (q45-validated);
+    // ROUND-4 pins the clip comparison cross-engine
+    "q78_winsor" ->
+      """WITH p AS (
+           SELECT l_returnflag,
+                  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+           FROM lineitem GROUP BY l_returnflag
+         )
+         SELECT l_orderkey, l_linenumber, l.l_returnflag,
+                ROUND(LEAST(l_extendedprice, p95), 4) AS price_w,
+                l_extendedprice > p95 AS clipped
+         FROM lineitem l JOIN p USING (l_returnflag)""",
   )
 }

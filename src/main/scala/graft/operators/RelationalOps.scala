@@ -511,4 +511,41 @@ object RelationalOps {
       .filter(col("change_type").isNotNull)
       .select(col("k").as("o_orderkey"), col("change_type"))
   }
+
+  /** 92. Per-group winsorization: clip `l_extendedprice` at its
+    * return-flag group's exact p95 — the outlier-capping step of a
+    * feature/metrics pipeline. The p95 comes from the same
+    * range-partitioned exact-percentile machinery as q45
+    * ([[DistributedRank.withRank]] over a 2-column projection — never a
+    * per-group single-reducer window), lands in a 3-row table that
+    * broadcasts back onto the fact scan, and is ROUND-4-pinned so the
+    * clip compares bit-identical values in every engine.
+    */
+  def q78Winsor(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_linenumber"), col("l_returnflag"), col("l_extendedprice"))
+    val targets = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pos", (col("n") - 1) * lit(0.95))
+      .withColumn("lo_rn", floor(col("pos")).cast("long") + 1)
+      .withColumn("hi_rn", ceil(col("pos")).cast("long") + 1)
+    val ranked = DistributedRank.withRank(
+      li.select("l_returnflag", "l_extendedprice"),
+      Seq("l_returnflag"), Seq("l_extendedprice"), "rn")
+    val p95 = ranked.join(broadcast(targets), Seq("l_returnflag"))
+      .filter(col("rn") === col("lo_rn") || col("rn") === col("hi_rn"))
+      .groupBy(col("l_returnflag"), col("pos"))
+      .agg(min(when(col("rn") === col("lo_rn"), col("l_extendedprice")))
+          .as("v_lo"),
+        min(when(col("rn") === col("hi_rn"), col("l_extendedprice")))
+          .as("v_hi"))
+      .select(col("l_returnflag"),
+        round(col("v_lo") +
+          (col("pos") - floor(col("pos"))) * (col("v_hi") - col("v_lo")), 4)
+          .as("p95"))
+    li.join(broadcast(p95), Seq("l_returnflag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(least(col("l_extendedprice"), col("p95")), 4).as("price_w"),
+        (col("l_extendedprice") > col("p95")).as("clipped"))
+  }
 }

@@ -465,4 +465,29 @@ object TextOps {
         when(col("n_bigrams") === 0, lit(0L))
           .otherwise(expr("(n_hot * 1000 * 2 + n_bigrams) div (2 * n_bigrams)")))
   }
+
+  /** 91. Heavy hitters via a Misra–Gries sketch pass + exact re-count:
+    * tokens with frequency > n/64. Pass 1 runs the mergeable
+    * [[graft.functions.MisraGries]] Aggregator (256 counters — every
+    * item above n/257 provably survives, a safety margin over the n/64
+    * report threshold) and yields a ≤256-token candidate set plus the
+    * exact total n. Pass 2 re-counts ONLY the candidates and applies
+    * the exact threshold. The full groupBy over every distinct token —
+    * the thing that shuffles a 100-TB keyspace — never happens; the
+    * sketch state is O(k) per partition and the recount shuffles ≤256
+    * keys. Output is exact, so the DuckDB oracle matches it.
+    */
+  def q77Hh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val thresholdK = 64
+    val tokDs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(explode(toks).as("tok")).as[String]
+    val (cands, total) =
+      tokDs.select(graft.functions.MisraGries.sketch(256).toColumn).head()
+    tokDs.toDF("tok")
+      .filter(col("tok").isin(cands: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * thresholdK > lit(total))
+      .select(col("tok"), col("cnt"))
+  }
 }

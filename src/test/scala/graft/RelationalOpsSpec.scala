@@ -139,4 +139,19 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       .count()
     assert(got.count(_._2 == "changed") == expectChanged)
   }
+
+  test("winsorize: nothing exceeds its group p95; ~5% of rows clipped") {
+    val got = RelationalOps.q78Winsor(spark, Sf)
+    val p95 = got.filter(col("clipped")).groupBy("l_returnflag")
+      .agg(min(col("price_w")).as("cap")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.collect().foreach { r =>
+      val cap = p95(r.getAs[String]("l_returnflag"))
+      assert(r.getAs[Double]("price_w") <= cap + 1e-9)
+    }
+    val total = got.count().toDouble
+    val clipped = got.filter(col("clipped")).count()
+    assert(clipped / total > 0.02 && clipped / total < 0.08,
+      s"clipped share ${clipped / total}")
+  }
 }
