@@ -461,23 +461,34 @@ object RelationalOps {
 
   /** 87. Event-sequence export: each user's time-ordered action string
     * (capped at the first 50 events) — raw event logs turned into
-    * behavioral training sequences. One shuffle on user_id; the
-    * per-group sort happens inside `array_sort` on the collected structs
-    * (struct ordering = field order: ts, then event_id as the
-    * deterministic tie-break), never a global sort. The 50-cap bounds
-    * output row width; heavy users at corpus scale otherwise produce
-    * multi-MB rows that skew downstream batches.
+    * behavioral training sequences.
+    *
+    * The cap is applied BEFORE the gather, on the TopKPerKey heap
+    * operator: the shuffle carries ≤ 50 rows per (partition, user), and
+    * `collect_list` only ever sees capped groups. A groupBy that
+    * collects everything and slices afterwards holds a hot user's
+    * entire history in one reducer — a bot with 10⁸ events is a
+    * straight OOM at corpus scale. `n_events` (the true total) comes
+    * from a partially-aggregated count that ships one long per
+    * (partition, user), co-partitioned with the sequence join. In-group
+    * ordering is `array_sort` on (ts, event_id) structs — field-order
+    * struct comparison, deterministic, never a global sort.
     */
-  def q72UserSeq(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+  def q72UserSeq(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        slice(array_sort(collect_list(
-          struct(col("ts"), col("event_id"), col("event_type")))), 1, 50)
-          .as("ord"))
-      .select(col("user_id"), col("n_events"),
+    val capped = graft.plans.TopK.perKey(ev, keys = Seq("user_id"),
+      order = Seq(("ts", false), ("event_id", false)), k = 50)
+    val seqs = capped.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("ord"))
+      .select(col("user_id"),
         concat_ws(" ", expr("transform(ord, x -> x.event_type)")).as("seq"))
+    val counts = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    seqs.join(counts, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("seq"))
+  }
 
   /** 88. Snapshot diff (CDC between two table versions): full-outer
     * join on the key, classify each key as added / removed / changed by

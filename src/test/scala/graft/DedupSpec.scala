@@ -150,4 +150,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
   }
+
+  test("incremental dedup: rejects corpus near-dups and later internal " +
+      "dups, admits fresh docs") {
+    val existing = Tables.documents(spark, Sf).select("doc_id", "text")
+    // near-dups of the corpus: first token dropped (the planted-dup
+    // perturbation), ids offset to stay globally unique
+    val nearDups = existing.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    // fresh docs: disjoint vocabulary → Jaccard ≈ 0 against everything
+    val fresh = (0 until 20).map(i =>
+      (3000000L + i, s"zz$i yy$i xx$i ww$i vv$i uu$i tt$i ss$i"))
+      .toDF("doc_id", "text")
+    // an internal duplicate pair: the later id must lose
+    val dupPair = Seq(
+      (4000000L, "qq rr ss tt uu vv ww xx"),
+      (4000001L, "qq rr ss tt uu vv ww xx")).toDF("doc_id", "text")
+    val incoming = nearDups.unionByName(fresh).unionByName(dupPair)
+    val admitted = DedupOps.incrementalDedup(spark, existing, incoming)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val freshIds = (0 until 20).map(i => 3000000L + i).toSet
+    assert(admitted == freshIds + 4000000L,
+      s"unexpected: ${admitted -- freshIds - 4000000L} " +
+        s"missing: ${(freshIds + 4000000L) -- admitted}")
+  }
 }

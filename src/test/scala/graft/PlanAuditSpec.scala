@@ -171,11 +171,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
-  test("q72 sequences: one shuffle on user_id, no global sort") {
+  test("q72 sequences: heap-capped BEFORE the gather, no global sort") {
     val p = plan(RelationalOps.q72UserSeq(spark, Sf))
     assert(p.contains("hashpartitioning(user_id"), p.take(2000))
-    // ordering happens inside array_sort per group, never a Sort node
-    // over the events table
+    // the 50-cap runs on the heap operator so collect_list never sees
+    // an uncapped hot user; ordering happens inside array_sort per
+    // group, never a Sort/Window over the events table
+    assert(p.contains("TopKPerKey"), p.take(2000))
     assert(!p.contains("Window"), p.take(2000))
   }
 
