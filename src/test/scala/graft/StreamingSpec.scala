@@ -146,4 +146,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // still open (watermark hasn't passed its end + gap) and unemitted
     assert(got.toSeq == Seq((7L, 2L)), got.mkString(","))
   }
+
+  test("streaming deduped ingest: one survivor per dup class across " +
+      "micro-batches, fresh docs admitted") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest").toString
+    val srcDir = s"$root/src"
+    val tableDir = s"$root/corpus"
+    val base = Tables.documents(spark, Sf)
+      .select("doc_id", "text").filter(col("doc_id") < 30)
+    // file 1: base docs; file 2: near-dup copies (first token dropped,
+    // offset ids); file 3: fresh disjoint-vocabulary docs — written as
+    // separate files, streamed one file per micro-batch
+    base.coalesce(1).write.parquet(s"$srcDir/f=1")
+    base.select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      .coalesce(1).write.parquet(s"$srcDir/f=2")
+    (0 until 10).map(i => (3000000L + i,
+        s"zz$i yy$i xx$i ww$i vv$i uu$i tt$i ss$i"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/f=3")
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, f INT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = graft.streaming.CorpusIngest.dedupedIngest(stream, tableDir)
+    q.awaitTermination(180000)
+
+    val admitted = graft.sources.ParquetUpsertSink.read(spark, tableDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // one survivor per dup CLASS: each base doc + its perturbed copy,
+    // collapsed further by the testdata's own natural near-dups inside
+    // base (docs 8/12 share their shingle set at sf0.001) — class count
+    // = connected components of the base near-dup relation
+    val naturalPairs = graft.operators.DedupOps
+      .minhashCandidates(base, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    naturalPairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val baseIds = base.collect().map(_.getLong(0))
+    val nClasses = baseIds.map(find).distinct.length.toLong
+    assert(admitted.count(id => id < 30 || (id >= 2000000L && id < 3000000L))
+      == nClasses, s"dup classes: ${admitted.size}")
+    assert((0 until 10).forall(i => admitted.contains(3000000L + i)))
+    assert(admitted.size == nClasses + 10)
+  }
 }
