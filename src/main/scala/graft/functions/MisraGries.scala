@@ -21,46 +21,51 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object MisraGries {
 
-  /** (counters, total items seen). */
-  type Buf = (Map[String, Long], Long)
+  /** (counters, total items seen). The counter map is MUTATED in place
+    * by reduce/merge — the Aggregator contract permits returning the
+    * same buffer, and per-item persistent-map copies are exactly the
+    * allocation pattern a corpus-scale hot loop can't afford.
+    */
+  final class Buf(val m: scala.collection.mutable.HashMap[String, Long],
+      var n: Long) extends Serializable
 
   def sketch(k: Int): Aggregator[String, Buf, (Seq[String], Long)] =
     new Aggregator[String, Buf, (Seq[String], Long)] {
-      override def zero: Buf = (Map.empty, 0L)
+      override def zero: Buf =
+        new Buf(scala.collection.mutable.HashMap.empty, 0L)
 
       override def reduce(b: Buf, x: String): Buf = {
-        val (m, n) = b
-        val next =
-          if (m.contains(x)) m.updated(x, m(x) + 1L)
-          else if (m.size < k) m.updated(x, 1L)
-          else {
-            // decrement-all on a miss at capacity; drop zeroed counters
-            m.flatMap { case (t, c) =>
-              if (c > 1L) Some(t -> (c - 1L)) else None
-            }
-          }
-        (next, n + 1L)
+        val m = b.m
+        val cur = m.getOrElse(x, -1L)
+        if (cur >= 0L) m.update(x, cur + 1L)
+        else if (m.size < k) m.update(x, 1L)
+        else {
+          // decrement-all on a miss at capacity; drop zeroed counters.
+          // Amortized O(1): a full sweep needs k prior hits to rebuild.
+          m.filterInPlace((_, c) => c > 1L)
+          m.mapValuesInPlace((_, c) => c - 1L)
+        }
+        b.n += 1L
+        b
       }
 
       override def merge(a: Buf, b: Buf): Buf = {
-        val sum = b._1.foldLeft(a._1) { case (acc, (t, c)) =>
-          acc.updated(t, acc.getOrElse(t, 0L) + c)
+        b.m.foreach { case (t, c) =>
+          a.m.update(t, a.m.getOrElse(t, 0L) + c)
         }
-        val trimmed =
-          if (sum.size <= k) sum
-          else {
-            // subtract the (k+1)-th largest count, drop non-positive —
-            // the mergeable-summaries rule preserving the n/(k+1) bound
-            val kth = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
-            sum.flatMap { case (t, c) =>
-              if (c - kth > 0L) Some(t -> (c - kth)) else None
-            }
-          }
-        (trimmed, a._2 + b._2)
+        if (a.m.size > k) {
+          // subtract the (k+1)-th largest count, drop non-positive —
+          // the mergeable-summaries rule preserving the n/(k+1) bound
+          val kth = a.m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+          a.m.mapValuesInPlace((_, c) => c - kth)
+          a.m.filterInPlace((_, c) => c > 0L)
+        }
+        a.n += b.n
+        a
       }
 
       override def finish(b: Buf): (Seq[String], Long) =
-        (b._1.keys.toSeq.sorted, b._2)
+        (b.m.keys.toSeq.sorted, b.n)
 
       override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
       override def outputEncoder: Encoder[(Seq[String], Long)] =

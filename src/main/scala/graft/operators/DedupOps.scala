@@ -390,13 +390,27 @@ object DedupOps {
     * re-attaches signatures by id (the q29 rule) and thresholds the
     * signature-agreement Jaccard estimate.
     */
+  /** The banded-MinHash signature index of a corpus: (doc_id, sig) —
+    * the artifact a production pipeline PERSISTS between refreshes so
+    * corpus text is read once ever. Feed it to
+    * [[incrementalDedupWithIndex]]; append admitted docs' rows on
+    * admission.
+    */
+  def signatureIndex(s: SparkSession, docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), tokens(normText).as("tk"))
+    .select(col("doc_id"), shingles(col("tk"), ShingleSize).as("sh"))
+    .select(col("doc_id"), signature(s, col("sh")).as("sig"))
+
   def incrementalDedup(s: SparkSession, existing: DataFrame,
+      incoming: DataFrame, threshold: Double = 0.5): DataFrame =
+    incrementalDedupWithIndex(s,
+      signatureIndex(s, existing).localCheckpoint(false), incoming, threshold)
+
+  /** [[incrementalDedup]] against a PRECOMPUTED signature index (the
+    * persisted form — existing text never touched).
+    */
+  def incrementalDedupWithIndex(s: SparkSession, existingSig: DataFrame,
       incoming: DataFrame, threshold: Double = 0.5): DataFrame = {
-    def sigOf(df: DataFrame) = df
-      .select(col("doc_id"), tokens(normText).as("tk"))
-      .select(col("doc_id"), shingles(col("tk"), ShingleSize).as("sh"))
-      .select(col("doc_id"), signature(s, col("sh")).as("sig"))
-      .localCheckpoint(false)
     def bandsOf(sig: DataFrame) = {
       val bandHashes = array((0 until Bands).map { b =>
         xxhash64(concat_ws(",",
@@ -406,8 +420,8 @@ object DedupOps {
       sig.select(col("doc_id"),
         posexplode(bandHashes).as(Seq("band_id", "band_hash")))
     }
-    val exSig = sigOf(existing)
-    val inSig = sigOf(incoming)
+    val exSig = existingSig
+    val inSig = signatureIndex(s, incoming).localCheckpoint(false)
     val left = bandsOf(inSig).select(col("doc_id").as("doc_b"),
       col("band_id"), col("band_hash"))
     val right = bandsOf(exSig)
