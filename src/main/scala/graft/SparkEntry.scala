@@ -101,6 +101,7 @@ object SparkEntry {
     "q76_bpe" -> (BpeTrain.q76Bpe _),
     "q77_hh" -> (TextOps.q77Hh _),
     "q78_winsor" -> (RelationalOps.q78Winsor _),
+    "q79_sessions" -> (RelationalOps.q79Sessions _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -983,5 +984,30 @@ object SparkEntry {
                 ROUND(LEAST(l_extendedprice, p95), 4) AS price_w,
                 l_extendedprice > p95 AS clipped
          FROM lineitem l JOIN p USING (l_returnflag)""",
+    // 4-h gap sessionization; order pinned by (ts, event_id), gap math
+    // in integer µs, SUM(int) cast (DuckDB returns HUGEINT)
+    "q79_sessions" ->
+      """WITH e AS (
+           SELECT user_id, ts, epoch_us(ts) AS us,
+                  CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id)
+                         > 14400000000
+                       OR lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) IS NULL
+                       THEN 1 ELSE 0 END AS new_s,
+                  event_id
+           FROM events
+         ), s AS (
+           SELECT user_id, ts, us,
+                  CAST(SUM(new_s) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
+           FROM e
+         )
+         SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                MIN(ts) AS session_start, MAX(ts) AS session_end,
+                (MAX(us) - MIN(us)) // 1000000 AS duration_sec
+         FROM s GROUP BY user_id, session_id""",
   )
 }

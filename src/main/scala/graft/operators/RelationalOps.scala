@@ -559,4 +559,38 @@ object RelationalOps {
         round(least(col("l_extendedprice"), col("p95")), 4).as("price_w"),
         (col("l_extendedprice") > col("p95")).as("clipped"))
   }
+
+  /** 95. Batch sessionization: gap-based sessions over the event log
+    * (reference pulls per-player battle logs, api_extract.py:201-254;
+    * sessions are the batch counterpart of the streaming sessionizer,
+    * EventStreams.scala). A new session starts when a user's inter-event
+    * gap exceeds 4 h; each session row carries its bounds, event count,
+    * and duration.
+    *
+    * Scale: the only shuffle is the hash partition on `user_id`, and the
+    * per-user window never concentrates — group size is one user's
+    * events (bounded by human behavior, ~10³), while user count carries
+    * the 100-TB growth across executors. Gap arithmetic is integer µs
+    * and the order is pinned by (ts, event_id), so the session split is
+    * engine-exact.
+    */
+  def q79Sessions(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 4L * 3600 * 1000000 // 4 h in µs
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("_us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("_gap", col("_us") - lag(col("_us"), 1).over(w))
+      .withColumn("_new",
+        when(col("_gap").isNull || col("_gap") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        expr("(MAX(_us) - MIN(_us)) DIV 1000000").as("duration_sec"))
+  }
 }
