@@ -102,6 +102,11 @@ object SparkEntry {
     "q77_hh" -> (TextOps.q77Hh _),
     "q78_winsor" -> (RelationalOps.q78Winsor _),
     "q79_sessions" -> (RelationalOps.q79Sessions _),
+    "q80_funnel" -> (RelationalOps.q80Funnel _),
+    "q81_retention" -> (RelationalOps.q81Retention _),
+    "q82_token_budget" -> (TextOps.q82TokenBudget _),
+    "q83_outliers" -> (RelationalOps.q83Outliers _),
+    "q84_neardup_contam" -> (DedupOps.q84NearDupContam _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1009,5 +1014,147 @@ object SparkEntry {
                 MIN(ts) AS session_start, MAX(ts) AS session_end,
                 (MAX(us) - MIN(us)) // 1000000 AS duration_sec
          FROM s GROUP BY user_id, session_id""",
+    // ordered-step funnel: each step's min ts strictly after the prior
+    // step's; per-step converted-user counts
+    "q80_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1
+         ), s2 AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+         ), s3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+         )
+         SELECT 1 AS step_ord, 'signup' AS step,
+                CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+         UNION ALL
+         SELECT 2, 'click_after_signup',
+                CAST((SELECT count(*) FROM s2) AS BIGINT)
+         UNION ALL
+         SELECT 3, 'purchase_after_click',
+                CAST((SELECT count(*) FROM s3) AS BIGINT)""",
+    // cohort = first-seen ISO week; offset in whole weeks
+    "q81_retention" ->
+      """WITH f AS (
+           SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+                    AS cohort_week
+           FROM events GROUP BY 1
+         ), act AS (
+           SELECT DISTINCT f.cohort_week,
+                  CAST(datediff('day', f.cohort_week,
+                    CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                    AS BIGINT) AS week_offset,
+                  e.user_id
+           FROM events e JOIN f USING (user_id)
+         )
+         SELECT cohort_week, week_offset,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM act GROUP BY 1, 2""",
+    // per-language token-budget fill in md5 order; exclusive prefix sum
+    "q82_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                       AS BIGINT) AS n_tokens,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents
+         ), c AS (
+           SELECT doc_id, lang, n_tokens,
+                  COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS tokens_before
+           FROM t
+         )
+         SELECT doc_id, lang, n_tokens, tokens_before
+         FROM c WHERE tokens_before < 2500""",
+    // robust z outliers: exact median/MAD, integer fixed-point boundary
+    "q83_outliers" ->
+      """WITH med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY 1
+         ), devs AS (
+           SELECT e.event_type, e.event_id, e.value, m.med,
+                  abs(e.value - m.med) AS dev
+           FROM events e JOIN med m USING (event_type)
+         ), mad AS (
+           SELECT event_type, quantile_cont(dev, 0.5) AS mad
+           FROM devs GROUP BY 1
+         )
+         SELECT d.event_type, d.event_id, d.value,
+                ROUND(d.med, 4) AS med, ROUND(m.mad, 4) AS mad
+         FROM devs d JOIN mad m USING (event_type)
+         WHERE CAST(ROUND(d.dev * 10000) AS BIGINT) * 6745
+             > CAST(ROUND(m.mad * 10000) AS BIGINT) * 35000""",
+    // cross-corpus near-dup: md5-MinHash bands train ⋈ eval, exact
+    // verify, best match per train doc (ppt score, eval-id tie-break)
+    "q84_neardup_contam" ->
+      """WITH train AS (
+           SELECT doc_id, text FROM documents
+         ), eval AS (
+           SELECT doc_id + 1000000 AS doc_id,
+                  substr(text, strpos(text, ' ') + 1) AS text
+           FROM documents WHERE doc_id % 10 = 0
+         ), corpus AS (
+           SELECT 't' AS side, doc_id, text FROM train
+           UNION ALL
+           SELECT 'e', doc_id, text FROM eval
+         ), base AS (
+           SELECT side, doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM corpus
+         ), sh AS (
+           SELECT side, doc_id, list_distinct(tk) AS toks,
+                  CASE WHEN len(tk) >= 3 THEN
+                    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                   for i in range(1, len(tk) - 1)])
+                  ELSE [array_to_string(tk, ' ')] END AS sh
+           FROM base
+         ), sigs AS (
+           SELECT side, doc_id, toks,
+                  list_min(list_transform(sh, x -> md5('0|' || x))) AS m0,
+                  list_min(list_transform(sh, x -> md5('1|' || x))) AS m1,
+                  list_min(list_transform(sh, x -> md5('2|' || x))) AS m2,
+                  list_min(list_transform(sh, x -> md5('3|' || x))) AS m3,
+                  list_min(list_transform(sh, x -> md5('4|' || x))) AS m4,
+                  list_min(list_transform(sh, x -> md5('5|' || x))) AS m5,
+                  list_min(list_transform(sh, x -> md5('6|' || x))) AS m6,
+                  list_min(list_transform(sh, x -> md5('7|' || x))) AS m7
+           FROM sh
+         ), banded AS (
+           SELECT side, doc_id,
+                  unnest([0, 1, 2, 3]) AS band_id,
+                  unnest([m0 || ',' || m1, m2 || ',' || m3,
+                          m4 || ',' || m5, m6 || ',' || m7]) AS band_key
+           FROM sigs
+         ), pairs AS (
+           SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS eval_doc
+           FROM banded a JOIN banded b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+           WHERE a.side = 't' AND b.side = 'e'
+         ), iv AS (
+           SELECT p.train_doc, p.eval_doc,
+                  len(list_intersect(ta.toks, tb.toks)) AS inter,
+                  len(ta.toks) AS na, len(tb.toks) AS nb
+           FROM pairs p
+           JOIN sh ta ON ta.side = 't' AND ta.doc_id = p.train_doc
+           JOIN sh tb ON tb.side = 'e' AND tb.doc_id = p.eval_doc
+         ), scored AS (
+           SELECT train_doc, eval_doc,
+                  (inter * 2000 + (na + nb - inter))
+                    // (2 * (na + nb - inter)) AS jac_ppt
+           FROM iv
+         ), best AS (
+           SELECT train_doc, eval_doc, jac_ppt,
+                  row_number() OVER (PARTITION BY train_doc
+                    ORDER BY jac_ppt DESC, eval_doc) AS rn
+           FROM scored WHERE jac_ppt >= 500
+         )
+         SELECT train_doc, eval_doc, jac_ppt / 1000.0 AS jaccard
+         FROM best WHERE rn = 1""",
   )
 }

@@ -376,6 +376,78 @@ object DedupOps {
       docs.filter(col("doc_id") % 20 === 0))
   }
 
+  /** 100. Cross-corpus near-dup decontamination: flag TRAINING docs that
+    * are near-duplicates of a held-out EVALUATION set — the dedup-grade
+    * counterpart of q62's exact n-gram contamination check (paraphrased
+    * or lightly-edited benchmark leakage survives exact shingle
+    * matching; near-dup matching catches it). Candidates come from the
+    * cross-engine md5-MinHash band family (q31): train bands join eval
+    * bands on (band, key) — NEVER a train × eval all-pairs — with ids
+    * only through the join; distinct-token sets re-attach for the
+    * exact-Jaccard verify, and each train doc keeps its single best
+    * match (round-half-up integer thousandths, eval-id tie-break) via
+    * the TopKPerKey heap operator.
+    *
+    * Scale: an eval set small enough to broadcast should use q62's
+    * broadcast shape; this pipeline doesn't depend on it — both sides
+    * shuffle only (band, key, id) rows, so a benchmark suite too large
+    * to broadcast still works, and candidate volume is bounded by band
+    * collisions, not |train| × |eval|.
+    */
+  def nearDupContamination(s: SparkSession, train: DataFrame,
+      eval: DataFrame, minJaccardPpt: Long = 500L): DataFrame = {
+    val nHashes = VerifyBands * VerifyRowsPerBand
+    def base(df: DataFrame) = df
+      .select(col("doc_id"), tokens(normText).as("tk"))
+      .select(col("doc_id"), array_distinct(col("tk")).as("toks"),
+        shingles(col("tk"), ShingleSize).as("sh"))
+      .localCheckpoint(false)
+    val bandKeys = array((0 until VerifyBands).map { b =>
+      concat_ws(",", (0 until VerifyRowsPerBand).map(r =>
+        element_at(col("ms"), b * VerifyRowsPerBand + r + 1)): _*)
+    }: _*)
+    def banded(b: DataFrame) = b
+      .select(col("doc_id"), graft.functions.Md5MinHashExpression
+        .md5MinHash(s, col("sh"), nHashes).as("ms"))
+      .select(col("doc_id"),
+        posexplode(bandKeys).as(Seq("band_id", "band_key")))
+    val tb = base(train)
+    val eb = base(eval)
+    val pairs = banded(tb).toDF("train_doc", "band_id", "band_key")
+      .join(banded(eb).toDF("eval_doc", "band_id", "band_key"),
+        Seq("band_id", "band_key"))
+      .select("train_doc", "eval_doc")
+      .dropDuplicates("train_doc", "eval_doc")
+    val scored = pairs
+      .join(tb.select(col("doc_id").as("train_doc"),
+        col("toks").as("toks_a")), "train_doc")
+      .join(eb.select(col("doc_id").as("eval_doc"),
+        col("toks").as("toks_b")), "eval_doc")
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("uni", size(col("toks_a")).cast("long") +
+        size(col("toks_b")) - col("inter"))
+      .withColumn("jac_ppt", expr("(inter * 2000 + uni) div (2 * uni)"))
+      .filter(col("jac_ppt") >= minJaccardPpt)
+      .select(col("train_doc"), col("eval_doc"), col("jac_ppt"))
+    graft.plans.TopK.perKey(scored, keys = Seq("train_doc"),
+        order = Seq(("jac_ppt", true), ("eval_doc", false)), k = 1)
+      .withColumn("jaccard", col("jac_ppt").cast("double") / 1000)
+      .select("train_doc", "eval_doc", "jaccard")
+  }
+
+  /** Eval set = every 10th doc, lightly edited (first token dropped) and
+    * re-keyed — planted paraphrase-grade leakage with known ground truth
+    * (the natural corpus is mutually dissimilar).
+    */
+  def q84NearDupContam(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val heldOut = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    nearDupContamination(s, docs, heldOut)
+  }
+
   /** 93. Incremental near-dup admission: admit only the incoming docs
     * that are near-duplicates of neither the EXISTING corpus nor an
     * earlier (smaller-id) incoming doc — what each crawl refresh runs

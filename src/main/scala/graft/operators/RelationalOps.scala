@@ -593,4 +593,124 @@ object RelationalOps {
         max(col("ts")).as("session_end"),
         expr("(MAX(_us) - MIN(_us)) DIV 1000000").as("duration_sec"))
   }
+
+  /** 96. Funnel analysis: ordered step progression signup → click →
+    * purchase per user (each step's timestamp must be strictly after the
+    * previous step's), reported as per-step converted-user counts — the
+    * engine's form of the reference's per-player battle-progression
+    * reporting (sql/db_creation_script.sql:209-242 computes per-player
+    * conversion-style ratios).
+    *
+    * Scale: ONE hash shuffle on `user_id`, then three unbounded
+    * conditional-min window passes over the same partition (no sort —
+    * unbounded frames are order-free) and a tiny global roll-up. The
+    * per-user window state is three timestamps; user cardinality carries
+    * the growth. Never a self-join per step (k-step funnel as k joins
+    * re-shuffles the log k times).
+    */
+  def q80Funnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+      col("event_type"))
+    val staged = ev
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t2"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+    staged.agg(
+        count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      .select(explode(array(
+        struct(lit(1L).as("step_ord"), lit("signup").as("step"),
+          col("n1").as("n_users")),
+        struct(lit(2L).as("step_ord"), lit("click_after_signup").as("step"),
+          col("n2").as("n_users")),
+        struct(lit(3L).as("step_ord"), lit("purchase_after_click").as("step"),
+          col("n3").as("n_users")))).as("r"))
+      .select(col("r.step_ord"), col("r.step"), col("r.n_users"))
+  }
+
+  /** 97. Cohort retention: users grouped by first-seen ISO week; for
+    * each (cohort week, week offset) the count of distinct cohort
+    * members active that week — the standard engagement-retention grid
+    * (the reference's season-over-season player tracking,
+    * helper_functions.py:7-85 + vw_recent_rankings, recast as cohorts).
+    *
+    * Scale: one shuffle on `user_id` for the first-seen window (no
+    * sort — unbounded min frame), then distinct (cohort, offset, user)
+    * tuples — bounded by users × active weeks — and a count per grid
+    * cell. No self-join of the event log against itself.
+    */
+  def q81Retention(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, d).select(col("user_id"), col("ts"))
+      .withColumn("cohort_week",
+        date_trunc("week", min(col("ts")).over(w)).cast("date"))
+      .withColumn("week_offset",
+        (datediff(date_trunc("week", col("ts")).cast("date"),
+          col("cohort_week")) / 7).cast("long"))
+      .select(col("cohort_week"), col("week_offset"), col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** 98. Robust outlier detection: per-group median/MAD z-score flags
+    * (|0.6745·(x−med)/MAD| > 3.5, the standard robust rule) over the
+    * event value stream — quality-gating numeric feeds the way the
+    * reference hard-drops malformed rows (api_extract.py:154-157), but
+    * data-driven instead of schema-driven.
+    *
+    * Both the median and the MAD are EXACT distributed order statistics
+    * on the q45 machinery (range partition → parallel local ranks →
+    * broadcast offsets — never a per-group single-reducer window). Two
+    * ranking passes (values, then absolute deviations vs the broadcast
+    * group-cardinality median table), then the flag applies those caps
+    * broadcast onto the fact scan — the event log is never re-shuffled.
+    * The outlier test is integer arithmetic on fixed-point values
+    * (6745·dev > 35000·MAD) so the boundary decision is engine-exact,
+    * never a float ulp.
+    */
+  def q83Outliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      col("event_id"), col("value"))
+    val med = groupMedian(ev.select(col("event_type"), col("value")),
+      "event_type", "value", "med")
+    val devs = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = groupMedian(devs.select(col("event_type"), col("dev")),
+      "event_type", "dev", "mad")
+    devs.join(broadcast(mad), "event_type")
+      .withColumn("dev_i", round(col("dev") * 10000).cast("long"))
+      .withColumn("mad_i", round(col("mad") * 10000).cast("long"))
+      .filter(col("dev_i") * 6745 > col("mad_i") * 35000)
+      .select(col("event_type"), col("event_id"), col("value"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
+  }
+
+  /** Exact per-group median (linear interpolation) via DistributedRank —
+    * the p=0.5 slice of the q45 percentile machinery, reused by the
+    * outlier pass for both the value median and the deviation median.
+    */
+  private def groupMedian(df: DataFrame, group: String, value: String,
+      out: String): DataFrame = {
+    val targets = df.groupBy(col(group)).agg(count(lit(1)).as("n"))
+      .withColumn("pos", (col("n") - 1) * lit(0.5))
+      .withColumn("lo_rn", floor(col("pos")).cast("long") + 1)
+      .withColumn("hi_rn", ceil(col("pos")).cast("long") + 1)
+    val ranked = DistributedRank.withRank(df.select(col(group), col(value)),
+      Seq(group), Seq(value), "rn")
+    ranked.join(broadcast(targets), Seq(group))
+      .filter(col("rn") === col("lo_rn") || col("rn") === col("hi_rn"))
+      .groupBy(col(group), col("pos"))
+      .agg(min(when(col("rn") === col("lo_rn"), col(value))).as("v_lo"),
+        min(when(col("rn") === col("hi_rn"), col(value))).as("v_hi"))
+      .select(col(group), (col("v_lo") + (col("pos") - floor(col("pos"))) *
+        (col("v_hi") - col("v_lo"))).as(out))
+  }
 }

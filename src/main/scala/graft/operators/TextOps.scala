@@ -490,4 +490,32 @@ object TextOps {
       .filter(col("cnt") * thresholdK > lit(total))
       .select(col("tok"), col("cnt"))
   }
+
+  /** 99. Token-budget corpus selection: fill a fixed per-language token
+    * budget by admitting docs in md5-hash order until the budget is
+    * exhausted — the "give me N tokens per language" cut every training
+    * run starts with. Hash order makes the cut a uniform, reproducible
+    * sample (scan order is an ingestion artifact; rand() breaks retries)
+    * and docs never leave the selection when the corpus grows — only the
+    * tail past the budget moves.
+    *
+    * The cumulative fill level is the distributed prefix sum
+    * ([[graft.operators.DistributedRank.withRunningSum]]): range
+    * partition on (lang, hash) → parallel per-slice sums → broadcast
+    * per-(partition, lang) offsets. A `SUM OVER (PARTITION BY lang)`
+    * window would send each language through ONE reducer — languages
+    * are few and huge, exactly the degenerate window shape. Token
+    * counts are integers, so the fill arithmetic is engine-exact.
+    */
+  def q82TokenBudget(s: SparkSession, d: String): DataFrame = {
+    val budget = 2500L
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        md5(encode(col("doc_id").cast("string"), "UTF-8")).as("h"))
+    DistributedRank.withRunningSum(t, Seq("lang"), Seq("h", "doc_id"),
+        "n_tokens", "tokens_before")
+      .filter(col("tokens_before") < budget)
+      .select("doc_id", "lang", "n_tokens", "tokens_before")
+  }
 }

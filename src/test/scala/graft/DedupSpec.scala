@@ -175,4 +175,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected: ${admitted -- freshIds - 4000000L} " +
         s"missing: ${(freshIds + 4000000L) -- admitted}")
   }
+
+  test("near-dup contamination: planted eval leakage maps to its source") {
+    val got = DedupOps.q84NearDupContam(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every matched planted source must point at its own perturbed copy
+    got.foreach { case (train, eval) =>
+      if (planted(train)) assert(eval == train + 1000000L,
+        s"train $train matched $eval")
+    }
+    // LSH recall on first-token-dropped copies: ≥ 80% of sources found
+    val found = planted.count(got.contains)
+    assert(found >= math.ceil(planted.size * 0.8).toInt,
+      s"recall $found/${planted.size}")
+  }
 }

@@ -154,4 +154,88 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(clipped / total > 0.02 && clipped / total < 0.08,
       s"clipped share ${clipped / total}")
   }
+
+  test("q79 sessions: per-user replay matches the windowed split") {
+    val got = RelationalOps.q79Sessions(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // replay: per user, sorted events, cut on >4h gaps
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gap = 4L * 3600 * 1000000
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      var sid = 0L
+      var last = Long.MinValue
+      val counts = scala.collection.mutable.Map[Long, Long]()
+      sorted.foreach { r =>
+        if (last == Long.MinValue || r._2 - last > gap) sid += 1
+        counts(sid) = counts.getOrElse(sid, 0L) + 1
+        last = r._2
+      }
+      counts.map { case (s, n) => (u, s) -> n }
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("q80 funnel: counts match a per-user state-machine replay") {
+    val got = RelationalOps.q80Funnel(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    var n1 = 0L; var n2 = 0L; var n3 = 0L
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val t1 = rows.filter(_._3 == "signup").map(_._2).minOption
+      val t2 = t1.flatMap(t =>
+        rows.filter(r => r._3 == "click" && r._2 > t).map(_._2).minOption)
+      val t3 = t2.flatMap(t =>
+        rows.filter(r => r._3 == "purchase" && r._2 > t).map(_._2).minOption)
+      if (t1.isDefined) n1 += 1
+      if (t2.isDefined) n2 += 1
+      if (t3.isDefined) n3 += 1
+    }
+    assert(got == Map(1L -> n1, 2L -> n2, 3L -> n3))
+    assert(n1 >= n2 && n2 >= n3 && n3 > 0)
+  }
+
+  test("q81 retention: offset-0 cell equals cohort size, grid consistent") {
+    val got = RelationalOps.q81Retention(spark, Sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got.keys.forall(_._2 >= 0))
+    val cohortSizes = Tables.events(spark, Sf)
+      .groupBy("user_id").agg(min("ts").as("first_ts"))
+      .select(date_trunc("week", col("first_ts")).cast("date").as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // every user is active in their own cohort week by definition
+    cohortSizes.foreach { case (w, n) => assert(got((w, 0L)) == n) }
+    // retention never exceeds cohort size
+    got.foreach { case ((w, _), n) => assert(n <= cohortSizes(w)) }
+  }
+
+  test("q83 outliers: flagged set matches a local median/MAD replay") {
+    val got = RelationalOps.q83Outliers(spark, Sf).collect()
+      .map(r => r.getLong(1)).toSet
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val pos = (s.length - 1) * 0.5
+      val lo = s(pos.toInt); val hi = s(math.ceil(pos).toInt)
+      lo + (pos - math.floor(pos)) * (hi - lo)
+    }
+    val ev = Tables.events(spark, Sf)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val med = medianOf(rows.map(_._3))
+      val mad = medianOf(rows.map(r => math.abs(r._3 - med)))
+      rows.toSeq.filter { r =>
+        val devI = math.round(math.abs(r._3 - med) * 10000)
+        devI * 6745 > math.round(mad * 10000) * 35000
+      }.map(_._2)
+    }.toSet
+    assert(got == expected && got.nonEmpty)
+  }
 }

@@ -159,4 +159,26 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
         assert(math.abs(cov - 1000.0 * nh / nb) <= 0.5 + 1e-9)
     }
   }
+
+  test("token budget: selection is the exact hash-order prefix per lang") {
+    val budget = 2500L
+    val got = TextOps.q82TokenBudget(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("n_tokens"),
+        md5(encode(col("doc_id").cast("string"), "UTF-8")).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.toSeq.sortBy(r => (r._4, r._1)).flatMap { r =>
+        val before = cum
+        cum += r._3
+        if (before < budget) Some(r._1 -> before) else None
+      }
+    }.toMap
+    assert(got == expected && got.nonEmpty)
+  }
 }
