@@ -82,4 +82,40 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getLong(0))
     assert(hot.toSeq == Seq(42L))
   }
+
+  test("bloom prefilter join equals the plain join exactly") {
+    val li = Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    // selective build side: ~1% of orders have partners on the probe
+    val sel = Tables.orders(spark, Sf)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select("o_orderkey", "o_orderpriority")
+    val plain = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_orderpriority")
+      .collect().map(_.toSeq).toSet
+    val got = graft.operators.BloomJoin.prefilterJoin(
+        li, sel, "l_orderkey", "o_orderkey", expectedItems = 200)
+      .select("l_orderkey", "l_linenumber", "o_orderpriority")
+      .collect().map(_.toSeq).toSet
+    assert(got == plain && got.nonEmpty)
+  }
+
+  test("bloom prefilter: codegen'd probe filter sits on the big-side scan") {
+    val li = Tables.lineitem(spark, Sf).select("l_orderkey", "l_quantity")
+    val sel = Tables.orders(spark, Sf)
+      .filter(col("o_orderkey") % 97 === 0).select("o_orderkey")
+    val joined = graft.operators.BloomJoin.prefilterJoin(
+      li, sel, "l_orderkey", "o_orderkey", expectedItems = 200)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // the predicate prints under the expression's pretty name, inside a
+    // whole-stage-codegen'd Filter on the probe-side scan
+    assert(plan.contains("bloommightcontain"),
+      s"bloom predicate missing from plan:\n$plan")
+    // the probe rows surviving the filter must be far fewer than the scan
+    val kept = li.filter(graft.functions.BloomFilterExpression.mightContain(
+      spark, col("l_orderkey"),
+      sel.stat.bloomFilter("o_orderkey", 200, 0.01))).count()
+    assert(kept < li.count() / 10, s"bloom kept $kept rows")
+  }
 }
