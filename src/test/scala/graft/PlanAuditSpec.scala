@@ -188,4 +188,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q80 funnel: ONE user_id shuffle feeds all three window passes") {
+    val p = plan(RelationalOps.q80Funnel(spark, Sf))
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(user_id"))
+      .size
+    assert(exchanges == 1, s"$exchanges user_id exchanges:\n${p.take(2500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("q83 outliers: medians range-partitioned, caps broadcast back") {
+    val p = plan(RelationalOps.q83Outliers(spark, Sf))
+    assert(p.contains("rangepartitioning"), p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("q84 cross-corpus contamination: best-match on the heap operator, " +
+      "band join never cartesian") {
+    val p = plan(DedupOps.q84NearDupContam(spark, Sf))
+    assert(p.contains("TopKPerKey"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    // the band bucket join keys on (band_id, band_key) — ids only
+    assert(p.contains("band_key"), p.take(2500))
+  }
 }
