@@ -55,9 +55,9 @@ object Bench {
     val errors = results.collect { case (k, None) =>
       "\"" + k.takeWhile(_ != '_') + "\""
     }
-    val errPart =
-      if (errors.isEmpty) ""
-      else s""","errors":${errors.mkString("[", ",", "]")}"""
+    // "errors" is always present (consumers may index it
+    // unconditionally); empty it costs 12 chars of the window
+    val errPart = s""","errors":${errors.mkString("[", ",", "]")}"""
     val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_errors":${errors.size}$errPart,"sf":"$sfDir"}""")
     spark.stop()

@@ -27,11 +27,18 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (IntegerType | LongType | StringType, BinaryType) =>
+      case (IntegerType | LongType | StringType, BinaryType)
+          if right.foldable =>
         TypeCheckResult.TypeCheckSuccess
+      case (_, BinaryType) if !right.foldable =>
+        // The filter is driver-evaluated once (right.eval(null)); a
+        // non-foldable right child would deserialize garbage — fail at
+        // analysis, not at runtime.
+        TypeCheckResult.TypeCheckFailure(
+          "bloom filter argument must be a foldable binary literal")
       case other =>
         TypeCheckResult.TypeCheckFailure(
-          s"expected (int|bigint|string, binary), got $other")
+          s"expected (int|bigint|string, binary literal), got $other")
     }
 
   @transient private lazy val bf: BloomFilter = BloomFilter.readFrom(

@@ -38,6 +38,10 @@ object BloomJoin {
     val bf = small.stat.bloomFilter(smallKey, n, fpp)
     val prefiltered = big.filter(graft.functions.BloomFilterExpression
       .mightContain(big.sparkSession, col(bigKey), bf))
+    // Drop the build side's key: it duplicates bigKey value-for-value,
+    // and when the two names collide every downstream select-by-name
+    // would hit an ambiguous-column error.
     prefiltered.join(small, prefiltered(bigKey) === small(smallKey))
+      .drop(small(smallKey))
   }
 }

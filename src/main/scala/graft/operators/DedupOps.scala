@@ -397,7 +397,12 @@ object DedupOps {
   def nearDupContamination(s: SparkSession, train: DataFrame,
       eval: DataFrame, minJaccardPpt: Long = 500L): DataFrame = {
     val nHashes = VerifyBands * VerifyRowsPerBand
+    // Null text would minhash to null and concat_ws would collapse the
+    // null band elements to "", band-joining every null-text train doc
+    // against every null-text eval doc — a quadratic bucket discarded
+    // only at the threshold filter. Drop them before banding.
     def base(df: DataFrame) = df
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(normText).as("tk"))
       .select(col("doc_id"), array_distinct(col("tk")).as("toks"),
         shingles(col("tk"), ShingleSize).as("sh"))
@@ -469,6 +474,7 @@ object DedupOps {
     * admission.
     */
   def signatureIndex(s: SparkSession, docs: DataFrame): DataFrame = docs
+    .filter(col("text").isNotNull)
     .select(col("doc_id"), tokens(normText).as("tk"))
     .select(col("doc_id"), shingles(col("tk"), ShingleSize).as("sh"))
     .select(col("doc_id"), signature(s, col("sh")).as("sig"))
