@@ -107,6 +107,8 @@ object SparkEntry {
     "q82_token_budget" -> (TextOps.q82TokenBudget _),
     "q83_outliers" -> (RelationalOps.q83Outliers _),
     "q84_neardup_contam" -> (DedupOps.q84NearDupContam _),
+    "q85_bloom_join" -> (BloomJoin.q85BloomJoin _),
+    "q86_salted_join" -> (SkewJoin.q86SaltedJoin _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1156,5 +1158,18 @@ object SparkEntry {
          )
          SELECT train_doc, eval_doc, jac_ppt / 1000.0 AS jaccard
          FROM best WHERE rn = 1""",
+    // bloom-prefiltered join ≡ the plain inner join by definition
+    // (false positives die at the exact join)
+    "q85_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_custkey,
+                o_totalprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000""",
+    // salted join ≡ the plain inner join by definition (the salt must
+    // agree, so matched rows join exactly once)
+    "q86_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, p_partkey, p_brand
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size <= 10""",
   )
 }

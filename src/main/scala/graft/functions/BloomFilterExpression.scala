@@ -29,7 +29,13 @@ case class BloomMightContain(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (IntegerType | LongType | StringType, BinaryType)
           if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // Foldable but NULL (Literal(null, BinaryType)) would NPE in
+        // BloomFilter.readFrom at execution — same analysis-time fate
+        // as a non-foldable child.
+        if (right.eval(null) == null)
+          TypeCheckResult.TypeCheckFailure(
+            "bloom filter argument must be a non-null binary literal")
+        else TypeCheckResult.TypeCheckSuccess
       case (_, BinaryType) if !right.foldable =>
         // The filter is driver-evaluated once (right.eval(null)); a
         // non-foldable right child would deserialize garbage — fail at
@@ -71,10 +77,8 @@ case class BloomMightContain(left: Expression, right: Expression)
 object BloomFilterExpression {
   def mightContain(spark: SparkSession, key: Column,
       filter: BloomFilter): Column = {
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_bloom_might_contain",
-        es => BloomMightContain(es(0), es(1)), "built-in")
+    Registry.ensure(spark, "graft_bloom_might_contain",
+      es => BloomMightContain(es(0), es(1)))
     val bytes = {
       val out = new java.io.ByteArrayOutputStream()
       filter.writeTo(out)

@@ -94,11 +94,9 @@ case class Md5MinHash(child: Expression, k: Int) extends UnaryExpression {
 
 object Md5MinHashExpression {
   def md5MinHash(spark: SparkSession, shingles: Column, k: Int): Column = {
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_md5_minhash",
-        es => Md5MinHash(es.head,
-          es(1).eval(null).asInstanceOf[Int]), "built-in")
+    Registry.ensure(spark, "graft_md5_minhash",
+      es => Md5MinHash(es.head,
+        es(1).eval(null).asInstanceOf[Int]))
     call_function("graft_md5_minhash", shingles,
       org.apache.spark.sql.functions.lit(k))
   }

@@ -109,11 +109,9 @@ case class SigAgreement(left: Expression, right: Expression)
 
 object MinHashExpression {
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_minhash",
-        es => MinHashSig(es.head,
-          es(1).eval(null).asInstanceOf[Int]), "built-in")
+    Registry.ensure(spark, "graft_minhash",
+      es => MinHashSig(es.head,
+        es(1).eval(null).asInstanceOf[Int]))
 
   def minhashSig(spark: SparkSession, baseHashes: Column, k: Int): Column = {
     register(spark)
@@ -122,10 +120,8 @@ object MinHashExpression {
   }
 
   def sigAgreement(spark: SparkSession, a: Column, b: Column): Column = {
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_sig_agree",
-        es => SigAgreement(es(0), es(1)), "built-in")
+    Registry.ensure(spark, "graft_sig_agree",
+      es => SigAgreement(es(0), es(1)))
     call_function("graft_sig_agree", a, b)
   }
 }

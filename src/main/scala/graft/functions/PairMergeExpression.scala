@@ -79,12 +79,10 @@ case class PairMerge(child: Expression, mergeLeft: String, mergeRight: String)
 
 object PairMergeExpression {
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_pair_merge",
-        es => PairMerge(es(0),
-          es(1).eval(null).asInstanceOf[UTF8String].toString,
-          es(2).eval(null).asInstanceOf[UTF8String].toString), "built-in")
+    Registry.ensure(spark, "graft_pair_merge",
+      es => PairMerge(es(0),
+        es(1).eval(null).asInstanceOf[UTF8String].toString,
+        es(2).eval(null).asInstanceOf[UTF8String].toString))
 
   def pairMerge(spark: SparkSession, syms: Column, left: String,
       right: String): Column = {

@@ -66,10 +66,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHashExpression {
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_simhash",
-        es => SimHash64(es.head), "built-in")
+    Registry.ensure(spark, "graft_simhash",
+      es => SimHash64(es.head))
 
   def simhash(spark: SparkSession, hashes: Column): Column = {
     register(spark); call_function("graft_simhash", hashes)

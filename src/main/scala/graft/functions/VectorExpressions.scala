@@ -159,14 +159,12 @@ object VectorExpressions {
     * are usable from both SQL text and `call_function`.
     */
   def register(spark: SparkSession): Unit = {
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("graft_cosine",
-      es => CosineSimilarity(es(0), es(1)), "built-in")
-    registry.createOrReplaceTempFunction("graft_dot",
-      es => DotProduct(es(0), es(1)), "built-in")
-    registry.createOrReplaceTempFunction("graft_norm",
-      es => L2Norm(es.head), "built-in")
+    Registry.ensure(spark, "graft_cosine",
+      es => CosineSimilarity(es(0), es(1)))
+    Registry.ensure(spark, "graft_dot",
+      es => DotProduct(es(0), es(1)))
+    Registry.ensure(spark, "graft_norm",
+      es => L2Norm(es.head))
   }
 
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {

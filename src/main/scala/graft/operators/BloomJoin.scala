@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Bloom-prefiltered shuffle join: when the probe side is huge, the build
@@ -38,10 +38,36 @@ object BloomJoin {
     val bf = small.stat.bloomFilter(smallKey, n, fpp)
     val prefiltered = big.filter(graft.functions.BloomFilterExpression
       .mightContain(big.sparkSession, col(bigKey), bf))
-    // Drop the build side's key: it duplicates bigKey value-for-value,
-    // and when the two names collide every downstream select-by-name
-    // would hit an ambiguous-column error.
-    prefiltered.join(small, prefiltered(bigKey) === small(smallKey))
-      .drop(small(smallKey))
+    // Schema contract: the build side's key survives under its own name
+    // (it duplicates bigKey value-for-value on an inner equi-join, but
+    // callers may select it); it is dropped ONLY when the two key names
+    // collide, where keeping both would make every downstream
+    // select-by-name an ambiguous-column error.
+    val joined = prefiltered.join(small,
+      prefiltered(bigKey) === small(smallKey))
+    if (bigKey == smallKey) joined.drop(small(smallKey)) else joined
+  }
+
+  /** 101. Driver-visible instantiation: the selective-dimension pattern —
+    * urgent high-value orders (~2% of the table) against the full
+    * lineitem scan. Output is DEFINED to equal the plain inner join
+    * (false positives only reach, and are removed by, the exact join),
+    * so the DuckDB oracle is that plain join. `expectedItems` comes from
+    * the parquet footer row count ([[graft.sources.TableStatistics]]) —
+    * the catalog-stats path; the full-table count over-sizes the sketch
+    * for the filtered build side, which costs bits, never correctness,
+    * and avoids the extra count() job the default would run.
+    */
+  def q85BloomJoin(s: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val sel = graft.Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val n = graft.sources.TableStatistics.tableRowCount(s, d, "orders")
+    prefilterJoin(li, sel, "l_orderkey", "o_orderkey", expectedItems = n)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "o_custkey",
+        "o_totalprice")
   }
 }

@@ -397,10 +397,15 @@ object DedupOps {
   def nearDupContamination(s: SparkSession, train: DataFrame,
       eval: DataFrame, minJaccardPpt: Long = 500L): DataFrame = {
     val nHashes = VerifyBands * VerifyRowsPerBand
-    // Null text would minhash to null and concat_ws would collapse the
-    // null band elements to "", band-joining every null-text train doc
-    // against every null-text eval doc — a quadratic bucket discarded
-    // only at the threshold filter. Drop them before banding.
+    // Null-text docs all share the minhash of the single empty shingle
+    // (tokens() stays null but shingles() falls to its
+    // concat_ws-of-all-tokens branch, and concat_ws(' ', null) = '' —
+    // so sh = [''] with a real, shared signature). Their band keys are
+    // identical real values, band-joining every null-text train doc
+    // against every null-text eval doc — a quadratic bucket whose pairs
+    // only die at the jaccard filter (toks is null, matching the
+    // oracle, whose NULL band keys never join). Drop them before
+    // banding so the quadratic join never forms.
     def base(df: DataFrame) = df
       .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(normText).as("tk"))
@@ -472,6 +477,16 @@ object DedupOps {
     * corpus text is read once ever. Feed it to
     * [[incrementalDedupWithIndex]]; append admitted docs' rows on
     * admission.
+    *
+    * Null-text policy (explicit): docs with NULL text carry no content
+    * signal, so they NEVER enter the index and are therefore always
+    * ADMITTED by incremental dedup (the anti-join runs over the
+    * unfiltered incoming batch). Near-dup machinery is about content
+    * similarity; filtering/deduping contentless rows is the job of the
+    * upstream quality gates (q23 exact dedup, q26 quality scoring).
+    * Indexes persisted before this policy may still contain the shared
+    * ['']-shingle signature rows of null-text docs — harmless, since
+    * incoming null-text docs produce no bands to match them against.
     */
   def signatureIndex(s: SparkSession, docs: DataFrame): DataFrame = docs
     .filter(col("text").isNotNull)

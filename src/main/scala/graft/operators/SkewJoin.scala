@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Manual skew mitigation for large⋈small joins on skewed keys, for when
@@ -40,6 +40,24 @@ object SkewJoin {
         salted(largeKey) === replicated(smallKey) &&
           salted("_salt") === replicated("_salt"), joinType)
       .drop("_salt")
+  }
+
+  /** 43. Driver-visible instantiation: lineitem ⋈ part on the fact
+    * table's part key, salt 8 — the manual-skew-mitigation shape for a
+    * hot dimension key. The salt is derived from `l_orderkey` (row
+    * identity, NOT the join key — hashing the join key would keep each
+    * hot key on one reducer). Output is DEFINED to equal the plain
+    * inner join (matched rows join exactly once because the salt must
+    * agree), so the DuckDB oracle is that plain join.
+    */
+  def q86SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val dim = graft.Tables.part(s, d)
+      .filter(col("p_size") <= 10)
+      .select("p_partkey", "p_brand")
+    saltedJoin(li, "l_partkey", "l_orderkey", dim, "p_partkey", n = 8)
+      .select("l_orderkey", "l_linenumber", "p_partkey", "p_brand")
   }
 
   /** Key histogram — find candidates for salting: keys whose row count

@@ -118,4 +118,31 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
       sel.stat.bloomFilter("o_orderkey", 200, 0.01))).count()
     assert(kept < li.count() / 10, s"bloom kept $kept rows")
   }
+
+  test("bloom prefilter schema contract: distinct key names both survive; " +
+      "colliding names keep only the probe key") {
+    val big = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val small = Seq((1L, 10L)).toDF("sk", "w")
+    val distinctKeys = graft.operators.BloomJoin.prefilterJoin(
+      big, small, "k", "sk", expectedItems = 1)
+    assert(distinctKeys.columns.toSeq == Seq("k", "v", "sk", "w"))
+    assert(distinctKeys.select("sk").collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+    val colliding = graft.operators.BloomJoin.prefilterJoin(
+      big, small.withColumnRenamed("sk", "k"), "k", "k", expectedItems = 1)
+    assert(colliding.columns.toSeq == Seq("k", "v", "w"))
+    assert(colliding.select("k").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("bloom predicate rejects a foldable NULL filter at analysis time") {
+    // any mightContain call registers graft_bloom_might_contain for SQL use
+    val bf = Seq(1L).toDF("x").stat.bloomFilter("x", 1, 0.01)
+    graft.functions.BloomFilterExpression.mightContain(spark, col("k"), bf)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("k").filter(org.apache.spark.sql.functions.expr(
+        "graft_bloom_might_contain(k, CAST(NULL AS BINARY))")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("non-null binary literal"),
+      ex.getMessage)
+  }
 }

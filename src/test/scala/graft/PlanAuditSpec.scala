@@ -214,4 +214,49 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // the band bucket join keys on (band_id, band_key) — ids only
     assert(p.contains("band_key"), p.take(2500))
   }
+
+  test("q85 bloom join: footer stats size the sketch — plan build skips " +
+      "the count() job the statless default would run") {
+    import org.apache.spark.sql.functions.col
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // listener events post asynchronously: after each measured build,
+    // wait for the job count to go quiet before reading it
+    def settled(): Int = {
+      var prev = -1
+      var cur = jobs.get()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur; Thread.sleep(300); cur = jobs.get()
+      }
+      cur
+    }
+    // materialize the input frames first so the one-time parquet
+    // schema-read jobs fall outside both measured windows
+    val li = graft.Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_linenumber")
+    val sel = graft.Tables.orders(spark, Sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    li.schema; sel.schema
+    sc.addSparkListener(listener)
+    try {
+      BloomJoin.prefilterJoin(li, sel, "l_orderkey", "o_orderkey",
+        expectedItems = graft.sources.TableStatistics
+          .tableRowCount(spark, Sf, "orders"))
+      val statsJobs = settled()
+      BloomJoin.prefilterJoin(li, sel, "l_orderkey", "o_orderkey")
+      val statlessJobs = settled() - statsJobs
+      assert(statsJobs < statlessJobs,
+        s"footer-stats path ran $statsJobs jobs, statless $statlessJobs — " +
+          "expected the stats path to skip the count() job")
+      val p = plan(BloomJoin.q85BloomJoin(spark, Sf))
+      assert(p.contains("bloommightcontain"), p.take(2000))
+    } finally sc.removeSparkListener(listener)
+  }
 }
