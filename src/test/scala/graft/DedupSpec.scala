@@ -176,6 +176,61 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         s"missing: ${(freshIds + 4000000L) -- admitted}")
   }
 
+  test("persisted signature index: write → reload → refresh matches the " +
+      "in-memory path; appended admissions reject the next refresh's dups") {
+    import graft.sources.ParquetUpsertSink
+    val existing = Tables.documents(spark, Sf).select("doc_id", "text")
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+    // persist the index — the artifact a production refresh reads
+    // instead of ever re-reading corpus text
+    ParquetUpsertSink.insertNewOnly(spark, idxDir,
+      DedupOps.signatureIndex(spark, existing), Seq("doc_id"))
+    val persisted = ParquetUpsertSink.read(spark, idxDir)
+    // the persisted artifact's schema IS the cross-refresh contract —
+    // compare names + SQL types (parquet widens the array element's
+    // containsNull to true on round-trip; nullability is not part of
+    // the contract)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq
+    assert(shape(persisted) ==
+      shape(DedupOps.signatureIndex(spark, existing)),
+      s"schema drift through parquet: ${persisted.schema}")
+
+    val nearDups = existing.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val fresh = (0 until 10).map(i =>
+      (3000000L + i, s"zz$i yy$i xx$i ww$i vv$i uu$i tt$i ss$i"))
+      .toDF("doc_id", "text")
+    val incoming = nearDups.unionByName(fresh)
+    val admitted =
+      DedupOps.incrementalDedupWithIndex(spark, persisted, incoming)
+        .localCheckpoint(false)
+    val admittedIds = admitted.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val inMemIds = DedupOps.incrementalDedup(spark, existing, incoming)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admittedIds == inMemIds,
+      s"persisted path diverged: ${admittedIds.diff(inMemIds)} / " +
+        s"${inMemIds.diff(admittedIds)}")
+    assert(admittedIds == (0 until 10).map(i => 3000000L + i).toSet)
+
+    // refresh contract: append the admitted docs' signature rows
+    ParquetUpsertSink.insertNewOnly(spark, idxDir,
+      DedupOps.signatureIndex(spark, admitted), Seq("doc_id"))
+
+    // second refresh: a copy of a batch-1 admission must now be
+    // rejected by the updated index; a genuinely new doc is admitted
+    val batch2 = Seq(
+      (5000000L, "zz0 yy0 xx0 ww0 vv0 uu0 tt0 ss0"),
+      (5000001L, "aa1 bb1 cc1 dd1 ee1 ff1 gg1 hh1")).toDF("doc_id", "text")
+    val admitted2 = DedupOps.incrementalDedupWithIndex(spark,
+        ParquetUpsertSink.read(spark, idxDir), batch2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted2 == Set(5000001L), s"got $admitted2")
+  }
+
   test("near-dup contamination: planted eval leakage maps to its source") {
     val got = DedupOps.q84NearDupContam(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
