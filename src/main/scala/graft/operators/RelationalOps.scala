@@ -601,37 +601,50 @@ object RelationalOps {
     * reporting (sql/db_creation_script.sql:209-242 computes per-player
     * conversion-style ratios).
     *
-    * Scale: ONE hash shuffle on `user_id`, then three unbounded
+    * Scale: ONE hash shuffle on `user_id`, then k unbounded
     * conditional-min window passes over the same partition (no sort —
     * unbounded frames are order-free) and a tiny global roll-up. The
-    * per-user window state is three timestamps; user cardinality carries
+    * per-user window state is k timestamps; user cardinality carries
     * the growth. Never a self-join per step (k-step funnel as k joins
-    * re-shuffles the log k times).
+    * re-shuffles the log k times). q80 is the 3-step instantiation of
+    * [[funnel]].
     */
-  def q80Funnel(s: SparkSession, d: String): DataFrame = {
+  def q80Funnel(s: SparkSession, d: String): DataFrame =
+    funnel(Tables.events(s, d), Seq("signup", "click", "purchase"))
+
+  /** Parameterized k-step funnel: `steps(i)` converts a user iff an
+    * event of that type occurs strictly after the user's step-(i−1)
+    * conversion time. Output is one row per step: (step_ord, step
+    * label, converted-user count), labels `first` then
+    * `next_after_prev` — the q80 shape at any k.
+    *
+    * Scale: still ONE hash shuffle on `user_id` regardless of k — the
+    * k conditional-min passes are unbounded-frame window aggregates
+    * over the same partition (order-free, no sort), evaluated in one
+    * Window operator; per-user state is k timestamps. The alternative
+    * (one self-join per step) re-shuffles the event log k times.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
     val w = Window.partitionBy(col("user_id"))
-    val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
-      col("event_type"))
-    val staged = ev
-      .withColumn("t1",
-        min(when(col("event_type") === "signup", col("ts"))).over(w))
-      .withColumn("t2", min(when(col("event_type") === "click" &&
-        col("ts") > col("t1"), col("ts"))).over(w))
-      .withColumn("t3", min(when(col("event_type") === "purchase" &&
-        col("ts") > col("t2"), col("ts"))).over(w))
-      .groupBy(col("user_id"))
-      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
-        max(col("t3")).as("t3"))
-    staged.agg(
-        count(col("t1")).as("n1"), count(col("t2")).as("n2"),
-        count(col("t3")).as("n3"))
-      .select(explode(array(
-        struct(lit(1L).as("step_ord"), lit("signup").as("step"),
-          col("n1").as("n_users")),
-        struct(lit(2L).as("step_ord"), lit("click_after_signup").as("step"),
-          col("n2").as("n_users")),
-        struct(lit(3L).as("step_ord"), lit("purchase_after_click").as("step"),
-          col("n3").as("n_users")))).as("r"))
+    val ev = events.select(col("user_id"), col("ts"), col("event_type"))
+    val staged = steps.zipWithIndex.foldLeft(ev) { case (df, (step, i)) =>
+      val hit = col("event_type") === step
+      val cond = if (i == 0) hit else hit && col("ts") > col(s"t$i")
+      df.withColumn(s"t${i + 1}", min(when(cond, col("ts"))).over(w))
+    }
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"),
+        steps.indices.tail.map(i => max(col(s"t${i + 1}")).as(s"t${i + 1}")): _*)
+    val labels = steps.head +: steps.zip(steps.tail).map {
+      case (prev, next) => s"${next}_after_$prev"
+    }
+    perUser.agg(count(col("t1")).as("n1"),
+        steps.indices.tail.map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}")): _*)
+      .select(explode(array(steps.indices.map { i =>
+        struct(lit((i + 1).toLong).as("step_ord"),
+          lit(labels(i)).as("step"), col(s"n${i + 1}").as("n_users"))
+      }: _*)).as("r"))
       .select(col("r.step_ord"), col("r.step"), col("r.n_users"))
   }
 

@@ -201,6 +201,41 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(n1 >= n2 && n2 >= n3 && n3 > 0)
   }
 
+  test("funnel(k=4): counts and labels match a per-user replay") {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val rows = RelationalOps
+      .funnel(Tables.events(spark, Sf), steps).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    assert(rows(1L)._1 == "signup" && rows(2L)._1 == "view_after_signup" &&
+      rows(3L)._1 == "click_after_view" &&
+      rows(4L)._1 == "purchase_after_click")
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val counts = Array.fill(steps.length)(0L)
+    ev.groupBy(_._1).foreach { case (_, urows) =>
+      var t: Option[Long] = None
+      var alive = true
+      steps.zipWithIndex.foreach { case (step, i) =>
+        if (alive) {
+          val hits = urows.filter(r => r._3 == step &&
+            t.forall(r._2 > _)).map(_._2)
+          hits.minOption match {
+            case Some(m) => t = Some(m); counts(i) += 1
+            case None => alive = false
+          }
+        }
+      }
+    }
+    steps.indices.foreach { i =>
+      assert(rows((i + 1).toLong)._2 == counts(i),
+        s"step ${i + 1}: got ${rows((i + 1).toLong)._2}, want ${counts(i)}")
+    }
+    assert(counts.last > 0)
+  }
+
   test("q81 retention: offset-0 cell equals cohort size, grid consistent") {
     val got = RelationalOps.q81Retention(spark, Sf).collect()
       .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
