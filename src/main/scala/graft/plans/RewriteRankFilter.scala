@@ -12,15 +12,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * — where the projection drops the rank column — into the heap-based
   * TopKPerKeyNode, eliminating the full per-partition sort and the
-  * full-data shuffle that the Window operator needs.
+  * full-data shuffle that the Window operator needs. `rank()` is
+  * rewritten the same way with the node's ties-inclusive mode (`rank <=
+  * k` keeps every row tying the k-th — the k-plus-ties ordered-group
+  * retention in TopKPerKeyExec). `dense_rank()` is NOT rewritten: its
+  * bound is k distinct sort values, not k rows, so no per-row retention
+  * count can decide eviction.
   *
   * Safety: only fires when (a) the single window function is
-  * row_number() with the default running frame, (b) the filter bounds it
-  * by a literal, and (c) the projection uses child columns only (the
-  * rank value itself is discarded). Tie behavior is identical to
-  * row_number's: among order-equal rows both pick an arbitrary subset,
-  * deterministic only if the ordering is total — same contract as the
-  * SQL it replaces.
+  * row_number() or rank() with the default running frame, (b) the
+  * filter bounds it by a literal, and (c) the projection uses child
+  * columns only (the rank value itself is discarded). Tie behavior
+  * matches the function it replaces: row_number picks an arbitrary
+  * order-equal subset (deterministic only if the ordering is total),
+  * rank keeps all ties (always deterministic).
   *
   * Registered through `spark.experimental.extraOptimizations` (with the
   * matching planner strategy) by [[TopK.install]].
@@ -40,11 +45,20 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** None = not rewritable; Some(ties?) = rewritable, with rank()'s
+    * ties-inclusive retention or row_number()'s exact-k retention.
+    */
+  private def tiesModeOf(fn: Expression): Option[Boolean] = fn match {
+    case _: RowNumber => Some(false)
+    case _: Rank => Some(true) // Rank is final; DenseRank is a sibling
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(projectList,
         Filter(cond, w @ Window(Seq(al @ Alias(we: WindowExpression, _)),
           partitionSpec, orderSpec, child, _)))
-        if we.windowFunction.isInstanceOf[RowNumber] &&
+        if tiesModeOf(we.windowFunction).isDefined &&
           (we.windowSpec.frameSpecification match {
             case SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
               CurrentRow) => true
@@ -54,15 +68,17 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
           limitOf(cond, al.exprId).exists(_ >= 1) &&
           projectList.forall(_.references.subsetOf(child.outputSet)) =>
       val k = limitOf(cond, al.exprId).get
+      val ties = tiesModeOf(we.windowFunction).get
       // Spark's own InferWindowGroupLimit may already have wrapped the
       // child in a sort-based WindowGroupLimit; the heap operator
-      // subsumes it, so strip it (it would force two useless sorts).
+      // subsumes it (rank-inclusive retention included), so strip it
+      // (it would force two useless sorts).
       val cleanChild = child match {
         case wgl: WindowGroupLimit => wgl.child
         case c => c
       }
       Project(projectList,
-        TopKPerKeyNode(partitionSpec, orderSpec, k, cleanChild))
+        TopKPerKeyNode(partitionSpec, orderSpec, k, cleanChild, ties))
   }
 }
 

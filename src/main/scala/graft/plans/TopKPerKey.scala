@@ -20,12 +20,20 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * shuffling terabytes and shuffling megabytes. O(n log k) per
   * partition, no sort.
   *
+  * `withTies` switches to rank()'s ties-inclusive contract: keep every
+  * row whose sort key is ≤ the k-th smallest retained key (counting
+  * multiplicity) — i.e. `rank() OVER (...) <= k`. State per key becomes
+  * an ordered map of key-equal row groups; the boundary group is evicted
+  * whenever ≥ k rows order strictly before it, so retention is k plus
+  * boundary ties (unbounded only if the data ties unboundedly at the
+  * boundary — exactly the rows rank() is contracted to return).
+  *
   * Full extension stack: logical node → planner strategy (two-phase:
   * partial map-side + final after a ClusteredDistribution shuffle) →
   * heap-based exec. Registered via the public `experimental.extraStrategies`.
   */
 case class TopKPerKeyNode(keyExprs: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan) extends UnaryNode {
+    k: Int, child: LogicalPlan, withTies: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan =
     copy(child = c)
@@ -33,16 +41,18 @@ case class TopKPerKeyNode(keyExprs: Seq[Expression], order: Seq[SortOrder],
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
+    case TopKPerKeyNode(keys, order, k, child, ties) =>
       val mapSide = TopKPerKeyExec(keys, order, k, planLater(child),
-        partial = true)
-      TopKPerKeyExec(keys, order, k, mapSide, partial = false) :: Nil
+        partial = true, withTies = ties)
+      TopKPerKeyExec(keys, order, k, mapSide, partial = false,
+        withTies = ties) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keyExprs: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: SparkPlan, partial: Boolean) extends UnaryExecNode {
+    k: Int, child: SparkPlan, partial: Boolean, withTies: Boolean = false)
+  extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -51,51 +61,106 @@ case class TopKPerKeyExec(keyExprs: Seq[Expression], order: Seq[SortOrder],
 
   override def outputPartitioning = child.outputPartitioning
 
+  /** Per-key retained-row state: exact top-k heap, or k-plus-ties
+    * ordered groups. Both bound map-side shuffle volume; both phases
+    * reuse the same container so partial→final reduction is one code
+    * path.
+    */
+  private trait KeyState {
+    def insert(row: InternalRow): Unit
+    def drain: Iterator[InternalRow]
+  }
+
+  private final class HeapState(rowOrd: Ordering[InternalRow], kk: Int)
+      extends KeyState {
+    // max-heap under the sort order: head = worst row currently kept
+    private val heap =
+      scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd)
+    def insert(row: InternalRow): Unit =
+      if (heap.size < kk) heap.enqueue(row.copy())
+      else if (rowOrd.compare(row, heap.head) < 0) {
+        heap.dequeue(); heap.enqueue(row.copy())
+      }
+    def drain: Iterator[InternalRow] = heap.iterator
+  }
+
+  /** rank()-contract retention: ordered groups of sort-equal rows; the
+    * greatest group is dropped whenever the groups before it already
+    * hold ≥ k rows (then its members' rank is > k by pigeonhole). A row
+    * ordering strictly after the boundary with ≥ k rows retained is
+    * rejected outright.
+    */
+  private final class TiesState(rowOrd: Ordering[InternalRow], kk: Int)
+      extends KeyState {
+    private val cmp = new java.util.Comparator[InternalRow] {
+      def compare(a: InternalRow, b: InternalRow): Int = rowOrd.compare(a, b)
+    }
+    private val groups = new java.util.TreeMap[
+      InternalRow, scala.collection.mutable.ArrayBuffer[InternalRow]](cmp)
+    private var total = 0
+    def insert(row: InternalRow): Unit = {
+      if (total >= kk && cmp.compare(row, groups.lastKey()) > 0) return
+      val existing = groups.get(row)
+      if (existing != null) existing += row.copy()
+      else {
+        val c = row.copy()
+        groups.put(c, scala.collection.mutable.ArrayBuffer(c))
+      }
+      total += 1
+      var last = groups.lastEntry()
+      while (total - last.getValue.size >= kk) {
+        total -= last.getValue.size
+        groups.remove(last.getKey)
+        last = groups.lastEntry()
+      }
+    }
+    def drain: Iterator[InternalRow] = {
+      import scala.jdk.CollectionConverters._
+      groups.values().iterator().asScala.flatMap(_.iterator)
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyEs = keyExprs
     val orderEs = order
     val childOutput = child.output
     val kk = k
     val isPartial = partial
-    // Bound on map-side state: the heap map grows with DISTINCT KEYS per
+    val ties = withTies
+    // Bound on map-side state: the state map grows with DISTINCT KEYS per
     // input partition, and at high key cardinality that is executor OOM.
     // Past the bound, rows of unseen keys pass through unfiltered — the
-    // map-side heap is an optimization, not a correctness requirement;
-    // the final (post-shuffle) phase reduces every key exactly.
+    // map-side reduction is an optimization, not a correctness
+    // requirement; the final (post-shuffle) phase reduces every key
+    // exactly.
     val maxKeys = math.max(1L,
       conf.getConfString("spark.graft.topk.maxMapKeys",
         ((1L << 22) / math.max(1, kk)).toString).toLong)
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyEs, childOutput)
       val rowOrd = GenerateOrdering.generate(orderEs, childOutput)
-      // max-heap under the sort order: head = worst row currently kept
       val heapOrd = new Ordering[InternalRow] {
         def compare(a: InternalRow, b: InternalRow): Int = rowOrd.compare(a, b)
       }
-      val heaps = scala.collection.mutable.HashMap
-        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      def newState(): KeyState =
+        if (ties) new TiesState(heapOrd, kk) else new HeapState(heapOrd, kk)
+      val states = scala.collection.mutable.HashMap.empty[UnsafeRow, KeyState]
       val passedThrough = it.flatMap { row =>
         val key = keyProj(row)
-        heaps.get(key) match {
-          case Some(heap) =>
-            if (heap.size < kk) heap.enqueue(row.copy())
-            else if (rowOrd.compare(row, heap.head) < 0) {
-              heap.dequeue(); heap.enqueue(row.copy())
-            }
-            Nil
-          case None if isPartial && heaps.size >= maxKeys =>
+        states.get(key) match {
+          case Some(st) => st.insert(row); Nil
+          case None if isPartial && states.size >= maxKeys =>
             row.copy() :: Nil // state bound hit: defer to the final phase
           case None =>
-            val heap = scala.collection.mutable.PriorityQueue
-              .empty[InternalRow](heapOrd)
-            heap.enqueue(row.copy())
-            heaps(key.copy()) = heap
+            val st = newState()
+            st.insert(row)
+            states(key.copy()) = st
             Nil
         }
       }
-      // ++ is lazy in its right operand: heaps drain only after the
-      // input (and thus every heap update) is exhausted
-      passedThrough ++ heaps.valuesIterator.flatMap(_.iterator)
+      // ++ is lazy in its right operand: states drain only after the
+      // input (and thus every state update) is exhausted
+      passedThrough ++ states.valuesIterator.flatMap(_.drain)
     }, preservesPartitioning = true)
   }
 
@@ -113,9 +178,11 @@ object TopK {
 
   /** Top `k` rows per `keys` group, "top" = first under `order`
     * ((column, descending?) pairs, ties broken by later entries).
+    * `withTies = true` keeps every row tying the k-th (rank()'s
+    * contract — deterministic even when the ordering isn't total).
     */
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)],
-      k: Int): DataFrame = {
+      k: Int, withTies: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     ensureStrategy(spark)
     val sortOrder = order.map { case (name, desc) =>
@@ -123,7 +190,7 @@ object TopK {
         if (desc) Descending else Ascending)
     }
     val node = TopKPerKeyNode(keys.map(UnresolvedAttribute.quoted),
-      sortOrder, k, df.queryExecution.analyzed)
+      sortOrder, k, df.queryExecution.analyzed, withTies)
     GraftSqlBridge.ofRows(spark, node)
   }
 }

@@ -88,6 +88,97 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(TopK.perKey(df, Seq("k"), Seq(("v", true)), 5).count() == 2)
   }
 
+  test("withTies matches the rank() window formulation exactly") {
+    // coarse ordering value (many ties) so rank <= 3 keeps tied groups
+    val df = Tables.orders(spark, Sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("o_totalprice").cast("long") / 50000L).as("band"))
+    val got = TopK.perKey(df, Seq("o_custkey"), Seq(("band", true)), 3,
+        withTies = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("band").desc)
+    val expected = df.withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // sanity: ties actually exceed k somewhere, or the test proves nothing
+    assert(expected.size > df.select("o_custkey").distinct().count() * 3 / 2)
+  }
+
+  test("optimizer rule rewrites rank()-filter into ties-mode TopKPerKey") {
+    val exp = spark.experimental
+    val (savedS, savedO) = (exp.extraStrategies, exp.extraOptimizations)
+    try {
+      graft.plans.TopKRewrite.install(spark)
+      val df = Tables.orders(spark, Sf)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice").cast("long") / 50000L).as("band"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("band").desc)
+      val q = df.withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "band")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), plan.take(1500))
+      assert(!plan.contains("WindowGroupLimit"), plan.take(1500))
+      assert(!plan.contains("Sort "), plan.take(1500))
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // same rows as the un-rewritten window formulation
+      exp.extraStrategies = savedS
+      exp.extraOptimizations = savedO
+      val expected = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    } finally {
+      exp.extraStrategies = savedS
+      exp.extraOptimizations = savedO
+    }
+  }
+
+  test("rewrite does NOT fire on dense_rank()") {
+    val exp = spark.experimental
+    val (savedS, savedO) = (exp.extraStrategies, exp.extraOptimizations)
+    try {
+      graft.plans.TopKRewrite.install(spark)
+      val df = Tables.orders(spark, Sf)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+      val q = df.withColumn("rk", dense_rank().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerKey"), plan.take(1500))
+      assert(plan.contains("Window"), plan.take(1500))
+    } finally {
+      exp.extraStrategies = savedS
+      exp.extraOptimizations = savedO
+    }
+  }
+
+  test("withTies map-side state bound: exact under key overflow") {
+    val key = "spark.graft.topk.maxMapKeys"
+    spark.conf.set(key, "2")
+    try {
+      val rnd = new scala.util.Random(11)
+      val rows = (0 until 2000).map(i =>
+        (rnd.nextInt(100).toLong, i.toLong, rnd.nextInt(8).toDouble))
+      val df = rows.toDF("k", "id", "v").repartition(8)
+      val got = TopK.perKey(df, Seq("k"), Seq(("v", true)), 2,
+          withTies = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("v").desc)
+      val expected = df.withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+      // v has only 8 distinct values over ~20 rows/key: ties beyond k
+      // are guaranteed, so the ties contract is actually exercised
+      assert(expected.size > 200)
+    } finally spark.conf.unset(key)
+  }
+
   test("map-side state bound: results stay exact when keys overflow it") {
     // force the partial phase to pass rows through after 2 tracked keys;
     // the final phase must still produce the exact top-k per key
