@@ -109,6 +109,7 @@ object SparkEntry {
     "q84_neardup_contam" -> (DedupOps.q84NearDupContam _),
     "q85_bloom_join" -> (BloomJoin.q85BloomJoin _),
     "q86_salted_join" -> (SkewJoin.q86SaltedJoin _),
+    "q87_quantized_ann" -> (SimilarityOps.q87QuantizedAnn _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1171,5 +1172,59 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, p_partkey, p_brand
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_size <= 10""",
+    // two-stage quantized ANN: the shortlist cut is a CENTERED integer
+    // code dot (64·Σqn − Σq·Σn — exact BIGINT in both engines), so the
+    // whole pipeline, re-rank included, is deterministic and
+    // hash-checkable
+    "q87_quantized_ann" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings
+         ), b AS (
+           SELECT vec_id, emb, list_min(emb) AS lo, list_max(emb) AS hi
+           FROM e
+         ), c AS (
+           SELECT vec_id, emb,
+                  list_transform(emb, x ->
+                    CAST(floor((x - lo) * 254 / (hi - lo) + 0.5) AS BIGINT)
+                      - 127) AS codes
+           FROM b
+         ), pairs AS (
+           SELECT q.vec_id AS qid, n.vec_id AS nid,
+                  q.codes AS qc, n.codes AS nc
+           FROM c q, c n WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id
+         ), un AS (
+           SELECT qid, nid, unnest(qc) AS cx, unnest(nc) AS cy FROM pairs
+         ), scores AS (
+           SELECT qid, nid,
+                  64 * CAST(SUM(cx * cy) AS BIGINT)
+                    - CAST(SUM(cx) AS BIGINT) * CAST(SUM(cy) AS BIGINT)
+                    AS score
+           FROM un GROUP BY qid, nid
+         ), short AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, nid) AS srn
+             FROM scores) WHERE srn <= 20
+         ), sun AS (
+           SELECT s.qid, s.nid,
+                  CAST(unnest(eq.emb) AS DOUBLE) AS x,
+                  CAST(unnest(en.emb) AS DOUBLE) AS y
+           FROM short s
+           JOIN e eq ON eq.vec_id = s.qid
+           JOIN e en ON en.vec_id = s.nid
+         ), resc AS (
+           SELECT qid, nid,
+                  ROUND(SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))), 4)
+                    AS cos_sim
+           FROM sun GROUP BY qid, nid
+         ), ranked AS (
+           SELECT qid, nid, cos_sim,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY cos_sim DESC, nid) AS BIGINT) AS rank
+           FROM resc
+         )
+         SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 5""",
   )
 }

@@ -124,6 +124,54 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** idot(a, b) over array<int> — exact LONG accumulation. The stage-1
+    * scorer for int8-quantized codes (SimilarityOps.q87): integer math
+    * is bit-identical across engines, so a shortlist cut on it is
+    * deterministic with no float accumulation order to pin. Bounds: for
+    * int8 codes the per-term product is ≤ 127², far from Long overflow.
+    */
+  case class IntDotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+
+    private def checkIntArray(e: Expression, side: String) = e.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$side must be array<int>, got $other")
+    }
+    override def checkInputDataTypes() = {
+      val l = checkIntArray(left, "left")
+      if (l.isSuccess) checkIntArray(right, "right") else l
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0L; var i = 0
+      while (i < n) { acc += a.getInt(i).toLong * b.getInt(i); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   /** |a| — L2 norm, sequential double accumulation. */
   case class L2Norm(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
@@ -163,6 +211,8 @@ object VectorExpressions {
       es => CosineSimilarity(es(0), es(1)))
     Registry.ensure(spark, "graft_dot",
       es => DotProduct(es(0), es(1)))
+    Registry.ensure(spark, "graft_idot",
+      es => IntDotProduct(es(0), es(1)))
     Registry.ensure(spark, "graft_norm",
       es => L2Norm(es.head))
   }
@@ -172,6 +222,9 @@ object VectorExpressions {
   }
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark); call_function("graft_dot", a, b)
+  }
+  def idot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("graft_idot", a, b)
   }
   def norm(spark: SparkSession, a: Column): Column = {
     register(spark); call_function("graft_norm", a)

@@ -259,4 +259,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       assert(p.contains("bloommightcontain"), p.take(2000))
     } finally sc.removeSparkListener(listener)
   }
+
+  test("q87 quantized ANN: heap shortlist cut, queries broadcast, " +
+      "corpus never broadcast") {
+    val p = plan(SimilarityOps.q87QuantizedAnn(spark, Sf))
+    // stage-1 cut is the heap operator (map-side partial + final),
+    // not a Window sort over all candidate pairs
+    assert("TopKPerKey \\[".r.findAllIn(p).length == 2, p.take(2500))
+    // the <=10-row query side rides a broadcast in both stages
+    assert(p.contains("BroadcastExchange"), p.take(2500))
+    // no cartesian product: the qid<>nid pair join is the broadcast
+    // nested loop against the tiny query side only
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.forall(_.contains("BuildRight")), p.take(2500))
+  }
 }

@@ -67,6 +67,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"IVF recall@5 = $recall")
   }
 
+  test("quantized re-rank ANN recall@5 vs brute force >= 0.8") {
+    val bf = SimilarityOps.q32KnnBruteforce(spark, Sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val got = SimilarityOps.q87QuantizedAnn(spark, Sf)
+    val rows = got.collect()
+    // shape: 5 ranked neighbors per query
+    assert(rows.length == 50)
+    val qa = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (qa & bf).size.toDouble / bf.size
+    info(s"quantized re-rank recall@5 = $recall")
+    assert(recall >= 0.8, s"recall@5 = $recall")
+  }
+
+  test("quantizedCodes: int8 range and code-sum consistency") {
+    val codes = SimilarityOps.quantizedCodes(spark, Sf)
+      .filter(col("vec_id") < 3).collect()
+    assert(codes.length == 3)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 64 && cs.forall(c => c >= -127 && c <= 127))
+      assert(r.getLong(2) == cs.map(_.toLong).sum)
+    }
+  }
+
   test("centroid aggregator equals driver-side mean per label") {
     import graft.functions.CentroidAggregator
     val ds = Tables.embeddings(spark, Sf)
