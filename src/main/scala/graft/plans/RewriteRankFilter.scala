@@ -12,20 +12,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * — where the projection drops the rank column — into the heap-based
   * TopKPerKeyNode, eliminating the full per-partition sort and the
-  * full-data shuffle that the Window operator needs. `rank()` is
-  * rewritten the same way with the node's ties-inclusive mode (`rank <=
-  * k` keeps every row tying the k-th — the k-plus-ties ordered-group
-  * retention in TopKPerKeyExec). `dense_rank()` is NOT rewritten: its
-  * bound is k distinct sort values, not k rows, so no per-row retention
-  * count can decide eviction.
+  * full-data shuffle that the Window operator needs. All three SQL rank
+  * families map onto the node's retention modes: `row_number()` →
+  * exact-k heap, `rank()` → k-plus-boundary-ties ordered groups,
+  * `dense_rank()` → all rows of the k smallest distinct sort values.
   *
   * Safety: only fires when (a) the single window function is
-  * row_number() or rank() with the default running frame, (b) the
-  * filter bounds it by a literal, and (c) the projection uses child
-  * columns only (the rank value itself is discarded). Tie behavior
-  * matches the function it replaces: row_number picks an arbitrary
-  * order-equal subset (deterministic only if the ordering is total),
-  * rank keeps all ties (always deterministic).
+  * row_number(), rank() or dense_rank() with the default running frame,
+  * (b) the filter bounds it by a literal, and (c) the projection uses
+  * child columns only (the rank value itself is discarded). Tie
+  * behavior matches the function it replaces: row_number picks an
+  * arbitrary order-equal subset (deterministic only if the ordering is
+  * total), rank/dense_rank keep all ties (always deterministic).
   *
   * Registered through `spark.experimental.extraOptimizations` (with the
   * matching planner strategy) by [[TopK.install]].
@@ -45,12 +43,14 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** None = not rewritable; Some(ties?) = rewritable, with rank()'s
-    * ties-inclusive retention or row_number()'s exact-k retention.
+  /** None = not rewritable; Some(mode) = the retention contract of the
+    * matched rank family (Rank and DenseRank are sibling case classes,
+    * not subtypes, so the matches are exact).
     */
-  private def tiesModeOf(fn: Expression): Option[Boolean] = fn match {
-    case _: RowNumber => Some(false)
-    case _: Rank => Some(true) // Rank is final; DenseRank is a sibling
+  private def modeOf(fn: Expression): Option[TopKMode] = fn match {
+    case _: RowNumber => Some(TopKMode.ExactK)
+    case _: Rank => Some(TopKMode.KPlusTies)
+    case _: DenseRank => Some(TopKMode.KDistinct)
     case _ => None
   }
 
@@ -58,7 +58,7 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
     case p @ Project(projectList,
         Filter(cond, w @ Window(Seq(al @ Alias(we: WindowExpression, _)),
           partitionSpec, orderSpec, child, _)))
-        if tiesModeOf(we.windowFunction).isDefined &&
+        if modeOf(we.windowFunction).isDefined &&
           (we.windowSpec.frameSpecification match {
             case SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
               CurrentRow) => true
@@ -68,17 +68,17 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
           limitOf(cond, al.exprId).exists(_ >= 1) &&
           projectList.forall(_.references.subsetOf(child.outputSet)) =>
       val k = limitOf(cond, al.exprId).get
-      val ties = tiesModeOf(we.windowFunction).get
+      val mode = modeOf(we.windowFunction).get
       // Spark's own InferWindowGroupLimit may already have wrapped the
       // child in a sort-based WindowGroupLimit; the heap operator
-      // subsumes it (rank-inclusive retention included), so strip it
+      // subsumes it (ties/distinct retention included), so strip it
       // (it would force two useless sorts).
       val cleanChild = child match {
         case wgl: WindowGroupLimit => wgl.child
         case c => c
       }
       Project(projectList,
-        TopKPerKeyNode(partitionSpec, orderSpec, k, cleanChild, ties))
+        TopKPerKeyNode(partitionSpec, orderSpec, k, cleanChild, mode))
   }
 }
 

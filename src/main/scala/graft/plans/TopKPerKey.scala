@@ -20,20 +20,34 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * shuffling terabytes and shuffling megabytes. O(n log k) per
   * partition, no sort.
   *
-  * `withTies` switches to rank()'s ties-inclusive contract: keep every
-  * row whose sort key is ≤ the k-th smallest retained key (counting
-  * multiplicity) — i.e. `rank() OVER (...) <= k`. State per key becomes
-  * an ordered map of key-equal row groups; the boundary group is evicted
-  * whenever ≥ k rows order strictly before it, so retention is k plus
-  * boundary ties (unbounded only if the data ties unboundedly at the
-  * boundary — exactly the rows rank() is contracted to return).
+  * `mode` picks the retention contract of the three SQL rank families:
+  *   - [[TopKMode.ExactK]] — row_number() <= k: exactly k rows, ties
+  *     cut arbitrarily (deterministic only under a total ordering).
+  *   - [[TopKMode.KPlusTies]] — rank() <= k: every row whose sort key
+  *     is ≤ the k-th smallest retained key (counting multiplicity);
+  *     the boundary group is evicted once ≥ k rows order strictly
+  *     before it, so retention is k plus boundary ties.
+  *   - [[TopKMode.KDistinct]] — dense_rank() <= k: every row whose
+  *     sort key is among the k smallest DISTINCT keys; the greatest
+  *     group is evicted once a k+1-th distinct key group exists.
   *
   * Full extension stack: logical node → planner strategy (two-phase:
   * partial map-side + final after a ClusteredDistribution shuffle) →
   * heap-based exec. Registered via the public `experimental.extraStrategies`.
   */
+sealed trait TopKMode
+object TopKMode {
+  /** row_number contract: exactly k rows per key. */
+  case object ExactK extends TopKMode
+  /** rank contract: k rows plus boundary ties. */
+  case object KPlusTies extends TopKMode
+  /** dense_rank contract: all rows of the k smallest distinct keys. */
+  case object KDistinct extends TopKMode
+}
+
 case class TopKPerKeyNode(keyExprs: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan, withTies: Boolean = false) extends UnaryNode {
+    k: Int, child: LogicalPlan, mode: TopKMode = TopKMode.ExactK)
+  extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan =
     copy(child = c)
@@ -41,17 +55,18 @@ case class TopKPerKeyNode(keyExprs: Seq[Expression], order: Seq[SortOrder],
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child, ties) =>
+    case TopKPerKeyNode(keys, order, k, child, mode) =>
       val mapSide = TopKPerKeyExec(keys, order, k, planLater(child),
-        partial = true, withTies = ties)
+        partial = true, mode = mode)
       TopKPerKeyExec(keys, order, k, mapSide, partial = false,
-        withTies = ties) :: Nil
+        mode = mode) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keyExprs: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: SparkPlan, partial: Boolean, withTies: Boolean = false)
+    k: Int, child: SparkPlan, partial: Boolean,
+    mode: TopKMode = TopKMode.ExactK)
   extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
@@ -84,22 +99,27 @@ case class TopKPerKeyExec(keyExprs: Seq[Expression], order: Seq[SortOrder],
     def drain: Iterator[InternalRow] = heap.iterator
   }
 
-  /** rank()-contract retention: ordered groups of sort-equal rows; the
-    * greatest group is dropped whenever the groups before it already
-    * hold ≥ k rows (then its members' rank is > k by pigeonhole). A row
-    * ordering strictly after the boundary with ≥ k rows retained is
-    * rejected outright.
+  /** rank()/dense_rank()-contract retention: ordered groups of
+    * sort-equal rows. `distinctKeys = false` (rank): the greatest group
+    * is dropped whenever the groups before it already hold ≥ k rows
+    * (then its members' rank is > k by pigeonhole). `distinctKeys =
+    * true` (dense_rank): the greatest group is dropped whenever k
+    * distinct key groups order before it. A row ordering strictly after
+    * the boundary when the retention budget is spent is rejected
+    * outright.
     */
-  private final class TiesState(rowOrd: Ordering[InternalRow], kk: Int)
-      extends KeyState {
+  private final class TiesState(rowOrd: Ordering[InternalRow], kk: Int,
+      distinctKeys: Boolean) extends KeyState {
     private val cmp = new java.util.Comparator[InternalRow] {
       def compare(a: InternalRow, b: InternalRow): Int = rowOrd.compare(a, b)
     }
     private val groups = new java.util.TreeMap[
       InternalRow, scala.collection.mutable.ArrayBuffer[InternalRow]](cmp)
     private var total = 0
+    private def budgetSpent: Boolean =
+      if (distinctKeys) groups.size >= kk else total >= kk
     def insert(row: InternalRow): Unit = {
-      if (total >= kk && cmp.compare(row, groups.lastKey()) > 0) return
+      if (budgetSpent && cmp.compare(row, groups.lastKey()) > 0) return
       val existing = groups.get(row)
       if (existing != null) existing += row.copy()
       else {
@@ -107,11 +127,19 @@ case class TopKPerKeyExec(keyExprs: Seq[Expression], order: Seq[SortOrder],
         groups.put(c, scala.collection.mutable.ArrayBuffer(c))
       }
       total += 1
-      var last = groups.lastEntry()
-      while (total - last.getValue.size >= kk) {
-        total -= last.getValue.size
-        groups.remove(last.getKey)
-        last = groups.lastEntry()
+      if (distinctKeys) {
+        while (groups.size > kk) {
+          val last = groups.lastEntry()
+          total -= last.getValue.size
+          groups.remove(last.getKey)
+        }
+      } else {
+        var last = groups.lastEntry()
+        while (total - last.getValue.size >= kk) {
+          total -= last.getValue.size
+          groups.remove(last.getKey)
+          last = groups.lastEntry()
+        }
       }
     }
     def drain: Iterator[InternalRow] = {
@@ -126,7 +154,7 @@ case class TopKPerKeyExec(keyExprs: Seq[Expression], order: Seq[SortOrder],
     val childOutput = child.output
     val kk = k
     val isPartial = partial
-    val ties = withTies
+    val theMode = mode
     // Bound on map-side state: the state map grows with DISTINCT KEYS per
     // input partition, and at high key cardinality that is executor OOM.
     // Past the bound, rows of unseen keys pass through unfiltered — the
@@ -142,8 +170,13 @@ case class TopKPerKeyExec(keyExprs: Seq[Expression], order: Seq[SortOrder],
       val heapOrd = new Ordering[InternalRow] {
         def compare(a: InternalRow, b: InternalRow): Int = rowOrd.compare(a, b)
       }
-      def newState(): KeyState =
-        if (ties) new TiesState(heapOrd, kk) else new HeapState(heapOrd, kk)
+      def newState(): KeyState = theMode match {
+        case TopKMode.ExactK => new HeapState(heapOrd, kk)
+        case TopKMode.KPlusTies =>
+          new TiesState(heapOrd, kk, distinctKeys = false)
+        case TopKMode.KDistinct =>
+          new TiesState(heapOrd, kk, distinctKeys = true)
+      }
       val states = scala.collection.mutable.HashMap.empty[UnsafeRow, KeyState]
       val passedThrough = it.flatMap { row =>
         val key = keyProj(row)
@@ -182,7 +215,19 @@ object TopK {
     * contract — deterministic even when the ordering isn't total).
     */
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)],
-      k: Int, withTies: Boolean = false): DataFrame = {
+      k: Int, withTies: Boolean = false): DataFrame =
+    perKeyMode(df, keys, order, k,
+      if (withTies) TopKMode.KPlusTies else TopKMode.ExactK)
+
+  /** All rows of the `k` best DISTINCT order values per key —
+    * dense_rank()'s contract.
+    */
+  def perKeyDistinct(df: DataFrame, keys: Seq[String],
+      order: Seq[(String, Boolean)], k: Int): DataFrame =
+    perKeyMode(df, keys, order, k, TopKMode.KDistinct)
+
+  private def perKeyMode(df: DataFrame, keys: Seq[String],
+      order: Seq[(String, Boolean)], k: Int, mode: TopKMode): DataFrame = {
     val spark = df.sparkSession
     ensureStrategy(spark)
     val sortOrder = order.map { case (name, desc) =>
@@ -190,7 +235,7 @@ object TopK {
         if (desc) Descending else Ascending)
     }
     val node = TopKPerKeyNode(keys.map(UnresolvedAttribute.quoted),
-      sortOrder, k, df.queryExecution.analyzed, withTies)
+      sortOrder, k, df.queryExecution.analyzed, mode)
     GraftSqlBridge.ofRows(spark, node)
   }
 }

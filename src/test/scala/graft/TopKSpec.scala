@@ -135,25 +135,67 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("rewrite does NOT fire on dense_rank()") {
+  test("perKeyDistinct matches the dense_rank() window formulation") {
+    val df = Tables.orders(spark, Sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("o_totalprice").cast("long") / 50000L).as("band"))
+    val got = TopK.perKeyDistinct(df, Seq("o_custkey"),
+        Seq(("band", true)), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("band").desc)
+    val expected = df.withColumn("rk", dense_rank().over(w))
+      .filter(col("rk") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("optimizer rule rewrites dense_rank()-filter into distinct-mode " +
+      "TopKPerKey") {
     val exp = spark.experimental
     val (savedS, savedO) = (exp.extraStrategies, exp.extraOptimizations)
     try {
       graft.plans.TopKRewrite.install(spark)
       val df = Tables.orders(spark, Sf)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice").cast("long") / 50000L).as("band"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+        .partitionBy("o_custkey").orderBy(col("band").desc)
       val q = df.withColumn("rk", dense_rank().over(w))
-        .filter(col("rk") <= 3)
-        .select("o_custkey", "o_orderkey")
+        .filter(col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "band")
       val plan = q.queryExecution.executedPlan.toString
-      assert(!plan.contains("TopKPerKey"), plan.take(1500))
-      assert(plan.contains("Window"), plan.take(1500))
+      assert(plan.contains("TopKPerKey"), plan.take(1500))
+      assert(!plan.contains("WindowGroupLimit"), plan.take(1500))
+      assert(!plan.contains("Sort "), plan.take(1500))
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exp.extraStrategies = savedS
+      exp.extraOptimizations = savedO
+      val expected = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
     } finally {
       exp.extraStrategies = savedS
       exp.extraOptimizations = savedO
     }
+  }
+
+  test("perKeyDistinct map-side state bound: exact under key overflow") {
+    val key = "spark.graft.topk.maxMapKeys"
+    spark.conf.set(key, "2")
+    try {
+      val rnd = new scala.util.Random(13)
+      val rows = (0 until 2000).map(i =>
+        (rnd.nextInt(100).toLong, i.toLong, rnd.nextInt(8).toDouble))
+      val df = rows.toDF("k", "id", "v").repartition(8)
+      val got = TopK.perKeyDistinct(df, Seq("k"), Seq(("v", true)), 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("v").desc)
+      val expected = df.withColumn("rk", dense_rank().over(w))
+        .filter(col("rk") <= 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    } finally spark.conf.unset(key)
   }
 
   test("withTies map-side state bound: exact under key overflow") {
