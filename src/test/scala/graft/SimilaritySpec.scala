@@ -81,6 +81,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"recall@5 = $recall")
   }
 
+  test("persisted code index: write → reload → search matches the " +
+      "on-the-fly path (schema round-trip pinned)") {
+    import graft.sources.ParquetUpsertSink
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_codeidx").toString
+    val fresh = SimilarityOps.quantizedCodes(spark, Sf)
+    ParquetUpsertSink.insertNewOnly(spark, idxDir, fresh, Seq("vec_id"))
+    val persisted = ParquetUpsertSink.read(spark, idxDir)
+    // the persisted artifact's schema IS the cross-run contract —
+    // names + SQL types (parquet widens array containsNull; nullability
+    // is not part of the contract)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq
+    assert(shape(persisted) == shape(fresh),
+      s"schema drift through parquet: ${persisted.schema}")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(key(SimilarityOps.quantizedAnn(spark, Sf, persisted)) ==
+      key(SimilarityOps.q87QuantizedAnn(spark, Sf)))
+  }
+
   test("quantizedCodes: int8 range and code-sum consistency") {
     val codes = SimilarityOps.quantizedCodes(spark, Sf)
       .filter(col("vec_id") < 3).collect()
