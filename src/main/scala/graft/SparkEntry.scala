@@ -110,6 +110,7 @@ object SparkEntry {
     "q85_bloom_join" -> (BloomJoin.q85BloomJoin _),
     "q86_salted_join" -> (SkewJoin.q86SaltedJoin _),
     "q87_quantized_ann" -> (SimilarityOps.q87QuantizedAnn _),
+    "q88_span_scrub" -> (DedupOps.q88SpanScrub _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1226,5 +1227,34 @@ object SparkEntry {
            FROM resc
          )
          SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 5""",
+    // duplicated-span scrub: keep the first corpus-wide occurrence of
+    // each exact 32-token span, reassemble docs from survivors
+    "q88_span_scrub" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents WHERE text IS NOT NULL
+         ), n AS (
+           SELECT doc_id, tk,
+                  GREATEST(1, CAST(ceil(len(tk) / 32.0) AS BIGINT))
+                    AS n_spans
+           FROM tk
+         ), sp AS (
+           SELECT doc_id, unnest(range(0, n_spans)) AS span_ix, tk FROM n
+         ), spans AS (
+           SELECT doc_id, span_ix,
+                  array_to_string(tk[span_ix*32 + 1 : span_ix*32 + 32], ' ')
+                    AS span_text
+           FROM sp
+         ), ranked AS (
+           SELECT doc_id, span_ix, span_text,
+                  row_number() OVER (PARTITION BY md5(span_text)
+                    ORDER BY doc_id, span_ix) AS rn
+           FROM spans
+         )
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_kept,
+                string_agg(span_text, ' ' ORDER BY span_ix)
+                  AS scrubbed_text
+         FROM ranked WHERE rn = 1
+         GROUP BY doc_id""",
   )
 }

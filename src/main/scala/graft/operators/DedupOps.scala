@@ -539,4 +539,48 @@ object DedupOps {
       .select(col("doc_b").as("doc_id")).distinct()
     incoming.join(rejected, Seq("doc_id"), "left_anti")
   }
+
+  /** 103. Corpus-level duplicated-span scrub (C4/RefinedWeb-style
+    * repeated-paragraph removal, at span granularity since this corpus
+    * has no newlines): cut every document into non-overlapping 32-token
+    * spans, keep only the FIRST corpus-wide occurrence of each exact
+    * span text (smallest (doc_id, span_ix)), and reassemble each
+    * document from its surviving spans in order. A document whose every
+    * span is a repeat of earlier text disappears entirely — the
+    * sub-document generalization of q23's exact dedup (reference
+    * counterpart: the drop-duplicates step of the incremental load,
+    * etl_pipeline_script.py:40-48, applied below document granularity).
+    *
+    * Scale shape: the first-occurrence choice is the TopKPerKey heap
+    * keyed on the span's md5 — ≤ 1 row per (partition, hash) reaches
+    * the shuffle, so the corpus text crosses the wire once, map-side
+    * reduced; reassembly is one more shuffle of only the SURVIVING
+    * spans keyed by doc_id (sort-within-group via array_sort of
+    * (span_ix, text) structs, never a per-doc window sort).
+    */
+  def q88SpanScrub(s: SparkSession, d: String): DataFrame = {
+    val spanTokens = 32
+    val nSpans = greatest(lit(1L),
+      ceil(size(col("tk")).cast("double") / spanTokens).cast("long"))
+    val spans = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(normText).as("tk"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), nSpans - 1),
+          i => concat_ws(" ",
+            slice(col("tk"), (i * spanTokens + 1).cast("int"),
+              lit(spanTokens)))))
+          .as(Seq("span_ix", "span_text")))
+      .select(col("doc_id"), col("span_ix").cast("long").as("span_ix"),
+        col("span_text"))
+    val kept = graft.plans.TopK.perKey(
+      spans.withColumn("h", md5(col("span_text"))),
+      keys = Seq("h"),
+      order = Seq(("doc_id", false), ("span_ix", false)), k = 1)
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("span_ix"), col("span_text")))),
+          e => e("span_text"))).as("scrubbed_text"))
+  }
 }

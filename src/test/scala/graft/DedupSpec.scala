@@ -247,4 +247,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(found >= math.ceil(planted.size * 0.8).toInt,
       s"recall $found/${planted.size}")
   }
+
+  test("span scrub: repeated spans drop, first occurrence survives, " +
+      "docs reassemble in span order") {
+    val got = DedupOps.q88SpanScrub(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // local replay: exact first-occurrence semantics over the corpus
+    val docs = Tables.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, String)]
+    docs.foreach { case (id, text) =>
+      val tk = text.trim.toLowerCase.split("\\s+")
+      val spans = tk.grouped(32).map(_.mkString(" ")).toSeq match {
+        case Seq() => Seq("")
+        case s => s
+      }
+      val keptSpans = spans.filter(sp =>
+        if (seen.contains(sp)) false else { seen += sp; true })
+      if (keptSpans.nonEmpty)
+        expected(id) = (keptSpans.size.toLong, keptSpans.mkString(" "))
+    }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, v) =>
+      assert(v == expected(id), s"doc $id: got $v want ${expected(id)}") }
+    // the corpus actually contains repeated spans, so scrubbing happened
+    assert(got.values.map(_._1).sum <
+      docs.map(d => math.max(1,
+        math.ceil(d._2.trim.toLowerCase.split("\\s+").length / 32.0).toInt))
+        .sum)
+  }
 }
