@@ -459,8 +459,11 @@ object TextOps {
     base.crossJoin(broadcast(hot))
       .select(col("doc_id"),
         size(col("bg")).cast("long").as("n_bigrams"),
-        size(filter(col("bg"), x => array_contains(col("hotbg"), x)))
-          .cast("long").as("n_hot"))
+        // codegen'd binary search per bigram — the HOF
+        // size(filter(bg, x -> array_contains(hotbg, x))) runs
+        // interpreted at O(|bg|·1000) comparisons per row
+        graft.functions.CountInSorted.countIn(s, col("bg"), col("hotbg"))
+          .as("n_hot"))
       .withColumn("cov_ppt",
         when(col("n_bigrams") === 0, lit(0L))
           .otherwise(expr("(n_hot * 1000 * 2 + n_bigrams) div (2 * n_bigrams)")))

@@ -149,4 +149,30 @@ class DifferentialSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("count_in_sorted equals the filter/array_contains HOF on random " +
+      "data (incl. null elements and empty arrays)") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 10) {
+      val vocab = (0 until 40).map(i => s"w$i")
+      val n = 1 + rnd.nextInt(200)
+      val rows = (0 until n).map { i =>
+        val len = rnd.nextInt(12)
+        val arr = (0 until len).map(_ =>
+          if (rnd.nextInt(20) == 0) null
+          else vocab(rnd.nextInt(vocab.size))).toSeq
+        (i.toLong, arr)
+      }
+      val hot = rnd.shuffle(vocab).take(1 + rnd.nextInt(15)).sorted
+      val df = rows.toDF("id", "arr")
+        .withColumn("hot", typedlit(hot))
+      val native = graft.functions.CountInSorted
+        .countIn(spark, col("arr"), col("hot"))
+      val hof = size(filter(col("arr"),
+        x => array_contains(col("hot"), x))).cast("long")
+      val diff = df.select(col("id"), native.as("a"), hof.as("b"))
+        .filter(col("a") =!= col("b")).collect()
+      assert(diff.isEmpty, s"trial $trial: ${diff.mkString(",")}")
+    }
+  }
 }
