@@ -111,6 +111,7 @@ object SparkEntry {
     "q86_salted_join" -> (SkewJoin.q86SaltedJoin _),
     "q87_quantized_ann" -> (SimilarityOps.q87QuantizedAnn _),
     "q88_span_scrub" -> (DedupOps.q88SpanScrub _),
+    "q89_interval_join" -> (RangeJoin.q89IntervalJoin _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1256,5 +1257,22 @@ object SparkEntry {
                   AS scrubbed_text
          FROM ranked WHERE rn = 1
          GROUP BY doc_id""",
+    // interval join: DuckDB's native inequality join computes the same
+    // containment matches the bucketed equi-join produces
+    "q89_interval_join" ->
+      """WITH top AS (
+           SELECT event_id, ts,
+                  row_number() OVER (ORDER BY value DESC, event_id) AS rn
+           FROM events WHERE event_type = 'purchase'
+         ), w AS (
+           SELECT event_id AS window_id,
+                  epoch_us(ts) - 7200000000 AS lo,
+                  epoch_us(ts) + 7200000000 AS hi
+           FROM top WHERE rn <= 20
+         )
+         SELECT w.window_id, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM w JOIN events e ON epoch_us(e.ts) BETWEEN w.lo AND w.hi
+         GROUP BY w.window_id""",
   )
 }

@@ -145,4 +145,35 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ex.getMessage.toLowerCase.contains("non-null binary literal"),
       ex.getMessage)
   }
+
+  test("interval join equals the naive BETWEEN join on random windows") {
+    val rnd = new scala.util.Random(21)
+    val facts = (0 until 500).map(i => (i.toLong, rnd.nextInt(100000).toLong))
+      .toDF("fid", "us")
+    val windows = (0 until 40).map { i =>
+      val lo = rnd.nextInt(100000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(8000).toLong)
+    }.toDF("wid", "lo", "hi")
+    val got = graft.operators.RangeJoin
+      .intervalJoin(facts, "us", windows, "lo", "hi", bucketUs = 2500L)
+      .select("fid", "wid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = facts.join(windows,
+        col("us") >= col("lo") && col("us") <= col("hi"))
+      .select("fid", "wid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // multiset equality: a pair must appear exactly once per containment
+    assert(got.sorted.toSeq == expected.sorted.toSeq,
+      s"got ${got.length} pairs, expected ${expected.length}")
+    assert(expected.nonEmpty)
+  }
+
+  test("q89 interval join plans as an equi-join: no nested loop, " +
+      "no cartesian") {
+    val p = graft.operators.RangeJoin.q89IntervalJoin(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("_bucket"), p.take(2000))
+  }
 }
