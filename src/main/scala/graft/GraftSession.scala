@@ -35,6 +35,8 @@ object GraftSession {
     graft.functions.VectorExpressions.register(spark)
     graft.functions.SimHashExpression.register(spark)
     graft.functions.MinHashExpression.register(spark)
+    graft.functions.PairMergeExpression.register(spark)
+    graft.functions.CountInSorted.register(spark)
     spark
   }
 }
