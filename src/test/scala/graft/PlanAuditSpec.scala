@@ -260,6 +260,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("q88 span scrub: first-occurrence cut is the heap operator, " +
+      "no Sort node anywhere") {
+    val p = plan(DedupOps.q88SpanScrub(spark, Sf))
+    // partial + final heap around the hash exchange on the span md5
+    assert("TopKPerKey \\[".r.findAllIn(p).length == 2, p.take(2500))
+    // reassembly is array_sort-within-group, never a per-doc Sort
+    assert(!p.contains("Sort "), p.take(2500))
+    assert(!p.contains("Window"), p.take(2500))
+  }
+
   test("q87 quantized ANN: heap shortlist cut, queries broadcast, " +
       "corpus never broadcast") {
     val p = plan(SimilarityOps.q87QuantizedAnn(spark, Sf))
