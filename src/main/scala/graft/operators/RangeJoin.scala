@@ -35,6 +35,9 @@ object RangeJoin {
   def intervalJoin(facts: DataFrame, ts: String, windows: DataFrame,
       lo: String, hi: String, bucketUs: Long): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
+    require(!facts.columns.contains("_bucket") &&
+      !windows.columns.contains("_bucket"),
+      "inputs must not carry a _bucket column (the join's working key)")
     // `div` is integer division (Column./ is double division — lossy at
     // µs magnitudes); all timestamps are non-negative µs, so
     // truncation = floor and the bucketing is exact

@@ -116,18 +116,24 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
           (col("o_totalprice").cast("long") / 50000L).as("band"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy(col("band").desc)
-      val q = df.withColumn("rk", rank().over(w))
+      def query() = df.withColumn("rk", rank().over(w))
         .filter(col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "band")
+      val q = query()
       val plan = q.queryExecution.executedPlan.toString
       assert(plan.contains("TopKPerKey"), plan.take(1500))
       assert(!plan.contains("WindowGroupLimit"), plan.take(1500))
       assert(!plan.contains("Sort "), plan.take(1500))
       val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      // same rows as the un-rewritten window formulation
+      // same rows as the un-rewritten window formulation: restore the
+      // optimizer FIRST, then build a FRESH Dataset (q's QueryExecution
+      // is already planned, so re-collecting q would compare the
+      // rewritten output with itself)
       exp.extraStrategies = savedS
       exp.extraOptimizations = savedO
-      val expected = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val q2 = query()
+      assert(!q2.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      val expected = q2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == expected)
     } finally {
       exp.extraStrategies = savedS
@@ -161,17 +167,22 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
           (col("o_totalprice").cast("long") / 50000L).as("band"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy(col("band").desc)
-      val q = df.withColumn("rk", dense_rank().over(w))
+      def query() = df.withColumn("rk", dense_rank().over(w))
         .filter(col("rk") <= 2)
         .select("o_custkey", "o_orderkey", "band")
+      val q = query()
       val plan = q.queryExecution.executedPlan.toString
       assert(plan.contains("TopKPerKey"), plan.take(1500))
       assert(!plan.contains("WindowGroupLimit"), plan.take(1500))
       assert(!plan.contains("Sort "), plan.take(1500))
       val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // restore the optimizer, then build a FRESH Dataset (see the
+      // rank() test: re-collecting q compares the rewrite with itself)
       exp.extraStrategies = savedS
       exp.extraOptimizations = savedO
-      val expected = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val q2 = query()
+      assert(!q2.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      val expected = q2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == expected)
     } finally {
       exp.extraStrategies = savedS
