@@ -35,6 +35,42 @@ class DifferentialSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("perKey withTies / perKeyDistinct equal rank()/dense_rank() on 20 " +
+      "random tie-heavy datasets") {
+    val rnd = new scala.util.Random(3131)
+    for (trial <- 1 to 20) {
+      val nKeys = 1 + rnd.nextInt(8)
+      val n = 1 + rnd.nextInt(300)
+      val k = 1 + rnd.nextInt(5)
+      // tiny value domain, NO id tie-break → boundary ties everywhere;
+      // both contracts are deterministic under a non-total ordering
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(nKeys).toLong, i.toLong, rnd.nextInt(4).toDouble)
+      }
+      val df = rows.toDF("key", "id", "v")
+        .repartition(1 + rnd.nextInt(8))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("v").desc)
+
+      val gotRank = TopK.perKey(df, Seq("key"), Seq(("v", true)), k,
+          withTies = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expRank = df.withColumn("rk", rank().over(w))
+        .filter(col("rk") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotRank == expRank,
+        s"rank trial $trial (nKeys=$nKeys n=$n k=$k)")
+
+      val gotDense = TopK.perKeyDistinct(df, Seq("key"), Seq(("v", true)), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expDense = df.withColumn("rk", dense_rank().over(w))
+        .filter(col("rk") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotDense == expDense,
+        s"dense trial $trial (nKeys=$nKeys n=$n k=$k)")
+    }
+  }
+
   test("mintKeys equals global row_number over distinct keys on random data") {
     val rnd = new scala.util.Random(99)
     for (trial <- 1 to 10) {
