@@ -112,6 +112,7 @@ object SparkEntry {
     "q87_quantized_ann" -> (SimilarityOps.q87QuantizedAnn _),
     "q88_span_scrub" -> (DedupOps.q88SpanScrub _),
     "q89_interval_join" -> (RangeJoin.q89IntervalJoin _),
+    "q90_funnel4" -> (RelationalOps.q90Funnel4 _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1274,5 +1275,35 @@ object SparkEntry {
                 CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
          FROM w JOIN events e ON epoch_us(e.ts) BETWEEN w.lo AND w.hi
          GROUP BY w.window_id""",
+    // the k=4 funnel: same nested conditional-min chain as q80, one
+    // step longer
+    "q90_funnel4" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1
+         ), s2 AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1
+         ), s3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1
+         ), s4 AS (
+           SELECT e.user_id, min(e.ts) AS t4
+           FROM events e JOIN s3 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1
+         )
+         SELECT 1 AS step_ord, 'signup' AS step,
+                CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+         UNION ALL
+         SELECT 2, 'view_after_signup',
+                CAST((SELECT count(*) FROM s2) AS BIGINT)
+         UNION ALL
+         SELECT 3, 'click_after_view',
+                CAST((SELECT count(*) FROM s3) AS BIGINT)
+         UNION ALL
+         SELECT 4, 'purchase_after_click',
+                CAST((SELECT count(*) FROM s4) AS BIGINT)""",
   )
 }

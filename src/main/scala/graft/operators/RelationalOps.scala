@@ -612,6 +612,14 @@ object RelationalOps {
   def q80Funnel(s: SparkSession, d: String): DataFrame =
     funnel(Tables.events(s, d), Seq("signup", "click", "purchase"))
 
+  /** The k=4 instantiation of [[funnel]] (signup → view → click →
+    * purchase) — driver-visible evidence that the parameterized chain
+    * produces the oracle's nested conditional-min semantics at any k,
+    * still on ONE user_id shuffle.
+    */
+  def q90Funnel4(s: SparkSession, d: String): DataFrame =
+    funnel(Tables.events(s, d), Seq("signup", "view", "click", "purchase"))
+
   /** Parameterized k-step funnel: `steps(i)` converts a user iff an
     * event of that type occurs strictly after the user's step-(i−1)
     * conversion time. Output is one row per step: (step_ord, step
