@@ -113,6 +113,10 @@ object SparkEntry {
     "q88_span_scrub" -> (DedupOps.q88SpanScrub _),
     "q89_interval_join" -> (RangeJoin.q89IntervalJoin _),
     "q90_funnel4" -> (RelationalOps.q90Funnel4 _),
+    "q91_fuzzy_join" -> (FuzzyJoin.q91FuzzyJoin _),
+    "q92_scd2" -> (RelationalOps.q92Scd2 _),
+    "q93_corr_matrix" -> (StatsOps.q93CorrMatrix _),
+    "q94_sliding_window" -> (RelationalOps.q94SlidingWindow _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1305,5 +1309,90 @@ object SparkEntry {
          UNION ALL
          SELECT 4, 'purchase_after_click',
                 CAST((SELECT count(*) FROM s4) AS BIGINT)""",
+    // fuzzy join: the oracle is the naive n² inequality join the
+    // delete-1 blocking exists to avoid — same output by construction
+    "q91_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                a.c_name AS name_a, b.c_name AS name_b,
+                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a JOIN customer b
+           ON a.c_custkey < b.c_custkey
+          AND levenshtein(a.c_name, b.c_name) <= 1""",
+    // SCD2: the same lag/sum/lead gaps-and-islands chain; lag IS
+    // DISTINCT FROM curr is DuckDB's null-safe spelling of Spark's <=>
+    "q92_scd2" ->
+      """WITH marked AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                  CASE WHEN lag(o_orderpriority) OVER w
+                            IS DISTINCT FROM o_orderpriority
+                       THEN 1 ELSE 0 END AS chg
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)
+         ), runs AS (
+           SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS run_id
+           FROM marked
+         ), collapsed AS (
+           SELECT o_custkey AS custkey, run_id,
+                  min(o_orderpriority) AS priority,
+                  min(o_orderdate) AS valid_from,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM runs GROUP BY custkey, run_id
+         )
+         SELECT custkey, priority, valid_from,
+                lead(valid_from) OVER w2 AS valid_to,
+                (lead(valid_from) OVER w2 IS NULL) AS is_current, n_orders
+         FROM collapsed
+         WINDOW w2 AS (PARTITION BY custkey ORDER BY run_id)""",
+    // correlation matrix: identical HUGEINT moments (corr is
+    // scale-invariant, values ×10⁴ are exact integers), identical
+    // double expression tree, ROUND last
+    "q93_corr_matrix" ->
+      """WITH s AS (
+           SELECT CAST(CAST(l_quantity AS DECIMAL(18,4))*10000 AS HUGEINT) AS x0,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,4))*10000 AS HUGEINT) AS x1,
+                  CAST(CAST(l_discount AS DECIMAL(18,4))*10000 AS HUGEINT) AS x2,
+                  CAST(CAST(l_tax AS DECIMAL(18,4))*10000 AS HUGEINT) AS x3
+           FROM lineitem
+         ), m AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(SUM(x0) AS DOUBLE) AS s0, CAST(SUM(x1) AS DOUBLE) AS s1,
+                  CAST(SUM(x2) AS DOUBLE) AS s2, CAST(SUM(x3) AS DOUBLE) AS s3,
+                  CAST(SUM(x0*x0) AS DOUBLE) AS s00, CAST(SUM(x0*x1) AS DOUBLE) AS s01,
+                  CAST(SUM(x0*x2) AS DOUBLE) AS s02, CAST(SUM(x0*x3) AS DOUBLE) AS s03,
+                  CAST(SUM(x1*x1) AS DOUBLE) AS s11, CAST(SUM(x1*x2) AS DOUBLE) AS s12,
+                  CAST(SUM(x1*x3) AS DOUBLE) AS s13, CAST(SUM(x2*x2) AS DOUBLE) AS s22,
+                  CAST(SUM(x2*x3) AS DOUBLE) AS s23, CAST(SUM(x3*x3) AS DOUBLE) AS s33
+           FROM s
+         )
+         SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+                ROUND((n*s01 - s0*s1) / (sqrt(n*s00 - s0*s0) * sqrt(n*s11 - s1*s1)), 4) AS corr FROM m
+         UNION ALL
+         SELECT 'l_quantity', 'l_discount',
+                ROUND((n*s02 - s0*s2) / (sqrt(n*s00 - s0*s0) * sqrt(n*s22 - s2*s2)), 4) FROM m
+         UNION ALL
+         SELECT 'l_quantity', 'l_tax',
+                ROUND((n*s03 - s0*s3) / (sqrt(n*s00 - s0*s0) * sqrt(n*s33 - s3*s3)), 4) FROM m
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_discount',
+                ROUND((n*s12 - s1*s2) / (sqrt(n*s11 - s1*s1) * sqrt(n*s22 - s2*s2)), 4) FROM m
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_tax',
+                ROUND((n*s13 - s1*s3) / (sqrt(n*s11 - s1*s1) * sqrt(n*s33 - s3*s3)), 4) FROM m
+         UNION ALL
+         SELECT 'l_discount', 'l_tax',
+                ROUND((n*s23 - s2*s3) / (sqrt(n*s22 - s2*s2) * sqrt(n*s33 - s3*s3)), 4) FROM m""",
+    // RANGE frame over event-time µs; DECIMAL sums so the segment-tree
+    // and frame-slide accumulations agree exactly
+    "q94_sliding_window" ->
+      """SELECT event_id, user_id,
+                CAST(count(*) OVER w AS BIGINT) AS n_hour,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w
+                     AS DECIMAL(18,4)) AS sum_hour
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
   )
 }

@@ -734,4 +734,76 @@ object RelationalOps {
       .select(col(group), (col("v_lo") + (col("pos") - floor(col("pos"))) *
         (col("v_hi") - col("v_lo"))).as(out))
   }
+
+  /** SCD Type-2 history: collapse a keyed, timestamped attribute stream
+    * into versioned validity intervals — one row per run of consecutive
+    * equal values, with `valid_from` / `valid_to` (start of the next
+    * run, NULL on the open current version) and `is_current`. The
+    * history-keeping sibling of the reference's last-write-wins MERGE
+    * (db_ops.py:62-148, q12): where that overwrites, this appends the
+    * full change history a dimension table needs for point-in-time
+    * joins.
+    *
+    * Run detection is gaps-and-islands: a null-safe lag-inequality
+    * marker, a running sum to number the runs, one groupBy per run, and
+    * a lead() for the interval end — three window passes and one
+    * aggregate, all over the SAME hash partitioning on `key` (one
+    * shuffle; per-key windows stay bounded by that key's row count, so
+    * no single-reducer concentration at any scale).
+    *
+    * Ordering within a key is pinned by (`ts`, `tieBreak`) so runs are
+    * deterministic under same-instant updates.
+    */
+  def scd2(df: DataFrame, key: String, attr: String, ts: String,
+      tieBreak: String): DataFrame = {
+    val byKey = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    val runs = df
+      .withColumn("_chg",
+        when(lag(col(attr), 1).over(byKey) <=> col(attr), 0L).otherwise(1L))
+      .withColumn("_run",
+        sum(col("_chg")).over(byKey.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col(key), col("_run"))
+      .agg(min(col(attr)).as("attr_value"), // constant within a run
+        min(col(ts)).as("valid_from"), count(lit(1)).as("n_rows"))
+    val byRun = Window.partitionBy(col(key)).orderBy(col("_run"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_run")
+  }
+
+  /** 106. Customer order-priority history: each customer's orders over
+    * time define their current-priority attribute; SCD2 collapses the
+    * stream into validity intervals. The oracle replays the same
+    * lag/sum/lead chain in DuckDB SQL.
+    */
+  def q92Scd2(s: SparkSession, d: String): DataFrame =
+    scd2(Tables.orders(s, d), "o_custkey", "o_orderpriority",
+      "o_orderdate", "o_orderkey")
+      .select(col("o_custkey").as("custkey"),
+        col("attr_value").as("priority"),
+        col("valid_from"), col("valid_to"), col("is_current"),
+        col("n_rows").as("n_orders"))
+
+  /** 108. Time-RANGE sliding window: per-user rolling 1-hour event count
+    * and value sum — a RANGE frame over the event-time axis (q42's
+    * running total is the ROWS-frame sibling; a RANGE frame bounds by
+    * VALUE distance, so it is insensitive to tie order by construction).
+    * One hash shuffle on user_id; frames never leave the user partition.
+    * Sums ride DECIMAL so the frame-add/frame-subtract accumulation and
+    * DuckDB's segment tree agree exactly (CLAUDE.md determinism rule).
+    */
+  def q94SlidingWindow(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_us"))
+      .rangeBetween(-hourUs, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("_us"),
+        col("value").cast("decimal(18,4)").as("_v"))
+      .withColumn("n_hour", count(lit(1)).over(w).cast("long"))
+      .withColumn("sum_hour", sum(col("_v")).over(w).cast("decimal(18,4)"))
+      .select("event_id", "user_id", "n_hour", "sum_hour")
+  }
 }

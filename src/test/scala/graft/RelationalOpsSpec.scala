@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
 
   test("flagship entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -272,5 +273,80 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       }.map(_._2)
     }.toSet
     assert(got == expected && got.nonEmpty)
+  }
+
+  test("scd2: runs collapse to intervals; re-appearing value opens a " +
+      "NEW version; same-instant updates ordered by the tie-break") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, "A", t("2024-01-01 00:00:00"), 10L),
+      (1L, "A", t("2024-01-02 00:00:00"), 11L),
+      (1L, "B", t("2024-01-03 00:00:00"), 12L),
+      (1L, "A", t("2024-01-04 00:00:00"), 13L), // A re-appears → new run
+      (2L, "X", t("2024-01-01 00:00:00"), 14L),
+      (3L, "Q", t("2024-01-01 00:00:00"), 15L), // same instant: tb pins
+      (3L, "P", t("2024-01-01 00:00:00"), 16L))
+      .toDF("k", "a", "ts", "tb")
+    val got = RelationalOps.scd2(df, "k", "a", "ts", "tb")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("attr_value"),
+        r.getAs[java.sql.Timestamp]("valid_from"),
+        Option(r.getAs[java.sql.Timestamp]("valid_to")),
+        r.getAs[Boolean]("is_current"), r.getAs[Long]("n_rows")))
+    assert(got.toSeq == Seq(
+      (1L, "A", t("2024-01-01 00:00:00"), Some(t("2024-01-03 00:00:00")),
+        false, 2L),
+      (1L, "B", t("2024-01-03 00:00:00"), Some(t("2024-01-04 00:00:00")),
+        false, 1L),
+      (1L, "A", t("2024-01-04 00:00:00"), None, true, 1L),
+      (2L, "X", t("2024-01-01 00:00:00"), None, true, 1L),
+      (3L, "Q", t("2024-01-01 00:00:00"), Some(t("2024-01-01 00:00:00")),
+        false, 1L),
+      (3L, "P", t("2024-01-01 00:00:00"), None, true, 1L)))
+  }
+
+  test("q92: versions per customer chain without gaps, one current each") {
+    // o_orderdate reads as TIMESTAMP_NTZ → LocalDateTime rows
+    val rows = RelationalOps.q92Scd2(spark, Sf).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime]("valid_from"),
+        Option(r.getAs[java.time.LocalDateTime]("valid_to")),
+        r.getAs[Boolean]("is_current")))
+      .groupBy(_._1)
+    rows.foreach { case (k, vs) =>
+      val sorted = vs.sortWith((a, b) => a._2.isBefore(b._2))
+      assert(sorted.count(_._4) == 1, s"customer $k current-count")
+      assert(sorted.last._4 && sorted.last._3.isEmpty)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2),
+          s"customer $k: gap between versions")
+        case _ =>
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("q94 sliding window matches a per-user replay (RANGE frame " +
+      "includes same-instant peers)") {
+    val hourUs = 3600L * 1000000
+    val got = RelationalOps.q94SlidingWindow(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("n_hour")),
+          r.getDecimal(r.fieldIndex("sum_hour"))
+            .movePointRight(4).longValueExact())).toMap
+    val ev = Tables.events(spark, Sf)
+      .selectExpr("event_id", "user_id", "unix_micros(ts) AS us",
+        "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS LONG) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.size == ev.length)
+    ev.groupBy(_._2).values.foreach { rows =>
+      rows.foreach { case (id, _, us, _) =>
+        val in = rows.filter(r => r._3 >= us - hourUs && r._3 <= us)
+        val (n, sum) = (in.length.toLong, in.map(_._4).sum)
+        assert(got(id) == ((n, sum)),
+          s"event $id: got ${got(id)} expected ($n, $sum)")
+      }
+    }
   }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.StatsOps
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("corr matrix: exact ±1 on linearly dependent columns") {
+    val df = (1 to 200).map(i => (i * 1.0, 2.0 * i + 3.0, -1.0 * i))
+      .toDF("x", "y", "z")
+    val got = StatsOps.corrMatrix(df, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("x", "y")) == 1.0)
+    assert(got(("x", "z")) == -1.0)
+    assert(got(("y", "z")) == -1.0)
+  }
+
+  test("q93 is ONE pass: a single lineitem scan, partially aggregated") {
+    val q = StatsOps.q93CorrMatrix(spark, Sf)
+    q.collect()
+    // AQE prints Final + Initial plan sections — audit the final one
+    val p = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "FileScan|BatchScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, // partial + final
+      s"partial aggregation missing:\n${p.take(2000)}")
+  }
+
+  test("q93 matches a local double-precision Pearson within the " +
+      "round-4 tolerance") {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val got = StatsOps.q93CorrMatrix(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    val data = Tables.lineitem(spark, Sf)
+      .select(cols.head, cols.tail: _*).collect()
+      .map(r => cols.indices.map(r.getDouble).toArray)
+    val n = data.length.toDouble
+    def pearson(i: Int, j: Int): Double = {
+      val (si, sj) = (data.map(_(i)).sum, data.map(_(j)).sum)
+      val sij = data.map(r => r(i) * r(j)).sum
+      val (sii, sjj) =
+        (data.map(r => r(i) * r(i)).sum, data.map(r => r(j) * r(j)).sum)
+      (n * sij - si * sj) /
+        (math.sqrt(n * sii - si * si) * math.sqrt(n * sjj - sj * sj))
+    }
+    for (i <- 0 until 4; j <- i + 1 until 4) {
+      val e = pearson(i, j)
+      val g = got((cols(i), cols(j)))
+      assert(math.abs(g - e) <= 1e-4 + 1e-9,
+        s"${cols(i)}×${cols(j)}: got $g expected $e")
+    }
+  }
+}
