@@ -117,6 +117,8 @@ object SparkEntry {
     "q92_scd2" -> (RelationalOps.q92Scd2 _),
     "q93_corr_matrix" -> (StatsOps.q93CorrMatrix _),
     "q94_sliding_window" -> (RelationalOps.q94SlidingWindow _),
+    "q95_dq_report" -> (StatsOps.q95DqReport _),
+    "q96_setsim_join" -> (DedupOps.q96SetSimJoin _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1394,5 +1396,55 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    // expectation suite: integer-ppm metrics, floor division in both
+    // engines; referential via EXISTS = the semi-join
+    "q95_dq_report" ->
+      """WITH m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(o_custkey) AS BIGINT) AS m_comp,
+                  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS m_uniq,
+                  CAST(count(*) FILTER (WHERE o_totalprice > 0) AS BIGINT)
+                    AS m_range,
+                  CAST(count(*) FILTER (WHERE o_orderstatus IN
+                    ('O','F','P')) AS BIGINT) AS m_dom
+           FROM orders
+         ), r AS (
+           SELECT CAST(count(*) AS BIGINT) AS m_ref FROM orders o
+           WHERE EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey)
+         )
+         SELECT 'completeness_o_custkey' AS check_name,
+                CAST((m_comp * 1000000) // n AS BIGINT) AS metric_ppm,
+                m_comp = n AS pass FROM m, r
+         UNION ALL SELECT 'uniqueness_o_orderkey',
+                CAST((m_uniq * 1000000) // n AS BIGINT), m_uniq = n FROM m, r
+         UNION ALL SELECT 'range_o_totalprice_positive',
+                CAST((m_range * 1000000) // n AS BIGINT), m_range = n FROM m, r
+         UNION ALL SELECT 'domain_o_orderstatus',
+                CAST((m_dom * 1000000) // n AS BIGINT), m_dom = n FROM m, r
+         UNION ALL SELECT 'referential_o_custkey',
+                CAST((m_ref * 1000000) // n AS BIGINT), m_ref = n FROM m, r""",
+    // exact set-similarity join: the oracle is the naive n²
+    // list-intersect join the prefix filter exists to avoid; same
+    // shingle construction as q31's oracle
+    "q96_setsim_join" ->
+      """WITH base AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents WHERE text IS NOT NULL
+         ), sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) >= 3 THEN
+                    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                   for i in range(1, len(tk) - 1)])
+                  ELSE [array_to_string(tk, ' ')] END AS s
+           FROM base
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+                CAST(len(a.s) AS BIGINT) AS size_a,
+                CAST(len(b.s) AS BIGINT) AS size_b
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(a.s) > 0 AND len(b.s) > 0
+           AND 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)""",
   )
 }

@@ -583,4 +583,81 @@ object DedupOps {
           array_sort(collect_list(struct(col("span_ix"), col("span_text")))),
           e => e("span_text"))).as("scrubbed_text"))
   }
+
+  /** EXACT set-similarity join via prefix filtering (All-Pairs /
+    * PPJoin family): every pair of rows whose element sets have
+    * Jaccard ≥ tNum/tDen — 100% recall GUARANTEED, the lossless
+    * counterpart of the q29/q31 MinHash-LSH pipeline (LSH recall is
+    * probabilistic; this misses nothing).
+    *
+    * Prefix-filter theorem (Chaudhuri SSJoin / Bayardo All-Pairs):
+    * order every set by one GLOBAL token order and keep each set's
+    * first |s| − ⌈t·|s|⌉ + 1 tokens; any pair with J ≥ t shares at
+    * least one token inside both prefixes. Ordering by ascending
+    * document frequency makes those prefix tokens the RAREST ones, so
+    * the candidate equi-join buckets are small by construction — the
+    * frequent tokens that would create quadratic buckets are exactly
+    * the ones the prefix excludes. Verification is the integer test
+    * (tNum+tDen)·|∩| ≥ tNum·(|a|+|b|) — never a float.
+    *
+    * Plan shape: one corpus-scale groupBy for the df table, one
+    * re-group to sort each set in (df, token) order, a hash equi-join
+    * on prefix tokens carrying IDS ONLY, then payload re-attach for
+    * the exact verify. All shuffles hash-partitioned; nothing is ever
+    * all-pairs.
+    */
+  def setSimilarityJoin(rows: DataFrame, id: String, setCol: String,
+      tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val base = rows.select(col(id).as("_ss_id"), col(setCol).as("_ss_set"))
+      .filter(size(col("_ss_set")) > 0)
+    val toks = base.select(col("_ss_id"), size(col("_ss_set")).as("_n"),
+      explode(col("_ss_set")).as("_tok"))
+    val freq = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    // prefix length p = n − ceil(t·n) + 1, integer-exact
+    val pfx = toks.join(freq, Seq("_tok"))
+      .groupBy(col("_ss_id"))
+      .agg(max(col("_n")).as("_n"),
+        sort_array(collect_list(struct(col("_df"), col("_tok"))))
+          .as("_fs"))
+      .withColumn("_p",
+        expr(s"_n - (_n * $tNum + ${tDen - 1}) DIV $tDen + 1"))
+      .select(col("_ss_id"), explode(slice(
+        transform(col("_fs"), e => e("_tok")), lit(1), col("_p")))
+        .as("_tok"))
+    val cand = pfx.select(col("_ss_id").as("id_a"), col("_tok"))
+      .join(pfx.select(col("_ss_id").as("id_b"), col("_tok")), Seq("_tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val att = base.select(col("_ss_id"), col("_ss_set"))
+    cand
+      .join(att.select(col("_ss_id").as("id_a"),
+        col("_ss_set").as("_set_a")), Seq("id_a"))
+      .join(att.select(col("_ss_id").as("id_b"),
+        col("_ss_set").as("_set_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("_set_a"), col("_set_b"))).cast("long"))
+      .withColumn("size_a", size(col("_set_a")).cast("long"))
+      .withColumn("size_b", size(col("_set_b")).cast("long"))
+      .filter(col("inter") * (tNum + tDen) >=
+        (col("size_a") + col("size_b")) * tNum)
+      .select("id_a", "id_b", "inter", "size_a", "size_b")
+  }
+
+  /** 110. Exact shingle-set similarity join over the corpus at
+    * J ≥ 1/2: finds every genuinely near-duplicate pair with zero
+    * probability of a miss — the recall oracle for the LSH family
+    * (q31's candidates ⊆ this output by construction). Null-text docs
+    * are excluded (no content ⇒ no similarity claim), matching the
+    * oracle's WHERE. The DuckDB oracle is the naive n² list-intersect
+    * join — quadratic in the corpus, which is precisely what the
+    * prefix filter avoids.
+    */
+  def q96SetSimJoin(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(normText).as("tk"))
+      .select(col("doc_id"), shingles(col("tk"), ShingleSize).as("sh"))
+    setSimilarityJoin(docs, "doc_id", "sh", 1, 2)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dataset-profiling statistics over the fact tables — the feature-stats
@@ -58,4 +58,87 @@ object StatsOps {
   def q93CorrMatrix(s: SparkSession, d: String): DataFrame =
     corrMatrix(Tables.lineitem(s, d),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  /** A data-quality constraint. `Completeness` measures the non-null
+    * share of a column; `Uniqueness` the distinct share of a column;
+    * `Satisfies` the share of rows meeting an arbitrary boolean
+    * predicate; `Referential` the share of rows whose key finds a
+    * partner in a dimension (a NULL key counts as unmatched — pair
+    * with `Completeness` to tell the two failure modes apart).
+    */
+  sealed trait DqCheck { def name: String }
+  final case class Completeness(column: String) extends DqCheck {
+    def name = s"completeness_$column"
+  }
+  final case class Uniqueness(column: String) extends DqCheck {
+    def name = s"uniqueness_$column"
+  }
+  final case class Satisfies(name: String, predicate: Column)
+    extends DqCheck
+  final case class Referential(column: String, dim: DataFrame,
+      dimKey: String) extends DqCheck {
+    def name = s"referential_$column"
+  }
+
+  /** 109. Data-quality expectation report (Deequ-style): one row per
+    * constraint — (check_name, metric_ppm, pass), metric in integer
+    * parts-per-million (floor division, engine-identical; never a
+    * float). Every in-scan check (completeness / uniqueness /
+    * satisfies) compiles into ONE aggregate pass over the table
+    * (violation counters as partial aggregates, map-side combined);
+    * each referential check adds one anti-join (the q48 shape —
+    * Catalyst broadcasts the dim side when small; never a driver-side
+    * key set, reference etl_pipeline_script.py:43 collects keys into a
+    * Python set). The 1-row aggregates cross-join (scalar-subquery
+    * shape) and unfold to report rows by explode. `pass` is a metric
+    * threshold: share checks pass at 100%, i.e. metric_ppm = 10⁶.
+    *
+    * `Uniqueness` is exact count(DISTINCT) — a keyspace shuffle; at
+    * 100 TB swap in the q60 HLL sketch for a fully one-pass
+    * approximate suite (same report contract).
+    */
+  def dqReport(df: DataFrame, checks: Seq[DqCheck]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    val n = count(lit(1))
+    val inScan: Seq[Column] = checks.flatMap {
+      case c: Completeness =>
+        Some(count(col(c.column)).as(s"_m_${c.name}"))
+      case c: Uniqueness =>
+        Some(countDistinct(col(c.column)).as(s"_m_${c.name}"))
+      case c: Satisfies =>
+        Some(count(when(c.predicate, 1)).as(s"_m_${c.name}"))
+      case _: Referential => None
+    }
+    val aggExprs = n.as("_n") +: inScan
+    val base = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val withRef = checks.foldLeft(base) {
+      case (acc, c: Referential) =>
+        val matched = df.select(col(c.column).as("_k"))
+          .join(c.dim.select(col(c.dimKey).as("_k")), Seq("_k"),
+            "left_semi")
+          .agg(count(lit(1)).as(s"_m_${c.name}"))
+        acc.crossJoin(matched)
+      case (acc, _) => acc
+    }
+    val rows = checks.map { c =>
+      val m = col(s"_m_${c.name}")
+      // integer floor division — engine-identical, never a float
+      struct(lit(c.name).as("check_name"),
+        expr(s"(_m_${c.name} * 1000000) DIV _n").as("metric_ppm"),
+        (m === col("_n")).as("pass"))
+    }
+    withRef.select(explode(array(rows: _*)).as("_c")).select("_c.*")
+  }
+
+  /** q95: the orders expectation suite — key completeness and
+    * uniqueness, price positivity, status domain, customer FK.
+    */
+  def q95DqReport(s: SparkSession, d: String): DataFrame =
+    dqReport(Tables.orders(s, d), Seq(
+      Completeness("o_custkey"),
+      Uniqueness("o_orderkey"),
+      Satisfies("range_o_totalprice_positive", col("o_totalprice") > 0),
+      Satisfies("domain_o_orderstatus",
+        col("o_orderstatus").isin("O", "F", "P")),
+      Referential("o_custkey", Tables.customer(s, d), "c_custkey")))
 }

@@ -280,4 +280,56 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         math.ceil(d._2.trim.toLowerCase.split("\\s+").length / 32.0).toInt))
         .sum)
   }
+
+  test("set-similarity join equals the naive n² Jaccard join at two " +
+      "thresholds (prefix filter is lossless)") {
+    val rnd = new scala.util.Random(7)
+    val universe = (0 until 60).map(i => s"t$i")
+    val base = (0 until 70).map { i =>
+      (i.toLong, rnd.shuffle(universe).take(4 + rnd.nextInt(10)).toSet)
+    }
+    // mutated copies: drop one element, add one — high-Jaccard partners
+    val mutated = base.take(30).map { case (id, s) =>
+      (id + 1000L, s.drop(1) + universe(rnd.nextInt(universe.size)))
+    }
+    val all = base ++ mutated
+    val df = all.map { case (id, s) => (id, s.toSeq) }.toDF("id", "set")
+    for ((tn, td) <- Seq((1, 2), (2, 3))) {
+      val got = DedupOps.setSimilarityJoin(df, "id", "set", tn, td)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = (for {
+        (ia, sa) <- all; (ib, sb) <- all
+        if ia < ib
+        i = (sa intersect sb).size
+        if i * (tn + td) >= (sa.size + sb.size) * tn
+      } yield (ia, ib, i.toLong)).toSet
+      assert(expected.nonEmpty, s"t=$tn/$td needs matches to be a test")
+      assert(got == expected, s"t=$tn/$td: " +
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
+  test("q96 equals a local naive replay over the REAL corpus " +
+      "(total recall — the guarantee LSH can't make)") {
+    val got = DedupOps.q96SetSimJoin(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    def shingleSet(text: String): Set[String] = {
+      val tk = text.trim.toLowerCase.split("\\s+")
+      if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSet
+      else Set(tk.mkString(" "))
+    }
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+      .collect().filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), shingleSet(r.getString(1))))
+    val expected = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs
+      if ia < ib && sa.nonEmpty && sb.nonEmpty
+      i = (sa intersect sb).size
+      if 3 * i >= sa.size + sb.size
+    } yield (ia, ib, i.toLong)).toSet
+    assert(got == expected, s"missing=${(expected -- got).take(5)} " +
+      s"extra=${(got -- expected).take(5)}")
+  }
 }

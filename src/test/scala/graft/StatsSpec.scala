@@ -5,6 +5,39 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class StatsSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.StatsOps.{Completeness, Uniqueness, Satisfies,
+    Referential}
+
+  test("dq report: planted violations measured in exact ppm") {
+    val facts = Seq(
+      (1L, Option(10L), 5.0, "O"),
+      (2L, Option(20L), -1.0, "O"), // range violation
+      (3L, None: Option[Long], 3.0, "X"), // null key + domain violation
+      (3L, Option(99L), 2.0, "F")) // dup orderkey + orphan custkey
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val dim = Seq(10L, 20L).toDF("k")
+    val got = StatsOps.dqReport(facts, Seq(
+      Completeness("o_custkey"),
+      Uniqueness("o_orderkey"),
+      Satisfies("positive", col("o_totalprice") > 0),
+      Satisfies("domain", col("o_orderstatus").isin("O", "F", "P")),
+      Referential("o_custkey", dim, "k"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got("completeness_o_custkey") == ((750000L, false)))
+    assert(got("uniqueness_o_orderkey") == ((750000L, false)))
+    assert(got("positive") == ((750000L, false)))
+    assert(got("domain") == ((750000L, false)))
+    assert(got("referential_o_custkey") == ((500000L, false)))
+  }
+
+  test("q95: the orders suite is all-pass on the test data") {
+    val got = StatsOps.q95DqReport(spark, Sf).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      assert(r.getBoolean(2) && r.getLong(1) == 1000000L, r.toString)
+    }
+  }
 
   test("corr matrix: exact ±1 on linearly dependent columns") {
     val df = (1 to 200).map(i => (i * 1.0, 2.0 * i + 3.0, -1.0 * i))
