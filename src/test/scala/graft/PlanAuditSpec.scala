@@ -284,4 +284,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj.forall(_.contains("BuildRight")), p.take(2500))
   }
+
+  test("q92 scd2: ONE o_custkey shuffle feeds both window passes and " +
+      "the run aggregate (subset-clustering reuse)") {
+    val p = plan(RelationalOps.q92Scd2(spark, Sf))
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(o_custkey"))
+      .size
+    assert(exchanges == 1, s"$exchanges o_custkey exchanges:\n${p.take(2500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("q94 sliding window: ONE user_id shuffle, RANGE frame inside it") {
+    val p = plan(RelationalOps.q94SlidingWindow(spark, Sf))
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(user_id"))
+      .size
+    assert(exchanges == 1, s"$exchanges user_id exchanges:\n${p.take(2500)}")
+    assert(p.contains("RangeFrame"), p.take(2500))
+  }
+
+  test("q96 set-similarity join: hash equi-joins only — no nested " +
+      "loop, no cartesian") {
+    val p = plan(DedupOps.q96SetSimJoin(spark, Sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(p.contains("_tok"), p.take(2500))
+  }
 }
