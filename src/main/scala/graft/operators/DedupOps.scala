@@ -622,9 +622,14 @@ object DedupOps {
           .as("_fs"))
       .withColumn("_p",
         expr(s"_n - (_n * $tNum + ${tDen - 1}) DIV $tDen + 1"))
+      // join key = 64-bit hash of the prefix token: equal tokens have
+      // equal hashes, so no candidate is ever LOST (recall intact); a
+      // hash collision can only add a false candidate, which the exact
+      // verify below drops — and the self-join shuffles 8-byte longs
+      // instead of token strings
       .select(col("_ss_id"), explode(slice(
-        transform(col("_fs"), e => e("_tok")), lit(1), col("_p")))
-        .as("_tok"))
+        transform(col("_fs"), e => xxhash64(e("_tok"))), lit(1),
+        col("_p"))).as("_tok"))
     val cand = pfx.select(col("_ss_id").as("id_a"), col("_tok"))
       .join(pfx.select(col("_ss_id").as("id_b"), col("_tok")), Seq("_tok"))
       .filter(col("id_a") < col("id_b"))
