@@ -195,4 +195,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert((0 until 10).forall(i => admitted.contains(3000000L + i)))
     assert(admitted.size == nClasses + 10)
   }
+
+  test("streaming dq monitor: per-batch reports with exact ppm, " +
+      "idempotent under full replay") {
+    import graft.operators.StatsOps
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dq").toString
+    val srcDir = s"$root/src"; val repDir = s"$root/report"
+    // batch f=1 clean; batch f=2: one null key, one duplicate id, one
+    // orphan key
+    Seq((1L, Option(10L)), (2L, Option(20L)), (3L, Option(30L)),
+      (4L, Option(40L)))
+      .toDF("id", "k").coalesce(1).write.parquet(s"$srcDir/f=1")
+    Seq((5L, Option(50L)), (6L, None: Option[Long]), (6L, Option(70L)),
+      (8L, Option(99L)))
+      .toDF("id", "k").coalesce(1).write.parquet(s"$srcDir/f=2")
+    val dim = Seq(10L, 20L, 30L, 40L, 50L, 70L).toDF("dk")
+    val checks = Seq(StatsOps.Completeness("k"), StatsOps.Uniqueness("id"),
+      StatsOps.Referential("k", dim, "dk"))
+    def run(): Unit = {
+      val stream = spark.readStream.schema("id LONG, k LONG, f INT")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = graft.streaming.DqMonitor.monitored(stream, checks, repDir)
+      q.awaitTermination(120000)
+    }
+    run()
+    val rep = graft.sources.ParquetUpsertSink.read(spark, repDir).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("check_name"))
+        -> ((r.getAs[Long]("metric_ppm"), r.getAs[Boolean]("pass")))).toMap
+    assert(rep.size == 6)
+    assert(rep((0L, "completeness_k")) == ((1000000L, true)))
+    assert(rep((0L, "uniqueness_id")) == ((1000000L, true)))
+    assert(rep((0L, "referential_k")) == ((1000000L, true)))
+    assert(rep((1L, "completeness_k")) == ((750000L, false)))
+    assert(rep((1L, "uniqueness_id")) == ((750000L, false)))
+    assert(rep((1L, "referential_k")) == ((500000L, false)))
+    // full replay (fresh query, same source): same batch ids, keyed
+    // insert-new-only appends nothing
+    run()
+    val again = graft.sources.ParquetUpsertSink.read(spark, repDir)
+      .collect()
+    assert(again.length == 6, s"replay appended rows: ${again.length}")
+  }
 }
