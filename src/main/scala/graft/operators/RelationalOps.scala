@@ -756,6 +756,8 @@ object RelationalOps {
     */
   def scd2(df: DataFrame, key: String, attr: String, ts: String,
       tieBreak: String): DataFrame = {
+    require(!df.columns.exists(Set("_chg", "_run")),
+      "input must not carry _chg/_run columns (the run-detection keys)")
     val byKey = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
     val runs = df
       .withColumn("_chg",

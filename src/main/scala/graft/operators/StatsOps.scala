@@ -32,10 +32,12 @@ object StatsOps {
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val k = cols.size
+    // complete-case analysis: a row with ANY null would otherwise count
+    // toward n but not toward the sums — silently skewing every moment
     val scaled = df.select(cols.zipWithIndex.map { case (c, i) =>
       (col(c).cast("decimal(18,4)") * 10000).cast("decimal(19,0)")
         .as(s"_x$i")
-    }: _*)
+    }: _*).na.drop()
     val momentExprs =
       Seq(count(lit(1)).cast("double").as("_n")) ++
       (0 until k).map(i => sum(col(s"_x$i")).cast("double").as(s"_s$i")) ++
@@ -99,6 +101,11 @@ object StatsOps {
     */
   def dqReport(df: DataFrame, checks: Seq[DqCheck]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
+    checks.foreach(c => require(c.name.matches("[A-Za-z0-9_]+"),
+      s"check name '${c.name}' must be identifier-safe " +
+        "(it names an internal aggregate column)"))
+    require(checks.map(_.name).distinct.size == checks.size,
+      "check names must be unique")
     val n = count(lit(1))
     val inScan: Seq[Column] = checks.flatMap {
       case c: Completeness =>

@@ -31,6 +31,27 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got("referential_o_custkey") == ((500000L, false)))
   }
 
+  test("corr matrix drops incomplete rows (complete-case analysis)") {
+    val df = Seq(
+      (Option(1.0), Option(2.0)), (Option(2.0), Option(4.0)),
+      (Option(3.0), None: Option[Double]), // must not skew the moments
+      (None: Option[Double], Option(9.0)),
+      (Option(3.0), Option(6.0))).toDF("x", "y")
+    val got = StatsOps.corrMatrix(df, Seq("x", "y")).collect()
+    assert(got.length == 1 && got.head.getDouble(2) == 1.0)
+  }
+
+  test("dq report rejects non-identifier and duplicate check names") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      StatsOps.dqReport(df, Seq(Satisfies("bad name!", col("a") > 0)))
+    }
+    intercept[IllegalArgumentException] {
+      StatsOps.dqReport(df, Seq(Satisfies("dup", col("a") > 0),
+        Satisfies("dup", col("b") > 0)))
+    }
+  }
+
   test("q95: the orders suite is all-pass on the test data") {
     val got = StatsOps.q95DqReport(spark, Sf).collect()
     assert(got.length == 5)
