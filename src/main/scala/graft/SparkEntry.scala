@@ -119,6 +119,8 @@ object SparkEntry {
     "q94_sliding_window" -> (RelationalOps.q94SlidingWindow _),
     "q95_dq_report" -> (StatsOps.q95DqReport _),
     "q96_setsim_join" -> (DedupOps.q96SetSimJoin _),
+    "q97_incr_agg" -> (RelationalOps.q97IncrAgg _),
+    "q98_pit_join" -> (RelationalOps.q98PitJoin _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1446,5 +1448,52 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE len(a.s) > 0 AND len(b.s) > 0
            AND 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)""",
+    // incremental maintenance oracle = the FULL recompute the merge
+    // must equal; money in 4-decimal fixed-point longs, avg by integer
+    // round-half-up
+    "q97_incr_agg" ->
+      """WITH a AS (
+           SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                    AS BIGINT)) AS BIGINT) AS total_i
+           FROM orders GROUP BY 1
+         )
+         SELECT custkey, n_orders, total_i,
+                CAST((2 * total_i + n_orders) // (2 * n_orders) AS BIGINT)
+                  AS avg_i
+         FROM a""",
+    // point-in-time join: interval containment against the SCD2
+    // version table (empty same-instant intervals can never match)
+    "q98_pit_join" ->
+      """WITH marked AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                  CASE WHEN lag(o_orderpriority) OVER w
+                            IS DISTINCT FROM o_orderpriority
+                       THEN 1 ELSE 0 END AS chg
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)
+         ), runs AS (
+           SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS run_id
+           FROM marked
+         ), collapsed AS (
+           SELECT o_custkey AS custkey, run_id,
+                  min(o_orderpriority) AS priority,
+                  min(o_orderdate) AS valid_from
+           FROM runs GROUP BY custkey, run_id
+         ), vers AS (
+           SELECT custkey, priority, valid_from,
+                  lead(valid_from) OVER w2 AS valid_to
+           FROM collapsed
+           WINDOW w2 AS (PARTITION BY custkey ORDER BY run_id)
+         )
+         SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS custkey,
+                v.priority AS priority_at_ship
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         LEFT JOIN vers v ON v.custkey = o.o_custkey
+           AND v.valid_from <= l.l_shipdate
+           AND (v.valid_to IS NULL OR l.l_shipdate < v.valid_to)""",
   )
 }

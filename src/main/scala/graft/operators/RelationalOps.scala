@@ -788,6 +788,80 @@ object RelationalOps {
         col("valid_from"), col("valid_to"), col("is_current"),
         col("n_rows").as("n_orders"))
 
+  /** Algebraic partial-aggregate merge: combine per-partition aggregate
+    * tables (counts and sums are associative) into the aggregate of the
+    * union WITHOUT rescanning the inputs — the incremental
+    * materialized-view maintenance pattern. A CDC refresh recomputes
+    * only the delta's aggregate and merges it into the stored one; the
+    * 100-TB base table is never re-read (the reference's incremental
+    * load, etl_pipeline_script.py:40-48, lifted from rows to
+    * aggregates). Retractions are negative deltas: the same merge
+    * subtracts them. AVG and other algebraic aggregates decompose into
+    * (sum, count) parts and derive after the merge.
+    */
+  def mergeAggregates(parts: Seq[DataFrame], keys: Seq[String],
+      sums: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "need at least one aggregate part")
+    parts.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(sums.head)).as(sums.head),
+        sums.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** 112. Incremental aggregate maintenance, verified by the strongest
+    * oracle available: the merged (base ⊕ delta) aggregate must EQUAL
+    * the full recompute over all of orders. Money rides 4-decimal
+    * fixed-point longs; the merged AVG derives by integer round-half-up
+    * (2·total + n) DIV (2·n) — never a float.
+    */
+  def q97IncrAgg(s: SparkSession, d: String): DataFrame = {
+    val scaled = Tables.orders(s, d).select(col("o_custkey"),
+      col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,4)") * 10000).cast("long")
+        .as("_price_i"))
+    def aggOf(df: DataFrame): DataFrame = df.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("_price_i")).as("total_i"))
+    // the stored aggregate (base) and the CDC refresh (delta)
+    val base = aggOf(scaled.filter(pmod(col("o_orderkey"), lit(97)) =!= 0))
+    val delta = aggOf(scaled.filter(pmod(col("o_orderkey"), lit(97)) === 0))
+    mergeAggregates(Seq(base, delta), Seq("o_custkey"),
+      Seq("n_orders", "total_i"))
+      .select(col("o_custkey").as("custkey"), col("n_orders"),
+        col("total_i"),
+        expr("(2 * total_i + n_orders) DIV (2 * n_orders)").as("avg_i"))
+  }
+
+  /** 113. Point-in-time (bitemporal) join: each fact row joins the
+    * dimension VERSION that was valid at the fact's timestamp — the
+    * consumer of q92's SCD2 history, composed from two existing
+    * operators: because SCD2 intervals are contiguous per key
+    * ([valid_from, next valid_from)), "the version valid at ts" IS
+    * "the latest version with valid_from ≤ ts", i.e. an as-of join
+    * ([[AsOfJoin.lastPrior]] — one key-clustered shuffle, no interval
+    * explosion needed). Same-instant version chains (several runs
+    * sharing one valid_from) produce empty intervals for all but the
+    * last; those can never match and are filtered so the as-of pick is
+    * unique and deterministic.
+    *
+    * Demo: each lineitem's customer order-priority state at ship time.
+    */
+  def q98PitJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = q92Scd2(s, d)
+      .filter(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+      .select(col("custkey"), col("valid_from"), col("priority"))
+    val facts = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("custkey"),
+        col("l_shipdate"))
+    AsOfJoin.lastPrior(facts, dim, Seq("custkey"),
+      "l_shipdate", "valid_from", Seq("priority"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("custkey"),
+        col("asof_priority").as("priority_at_ship"))
+  }
+
   /** 108. Time-RANGE sliding window: per-user rolling 1-hour event count
     * and value sum — a RANGE frame over the event-time axis (q42's
     * running total is the ROWS-frame sibling; a RANGE frame bounds by

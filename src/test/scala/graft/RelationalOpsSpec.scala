@@ -326,6 +326,75 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.nonEmpty)
   }
 
+  test("mergeAggregates: any partition of the input merges to the " +
+      "direct aggregate (associativity), including negative retractions") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong - 100))
+    val df = rows.toDF("k", "v")
+    def aggOf(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val direct = aggOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val parts = (0 until 3).map(i =>
+      aggOf(df.filter(pmod(col("v"), lit(3)) === ((i + 300) % 3))))
+    val merged = RelationalOps.mergeAggregates(parts, Seq("k"),
+      Seq("n", "s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == direct)
+    // retraction: merging a negated copy cancels to zero rows' worth
+    val retract = aggOf(df).select(col("k"), (-col("n")).as("n"),
+      (-col("s")).as("s"))
+    val cancelled = RelationalOps.mergeAggregates(
+      Seq(aggOf(df), retract), Seq("k"), Seq("n", "s")).collect()
+    assert(cancelled.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+  }
+
+  test("q97: the base-plus-delta merge equals a direct full aggregate") {
+    val direct = Tables.orders(spark, Sf)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(18,4)") * 10000)
+          .cast("long")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = RelationalOps.q97IncrAgg(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == direct && got.nonEmpty)
+  }
+
+  test("point-in-time join: boundary ship dates pick the NEW version; " +
+      "pre-history facts get null; same-instant chains use the survivor") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val orders = Seq(
+      // customer 1: A from Jan1 (orders 10, 11), B from Mar1 (order 12)
+      (10L, 1L, "A", t("2024-01-01 00:00:00")),
+      (11L, 1L, "A", t("2024-02-01 00:00:00")),
+      (12L, 1L, "B", t("2024-03-01 00:00:00")),
+      // customer 2: same-instant chain P then Q (tie-break by orderkey)
+      (20L, 2L, "P", t("2024-01-01 00:00:00")),
+      (21L, 2L, "Q", t("2024-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+    val dim = RelationalOps.scd2(orders, "o_custkey", "o_orderpriority",
+        "o_orderdate", "o_orderkey")
+      .filter(col("valid_to").isNull ||
+        col("valid_to") > col("valid_from"))
+      .select(col("o_custkey").as("custkey"), col("valid_from"),
+        col("attr_value").as("priority"))
+    val facts = Seq(
+      (1L, 1L, t("2023-12-31 00:00:00")), // pre-history → null
+      (2L, 1L, t("2024-01-01 00:00:00")), // exactly at A's start → A
+      (3L, 1L, t("2024-02-15 00:00:00")), // inside A → A
+      (4L, 1L, t("2024-03-01 00:00:00")), // exactly at B's start → B
+      (5L, 2L, t("2024-06-01 00:00:00"))) // after the P→Q chain → Q
+      .toDF("fact_id", "custkey", "ship")
+    val got = graft.operators.AsOfJoin.lastPrior(facts, dim,
+        Seq("custkey"), "ship", "valid_from", Seq("priority"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("asof_priority")))
+      .toMap
+    assert(got == Map(1L -> None, 2L -> Some("A"), 3L -> Some("A"),
+      4L -> Some("B"), 5L -> Some("Q")))
+  }
+
   test("q94 sliding window matches a per-user replay (RANGE frame " +
       "includes same-instant peers)") {
     val hourUs = 3600L * 1000000
