@@ -121,6 +121,9 @@ object SparkEntry {
     "q96_setsim_join" -> (DedupOps.q96SetSimJoin _),
     "q97_incr_agg" -> (RelationalOps.q97IncrAgg _),
     "q98_pit_join" -> (RelationalOps.q98PitJoin _),
+    "q99_gap_fill" -> (RelationalOps.q99GapFill _),
+    "q100_grouping_sets" -> (RelationalOps.q100GroupingSets _),
+    "q101_zorder" -> (graft.sources.ZOrderLayout.q101Zorder _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1495,5 +1498,78 @@ object SparkEntry {
          LEFT JOIN vers v ON v.custkey = o.o_custkey
            AND v.valid_from <= l.l_shipdate
            AND (v.valid_to IS NULL OR l.l_shipdate < v.valid_to)""",
+    // dense daily spine per user; gap days n=0/null value; LOCF carries
+    // the last active day's DECIMAL sum (IGNORE NULLS = Spark's
+    // last(_, ignoreNulls) over the same running frame)
+    "q99_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                       AS DECIMAL(18,4)) AS day_value
+           FROM events GROUP BY 1, 2
+         ), bounds AS (
+           SELECT user_id, min(day) AS d0, max(day) AS d1
+           FROM daily GROUP BY 1
+         ), spine AS (
+           SELECT b.user_id, CAST(g.d AS DATE) AS day
+           FROM bounds b,
+                unnest(generate_series(CAST(b.d0 AS TIMESTAMP),
+                  CAST(b.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS g(d)
+         )
+         SELECT s.user_id, s.day,
+                COALESCE(d.n_events, 0) AS n_events, d.day_value,
+                CAST(last_value(d.day_value IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.day
+                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,4))
+                  AS filled_value
+         FROM spine s LEFT JOIN daily d
+           ON s.user_id = d.user_id AND s.day = d.day""",
+    // explicit non-hierarchical set list; GROUPING bit order matches
+    // Spark's grouping_id() (bit i set = column i aggregated away)
+    "q100_grouping_sets" ->
+      """SELECT lang, source,
+                CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM documents
+         GROUP BY GROUPING SETS ((lang, source), (source), ())""",
+    // Morton curve in pure integer math: 16-bit affine scale then the
+    // mask-cascade bit spread (masks 0x00FF00FF / 0x0F0F0F0F /
+    // 0x33333333 / 0x55555555), a on even bits, b on odd
+    "q101_zorder" ->
+      """WITH b AS (
+           SELECT min(o_custkey) AS amn, max(o_custkey) AS amx,
+                  min(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE))) AS bmn,
+                  max(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE))) AS bmx
+           FROM orders
+         ), s AS (
+           SELECT o_orderkey,
+                  CASE WHEN amx = amn THEN 0
+                       ELSE ((o_custkey - amn) * 65535) // (amx - amn)
+                  END AS xa,
+                  CASE WHEN bmx = bmn THEN 0
+                       ELSE ((date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) - bmn) * 65535)
+                            // (bmx - bmn)
+                  END AS xb
+           FROM orders, b
+         ), t1 AS (
+           SELECT o_orderkey, (xa | (xa << 8)) & 16711935 AS xa,
+                  (xb | (xb << 8)) & 16711935 AS xb FROM s
+         ), t2 AS (
+           SELECT o_orderkey, (xa | (xa << 4)) & 252645135 AS xa,
+                  (xb | (xb << 4)) & 252645135 AS xb FROM t1
+         ), t3 AS (
+           SELECT o_orderkey, (xa | (xa << 2)) & 858993459 AS xa,
+                  (xb | (xb << 2)) & 858993459 AS xb FROM t2
+         ), t4 AS (
+           SELECT o_orderkey, (xa | (xa << 1)) & 1431655765 AS xa,
+                  (xb | (xb << 1)) & 1431655765 AS xb FROM t3
+         )
+         SELECT o_orderkey, CAST(xa | (xb << 1) AS BIGINT) AS zval
+         FROM t4""",
   )
 }

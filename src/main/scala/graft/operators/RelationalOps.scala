@@ -298,6 +298,28 @@ object RelationalOps {
       .rollup(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
 
+  /** 115. GROUPING SETS with an explicit, non-hierarchical set list —
+    * the shape neither ROLLUP (q43's prefix chain) nor CUBE (every
+    * subset) can express: (lang × source) detail, per-source totals
+    * (ACROSS languages — not a rollup child of lang), and the grand
+    * total, in ONE pass. Spark expands the sets with a single Expand
+    * node feeding one partial-aggregated shuffle — k set replays of the
+    * scan would read the table k times. `grouping_id()` (bit i set ⇔
+    * column i aggregated away, matching DuckDB's GROUPING(lang, source))
+    * disambiguates a genuinely-null key from a subtotal row — without
+    * it the two are indistinguishable in the output.
+    */
+  def q100GroupingSets(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .select("lang", "source", "gid", "n_docs", "total_chars")
+  }
+
   /** 44. Pivot: events per user pivoted into one column per event type
     * (fixed type list → deterministic schema).
     */
@@ -861,6 +883,49 @@ object RelationalOps {
       .select(col("l_orderkey"), col("l_linenumber"), col("custkey"),
         col("asof_priority").as("priority_at_ship"))
   }
+
+  /** Time-series resample to a complete per-key daily spine with
+    * gap-fill and last-observation-carried-forward: aggregate to one
+    * row per (key, day), then densify — every day between a key's first
+    * and last active day appears, absent days resample to n = 0 with a
+    * null measurement, and the LOCF window carries the latest prior
+    * measurement across the gap.
+    *
+    * Scale shape: the spine derives from the DAILY AGGREGATE's per-key
+    * min/max (never from the raw fact table), so the explode factor is
+    * bounded by each key's date span — at 100 TB the spine is
+    * |keys| × span rows regardless of fact cardinality, generated
+    * distributed (no driver-side calendar). Spine ⋈ daily and the LOCF
+    * window both cluster on the key, and the measurement rides DECIMAL
+    * so LOCF picks are engine-exact (CLAUDE.md determinism rule).
+    */
+  def gapFillDaily(facts: DataFrame, key: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = facts
+      .groupBy(col(key), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("day_value"))
+    val spine = daily.groupBy(col(key))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col(key), explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val locf = Window.partitionBy(col(key)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(key, "day"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_value",
+        last(col("day_value"), ignoreNulls = true).over(locf))
+  }
+
+  /** 114. Per-user daily activity resampled to a dense calendar:
+    * gap days surface with n_events = 0 and a null day_value, while
+    * filled_value carries the last active day's DECIMAL sum forward
+    * (never null — the spine starts at each user's first active day).
+    */
+  def q99GapFill(s: SparkSession, d: String): DataFrame =
+    gapFillDaily(Tables.events(s, d), "user_id", "ts", "value")
+      .select(col("user_id"), col("day"), col("n_events"),
+        col("day_value"), col("filled_value"))
 
   /** 108. Time-RANGE sliding window: per-user rolling 1-hour event count
     * and value sum — a RANGE frame over the event-time axis (q42's

@@ -312,4 +312,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2500))
     assert(p.contains("_tok"), p.take(2500))
   }
+
+  test("q97 incremental merge is pure aggregation — no join anywhere, " +
+      "map-side partial combine before the merge shuffle") {
+    val p = plan(RelationalOps.q97IncrAgg(spark, Sf))
+    assert(!p.contains("Join"), p.take(2000))
+    // base and delta each partial-aggregate before their exchange, and
+    // the union merge is itself partial+final
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p.take(2000))
+  }
+
+  test("q98 point-in-time join: the as-of composition never plans an " +
+      "interval containment (no nested loop, no cartesian); version " +
+      "pick rides a custkey-clustered window") {
+    val p = plan(RelationalOps.q98PitJoin(spark, Sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(p.contains("hashpartitioning(custkey"), p.take(2500))
+  }
 }

@@ -395,6 +395,56 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       4L -> Some("B"), 5L -> Some("Q")))
   }
 
+  test("gapFillDaily: planted gaps densify to n=0 rows, LOCF carries " +
+      "the last active day's value, spine spans exactly [first, last]") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val facts = Seq(
+      (1L, t("2024-01-01 10:00:00"), 10.0),
+      (1L, t("2024-01-01 11:00:00"), 2.5),   // Jan1 sum 12.5
+      (1L, t("2024-01-04 09:00:00"), 7.0),   // Jan2, Jan3 are gaps
+      (2L, t("2024-02-10 00:00:00"), 1.0))   // single-day user: no gaps
+      .toDF("user_id", "ts", "value")
+    val got = RelationalOps.gapFillDaily(facts, "user_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getLong(2), Option(r.getDecimal(3)).map(_.toPlainString),
+        r.getDecimal(4).toPlainString)).toSet
+    assert(got == Set(
+      (1L, "2024-01-01", 2L, Some("12.5000"), "12.5000"),
+      (1L, "2024-01-02", 0L, None, "12.5000"),
+      (1L, "2024-01-03", 0L, None, "12.5000"),
+      (1L, "2024-01-04", 1L, Some("7.0000"), "7.0000"),
+      (2L, "2024-02-10", 1L, Some("1.0000"), "1.0000")))
+  }
+
+  test("grouping sets: explicit set list replays each row once per set; " +
+      "gid separates a genuinely-null key from a subtotal row") {
+    val docs = Seq((1L, null.asInstanceOf[String], "s1", 10L),
+      (2L, "en", "s1", 20L), (3L, "en", "s2", 30L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = graft.operators.RelationalOps.q100GroupingSets(spark, Sf)
+    val planted = docs.groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), sum(col("n_chars")).as("t"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(planted == Set(
+      // detail rows (gid 0): null lang is DATA here, not a subtotal
+      (None, Some("s1"), 0L, 1L, 10L),
+      (Some("en"), Some("s1"), 0L, 1L, 20L),
+      (Some("en"), Some("s2"), 0L, 1L, 30L),
+      // per-source across languages (gid 2 = lang aggregated away)
+      (None, Some("s1"), 2L, 2L, 30L),
+      (None, Some("s2"), 2L, 1L, 30L),
+      // grand total (gid 3)
+      (None, None, 3L, 3L, 60L)))
+    // the real query: detail + per-source + grand total partition the corpus
+    val gids = got.groupBy("gid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gids.keySet == Set(0L, 2L, 3L) && gids(3L) == 1L)
+  }
+
   test("q94 sliding window matches a per-user replay (RANGE frame " +
       "includes same-instant peers)") {
     val hourUs = 3600L * 1000000

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
 
   test("month-partitioned write + filter → partition pruning in the plan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
@@ -41,5 +42,55 @@ class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
       assert(plan.contains("Bucketed: true"), plan.take(2000))
       assert(j.count() == Tables.lineitem(spark, Sf).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("z-order layout: every file's bounding box is tight in BOTH " +
+      "dims — a single-column sort leaves the other dim unclustered") {
+    import graft.sources.ZOrderLayout
+    val orders = Tables.orders(spark, Sf).select(col("o_orderkey"),
+      col("o_custkey"), unix_date(to_date(col("o_orderdate"))).as("o_day"))
+
+    // per-file normalized min/max span of each dim for a given layout
+    def avgSpans(dir: String): (Double, Double) = {
+      val df = spark.read.parquet(dir)
+        .withColumn("_f", input_file_name())
+      val g = df.groupBy("_f").agg(
+        (max("o_custkey") - min("o_custkey")).cast("long").as("ca"),
+        (max("o_day") - min("o_day")).cast("long").as("da")).collect()
+      val Array(cg, dg) = df.agg(
+        max("o_custkey") - min("o_custkey"),
+        max("o_day") - min("o_day")).collect()(0)
+        .toSeq.map(_.toString.toDouble).toArray
+      (g.map(_.getAs[Long]("ca").toDouble / cg).sum / g.length,
+        g.map(_.getAs[Long]("da").toDouble / dg).sum / g.length)
+    }
+
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    ZOrderLayout.zorderWrite(orders, "o_custkey", "o_day", 16, zDir)
+    val (zc, zd) = avgSpans(zDir)
+
+    val sDir = java.nio.file.Files.createTempDirectory("graft_s").toString
+    orders.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(sDir)
+    val (sc, sd) = avgSpans(sDir)
+
+    // 16 files on the curve ≈ a 4×4 grid: both dims well under half the
+    // global span; the custkey sort clusters custkey tighter but leaves
+    // the date dimension spanning ~everything
+    assert(zc < 0.5 && zd < 0.5, s"z-order spans: custkey=$zc day=$zd")
+    assert(sc < zc && sd > 0.9,
+      s"custkey-sort spans: custkey=$sc day=$sd vs z ($zc, $zd)")
+    // layout rewrites preserve the data
+    assert(spark.read.parquet(zDir).count() == orders.count())
+  }
+
+  test("z-order curve locality: interleave is exact (known bit pattern) " +
+      "and adjacent cells differ in low bits") {
+    import graft.sources.ZOrderLayout
+    val df = Seq((3L, 5L)).toDF("a", "b")
+      .withColumn("z", ZOrderLayout.zValue16(col("a"), col("b")))
+    // a=0b011 on even bits -> 0b000101; b=0b101 on odd -> 0b100010
+    assert(df.collect()(0).getLong(2) == 0x27L) // 0b100111
   }
 }
