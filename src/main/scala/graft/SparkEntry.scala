@@ -124,6 +124,7 @@ object SparkEntry {
     "q99_gap_fill" -> (RelationalOps.q99GapFill _),
     "q100_grouping_sets" -> (RelationalOps.q100GroupingSets _),
     "q101_zorder" -> (graft.sources.ZOrderLayout.q101Zorder _),
+    "q102_incr_scd2" -> (RelationalOps.q102IncrScd2 _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1571,5 +1572,32 @@ object SparkEntry {
          )
          SELECT o_orderkey, CAST(xa | (xb << 1) AS BIGINT) AS zval
          FROM t4""",
+    // incremental refresh oracle = the FULL history recompute it must
+    // equal (the q92 chain, minus run row counts)
+    "q102_incr_scd2" ->
+      """WITH marked AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                  CASE WHEN lag(o_orderpriority) OVER w
+                            IS DISTINCT FROM o_orderpriority
+                       THEN 1 ELSE 0 END AS chg
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)
+         ), runs AS (
+           SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS run_id
+           FROM marked
+         ), collapsed AS (
+           SELECT o_custkey AS custkey, run_id,
+                  min(o_orderpriority) AS priority,
+                  min(o_orderdate) AS valid_from
+           FROM runs GROUP BY custkey, run_id
+         )
+         SELECT custkey, priority, valid_from,
+                lead(valid_from) OVER w2 AS valid_to,
+                (lead(valid_from) OVER w2 IS NULL) AS is_current
+         FROM collapsed
+         WINDOW w2 AS (PARTITION BY custkey ORDER BY run_id)""",
   )
 }

@@ -777,6 +777,18 @@ object RelationalOps {
     * deterministic under same-instant updates.
     */
   def scd2(df: DataFrame, key: String, attr: String, ts: String,
+      tieBreak: String): DataFrame =
+    scd2WithTie(df, key, attr, ts, tieBreak).drop("first_tie")
+
+  /** [[scd2]] plus each run's `first_tie` — the tie-break of the run's
+    * FIRST row (min by (ts, tieBreak), not min(tieBreak): a later-ts
+    * row may carry a smaller tie). `first_tie` makes the history
+    * REPLAYABLE: (valid_from, first_tie) is exactly the original first
+    * row's order key, so re-running the collapse over run-start events
+    * reproduces the original run order even through same-instant
+    * chains — the property [[incrementalScd2]] needs.
+    */
+  def scd2WithTie(df: DataFrame, key: String, attr: String, ts: String,
       tieBreak: String): DataFrame = {
     require(!df.columns.exists(Set("_chg", "_run")),
       "input must not carry _chg/_run columns (the run-detection keys)")
@@ -789,12 +801,74 @@ object RelationalOps {
           Window.currentRow)))
       .groupBy(col(key), col("_run"))
       .agg(min(col(attr)).as("attr_value"), // constant within a run
-        min(col(ts)).as("valid_from"), count(lit(1)).as("n_rows"))
+        min(col(ts)).as("valid_from"), count(lit(1)).as("n_rows"),
+        min(struct(col(ts), col(tieBreak))).getField(tieBreak)
+          .as("first_tie"))
     val byRun = Window.partitionBy(col(key)).orderBy(col("_run"))
     runs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
       .withColumn("is_current", col("valid_to").isNull)
       .drop("_run")
+  }
+
+  /** Incremental SCD2 maintenance: apply an APPEND-ONLY CDC batch to an
+    * existing [[scd2WithTie]] history without recomputing untouched
+    * keys — the lakehouse type-2 MERGE. Keys absent from the delta pass
+    * through by anti-join (at a real deployment the unchanged files are
+    * not even rewritten — ParquetUpsertSink's MERGE path); for touched
+    * keys the existing runs re-enter the collapse as run-START events
+    * ((valid_from, first_tie) = the original first row's order key —
+    * consecutive runs alternate values so they never re-collapse among
+    * themselves) together with the delta's raw rows, through the same
+    * single-key-shuffle machinery. The recompute therefore carries
+    * |delta| + |touched history| rows, never the base table.
+    *
+    * PRECONDITION (the standard CDC contract): per key, every delta
+    * row's (ts, tieBreak) sorts after all rows already folded into the
+    * history. A mid-history insert can split an old run whose interior
+    * duplicates were collapsed away, which no run-start replay can
+    * reconstruct — those keys need the full recompute path.
+    *
+    * Output schema = [[scd2WithTie]] minus `n_rows` (interior
+    * duplicate counts are not reconstructible from run starts — and
+    * not part of the interval contract), so refreshes CHAIN: the
+    * output feeds the next delta directly.
+    */
+  def incrementalScd2(history: DataFrame, delta: DataFrame, key: String,
+      attr: String, ts: String, tieBreak: String): DataFrame = {
+    val touchedKeys = delta.select(col(key)).distinct()
+    val out = Seq(col(key), col("attr_value"), col("valid_from"),
+      col("first_tie"), col("valid_to"), col("is_current"))
+    val untouched = history.join(touchedKeys, Seq(key), "left_anti")
+      .select(out: _*)
+    val startEvents = history.join(touchedKeys, Seq(key), "left_semi")
+      .select(col(key), col("attr_value").as(attr),
+        col("valid_from").as(ts), col("first_tie").as(tieBreak))
+    val events = startEvents.unionByName(
+      delta.select(col(key), col(attr), col(ts), col(tieBreak)))
+    untouched.unionByName(
+      scd2WithTie(events, key, attr, ts, tieBreak).drop("n_rows")
+        .select(out: _*))
+  }
+
+  /** 117. The incremental refresh, externally verified by the strongest
+    * oracle available: history folded from pre-1997 orders, the 1997+
+    * orders applied as the CDC batch — the split-by-date guarantees the
+    * per-key append-only precondition — and the stitched result must
+    * EQUAL the full-history recompute over all of orders (the q92
+    * oracle chain, minus the run row counts).
+    */
+  def q102IncrScd2(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val cut = to_timestamp(lit("1997-01-01 00:00:00"))
+    val history = scd2WithTie(orders.filter(col("o_orderdate") < cut),
+      "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    val delta = orders.filter(col("o_orderdate") >= cut)
+    incrementalScd2(history, delta,
+      "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+      .select(col("o_custkey").as("custkey"),
+        col("attr_value").as("priority"),
+        col("valid_from"), col("valid_to"), col("is_current"))
   }
 
   /** 106. Customer order-priority history: each customer's orders over

@@ -445,6 +445,58 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(gids.keySet == Set(0L, 2L, 3L) && gids(3L) == 1L)
   }
 
+  test("incremental scd2 equals the full recompute: extended run, new " +
+      "run, brand-new key, untouched key, same-instant delta chain — " +
+      "and a SECOND chained refresh") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val early = Seq(
+      (1L, 10L, "A", t("2024-01-01 00:00:00")),
+      (1L, 11L, "A", t("2024-01-05 00:00:00")), // interior dup collapses
+      (1L, 12L, "B", t("2024-02-01 00:00:00")),
+      (2L, 20L, "X", t("2024-01-01 00:00:00")), // untouched by delta 1
+      (3L, 30L, "P", t("2024-01-01 00:00:00")))
+      .toDF("k", "id", "v", "ts")
+    val delta1 = Seq(
+      (1L, 13L, "B", t("2024-03-01 00:00:00")), // extends current run
+      (1L, 14L, "C", t("2024-04-01 00:00:00")), // new run
+      (3L, 31L, "Q", t("2024-05-01 00:00:00")), // change
+      (3L, 32L, "R", t("2024-05-01 00:00:00")), // same-instant chain
+      (4L, 40L, "N", t("2024-05-01 00:00:00"))) // brand-new key
+      .toDF("k", "id", "v", "ts")
+    val delta2 = Seq(
+      (2L, 21L, "Y", t("2024-06-01 00:00:00")),
+      (1L, 15L, "C", t("2024-06-01 00:00:00")))
+      .toDF("k", "id", "v", "ts")
+
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getTimestamp(2).toString,
+        Option(r.getTimestamp(3)).map(_.toString), r.getBoolean(4))).toSet
+    def full(dfs: org.apache.spark.sql.DataFrame*) = shape(
+      RelationalOps.scd2(dfs.reduce(_ unionByName _), "k", "v", "ts", "id")
+        .select(col("k"), col("attr_value"), col("valid_from"),
+          col("valid_to"), col("is_current")))
+
+    val h0 = RelationalOps.scd2WithTie(early, "k", "v", "ts", "id")
+    val h1 = RelationalOps.incrementalScd2(h0, delta1, "k", "v", "ts", "id")
+    assert(shape(h1.select(col("k"), col("attr_value"), col("valid_from"),
+      col("valid_to"), col("is_current"))) == full(early, delta1))
+    // chained: h1 (which carries first_tie) absorbs delta2 directly
+    val h2 = RelationalOps.incrementalScd2(h1, delta2, "k", "v", "ts", "id")
+    assert(shape(h2.select(col("k"), col("attr_value"), col("valid_from"),
+      col("valid_to"), col("is_current"))) == full(early, delta1, delta2))
+  }
+
+  test("q102 on the real split equals the full q92 interval history") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), String.valueOf(r.getAs[Any](2)),
+        String.valueOf(r.getAs[Any](3)), r.getBoolean(4))
+    val inc = RelationalOps.q102IncrScd2(spark, Sf).collect().map(key).toSet
+    val fullH = RelationalOps.q92Scd2(spark, Sf)
+      .select(col("custkey"), col("priority"), col("valid_from"),
+        col("valid_to"), col("is_current")).collect().map(key).toSet
+    assert(inc == fullH && inc.nonEmpty)
+  }
+
   test("q94 sliding window matches a per-user replay (RANGE frame " +
       "includes same-instant peers)") {
     val hourUs = 3600L * 1000000
