@@ -125,6 +125,9 @@ object SparkEntry {
     "q100_grouping_sets" -> (RelationalOps.q100GroupingSets _),
     "q101_zorder" -> (graft.sources.ZOrderLayout.q101Zorder _),
     "q102_incr_scd2" -> (RelationalOps.q102IncrScd2 _),
+    "q103_pmi" -> (TextOps.q103Pmi _),
+    "q104_inverted_index" -> (TextOps.q104InvertedIndex _),
+    "q105_pagerank" -> (GraphOps.q105PageRank _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1599,5 +1602,89 @@ object SparkEntry {
                 (lead(valid_from) OVER w2 IS NULL) AS is_current
          FROM collapsed
          WINDOW w2 AS (PARTITION BY custkey ORDER BY run_id)""",
+    // PMI ratio in round-half-up fixed-point (HUGEINT = the DECIMAL(38,0)
+    // Spark side); ln is monotone so ratio order IS PMI order
+    "q103_pmi" ->
+      """WITH tk AS (
+           SELECT string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents WHERE text IS NOT NULL
+         ), uni AS (
+           SELECT w, count(*) AS c_w
+           FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w
+         ), tot AS (
+           SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM uni
+         ), bi AS (
+           SELECT p[1] AS x, p[2] AS y, count(*) AS n_pair
+           FROM (SELECT unnest([[tk[i], tk[i+1]]
+                                for i in range(1, len(tk))]) AS p
+                 FROM tk WHERE len(tk) >= 2)
+           GROUP BY 1, 2
+           HAVING count(*) >= 20
+         ), sc AS (
+           SELECT x, y, n_pair,
+                  CAST((CAST(n_pair AS HUGEINT) * n_total * 2000
+                        + CAST(ux.c_w AS HUGEINT) * uy.c_w)
+                       // (2 * CAST(ux.c_w AS HUGEINT) * uy.c_w)
+                       AS BIGINT) AS milli
+           FROM bi
+           JOIN uni ux ON bi.x = ux.w
+           JOIN uni uy ON bi.y = uy.w
+           CROSS JOIN tot
+         )
+         SELECT x, y, CAST(n_pair AS BIGINT) AS n_pair,
+                milli / 1000.0 AS score
+         FROM sc
+         ORDER BY milli DESC, x ASC, y ASC
+         LIMIT 50""",
+    // blocked postings: per-term doc rank → 64-doc blocks; postings are
+    // doc_id:tf runs in doc_id order (engine-exact strings)
+    "q104_inverted_index" ->
+      """WITH tf AS (
+           SELECT term, doc_id, count(*) AS tf
+           FROM (SELECT doc_id,
+                        unnest(string_split_regex(lower(trim(text)), '\s+'))
+                          AS term
+                 FROM documents WHERE text IS NOT NULL)
+           GROUP BY 1, 2
+         ), rk AS (
+           SELECT term, doc_id, tf,
+                  (row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                   - 1) // 64 AS block_id
+           FROM tf
+         )
+         SELECT term, CAST(block_id AS BIGINT) AS block_id,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+                  AS postings
+         FROM rk GROUP BY term, block_id""",
+    // integer fixed-point PageRank: long sums are order-independent, so
+    // the 15-iteration recursion is engine-exact (// == Spark div on
+    // positives)
+    "q105_pagerank" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT DISTINCT a.l_partkey AS s1, b.l_partkey AS s2
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey < b.l_partkey
+         ), edges AS (
+           SELECT s1 AS src, s2 AS dst FROM pairs
+           UNION ALL SELECT s2, s1 FROM pairs
+         ), deg AS (
+           SELECT src, count(*) AS od FROM edges GROUP BY src
+         ), n AS (SELECT count(*) AS nn FROM deg),
+         it AS (
+           SELECT 0 AS i, src AS node, 1000000000000 // nn AS r
+           FROM deg, n
+           UNION ALL
+           SELECT i + 1, e.dst,
+                  CAST((15 * (1000000000000 // (SELECT nn FROM n))) // 100
+                       + (85 * SUM(r // d.od)) // 100 AS BIGINT)
+           FROM it
+           JOIN edges e ON it.node = e.src
+           JOIN deg d ON it.node = d.src
+           WHERE i < 15
+           GROUP BY i + 1, e.dst
+         )
+         SELECT node AS partkey, CAST(r AS BIGINT) AS rank_ppt
+         FROM it WHERE i = 15""",
   )
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over relational co-occurrence graphs — PageRank
+  * (Page et al. 1999) in the Pregel message-passing shape: one
+  * (edges ⋈ ranks → groupBy dst) round per iteration.
+  *
+  * Everything is INTEGER fixed-point (parts-per-trillion longs): the
+  * per-iteration sum of contributions is a sum of longs — associative
+  * and order-independent — so the result is bit-identical no matter the
+  * partitioning, task order, or engine. A double-valued PageRank can
+  * never be externally verified this way (float accumulation order
+  * differs per run); the integer formulation turns an "approximately
+  * converged" iterative algorithm into an oracle-checkable one.
+  */
+object GraphOps {
+
+  /** 15-iteration damped PageRank over a SYMMETRIC edge list
+    * (src, dst) with no self-loops (symmetry ⇒ no dangling mass, every
+    * node keeps outdeg ≥ 1). Rank mass totals ~10¹² ppt; the update is
+    *   r'(v) = (15·(10¹² div N)) div 100 + (85·Σ_{u→v}(r(u) div od(u))) div 100
+    * — all long arithmetic, truncating division (positives: identical
+    * in Spark `div` and DuckDB `//`).
+    *
+    * 100-TB shape: the degree table and rank vector are NODE-scale, the
+    * per-iteration work is one hash join of edges against the rank
+    * vector plus one map-side-combined sum — edges never change, so a
+    * production deployment buckets the edge table by src once and every
+    * iteration's join is exchange-free on the big side. Lineage is cut
+    * per round (localCheckpoint — the q61/q76 loop rule); the single
+    * driver-side `deg.count()` is the teleport constant N, a bounded
+    * scalar artifact like q76's argmax row.
+    */
+  def pageRank(symEdges: DataFrame, iters: Int = 15): DataFrame = {
+    val total = 1000000000000L
+    val deg = symEdges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .localCheckpoint(false)
+    val n = deg.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
+    val init = total / n
+    val base = (15L * init) / 100L
+    val withDeg = symEdges.join(deg, "src").localCheckpoint(false)
+    var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
+    for (_ <- 0 until iters) {
+      ranks = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div od").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * cs) div 100")).as("r"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+
+  /** 120. Part-importance rank over the co-purchase graph: parts are
+    * linked when the same order contains both (the product-graph
+    * centrality behind "customers also bought" ranking). The per-order
+    * self-join's blow-up is bounded by order size (≤ 7 lineitems →
+    * ≤ 21 pairs), never by table size; pair dedup happens BEFORE the
+    * symmetrize/degree steps so the iteration graph is minimal.
+    */
+  def q105PageRank(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("s1"), col("b.pk").as("s2")).distinct()
+    val edges = pairs.select(col("s1").as("src"), col("s2").as("dst"))
+      .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
+    pageRank(edges, 15)
+      .select(col("node").as("partkey"), col("r").as("rank_ppt"))
+  }
+}

@@ -521,4 +521,94 @@ object TextOps {
       .filter(col("tokens_before") < budget)
       .select("doc_id", "lang", "n_tokens", "tokens_before")
   }
+
+  /** 118. PMI collocation mining: the top bigrams by pointwise mutual
+    * information — ASSOCIATION strength, not raw frequency (q47's
+    * count-ranked n-grams surface stopword pairs; PMI surfaces pairs
+    * that co-occur far more than their unigram rates predict — the
+    * phrase/named-entity detector of an LLM-data pipeline, Mikolov et
+    * al. 2013 §4's phrase scoring with the standard min-count gate).
+    *
+    * PMI = ln(N·c_xy / (c_x·c_y)), and ln differs in the last ulp
+    * across libms (the q58 rule) — so both the RANKING and the output
+    * carry the ratio itself in round-half-up fixed-point (ln is
+    * monotone: ratio order IS PMI order), computed in DECIMAL(38,0) so
+    * N·c_xy·2000 can never overflow a long under ANSI mode.
+    *
+    * 100-TB shape: the corpus is touched by exactly two map-side
+    * combined count aggregations (unigrams, bigrams ≥ min-count); the
+    * joins and the ranking run on the VOCAB-scale tables that survive —
+    * the min-count gate fires before any join, and the final top-50 is
+    * a TakeOrdered (no global sort shuffle).
+    */
+  def q103Pmi(s: SparkSession, d: String): DataFrame =
+    pmi(Tables.documents(s, d), minCount = 20L)
+
+  /** [[q103Pmi]]'s core over any (text) frame. */
+  def pmi(documents: DataFrame, minCount: Long): DataFrame = {
+    val t = col("tk")
+    val docs = documents.filter(col("text").isNotNull)
+      .select(toks.as("tk"))
+    val uni = docs.select(explode(t).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val tot = uni.agg(sum(col("c_w")).as("n_total"))
+    val n1 = greatest(size(t) - 1, lit(0))
+    val bi = docs.filter(size(t) >= 2)
+      .select(explode(zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    bi.join(uni.select(col("w"), col("c_w").as("c_x")), col("x") === col("w"))
+      .drop("w")
+      .join(uni.select(col("w"), col("c_w").as("c_y")), col("y") === col("w"))
+      .drop("w")
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("n_pair"),
+        expr("""CAST((CAST(n_pair AS DECIMAL(38,0)) * n_total * 2000
+                      + CAST(c_x AS DECIMAL(38,0)) * c_y)
+                     DIV (2 * CAST(c_x AS DECIMAL(38,0)) * c_y)
+                AS BIGINT)""").as("milli"))
+      .orderBy(col("milli").desc, col("x").asc, col("y").asc)
+      .limit(50)
+      .select(col("x"), col("y"), col("n_pair"),
+        (col("milli").cast("double") / 1000).as("score"))
+  }
+
+  /** 119. Inverted-index build: term → BLOCKED posting lists
+    * (`doc_id:tf` runs of ≤64 docs in doc_id order) — the retrieval
+    * artifact behind BM25 search and RAG corpus serving. Blocking is
+    * the part that matters at scale: a stopword's posting list at
+    * 100 TB is billions of ids, so one (term) row is undumpable — the
+    * segmented layout keeps every output row bounded and
+    * independently fetchable (the standard search-engine posting
+    * format), and block boundaries at fixed doc-rank multiples make
+    * the layout deterministic, append-friendly, and skip-indexable
+    * (block_id × max-doc_id-per-block is the skip table).
+    *
+    * The per-term doc rank that assigns blocks is
+    * [[DistributedRank.withRank]] — a `row_number OVER (PARTITION BY
+    * term)` window would send each term's entire posting list through
+    * ONE reducer, exactly the stopword-skew shape that dies first.
+    * Corpus → (term, doc, tf) is one map-side-combined aggregation;
+    * within-block order rides `array_sort` on (doc_id, tf) structs,
+    * never a sort shuffle.
+    */
+  def q104InvertedIndex(s: SparkSession, d: String): DataFrame =
+    invertedIndex(Tables.documents(s, d), blockSize = 64)
+
+  /** [[q104InvertedIndex]]'s core over any (doc_id, text) frame. */
+  def invertedIndex(documents: DataFrame, blockSize: Int): DataFrame = {
+    val tf = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    DistributedRank.withRank(tf, Seq("term"), Seq("doc_id"), "rk")
+      .withColumn("block_id", expr(s"(rk - 1) div ${blockSize.toLong}"))
+      .groupBy(col("term"), col("block_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+          p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))), ",")
+          .as("postings"))
+  }
 }

@@ -181,4 +181,46 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
     }.toMap
     assert(got == expected && got.nonEmpty)
   }
+
+  test("pmi: planted corpus matches hand-computed fixed-point scores") {
+    // corpus: "x y x y" ⊕ "z x y" → N=7; c_x=3 c_y=3 c_z=1;
+    // bigrams (x,y)=3 (y,x)=1 (z,x)=1 → minCount 2 keeps only (x,y):
+    // milli = (3·7·2000 + 9) div 18 = 42009 div 18 = 2333 → 2.333
+    val docs = Seq((1L, "x y x y"), (2L, "z x y"), (3L, null))
+      .toDF("doc_id", "text")
+    val got = TextOps.pmi(docs, minCount = 2L).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "x" && r.getString(1) == "y" &&
+      r.getLong(2) == 3L && r.getDouble(3) == 2.333)
+  }
+
+  test("pmi: association beats frequency — a rare exclusive pair " +
+      "outranks the commonest bigram") {
+    // (p,q) occurs 2× but always together (c_p=c_q=2);
+    // (a,b) occurs 4× amid a=b=8 occurrences — frequency order says
+    // (a,b) first, PMI order says (p,q) first
+    val docs = Seq(
+      (1L, "a b a b a b a b a a a a b b b b"),
+      (2L, "p q"), (3L, "p q")).toDF("doc_id", "text")
+    val got = TextOps.pmi(docs, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    val pq = got.find(t => t._1 == "p" && t._2 == "q").get
+    val ab = got.find(t => t._1 == "a" && t._2 == "b").get
+    assert(pq._3 > ab._3, s"pq=$pq ab=$ab")
+    assert(got.head._1 == "p") // ranked first despite lowest count
+  }
+
+  test("inverted index: blocked postings on a planted corpus") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextOps.invertedIndex(docs, blockSize = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      ("a", 0L, 2L, "1:2,2:1"), // doc 1 has tf 2; block splits at 2 docs
+      ("a", 1L, 1L, "3:1"),
+      ("b", 0L, 1L, "1:1"),
+      ("c", 0L, 1L, "2:1")))
+  }
 }
