@@ -36,6 +36,7 @@ object GraftSession {
     graft.functions.SimHashExpression.register(spark)
     graft.functions.MinHashExpression.register(spark)
     graft.functions.PairMergeExpression.register(spark)
+    graft.functions.BpeEncodeExpression.register(spark)
     graft.functions.CountInSorted.register(spark)
     spark
   }

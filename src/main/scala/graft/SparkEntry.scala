@@ -128,6 +128,7 @@ object SparkEntry {
     "q103_pmi" -> (TextOps.q103Pmi _),
     "q104_inverted_index" -> (TextOps.q104InvertedIndex _),
     "q105_pagerank" -> (GraphOps.q105PageRank _),
+    "q106_bpe_encode" -> (BpeTrain.q106BpeEncode _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.PairMergeExpression
+import graft.functions.{BpeEncodeExpression, PairMergeExpression}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -61,15 +61,39 @@ object BpeTrain {
     * (one row per merge) — so materializing it driver-side is the
     * semantics, not a collect() smell.
     */
-  def q76Bpe(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val words = Tables.documents(s, d).filter(col("text").isNotNull)
+  private def wordCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("text").isNotNull)
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    train(s, words, rounds = 12)
+
+  def q76Bpe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    train(s, wordCounts(s, d), rounds = 12)
       .toDF("step", "left", "right", "weight")
       .select(col("step").cast("long").as("step"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("weight"))
+  }
+
+  /** 121. Tokenize the corpus with the vocabulary q76 trains — the
+    * apply-side that turns a merge table into training tokens
+    * ([[graft.functions.BpeEncode]]: min-rank loop, codepoint symbols,
+    * per-executor word memoization). The merge table is the bounded
+    * driver-side artifact train() already materializes; encoding itself
+    * is ONE scan, zero shuffle, one codegen'd call per row — the shape
+    * that tokenizes 100 TB at I/O speed. No SQL oracle: rank-priority
+    * merging is the canonical-but-iterative semantics ANSI SQL can't
+    * express (a per-merge sequential replay diverges the moment a later
+    * merge creates an earlier merge's pair) — BpeSpec differentials
+    * cover it against an independent reference encoder.
+    */
+  def q106BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = train(s, wordCounts(s, d), rounds = 12)
+      .map(m => (m._2, m._3))
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), BpeEncodeExpression.bpeEncode(s,
+        split(lower(trim(col("text"))), "\\s+"), merges).as("sub"))
+      .select(col("doc_id"), size(col("sub")).cast("long").as("n_subtok"),
+        array_join(col("sub"), " ").as("subtoks"))
   }
 }

@@ -86,6 +86,84 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Independent reference encoder: repeatedly scan the merge LIST in
+    * rank order and apply the first merge whose pair occurs — a
+    * different mechanism than the expression's min-rank pair scan, with
+    * identical semantics by definition.
+    */
+  private def localEncode(merges: Seq[(String, String)], word: String)
+      : List[String] = {
+    var syms = word.codePoints().toArray.toList
+      .map(cp => new String(Character.toChars(cp)))
+    var changed = true
+    while (changed && syms.length >= 2) {
+      changed = false
+      merges.find { case (l, r) =>
+        syms.zip(syms.drop(1)).contains((l, r))
+      } match {
+        case Some((l, r)) =>
+          val out = scala.collection.mutable.ListBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toList; changed = true
+        case None =>
+      }
+    }
+    syms
+  }
+
+  test("bpe encode: rank priority — a later merge re-enables an " +
+      "earlier one (sequential replay would stop at [ab, c])") {
+    val merges = Seq(("ab", "c"), ("a", "b"))
+    val got = Seq(Tuple1(Seq("abc"))).toDF("w")
+      .select(graft.functions.BpeEncodeExpression
+        .bpeEncode(spark, col("w"), merges).as("e"))
+      .first().getSeq[String](0)
+    assert(got == Seq("abc"))
+    assert(localEncode(merges, "abc") == List("abc"))
+  }
+
+  test("bpe encode: leftmost non-overlapping fuse and codepoint " +
+      "symbols (no surrogate splitting)") {
+    val merges = Seq(("a", "a"), ("é", "l"))
+    val got = Seq(
+      (1L, Seq("aaaa")), (2L, Seq("aaa")), (3L, Seq("héllo")),
+      (4L, Seq("𝄞b", "aa"))) // U+1D11E is a surrogate pair in UTF-16
+      .toDF("id", "w")
+      .select(col("id"), graft.functions.BpeEncodeExpression
+        .bpeEncode(spark, col("w"), merges).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("aa", "aa"))
+    assert(got(2L) == Seq("aa", "a"))
+    assert(got(3L) == Seq("h", "él", "l", "o"))
+    assert(got(4L) == Seq("𝄞", "b", "aa")) // words concatenate flat
+  }
+
+  test("q106 encode equals the independent reference over the real " +
+      "corpus (trainer + encoder end to end)") {
+    val docs = Tables.documents(spark, Sf).filter(col("text").isNotNull)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val wordMap = docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val merges = localBpe(wordMap, 12).map(m => (m._2, m._3))
+    val expected = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty)
+        .flatMap(localEncode(merges, _)).toSeq
+    }.toMap
+    val got = BpeTrain.q106BpeEncode(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (n, subtoks)) =>
+      assert(n == expected(id).length, s"doc $id count")
+      assert(subtoks == expected(id).mkString(" "), s"doc $id tokens")
+    }
+  }
+
   test("misra-gries: superset of true heavy hitters under merge") {
     // skewed synthetic stream: token i appears ~n/i times (zipf-ish)
     val items = (1 to 40).flatMap(i => Seq.fill(4000 / i)(s"t$i"))
