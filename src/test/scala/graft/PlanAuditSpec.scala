@@ -330,4 +330,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2500))
     assert(p.contains("hashpartitioning(custkey"), p.take(2500))
   }
+
+  test("q103 pmi: the ranking runs on the min-count survivors — the " +
+      "top-50 is a TakeOrdered, never a global sort shuffle") {
+    val df = TextOps.q103Pmi(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("bpe encode alone is one scan, zero exchange — the merge table " +
+      "never induces a join or shuffle") {
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val df = Tables.documents(spark, Sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select(graft.functions.BpeEncodeExpression.bpeEncode(spark,
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), "\\s+"),
+        merges).as("sub"))
+    df.collect()
+    // AQE prints Final + Initial plans — audit the final section only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // Tables.documents' small-file rebalance gate adds one
+    // repartition exchange at test scale; beyond it the encode adds
+    // NOTHING: no join, no aggregate, no extra exchange
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).length <= 1, p.take(2000))
+    assert(p.contains("bpeencode"), p.take(2000))
+  }
 }
