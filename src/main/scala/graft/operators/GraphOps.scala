@@ -36,16 +36,25 @@ object GraphOps {
     */
   def pageRank(symEdges: DataFrame, iters: Int = 15): DataFrame = {
     val total = 1000000000000L
-    val deg = symEdges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // materialize the edge list ONCE: it feeds the degree count and the
+    // per-iteration join — without the cut, an upstream self-join (the
+    // q105 pair build) would re-execute for every consumer
+    val edges = symEdges.localCheckpoint(false)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .localCheckpoint(false)
     val n = deg.count()
     require(n > 0, "pageRank needs a non-empty edge list")
     val init = total / n
     val base = (15L * init) / 100L
-    val withDeg = symEdges.join(deg, "src").localCheckpoint(false)
+    val withDeg = edges.join(broadcast(deg), "src").localCheckpoint(false)
     var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
     for (_ <- 0 until iters) {
-      ranks = withDeg.join(ranks, col("src") === col("node"))
+      // the rank vector is NODE-scale — broadcast it so the edge table
+      // (the big side) is never shuffled per iteration; the only
+      // exchange per round is the map-side-combined contribution sum,
+      // which carries ≤ |nodes| rows. (A billion-node graph outgrows
+      // the broadcast: swap in a src-bucketed hash join there.)
+      ranks = withDeg.join(broadcast(ranks), col("src") === col("node"))
         .select(col("dst"), expr("r div od").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
         .select(col("dst").as("node"),
