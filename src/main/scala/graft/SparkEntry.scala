@@ -129,6 +129,7 @@ object SparkEntry {
     "q104_inverted_index" -> (TextOps.q104InvertedIndex _),
     "q105_pagerank" -> (GraphOps.q105PageRank _),
     "q106_bpe_encode" -> (BpeTrain.q106BpeEncode _),
+    "q107_triangles" -> (GraphOps.q107Triangles _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1687,5 +1688,21 @@ object SparkEntry {
          )
          SELECT node AS partkey, CAST(r AS BIGINT) AS rank_ppt
          FROM it WHERE i = 15""",
+    // per-node triangle counts by direct a<b<c enumeration — the
+    // degree-oriented Spark plan provably finds the same triangle set
+    "q107_triangles" ->
+      """WITH pairs AS (
+           SELECT DISTINCT a.l_partkey AS s1, b.l_partkey AS s2
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey < b.l_partkey
+         ), tri AS (
+           SELECT p1.s1 AS a, p2.s1 AS b, p2.s2 AS c
+           FROM pairs p1
+           JOIN pairs p2 ON p1.s2 = p2.s1 AND p1.s1 < p2.s1
+           JOIN pairs p3 ON p3.s1 = p1.s1 AND p3.s2 = p2.s2
+         )
+         SELECT node AS partkey, CAST(count(*) AS BIGINT) AS n_tri
+         FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+         GROUP BY node""",
   )
 }

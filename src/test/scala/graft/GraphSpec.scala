@@ -48,6 +48,37 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(total > 990000000000L && total <= 1000000000000L)
   }
 
+  test("triangle counts: K4 plus a pendant — every K4 node closes 3 " +
+      "triangles, the pendant none") {
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+    val edges = sym(k4 :+ (4L, 5L): _*)
+    val got = GraphOps.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("q107 equals a local naive a<b<c enumeration on the real graph") {
+    val li = Tables.lineitem(spark, Sf)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values
+    val und = byOrder.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val counts = scala.collection.mutable.Map[Long, Long]()
+    for ((a, b) <- und; cs <- adj.get(a); c <- cs
+         if b < c && und.contains((b, c))) {
+      Seq(a, b, c).foreach(n => counts(n) = counts.getOrElse(n, 0L) + 1L)
+    }
+    val got = GraphOps.q107Triangles(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == counts.toMap, s"got ${got.size} want ${counts.size}")
+  }
+
   test("q105 ranks every co-purchased part exactly once") {
     val got = GraphOps.q105PageRank(spark, Sf)
       .select(col("partkey"), col("rank_ppt")).collect()
