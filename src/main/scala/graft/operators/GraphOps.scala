@@ -124,34 +124,30 @@ object GraphOps {
     * provably equals while doing O(E^{3/2}) work instead of hub-
     * quadratic.
     */
-  def q107Triangles(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("s1"), col("b.pk").as("s2")).distinct()
-    val edges = pairs.select(col("s1").as("src"), col("s2").as("dst"))
-      .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
-    triangleCounts(edges)
+  def q107Triangles(s: SparkSession, d: String): DataFrame =
+    triangleCounts(coPurchaseEdges(s, d))
       .select(col("node").as("partkey"), col("n_tri"))
-  }
 
   /** 120. Part-importance rank over the co-purchase graph: parts are
     * linked when the same order contains both (the product-graph
-    * centrality behind "customers also bought" ranking). The per-order
-    * self-join's blow-up is bounded by order size (≤ 7 lineitems →
-    * ≤ 21 pairs), never by table size; pair dedup happens BEFORE the
-    * symmetrize/degree steps so the iteration graph is minimal.
+    * centrality behind "customers also bought" ranking).
     */
-  def q105PageRank(s: SparkSession, d: String): DataFrame = {
+  def q105PageRank(s: SparkSession, d: String): DataFrame =
+    pageRank(coPurchaseEdges(s, d), 15)
+      .select(col("node").as("partkey"), col("r").as("rank_ppt"))
+
+  /** Symmetric part co-purchase edges (parts sharing an order); the
+    * per-order self-join's blow-up is bounded by order size (≤ 7
+    * lineitems → ≤ 21 pairs), never by table size, and pair dedup
+    * happens before symmetrize so the iteration graph is minimal.
+    */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val pairs = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("s1"), col("b.pk").as("s2")).distinct()
-    val edges = pairs.select(col("s1").as("src"), col("s2").as("dst"))
+    pairs.select(col("s1").as("src"), col("s2").as("dst"))
       .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
-    pageRank(edges, 15)
-      .select(col("node").as("partkey"), col("r").as("rank_ppt"))
   }
 }

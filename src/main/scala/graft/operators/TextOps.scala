@@ -549,8 +549,12 @@ object TextOps {
     val t = col("tk")
     val docs = documents.filter(col("text").isNotNull)
       .select(toks.as("tk"))
+    // materialized once: the vocab-scale unigram table feeds BOTH
+    // c_x/c_y joins and the total — without the cut each consumer
+    // would re-run the corpus-scale explode+count
     val uni = docs.select(explode(t).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      .localCheckpoint(false)
     val tot = uni.agg(sum(col("c_w")).as("n_total"))
     val n1 = greatest(size(t) - 1, lit(0))
     val bi = docs.filter(size(t) >= 2)
