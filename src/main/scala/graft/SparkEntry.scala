@@ -130,6 +130,7 @@ object SparkEntry {
     "q105_pagerank" -> (GraphOps.q105PageRank _),
     "q106_bpe_encode" -> (BpeTrain.q106BpeEncode _),
     "q107_triangles" -> (GraphOps.q107Triangles _),
+    "q108_containment" -> (DedupOps.q108ContainmentJoin _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1704,5 +1705,33 @@ object SparkEntry {
          SELECT node AS partkey, CAST(count(*) AS BIGINT) AS n_tri
          FROM (SELECT unnest([a, b, c]) AS node FROM tri)
          GROUP BY node""",
+    // directional containment: naive n² intersect join over the same
+    // corpus ∪ quote-docs derivation (drop the first word, id+1e6)
+    "q108_containment" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
+           FROM documents WHERE text IS NOT NULL
+         ), tk AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM corpus
+         ), sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) >= 3 THEN
+                    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                   for i in range(1, len(tk) - 1)])
+                  ELSE [array_to_string(tk, ' ')] END AS sh
+           FROM tk
+         ), pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                  CAST(len(a.sh) AS BIGINT) AS size_a
+           FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         )
+         SELECT id_a, id_b, inter, size_a,
+                CAST((inter * 2000 + size_a) // (2 * size_a) AS BIGINT)
+                  AS cont_ppt
+         FROM pairs WHERE inter * 10 >= size_a * 9""",
   )
 }

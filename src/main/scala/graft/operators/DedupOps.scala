@@ -665,4 +665,83 @@ object DedupOps {
       .select(col("doc_id"), shingles(col("tk"), ShingleSize).as("sh"))
     setSimilarityJoin(docs, "doc_id", "sh", 1, 2)
   }
+
+  /** EXACT ASYMMETRIC containment join: every ordered pair (a, b) with
+    * |A ∩ B| ≥ t·|A| — "a's content appears inside b". The
+    * quote/subset detector resemblance metrics MISS: a 5-token span
+    * of a 300-token page has containment 1.0 but Jaccard ≈ 0.02, so
+    * no symmetric threshold (q96) or MinHash band (q29) ever pairs
+    * them, yet it is exactly the contained-duplication (quotes,
+    * boilerplate inclusions, doc-in-doc re-crawls) a corpus cleaner
+    * must see.
+    *
+    * Prefix filter, one-sided (the containment case of Chaudhuri's
+    * SSJoin): if |A∩B| ≥ t·|A| then fewer than (1−t)·|A|+1 of A's
+    * tokens are outside B, so A's first |A| − ⌈t·|A|⌉ + 1 tokens in
+    * the GLOBAL df-ascending order must hit B. B cannot be truncated
+    * (the overlap may sit anywhere in B), so candidates are A-prefix ⋈
+    * B-ALL-tokens — B's side is the inverted-index posting relation
+    * (q104's artifact), and candidate volume is Σ_{rare prefix tokens}
+    * df(token), small by the df-ascending choice. Hashes join as
+    * 8-byte longs (collisions only ADD candidates — the exact verify
+    * drops them); verification is the integer test inter·tDen ≥
+    * tNum·|A|, never a float.
+    */
+  def containmentJoin(rows: DataFrame, id: String, setCol: String,
+      tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val base = rows.select(col(id).as("_ct_id"), col(setCol).as("_ct_set"))
+      .filter(size(col("_ct_set")) > 0)
+    val toks = base.select(col("_ct_id"), size(col("_ct_set")).as("_n"),
+      explode(col("_ct_set")).as("_tok"))
+    val freq = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    val pfx = toks.join(freq, Seq("_tok"))
+      .groupBy(col("_ct_id"))
+      .agg(max(col("_n")).as("_n"),
+        sort_array(collect_list(struct(col("_df"), col("_tok"))))
+          .as("_fs"))
+      .withColumn("_p",
+        expr(s"_n - (_n * $tNum + ${tDen - 1}) DIV $tDen + 1"))
+      .select(col("_ct_id"), explode(slice(
+        transform(col("_fs"), e => xxhash64(e("_tok"))), lit(1),
+        col("_p"))).as("_tok"))
+    val posting = toks
+      .select(col("_ct_id").as("id_b"), xxhash64(col("_tok")).as("_tok"))
+    val cand = pfx.select(col("_ct_id").as("id_a"), col("_tok"))
+      .join(posting, Seq("_tok"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val att = base.select(col("_ct_id"), col("_ct_set"))
+    cand
+      .join(att.select(col("_ct_id").as("id_a"),
+        col("_ct_set").as("_set_a")), Seq("id_a"))
+      .join(att.select(col("_ct_id").as("id_b"),
+        col("_ct_set").as("_set_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("_set_a"), col("_set_b"))).cast("long"))
+      .withColumn("size_a", size(col("_set_a")).cast("long"))
+      .filter(col("inter") * tDen >= col("size_a") * tNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
+        expr("(inter * 2000 + size_a) DIV (2 * size_a)").as("cont_ppt"))
+  }
+
+  /** 123. Quote detection over the corpus ∪ its derived quote docs
+    * (each doc minus its first word, id + 1,000,000 — the q61-oracle
+    * derivation, reproduced identically by the DuckDB oracle) at
+    * containment ≥ 9/10: every quote doc must surface as contained in
+    * its source, along with any natural containments. The oracle is
+    * the naive n² directional intersect join the prefix filter
+    * avoids.
+    */
+  def q108ContainmentJoin(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val sets = corpus
+      .select(col("doc_id"), tokens(normText).as("tk"))
+      .select(col("doc_id"), shingles(col("tk"), ShingleSize).as("sh"))
+    containmentJoin(sets, "doc_id", "sh", 9, 10)
+  }
 }

@@ -332,4 +332,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected, s"missing=${(expected -- got).take(5)} " +
       s"extra=${(got -- expected).take(5)}")
   }
+
+  test("containment join finds the short-quote-in-long-doc pair the " +
+      "symmetric Jaccard join can never see") {
+    import spark.implicits._
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 14).map(i => s"w$i").mkString(" ") // 5-token span
+    val other = (100 to 120).map(i => s"v$i").mkString(" ")
+    def sh(t: String) =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSeq.distinct
+    val rows = Seq((1L, sh(long)), (2L, sh(quote)), (3L, sh(other)))
+      .toDF("doc_id", "sh")
+    val cont = operators.DedupOps
+      .containmentJoin(rows, "doc_id", "sh", 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // quote ⊆ long: containment 3/3 = 1.0 — found, directionally
+    assert(cont == Set((2L, 1L)))
+    // the symmetric join at J ≥ 1/2 can't: J = 3/28
+    val jac = operators.DedupOps
+      .setSimilarityJoin(rows, "doc_id", "sh", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.isEmpty)
+  }
+
+  test("q108 plants one contained quote per doc and the join " +
+      "recovers every (quote, source) pair") {
+    val got = operators.DedupOps.q108ContainmentJoin(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val srcIds = Tables.documents(spark, Sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    srcIds.foreach { id =>
+      assert(got.contains((id + 1000000L, id)),
+        s"quote of doc $id not recovered")
+    }
+  }
 }
