@@ -606,30 +606,41 @@ object DedupOps {
     * the exact verify. All shuffles hash-partitioned; nothing is ever
     * all-pairs.
     */
-  def setSimilarityJoin(rows: DataFrame, id: String, setCol: String,
-      tNum: Int, tDen: Int): DataFrame = {
-    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val base = rows.select(col(id).as("_ss_id"), col(setCol).as("_ss_set"))
-      .filter(size(col("_ss_set")) > 0)
-    val toks = base.select(col("_ss_id"), size(col("_ss_set")).as("_n"),
+  /** Shared machinery of the two prefix-filter joins: (set row →
+    * (_ss_id, _n, _tok) exploded tokens) and (tokens → each set's
+    * df-ascending prefix, hashed). The prefix keeps the first
+    * n − ⌈t·n⌉ + 1 elements in the global (document-frequency asc,
+    * token) order — join keys are 64-bit hashes: equal tokens have
+    * equal hashes so no candidate is ever LOST (recall intact); a
+    * collision only adds a false candidate the exact verify drops,
+    * and the join shuffles 8-byte longs instead of token strings.
+    */
+  private def explodedTokens(base: DataFrame): DataFrame =
+    base.select(col("_ss_id"), size(col("_ss_set")).as("_n"),
       explode(col("_ss_set")).as("_tok"))
+
+  private def dfOrderedPrefixes(toks: DataFrame, tNum: Int,
+      tDen: Int): DataFrame = {
     val freq = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
     // prefix length p = n − ceil(t·n) + 1, integer-exact
-    val pfx = toks.join(freq, Seq("_tok"))
+    toks.join(freq, Seq("_tok"))
       .groupBy(col("_ss_id"))
       .agg(max(col("_n")).as("_n"),
         sort_array(collect_list(struct(col("_df"), col("_tok"))))
           .as("_fs"))
       .withColumn("_p",
         expr(s"_n - (_n * $tNum + ${tDen - 1}) DIV $tDen + 1"))
-      // join key = 64-bit hash of the prefix token: equal tokens have
-      // equal hashes, so no candidate is ever LOST (recall intact); a
-      // hash collision can only add a false candidate, which the exact
-      // verify below drops — and the self-join shuffles 8-byte longs
-      // instead of token strings
       .select(col("_ss_id"), explode(slice(
         transform(col("_fs"), e => xxhash64(e("_tok"))), lit(1),
         col("_p"))).as("_tok"))
+  }
+
+  def setSimilarityJoin(rows: DataFrame, id: String, setCol: String,
+      tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val base = rows.select(col(id).as("_ss_id"), col(setCol).as("_ss_set"))
+      .filter(size(col("_ss_set")) > 0)
+    val pfx = dfOrderedPrefixes(explodedTokens(base), tNum, tDen)
     val cand = pfx.select(col("_ss_id").as("id_a"), col("_tok"))
       .join(pfx.select(col("_ss_id").as("id_b"), col("_tok")), Seq("_tok"))
       .filter(col("id_a") < col("id_b"))
@@ -690,33 +701,22 @@ object DedupOps {
   def containmentJoin(rows: DataFrame, id: String, setCol: String,
       tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val base = rows.select(col(id).as("_ct_id"), col(setCol).as("_ct_set"))
-      .filter(size(col("_ct_set")) > 0)
-    val toks = base.select(col("_ct_id"), size(col("_ct_set")).as("_n"),
-      explode(col("_ct_set")).as("_tok"))
-    val freq = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
-    val pfx = toks.join(freq, Seq("_tok"))
-      .groupBy(col("_ct_id"))
-      .agg(max(col("_n")).as("_n"),
-        sort_array(collect_list(struct(col("_df"), col("_tok"))))
-          .as("_fs"))
-      .withColumn("_p",
-        expr(s"_n - (_n * $tNum + ${tDen - 1}) DIV $tDen + 1"))
-      .select(col("_ct_id"), explode(slice(
-        transform(col("_fs"), e => xxhash64(e("_tok"))), lit(1),
-        col("_p"))).as("_tok"))
+    val base = rows.select(col(id).as("_ss_id"), col(setCol).as("_ss_set"))
+      .filter(size(col("_ss_set")) > 0)
+    val toks = explodedTokens(base)
+    val pfx = dfOrderedPrefixes(toks, tNum, tDen)
     val posting = toks
-      .select(col("_ct_id").as("id_b"), xxhash64(col("_tok")).as("_tok"))
-    val cand = pfx.select(col("_ct_id").as("id_a"), col("_tok"))
+      .select(col("_ss_id").as("id_b"), xxhash64(col("_tok")).as("_tok"))
+    val cand = pfx.select(col("_ss_id").as("id_a"), col("_tok"))
       .join(posting, Seq("_tok"))
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
-    val att = base.select(col("_ct_id"), col("_ct_set"))
+    val att = base.select(col("_ss_id"), col("_ss_set"))
     cand
-      .join(att.select(col("_ct_id").as("id_a"),
-        col("_ct_set").as("_set_a")), Seq("id_a"))
-      .join(att.select(col("_ct_id").as("id_b"),
-        col("_ct_set").as("_set_b")), Seq("id_b"))
+      .join(att.select(col("_ss_id").as("id_a"),
+        col("_ss_set").as("_set_a")), Seq("id_a"))
+      .join(att.select(col("_ss_id").as("id_b"),
+        col("_ss_set").as("_set_b")), Seq("id_b"))
       .withColumn("inter",
         size(array_intersect(col("_set_a"), col("_set_b"))).cast("long"))
       .withColumn("size_a", size(col("_set_a")).cast("long"))

@@ -91,10 +91,21 @@ object GraphOps {
         .otherwise(struct(col("dst").as("lo"), col("src").as("hi"),
           col("ds").as("dhi"))).as("e"))
       // ok = packed (deg, id) orientation key: one long compare per
-      // wedge candidate instead of a struct comparator (ids are 32-bit
-      // here; a generic graph would compare the struct)
+      // wedge candidate instead of a struct comparator. Packing is only
+      // injective for ids < 2³² and degrees < 2³¹ — beyond that,
+      // distinct keys would ALIAS and inflate counts silently, so the
+      // one-pass build asserts the bound per row (two long compares;
+      // a 64-bit-id graph needs the unpacked 2-column formulation)
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"),
-        (shiftleft(col("e.dhi"), 32) + col("e.hi")).as("ok"))
+        // assert_true yields NULL on success, so the packed key is
+        // routed through it — column pruning can't drop the check
+        when(assert_true(
+            col("e.hi") >= 0 && col("e.hi") < lit(1L << 32) &&
+            col("e.lo") >= 0 && col("e.lo") < lit(1L << 32) &&
+            col("e.dhi") < lit(1L << 31),
+            lit("triangleCounts: node ids must be in [0, 2^32) and " +
+              "degrees < 2^31 for packed keys")).isNull,
+          shiftleft(col("e.dhi"), 32) + col("e.hi")).as("ok"))
       .localCheckpoint(false)
     // wedges at the smallest corner; the closing edge is oriented too
     // the wedge table is the BIG side (Σ (outdeg choose 2) rows ≫ E):

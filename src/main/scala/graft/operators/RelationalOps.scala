@@ -836,12 +836,19 @@ object RelationalOps {
     */
   def incrementalScd2(history: DataFrame, delta: DataFrame, key: String,
       attr: String, ts: String, tieBreak: String): DataFrame = {
-    val touchedKeys = delta.select(col(key)).distinct()
+    // null-SAFE key membership: scd2's groupBy treats a NULL key as a
+    // normal group, so the touched/untouched split must too — plain
+    // equality joins would keep NULL-key history in `untouched` AND
+    // drop it from the replay, yielding two overlapping interval
+    // chains for the NULL key
+    val touchedKeys = delta.select(col(key).as("_tk")).distinct()
     val out = Seq(col(key), col("attr_value"), col("valid_from"),
       col("first_tie"), col("valid_to"), col("is_current"))
-    val untouched = history.join(touchedKeys, Seq(key), "left_anti")
+    val untouched = history.join(touchedKeys,
+        history(key) <=> touchedKeys("_tk"), "left_anti")
       .select(out: _*)
-    val startEvents = history.join(touchedKeys, Seq(key), "left_semi")
+    val startEvents = history.join(touchedKeys,
+        history(key) <=> touchedKeys("_tk"), "left_semi")
       .select(col(key), col("attr_value").as(attr),
         col("valid_from").as(ts), col("first_tie").as(tieBreak))
     val events = startEvents.unionByName(

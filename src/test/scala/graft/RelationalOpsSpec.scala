@@ -486,6 +486,35 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       col("valid_to"), col("is_current"))) == full(early, delta1, delta2))
   }
 
+  test("incremental scd2 treats a NULL key as a normal group (the " +
+      "null-safe touched/untouched split)") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val early = Seq(
+      (Option("u1"), 1L, "A", t("2024-01-01 00:00:00")),
+      (Option.empty[String], 2L, "X", t("2024-01-01 00:00:00")))
+      .toDF("k", "id", "v", "ts")
+    val delta = Seq(
+      (Option.empty[String], 3L, "Y", t("2024-02-01 00:00:00")))
+      .toDF("k", "id", "v", "ts")
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (Option(r.getString(0)), r.getString(1),
+        r.getTimestamp(2).toString,
+        Option(r.getTimestamp(3)).map(_.toString), r.getBoolean(4))).toSet
+    val h0 = RelationalOps.scd2WithTie(early, "k", "v", "ts", "id")
+    val got = shape(RelationalOps.incrementalScd2(h0, delta,
+      "k", "v", "ts", "id")
+      .select(col("k"), col("attr_value"), col("valid_from"),
+        col("valid_to"), col("is_current")))
+    val want = shape(RelationalOps.scd2(early.unionByName(delta),
+      "k", "v", "ts", "id")
+      .select(col("k"), col("attr_value"), col("valid_from"),
+        col("valid_to"), col("is_current")))
+    // the NULL key must have ONE chain: X closed by Y, never two
+    // overlapping current rows
+    assert(got == want)
+    assert(got.count(r => r._1.isEmpty && r._5) == 1)
+  }
+
   test("q102 on the real split equals the full q92 interval history") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getString(1), String.valueOf(r.getAs[Any](2)),
