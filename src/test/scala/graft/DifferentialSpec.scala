@@ -211,4 +211,72 @@ class DifferentialSpec extends AnyFunSuite with SparkTestBase {
       assert(diff.isEmpty, s"trial $trial: ${diff.mkString(",")}")
     }
   }
+
+  test("containmentJoin equals the naive directional intersect on " +
+      "random small-vocab set collections") {
+    val rnd = new scala.util.Random(1717)
+    for (trial <- 1 to 12) {
+      // tiny vocab → plentiful overlaps and exact subsets
+      val vocab = (0 until (4 + rnd.nextInt(10))).map(i => s"t$i")
+      val n = 10 + rnd.nextInt(40)
+      val (tNum, tDen) = Seq((1, 2), (2, 3), (9, 10))(rnd.nextInt(3))
+      val rows = (0 until n).map { i =>
+        (i.toLong, rnd.shuffle(vocab).take(1 + rnd.nextInt(vocab.size))
+          .toSeq.sorted)
+      }
+      val got = operators.DedupOps
+        .containmentJoin(rows.toDF("id", "s"), "id", "s", tNum, tDen)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia != ib
+        i = sa.toSet.intersect(sb.toSet).size
+        if i * tDen >= sa.size * tNum
+      } yield (ia, ib, i.toLong)).toSet
+      assert(got == want, s"trial $trial t=$tNum/$tDen: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
+  test("incrementalScd2 equals the full recompute on random event " +
+      "streams at random append-only split points") {
+    val rnd = new scala.util.Random(9090)
+    for (trial <- 1 to 12) {
+      val nKeys = 1 + rnd.nextInt(5)
+      val n = 10 + rnd.nextInt(120)
+      // small value/time domains → interior dups, same-instant chains
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(nKeys).toLong, i.toLong,
+          s"v${rnd.nextInt(3)}",
+          new java.sql.Timestamp(86400000L * rnd.nextInt(20)))
+      }
+      // append-only split PER KEY: each key's rows sorted by (ts, id),
+      // first portion is history, rest is the delta
+      val byKey = rows.groupBy(_._1).values.toSeq
+      val (hist, delta) = byKey.map { ks =>
+        val sorted = ks.sortBy(r => (r._4.getTime, r._2))
+        val cut = rnd.nextInt(sorted.length + 1)
+        sorted.splitAt(cut)
+      }.unzip
+      val (h, dl) = (hist.flatten, delta.flatten)
+      if (h.nonEmpty && dl.nonEmpty) {
+        val cols = Seq("k", "id", "v", "ts")
+        def shape(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("k"), col("attr_value"), col("valid_from"),
+            col("valid_to"), col("is_current")).collect().map(r =>
+            (r.getLong(0), r.getString(1), r.getTimestamp(2).toString,
+              Option(r.getTimestamp(3)).map(_.toString),
+              r.getBoolean(4))).toSet
+        val h0 = operators.RelationalOps.scd2WithTie(
+          h.toDF(cols: _*), "k", "v", "ts", "id")
+        val got = shape(operators.RelationalOps.incrementalScd2(
+          h0, dl.toDF(cols: _*), "k", "v", "ts", "id"))
+        val want = shape(operators.RelationalOps.scd2(
+          rows.toDF(cols: _*), "k", "v", "ts", "id"))
+        assert(got == want, s"trial $trial: " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      }
+    }
+  }
 }
