@@ -131,6 +131,7 @@ object SparkEntry {
     "q106_bpe_encode" -> (BpeTrain.q106BpeEncode _),
     "q107_triangles" -> (GraphOps.q107Triangles _),
     "q108_containment" -> (DedupOps.q108ContainmentJoin _),
+    "q109_kcore" -> (GraphOps.q109KCore _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1733,5 +1734,28 @@ object SparkEntry {
                 CAST((inter * 2000 + size_a) // (2 * size_a) AS BIGINT)
                   AS cont_ppt
          FROM pairs WHERE inter * 10 >= size_a * 9""",
+    // 80-core by 15 fixed peeling rounds (converged by round 5 at
+    // sf0.01, so capped ≡ converged); surviving edges carry the
+    // recursion, in-core degree read off the final level
+    "q109_kcore" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT DISTINCT a.l_partkey AS s1, b.l_partkey AS s2
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey < b.l_partkey
+         ), edges AS (
+           SELECT s1 AS src, s2 AS dst FROM pairs
+           UNION ALL SELECT s2, s1 FROM pairs
+         ), it(i, src, dst) AS (
+           SELECT 0, src, dst FROM edges
+           UNION ALL
+           SELECT i + 1, src, dst FROM it
+           WHERE i < 15
+             AND src IN (SELECT src FROM it
+                         GROUP BY src HAVING count(*) >= 80)
+             AND dst IN (SELECT src FROM it
+                         GROUP BY src HAVING count(*) >= 80)
+         )
+         SELECT src AS partkey, CAST(count(*) AS BIGINT) AS core_deg
+         FROM it WHERE i = 15 GROUP BY src""",
   )
 }

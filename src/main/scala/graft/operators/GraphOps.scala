@@ -139,6 +139,60 @@ object GraphOps {
     triangleCounts(coPurchaseEdges(s, d))
       .select(col("node").as("partkey"), col("n_tri"))
 
+  /** k-core of a SYMMETRIC edge list by iterative peeling (Seidman
+    * 1983): repeatedly drop nodes whose degree within the SURVIVING
+    * subgraph is < k — removals cascade, so the fixpoint is the
+    * maximal subgraph of minimum degree ≥ k (the dense-community /
+    * spam-ring detector; a node's raw degree says little when its
+    * neighbors are all peripheral). Returns surviving (node,
+    * core_deg).
+    *
+    * Each peel is one map-side-combined degree count (node-scale
+    * output) plus two BROADCAST semi-joins of the current edge table
+    * against the survivor set — edges only shrink, and the survivor
+    * set is node-scale throughout. Peeling stops early at the
+    * fixpoint: the survivor set only shrinks, so an unchanged COUNT
+    * implies an unchanged set (the node-scale count job is far
+    * cheaper than an edge-scale no-op round). `peels` caps the rounds
+    * so an adversarial chain (each round removing one node) stays
+    * bounded; the DuckDB oracle replays the identical fixed-round
+    * recursion, and convergence inside the cap makes capped ≡
+    * converged.
+    */
+  def kCore(symEdges: DataFrame, k: Int, peels: Int = 15): DataFrame = {
+    var cur = symEdges.localCheckpoint(false)
+    var prevNodes = -1L
+    var round = 0
+    var done = false
+    while (round < peels && !done) {
+      val surv = cur.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k).select(col("src").as("_s"))
+        .localCheckpoint(false)
+      val n = surv.count()
+      if (n == prevNodes) done = true
+      else {
+        prevNodes = n
+        cur = cur
+          .join(broadcast(surv), col("src") === col("_s"), "left_semi")
+          .join(broadcast(surv), col("dst") === col("_s"), "left_semi")
+          .localCheckpoint(false)
+        round += 1
+      }
+    }
+    cur.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** 124. The 80-core of the part co-purchase graph (k chosen against
+    * the sf0.01 degree distribution so the cascade is real: 2000 →
+    * 1903 → 1878 → 1865 → 1858 → 1857 nodes, converged round 5 —
+    * first-round survivors keep shrinking because each removal lowers
+    * its neighbors' in-core degrees).
+    */
+  def q109KCore(s: SparkSession, d: String): DataFrame =
+    kCore(coPurchaseEdges(s, d), k = 80, peels = 15)
+      .select(col("node").as("partkey"), col("core_deg"))
+
   /** 120. Part-importance rank over the co-purchase graph: parts are
     * linked when the same order contains both (the product-graph
     * centrality behind "customers also bought" ranking).
@@ -152,7 +206,7 @@ object GraphOps {
     * lineitems → ≤ 21 pairs), never by table size, and pair dedup
     * happens before symmetrize so the iteration graph is minimal.
     */
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val pairs = li.as("a").join(li.as("b"),

@@ -79,6 +79,51 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(got == counts.toMap, s"got ${got.size} want ${counts.size}")
   }
 
+  test("k-core: triangle survives k=2 with its pendant peeled; a " +
+      "path cascades to nothing") {
+    val triPlus = sym((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val got = GraphOps.kCore(triPlus.toDF("src", "dst"), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // path 1-2-3-4: the endpoints peel, then the middle — full cascade
+    val path = sym((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(GraphOps.kCore(path.toDF("src", "dst"), k = 2)
+      .collect().isEmpty)
+    // K4 is its own 3-core
+    val k4 = sym((for (a <- 1L to 4L; b <- 1L to 4L if a < b)
+      yield (a, b)): _*)
+    val core3 = GraphOps.kCore(k4.toDF("src", "dst"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore equals a local reference peel on the real graph (and " +
+      "an empty graph yields an empty core)") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.kCore(empty, k = 2).collect().isEmpty)
+    val edgeRows = GraphOps.coPurchaseEdges(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def localCore(k: Int): Map[Long, Long] = {
+      var cur = edgeRows
+      var stable = false
+      while (!stable) {
+        val deg = cur.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = cur.filter(e => keep(e._1) && keep(e._2))
+        stable = next.length == cur.length
+        cur = next
+      }
+      cur.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    }
+    // k at half the max degree → a real cascade on this graph
+    val maxDeg = edgeRows.groupBy(_._1).values.map(_.size).max
+    for (k <- Seq(2, maxDeg / 2, maxDeg)) {
+      val got = GraphOps.kCore(edgeRows.toSeq.toDF("src", "dst"), k = k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == localCore(k), s"k=$k")
+    }
+  }
+
   test("q105 ranks every co-purchased part exactly once") {
     val got = GraphOps.q105PageRank(spark, Sf)
       .select(col("partkey"), col("rank_ppt")).collect()
