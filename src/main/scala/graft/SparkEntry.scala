@@ -132,6 +132,7 @@ object SparkEntry {
     "q107_triangles" -> (GraphOps.q107Triangles _),
     "q108_containment" -> (DedupOps.q108ContainmentJoin _),
     "q109_kcore" -> (GraphOps.q109KCore _),
+    "q110_bfs_hops" -> (GraphOps.q110BfsHops _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1757,5 +1758,29 @@ object SparkEntry {
          )
          SELECT src AS partkey, CAST(count(*) AS BIGINT) AS core_deg
          FROM it WHERE i = 15 GROUP BY src""",
+    // min-hop BFS from the 3 highest-degree hubs: the UNION (not UNION
+    // ALL) recursion dedups (node, hops) rows, so the working table
+    // stays node-scale per level instead of enumerating walks; min()
+    // over the ≤8-hop closure equals the visited-set BFS distance
+    "q110_bfs_hops" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT DISTINCT a.l_partkey AS s1, b.l_partkey AS s2
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey < b.l_partkey
+         ), edges AS (
+           SELECT s1 AS src, s2 AS dst FROM pairs
+           UNION ALL SELECT s2, s1 FROM pairs
+         ), seeds AS (
+           SELECT src AS node FROM edges
+           GROUP BY src ORDER BY count(*) DESC, src LIMIT 3
+         ), bfs AS (
+           SELECT node, 0 AS hops FROM seeds
+           UNION
+           SELECT e.dst, b.hops + 1
+           FROM bfs b JOIN edges e ON b.node = e.src
+           WHERE b.hops < 8
+         )
+         SELECT node AS partkey, CAST(min(hops) AS BIGINT) AS hops
+         FROM bfs GROUP BY node""",
   )
 }

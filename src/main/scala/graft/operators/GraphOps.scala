@@ -193,6 +193,63 @@ object GraphOps {
     kCore(coPurchaseEdges(s, d), k = 80, peels = 15)
       .select(col("node").as("partkey"), col("core_deg"))
 
+  /** Minimum hop distance from a SEED set over a symmetric edge list —
+    * frontier-expansion BFS (the "distance from the flagship products"
+    * / blast-radius primitive; reference counterpart: the category
+    * closure walks in helper_functions.py's lookup chains, generalized
+    * to graph distance). `seeds` must have a `node` column.
+    *
+    * Each round is one broadcast semi-join of the edge table against
+    * the NODE-scale frontier plus a node-scale anti-join against the
+    * visited set — the edge table is never shuffled, and a node enters
+    * `visited` exactly once, at its first (= minimum) hop count, so no
+    * min-aggregate over paths is ever needed (path enumeration is the
+    * exponential trap; the visited-set anti-join is what keeps each
+    * round bounded by |V|). Early exit on an empty frontier; `maxHops`
+    * caps adversarial chains, and the oracle replays the identical cap
+    * (capped ≡ converged once the frontier drains, as it does here).
+    * Lineage is cut per round (the q61/q76/q105 loop rule); the
+    * per-round `count()` is the bounded early-exit scalar.
+    */
+  def bfsHops(symEdges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 8): DataFrame = {
+    val edges = symEdges.localCheckpoint(false)
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint(false)
+    var frontier = visited.select(col("node").as("_f"))
+    var h = 0L
+    var frontierN = frontier.count()
+    while (h < maxHops && frontierN > 0) {
+      h += 1
+      frontier = edges
+        .join(broadcast(frontier), col("src") === col("_f"), "left_semi")
+        .select(col("dst").as("_f")).distinct()
+        .join(broadcast(visited), col("_f") === col("node"), "left_anti")
+        .localCheckpoint(false)
+      frontierN = frontier.count()
+      visited = visited.unionByName(
+          frontier.select(col("_f").as("node"), lit(h).as("hops")))
+        .localCheckpoint(false)
+    }
+    visited
+  }
+
+  /** 125. Hop distance from the 3 highest-degree hub parts of the
+    * co-purchase graph (degree ties broken by id, so seed choice is
+    * deterministic): how far every part sits from the bundle cores.
+    * The 8-hop cap is far beyond this graph's diameter from its hubs,
+    * so capped ≡ converged — which is what makes the min-hop BFS
+    * exactly replayable by the oracle's bounded recursion.
+    */
+  def q110BfsHops(s: SparkSession, d: String): DataFrame = {
+    val edges = coPurchaseEdges(s, d).localCheckpoint(false)
+    val seeds = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).limit(3)
+      .select(col("src").as("node"))
+    bfsHops(edges, seeds, maxHops = 8)
+      .select(col("node").as("partkey"), col("hops"))
+  }
+
   /** 120. Part-importance rank over the co-purchase graph: parts are
     * linked when the same order contains both (the product-graph
     * centrality behind "customers also bought" ranking).

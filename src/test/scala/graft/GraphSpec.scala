@@ -124,6 +124,52 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bfsHops: path distances from an endpoint, star radius 1, " +
+      "cap truncates, disconnected nodes stay absent") {
+    import org.apache.spark.sql.DataFrame
+    def run(edges: Seq[(Long, Long)], seeds: Seq[Long],
+        cap: Int = 8): Map[Long, Long] =
+      GraphOps.bfsHops(edges.toDF("src", "dst"),
+          seeds.toDF("node"), maxHops = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val path = sym((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(run(path, Seq(1L)) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // two seeds: every node takes the NEARER one
+    assert(run(path, Seq(1L, 4L)) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    val star = sym((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    assert(run(star, Seq(1L)) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // cap: hops beyond maxHops are not reached
+    assert(run(path, Seq(1L), cap = 2) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // disconnected component (5-6) never appears
+    val twoComp = sym((1L, 2L), (5L, 6L))
+    assert(run(twoComp, Seq(1L)) == Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("q110 equals a local BFS from the same hub seeds on the real " +
+      "graph") {
+    val edgeRows = GraphOps.coPurchaseEdges(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edgeRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = edgeRows.groupBy(_._1).view.mapValues(_.size).toSeq
+      .sortBy { case (id, d) => (-d, id) }.take(3).map(_._1)
+    val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    var frontier = seeds.toSet
+    var h = 0L
+    while (frontier.nonEmpty && h < 8) {
+      h += 1
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+        .filterNot(n => dist.contains(n))
+      frontier.foreach(dist(_) = h)
+    }
+    val got = GraphOps.q110BfsHops(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist.toMap, s"got ${got.size} want ${dist.size}")
+  }
+
   test("q105 ranks every co-purchased part exactly once") {
     val got = GraphOps.q105PageRank(spark, Sf)
       .select(col("partkey"), col("rank_ppt")).collect()
