@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet table loaders for the driver-provided test data.
   *
@@ -45,16 +45,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark reads as a
-    * long (with spark.sql.legacy.parquet.nanosAsLong=true — set in
-    * GraftSession). Normalize to TimestampType (µs) with integer division
-    * so no precision is lost.
+  /** events.ts is INT64 TIMESTAMP(NANOS) parquet. Spark ≤4.0 reads it as
+    * a long (with spark.sql.legacy.parquet.nanosAsLong=true — set in
+    * GraftSession); Spark 4.1+ ignores that legacy conf and reads it
+    * natively as TIMESTAMP_NTZ (µs, and the driver data is µs-exact so
+    * nothing truncates). Normalize BOTH shapes to TimestampType so every
+    * downstream `unix_micros`/watermark sees one type: the long via
+    * integer division, the NTZ via a cast that under the UTC session
+    * timezone is a pure type retag (same wall clock, same micros).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = rebalanceSmall(s, s"$d/events.parquet", load(s, d, "events"))
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     rebalanceSmall(s, s"$d/documents.parquet", load(s, d, "documents"))

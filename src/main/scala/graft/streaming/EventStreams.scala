@@ -14,19 +14,30 @@ import org.apache.spark.sql.types._
 object EventStreams {
 
   /** Parquet schema for streaming reads (readStream needs it up front).
-    * ts is INT64 nanos in the files (read as long, converted below).
+    * ts is INT64 TIMESTAMP(NANOS) in the files; Spark 4.1+ reads that
+    * natively as TIMESTAMP_NTZ at µs precision (the driver data is
+    * µs-exact, so nothing truncates), which is what we declare here.
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Nanos-long → microsecond TimestampType, same rule as Tables.events. */
+  /** Normalize ts to TimestampType, same rule as Tables.events: a
+    * nanos-long divides down to µs; an NTZ read retags under the UTC
+    * session timezone (same wall clock, same micros).
+    */
   private def withTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      case _ => df
+    }
 
   /** The file stream source wants a directory; the testdata dir holds all
     * tables, so filter to the events file.
