@@ -133,6 +133,8 @@ object SparkEntry {
     "q108_containment" -> (DedupOps.q108ContainmentJoin _),
     "q109_kcore" -> (GraphOps.q109KCore _),
     "q110_bfs_hops" -> (GraphOps.q110BfsHops _),
+    "q111_lm_score" -> (TextOps.q111LmScore _),
+    "q112_bm25" -> (TextOps.q112Bm25 _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1782,5 +1784,41 @@ object SparkEntry {
          )
          SELECT node AS partkey, CAST(min(hops) AS BIGINT) AS hops
          FROM bfs GROUP BY node""",
+    // add-one-smoothed bigram LM, all-integer round-half-up ppm: per
+    // bigram type ppm = (2e6*(c_xy+1) + (c_x+V)) // (2*(c_x+V)), per doc
+    // the k-weighted mean of ppms rounded the same way (no ln anywhere —
+    // the q58/q103 libm rule)
+    "q111_lm_score" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents WHERE text IS NOT NULL
+         ), db AS (
+           SELECT doc_id, p[1] AS x, p[2] AS y, count(*) AS k
+           FROM (SELECT doc_id,
+                        unnest([[tk[i], tk[i+1]]
+                                for i in range(1, len(tk))]) AS p
+                 FROM tk WHERE len(tk) >= 2)
+           GROUP BY 1, 2, 3
+         ), bi AS (
+           SELECT x, y, CAST(sum(k) AS BIGINT) AS c_xy
+           FROM db GROUP BY 1, 2
+         ), ctx AS (
+           SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM bi GROUP BY 1
+         ), voc AS (
+           SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+           FROM (SELECT unnest(tk) AS w FROM tk)
+         ), sc AS (
+           SELECT bi.x, bi.y,
+                  CAST((2000000 * (CAST(c_xy AS HUGEINT) + 1) + (c_x + v))
+                       // (2 * (CAST(c_x AS HUGEINT) + v)) AS BIGINT)
+                    AS ppm
+           FROM bi JOIN ctx ON bi.x = ctx.x CROSS JOIN voc
+         )
+         SELECT db.doc_id, CAST(sum(db.k) AS BIGINT) AS n_bigrams,
+                CAST((2 * sum(CAST(db.k AS HUGEINT) * sc.ppm) + sum(db.k))
+                     // (2 * sum(CAST(db.k AS HUGEINT))) AS BIGINT)
+                  AS score_ppm
+         FROM db JOIN sc ON db.x = sc.x AND db.y = sc.y
+         GROUP BY db.doc_id""",
   )
 }

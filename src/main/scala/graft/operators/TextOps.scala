@@ -615,4 +615,145 @@ object TextOps {
           p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))), ",")
           .as("postings"))
   }
+
+  /** 126. Bigram-LM fluency scoring (the CCNet/Wenzek et al. 2020
+    * perplexity-style quality filter): train an add-one-smoothed bigram
+    * language model on the corpus, score every document by its MEAN
+    * smoothed conditional probability p(wᵢ | wᵢ₋₁) — fluent text rides
+    * common transitions and scores high; keyboard mash, lorem-ipsum and
+    * mid-word-shuffled spam score near the smoothing floor. This is the
+    * model-based complement of the surface heuristics in q26/q52.
+    *
+    * Perplexity proper is exp of a MEAN LOG prob, and `ln` differs in
+    * the last ulp across libms (the q58/q103 rule) — so the score is the
+    * mean probability itself, kept in round-half-up integer ppm
+    * end-to-end: per bigram type, ppm = ⌊(2·10⁶·(c_xy+1) + (c_x+V)) /
+    * (2·(c_x+V))⌋ with context count c_x = Σ_y c_xy and unigram vocab
+    * size V; per doc, the k-weighted mean of those ppms, rounded the
+    * same way. Engine-exact, and order-preserving for any monotone use
+    * (a perplexity threshold IS a mean-probability threshold).
+    *
+    * 100-TB shape: the per-doc bigram-type table (doc_id, x, y, k) is
+    * materialized ONCE and feeds both the training aggregation (two
+    * map-side-combined rollups: bigram counts, then context counts on
+    * the vocab²-scale survivors) and the scoring join — the corpus text
+    * is tokenized exactly once. The model tables are vocab-scale
+    * artifacts a production run would persist and reuse for held-out
+    * scoring; the scoring join shuffles on the bigram key, and the
+    * final per-doc mean is one doc-keyed aggregation.
+    */
+  def q111LmScore(s: SparkSession, d: String): DataFrame =
+    lmScore(Tables.documents(s, d))
+
+  /** [[q111LmScore]]'s core over any (doc_id, text) frame. Emits one row
+    * per document with ≥1 bigram: (doc_id, n_bigrams, score_ppm).
+    */
+  def lmScore(documents: DataFrame): DataFrame = {
+    val docs = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("tk"))
+    val n1 = greatest(size(col("tk")) - 1, lit(0))
+    // per-doc bigram types with multiplicity: corpus-scale, built once
+    val db = docs.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(slice(col("tk"), lit(1), n1),
+          slice(col("tk"), lit(2), n1),
+          (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+      .groupBy(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(false)
+    val bi = db.groupBy(col("x"), col("y")).agg(sum(col("k")).as("c_xy"))
+    val ctx = bi.groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))
+    // unigram vocab size: the add-one denominator (scalar, broadcast)
+    val voc = docs.select(explode(col("tk")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val scored = bi
+      .join(ctx, "x")
+      .crossJoin(broadcast(voc))
+      .select(col("x"), col("y"),
+        expr("(2000000 * (c_xy + 1) + (c_x + v)) DIV (2 * (c_x + v))")
+          .as("ppm"))
+    db.join(scored, Seq("x", "y"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        expr("(2 * sum(k * ppm) + sum(k)) DIV (2 * sum(k))")
+          .as("score_ppm"))
+  }
+
+  /** 127. BM25 top-k retrieval (Robertson & Zaragoza 2009, the Lucene
+    * `k1=1.2, b=0.75` variant with the always-positive
+    * `ln(1 + (N-df+0.5)/(df+0.5))` idf): the query-serving side of the
+    * q104 inverted index — given a query's terms, rank documents by
+    * saturated-tf × rarity. The query workload is derived
+    * deterministically from the corpus itself (each of the `nQueries`
+    * lowest doc_ids contributes its `qTerms` globally-rarest terms, df
+    * ties by term), the "find documents like this seed" retrieval-eval
+    * shape.
+    *
+    * Scores are doubles (idf needs `ln`, which differs in the last ulp
+    * across libms — the q58 rule — so this is a rows-only +
+    * differential-test operator, not an oracle row). Determinism within
+    * the engine is still absolute: per (query, doc) the ≤`qTerms`
+    * per-term contributions are folded in TERM-SORTED order via
+    * `aggregate` over a sorted array — never a float `sum()` whose
+    * accumulation order the scheduler picks — then rounded to 4
+    * decimals, ranked by (rounded score desc, doc_id) per the cosine
+    * rule.
+    *
+    * 100-TB shape: the corpus is touched once to build the (term,
+    * doc_id, tf, dl) posting relation (materialized once, reused for
+    * document-frequency stats, query derivation and scoring — in
+    * production this IS the persisted q104 index, stored typed instead
+    * of re-tokenized). The tiny query-term table broadcasts into the
+    * posting scan, so candidate scoring shuffles only the postings of
+    * the ≤ nQueries·qTerms query terms (rare terms by construction —
+    * short posting lists); the final top-k is the heap-cut
+    * [[graft.plans.TopK.perKey]], never a global sort.
+    */
+  def q112Bm25(s: SparkSession, d: String): DataFrame =
+    bm25TopK(Tables.documents(s, d), nQueries = 8, qTerms = 3, k = 10)
+
+  /** [[q112Bm25]]'s core over any (doc_id, text) frame. */
+  def bm25TopK(documents: DataFrame, nQueries: Int, qTerms: Int,
+      k: Int): DataFrame = {
+    val base = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("tk"))
+    // the typed posting relation: (term, doc_id, tf) + doc length
+    val tf = base
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("tk"))).cast("long").as("total_len"))
+    // query workload: nQueries lowest doc_ids × their qTerms rarest terms
+    val seeds = base.select(col("doc_id").as("query_id"))
+      .orderBy(col("query_id")).limit(nQueries)
+    val seedTerms = tf
+      .join(broadcast(seeds), col("doc_id") === col("query_id"), "inner")
+      .select(col("query_id"), col("term"))
+    val qterms = graft.plans.TopK.perKey(
+      seedTerms.join(dfreq, "term"),
+      keys = Seq("query_id"), order = Seq(("df", false), ("term", false)),
+      k = qTerms).select(col("query_id"), col("term"), col("df"))
+    // score candidates: postings of query terms only (broadcast probe)
+    val contrib = tf
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        expr("""ln(1.0d + (CAST(n_docs AS DOUBLE) - df + 0.5d) / (df + 0.5d))
+                * (tf * 2.2d)
+                / (tf + 1.2d * (0.25d + 0.75d * dl
+                                / (CAST(total_len AS DOUBLE) / n_docs)))""")
+          .as("contrib"))
+    val scored = contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        round(aggregate(
+          array_sort(collect_list(struct(col("term"), col("contrib")))),
+          lit(0.0), (acc, e) => acc + e.getField("contrib")), 4).as("score"))
+    graft.plans.TopK.perKey(scored, keys = Seq("query_id"),
+      order = Seq(("score", true), ("doc_id", false)), k = k)
+  }
 }

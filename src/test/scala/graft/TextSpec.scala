@@ -223,4 +223,120 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
       ("b", 0L, 1L, "1:1"),
       ("c", 0L, 1L, "2:1")))
   }
+
+  test("lm score: planted corpus matches hand-computed ppm") {
+    // corpus: "a b a b" ⊕ "a c" ⊕ "a" ⊕ null; V = {a,b,c} = 3
+    // bigrams: (a,b)=2 (b,a)=1 (a,c)=1 → c_a(ctx)=3, c_b(ctx)=1
+    // ppm(a,b) = rnd(1e6·3/6)  = 500000
+    // ppm(b,a) = rnd(1e6·2/4)  = 500000
+    // ppm(a,c) = rnd(1e6·2/6)  = 333333
+    // doc1: n=3, rnd((2·500000+500000)/3) = 500000; doc2: n=1 → 333333;
+    // doc3 has no bigram → absent
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "a"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextOps.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (3L, 500000L), 2L -> (1L, 333333L)))
+  }
+
+  test("lm score: common transitions outrank scrambled ones; " +
+      "differential vs a local reference on real docs") {
+    // same token bag and length; A rides the corpus's dominant x→y/y→x
+    // transitions, B spreads over rare x→x/y→y ones — the LM separates
+    // them no matter what the real docs contribute to V
+    val repetitive = "x y x y x y x y x y"
+    val scrambled = "x x y y x y y x x y"
+    val real = Tables.documents(spark, Sf).filter(col("text").isNotNull)
+      .filter(col("doc_id") < 40) // deterministic subset (limit isn't)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val docs = (real.toSeq :+ (900001L, repetitive) :+ (900002L, scrambled))
+      .toDF("doc_id", "text")
+    val got = TextOps.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // local reference replay (BigInt round-half-up, same formulas)
+    val toks = docs.collect().flatMap { r =>
+      Option(r.getString(1)).map(t =>
+        r.getLong(0) -> t.trim.toLowerCase.split("\\s+").toSeq)
+    }
+    val vocab = toks.flatMap(_._2).distinct.size
+    val bigrams = toks.filter(_._2.size >= 2)
+      .map { case (id, tk) => id -> tk.sliding(2).map(p => (p(0), p(1))).toSeq }
+    val cxy = bigrams.flatMap(_._2).groupBy(identity).map { case (p, o) => p -> o.size }
+    val cx = cxy.groupBy(_._1._1).map { case (x, m) => x -> m.values.sum }
+    def rnd(num: BigInt, den: BigInt): Long = ((2 * num + den) / (2 * den)).toLong
+    val expected = bigrams.map { case (id, bs) =>
+      val ppms = bs.map { p =>
+        rnd(BigInt(1000000) * (cxy(p) + 1), BigInt(cx(p._1) + vocab)) }
+      id -> (bs.size.toLong, rnd(BigInt(ppms.sum), BigInt(ppms.size)))
+    }.toMap
+    assert(got == expected, "differential mismatch")
+    assert(got(900001L)._2 > got(900002L)._2,
+      s"repetitive ${got(900001L)} !> scrambled ${got(900002L)}")
+  }
+
+  test("bm25: full-coverage doc outranks partial; rare term outweighs " +
+      "common at equal tf") {
+    // seed doc 1 (lowest id) has rare terms; 'filler' floods the corpus
+    val docs = Seq(
+      (1L, "zebra quark filler"),          // seed: rarest = quark, zebra
+      (2L, "zebra quark filler filler"),   // both query terms
+      (3L, "zebra filler filler filler"),  // one query term
+      (4L, "filler filler filler filler"), // none
+      (5L, "quark filler filler filler"))  // one (rarer) query term
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, nQueries = 1, qTerms = 2, k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(-_._3)
+    val byDoc = got.map(r => r._1 -> r._3).toMap
+    assert(!byDoc.contains(4L)) // no query term, never a candidate
+    assert(byDoc(1L) > byDoc(3L) && byDoc(1L) > byDoc(5L),
+      s"full coverage must win: $byDoc")
+    assert(byDoc(2L) > byDoc(3L) && byDoc(2L) > byDoc(5L))
+    // zebra (df=3) vs quark (df=3)... both rare terms picked; the
+    // one-term docs 3 and 5 must each score below any two-term doc
+    assert(got.take(2).map(_._1).toSet == Set(1L, 2L))
+  }
+
+  test("bm25: differential vs a local reference replay on real docs") {
+    val docs = Tables.documents(spark, Sf).filter(col("text").isNotNull)
+      .filter(col("doc_id") < 40) // deterministic subset (limit isn't)
+      .select(col("doc_id"), col("text"))
+    val got = TextOps.bm25TopK(docs, nQueries = 8, qTerms = 3, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    val toks = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq)
+    val n = toks.size
+    val totalLen = toks.map(_._2.size.toLong).sum
+    val tf = toks.flatMap { case (id, tk) =>
+      tk.groupBy(identity).map { case (t, o) =>
+        (t, id, tk.size.toLong, o.size.toLong) } }
+    val dfm = tf.groupBy(_._1).map { case (t, rows) => t -> rows.size.toLong }
+    val seeds = toks.map(_._1).sorted.take(8)
+    val qterms = seeds.flatMap { q =>
+      toks.find(_._1 == q).get._2.distinct
+        .map(t => (t, dfm(t))).sortBy(p => (p._2, p._1)).take(3)
+        .map { case (t, _) => (q, t) } }
+    val expected = qterms
+      .flatMap { case (q, t) =>
+        tf.filter(_._1 == t).map { case (term, id, dl, f) =>
+          val idf = Math.log(1.0 + (n.toDouble - dfm(term) + 0.5) / (dfm(term) + 0.5))
+          val c = idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl / (totalLen.toDouble / n)))
+          (q, id, term, c) } }
+      .groupBy(p => (p._1, p._2))
+      .map { case ((q, id), rows) =>
+        val s = rows.sortBy(_._3).map(_._4).foldLeft(0.0)(_ + _)
+        (q, id, rows.size.toLong,
+          BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .groupBy(_._1)
+      .flatMap { case (_, rows) =>
+        rows.toSeq.sortBy(r => (-r._4, r._2)).take(10) }
+      .toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
 }
