@@ -135,6 +135,8 @@ object SparkEntry {
     "q110_bfs_hops" -> (GraphOps.q110BfsHops _),
     "q111_lm_score" -> (TextOps.q111LmScore _),
     "q112_bm25" -> (TextOps.q112Bm25 _),
+    "q113_markov" -> (RelationalOps.q113Markov _),
+    "q114_weighted_sample" -> (TextOps.q114WeightedSample _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1820,5 +1822,24 @@ object SparkEntry {
                   AS score_ppm
          FROM db JOIN sc ON db.x = sc.x AND db.y = sc.y
          GROUP BY db.doc_id""",
+    // per-user consecutive-event transitions; probability in
+    // round-half-up integer ppm over the from-state row total
+    "q113_markov" ->
+      """WITH pairs AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS to_type
+           FROM events
+         ), t AS (
+           SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           FROM pairs WHERE to_type IS NOT NULL
+           GROUP BY 1, 2
+         )
+         SELECT from_type, to_type, n,
+                CAST((2000000 * CAST(n AS HUGEINT)
+                      + sum(n) OVER (PARTITION BY from_type))
+                     // (2 * sum(n) OVER (PARTITION BY from_type))
+                     AS BIGINT) AS p_ppm
+         FROM t""",
   )
 }

@@ -1028,4 +1028,37 @@ object RelationalOps {
       .withColumn("sum_hour", sum(col("_v")).over(w).cast("decimal(18,4)"))
       .select("event_id", "user_id", "n_hour", "sum_hour")
   }
+
+  /** 128. Markov transition matrix over per-user event streams: for
+    * every (from_type → to_type) pair of CONSECUTIVE events of one
+    * user, the count and the row-normalized transition probability —
+    * the session-flow model behind next-event prediction, anomaly
+    * scoring ("this transition never happens") and the funnel's
+    * unordered complement (q80 asks "did the ordered chain complete";
+    * this asks "what does the user do next from each state").
+    *
+    * Consecutive = `lead` over (ts, event_id) per user — the q79/q94
+    * one-user_id-shuffle shape; per-user streams are bounded, so the
+    * window never sees a degenerate partition. The transition table is
+    * |types|²-bounded (tiny), the probability is round-half-up integer
+    * ppm over the from-state total (q21 ratio rule — engine-exact, no
+    * float division), and the per-from totals come from a window over
+    * the TINY aggregated table, not a second pass over events.
+    */
+  def q113Markov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("c_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(2000000 * n + c_from) DIV (2 * c_from)").as("p_ppm"))
+  }
 }

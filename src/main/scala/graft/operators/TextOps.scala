@@ -756,4 +756,46 @@ object TextOps {
     graft.plans.TopK.perKey(scored, keys = Seq("query_id"),
       order = Seq(("score", true), ("doc_id", false)), k = k)
   }
+
+  /** 129. Weighted sampling WITHOUT replacement per group (Efraimidis &
+    * Spirakis 2006 A-ES): keep the k rows with the largest u^(1/w),
+    * where u is a uniform derived from `xxhash64(doc_id, salt)` — the
+    * exact distributed form of "sample k docs per language proportional
+    * to weight" (quality-weighted corpus subsetting, eval-set draws,
+    * curriculum mixes). Hash-derived randomness, not `rand()`: the draw
+    * is REPRODUCIBLE (same salt → same sample on every retry/backfill,
+    * the q63/q69 rule) and the inclusion law is exact (P(first pick) =
+    * w/Σw per group, proven by E&S; the planted-dominance test measures
+    * it).
+    *
+    * 100-TB shape: one scan computes the key, the per-group top-k is
+    * the [[graft.plans.TopK.perKey]] heap cut (map-side k-bounded, no
+    * global or per-group sort, no skew trap on giant groups). Doubles
+    * (u^(1/w) needs pow) → rows-only + differential; in-engine
+    * determinism is exact — ties broken by doc_id.
+    */
+  def q114WeightedSample(s: SparkSession, d: String): DataFrame =
+    weightedSample(
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("weight")),
+      groupCols = Seq("lang"), k = 10, salt = 42L)
+
+  /** [[q114WeightedSample]]'s keyed frame: every row with its A-ES draw
+    * key (exposed separately so tests and resumable pipelines can
+    * persist/inspect the full keyed population).
+    */
+  def weightedSampleKeys(rows: DataFrame, salt: Long): DataFrame =
+    rows.withColumn("es_key",
+      pow(
+        shiftrightunsigned(xxhash64(col("doc_id"), lit(salt)), 11)
+          .cast("double") / lit(9007199254740992.0d), // 2^53
+        lit(1.0d) / col("weight")))
+
+  /** A-ES top-k per group over [[weightedSampleKeys]]. */
+  def weightedSample(rows: DataFrame, groupCols: Seq[String], k: Int,
+      salt: Long): DataFrame =
+    graft.plans.TopK.perKey(weightedSampleKeys(rows, salt),
+      keys = groupCols, order = Seq(("es_key", true), ("doc_id", false)),
+      k = k)
 }

@@ -180,6 +180,33 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected)
   }
 
+  test("q113 markov: transition counts match a per-user replay; " +
+      "rows normalize to ~1e6 ppm") {
+    val got = RelationalOps.q113Markov(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val counts = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq.sliding(2)
+        .collect { case Seq(a, b) => (a, b) }.toSeq }
+      .groupBy(x => x).map { case (p, o) => p -> o.size.toLong }
+    val fromTot = counts.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val expected = counts.map { case (p, n) =>
+      val c = fromTot(p._1)
+      p -> (n, (2000000L * n + c) / (2 * c)) }
+    assert(got == expected)
+    // each from-state's probabilities sum to 1e6 within rounding slack
+    got.keys.map(_._1).toSeq.distinct.foreach { f =>
+      val tot = got.collect { case ((`f`, _), (_, p)) => p }.sum
+      assert(math.abs(tot - 1000000L) <= got.count(_._1._1 == f),
+        s"$f sums to $tot")
+    }
+  }
+
   test("q80 funnel: counts match a per-user state-machine replay") {
     val got = RelationalOps.q80Funnel(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap

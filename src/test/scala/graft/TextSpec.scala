@@ -339,4 +339,36 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected,
       s"missing=${expected -- got} extra=${got -- expected}")
   }
+
+  test("weighted sample: exact A-ES replay from the keyed frame; " +
+      "deterministic across runs") {
+    val rows = Tables.documents(spark, Sf).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("weight"))
+    val keyed = TextOps.weightedSampleKeys(rows, salt = 42L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val expected = keyed.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      g.sortBy(r => (-r._4, r._1)).take(10) }.toSet
+    val got = TextOps.weightedSample(rows.toDF, Seq("lang"), k = 10,
+      salt = 42L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == expected)
+    assert(got.groupBy(_._2).values.forall(_.size == 10))
+    val again = TextOps.weightedSample(rows.toDF, Seq("lang"), k = 10,
+      salt = 42L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSet == got.toSet)
+  }
+
+  test("weighted sample: inclusion tracks weight (planted dominance " +
+      "over 20 salts)") {
+    // two docs, weights 9999 vs 1: P(heavy wins a 1-draw) = 0.9999
+    val docs = Seq((1L, "g", 9999L), (2L, "g", 1L))
+      .toDF("doc_id", "lang", "weight")
+    val wins = (1L to 20L).count { salt =>
+      TextOps.weightedSample(docs, Seq("lang"), k = 1, salt = salt)
+        .first().getLong(0) == 1L }
+    assert(wins >= 18, s"heavy doc won only $wins/20 draws")
+  }
 }
