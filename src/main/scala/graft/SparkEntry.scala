@@ -137,6 +137,8 @@ object SparkEntry {
     "q112_bm25" -> (TextOps.q112Bm25 _),
     "q113_markov" -> (RelationalOps.q113Markov _),
     "q114_weighted_sample" -> (TextOps.q114WeightedSample _),
+    "q115_equidepth_bins" -> (RelationalOps.q115EquidepthBins _),
+    "q116_ppr" -> (GraphOps.q116Ppr _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1841,5 +1843,52 @@ object SparkEntry {
                      // (2 * sum(n) OVER (PARTITION BY from_type))
                      AS BIGINT) AS p_ppm
          FROM t""",
+    // global 16-quantile equi-depth bin per row: floor((rank-1)*B/n)
+    // over the (price, orderkey, linenumber) total order
+    "q115_equidepth_bins" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+                CAST(((row_number() OVER (ORDER BY l_extendedprice,
+                                          l_orderkey, l_linenumber) - 1)
+                      * 16)
+                     // (SELECT count(*) FROM lineitem) AS BIGINT) AS bin
+         FROM lineitem""",
+    // personalized PageRank from the 3 hub seeds: identical integer
+    // fixed-point update as q105, teleport UNIONed with contributions
+    // (a seed keeps its teleport even with no inbound flow that round)
+    "q116_ppr" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT DISTINCT a.l_partkey AS s1, b.l_partkey AS s2
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey < b.l_partkey
+         ), edges AS (
+           SELECT s1 AS src, s2 AS dst FROM pairs
+           UNION ALL SELECT s2, s1 FROM pairs
+         ), deg AS (
+           SELECT src, count(*) AS od FROM edges GROUP BY src
+         ), seedtab AS (
+           SELECT src AS node FROM edges
+           GROUP BY src ORDER BY count(*) DESC, src LIMIT 3
+         ), it AS (
+           SELECT 0 AS i, node, 1000000000000 // 3 AS r FROM seedtab
+           UNION ALL
+           SELECT j, node, CAST(SUM(v) AS BIGINT) AS r
+           FROM (
+             SELECT i + 1 AS j, e.dst AS node,
+                    (85 * SUM(it.r // d.od)) // 100 AS v
+             FROM it
+             JOIN edges e ON it.node = e.src
+             JOIN deg d ON it.node = d.src
+             WHERE i < 10
+             GROUP BY 1, 2
+             UNION ALL
+             SELECT DISTINCT i + 1, s.node,
+                    (15 * (1000000000000 // 3)) // 100
+             FROM it CROSS JOIN seedtab s
+             WHERE i < 10
+           )
+           GROUP BY j, node
+         )
+         SELECT node AS partkey, CAST(r AS BIGINT) AS ppr_ppt
+         FROM it WHERE i = 10""",
   )
 }

@@ -258,6 +258,66 @@ object GraphOps {
     pageRank(coPurchaseEdges(s, d), 15)
       .select(col("node").as("partkey"), col("r").as("rank_ppt"))
 
+  /** Personalized PageRank (seeded teleport — Page et al. 1999 §6, the
+    * "relevance to THESE nodes" variant behind recommendation and
+    * TrustRank-style propagation): identical integer fixed-point
+    * machinery to [[pageRank]] — ppt-long mass, truncating division,
+    * order-independent and therefore engine-exact — except the 15%
+    * teleport mass returns to the SEED set instead of spreading
+    * uniformly, so rank mass measures proximity to the seeds. The rank
+    * vector starts seed-only and grows with the reached set (sparse
+    * early rounds are cheap); teleport rows are UNIONED with the
+    * contribution rows before the per-node sum, so a seed keeps its
+    * teleport even in a round where nothing flows back to it — the
+    * oracle replays the identical union.
+    *
+    * Per round: edge table ⋈ broadcast node-scale rank vector (edges
+    * never shuffle — the q105 rule), one map-side-combined sum,
+    * lineage cut. 100-TB: same shape as q105; swap the broadcast for a
+    * src-bucketed join past ~1e9 nodes.
+    */
+  def personalizedPageRank(symEdges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val total = 1000000000000L
+    val edges = symEdges.localCheckpoint(false)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .localCheckpoint(false)
+    val seedTab = seeds.select(col("node")).distinct().localCheckpoint(false)
+    val nSeeds = seedTab.count()
+    require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
+    val init = total / nSeeds
+    val sb = (15L * init) / 100L
+    val seedBase = seedTab.select(col("node"), lit(sb).as("v"))
+    val withDeg = edges.join(broadcast(deg), "src").localCheckpoint(false)
+    var ranks = seedTab.select(col("node"), lit(init).as("r"))
+    for (_ <- 0 until iters) {
+      val contrib = withDeg
+        .join(broadcast(ranks), col("src") === col("node"))
+        .select(col("dst"), expr("r div od").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+        .select(col("dst").as("node"), expr("(85 * cs) div 100").as("v"))
+      ranks = contrib.unionByName(seedBase)
+        .groupBy(col("node")).agg(sum(col("v")).as("r"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+
+  /** 131. Seeded relevance over the co-purchase graph: personalized
+    * PageRank from the 3 highest-degree hub parts (the q110 seed rule,
+    * ties by id) — "how related is every part to the bundle cores",
+    * the recommendation/propagation complement of q105's global
+    * importance and q110's hop distance.
+    */
+  def q116Ppr(s: SparkSession, d: String): DataFrame = {
+    val edges = coPurchaseEdges(s, d).localCheckpoint(false)
+    val seeds = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).limit(3)
+      .select(col("src").as("node"))
+    personalizedPageRank(edges, seeds, iters = 10)
+      .select(col("node").as("partkey"), col("r").as("ppr_ppt"))
+  }
+
   /** Symmetric part co-purchase edges (parts sharing an order); the
     * per-order self-join's blow-up is bounded by order size (≤ 7
     * lineitems → ≤ 21 pairs), never by table size, and pair dedup

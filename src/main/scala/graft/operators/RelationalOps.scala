@@ -1061,4 +1061,32 @@ object RelationalOps {
       .select(col("from_type"), col("to_type"), col("n"),
         expr("(2000000 * n + c_from) DIV (2 * c_from)").as("p_ppm"))
   }
+
+  /** 130. Equi-depth binning (the feature-engineering quantile
+    * discretizer): every lineitem assigned its global 16-quantile price
+    * bin — `bin = ⌊(rank−1)·B / n⌋` over the (price, orderkey,
+    * linenumber)-total order, so bin populations differ by at most one
+    * row and the cut points ARE the empirical quantiles.
+    *
+    * The naive formulation is `ntile(16) OVER (ORDER BY price)` — a
+    * GLOBAL window, the single-reducer shape that dies first at scale
+    * (100 TB through one task). Here the global rank is
+    * [[DistributedRank.withRank]] with EMPTY group columns: range
+    * partition on the order key → parallel per-slice ranks → broadcast
+    * per-partition offsets (a #partitions-row table), then the bin is
+    * pure long arithmetic — engine-exact, no percentile estimation
+    * anywhere (q45 computes the quantile VALUES; this labels every
+    * row, which is what a feature pipeline joins back).
+    */
+  def q115EquidepthBins(s: SparkSession, d: String): DataFrame = {
+    val bins = 16L
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val ranked = DistributedRank.withRank(li, Seq.empty,
+      Seq("l_extendedprice", "l_orderkey", "l_linenumber"), "rk")
+    ranked
+      .crossJoin(broadcast(li.agg(count(lit(1)).as("_n"))))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        expr(s"((rk - 1) * $bins) DIV _n").as("bin"))
+  }
 }

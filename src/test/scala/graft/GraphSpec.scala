@@ -38,6 +38,45 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Local reference PPR with the operator's exact integer math. */
+  private def localPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val init = 1000000000000L / seeds.size
+    val sb = (15L * init) / 100L
+    var r: Map[Long, Long] = seeds.map(_ -> init).toMap
+    for (_ <- 0 until iters) {
+      val in = edges.filter(e => r.contains(e._1)).groupBy(_._2).view
+        .mapValues(es => {
+          val s = es.map { case (u, _) => r(u) / deg(u) }.sum
+          (85L * s) / 100L
+        }).toMap
+      r = (in.keySet ++ seeds).map { v =>
+        v -> (in.getOrElse(v, 0L) + (if (seeds(v)) sb else 0L)) }.toMap
+    }
+    r
+  }
+
+  test("personalized pageRank matches the local integer reference; " +
+      "mass concentrates near the seed") {
+    // path 1-2-3-4-5 seeded at 1: rank must decay with hop distance
+    val path = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    for ((edges, seeds) <- Seq(
+        (path, Set(1L)),
+        (path, Set(1L, 5L)),
+        (sym((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)), Set(2L)),
+        (sym((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)), Set(4L)))) {
+      val got = GraphOps.personalizedPageRank(edges.toDF("src", "dst"),
+          seeds.toSeq.toDF("node"), iters = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == localPpr(edges, seeds, 10), s"seeds=$seeds")
+    }
+    val r = GraphOps.personalizedPageRank(path.toDF("src", "dst"),
+        Seq(1L).toDF("node"), iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L) && r(4L) > r(5L))
+  }
+
   test("star center outranks leaves; total mass stays ~10^12") {
     val edges = sym((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
     val r = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 15)

@@ -362,4 +362,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert("Exchange".r.findAllIn(p).length <= 1, p.take(2000))
     assert(p.contains("bpeencode"), p.take(2000))
   }
+
+  test("q112 bm25: query terms broadcast into the posting scan — the " +
+      "posting relation is never the build side; top-k is the heap " +
+      "operator, never a sort") {
+    val df = TextOps.q112Bm25(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(p.contains("TopKPerKey"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2500))
+  }
+
+  test("q113 markov: ONE user_id shuffle; ratio window runs on the " +
+      "types-squared aggregate, never a second corpus pass") {
+    val p = plan(RelationalOps.q113Markov(spark, Sf))
+    val userEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(user_id")).size
+    assert(userEx == 1, s"$userEx user_id exchanges:\n${p.take(2500)}")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q114 weighted sample: per-group cut is the heap operator — no " +
+      "Window, no per-group sort") {
+    val p = plan(TextOps.q114WeightedSample(spark, Sf))
+    assert(p.contains("TopKPerKey"), p.take(2500))
+    assert(!p.contains("WindowExec") && !p.contains("Window "), p.take(2500))
+    assert(!p.contains("Sort "), p.take(2500))
+  }
 }

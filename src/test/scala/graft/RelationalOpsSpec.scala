@@ -207,6 +207,26 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q115 equi-depth bins: balanced populations, quantile-ordered, " +
+      "exact replay") {
+    val got = RelationalOps.q115EquidepthBins(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    val n = got.length
+    val byBin = got.groupBy(_._4)
+    assert(byBin.keySet == (0L until 16L).toSet)
+    val sizes = byBin.view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"sizes $sizes")
+    // replay: sort by (price, orderkey, linenumber), bin by rank math
+    val expected = got.map(r => (r._3, r._1, r._2)).sorted.zipWithIndex
+      .map { case ((p, ok, ln), i) => (ok, ln, p, i.toLong * 16 / n) }
+      .toSet
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSet == expected)
+    // bins are contiguous in price: max of bin b ≤ min of bin b+1
+    (0L until 15L).foreach { b =>
+      assert(byBin(b).map(_._3).max <= byBin(b + 1).map(_._3).min + 1e-12)
+    }
+  }
+
   test("q80 funnel: counts match a per-user state-machine replay") {
     val got = RelationalOps.q80Funnel(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
