@@ -85,6 +85,20 @@ object EventStreams {
           col(rightTs).between(
             col(leftTs) - expr(s"INTERVAL $lookback"), col(leftTs)))
 
+  /** Stream-static dimension enrichment: every streaming event joined
+    * to a STATIC (batch) dimension table — the canonical "attach user/
+    * product attributes as events arrive" shape. The static side is
+    * broadcast per micro-batch (no stream state, no watermark needed —
+    * unlike a stream-stream join there is nothing to buffer), so the
+    * stream never shuffles; at production scale the dimension refresh
+    * is a re-broadcast, not a state migration. Left join preserves
+    * events with no dimension row (dim columns null) — an enrichment
+    * must never drop facts.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   // ---- Sessionization ---------------------------------------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

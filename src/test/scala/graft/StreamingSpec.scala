@@ -44,6 +44,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == distinctUsers)
   }
 
+  test("stream-static dim enrichment equals the batch join, drops " +
+      "no events") {
+    val dim = Tables.customer(spark, Sf)
+      .select(col("c_custkey"), col("c_name"))
+    val q = EventStreams.enrichWithDim(
+        EventStreams.readEventStream(spark, Sf), dim,
+        "user_id", "c_custkey")
+      .select("event_id", "user_id", "c_name")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("enrich_out").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    val batch = EventStreams.enrichWithDim(
+        Tables.events(spark, Sf), dim, "user_id", "c_custkey")
+      .select("event_id", "user_id", "c_name").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got == batch)
+    assert(got.size == Tables.events(spark, Sf).count())
+    assert(got.values.exists(_.isDefined)) // enrichment actually fires
+  }
+
   test("stream-stream time-bounded join (engine API) matches batch") {
     def sides(df: org.apache.spark.sql.DataFrame) = {
       val p = df.filter(col("event_type") === "purchase")
