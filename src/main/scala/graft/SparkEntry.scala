@@ -139,6 +139,7 @@ object SparkEntry {
     "q114_weighted_sample" -> (TextOps.q114WeightedSample _),
     "q115_equidepth_bins" -> (RelationalOps.q115EquidepthBins _),
     "q116_ppr" -> (GraphOps.q116Ppr _),
+    "q117_cube" -> (RelationalOps.q117Cube _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1890,5 +1891,14 @@ object SparkEntry {
          )
          SELECT node AS partkey, CAST(r AS BIGINT) AS ppr_ppt
          FROM it WHERE i = 10""",
+    // the full 2^k grouping lattice; GROUPING(lang, source) bit order
+    // matches Spark's grouping_id()
+    "q117_cube" ->
+      """SELECT lang, source,
+                CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM documents
+         GROUP BY CUBE (lang, source)""",
   )
 }

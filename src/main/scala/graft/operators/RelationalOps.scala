@@ -320,6 +320,25 @@ object RelationalOps {
       .select("lang", "source", "gid", "n_docs", "total_chars")
   }
 
+  /** 133. CUBE: every grouping subset of (lang, source) — detail, each
+    * one-dimension margin, and the grand total — completing the OLAP
+    * grouping family (q43 ROLLUP = the prefix chain, q100 GROUPING
+    * SETS = an explicit list, CUBE = the full 2ᵏ lattice). Same single
+    * Expand → one partial-aggregated shuffle plan as q100 — the 4
+    * subsets never re-scan the table; `grouping_id()` separates a
+    * genuinely-null key from a margin row (q100 rule; bit order matches
+    * DuckDB `GROUPING(lang, source)`). Aggregates stay integer-exact
+    * (counts + a DECIMAL sum of the 4-decimal doubles per the
+    * determinism rule).
+    */
+  def q117Cube(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .cube(col("lang"), col("source"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .select("lang", "source", "gid", "n_docs", "total_chars")
+
   /** 44. Pivot: events per user pivoted into one column per event type
     * (fixed type list → deterministic schema).
     */
@@ -1045,12 +1064,17 @@ object RelationalOps {
     * float division), and the per-from totals come from a window over
     * the TINY aggregated table, not a second pass over events.
     */
-  def q113Markov(s: SparkSession, d: String): DataFrame = {
+  def q113Markov(s: SparkSession, d: String): DataFrame =
+    markovTransitions(Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+
+  /** [[q113Markov]]'s core over any (user_id, ts, event_id, event_type)
+    * frame.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val pairs = Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type"))
+    val pairs = events
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))

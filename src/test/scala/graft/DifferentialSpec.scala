@@ -279,4 +279,73 @@ class DifferentialSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("lmScore equals a BigInt reference on random corpora with " +
+      "nulls, empties and heavy collisions") {
+    val rnd = new scala.util.Random(7878)
+    val vocabChars = "abcde"
+    for (trial <- 1 to 12) {
+      val n = 1 + rnd.nextInt(30)
+      val rows = (0 until n).map { i =>
+        val r = rnd.nextInt(10)
+        val text =
+          if (r == 0) null
+          else if (r == 1) ""
+          else Seq.fill(1 + rnd.nextInt(12))(
+            vocabChars(rnd.nextInt(5)).toString).mkString(" ")
+        (i.toLong, text)
+      }
+      val df = rows.toDF("doc_id", "text")
+      val got = graft.operators.TextOps.lmScore(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      val toks = rows.collect { case (id, t) if t != null =>
+        id -> t.trim.toLowerCase.split("\\s+").toSeq }
+      val vocab = toks.flatMap(_._2).distinct.size
+      val bigrams = toks.filter(_._2.size >= 2).map { case (id, tk) =>
+        id -> tk.sliding(2).map(p => (p(0), p(1))).toSeq }
+      val cxy = bigrams.flatMap(_._2).groupBy(x => x).view
+        .mapValues(_.size).toMap
+      val cx = cxy.groupBy(_._1._1).view
+        .mapValues(_.values.sum).toMap
+      def rnd2(num: BigInt, den: BigInt): Long =
+        ((2 * num + den) / (2 * den)).toLong
+      val want = bigrams.map { case (id, bs) =>
+        val ppms = bs.map(p =>
+          rnd2(BigInt(1000000) * (cxy(p) + 1), BigInt(cx(p._1) + vocab)))
+        id -> (bs.size.toLong, rnd2(BigInt(ppms.sum), BigInt(ppms.size)))
+      }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("markovTransitions equals a per-user replay on random streams " +
+      "with same-instant events") {
+    val rnd = new scala.util.Random(9191)
+    for (trial <- 1 to 12) {
+      val n = 2 + rnd.nextInt(200)
+      val types = Seq("a", "b", "c")
+      // µs timestamps drawn from a tiny domain → same-instant collisions;
+      // (ts, event_id) is the pinned total order
+      val rows = (0 until n).map { i =>
+        (1L + rnd.nextInt(5), new java.sql.Timestamp(rnd.nextInt(50) * 1000L),
+          i.toLong, types(rnd.nextInt(3)))
+      }
+      val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+      val got = graft.operators.RelationalOps.markovTransitions(df)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+
+      val counts = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (e._2.getTime, e._3)).map(_._4).toSeq.sliding(2)
+          .collect { case Seq(a, b) => (a, b) }.toSeq }
+        .groupBy(x => x).view.mapValues(_.size.toLong).toMap
+      val fromTot = counts.groupBy(_._1._1).view
+        .mapValues(_.values.sum).toMap
+      val want = counts.map { case (p, c) =>
+        val t = fromTot(p._1)
+        p -> (c, (2000000L * c + t) / (2 * t)) }
+      assert(got == want, s"trial $trial")
+    }
+  }
 }

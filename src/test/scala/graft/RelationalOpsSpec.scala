@@ -227,6 +227,27 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q117 cube: margins are consistent sums of the detail cells") {
+    val rows = RelationalOps.q117Cube(spark, Sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._3).toSet == Set(0L, 1L, 2L, 3L))
+    val detail = rows.filter(_._3 == 0L)
+    val total = rows.filter(_._3 == 3L)
+    assert(total.length == 1 && total.head._4 == detail.map(_._4).sum &&
+      total.head._5 == detail.map(_._5).sum)
+    // per-lang margin (gid=1: source aggregated away) matches detail
+    rows.filter(_._3 == 1L).foreach { case (lang, _, _, n, chars) =>
+      val d = detail.filter(_._1 == lang)
+      assert(n == d.map(_._4).sum && chars == d.map(_._5).sum, s"lang $lang")
+    }
+    // per-source margin (gid=2: lang aggregated away)
+    rows.filter(_._3 == 2L).foreach { case (_, src, _, n, chars) =>
+      val d = detail.filter(_._2 == src)
+      assert(n == d.map(_._4).sum && chars == d.map(_._5).sum, s"src $src")
+    }
+  }
+
   test("q80 funnel: counts match a per-user state-machine replay") {
     val got = RelationalOps.q80Funnel(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
