@@ -140,6 +140,7 @@ object SparkEntry {
     "q115_equidepth_bins" -> (RelationalOps.q115EquidepthBins _),
     "q116_ppr" -> (GraphOps.q116Ppr _),
     "q117_cube" -> (RelationalOps.q117Cube _),
+    "q118_incr_index" -> (TextOps.q118IncrIndex _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1900,5 +1901,26 @@ object SparkEntry {
                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM documents
          GROUP BY CUBE (lang, source)""",
+    // the delta-maintained index is DEFINED to equal the full rebuild,
+    // so the oracle is q104's full-corpus index verbatim
+    "q118_incr_index" ->
+      """WITH tf AS (
+           SELECT term, doc_id, count(*) AS tf
+           FROM (SELECT doc_id,
+                        unnest(string_split_regex(lower(trim(text)), '\s+'))
+                          AS term
+                 FROM documents WHERE text IS NOT NULL)
+           GROUP BY 1, 2
+         ), rk AS (
+           SELECT term, doc_id, tf,
+                  (row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                   - 1) // 64 AS block_id
+           FROM tf
+         )
+         SELECT term, CAST(block_id AS BIGINT) AS block_id,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+                  AS postings
+         FROM rk GROUP BY term, block_id""",
   )
 }

@@ -319,6 +319,34 @@ class DifferentialSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("invertedIndexDelta equals the full rebuild on random corpora, " +
+      "splits and block sizes") {
+    val rnd = new scala.util.Random(5656)
+    for (trial <- 1 to 10) {
+      val n = 2 + rnd.nextInt(40)
+      val rows = (0 until n).map { i =>
+        val r = rnd.nextInt(10)
+        val text =
+          if (r == 0) null
+          else Seq.fill(1 + rnd.nextInt(8))(
+            ('a' + rnd.nextInt(4)).toChar.toString).mkString(" ")
+        (i.toLong, text)
+      }
+      val bs = 1 + rnd.nextInt(4)
+      val cut = rnd.nextInt(n + 1).toLong
+      val df = rows.toDF("doc_id", "text")
+      def rset(x: org.apache.spark.sql.DataFrame) = x.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      val inc = rset(graft.operators.TextOps.invertedIndexDelta(
+        graft.operators.TextOps.invertedIndex(
+          df.filter(col("doc_id") < cut), bs),
+        df.filter(col("doc_id") >= cut), bs))
+      val full = rset(graft.operators.TextOps.invertedIndex(df, bs))
+      assert(inc == full, s"trial $trial (n=$n bs=$bs cut=$cut)")
+    }
+  }
+
   test("markovTransitions equals a per-user replay on random streams " +
       "with same-instant events") {
     val rnd = new scala.util.Random(9191)

@@ -340,6 +340,48 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("incremental index: tail-block merge and fresh blocks, exact " +
+      "strings; chained refresh equals full rebuild") {
+    val d0 = Seq((1L, "a b a"), (2L, "a c"), (3L, "a")).toDF("doc_id", "text")
+    val d1 = Seq((4L, "a b"), (5L, "c")).toDF("doc_id", "text")
+    val d2 = Seq((6L, "a d")).toDF("doc_id", "text")
+    val standing = TextOps.invertedIndex(d0, blockSize = 2)
+    val once = TextOps.invertedIndexDelta(standing, d1, blockSize = 2)
+    val got = once.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    // term a: docs 1..4 → blocks [1:2,2:1] [3:1,4:1]; b: [1:1,4:1];
+    // c: [2:1,5:1]
+    assert(got == Set(
+      ("a", 0L, 2L, "1:2,2:1"), ("a", 1L, 2L, "3:1,4:1"),
+      ("b", 0L, 2L, "1:1,4:1"), ("c", 0L, 2L, "2:1,5:1")))
+    // chained second refresh ≡ full rebuild over all three batches
+    val twice = TextOps.invertedIndexDelta(once, d2, blockSize = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val full = TextOps.invertedIndex(d0.unionByName(d1).unionByName(d2),
+        blockSize = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(twice == full)
+  }
+
+  test("incremental index equals the full rebuild on the real corpus " +
+      "at the q118 split") {
+    val docs = Tables.documents(spark, Sf)
+    val n = docs.count()
+    val t = 4L * n / 5L
+    val inc = TextOps.invertedIndexDelta(
+        TextOps.invertedIndex(docs.filter(col("doc_id") < t), 64),
+        docs.filter(col("doc_id") >= t), 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val full = TextOps.invertedIndex(docs, 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(inc == full)
+  }
+
   test("weighted sample: exact A-ES replay from the keyed frame; " +
       "deterministic across runs") {
     val rows = Tables.documents(spark, Sf).filter(col("text").isNotNull)
