@@ -391,4 +391,42 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("WindowExec") && !p.contains("Window "), p.take(2500))
     assert(!p.contains("Sort "), p.take(2500))
   }
+
+  test("q111 lm score: model tables join the bigram table by shuffle " +
+      "hash join; the only nested-loop is the broadcast vocab scalar") {
+    val p = plan(TextOps.q111LmScore(spark, Sf))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    // the V scalar rides a broadcast nested loop (1 row); everything
+    // else must be hash equi-joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+  }
+
+  test("q115 equi-depth bins: the global window runs per range slice " +
+      "(partitioned by _part) — never one unpartitioned reducer") {
+    val df = RelationalOps.q115EquidepthBins(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p.take(2500))
+    // every Window in the plan is keyed by the slice id
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach {
+      l => assert(l.contains("_part"), l)
+    }
+  }
+
+  test("q117 cube: ONE Expand feeds one partial-aggregated shuffle — " +
+      "the four grouping subsets never re-scan the table") {
+    val p = plan(RelationalOps.q117Cube(spark, Sf))
+    assert("Expand".r.findAllIn(p).length == 1, p.take(2500))
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(2500))
+  }
+
+  test("q118 incremental index: hash joins only — no sort-merge, no " +
+      "cartesian; untouched blocks pass through an anti-join") {
+    val p = plan(TextOps.q118IncrIndex(spark, Sf))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+    assert(p.contains("LeftAnti"), p.take(2500))
+  }
 }
