@@ -141,6 +141,7 @@ object SparkEntry {
     "q116_ppr" -> (GraphOps.q116Ppr _),
     "q117_cube" -> (RelationalOps.q117Cube _),
     "q118_incr_index" -> (TextOps.q118IncrIndex _),
+    "q119_flow_score" -> (RelationalOps.q119FlowScore _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1922,5 +1923,33 @@ object SparkEntry {
                 string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
                   AS postings
          FROM rk GROUP BY term, block_id""",
+    // per-user mean transition ppm under the q113 model — two-stage
+    // round-half-up integer ppm, engine-exact
+    "q119_flow_score" ->
+      """WITH pairs AS (
+           SELECT user_id, event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS to_type
+           FROM events
+         ), p2 AS (
+           SELECT user_id, from_type, to_type FROM pairs
+           WHERE to_type IS NOT NULL
+         ), t AS (
+           SELECT from_type, to_type, count(*) AS n
+           FROM p2 GROUP BY 1, 2
+         ), m AS (
+           SELECT from_type, to_type,
+                  CAST((2000000 * CAST(n AS HUGEINT)
+                        + sum(n) OVER (PARTITION BY from_type))
+                       // (2 * sum(n) OVER (PARTITION BY from_type))
+                       AS BIGINT) AS p_ppm
+           FROM t
+         )
+         SELECT p2.user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+                CAST((2 * sum(CAST(m.p_ppm AS HUGEINT)) + count(*))
+                     // (2 * count(*)) AS BIGINT) AS flow_ppm
+         FROM p2 JOIN m ON p2.from_type = m.from_type
+                       AND p2.to_type = m.to_type
+         GROUP BY p2.user_id""",
   )
 }

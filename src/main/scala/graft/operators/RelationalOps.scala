@@ -320,6 +320,45 @@ object RelationalOps {
       .select("lang", "source", "gid", "n_docs", "total_chars")
   }
 
+  /** 135. Behavioral flow scoring: every user's event stream scored by
+    * the MEAN transition probability of its consecutive-event pairs
+    * under the corpus-wide Markov model (q113) — the q111 LM-scoring
+    * idea applied to behavior: users riding common transitions score
+    * high, anomalous flows (bots, broken clients, abuse scripts) sink
+    * toward the floor. Same two-stage round-half-up integer ppm as
+    * q111 (model ppm per transition type, then the per-user mean), so
+    * the whole model-apply pipeline is engine-exact — an anomaly
+    * threshold is a mean-probability threshold.
+    *
+    * The pair table is built ONCE (one user_id-shuffle `lead` window)
+    * and feeds both the model aggregate and the scoring join; the
+    * model is |types|²-bounded so the scoring join BROADCASTS it — the
+    * corpus-scale pair table never shuffles again; the per-user mean
+    * is one map-side-combined aggregation.
+    */
+  def q119FlowScore(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("to_type"))
+      .localCheckpoint(false)
+    val model = pairs
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      .withColumn("c_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"),
+        expr("(2000000 * n + c_from) DIV (2 * c_from)").as("p_ppm"))
+    pairs.join(broadcast(model), Seq("from_type", "to_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_transitions"),
+        expr("(2 * sum(p_ppm) + count(1)) DIV (2 * count(1))")
+          .as("flow_ppm"))
+  }
+
   /** 133. CUBE: every grouping subset of (lang, source) — detail, each
     * one-dimension margin, and the grand total — completing the OLAP
     * grouping family (q43 ROLLUP = the prefix chain, q100 GROUPING

@@ -248,6 +248,25 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q119 flow score: per-user replay over the q113 model") {
+    val got = RelationalOps.q119FlowScore(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val model = RelationalOps.q113Markov(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).collect {
+      case (u, rows) if rows.length >= 2 =>
+        val ps = rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq.sliding(2)
+          .collect { case Seq(a, b) => model((a, b)) }.toSeq
+        u -> (ps.size.toLong, (2 * ps.sum + ps.size) / (2L * ps.size))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("q80 funnel: counts match a per-user state-machine replay") {
     val got = RelationalOps.q80Funnel(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
