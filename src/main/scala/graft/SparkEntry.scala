@@ -142,6 +142,7 @@ object SparkEntry {
     "q117_cube" -> (RelationalOps.q117Cube _),
     "q118_incr_index" -> (TextOps.q118IncrIndex _),
     "q119_flow_score" -> (RelationalOps.q119FlowScore _),
+    "q120_pq_ann" -> (PqAnn.q120PqAnn _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output

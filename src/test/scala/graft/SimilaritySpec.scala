@@ -81,6 +81,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"recall@5 = $recall")
   }
 
+  test("PQ ADC ANN recall@5 vs brute force; codes bounded; " +
+      "deterministic across runs") {
+    val bf = SimilarityOps.q32KnnBruteforce(spark, Sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val got = graft.operators.PqAnn.q120PqAnn(spark, Sf)
+    val rows = got.collect()
+    assert(rows.length == 50) // 5 per query × 10 queries
+    val pq = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & bf).size.toDouble / bf.size
+    info(s"PQ ADC recall@5 = $recall")
+    assert(recall >= 0.7, s"recall@5 = $recall")
+    // codes are 4-bit by construction
+    val emb = Tables.embeddings(spark, Sf)
+    val n = emb.count()
+    val cb = graft.operators.PqAnn.trainCodebooks(emb, 64, n)
+    val coded = graft.operators.PqAnn.encode(emb, cb, 64)
+    (0 until 4).foreach { m =>
+      val mx = coded.agg(max(col(s"code$m")), min(col(s"code$m"))).first()
+      assert(mx.getInt(0) <= 15 && mx.getInt(1) >= 0)
+    }
+    val again = graft.operators.PqAnn.q120PqAnn(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again == rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
   test("persisted code index: write → reload → search matches the " +
       "on-the-fly path (schema round-trip pinned)") {
     import graft.sources.ParquetUpsertSink
