@@ -2,8 +2,6 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorExpressions
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,8 +25,10 @@ import org.apache.spark.sql.functions._
   * Composable with q40's IVF cells (IVF-PQ) — the cell assignment and
   * the codes are independent columns.
   *
-  * Training fits M tiny KMeans models on a seeded sample; encoding is
-  * one scan with broadcast codebooks (argmin over 16 centroids per
+  * Training runs seeded Lloyd's on the driver over ONE capped
+  * content-keyed sample collect (the codebook is a bounded artifact —
+  * 128 centroids × 8 dims); encoding is one scan with broadcast
+  * codebooks (argmin over 16 centroids per
   * subspace via higher-order functions — at production scale this is
   * the one hot loop you would move into a codegen expression, the
   * q74/CountInSorted playbook). Deterministic end to end: seeded
@@ -41,25 +41,117 @@ object PqAnn {
   private val SubK = 16
   private val K = 5
 
-  /** Train the M sub-codebooks on a seeded sample. Returns
+  /** Train the M sub-codebooks on a deterministic capped sample:
+    * `orderBy(xxhash64(vec_id)).limit(cap)` is a content-keyed
+    * priority sample — Spark plans it as TakeOrderedAndProject (top-cap
+    * per partition, driver merge), so ONE job collects ≤cap rows no
+    * matter the corpus size. The codebook itself is a bounded artifact
+    * (M·SubK·subDim doubles), so Lloyd's runs on the driver: the 8
+    * Spark-ML fits this replaces cost ~2 s of job-scheduling overhead
+    * EACH regardless of data size. Seeded k-means++ init, first-match
+    * argmin, index tie-breaks → deterministic end to end. Returns
     * M × SubK × subDim centroids.
     */
   def trainCodebooks(emb: DataFrame, dim: Int, nRows: Long,
-      sampleFraction: Double = 0.5): Array[Array[Array[Double]]] = {
+      sampleCap: Int = 4096): Array[Array[Array[Double]]] = {
     val subDim = dim / M
-    val withE = emb.withColumn("e", unitE)
-    val sample =
-      if (nRows * sampleFraction >= SubK * 4L)
-        withE.sample(withReplacement = false, sampleFraction, seed = 42L)
-      else withE
+    val sample: Array[Array[Double]] = emb
+      .withColumn("e", unitE)
+      .select(col("e"), xxhash64(col("vec_id")).as("h"), col("vec_id"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(sampleCap)
+      .select("e")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
     (0 until M).map { m =>
-      val sliceCol = array_to_vector(
-        slice(col("e"), m * subDim + 1, subDim))
-      val model = new KMeans().setK(SubK).setSeed(42L + m)
-        .setMaxIter(20).setInitMode("k-means||")
-        .fit(sample.select(sliceCol.as("features")))
-      model.clusterCenters.map(_.toArray)
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(
+        v, m * subDim, (m + 1) * subDim))
+      localKMeans(pts, SubK, seed = 42L + m, maxIter = 25)
     }.toArray
+  }
+
+  private def sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Driver-side Lloyd's with seeded k-means++ init. Empty clusters
+    * are re-seeded from the point farthest from its centroid (lowest
+    * index on ties) — deterministic.
+    */
+  private def localKMeans(pts: Array[Array[Double]], k: Int, seed: Long,
+      maxIter: Int): Array[Array[Double]] = {
+    val n = pts.length
+    val rnd = new scala.util.Random(seed)
+    // k-means++ seeding
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = pts(rnd.nextInt(n)).clone()
+    val d2 = pts.map(p => sq(p, centers(0)))
+    var c = 1
+    while (c < k) {
+      val total = d2.sum
+      val pick =
+        if (total <= 0.0) rnd.nextInt(n)
+        else {
+          val target = rnd.nextDouble() * total
+          var acc = 0.0; var i = 0
+          while (i < n - 1 && acc + d2(i) < target) { acc += d2(i); i += 1 }
+          i
+        }
+      centers(c) = pts(pick).clone()
+      var i = 0
+      while (i < n) { val d = sq(pts(i), centers(c))
+        if (d < d2(i)) d2(i) = d; i += 1 }
+      c += 1
+    }
+    // Lloyd iterations
+    val assign = new Array[Int](n)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = sq(pts(i), centers(0)); var j = 1
+        while (j < k) {
+          val d = sq(pts(i), centers(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        if (assign(i) != best || iter == 0) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](pts(0).length))
+      val cnt = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); cnt(a) += 1
+        var j = 0
+        while (j < pts(i).length) { sums(a)(j) += pts(i)(j); j += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (cnt(j) > 0) {
+          var t = 0
+          while (t < sums(j).length) { sums(j)(t) /= cnt(j); t += 1 }
+          centers(j) = sums(j)
+        } else {
+          // re-seed from the worst-fit point
+          var worst = 0; var worstD = -1.0; var i2 = 0
+          while (i2 < n) {
+            val d = sq(pts(i2), centers(assign(i2)))
+            if (d > worstD) { worstD = d; worst = i2 }
+            i2 += 1
+          }
+          centers(j) = pts(worst).clone()
+        }
+        j += 1
+      }
+      iter += 1
+    }
+    centers.map(_.clone())
   }
 
   private def dist2(a: Column, centroid: Column): Column =
