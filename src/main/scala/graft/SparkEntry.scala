@@ -143,6 +143,7 @@ object SparkEntry {
     "q118_incr_index" -> (TextOps.q118IncrIndex _),
     "q119_flow_score" -> (RelationalOps.q119FlowScore _),
     "q120_pq_ann" -> (PqAnn.q120PqAnn _),
+    "q121_ivfpq" -> (IvfPq.q121IvfPq _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output

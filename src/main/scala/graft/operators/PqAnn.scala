@@ -70,7 +70,7 @@ object PqAnn {
     }.toArray
   }
 
-  private def sq(a: Array[Double], b: Array[Double]): Double = {
+  private[operators] def sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
@@ -80,7 +80,7 @@ object PqAnn {
     * are re-seeded from the point farthest from its centroid (lowest
     * index on ties) — deterministic.
     */
-  private def localKMeans(pts: Array[Array[Double]], k: Int, seed: Long,
+  private[operators] def localKMeans(pts: Array[Array[Double]], k: Int, seed: Long,
       maxIter: Int): Array[Array[Double]] = {
     val n = pts.length
     val rnd = new scala.util.Random(seed)
@@ -154,7 +154,7 @@ object PqAnn {
     centers.map(_.clone())
   }
 
-  private def dist2(a: Column, centroid: Column): Column =
+  private[operators] def dist2(a: Column, centroid: Column): Column =
     aggregate(zip_with(a, centroid, (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, x) => acc + x)
 
@@ -164,7 +164,7 @@ object PqAnn {
     * quantized form of) the true cosine. Zero vectors pass through
     * unscaled (cosine is undefined there anyway; re-rank decides).
     */
-  private def unitE: Column = {
+  private[operators] def unitE: Column = {
     val e = transform(col("embedding"), x => x.cast("double"))
     val n = sqrt(aggregate(e, lit(0.0d), (acc, x) => acc + x * x))
     transform(e, x => when(n > 0.0d, x / n).otherwise(x))

@@ -108,6 +108,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
   }
 
+  test("IVF-PQ recall@5 vs brute force; residual codes bounded; " +
+      "deterministic across runs") {
+    val bf = SimilarityOps.q32KnnBruteforce(spark, Sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val got = graft.operators.IvfPq.q121IvfPq(spark, Sf)
+    val rows = got.collect()
+    assert(rows.length == 50)
+    val pq = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & bf).size.toDouble / bf.size
+    info(s"IVF-PQ recall@5 = $recall")
+    assert(recall >= 0.6, s"recall@5 = $recall")
+    val emb = Tables.embeddings(spark, Sf)
+    val (coarse, cb) = graft.operators.IvfPq.train(emb, 64, 16)
+    val coded = graft.operators.IvfPq.encode(emb, coarse, cb, 64)
+    val mm = coded.agg(max(col("cell")), min(col("cell")),
+      max(col("code3")), min(col("code3"))).first()
+    assert(mm.getInt(0) <= 15 && mm.getInt(1) >= 0)
+    assert(mm.getInt(2) <= 15 && mm.getInt(3) >= 0)
+    val again = graft.operators.IvfPq.q121IvfPq(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again == rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
   test("persisted code index: write → reload → search matches the " +
       "on-the-fly path (schema round-trip pinned)") {
     import graft.sources.ParquetUpsertSink
