@@ -144,6 +144,9 @@ object SparkEntry {
     "q119_flow_score" -> (RelationalOps.q119FlowScore _),
     "q120_pq_ann" -> (PqAnn.q120PqAnn _),
     "q121_ivfpq" -> (IvfPq.q121IvfPq _),
+    "q122_skyline" -> (RelationalOps.q122Skyline _),
+    "q123_attribution" -> (RelationalOps.q123Attribution _),
+    "q124_source_drift" -> (TextOps.q124SourceDrift _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -1953,5 +1956,75 @@ object SparkEntry {
          FROM p2 JOIN m ON p2.from_type = m.from_type
                        AND p2.to_type = m.to_type
          GROUP BY p2.user_id""",
+    "q122_skyline" ->
+      """SELECT p.p_partkey, p.p_size,
+                CAST(p.p_retailprice AS DECIMAL(18,4)) AS price
+         FROM part p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part q
+           WHERE q.p_size >= p.p_size
+             AND q.p_retailprice <= p.p_retailprice
+             AND (q.p_size > p.p_size
+                  OR q.p_retailprice < p.p_retailprice))""",
+    "q123_attribution" ->
+      """WITH p AS (
+           SELECT event_id AS pid, user_id, ts AS pts,
+                  CAST(CAST(COALESCE(value, 0) AS DECIMAL(18,4)) * 10000
+                       AS BIGINT) AS v
+           FROM events WHERE event_type = 'purchase'),
+         t AS (
+           SELECT event_id AS tid, user_id, ts AS tts,
+                  event_type AS channel
+           FROM events WHERE event_type IN ('view', 'click')),
+         pt AS (
+           SELECT p.pid, p.v, t.tid, t.channel, t.tts,
+                  row_number() OVER (PARTITION BY p.pid
+                    ORDER BY t.tts ASC, t.tid ASC) AS rn_f,
+                  row_number() OVER (PARTITION BY p.pid
+                    ORDER BY t.tts DESC, t.tid DESC) AS rn_l,
+                  COUNT(*) OVER (PARTITION BY p.pid) AS n
+           FROM p JOIN t ON p.user_id = t.user_id
+            AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 7 DAY),
+         credits AS (
+           SELECT channel, 'linear' AS model, (v*2 + n) // (2*n) AS credit
+           FROM pt
+           UNION ALL
+           SELECT channel, 'first', v FROM pt WHERE rn_f = 1
+           UNION ALL
+           SELECT channel, 'last', v FROM pt WHERE rn_l = 1
+           UNION ALL
+           SELECT 'direct', m.model, p.v
+           FROM p CROSS JOIN (VALUES ('first'), ('last'), ('linear'))
+                AS m(model)
+           WHERE NOT EXISTS (SELECT 1 FROM pt WHERE pt.pid = p.pid))
+         SELECT channel, model, CAST(SUM(credit) AS BIGINT) AS credit_e4,
+                CAST(COUNT(*) AS BIGINT) AS n_credits
+         FROM credits GROUP BY channel, model""",
+    "q124_source_drift" ->
+      """WITH tok AS (
+           SELECT d.source, t.term
+           FROM (SELECT source,
+                        string_split_regex(lower(trim(text)), '\s+') AS toks
+                 FROM documents) d,
+                LATERAL unnest(d.toks) AS t(term)
+           WHERE len(t.term) > 0),
+         st AS (SELECT source, term, COUNT(*) AS n_st
+                FROM tok GROUP BY 1, 2),
+         s AS (SELECT source, SUM(n_st) AS n_s FROM st GROUP BY 1),
+         t AS (SELECT term, SUM(n_st) AS n_t FROM st GROUP BY 1),
+         c AS (SELECT SUM(n_t) AS n_c FROM t),
+         tp AS (SELECT term, (2000000 * n_t + n_c) // (2 * n_c) AS t_ppm
+                FROM t, c),
+         tot AS (SELECT SUM(t_ppm) AS tot_ppm FROM tp),
+         j AS (
+           SELECT st.source, s.n_s,
+                  (2000000 * st.n_st + s.n_s) // (2 * s.n_s) AS s_ppm,
+                  tp.t_ppm
+           FROM st JOIN s USING (source) JOIN tp USING (term))
+         SELECT j.source, CAST(MAX(j.n_s) AS BIGINT) AS n_tokens,
+                CAST(COUNT(*) AS BIGINT) AS n_terms,
+                CAST((SUM(ABS(j.s_ppm - j.t_ppm)) + MAX(tot.tot_ppm)
+                      - SUM(j.t_ppm)) // 2 AS BIGINT) AS tv_ppm
+         FROM j, tot GROUP BY j.source""",
   )
 }

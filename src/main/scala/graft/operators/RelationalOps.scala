@@ -1152,4 +1152,103 @@ object RelationalOps {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         expr(s"((rk - 1) * $bins) DIV _n").as("bin"))
   }
+
+  /** 138. Skyline / Pareto frontier (Börzsönyi, Kossmann & Stocker
+    * 2001, "The Skyline Operator"): every part not dominated on
+    * (maximize p_size, minimize p_retailprice) — the multi-objective
+    * "best tradeoffs" set the reference's dashboards eyeball on the
+    * usage-vs-win-rate scatter (helper_functions.py:27-52,
+    * sql/db_creation_script.sql:185-242 pick single-axis TOP-1s; the
+    * skyline is every defensible choice at once).
+    *
+    * The naive plan is the quadratic NOT-EXISTS self-join (exactly the
+    * oracle SQL — n² dominance tests). The distributed plan exploits
+    * 2-D dominance structure: ONE corpus-scale shuffle computes the
+    * per-size minimum price (a |distinct size|-bounded staircase —
+    * TPC-H sizes are 1..50); a running min over strictly-larger sizes
+    * on that BOUNDED aggregate (the window runs over ≤|sizes| rows,
+    * never the corpus) gives the dominance threshold per size; the
+    * frontier is then a broadcast join back: keep rows at their size's
+    * min price that beat every larger size's best. Equal (size, price)
+    * ties don't dominate each other — both kept, matching NOT EXISTS
+    * strictness. Price compares are exact (4-decimal parquet doubles,
+    * no accumulation); output cast to DECIMAL(18,4) per the
+    * cross-engine rule.
+    */
+  def q122Skyline(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+    val stairs = part.groupBy("p_size")
+      .agg(min(col("p_retailprice")).as("mp"))
+    val w = Window.orderBy(col("p_size").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val frontier = stairs.withColumn("hi_mp", min(col("mp")).over(w))
+    part.join(broadcast(frontier), "p_size")
+      .filter(col("p_retailprice") === col("mp") &&
+        (col("hi_mp").isNull || col("p_retailprice") < col("hi_mp")))
+      .select(col("p_partkey"), col("p_size"),
+        col("p_retailprice").cast("decimal(18,4)").as("price"))
+  }
+
+  /** 139. Multi-touch attribution: every `purchase` credits the user's
+    * preceding `view`/`click` touches within a 7-day lookback under
+    * the three standard models at once — `first` (full value to the
+    * earliest touch), `last` (full value to the latest), `linear`
+    * (value split evenly) — plus a `direct` channel for purchases with
+    * no touch in the window (the funnel/session family q79/q80/q113
+    * answers "what happened"; attribution answers "what gets the
+    * credit", the reference's win-rate-by-deck question
+    * (sql/db_creation_script.sql:185-242) asked causally).
+    *
+    * Shapes: ONE user_id equi-join (touch↔purchase; per-user streams
+    * are bounded so the 7-day band filter is a post-join predicate,
+    * not a blow-up), per-PURCHASE windows for first/last/n (purchase
+    * keys are unique — no skew), then one explode emits all three
+    * model credits per touch pair in a single pass (no 3× re-scan of
+    * the join), and the final aggregate is |channels|×|models|-bounded.
+    * Money math is integer ten-thousandths end to end: the linear
+    * share is round-half-up `(2v+n) DIV 2n` (the q21 ratio rule), so
+    * sums are engine-exact BIGINTs — no float credit ever exists.
+    */
+  def q123Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val v4 = (coalesce(col("value"), lit(0.0d)).cast("decimal(18,4)")
+      * 10000).cast("long")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").as("pts"), v4.as("v"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("tid"), col("user_id"),
+        col("ts").as("tts"), col("event_type").as("channel"))
+    val pt = purchases.join(touches, Seq("user_id"))
+      .filter(col("tts") <= col("pts") &&
+        col("tts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+    val wFirst = Window.partitionBy(col("pid"))
+      .orderBy(col("tts").asc, col("tid").asc)
+    val wLast = Window.partitionBy(col("pid"))
+      .orderBy(col("tts").desc, col("tid").desc)
+    val wN = Window.partitionBy(col("pid"))
+    val credits = pt
+      .withColumn("rn_f", row_number().over(wFirst))
+      .withColumn("rn_l", row_number().over(wLast))
+      .withColumn("n", count(lit(1)).over(wN))
+      .select(col("channel"), explode(array(
+        struct(lit("linear").as("model"),
+          expr("(v * 2 + n) DIV (2 * n)").as("credit")),
+        struct(lit("first").as("model"),
+          when(col("rn_f") === 1, col("v")).as("credit")),
+        struct(lit("last").as("model"),
+          when(col("rn_l") === 1, col("v")).as("credit"))
+      )).as("c"))
+      .select(col("channel"), col("c.model"), col("c.credit"))
+      .filter(col("credit").isNotNull)
+    val direct = purchases
+      .join(pt.select("pid").distinct(), Seq("pid"), "left_anti")
+      .select(lit("direct").as("channel"),
+        explode(typedlit(Seq("first", "last", "linear"))).as("model"),
+        col("v").as("credit"))
+    credits.unionByName(direct)
+      .groupBy(col("channel"), col("model"))
+      .agg(sum(col("credit")).as("credit_e4"),
+        count(lit(1)).as("n_credits"))
+  }
 }

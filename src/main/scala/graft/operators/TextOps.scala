@@ -869,4 +869,48 @@ object TextOps {
     graft.plans.TopK.perKey(weightedSampleKeys(rows, salt),
       keys = groupCols, order = Seq(("es_key", true), ("doc_id", false)),
       k = k)
+
+  /** 140. Corpus drift detection: every source's unigram distribution
+    * scored against the corpus-wide distribution by TOTAL-VARIATION
+    * distance in integer ppm — the "did this crawl/source shift under
+    * us" monitor a training-data pipeline runs per ingest (the
+    * distribution-level complement of q109's per-column expectations;
+    * flags a source whose CONTENT changed even when every row-level
+    * check still passes).
+    *
+    * TV = ½·Σ_t |p_src(t) − p_corp(t)| needs the sum over the WHOLE
+    * vocabulary including terms the source never uses; the grid
+    * (sources × vocab) is never materialized — absent terms contribute
+    * exactly (Σ_all t_ppm − Σ_present t_ppm), so per-source sums over
+    * PRESENT terms plus one broadcast scalar close the algebra.
+    * Shapes: one corpus-scale (source, term) aggregate, one vocab-scale
+    * term join, #sources output rows. All probabilities are round-half-
+    * up integer ppm (the q21 ratio rule) — log-free, so unlike KL/JS
+    * divergence the whole metric is engine-exact integer arithmetic
+    * (the libm `ln()` last-ulp trap documented at q58 never opens).
+    */
+  def q124SourceDrift(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(toks).as("term"))
+      .filter(length(col("term")) > 0)
+    val st = tok.groupBy("source", "term").agg(count(lit(1)).as("n_st"))
+    val srcTot = st.groupBy("source").agg(sum("n_st").as("n_s"))
+    val termTot = st.groupBy("term").agg(sum("n_st").as("n_t"))
+    val corpTot = termTot.agg(sum("n_t").as("n_c"))
+    val termPpm = termTot.crossJoin(broadcast(corpTot))
+      .select(col("term"),
+        expr("(2000000 * n_t + n_c) DIV (2 * n_c)").as("t_ppm"))
+    val totPpm = termPpm.agg(sum("t_ppm").as("tot_ppm"))
+    st.join(broadcast(srcTot), "source")
+      .withColumn("s_ppm", expr("(2000000 * n_st + n_s) DIV (2 * n_s)"))
+      .join(termPpm, "term")
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(abs(col("s_ppm") - col("t_ppm"))).as("pd"),
+        sum("t_ppm").as("pp"))
+      .crossJoin(broadcast(totPpm))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        expr("(pd + tot_ppm - pp) DIV 2").as("tv_ppm"))
+  }
 }

@@ -636,4 +636,63 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("q122 skyline equals the brute-force dominance replay; every " +
+      "kept row is mutually non-dominated") {
+    val got = RelationalOps.q122Skyline(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getDecimal(2).movePointRight(4).longValueExact())).toSet
+    val all = Tables.part(spark, Sf)
+      .selectExpr("p_partkey", "p_size",
+        "CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 10000 AS LONG) AS pr")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expected = all.filter { case (_, sz, pr) =>
+      !all.exists { case (_, qs, qp) =>
+        qs >= sz && qp <= pr && (qs > sz || qp < pr)
+      }
+    }.toSet
+    assert(got == expected)
+    // mutual non-domination inside the result
+    got.foreach { case (id, sz, pr) =>
+      assert(!got.exists { case (qid, qs, qp) =>
+        qid != id && qs >= sz && qp <= pr && (qs > sz || qp < pr)
+      }, s"part $id dominated inside the skyline")
+    }
+  }
+
+  test("q123 attribution matches a local replay; first/last/linear " +
+      "credit the same purchases") {
+    val got = RelationalOps.q123Attribution(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, Sf)
+      .selectExpr("event_id", "user_id", "unix_micros(ts) AS us",
+        "event_type",
+        "CAST(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4)) * 10000 AS LONG)" +
+          " AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    val touches = ev.filter(e => e._4 == "view" || e._4 == "click")
+      .groupBy(_._2)
+    val week = 7L * 86400 * 1000000
+    val acc = scala.collection.mutable.Map.empty[(String, String),
+      (Long, Long)]
+    def add(ch: String, model: String, credit: Long): Unit = {
+      val (s0, c0) = acc.getOrElse((ch, model), (0L, 0L))
+      acc((ch, model)) = (s0 + credit, c0 + 1)
+    }
+    ev.filter(_._4 == "purchase").foreach { case (_, user, pts, _, v) =>
+      val in = touches.getOrElse(user, Array.empty)
+        .filter(t => t._3 <= pts && t._3 >= pts - week)
+      if (in.isEmpty) Seq("first", "last", "linear").foreach(add("direct", _, v))
+      else {
+        val n = in.length
+        add(in.minBy(t => (t._3, t._1))._4, "first", v)
+        add(in.maxBy(t => (t._3, t._1))._4, "last", v)
+        in.foreach(t => add(t._4, "linear", (2 * v + n) / (2L * n)))
+      }
+    }
+    assert(got == acc.toMap)
+  }
 }

@@ -413,4 +413,34 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
         .first().getLong(0) == 1L }
     assert(wins >= 18, s"heavy doc won only $wins/20 draws")
   }
+
+  test("q124 source drift matches a local full-vocabulary replay " +
+      "(absent-term algebra is exact)") {
+    val got = TextOps.q124SourceDrift(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val tok = Tables.documents(spark, Sf)
+      .selectExpr("source", "lower(trim(text)) AS t").collect()
+      .flatMap(r => r.getString(1).split("\\s+")
+        .filter(_.nonEmpty).map(term => (r.getString(0), term)))
+    val nC = tok.length.toLong
+    val termTot = tok.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    val tPpm = termTot.map { case (t, n) =>
+      t -> (2000000L * n + nC) / (2 * nC) }
+    val bySrc = tok.groupBy(_._1)
+    val expected = bySrc.map { case (src, xs) =>
+      val nS = xs.length.toLong
+      val cnt = xs.groupBy(_._2).map { case (t, ys) =>
+        t -> ys.length.toLong }
+      // TV over the FULL vocabulary, the naive way
+      val tv = tPpm.map { case (t, tp) =>
+        val sp = cnt.get(t).map(n => (2000000L * n + nS) / (2 * nS))
+          .getOrElse(0L)
+        math.abs(sp - tp)
+      }.sum / 2
+      src -> ((nS, cnt.size.toLong, tv))
+    }
+    assert(got == expected)
+  }
 }
