@@ -147,6 +147,8 @@ object SparkEntry {
     "q122_skyline" -> (RelationalOps.q122Skyline _),
     "q123_attribution" -> (RelationalOps.q123Attribution _),
     "q124_source_drift" -> (TextOps.q124SourceDrift _),
+    "q125_item_sim" -> (SimilarityOps.q125ItemSim _),
+    "q126_label_prop" -> (GraphOps.q126LabelProp _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2026,5 +2028,49 @@ object SparkEntry {
                 CAST((SUM(ABS(j.s_ppm - j.t_ppm)) + MAX(tot.tot_ppm)
                       - SUM(j.t_ppm)) // 2 AS BIGINT) AS tv_ppm
          FROM j, tot GROUP BY j.source""",
+    "q125_item_sim" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         n AS (SELECT pk, COUNT(*) AS n FROM li GROUP BY 1),
+         p AS (SELECT a.pk AS i, b.pk AS j, COUNT(*) AS cij
+               FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+               GROUP BY 1, 2),
+         sc AS (
+           SELECT p.i, p.j, p.cij,
+                  (2000000 * p.cij * p.cij + ni.n * nj.n)
+                    // (2 * ni.n * nj.n) AS score_ppm
+           FROM p JOIN n ni ON p.i = ni.pk JOIN n nj ON p.j = nj.pk),
+         r AS (SELECT *, row_number() OVER (PARTITION BY i
+                 ORDER BY score_ppm DESC, j ASC) AS rk FROM sc)
+         SELECT i, j, CAST(cij AS BIGINT) AS cij,
+                CAST(score_ppm AS BIGINT) AS score_ppm
+         FROM r WHERE rk <= 5""",
+    "q126_label_prop" ->
+      """WITH RECURSIVE li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem
+         ), pairs AS (
+           SELECT a.pk AS s1, b.pk AS s2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ), edges AS (
+           SELECT s1 AS src, s2 AS dst FROM pairs
+           UNION ALL SELECT s2, s1 FROM pairs
+         ), nodes AS (SELECT src FROM edges GROUP BY src),
+         it AS (
+           SELECT 0 AS i, src AS node, src AS lbl FROM nodes
+           UNION ALL
+           SELECT i, node, lbl FROM (
+             SELECT it.i + 1 AS i, e.dst AS node, it.lbl AS lbl,
+                    COUNT(*) AS c
+             FROM it JOIN edges e ON it.node = e.src
+             WHERE it.i < 5
+             GROUP BY 1, 2, 3
+           ) QUALIFY row_number() OVER (PARTITION BY i, node
+               ORDER BY c DESC, lbl ASC) = 1
+         )
+         SELECT node AS partkey, CAST(lbl AS BIGINT) AS community
+         FROM it WHERE i = 5""",
   )
 }

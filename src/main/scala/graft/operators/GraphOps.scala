@@ -332,4 +332,66 @@ object GraphOps {
     pairs.select(col("s1").as("src"), col("s2").as("dst"))
       .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
   }
+
+  /** The co-purchase graph pruned to pairs sharing ≥ `minCount` orders
+    * — the standard noise threshold before community detection (a
+    * single shared basket is coincidence; repeated co-purchase is
+    * signal). Same one-bounded-self-join-per-basket build as
+    * [[coPurchaseEdges]], with the count folded into the pair
+    * aggregate (no extra pass).
+    */
+  private[graft] def prunedCoPurchaseEdges(s: SparkSession, d: String,
+      minCount: Int): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("s1"), col("b.pk").as("s2"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select("s1", "s2")
+    pairs.select(col("s1").as("src"), col("s2").as("dst"))
+      .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
+  }
+
+  /** 142. Community detection by synchronous label propagation
+    * (Raghavan, Albert & Kumara 2007), made DETERMINISTIC: every node
+    * starts as its own label; each round every node adopts the most
+    * frequent label among its neighbors, ties broken by smallest
+    * label; a FIXED round count (no data-dependent stopping). The
+    * random-order asynchronous variant of the paper is
+    * non-reproducible by design — synchronous rounds + total
+    * tie-order make the output a pure function of the graph, which is
+    * what a lineage-tracked corpus pipeline needs (same reasoning as
+    * q63's seeded bands).
+    *
+    * Scale shape per round: ONE node-scale aggregate — edges join the
+    * node-scale label table (broadcast; a billion-node graph swaps in
+    * a src-bucketed hash join, the q105 note), then (node, label)
+    * partial counts map-side-combine into the argmax via the
+    * TopKPerKey heap (≤1 row per partition×node through the shuffle).
+    * The edge table itself never re-shuffles. Labels checkpoint per
+    * round — the q105 lineage-cut rule.
+    */
+  def labelPropagation(symEdges: DataFrame, rounds: Int): DataFrame = {
+    val edges = symEdges.localCheckpoint(false)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 0 until rounds) {
+      val counted = edges
+        .join(broadcast(labels), col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      labels = graft.plans.TopK.perKey(counted, keys = Seq("dst"),
+          order = Seq(("c", true), ("lbl", false)), k = 1)
+        .select(col("dst").as("node"), col("lbl"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
+  def q126LabelProp(s: SparkSession, d: String): DataFrame =
+    labelPropagation(prunedCoPurchaseEdges(s, d, minCount = 2), rounds = 5)
+      .select(col("node").as("partkey"), col("lbl").as("community"))
 }

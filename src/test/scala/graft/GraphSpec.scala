@@ -216,4 +216,21 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_.getLong(0)).distinct.length == got.length)
     assert(got.forall(_.getLong(1) > 0L))
   }
+
+  test("q126 label propagation matches a local synchronous replay") {
+    val edges = GraphOps.prunedCoPurchaseEdges(spark, Sf, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    var lbl = adj.keys.map(n => n -> n).toMap
+    for (_ <- 0 until 5) {
+      lbl = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(lbl).map { case (l, xs) =>
+          (l, xs.length) }
+        n -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = GraphOps.q126LabelProp(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lbl, s"got ${got.size} want ${lbl.size}")
+  }
 }

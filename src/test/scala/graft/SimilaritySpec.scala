@@ -133,6 +133,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
   }
 
+  test("q125 item-item similarity matches a local basket replay") {
+    val li = Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = li.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val cij = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    li.groupBy(_._1).values.foreach { xs =>
+      val ps = xs.map(_._2)
+      for (i <- ps; j <- ps if i != j)
+        cij((i, j)) = cij.getOrElse((i, j), 0L) + 1
+    }
+    val expected = cij.toSeq.groupBy(_._1._1).flatMap { case (i, m) =>
+      m.map { case ((_, j), c) =>
+        (i, j, c, (2000000L * c * c + n(i) * n(j)) / (2 * n(i) * n(j))) }
+        .sortBy { case (_, j, _, sc) => (-sc, j) }.take(5)
+    }.toSet
+    val got = SimilarityOps.q125ItemSim(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+  }
+
   test("persisted code index: write → reload → search matches the " +
       "on-the-fly path (schema round-trip pinned)") {
     import graft.sources.ParquetUpsertSink
