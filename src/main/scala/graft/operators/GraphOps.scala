@@ -378,17 +378,24 @@ object GraphOps {
     val edges = symEdges.localCheckpoint(false)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-    for (_ <- 0 until rounds) {
-      val counted = edges
-        .join(broadcast(labels), col("src") === col("node"))
-        .groupBy(col("dst"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-      labels = graft.plans.TopK.perKey(counted, keys = Seq("dst"),
-          order = Seq(("c", true), ("lbl", false)), k = 1)
-        .select(col("dst").as("node"), col("lbl"))
-        .localCheckpoint(false)
-    }
+    for (_ <- 0 until rounds)
+      labels = lpRound(edges, labels).localCheckpoint(false)
     labels
+  }
+
+  /** One synchronous LPA round over a `(node, lbl)` label table —
+    * split out so plan audits can pin the round shape (broadcast label
+    * join, heap argmax) without the checkpoint hiding it.
+    */
+  private[graft] def lpRound(edges: DataFrame, labels: DataFrame)
+      : DataFrame = {
+    val counted = edges
+      .join(broadcast(labels), col("src") === col("node"))
+      .groupBy(col("dst"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+    graft.plans.TopK.perKey(counted, keys = Seq("dst"),
+        order = Seq(("c", true), ("lbl", false)), k = 1)
+      .select(col("dst").as("node"), col("lbl"))
   }
 
   def q126LabelProp(s: SparkSession, d: String): DataFrame =

@@ -429,4 +429,57 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p.take(2500))
     assert(p.contains("LeftAnti"), p.take(2500))
   }
+
+  test("q122 skyline: the dominance window runs on the bounded " +
+      "staircase, not the corpus — frontier broadcasts back") {
+    val df = RelationalOps.q122Skyline(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus-side join of the frontier must be broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    // the Window's input is the per-size aggregate (HashAggregate
+    // appears below Window in the plan tree), never a corpus sort:
+    // the single-partition Exchange feeding it carries ≤|sizes| rows
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, p.take(2500))
+    assert(p.indexOf("HashAggregate", winIdx) >= 0, p.take(2500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q123 attribution: the touch↔purchase join is a hash equi-join " +
+      "(band filter is a post-join predicate, not a cartesian)") {
+    val p = plan(RelationalOps.q123Attribution(spark, Sf))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
+
+  test("q124 source drift: vocab tables broadcast into the per-source " +
+      "close; no cartesian anywhere") {
+    val p = plan(TextOps.q124SourceDrift(spark, Sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("q125 item sim: basket pair build and count joins are " +
+      "equi-joins; top-5 cut is the heap operator") {
+    val df = SimilarityOps.q125ItemSim(spark, Sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(p.contains("TopKPerKey"), p.take(2500))
+  }
+
+  test("q126 label propagation: per-round label table broadcasts — " +
+      "the edge table is never re-shuffled for the join") {
+    val edges = GraphOps.prunedCoPurchaseEdges(spark, Sf, minCount = 2)
+      .localCheckpoint(false)
+    val labels = edges.select(org.apache.spark.sql.functions.col("src")
+        .as("node"))
+      .distinct()
+      .withColumn("lbl", org.apache.spark.sql.functions.col("node"))
+    val p = plan(GraphOps.lpRound(edges, labels))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(p.contains("TopKPerKey"), p.take(2500))
+  }
 }
