@@ -149,6 +149,7 @@ object SparkEntry {
     "q124_source_drift" -> (TextOps.q124SourceDrift _),
     "q125_item_sim" -> (SimilarityOps.q125ItemSim _),
     "q126_label_prop" -> (GraphOps.q126LabelProp _),
+    "q127_convert_latency" -> (RelationalOps.q127ConvertLatency _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2072,5 +2073,29 @@ object SparkEntry {
          )
          SELECT node AS partkey, CAST(lbl AS BIGINT) AS community
          FROM it WHERE i = 5""",
+    "q127_convert_latency" ->
+      """WITH t1 AS (
+           SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         t2 AS (
+           SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+         t3 AS (
+           SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1),
+         conv AS (
+           SELECT t3.user_id,
+                  (epoch_us(t3.t3) - epoch_us(t1.t1)) // 1000000 AS lat_s
+           FROM t3 JOIN t1 ON t3.user_id = t1.user_id),
+         r AS (SELECT lat_s,
+                      row_number() OVER (ORDER BY lat_s, user_id) AS rn
+               FROM conv),
+         n AS (SELECT COUNT(*) AS n FROM conv)
+         SELECT CAST(ps.p AS BIGINT) AS p,
+                CAST(n.n AS BIGINT) AS n_converted, r.lat_s AS latency_s
+         FROM (VALUES (50), (90), (99)) AS ps(p), r, n
+         WHERE r.rn = (ps.p * n.n + 99) // 100""",
   )
 }

@@ -714,16 +714,7 @@ object RelationalOps {
     */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val w = Window.partitionBy(col("user_id"))
-    val ev = events.select(col("user_id"), col("ts"), col("event_type"))
-    val staged = steps.zipWithIndex.foldLeft(ev) { case (df, (step, i)) =>
-      val hit = col("event_type") === step
-      val cond = if (i == 0) hit else hit && col("ts") > col(s"t$i")
-      df.withColumn(s"t${i + 1}", min(when(cond, col("ts"))).over(w))
-    }
-    val perUser = staged.groupBy(col("user_id"))
-      .agg(max(col("t1")).as("t1"),
-        steps.indices.tail.map(i => max(col(s"t${i + 1}")).as(s"t${i + 1}")): _*)
+    val perUser = funnelUserStages(events, steps)
     val labels = steps.head +: steps.zip(steps.tail).map {
       case (prev, next) => s"${next}_after_$prev"
     }
@@ -734,6 +725,25 @@ object RelationalOps {
           lit(labels(i)).as("step"), col(s"n${i + 1}").as("n_users"))
       }: _*)).as("r"))
       .select(col("r.step_ord"), col("r.step"), col("r.n_users"))
+  }
+
+  /** [[funnel]]'s per-user frame — one row per user with the
+    * conversion timestamp of each step (`t1..tk`, null where the
+    * chain broke). Exposed so downstream ops (q127 latency
+    * percentiles) reuse the one-shuffle staged build.
+    */
+  private[graft] def funnelUserStages(events: DataFrame,
+      steps: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val ev = events.select(col("user_id"), col("ts"), col("event_type"))
+    val staged = steps.zipWithIndex.foldLeft(ev) { case (df, (step, i)) =>
+      val hit = col("event_type") === step
+      val cond = if (i == 0) hit else hit && col("ts") > col(s"t$i")
+      df.withColumn(s"t${i + 1}", min(when(cond, col("ts"))).over(w))
+    }
+    staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"),
+        steps.indices.tail.map(i => max(col(s"t${i + 1}")).as(s"t${i + 1}")): _*)
   }
 
   /** 97. Cohort retention: users grouped by first-seen ISO week; for
@@ -1250,5 +1260,42 @@ object RelationalOps {
       .groupBy(col("channel"), col("model"))
       .agg(sum(col("credit")).as("credit_e4"),
         count(lit(1)).as("n_credits"))
+  }
+
+  /** 143. Funnel time-to-convert percentiles: for users completing the
+    * full signup → click → purchase chain, the p50/p90/p99 of
+    * end-to-end conversion latency — the "how fast does the funnel
+    * convert" report that turns q80's HOW-MANY into HOW-LONG (the
+    * reference's per-player progression views count outcomes only,
+    * sql/db_creation_script.sql:209-242).
+    *
+    * Exactness: latency is integer seconds (µs difference DIV 10⁶) and
+    * the percentile is NEAREST-RANK (⌈p·n/100⌉-th order statistic) —
+    * an actual observed value selected by integer arithmetic, so the
+    * result is engine-exact with no interpolation float (q45
+    * interpolates and ROUNDs; a latency SLO wants an observed order
+    * statistic anyway). Scale: the staged build is [[funnel]]'s ONE
+    * user_id shuffle; the global rank over converted users is
+    * [[DistributedRank.withRank]] with empty groups (range partition +
+    * offsets — never `row_number() OVER ()`'s single reducer, the q115
+    * rule); n is a 1-row broadcast and the 3 target rows fall out of
+    * one rank-membership filter.
+    */
+  def q127ConvertLatency(s: SparkSession, d: String): DataFrame = {
+    val st = funnelUserStages(Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type")),
+      Seq("signup", "click", "purchase"))
+    val conv = st.filter(col("t3").isNotNull)
+      .select(col("user_id"),
+        expr("(unix_micros(t3) - unix_micros(t1)) DIV 1000000").as("lat_s"))
+    val ranked = DistributedRank.withRank(conv, Seq.empty,
+      Seq("lat_s", "user_id"), "rn")
+    ranked
+      .crossJoin(broadcast(conv.agg(count(lit(1)).as("n"))))
+      .select(col("lat_s"), col("rn"), col("n"),
+        explode(typedlit(Seq(50L, 90L, 99L))).as("p"))
+      .filter(col("rn") === expr("(p * n + 99) DIV 100"))
+      .select(col("p"), col("n").as("n_converted"),
+        col("lat_s").as("latency_s"))
   }
 }

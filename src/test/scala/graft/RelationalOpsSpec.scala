@@ -695,4 +695,30 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(got == acc.toMap)
   }
+
+  test("q127 convert latency matches a local funnel replay at every " +
+      "target rank") {
+    val got = RelationalOps.q127ConvertLatency(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.events(spark, Sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    val lats = ev.values.flatMap { xs =>
+      val t1 = xs.filter(_._3 == "signup").map(_._2).sorted.headOption
+      val t2 = t1.flatMap(a =>
+        xs.filter(e => e._3 == "click" && e._2 > a).map(_._2)
+          .sorted.headOption)
+      val t3 = t2.flatMap(b =>
+        xs.filter(e => e._3 == "purchase" && e._2 > b).map(_._2)
+          .sorted.headOption)
+      for (a <- t1; c <- t3) yield (xs.head._1, (c - a) / 1000000L)
+    }.toSeq.sortBy(x => (x._2, x._1))
+    val n = lats.length.toLong
+    assert(n > 0, "no converted users at this SF — test is vacuous")
+    val expected = Seq(50L, 90L, 99L).map { p =>
+      p -> ((n, lats(((p * n + 99) / 100 - 1).toInt)._2))
+    }.toMap
+    assert(got == expected)
+  }
 }
