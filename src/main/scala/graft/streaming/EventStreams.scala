@@ -184,4 +184,39 @@ object EventStreams {
           }
       }
   }
+
+  /** 144 (stage 1). Tumbling-hour per-user event counts with a
+    * watermark — the streaming aggregate feeding [[trendingTopK]].
+    * State is (open windows × active users) and the watermark evicts
+    * closed windows, so it survives an unbounded stream.
+    */
+  def windowedUserCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("user_id"),
+        col("n_events"))
+
+  /** 144 (stage 2). Streaming trending top-k: the k noisiest users per
+    * closed hour — the "trending now"/abuse monitor. Append mode emits
+    * a window only once the watermark CLOSES it, so each window's
+    * counts arrive complete in exactly one micro-batch; the top-k cut
+    * is then a per-batch [[graft.plans.TopK.perKey]] heap inside
+    * foreachBatch — ranking never runs on open state, so the result is
+    * exact and deterministic (count desc, user_id tie-break) and
+    * equals the batch computation over the same closed windows. No
+    * driver-side loop: each batch's cut is one bounded distributed
+    * job; `sink` receives ≤ k rows per closed window.
+    */
+  def trendingTopK(counts: DataFrame, k: Int)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    counts.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.plans.TopK.perKey(batch, keys = Seq("window_start"),
+          order = Seq(("n_events", true), ("user_id", false)), k = k))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -31,6 +31,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size >= (batch.size * 0.8).toInt, s"${got.size}/${batch.size}")
   }
 
+  test("streaming trending top-k equals the batch cut on every closed " +
+      "window (exact, deterministic)") {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(java.sql.Timestamp, Long, Long)]
+    val q = EventStreams.trendingTopK(
+      EventStreams.windowedUserCounts(
+        EventStreams.readEventStream(spark, Sf)), k = 3) { top =>
+      buf.synchronized {
+        buf ++= top.collect().map(r =>
+          (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      }
+    }
+    q.awaitTermination(120000)
+    val got = buf.toSet
+    val emittedWindows = got.map(_._1)
+    assert(emittedWindows.nonEmpty)
+    val batch = graft.plans.TopK.perKey(
+        EventStreams.windowedUserCounts(Tables.events(spark, Sf)),
+        keys = Seq("window_start"),
+        order = Seq(("n_events", true), ("user_id", false)), k = 3)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      .filter(x => emittedWindows.contains(x._1)).toSet
+    assert(got == batch)
+    assert(got.groupBy(_._1).values.forall(_.size <= 3))
+  }
+
   test("streaming dedup with watermark drops repeat keys") {
     val stream = EventStreams.readEventStream(spark, Sf)
     val q = EventStreams.streamingDedup(stream, Seq("user_id"))
