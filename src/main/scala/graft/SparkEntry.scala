@@ -150,6 +150,7 @@ object SparkEntry {
     "q125_item_sim" -> (SimilarityOps.q125ItemSim _),
     "q126_label_prop" -> (GraphOps.q126LabelProp _),
     "q127_convert_latency" -> (RelationalOps.q127ConvertLatency _),
+    "q128_neg_sampling" -> (RelationalOps.q128NegativeSampling _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2097,5 +2098,26 @@ object SparkEntry {
                 CAST(n.n AS BIGINT) AS n_converted, r.lat_s AS latency_s
          FROM (VALUES (50), (90), (99)) AS ps(p), r, n
          WHERE r.rn = (ps.p * n.n + 99) // 100""",
+    "q128_neg_sampling" ->
+      """WITH pos AS (
+           SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         np AS (SELECT COUNT(*) AS np FROM part),
+         cand AS (
+           SELECT c.cust, u.attempt,
+                  CAST(('0x' || substr(md5(CAST(c.cust AS VARCHAR) || '|'
+                    || CAST(u.attempt AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % np.np AS item
+           FROM (SELECT DISTINCT cust FROM pos) c, np,
+                LATERAL unnest(range(0, 6)) AS u(attempt)),
+         neg AS (
+           SELECT cand.cust, cand.item, MIN(cand.attempt) AS attempt
+           FROM cand ANTI JOIN pos
+             ON cand.cust = pos.cust AND cand.item = pos.item
+           GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY cust
+                 ORDER BY attempt, item) AS rk FROM neg)
+         SELECT cust, item, CAST(attempt AS BIGINT) AS attempt
+         FROM r WHERE rk <= 2""",
   )
 }

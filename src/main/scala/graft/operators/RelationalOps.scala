@@ -1298,4 +1298,45 @@ object RelationalOps {
       .select(col("p"), col("n").as("n_converted"),
         col("lat_s").as("latency_s"))
   }
+
+  /** 145. Deterministic negative sampling: for every customer, 2
+    * part-items they never bought — the contrastive-training staple
+    * (recommendation/embedding losses need negatives per positive; a
+    * training-data engine must mint them reproducibly). `rand()`
+    * negatives differ per run/retry/engine; here candidate i for
+    * customer c is `md5(c || '|' || i) mod |parts|` — an md5-keyed
+    * draw (the q68/q69 hash-randomness rule; TPC-H partkeys are dense
+    * 0..P−1, so `mod` IS the item index, no dictionary join needed —
+    * with sparse ids you'd compose the q54 surrogate-key map).
+    *
+    * Shapes: 6 candidate draws explode per customer (bounded fan-out,
+    * pure per-row hash arithmetic, no shuffle); accidental positives
+    * leave via ONE anti-join on (cust, item) — the only corpus-scale
+    * shuffle; duplicate draws collapse to their first attempt; the
+    * keep-2 cut is the TopKPerKey heap (first surviving attempts,
+    * item tie-break). Heavy buyers can exhaust the 6 draws and yield
+    * <2 negatives — the margin is a parameter, not a retry loop.
+    */
+  def q128NegativeSampling(s: SparkSession, d: String): DataFrame = {
+    val pos = Tables.orders(s, d)
+      .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")),
+        "ok")
+      .select("cust", "item").distinct()
+    val nParts = Tables.part(s, d).agg(count(lit(1)).as("np"))
+    val cand = pos.select("cust").distinct()
+      .crossJoin(broadcast(nParts))
+      .select(col("cust"), col("np"),
+        explode(sequence(lit(0), lit(5))).as("attempt"))
+      .withColumn("item", expr(
+        """CAST(conv(substring(md5(CAST(concat(CAST(cust AS STRING), '|',
+           CAST(attempt AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)
+           % np"""))
+    val neg = cand.join(pos, Seq("cust", "item"), "left_anti")
+      .groupBy("cust", "item").agg(min("attempt").as("attempt"))
+    graft.plans.TopK.perKey(neg, keys = Seq("cust"),
+        order = Seq(("attempt", false), ("item", false)), k = 2)
+      .select(col("cust"), col("item"), col("attempt").cast("long"))
+  }
 }

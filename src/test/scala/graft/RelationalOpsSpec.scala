@@ -721,4 +721,33 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     }.toMap
     assert(got == expected)
   }
+
+  test("q128 negative sampling matches a local md5 replay; negatives " +
+      "are never positives") {
+    val got = RelationalOps.q128NegativeSampling(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pos = Tables.orders(spark, Sf)
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toMap // orderkey -> cust
+    val bought = Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .flatMap(r => pos.get(r.getLong(0)).map(c => (c, r.getLong(1))))
+      .toSet
+    val np = Tables.part(spark, Sf).count()
+    def h(c: Long, i: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$c|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16) % np
+    }
+    val expected = bought.map(_._1).flatMap { c =>
+      (0 until 6).map(i => (h(c, i), i))
+        .filterNot { case (it, _) => bought((c, it)) }
+        .groupBy(_._1).map { case (it, xs) => (it, xs.map(_._2).min) }
+        .toSeq.sortBy { case (it, a) => (a, it) }.take(2)
+        .map { case (it, a) => (c, it, a.toLong) }
+    }
+    assert(got == expected)
+    assert(got.forall { case (c, it, _) => !bought((c, it)) })
+  }
 }
