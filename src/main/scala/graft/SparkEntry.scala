@@ -151,6 +151,8 @@ object SparkEntry {
     "q126_label_prop" -> (GraphOps.q126LabelProp _),
     "q127_convert_latency" -> (RelationalOps.q127ConvertLatency _),
     "q128_neg_sampling" -> (RelationalOps.q128NegativeSampling _),
+    "q129_peak_concurrency" -> (RelationalOps.q129PeakConcurrency _),
+    "q130_ols_trend" -> (StatsOps.q130OlsTrend _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2119,5 +2121,72 @@ object SparkEntry {
                  ORDER BY attempt, item) AS rk FROM neg)
          SELECT cust, item, CAST(attempt AS BIGINT) AS attempt
          FROM r WHERE rk <= 2""",
+    "q129_peak_concurrency" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+                  CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id)
+                         > 14400000000
+                       OR lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+         ), se AS (
+           SELECT user_id, us,
+                  SUM(new_s) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    AS session_id
+           FROM e
+         ), sess AS (
+           SELECT user_id, session_id,
+                  MIN(us) AS sus, MAX(us) AS eus
+           FROM se GROUP BY 1, 2
+         ), deltas AS (
+           SELECT user_id, session_id, sus AS us, 1 AS delta FROM sess
+           UNION ALL
+           SELECT user_id, session_id, eus AS us, -1 AS delta FROM sess
+         ), run AS (
+           SELECT us,
+                  CAST(SUM(delta) OVER (ORDER BY us, delta, user_id,
+                    session_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+           FROM deltas
+         )
+         SELECT CAST(make_timestamp(us) AS DATE) AS day,
+                MAX(conc) AS peak_concurrent
+         FROM run GROUP BY 1""",
+    "q130_ols_trend" ->
+      """WITH b AS (
+           SELECT o_orderpriority AS g,
+                  CAST(epoch_us(o_orderdate) // 86400000000
+                    AS DECIMAL(19,0)) AS x,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                    AS DECIMAL(19,0)) AS y
+           FROM orders
+           WHERE o_orderpriority IS NOT NULL
+             AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+         ), m AS (
+           SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(x) AS DOUBLE) AS sx,
+                  CAST(SUM(y) AS DOUBLE) AS sy,
+                  CAST(SUM(x*x) AS DOUBLE) AS sxx,
+                  CAST(SUM(x*y) AS DOUBLE) AS sxy,
+                  CAST(SUM(y*y) AS DOUBLE) AS syy
+           FROM b GROUP BY 1
+         )
+         SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+                CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 THEN
+                  ROUND((n*sxy - sx*sy)/(n*sxx - sx*sx)/10000, 6)
+                END AS slope,
+                CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 THEN
+                  ROUND((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n
+                    /10000, 4)
+                END AS intercept,
+                CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+                       AND n*syy - sy*sy > 0 THEN
+                  ROUND((n*sxy - sx*sy)*(n*sxy - sx*sy)
+                    /((n*sxx - sx*sx)*(n*syy - sy*sy)), 6)
+                END AS r2
+         FROM m""",
   )
 }

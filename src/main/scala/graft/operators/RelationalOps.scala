@@ -1339,4 +1339,43 @@ object RelationalOps {
         order = Seq(("attempt", false), ("item", false)), k = 2)
       .select(col("cust"), col("item"), col("attempt").cast("long"))
   }
+
+  /** 146. Peak-concurrency sweep line: per day, the maximum number of
+    * user sessions open at once — the capacity-planning statistic
+    * (how many concurrent players does the service carry; the
+    * reference's battle-log extract has the raw timestamps but no
+    * concurrency view, api_extract.py:201-254). Sessions are q79's
+    * 4-hour-gap sessions; each contributes a +1 at its start and a −1
+    * at its (inclusive) end, and the classic sweep line reads the
+    * running sum at every transition point. Ends sort before starts at
+    * an equal timestamp (delta ascending), so a session ending exactly
+    * when another starts never inflates the peak.
+    *
+    * Scale: the textbook formulation — `SUM(delta) OVER (ORDER BY us)`
+    * — is a GLOBAL ordered window, i.e. every delta of the 100-TB
+    * event log through ONE reducer. Here the running sum is
+    * [[DistributedRank.withRunningSum]] with empty groups: range
+    * partition by (us, delta, …) into ordered slices, parallel local
+    * prefix sums, plus broadcast per-partition offsets. The per-day
+    * max then combines map-side. Deltas are ±1 longs, so every engine
+    * sums them exactly regardless of accumulation order; the peak is
+    * additionally tie-order-free because among equal timestamps the
+    * maximum is reached only after all +1s apply.
+    */
+  def q129PeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val sess = q79Sessions(s, d).select(
+      col("user_id"), col("session_id"),
+      unix_micros(col("session_start")).as("sus"),
+      unix_micros(col("session_end")).as("eus"))
+    val deltas = sess.select(col("user_id"), col("session_id"),
+        col("sus").as("us"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("user_id"), col("session_id"),
+        col("eus").as("us"), lit(-1L).as("delta")))
+    val run = DistributedRank.withRunningSum(deltas, Seq.empty,
+      Seq("us", "delta", "user_id", "session_id"), "delta", "_excl")
+    run.withColumn("conc", col("_excl") + col("delta"))
+      .withColumn("day", to_date(timestamp_micros(col("us"))))
+      .groupBy("day")
+      .agg(max(col("conc")).as("peak_concurrent"))
+  }
 }

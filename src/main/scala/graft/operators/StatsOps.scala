@@ -148,4 +148,60 @@ object StatsOps {
       Satisfies("domain_o_orderstatus",
         col("o_orderstatus").isin("O", "F", "P")),
       Referential("o_custkey", Tables.customer(s, d), "c_custkey")))
+
+  /** Per-group ordinary-least-squares fit of `yCol` against `xCol`
+    * (closed form from moments): one grouped aggregate pass collects
+    * (n, Σx, Σy, Σxx, Σxy, Σyy) with map-side combine — the fact table
+    * is scanned once and the shuffle carries one 6-number row per
+    * group, however large the groups are. No per-group sort, no
+    * iteration: the normal equations ARE the aggregate.
+    *
+    * Cross-engine determinism (the q93 moment rule): x must already be
+    * an exact integer; y is pinned to 4-decimal DECIMAL and scaled
+    * ×10⁴ to DECIMAL(19,0), so every moment accumulates in exact
+    * decimal/integer arithmetic (order-independent). The moment row
+    * then casts to double and slope/intercept/R² evaluate as the same
+    * IEEE expression tree in both engines, ROUND last. Degenerate
+    * groups (n < 2 or zero x-variance) report null fit columns instead
+    * of a division blow-up.
+    */
+  def olsFit(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(groupCol),
+        col(xCol).cast("decimal(19,0)").as("_x"),
+        (col(yCol).cast("decimal(18,4)") * 10000)
+          .cast("decimal(19,0)").as("_y"))
+      .na.drop()
+    val m = base.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(col("_x")).cast("double").as("_sx"),
+      sum(col("_y")).cast("double").as("_sy"),
+      sum(col("_x") * col("_x")).cast("double").as("_sxx"),
+      sum(col("_x") * col("_y")).cast("double").as("_sxy"),
+      sum(col("_y") * col("_y")).cast("double").as("_syy"))
+    val cxy = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    val cxx = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val cyy = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    val ok = col("_n") >= 2 && cxx > 0
+    val slope4 = cxy / cxx // in y-e4 units per x unit
+    m.select(col(groupCol),
+      col("_n").cast("long").as("n"),
+      when(ok, round(slope4 / 10000d, 6)).as("slope"),
+      when(ok, round((col("_sy") - slope4 * col("_sx")) / col("_n")
+        / 10000d, 4)).as("intercept"),
+      when(ok && cyy > 0, round(cxy * cxy / (cxx * cyy), 6)).as("r2"))
+  }
+
+  /** q130: order-value trend per priority class — is spend drifting
+    * over time, per o_orderpriority (the reference's views aggregate
+    * per season but never fit a trend, db_creation_script.sql:185-242).
+    * x = epoch-day of o_orderdate (exact integer), y = o_totalprice.
+    */
+  def q130OlsTrend(s: SparkSession, d: String): DataFrame =
+    olsFit(Tables.orders(s, d)
+      // o_orderdate is TIMESTAMP_NTZ on Spark 4.1 parquet reads; under
+      // the UTC session the cast is a pure retag (q05 family)
+      .withColumn("_day", expr(
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")),
+      "o_orderpriority", "_day", "o_totalprice")
 }

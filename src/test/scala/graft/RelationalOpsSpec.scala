@@ -750,4 +750,32 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected)
     assert(got.forall { case (c, it, _) => !bought((c, it)) })
   }
+
+  test("q129 peak concurrency matches a local sweep-line replay over " +
+      "the q79 sessions") {
+    val got = RelationalOps.q129PeakConcurrency(spark, Sf)
+      .selectExpr("CAST(day AS STRING) AS day", "peak_concurrent")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sess = RelationalOps.q79Sessions(spark, Sf)
+      .selectExpr("user_id", "session_id",
+        "unix_micros(session_start) AS sus",
+        "unix_micros(session_end) AS eus")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val deltas = sess.flatMap { case (u, sid, sus, eus) =>
+      Seq((sus, 1L, u, sid), (eus, -1L, u, sid))
+    }.sortBy { case (us, dl, u, sid) => (us, dl, u, sid) }
+    var running = 0L
+    val expected = scala.collection.mutable.Map.empty[String, Long]
+    deltas.foreach { case (us, dl, _, _) =>
+      running += dl
+      val day = java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(us, 86400000000L)).toString
+      expected(day) = math.max(expected.getOrElse(day, Long.MinValue),
+        running)
+    }
+    assert(got.nonEmpty && got == expected.toMap)
+    // sweep-line sanity: the running sum closes at zero
+    assert(deltas.map(_._2).sum == 0L)
+  }
 }

@@ -107,4 +107,44 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
         s"${cols(i)}×${cols(j)}: got $g expected $e")
     }
   }
+
+  test("q130 OLS matches a local closed-form fit per group; planted " +
+      "exact line recovers slope and intercept with r2 = 1") {
+    val got = StatsOps.q130OlsTrend(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val rows = Tables.orders(spark, Sf)
+      .selectExpr("o_orderpriority",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS day",
+        "o_totalprice")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble, r.getDouble(2)))
+    assert(got.nonEmpty && got.size == rows.map(_._1).distinct.size)
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val sxx = xs.map(x => x._2 * x._2).sum
+      val sxy = xs.map(x => x._2 * x._3).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      val (gn, gs, gi, _) = got(g)
+      assert(gn == xs.length)
+      assert(math.abs(gs - slope) <= 1e-6 + math.abs(slope) * 1e-6,
+        s"$g slope: got $gs expected $slope")
+      assert(math.abs(gi - icept) <= 2e-4 + math.abs(icept) * 1e-6,
+        s"$g intercept: got $gi expected $icept")
+    }
+    // planted exact line y = 2.5x + 7: recovered exactly, r2 = 1
+    import spark.implicits._
+    val line = (1 to 50).map(i => ("g", i.toLong, 2.5 * i + 7))
+      .toDF("g", "x", "y")
+    val fit = StatsOps.olsFit(line, "g", "x", "y").collect()(0)
+    assert(fit.getDouble(2) == 2.5 && fit.getDouble(3) == 7.0 &&
+      fit.getDouble(4) == 1.0)
+    // degenerate: single point and zero x-variance → null fit columns
+    val deg = StatsOps.olsFit(Seq(("a", 1L, 1.0), ("b", 2L, 1.0),
+      ("b", 2L, 3.0)).toDF("g", "x", "y"), "g", "x", "y").collect()
+    assert(deg.forall(r => r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)))
+  }
 }
