@@ -153,6 +153,9 @@ object SparkEntry {
     "q128_neg_sampling" -> (RelationalOps.q128NegativeSampling _),
     "q129_peak_concurrency" -> (RelationalOps.q129PeakConcurrency _),
     "q130_ols_trend" -> (StatsOps.q130OlsTrend _),
+    "q131_assoc_rules" -> (SimilarityOps.q131AssocRules _),
+    "q132_ab_test" -> (StatsOps.q132AbTest _),
+    "q133_seasonal_anomaly" -> (StatsOps.q133SeasonalAnomaly _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2188,5 +2191,108 @@ object SparkEntry {
                     /((n*sxx - sx*sx)*(n*syy - sy*sy)), 6)
                 END AS r2
          FROM m""",
+    "q131_assoc_rules" ->
+      """WITH b AS (
+           SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         ), n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM b),
+         c AS (
+           SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM b
+           GROUP BY 1 HAVING COUNT(*) >= 5
+         ), p2 AS (
+           SELECT x.item AS ia, y.item AS ib,
+                  CAST(COUNT(*) AS BIGINT) AS cab
+           FROM b x JOIN b y ON x.ok = y.ok AND x.item < y.item
+           JOIN c cx ON cx.item = x.item
+           JOIN c cy ON cy.item = y.item
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5
+         ), dir AS (
+           SELECT ia AS antecedent, ib AS consequent, cab FROM p2
+           UNION ALL
+           SELECT ib AS antecedent, ia AS consequent, cab FROM p2
+         ), r AS (
+           SELECT d.antecedent, d.consequent, d.cab AS n_pair,
+                  (2000*d.cab + ca.cnt) // (2*ca.cnt) AS conf_ppt,
+                  (2000000*d.cab*n.n + ca.cnt*cb.cnt)
+                    // (2*ca.cnt*cb.cnt) AS lift_ppm
+           FROM dir d
+           JOIN c ca ON ca.item = d.antecedent
+           JOIN c cb ON cb.item = d.consequent
+           CROSS JOIN n
+         ), rk AS (
+           SELECT *, row_number() OVER (ORDER BY lift_ppm DESC,
+             antecedent, consequent) AS rk FROM r
+         )
+         SELECT antecedent, consequent, n_pair, conf_ppt, lift_ppm
+         FROM rk WHERE rk <= 20""",
+    "q132_ab_test" ->
+      """WITH u AS (
+           SELECT user_id,
+                  MAX(CASE WHEN event_type = 'purchase' AND value > 100
+                    THEN 1 ELSE 0 END) AS conv,
+                  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 2 AS variant
+           FROM events GROUP BY user_id
+         ), g AS (
+           SELECT
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END)
+               AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END)
+               AS BIGINT) AS conv_b
+           FROM u
+         ), z AS (
+           SELECT *,
+             ((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 - (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+               / sqrt(((CAST(conv_a + conv_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 - (CAST(conv_a + conv_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))))
+                 * ((1.0 / CAST(n_a AS DOUBLE))
+                   + (1.0 / CAST(n_b AS DOUBLE)))) AS z_raw
+           FROM g
+         )
+         SELECT n_a, conv_a, n_b, conv_b,
+                (2000 * conv_a + n_a) // (2 * n_a) AS rate_a_ppt,
+                (2000 * conv_b + n_b) // (2 * n_b) AS rate_b_ppt,
+                CASE WHEN conv_a + conv_b > 0
+                       AND conv_a + conv_b < n_a + n_b
+                     THEN ROUND(z_raw, 4) END AS z,
+                CASE WHEN conv_a + conv_b > 0
+                       AND conv_a + conv_b < n_a + n_b
+                     THEN ABS(z_raw) > 1.96 END AS significant
+         FROM z""",
+    "q133_seasonal_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS total
+           FROM events GROUP BY 1, 2
+         ), dailyd AS (
+           SELECT *, isodow(day) AS dow FROM daily
+         ), st AS (
+           SELECT event_type, dow,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(total) AS DOUBLE) AS sx,
+                  CAST(SUM(total * total) AS DOUBLE) AS sxx
+           FROM dailyd GROUP BY 1, 2
+         ), j AS (
+           SELECT d.event_type, d.day,
+                  CAST(d.total AS DOUBLE) AS total_d,
+                  (CAST(d.total AS DOUBLE) - st.sx / st.n) AS dev,
+                  sqrt((st.n * st.sxx - st.sx * st.sx)
+                    / (st.n * (st.n - 1.0))) AS std,
+                  st.n AS n
+           FROM dailyd d JOIN st
+             ON d.event_type = st.event_type AND d.dow = st.dow
+         )
+         SELECT event_type, day, ROUND(total_d, 4) AS total,
+                ROUND(dev / std, 4) AS z
+         FROM j
+         WHERE n >= 5 AND std > 0 AND ABS(dev) > 1.5 * std""",
   )
 }

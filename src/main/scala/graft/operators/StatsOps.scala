@@ -149,7 +149,7 @@ object StatsOps {
         col("o_orderstatus").isin("O", "F", "P")),
       Referential("o_custkey", Tables.customer(s, d), "c_custkey")))
 
-  /** Per-group ordinary-least-squares fit of `yCol` against `xCol`
+  /** 147. Per-group ordinary-least-squares fit of `yCol` against `xCol`
     * (closed form from moments): one grouped aggregate pass collects
     * (n, Σx, Σy, Σxx, Σxy, Σyy) with map-side combine — the fact table
     * is scanned once and the shuffle carries one 6-number row per
@@ -204,4 +204,109 @@ object StatsOps {
       .withColumn("_day", expr(
         "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")),
       "o_orderpriority", "_day", "o_totalprice")
+
+  /** 149. q132: A/B conversion z-test — the experiment-analysis primitive.
+    * Users split into two arms by an md5 hash of user_id (the q63
+    * hash-split rule: the assignment is a pure per-row function —
+    * reproducible across runs/engines/retries, no stored assignment
+    * table, no rand()); conversion = the user emitted ≥1 HIGH-VALUE
+    * 'purchase' event (value > 100 — plain purchase saturates to
+    * p = 1 on the synthetic data, a degenerate test); the
+    * two-proportion z statistic compares arm conversion rates under
+    * the pooled-variance null. z is NULL when the pooled rate is 0 or
+    * 1 (variance 0 — no information; ANSI Spark would otherwise throw
+    * on the 0/0).
+    *
+    * Shapes: ONE user_id shuffle builds the per-user (arm, converted)
+    * frame (conversion is max-combined map-side), then a single global
+    * aggregate folds both arms' counters in one pass — the 1-row
+    * result is the scalar-subquery shape. Determinism: counts are
+    * exact longs; per-arm rates are round-half-up integer ppt; z is
+    * the identical IEEE expression tree in both engines over those
+    * exact counts (ROUND last), and `significant` compares the
+    * UNROUNDED z against 1.96 — both engines compare the same double.
+    * Assumes both arms are non-empty (md5 splits any real user
+    * population; an empty arm would make z undefined, as it should).
+    */
+  def q132AbTest(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 100, 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("variant", expr(
+        """CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)),
+           1, 15), 16, 10) AS BIGINT) % 2"""))
+    val g = users.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("conv")).otherwise(0L))
+        .as("conv_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("conv")).otherwise(0L))
+        .as("conv_b"))
+    // Spark 4 ANSI maps `/` on two integral columns to integral `div`
+    // — cast every count to double FIRST so both engines evaluate the
+    // same IEEE division tree (DuckDB int/int is already double)
+    def dbl(c: Column) = c.cast("double")
+    val p = dbl(col("conv_a") + col("conv_b")) / dbl(col("n_a") + col("n_b"))
+    val zRaw =
+      ((dbl(col("conv_b")) / dbl(col("n_b"))) -
+        (dbl(col("conv_a")) / dbl(col("n_a")))) /
+      sqrt((p * (lit(1.0) - p)) *
+        ((lit(1.0) / dbl(col("n_a"))) + (lit(1.0) / dbl(col("n_b")))))
+    val informative =
+      col("conv_a") + col("conv_b") > 0 &&
+        col("conv_a") + col("conv_b") < col("n_a") + col("n_b")
+    g.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      expr("(2000 * conv_a + n_a) DIV (2 * n_a)").as("rate_a_ppt"),
+      expr("(2000 * conv_b + n_b) DIV (2 * n_b)").as("rate_b_ppt"),
+      when(informative, round(zRaw, 4)).as("z"),
+      when(informative, abs(zRaw) > 1.96).as("significant"))
+  }
+
+  /** 150. q133: seasonal (day-of-week) anomaly detection — daily value
+    * totals per event_type scored against that weekday's own
+    * mean/stddev baseline (traffic is weekly-periodic: a quiet Sunday
+    * is normal, the same volume on a Tuesday is an incident; a global
+    * baseline would flag every weekend). Flags days beyond 1.5 sample
+    * standard deviations — a tunable: the synthetic corpus spans one
+    * month (weekday groups hold ≤5 days), where a 2σ cut on a
+    * 5-sample baseline can never fire; longer horizons warrant 2–3σ.
+    *
+    * Shapes: the corpus-scale work is ONE (event_type, day) aggregate
+    * (map-side combined); the weekday baseline is a second aggregate
+    * over the DAILY table (365 rows/type/year — bounded, broadcast
+    * back onto daily, never onto raw events). Determinism: daily
+    * totals accumulate in DECIMAL(18,4) (the parquet-doubles rule),
+    * the baseline moments in exact decimal; mean/std/z evaluate as
+    * the identical IEEE tree over the double-cast moments in both
+    * engines, ROUND last; groups need ≥ 5 observed days and std > 0
+    * before anything is flagged.
+    */
+  def q133SeasonalAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).cast("decimal(18,4)").as("total"))
+      // weekday()+1 = ISO dow (Mon=1..Sun=7), DuckDB's isodow
+      .withColumn("dow", expr("weekday(day) + 1"))
+    val stats = daily.groupBy("event_type", "dow").agg(
+      count(lit(1)).as("nd"),
+      sum(col("total")).cast("double").as("sx"),
+      sum(col("total") * col("total")).cast("double").as("sxx"))
+    val n = col("nd").cast("double")
+    val mean = col("sx") / n
+    val std = sqrt((n * col("sxx") - col("sx") * col("sx")) /
+      (n * (n - lit(1.0))))
+    daily.join(broadcast(stats), Seq("event_type", "dow"))
+      .withColumn("dev", col("total").cast("double") - mean)
+      .withColumn("std", std)
+      .filter(col("nd") >= 5 && col("std") > 0 &&
+        abs(col("dev")) > lit(1.5) * col("std"))
+      .select(col("event_type"), col("day"),
+        round(col("total").cast("double"), 4).as("total"),
+        round(col("dev") / col("std"), 4).as("z"))
+  }
 }

@@ -252,4 +252,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
         s"cell $cell")
     }
   }
+
+  test("assocRules matches a local Apriori replay on planted baskets; " +
+      "q131 is non-empty with sane confidence/lift") {
+    // planted: {A,B} co-occur in 4/6 baskets (lift > 1); C is frequent
+    // but independent of A; D is infrequent (pruned by minCount=2... 4)
+    val baskets = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "D"),
+      (4L, "A"), (4L, "B"), (4L, "C"),
+      (5L, "A"), (5L, "C"),
+      (6L, "B"), (6L, "C")).toDF("ok", "item")
+    val got = SimilarityOps.assocRules(baskets, minCount = 4L, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // counts: A=5, B=5, C=4, D=1(pruned); AB=4, AC=3(<4 pruned), BC=3
+    assert(got.keySet == Set(("A", "B"), ("B", "A")))
+    val n = 6L
+    def rh(num: Long, den: Long) = (2 * num + den) / (2 * den)
+    val expConf = rh(1000L * 4, 5)         // 800
+    val expLift = rh(1000000L * 4 * n, 25) // 960000
+    assert(got(("A", "B")) == ((4L, expConf, expLift)))
+    assert(got(("B", "A")) == ((4L, expConf, expLift)))
+    // the real q131: rules exist at every SF, ppt/ppm in range
+    val rules = SimilarityOps.q131AssocRules(spark, Sf).collect()
+    assert(rules.nonEmpty && rules.length <= 20)
+    rules.foreach { r =>
+      val (conf, lift) = (r.getLong(3), r.getLong(4))
+      assert(conf >= 0 && conf <= 1000, s"conf_ppt $conf out of range")
+      assert(lift >= 0, s"lift_ppm $lift negative")
+    }
+  }
 }

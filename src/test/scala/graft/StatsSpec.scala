@@ -147,4 +147,68 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
       ("b", 2L, 3.0)).toDF("g", "x", "y"), "g", "x", "y").collect()
     assert(deg.forall(r => r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)))
   }
+
+  test("q132 A/B test matches a local md5-split two-proportion replay") {
+    val r = StatsOps.q132AbTest(spark, Sf).collect()(0)
+    val users = Tables.events(spark, Sf)
+      .select("user_id", "event_type", "value").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (u, xs) =>
+        (u, xs.exists(e => e._2 == "purchase" && e._3 > 100)) }
+    def arm(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16) % 2
+    }
+    val a = users.filter(x => arm(x._1) == 0)
+    val b = users.filter(x => arm(x._1) == 1)
+    val (na, ca) = (a.size.toLong, a.count(_._2).toLong)
+    val (nb, cb) = (b.size.toLong, b.count(_._2).toLong)
+    assert(na > 0 && nb > 0, "md5 split left an arm empty — vacuous")
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((na, ca, nb, cb)))
+    assert(r.getLong(4) == (2000 * ca + na) / (2 * na))
+    assert(r.getLong(5) == (2000 * cb + nb) / (2 * nb))
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (cb.toDouble / nb - ca.toDouble / na) /
+      math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getDouble(6) - z) <= 1e-4 + 1e-12)
+    assert(r.getBoolean(7) == (math.abs(z) > 1.96))
+  }
+
+  test("q133 seasonal anomaly matches a local weekday-baseline replay") {
+    val got = StatsOps.q133SeasonalAnomaly(spark, Sf)
+      .selectExpr("event_type", "CAST(day AS STRING) AS day", "z")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val daily = Tables.events(spark, Sf)
+      .selectExpr("event_type", "CAST(to_date(ts) AS STRING) AS day",
+        "CAST(value AS DECIMAL(18,4)) AS v")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDecimal(2)))
+      .groupBy(_._1)
+      .map { case (k, xs) =>
+        (k, xs.map(x => BigDecimal(x._2)).sum.toDouble) }
+    val expected = daily.keys.map(_._1).toSeq.distinct.flatMap { et =>
+      val mine = daily.filter(_._1._1 == et).toSeq
+      mine.groupBy(x =>
+        java.time.LocalDate.parse(x._1._2).getDayOfWeek.getValue)
+        .flatMap { case (_, xs) =>
+          val n = xs.length.toDouble
+          val sx = xs.map(_._2).sum
+          val sxx = xs.map(x => x._2 * x._2).sum
+          val mean = sx / n
+          val std = math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+          if (xs.length < 5 || !(std > 0)) Nil
+          else xs.filter(x => math.abs(x._2 - mean) > 1.5 * std)
+            .map(x => x._1 -> ((x._2 - mean) / std))
+        }
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    assert(got.nonEmpty, "no anomalies at this SF — vacuous")
+    got.foreach { case (k, z) =>
+      assert(math.abs(z - expected(k)) <= 1e-4 + 1e-9, s"$k") }
+  }
 }
