@@ -156,6 +156,7 @@ object SparkEntry {
     "q131_assoc_rules" -> (SimilarityOps.q131AssocRules _),
     "q132_ab_test" -> (StatsOps.q132AbTest _),
     "q133_seasonal_anomaly" -> (StatsOps.q133SeasonalAnomaly _),
+    "q134_cusum" -> (StatsOps.q134Cusum _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2294,5 +2295,52 @@ object SparkEntry {
                 ROUND(dev / std, 4) AS z
          FROM j
          WHERE n >= 5 AND std > 0 AND ABS(dev) > 1.5 * std""",
+
+    "q134_cusum" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS total
+           FROM events GROUP BY 1, 2
+         ), st AS (
+           SELECT event_type,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(total) AS DOUBLE) AS sx,
+                  CAST(SUM(total * total) AS DOUBLE) AS sxx
+           FROM daily GROUP BY 1
+         ), seq AS (
+           SELECT d.event_type, d.day,
+                  st.sx / st.n AS mean,
+                  sqrt((st.n * st.sxx - st.sx * st.sx)
+                    / (st.n * (st.n - 1.0))) AS std,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type
+                    ORDER BY d.day) AS BIGINT) AS rn,
+                  CAST(SUM(d.total) OVER (PARTITION BY d.event_type
+                    ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS DECIMAL(28,4)) AS cum
+           FROM daily d JOIN st ON d.event_type = st.event_type
+           WHERE st.n >= 10
+         ), p AS (
+           SELECT event_type, day, std,
+                  CAST(cum AS DOUBLE)
+                    - CAST(rn AS DOUBLE) * (mean + 0.25 * std) AS pup,
+                  CAST(rn AS DOUBLE) * (mean - 0.25 * std)
+                    - CAST(cum AS DOUBLE) AS pdn
+           FROM seq WHERE std > 0
+         ), sc AS (
+           SELECT event_type, day, std,
+                  pup - LEAST(0.0, MIN(pup) OVER w) AS s_up,
+                  pdn - LEAST(0.0, MIN(pdn) OVER w) AS s_dn
+           FROM p
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         )
+         SELECT event_type, day,
+                CASE WHEN s_up > 2.0 * std THEN 'up'
+                     ELSE 'down' END AS direction,
+                ROUND(CASE WHEN s_up > 2.0 * std THEN s_up
+                           ELSE s_dn END / std, 4) AS stat_sigma
+         FROM sc
+         WHERE s_up > 2.0 * std OR s_dn > 2.0 * std""",
   )
 }

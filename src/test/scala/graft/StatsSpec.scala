@@ -211,4 +211,91 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     got.foreach { case (k, z) =>
       assert(math.abs(z - expected(k)) <= 1e-4 + 1e-9, s"$k") }
   }
+
+  test("cusum: closed form matches the textbook recursion on a planted " +
+      "level shift; constant and short series stay silent") {
+    // group a: 20 quiet days (deterministic ±2 wiggle) then a +15 jump —
+    // the sustained shift CUSUM exists to catch; b constant (std = 0 →
+    // excluded); c too short (< minN → excluded)
+    val quiet = (1 to 20).map(i => ("a", i, 100.0 + 2.0 * (i % 2)))
+    val shifted = (21 to 30).map(i => ("a", i, 115.0 + 2.0 * (i % 2)))
+    val flat = (1 to 30).map(i => ("b", i, 50.0))
+    val short = (1 to 5).map(i => ("c", i, i * 10.0))
+    val series = (quiet ++ shifted ++ flat ++ short)
+      .toDF("g", "i", "v")
+      .selectExpr("g", "i", "CAST(v AS DECIMAL(18,4)) AS v")
+    val got = StatsOps.cusum(series, "g", "i", "v",
+        minN = 10, slackSigma = 0.5, threshSigma = 4.0)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getDouble(3)))).toMap
+    assert(got.keys.forall(_._1 == "a"), "only the shifted series alarms")
+    assert(got.nonEmpty, "the planted shift must alarm")
+    // local replay of S_i = max(0, S_{i-1} + x_i - k), both directions
+    val xs = (quiet ++ shifted).map(_._3)
+    val n = xs.length.toDouble
+    val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+    val mean = sx / n
+    val std = math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+    var (sUp, sDn) = (0.0, 0.0)
+    val expected = xs.zipWithIndex.flatMap { case (x, ix) =>
+      sUp = math.max(0.0, sUp + (x - (mean + 0.5 * std)))
+      sDn = math.max(0.0, sDn + ((mean - 0.5 * std) - x))
+      if (sUp > 4.0 * std) Some(("a", ix + 1) -> (("up", sUp / std)))
+      else if (sDn > 4.0 * std) Some(("a", ix + 1) -> (("down", sDn / std)))
+      else None
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (dir, stat)) =>
+      assert(dir == expected(k)._1, s"$k direction")
+      // got is ROUND(…, 4); the replay is unrounded
+      assert(math.abs(stat - expected(k)._2) <= 5e-5 + 1e-9, s"$k stat") }
+    // the jump day itself is inside the alarm span
+    assert(got.keySet.map(_._2).min >= 21 && got.contains(("a", 30)))
+  }
+
+  test("q134 CUSUM alarm set matches a local closed-form replay on the " +
+      "real daily series") {
+    val got = StatsOps.q134Cusum(spark, Sf)
+      .selectExpr("event_type", "CAST(day AS STRING) AS day",
+        "direction", "stat_sigma")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val daily = Tables.events(spark, Sf)
+      .selectExpr("event_type", "CAST(to_date(ts) AS STRING) AS day",
+        "CAST(value AS DECIMAL(18,4)) AS v")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), BigDecimal(r.getDecimal(2))))
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }
+    val expected = daily.keys.map(_._1).toSeq.distinct.flatMap { et =>
+      val mine = daily.filter(_._1._1 == et).toSeq.sortBy(_._1._2)
+      val n = mine.length.toDouble
+      if (mine.length < 10) Nil
+      else {
+        val sx = mine.map(_._2.toDouble).sum
+        val sxx = mine.map(x => (x._2 * x._2).toDouble).sum
+        val std = math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+        if (!(std > 0)) Nil
+        else {
+          val mean = sx / n
+          // the operator's closed form: exact decimal prefix sums
+          var cum = BigDecimal(0)
+          var (minUp, minDn) = (0.0, 0.0)
+          mine.zipWithIndex.flatMap { case (((_, day), v), ix) =>
+            cum += v
+            val rn = (ix + 1).toDouble
+            val pup = cum.toDouble - rn * (mean + 0.25 * std)
+            val pdn = rn * (mean - 0.25 * std) - cum.toDouble
+            val (su, sd) = (pup - math.min(0.0, math.min(minUp, pup)),
+              pdn - math.min(0.0, math.min(minDn, pdn)))
+            minUp = math.min(minUp, pup); minDn = math.min(minDn, pdn)
+            if (su > 2.0 * std) Some((et, day) -> "up")
+            else if (sd > 2.0 * std) Some((et, day) -> "down")
+            else None
+          }
+        }
+      }
+    }.toMap
+    assert(got == expected)
+  }
 }
