@@ -157,6 +157,7 @@ object SparkEntry {
     "q132_ab_test" -> (StatsOps.q132AbTest _),
     "q133_seasonal_anomaly" -> (StatsOps.q133SeasonalAnomaly _),
     "q134_cusum" -> (StatsOps.q134Cusum _),
+    "q135_ks_test" -> (StatsOps.q135KsTest _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2342,5 +2343,43 @@ object SparkEntry {
                            ELSE s_dn END / std, 4) AS stat_sigma
          FROM sc
          WHERE s_up > 2.0 * std OR s_dn > 2.0 * std""",
+
+    "q135_ks_test" ->
+      """WITH counts AS (
+           SELECT CAST(value AS DECIMAL(18,4)) AS v,
+                  CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           FROM events
+           WHERE event_type IN ('purchase', 'click')
+           GROUP BY 1
+         ), cum AS (
+           SELECT CAST(SUM(c1) OVER w AS HUGEINT) AS f1,
+                  CAST(SUM(c2) OVER w AS HUGEINT) AS f2
+           FROM counts
+           WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+         ), tot AS (
+           SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c2) AS BIGINT) AS n2
+           FROM counts
+         ), m AS (
+           SELECT n1, n2, MAX(ABS(f1 * n2 - f2 * n1)) AS dmax
+           FROM cum, tot GROUP BY n1, n2
+         )
+         SELECT n1, n2,
+                CASE WHEN n1 > 0 AND n2 > 0 THEN
+                  CAST((dmax * 2000000 + CAST(n1 AS HUGEINT) * n2)
+                    // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+                END AS d_ppm,
+                CASE WHEN n1 > 0 AND n2 > 0 THEN
+                  CAST(dmax AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                    > 1.3581 * sqrt((CAST(n1 AS DOUBLE)
+                        + CAST(n2 AS DOUBLE))
+                      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                END AS significant
+         FROM m""",
   )
 }

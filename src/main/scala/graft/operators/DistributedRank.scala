@@ -65,24 +65,44 @@ object DistributedRank {
     * `local` read the one materialized range exchange.
     */
   def withRunningSum(df: DataFrame, groupCols: Seq[String],
-      orderCols: Seq[String], valueCol: String, outCol: String): DataFrame = {
+      orderCols: Seq[String], valueCol: String, outCol: String): DataFrame =
+    withRunningSums(df, groupCols, orderCols, Seq(valueCol -> outCol))
+
+  /** Multi-column [[withRunningSum]]: all `sums` (valueCol → outCol)
+    * share the ONE range exchange, local window pass and offset
+    * broadcast — k prefix sums for the price of one, where k separate
+    * calls would pay k range shuffles of the full table.
+    */
+  def withRunningSums(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], sums: Seq[(String, String)]): DataFrame = {
+    require(sums.nonEmpty, "need at least one (valueCol, outCol) pair")
+    require(sums.map(_._2).distinct.size == sums.size,
+      "output column names must be unique")
     val gc = groupCols.map(col)
     val oc = orderCols.map(col)
     val parted = df.repartitionByRange((gc ++ oc): _*)
       .withColumn("_part", spark_partition_id())
     val localW = Window.partitionBy(col("_part") +: gc: _*).orderBy(oc: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = parted.withColumn("_lcs",
-      coalesce(sum(col(valueCol)).over(localW), lit(0L)))
+    // all windowed columns share one Window operator (same spec)
+    val local = sums.foldLeft(parted) { case (acc, (v, o)) =>
+      acc.withColumn(s"_lcs_$o",
+        coalesce(sum(col(v)).over(localW), lit(0L)))
+    }
+    val aggExprs = sums.map { case (v, o) => sum(col(v)).as(s"_n_$o") }
     val counts = local.groupBy(col("_part") +: gc: _*)
-      .agg(sum(col(valueCol)).as("_n"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
     val offW = Window.partitionBy(gc: _*).orderBy(col("_part"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("_off", coalesce(sum(col("_n")).over(offW), lit(0L)))
-      .select(col("_part") +: gc :+ col("_off"): _*)
-    local.join(broadcast(offsets), "_part" +: groupCols)
-      .withColumn(outCol, col("_off") + col("_lcs"))
-      .drop("_part", "_lcs", "_off")
+    val offsets = sums.foldLeft(counts) { case (acc, (_, o)) =>
+      acc.withColumn(s"_off_$o",
+        coalesce(sum(col(s"_n_$o")).over(offW), lit(0L)))
+    }.select(col("_part") +: gc ++: sums.map(s => col(s"_off_${s._2}")): _*)
+    val joined = local.join(broadcast(offsets), "_part" +: groupCols)
+    val out = sums.foldLeft(joined) { case (acc, (_, o)) =>
+      acc.withColumn(o, col(s"_off_$o") + col(s"_lcs_$o"))
+    }
+    out.drop("_part" +: sums.flatMap(s =>
+      Seq(s"_lcs_${s._2}", s"_off_${s._2}")): _*)
   }
 }

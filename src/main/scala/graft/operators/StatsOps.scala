@@ -405,4 +405,67 @@ object StatsOps {
     cusum(daily, "event_type", "day", "total",
       minN = 10, slackSigma = 0.25, threshSigma = 2.0)
   }
+
+  /** 152. q135: two-sample Kolmogorov–Smirnov test — does the `a`
+    * population's value distribution differ from `b`'s? D = sup over
+    * the pooled support of |F_a − F_b|, with the α=0.05 large-sample
+    * rejection rule D > 1.3581·sqrt((n_a+n_b)/(n_a·n_b)). The
+    * distribution-free A/B companion to q132's two-proportion z: it
+    * sees shape changes (variance, tail, bimodality) a mean/rate test
+    * is blind to.
+    *
+    * Scale shape: ONE value-grouped aggregate collapses the corpus to
+    * (value, c_a, c_b) counts; both empirical CDFs then come from a
+    * SINGLE [[DistributedRank.withRunningSums]] pass over the distinct
+    * values (range-partitioned parallel prefix sums — never a global
+    * `SUM OVER (ORDER BY v)` single reducer, and the two cumsums share
+    * the one range exchange); the sup is a map-side-combined global max.
+    *
+    * Determinism: cumulative counts are exact longs; the sup compares
+    * |c_a·n_b − c_b·n_a| in DECIMAL(38,0) (HUGEINT in the oracle) —
+    * cross-multiplied integers, no float CDFs — and D reports as a
+    * round-half-up integer ppm (the q21 rule). Only the significance
+    * comparison evaluates in double, as the identical IEEE tree in
+    * both engines. Empty samples yield NULL d_ppm, not a blow-up.
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val counts = df.filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .groupBy("_v")
+      .agg(sum(when(col("_g") === a, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("_g") === b, 1L).otherwise(0L)).as("c2"))
+    val cum = DistributedRank.withRunningSums(counts, Nil, Seq("_v"),
+        Seq("c1" -> "e1", "c2" -> "e2"))
+      .select((col("e1") + col("c1")).cast("decimal(38,0)").as("f1"),
+        (col("e2") + col("c2")).cast("decimal(38,0)").as("f2"))
+    val tot = counts.agg(
+      sum(col("c1")).cast("long").as("n1"),
+      sum(col("c2")).cast("long").as("n2"))
+    val dmax = cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("f1") * col("n2") - col("f2") * col("n1")).as("dd"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("dd")).as("dmax"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val dD = col("dmax").cast("double") / (n1d * n2d)
+    val crit = lit(1.3581) * sqrt((n1d + n2d) / (n1d * n2d))
+    val ok = col("n1") > 0 && col("n2") > 0
+    dmax.select(col("n1"), col("n2"),
+      when(ok, expr("""CAST((dmax * 2000000
+          + CAST(n1 AS DECIMAL(38,0)) * n2)
+        DIV (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"""))
+        .as("d_ppm"),
+      when(ok, dD > crit).as("significant"))
+  }
+
+  /** q135: purchase-event values vs click-event values — at a 0.05
+    * level the synthetic generator draws both from the same law.
+    */
+  def q135KsTest(s: SparkSession, d: String): DataFrame =
+    ksTest(Tables.events(s, d)
+        .select(col("event_type"),
+          col("value").cast("decimal(18,4)").as("v")),
+      "v", "event_type", "purchase", "click")
 }

@@ -298,4 +298,61 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     }.toMap
     assert(got == expected)
   }
+
+  test("ksTest: identical samples give D = 0, a planted shift is " +
+      "significant, and d_ppm matches a local replay") {
+    def ks(rows: Seq[(String, Double)]) = {
+      val df = rows.toDF("g", "v")
+        .selectExpr("CAST(v AS DECIMAL(18,4)) AS v", "g")
+      StatsOps.ksTest(df, "v", "g", "a", "b").collect()(0)
+    }
+    // identical samples: D = 0, not significant
+    val same = (1 to 200).flatMap(i =>
+      Seq(("a", i * 1.0), ("b", i * 1.0)))
+    val r0 = ks(same)
+    assert((r0.getLong(0), r0.getLong(1)) == ((200L, 200L)))
+    assert(r0.getLong(2) == 0L && !r0.getBoolean(3))
+    // planted location shift: b = a + 100 on half the support
+    val shift = (1 to 200).map(i => ("a", i * 1.0)) ++
+      (1 to 200).map(i => ("b", i * 1.0 + 100.0))
+    val r1 = ks(shift)
+    // local replay: pooled distinct values, cross-multiplied sup
+    val xs = shift.filter(_._1 == "a").map(_._2)
+    val ys = shift.filter(_._1 == "b").map(_._2)
+    val (n1, n2) = (xs.size.toLong, ys.size.toLong)
+    val pooled = (xs ++ ys).distinct.sorted
+    val dmax = pooled.map(v =>
+      math.abs(xs.count(_ <= v) * n2 - ys.count(_ <= v) * n1)).max
+    val dppm = (BigInt(dmax) * 2000000 + BigInt(n1) * n2) /
+      (2 * BigInt(n1) * n2)
+    assert(r1.getLong(2) == dppm.toLong)
+    val d = dmax.toDouble / (n1.toDouble * n2.toDouble)
+    val crit = 1.3581 * math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2))
+    assert(r1.getBoolean(3) == d > crit && r1.getBoolean(3),
+      "the planted shift must be significant")
+    // empty arm: null results, no blow-up
+    val r2 = ks((1 to 50).map(i => ("a", i * 1.0)))
+    assert(r2.isNullAt(2) && r2.isNullAt(3))
+  }
+
+  test("q135 KS matches a local replay on the real purchase/click split") {
+    val r = StatsOps.q135KsTest(spark, Sf).collect()(0)
+    val rows = Tables.events(spark, Sf)
+      .selectExpr("event_type", "CAST(value AS DECIMAL(18,4)) AS v")
+      .filter("event_type IN ('purchase', 'click')")
+      .collect()
+      .map(x => (x.getString(0), BigDecimal(x.getDecimal(1))))
+    val xs = rows.filter(_._1 == "purchase").map(_._2)
+    val ys = rows.filter(_._1 == "click").map(_._2)
+    val (n1, n2) = (xs.size.toLong, ys.size.toLong)
+    assert((r.getLong(0), r.getLong(1)) == ((n1, n2)))
+    val pooled = (xs ++ ys).distinct.sorted
+    val dmax = pooled.map(v =>
+      (BigInt(xs.count(_ <= v)) * n2 - BigInt(ys.count(_ <= v)) * n1).abs).max
+    val dppm = (dmax * 2000000 + BigInt(n1) * n2) / (2 * BigInt(n1) * n2)
+    assert(r.getLong(2) == dppm.toLong)
+    val d = dmax.toDouble / (n1.toDouble * n2.toDouble)
+    val crit = 1.3581 * math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2))
+    assert(r.getBoolean(3) == d > crit)
+  }
 }
