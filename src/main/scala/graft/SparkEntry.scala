@@ -158,6 +158,7 @@ object SparkEntry {
     "q133_seasonal_anomaly" -> (StatsOps.q133SeasonalAnomaly _),
     "q134_cusum" -> (StatsOps.q134Cusum _),
     "q135_ks_test" -> (StatsOps.q135KsTest _),
+    "q136_winnow_repeats" -> (DedupOps.q136WinnowRepeats _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2381,5 +2382,42 @@ object SparkEntry {
                       / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
                 END AS significant
          FROM m""",
+
+    "q136_winnow_repeats" ->
+      """WITH base AS (
+           SELECT doc_id, text, length(text) - 29 AS np
+           FROM documents
+           WHERE text IS NOT NULL AND length(text) >= 37
+         ), pos AS (
+           SELECT CAST(p AS INT) AS p FROM generate_series(1, 4096) AS g(p)
+         ), grams AS (
+           SELECT b.doc_id, b.np, pos.p,
+                  md5(substr(b.text, pos.p, 30)) AS h
+           FROM base b JOIN pos ON pos.p <= b.np
+         ), enc AS (
+           SELECT doc_id, np, p,
+                  h || lpad(CAST(10000000 - p AS VARCHAR), 8, '0') AS enc
+           FROM grams
+         ), sel0 AS (
+           SELECT doc_id, np, p,
+                  MIN(enc) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn
+           FROM enc
+         ), sel AS (
+           SELECT DISTINCT doc_id,
+                  substr(mn, 1, 32) AS fp,
+                  10000000 - CAST(substr(mn, 33, 8) AS INT) AS pos
+           FROM sel0 WHERE p <= np - 7
+         ), c AS (
+           SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM sel GROUP BY 1
+         ), per AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sel,
+                  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rep
+           FROM sel JOIN c USING (fp) GROUP BY 1
+         )
+         SELECT doc_id, n_sel, n_rep,
+                (n_rep * 2000 + n_sel) // (2 * n_sel) AS rep_ppt
+         FROM per WHERE n_rep > 0""",
   )
 }

@@ -744,4 +744,80 @@ object DedupOps {
       .select(col("doc_id"), shingles(col("tk"), ShingleSize).as("sh"))
     containmentJoin(sets, "doc_id", "sh", 9, 10)
   }
+
+  /** 153. Repeated-SUBSTRING detection via winnowing (Schleimer, Wilkerson
+    * & Aiken, SIGMOD 2003 — the MOSS fingerprinter; motivation: Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", which dedups at the substring level that document-level
+    * minhash (q29) is blind to: a boilerplate paragraph pasted into a
+    * thousand otherwise-distinct pages).
+    *
+    * Winnowing selects fingerprints CONTENT-defined, not
+    * position-defined: hash every w-char gram, then in each window of k
+    * consecutive gram hashes keep the minimum (rightmost on ties).
+    * Guarantee: any substring shared by two docs of length
+    * >= w + k − 1 contributes at least one IDENTICAL selected
+    * fingerprint to both docs, regardless of alignment — a strided
+    * sampler would only match docs whose copies start at equal offsets
+    * mod the stride.
+    *
+    * Implementation is two bounded window passes, no recursion, no UDF:
+    * the rightmost-argmin is ONE window MIN over the gram hash
+    * concatenated with the zero-padded REVERSED position (ASCII order
+    * then prefers smaller hash, then larger position) — so selection is
+    * a pure string comparison, identical in any engine. Per-doc windows
+    * partition by doc_id (bounded by doc length); the only corpus-wide
+    * shuffles are the fingerprint count and the ids-only re-join (the
+    * LSH pipeline discipline). Docs shorter than w + k − 1 have no
+    * complete window and are excluded.
+    *
+    * Output: per doc with any cross-doc repeated fingerprint —
+    * (doc_id, n_sel selected fingerprints, n_rep of them shared with
+    * ANOTHER doc, rep_ppt round-half-up).
+    *
+    * Reference counterpart: none — the reference dedups nothing; this
+    * generalizes q29/q31 below document granularity.
+    */
+  def winnowedRepeats(docs: DataFrame, w: Int, k: Int): DataFrame = {
+    require(w >= 2 && k >= 2, "need w >= 2 and k >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(col("text").isNotNull && length(col("text")) >= w + k - 1)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - (w - 1)).as("np"),
+        explode(sequence(lit(1), length(col("text")) - (w - 1))).as("p"))
+      .select(col("doc_id"), col("np"), col("p"),
+        md5(expr(s"CAST(substring(text, p, $w) AS BINARY)")).as("h"))
+    val wn = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.currentRow, k - 1)
+    // h is 32 hex chars; 10^7 − p zero-padded to 8 keeps the compare
+    // "smaller hash first, then RIGHTMOST position" as plain ASCII order
+    val sel = grams
+      .withColumn("enc", concat(col("h"),
+        lpad((lit(10000000) - col("p")).cast("string"), 8, "0")))
+      .withColumn("mn", min(col("enc")).over(wn))
+      // only complete windows define the selection
+      .filter(col("p") <= col("np") - (k - 1))
+      .select(col("doc_id"),
+        substring(col("mn"), 1, 32).as("fp"),
+        (lit(10000000) - substring(col("mn"), 33, 8).cast("int"))
+          .as("pos"))
+      .distinct()
+    val counts = sel.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    sel.join(counts, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sel"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_rep"))
+      .filter(col("n_rep") > 0)
+      .select(col("doc_id"), col("n_sel"), col("n_rep"),
+        expr("(n_rep * 2000 + n_sel) DIV (2 * n_sel)").as("rep_ppt"))
+  }
+
+  /** q136: 30-char grams winnowed with k = 8 (any shared run of >= 37
+    * chars is guaranteed caught) over the documents corpus.
+    */
+  def q136WinnowRepeats(s: SparkSession, d: String): DataFrame =
+    winnowedRepeats(Tables.documents(s, d)
+      .select(col("doc_id"), col("text")), w = 30, k = 8)
 }

@@ -376,4 +376,50 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         s"quote of doc $id not recovered")
     }
   }
+
+  test("winnowing: a MISALIGNED shared run at the exact w+k-1 guarantee " +
+      "bound is caught; unique docs stay silent; replay matches") {
+    val (w, k) = (30, 8)
+    // deterministic 'random' filler (no shared w-grams between docs)
+    def filler(seed: Int, n: Int): String =
+      (0 until n).map(i => ('a' + ((i * 31 + seed * 17 + i * i * 7) % 26))
+        .toChar).mkString
+    val shared = filler(99, w + k - 1) // exactly 37 chars — the bound
+    // offsets 13 vs 20: misaligned mod every stride a sampler might use
+    val a = filler(1, 13) + shared + filler(2, 40)
+    val b = filler(3, 20) + shared + filler(4, 25)
+    val c = filler(5, 90)
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = DedupOps.winnowedRepeats(docs, w, k).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L),
+      s"guarantee: both copies flagged, control silent — got $got")
+    assert(got.values.forall(_._2 >= 1L))
+    // local replay: per-doc winnowed (fp, pos) selection, rightmost ties
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def select(text: String): Set[(String, Int)] = {
+      val hs = (1 to text.length - (w - 1)).map(p =>
+        (p, md5hex(text.substring(p - 1, p - 1 + w))))
+      (0 to hs.length - k).map { j =>
+        val win = hs.slice(j, j + k)
+        // min hash; rightmost position on ties
+        val mn = win.map(_._2).min
+        win.filter(_._2 == mn).map(_._1).max -> mn
+      }.map { case (p, h) => (h, p) }.toSet
+    }
+    val sels = Map(1L -> select(a), 2L -> select(b), 3L -> select(c))
+    val fpDocs = sels.toSeq.flatMap { case (id, s) => s.map(_._1 -> id) }
+      .groupBy(_._1).map { case (fp, xs) => fp -> xs.map(_._2).distinct.size }
+    val expected = sels.flatMap { case (id, s) =>
+      val nRep = s.count(x => fpDocs(x._1) >= 2).toLong
+      val nSel = s.size.toLong
+      if (nRep > 0)
+        Some(id -> ((nSel, nRep, (nRep * 2000 + nSel) / (2 * nSel))))
+      else None
+    }
+    assert(got == expected)
+  }
 }
