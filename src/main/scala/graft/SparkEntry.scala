@@ -159,6 +159,8 @@ object SparkEntry {
     "q134_cusum" -> (StatsOps.q134Cusum _),
     "q135_ks_test" -> (StatsOps.q135KsTest _),
     "q136_winnow_repeats" -> (DedupOps.q136WinnowRepeats _),
+    "q137_skew_profile" -> (StatsOps.q137SkewProfile _),
+    "q138_bootstrap_ci" -> (StatsOps.q138BootstrapCi _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2419,5 +2421,115 @@ object SparkEntry {
          SELECT doc_id, n_sel, n_rep,
                 (n_rep * 2000 + n_sel) // (2 * n_sel) AS rep_ppt
          FROM per WHERE n_rep > 0""",
+
+    "q137_skew_profile" ->
+      """WITH f1 AS (
+           SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS f
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1
+         ), r1 AS (
+           SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f, k) AS BIGINT)
+             AS i FROM f1
+         ), a1 AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                  CAST(SUM(f) AS BIGINT) AS n_rows,
+                  CAST(MAX(f) AS BIGINT) AS max_freq,
+                  SUM(CAST(i AS HUGEINT) * f) AS s1
+           FROM r1
+         ), f2 AS (
+           SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS f
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1
+         ), r2 AS (
+           SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f, k) AS BIGINT)
+             AS i FROM f2
+         ), a2 AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                  CAST(SUM(f) AS BIGINT) AS n_rows,
+                  CAST(MAX(f) AS BIGINT) AS max_freq,
+                  SUM(CAST(i AS HUGEINT) * f) AS s1
+           FROM r2
+         ), f3 AS (
+           SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS f
+           FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+         ), r3 AS (
+           SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f, k) AS BIGINT)
+             AS i FROM f3
+         ), a3 AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                  CAST(SUM(f) AS BIGINT) AS n_rows,
+                  CAST(MAX(f) AS BIGINT) AS max_freq,
+                  SUM(CAST(i AS HUGEINT) * f) AS s1
+           FROM r3
+         )
+         SELECT 'user_id' AS key_col, n_rows, n_keys, max_freq,
+                CAST((CAST(max_freq AS HUGEINT) * 2000000 + n_rows)
+                  // (2 * CAST(n_rows AS HUGEINT)) AS BIGINT)
+                  AS top_share_ppm,
+                CAST(((2 * s1 - (CAST(n_keys AS HUGEINT) + 1) * n_rows)
+                    * 2000000 + CAST(n_keys AS HUGEINT) * n_rows)
+                  // (2 * CAST(n_keys AS HUGEINT) * n_rows) AS BIGINT)
+                  AS gini_ppm
+         FROM a1
+         UNION ALL
+         SELECT 'event_type', n_rows, n_keys, max_freq,
+                CAST((CAST(max_freq AS HUGEINT) * 2000000 + n_rows)
+                  // (2 * CAST(n_rows AS HUGEINT)) AS BIGINT),
+                CAST(((2 * s1 - (CAST(n_keys AS HUGEINT) + 1) * n_rows)
+                    * 2000000 + CAST(n_keys AS HUGEINT) * n_rows)
+                  // (2 * CAST(n_keys AS HUGEINT) * n_rows) AS BIGINT)
+         FROM a2
+         UNION ALL
+         SELECT 'l_partkey', n_rows, n_keys, max_freq,
+                CAST((CAST(max_freq AS HUGEINT) * 2000000 + n_rows)
+                  // (2 * CAST(n_rows AS HUGEINT)) AS BIGINT),
+                CAST(((2 * s1 - (CAST(n_keys AS HUGEINT) + 1) * n_rows)
+                    * 2000000 + CAST(n_keys AS HUGEINT) * n_rows)
+                  // (2 * CAST(n_keys AS HUGEINT) * n_rows) AS BIGINT)
+         FROM a3""",
+
+    "q138_bootstrap_ci" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  CAST(o_totalprice AS DECIMAL(18,4)) AS price
+           FROM orders
+         ), reps AS (
+           SELECT r.rep, o.price,
+                  CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
+                    || '_' || CAST(r.rep AS VARCHAR)), 1, 15)) AS BIGINT)
+                    AS hx
+           FROM o, range(0, 64) AS r(rep)
+         ), w AS (
+           SELECT rep, price,
+                  CASE WHEN hx < 424136118829305329 THEN 0
+                       WHEN hx < 848272237658610659 THEN 1
+                       WHEN hx < 1060340297073263324 THEN 2
+                       WHEN hx < 1131029650211480879 THEN 3
+                       WHEN hx < 1148701988496035267 THEN 4
+                       WHEN hx < 1152236456152946145 THEN 5
+                       WHEN hx < 1152825534095764625 THEN 6
+                       WHEN hx < 1152909688087595836 THEN 7
+                       WHEN hx < 1152920207336574738 THEN 8
+                       ELSE 9 END AS w
+           FROM reps
+         ), m AS (
+           SELECT rep,
+                  CAST(CAST(SUM(price * w) AS DECIMAL(28,4)) AS DOUBLE)
+                    / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS mean_b
+           FROM w GROUP BY rep HAVING SUM(w) > 0
+         ), rk AS (
+           SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b) AS r
+           FROM m
+         ), ci AS (
+           SELECT MAX(CASE WHEN r = 2 THEN mean_b END) AS lo,
+                  MAX(CASE WHEN r = 63 THEN mean_b END) AS hi
+           FROM rk
+         ), p AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(CAST(SUM(price) AS DECIMAL(28,4)) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) AS m
+           FROM o
+         )
+         SELECT n, ROUND(m, 4) AS mean, ROUND(lo, 4) AS ci_lo,
+                ROUND(hi, 4) AS ci_hi
+         FROM p, ci""",
   )
 }

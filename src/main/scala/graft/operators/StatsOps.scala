@@ -468,4 +468,126 @@ object StatsOps {
         .select(col("event_type"),
           col("value").cast("decimal(18,4)").as("v")),
       "v", "event_type", "purchase", "click")
+
+  /** 154. Join-key skew profile — the pre-flight diagnostic that tells
+    * you whether a prospective shuffle key needs the q43 salted join or
+    * AQE skew handling BEFORE the 4-hour stage reveals it: per key
+    * column, (n_rows, n_keys, max_freq, top key's share, Gini of the
+    * key-frequency distribution). Gini ≈ 0 means uniform keys (hash
+    * partitions balance); → 1 means a handful of keys own the table
+    * (one reducer gets everything).
+    *
+    * Scale shape: the frequency table is ONE map-combined groupBy; the
+    * Gini rank over it is [[DistributedRank.withRank]] (a billion-key
+    * frequency table never meets a single-reducer `ROW_NUMBER() OVER
+    * (ORDER BY f)`); everything else is a map-combined global fold.
+    * Exact: Σ i·f_i accumulates in DECIMAL(38,0) (HUGEINT in the
+    * oracle; i·f can pass 10¹⁸ long overflow at cluster scale), shares
+    * and Gini report as round-half-up integer ppm (q21 rule) — no
+    * float anywhere. Ties in the rank are broken by key, but Gini is
+    * tie-order-invariant anyway (Σ i·f over an equal-f block is
+    * f·Σ i whatever the order). NULL keys are excluded: they never
+    * participate in a join shuffle.
+    */
+  def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val freq = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("_k"))
+      .agg(count(lit(1)).as("f"))
+    val ranked =
+      DistributedRank.withRank(freq, Nil, Seq("f", "_k"), "i")
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("f")).cast("long").as("n_rows"),
+        max(col("f")).as("max_freq"),
+        sum(col("i").cast("decimal(38,0)") * col("f")).as("s1"))
+      .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+        col("max_freq"),
+        expr("""CAST((CAST(max_freq AS DECIMAL(38,0)) * 2000000 + n_rows)
+          DIV (2 * CAST(n_rows AS DECIMAL(38,0))) AS BIGINT)""")
+          .as("top_share_ppm"),
+        expr("""CAST(((2 * s1 - (CAST(n_keys AS DECIMAL(38,0)) + 1)
+            * n_rows) * 2000000 + CAST(n_keys AS DECIMAL(38,0)) * n_rows)
+          DIV (2 * CAST(n_keys AS DECIMAL(38,0)) * n_rows) AS BIGINT)""")
+          .as("gini_ppm"))
+  }
+
+  /** q137: the three join keys a pipeline on this schema would shuffle
+    * on — events.user_id (uniform-ish), events.event_type (few huge
+    * keys — the salt-me case), lineitem.l_partkey.
+    */
+  def q137SkewProfile(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    skewProfile(ev, "user_id")
+      .unionByName(skewProfile(ev, "event_type"))
+      .unionByName(skewProfile(Tables.lineitem(s, d), "l_partkey"))
+  }
+
+  /** Exact-integer Poisson(1) inverse-CDF thresholds at 2⁶⁰ scale:
+    * t(k) = floor(P(X<=k)·2⁶⁰). A 60-bit md5 draw u < t(k) first at
+    * k ⇒ weight k. Integer compares only — the draw never touches a
+    * float, so engines can't disagree in the last ulp.
+    */
+  private val PoissonT: Seq[Long] = Seq(
+    424136118829305329L, 848272237658610659L, 1060340297073263324L,
+    1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+    1152825534095764625L, 1152909688087595836L, 1152920207336574738L)
+
+  /** 155. q138: Poisson-bootstrap confidence interval for the mean —
+    * THE large-scale bootstrap (classical resampling needs n draws per
+    * replica from a global index; Poissonization makes each row draw
+    * its own iid Poisson(1) weight per replica, so the whole B-replica
+    * bootstrap is one explode + one map-combined aggregate, no global
+    * state, no second scan). Weights are minted from md5(key·replica)
+    * against exact integer CDF thresholds (reproducible across
+    * engines, retries and cluster sizes — the q63/q128 hash-randomness
+    * rule); replica means divide an exact decimal sum by an exact long
+    * count (identical IEEE division both engines); the CI is the
+    * nearest-rank order statistic over the B=64 bounded replica means.
+    * The 64× row blowup never materializes: it pipelines into the
+    * partial aggregate, and the shuffle carries 64 rows per partition.
+    */
+  def q138BootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val b = 64
+    // the testdata parquet is a single row group → one scan task; the
+    // 64× explode+md5 behind it is per-row-heavy, so spread the skinny
+    // (key, price) projection across cores first (the Tables.events
+    // rebalance rationale — at production scale multi-row-group files
+    // make this a no-op-cost shuffle of a 2-column table)
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val thresholds = PoissonT.zipWithIndex
+      .foldRight(lit(PoissonT.size)) { case ((t, k), els) =>
+        when(col("hx") < t, lit(k)).otherwise(els) }
+    val reps = orders
+      .select(col("o_orderkey"), col("price"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .withColumn("hx", expr(
+        """CAST(conv(substring(md5(CAST(concat(CAST(o_orderkey AS STRING),
+           '_', CAST(rep AS STRING)) AS BINARY)), 1, 15), 16, 10)
+           AS BIGINT)"""))
+      .withColumn("w", thresholds.cast("long"))
+      .groupBy("rep")
+      .agg(sum(col("price") * col("w")).cast("decimal(28,4)").as("sw"),
+        sum(col("w")).cast("long").as("nw"))
+      // an all-zero-weight replica is possible only at toy n; guard the
+      // ANSI division rather than blow up
+      .filter(col("nw") > 0)
+      .select((col("sw").cast("double") / col("nw").cast("double"))
+        .as("mean_b"))
+    val ci = reps.agg(sort_array(collect_list(col("mean_b"))).as("ms"))
+      // nearest-rank: ceil(0.025·64) = 2, ceil(0.975·64) = 63;
+      // try_element_at: a dropped replica shortens the list (toy n) and
+      // must yield NULL, not an ANSI out-of-bounds error
+      .select(try_element_at(col("ms"), lit(2)).as("lo"),
+        try_element_at(col("ms"), lit(63)).as("hi"))
+    val point = orders.agg(
+      count(lit(1)).as("n"),
+      (sum(col("price")).cast("decimal(28,4)").cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+    point.crossJoin(broadcast(ci))
+      .select(col("n"), round(col("m"), 4).as("mean"),
+        round(col("lo"), 4).as("ci_lo"), round(col("hi"), 4).as("ci_hi"))
+  }
 }

@@ -355,4 +355,80 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     val crit = 1.3581 * math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2))
     assert(r.getBoolean(3) == d > crit)
   }
+
+  test("skewProfile: uniform keys give Gini exactly 0; a planted hot " +
+      "key matches the local formula; q137 matches a replay") {
+    val uniform = (1 to 300).map(i => Tuple1(s"k${i % 30}")).toDF("k")
+    val u = StatsOps.skewProfile(uniform, "k").collect()(0)
+    assert((u.getLong(1), u.getLong(2), u.getLong(3), u.getLong(4),
+      u.getLong(5)) == ((300L, 30L, 10L, 33333L, 0L)))
+    def localGini(freqs: Seq[Long]): (Long, Long, Long, Long, Long) = {
+      val sorted = freqs.sorted
+      val (nk, nr) = (BigInt(sorted.size), BigInt(sorted.sum))
+      val s1 = sorted.zipWithIndex.map { case (f, ix) =>
+        BigInt(ix + 1) * f }.sum
+      val top = (BigInt(sorted.max) * 2000000 + nr) / (2 * nr)
+      val gini = ((2 * s1 - (nk + 1) * nr) * 2000000 + nk * nr) /
+        (2 * nk * nr)
+      (nr.toLong, nk.toLong, sorted.max, top.toLong, gini.toLong)
+    }
+    // planted hot key: 9 singletons + one key owning 91 rows
+    val hot = ((1 to 9).map(i => s"s$i") ++ Seq.fill(91)("hot"))
+      .map(Tuple1(_)).toDF("k")
+    val h = StatsOps.skewProfile(hot, "k").collect()(0)
+    val eh = localGini(Seq.fill(9)(1L) :+ 91L)
+    assert((h.getLong(1), h.getLong(2), h.getLong(3), h.getLong(4),
+      h.getLong(5)) == eh)
+    assert(h.getLong(5) > 800000L, "hot key must read as near-1 Gini")
+    // nulls are excluded, not a key
+    val withNull = (Seq("a", "a", null, "b").map(Tuple1(_))).toDF("k")
+    val wn = StatsOps.skewProfile(withNull, "k").collect()(0)
+    assert((wn.getLong(1), wn.getLong(2)) == ((3L, 2L)))
+    // real data replay, all three profiled columns
+    val got = StatsOps.q137SkewProfile(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    def freqsOf(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.filter(col(c).isNotNull).groupBy(col(c)).count()
+        .collect().map(_.getLong(1)).toSeq
+    val ev = Tables.events(spark, Sf)
+    assert(got("user_id") == localGini(freqsOf(ev, "user_id")))
+    assert(got("event_type") == localGini(freqsOf(ev, "event_type")))
+    assert(got("l_partkey") ==
+      localGini(freqsOf(Tables.lineitem(spark, Sf), "l_partkey")))
+  }
+
+  test("q138 Poisson bootstrap matches a local MessageDigest replay " +
+      "and brackets the point mean") {
+    val r = StatsOps.q138BootstrapCi(spark, Sf).collect()(0)
+    val orders = Tables.orders(spark, Sf)
+      .selectExpr("o_orderkey", "CAST(o_totalprice AS DECIMAL(18,4))")
+      .collect().map(x => (x.getLong(0), BigDecimal(x.getDecimal(1))))
+    val t = Seq(424136118829305329L, 848272237658610659L,
+      1060340297073263324L, 1131029650211480879L, 1148701988496035267L,
+      1152236456152946145L, 1152825534095764625L, 1152909688087595836L,
+      1152920207336574738L)
+    def hx(key: Long, rep: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${key}_$rep".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    def w(h: Long): Int = t.indexWhere(h < _) match {
+      case -1 => 9; case k => k
+    }
+    val means = (0 until 64).flatMap { rep =>
+      val ws = orders.map { case (k, p) => (w(hx(k, rep)), p) }
+      val nw = ws.map(_._1.toLong).sum
+      if (nw == 0) None
+      else Some(ws.map { case (wt, p) => p * wt }.sum.toDouble / nw)
+    }.sorted
+    val n = orders.length.toLong
+    val mean = orders.map(_._2).sum.toDouble / n
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(1) - mean) <= 5e-5 + 1e-9)
+    assert(math.abs(r.getDouble(2) - means(1)) <= 5e-5 + 1e-9)
+    assert(math.abs(r.getDouble(3) - means(62)) <= 5e-5 + 1e-9)
+    assert(r.getDouble(2) < r.getDouble(1) && r.getDouble(1) < r.getDouble(3))
+  }
 }
