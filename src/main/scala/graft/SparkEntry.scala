@@ -161,6 +161,7 @@ object SparkEntry {
     "q136_winnow_repeats" -> (DedupOps.q136WinnowRepeats _),
     "q137_skew_profile" -> (StatsOps.q137SkewProfile _),
     "q138_bootstrap_ci" -> (StatsOps.q138BootstrapCi _),
+    "q139_textrank" -> (TextOps.q139TextRank _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2531,5 +2532,41 @@ object SparkEntry {
          SELECT n, ROUND(m, 4) AS mean, ROUND(lo, 4) AS ci_lo,
                 ROUND(hi, 4) AS ci_hi
          FROM p, ci""",
+
+    "q139_textrank" ->
+      """WITH RECURSIVE toks AS (
+           SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                    x -> length(x) >= 4) AS tk
+           FROM documents WHERE text IS NOT NULL
+         ), tk2 AS (
+           SELECT tk FROM toks WHERE len(tk) >= 2
+         ), pairs0 AS (
+           SELECT u.p[1] AS w1, u.p[2] AS w2
+           FROM (SELECT unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)]))
+                   AS p FROM tk2) u
+         ), pairs AS (
+           SELECT w1, w2 FROM pairs0 WHERE w1 <> w2
+         ), edges AS (
+           SELECT w1 AS src, w2 AS dst FROM pairs
+           UNION ALL SELECT w2, w1 FROM pairs
+         ), deg AS (
+           SELECT src, count(*) AS od FROM edges GROUP BY src
+         ), n AS (SELECT count(*) AS nn FROM deg),
+         it AS (
+           SELECT 0 AS i, src AS node, 1000000000000 // nn AS r
+           FROM deg, n
+           UNION ALL
+           SELECT i + 1, e.dst,
+                  CAST((15 * (1000000000000 // (SELECT nn FROM n))) // 100
+                       + (85 * SUM(r // d.od)) // 100 AS BIGINT)
+           FROM it
+           JOIN edges e ON it.node = e.src
+           JOIN deg d ON it.node = d.src
+           WHERE i < 10
+           GROUP BY i + 1, e.dst
+         )
+         SELECT node AS word, CAST(r AS BIGINT) AS rank_ppt
+         FROM it WHERE i = 10
+         ORDER BY rank_ppt DESC, word LIMIT 20""",
   )
 }

@@ -913,4 +913,42 @@ object TextOps {
       .select(col("source"), col("n_tokens"), col("n_terms"),
         expr("(pd + tot_ppm - pp) DIV 2").as("tv_ppm"))
   }
+
+  /** 156. q139: TextRank keyword extraction (Mihalcea & Tarau 2004) —
+    * corpus keywords as the PageRank of the word co-occurrence graph:
+    * tokens (lowercased alpha runs, length >= 4) are nodes, each
+    * adjacent pair in the filtered token sequence is an undirected
+    * edge, kept WITH multiplicity so frequent collocations weigh more
+    * (the [[GraphOps.pageRank]] contract treats parallel edges as
+    * integer weights: od sums them and each occurrence contributes
+    * r div od). Unlike q70's TF-IDF — which scores terms by rarity —
+    * TextRank scores by graph centrality: a mid-frequency word that
+    * bridges many contexts outranks a frequent-but-isolated one.
+    *
+    * Shapes: the pair build is one zip of two array slices per doc
+    * (O(len), no self-join); the iteration inherits q105's machinery —
+    * node-scale rank vector broadcast per round, edges never
+    * re-shuffled, integer ppt fixed-point so 10 rounds are
+    * order-independent and engine-exact; top-20 is a TakeOrdered heap
+    * with (rank desc, word asc) ties.
+    */
+  def q139TextRank(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(filter(split(lower(col("text")), "[^a-z]+"),
+        t => length(t) >= 4).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val pairs = toks
+      .select(explode(expr(
+        """zip_with(slice(tk, 1, size(tk) - 1),
+                    slice(tk, 2, size(tk) - 1),
+                    (x, y) -> struct(x AS w1, y AS w2))""")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2")) // pageRank forbids self-loops
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionAll(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+    GraphOps.pageRank(edges, 10)
+      .orderBy(col("r").desc, col("node").asc)
+      .limit(20)
+      .select(col("node").as("word"), col("r").as("rank_ppt"))
+  }
 }

@@ -443,4 +443,32 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(got == expected)
   }
+
+  test("q139 TextRank matches a local integer fixed-point replay on " +
+      "the real corpus") {
+    val got = TextOps.q139TextRank(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length == 20 && got.map(_._1).distinct.length == 20)
+    // local replay of the full pipeline
+    val texts = Tables.documents(spark, Sf)
+      .filter(col("text").isNotNull).select("text")
+      .collect().map(_.getString(0))
+    val pairs = texts.flatMap { t =>
+      val tk = t.toLowerCase.split("[^a-z]+").filter(_.length >= 4).toSeq
+      tk.zip(tk.drop(1)).filter(p => p._1 != p._2)
+    }
+    val edges = pairs ++ pairs.map(p => (p._2, p._1))
+    val od = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = od.size.toLong
+    val init = 1000000000000L / n
+    val base = (15L * init) / 100L
+    var r = od.keys.map(_ -> init).toMap
+    for (_ <- 0 until 10) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => r(e._1) / od(e._1)).sum }
+      r = contrib.map { case (nd, cs) => nd -> (base + (85L * cs) / 100L) }
+    }
+    val expected = r.toSeq.sortBy { case (w, rr) => (-rr, w) }.take(20)
+    assert(got.toSeq == expected)
+  }
 }
