@@ -162,6 +162,8 @@ object SparkEntry {
     "q137_skew_profile" -> (StatsOps.q137SkewProfile _),
     "q138_bootstrap_ci" -> (StatsOps.q138BootstrapCi _),
     "q139_textrank" -> (TextOps.q139TextRank _),
+    "q140_trigram_motifs" -> (RelationalOps.q140TrigramMotifs _),
+    "q141_behavior_diversity" -> (RelationalOps.q141BehaviorDiversity _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2568,5 +2570,49 @@ object SparkEntry {
          SELECT node AS word, CAST(r AS BIGINT) AS rank_ppt
          FROM it WHERE i = 10
          ORDER BY rank_ppt DESC, word LIMIT 20""",
+
+    "q140_trigram_motifs" ->
+      """WITH seq AS (
+           SELECT user_id, event_type AS e1,
+                  LEAD(event_type, 1) OVER w AS e2,
+                  LEAD(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), bi AS (
+           SELECT e1 AS b1, e2 AS b2, CAST(COUNT(*) AS BIGINT) AS nb
+           FROM seq WHERE e2 IS NOT NULL GROUP BY 1, 2
+         ), ft AS (
+           SELECT b1, CAST(SUM(nb) AS BIGINT) AS cb FROM bi GROUP BY 1
+         ), tri AS (
+           SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+           FROM seq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+         )
+         SELECT t.e1, t.e2, t.e3, t.n,
+                CAST((2 * CAST(t.n AS HUGEINT) * f.cb * 1000000
+                      + CAST(b12.nb AS HUGEINT) * b23.nb)
+                  // (2 * CAST(b12.nb AS HUGEINT) * b23.nb) AS BIGINT)
+                  AS lift_ppm
+         FROM tri t
+         JOIN bi b12 ON b12.b1 = t.e1 AND b12.b2 = t.e2
+         JOIN bi b23 ON b23.b1 = t.e2 AND b23.b2 = t.e3
+         JOIN ft f ON f.b1 = t.e2
+         ORDER BY t.n DESC, t.e1, t.e2, t.e3 LIMIT 25""",
+
+    "q141_behavior_diversity" ->
+      """WITH c AS (
+           SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2
+         ), u AS (
+           SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+                  CAST(COUNT(*) AS BIGINT) AS n_types,
+                  SUM(CAST(c AS HUGEINT) * c) AS s2
+           FROM c GROUP BY 1
+         )
+         SELECT user_id, n_events, n_types,
+                CAST((2 * (CAST(n_events AS HUGEINT) * n_events - s2)
+                      * 1000000 + CAST(n_events AS HUGEINT) * n_events)
+                  // (2 * CAST(n_events AS HUGEINT) * n_events)
+                  AS BIGINT) AS diversity_ppm
+         FROM u""",
   )
 }

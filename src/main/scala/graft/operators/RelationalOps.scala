@@ -1378,4 +1378,77 @@ object RelationalOps {
       .groupBy("day")
       .agg(max(col("conc")).as("peak_concurrent"))
   }
+
+  /** 157. q140: behavioral trigram motifs with second-order lift — the
+    * top event-type trigrams by observed count, each scored against
+    * what q113's FIRST-order Markov chain would predict:
+    * pred(a→b→c) = n(a,b) · n(b,c) / c(b), so
+    * lift = obs · c(b) / (n(a,b) · n(b,c)). Lift ≈ 1 means the chain
+    * explains the motif (b's next step doesn't care how you reached
+    * b); lift >> 1 is genuine second-order structure — the
+    * "signup→click→purchase happens as a UNIT" signal that funnel
+    * design (q80) takes as input, detected instead of assumed.
+    *
+    * Shapes: ONE user_id window shuffle produces both lead columns;
+    * bigram/trigram tables are |event_type|-bounded (≤ T³ rows) so
+    * every enrichment join broadcasts; lift is cross-multiplied
+    * integer ppm in DECIMAL(38,0) (obs·c_b·10⁶ passes long range at
+    * cluster scale), round-half-up, no float. A trigram's constituent
+    * bigrams are always present (each instance contributes to both),
+    * so the ratio is never 0/0.
+    */
+  def q140TrigramMotifs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seq = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+    val bi = seq.filter(col("e2").isNotNull)
+      .groupBy(col("event_type").as("b1"), col("e2").as("b2"))
+      .agg(count(lit(1)).as("nb"))
+    val fromTot = bi.groupBy(col("b1")).agg(sum(col("nb")).as("cb"))
+    val tri = seq.filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+    tri
+      .join(broadcast(bi.select(col("b1").as("e1"), col("b2").as("e2"),
+        col("nb").as("n12"))), Seq("e1", "e2"))
+      .join(broadcast(bi.select(col("b1").as("e2"), col("b2").as("e3"),
+        col("nb").as("n23"))), Seq("e2", "e3"))
+      .join(broadcast(fromTot.select(col("b1").as("e2"), col("cb"))),
+        Seq("e2"))
+      .select(col("e1"), col("e2"), col("e3"), col("n"),
+        expr("""CAST((2 * CAST(n AS DECIMAL(38,0)) * cb * 1000000
+            + CAST(n12 AS DECIMAL(38,0)) * n23)
+          DIV (2 * CAST(n12 AS DECIMAL(38,0)) * n23) AS BIGINT)""")
+          .as("lift_ppm"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(25)
+  }
+
+  /** 158. q141: behavioral-diversity score — per-user Gini impurity of
+    * the event-type mix, 1 − Σ(cᵢ/n)² = (n² − Σcᵢ²)/n². The
+    * concentration diagnostic (Herfindahl complement): ~0 = a bot
+    * hammering one action, high = organic mixed behavior — and unlike
+    * Shannon entropy it is a RATIONAL statistic, so it reports as an
+    * exact round-half-up integer ppm with no `ln` to diverge in the
+    * last ulp across libms (the q58 rule). One (user, type) aggregate
+    * + one user-level fold, both map-side combined; Σc² in
+    * DECIMAL(38,0) for cluster-scale counts.
+    */
+  def q141BehaviorDiversity(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).cast("long").as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        expr("""CAST((2 * (CAST(n_events AS DECIMAL(38,0)) * n_events - s2)
+            * 1000000 + CAST(n_events AS DECIMAL(38,0)) * n_events)
+          DIV (2 * CAST(n_events AS DECIMAL(38,0)) * n_events)
+          AS BIGINT)""").as("diversity_ppm"))
 }

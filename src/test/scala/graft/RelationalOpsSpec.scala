@@ -778,4 +778,71 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     // sweep-line sanity: the running sum closes at zero
     assert(deltas.map(_._2).sum == 0L)
   }
+
+  test("q140 trigram motifs match a local lead-replay and lift formula " +
+      "on the real events") {
+    val got = RelationalOps.q140TrigramMotifs(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty && got.length <= 25)
+    val ev = Tables.events(spark, Sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1).view.mapValues(
+      _.sortBy(x => (x._2, x._3)).map(_._4).toSeq)
+    val bi = scala.collection.mutable.Map[(String, String), Long]()
+    val tri = scala.collection.mutable.Map[(String, String, String), Long]()
+    byUser.values.foreach { s =>
+      s.zip(s.drop(1)).foreach(p => bi(p) = bi.getOrElse(p, 0L) + 1)
+      s.zip(s.drop(1)).zip(s.drop(2)).foreach { case ((a, b), c) =>
+        tri((a, b, c)) = tri.getOrElse((a, b, c), 0L) + 1 }
+    }
+    val cb = bi.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val expected = tri.toSeq.map { case ((a, b, c), n) =>
+      val lift = (2 * BigInt(n) * cb(b) * 1000000 +
+        BigInt(bi((a, b))) * bi((b, c))) /
+        (2 * BigInt(bi((a, b))) * bi((b, c)))
+      (a, b, c, n, lift.toLong)
+    }.sortBy(x => (-x._4, x._1, x._2, x._3)).take(25)
+    assert(got.toSeq == expected)
+  }
+
+  test("q141 behavioral diversity: a one-type user scores 0, a perfect " +
+      "mix scores (T-1)/T, and the real data matches the formula") {
+    val got = RelationalOps.q141BehaviorDiversity(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val ev = Tables.events(spark, Sf)
+      .selectExpr("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = ev.groupBy(_._1).map { case (u, xs) =>
+      val cs = xs.groupBy(_._2).values.map(_.size.toLong).toSeq
+      val n = BigInt(cs.sum)
+      val s2 = cs.map(c => BigInt(c) * c).sum
+      u -> ((cs.sum, cs.size.toLong,
+        ((2 * (n * n - s2) * 1000000 + n * n) / (2 * n * n)).toLong))
+    }
+    assert(got == expected)
+    // planted shapes through the same formula path
+    import spark.implicits._
+    val planted = (Seq.fill(10)((1L, "click")) ++
+      Seq("a", "b", "c", "d").flatMap(t => Seq.fill(5)((2L, t))))
+      .toDF("user_id", "event_type")
+      .selectExpr("CAST(user_id AS BIGINT) AS user_id", "event_type")
+    val dfP = planted.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").cast("long").as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
+      .selectExpr("user_id",
+        """CAST((2 * (CAST(n_events AS DECIMAL(38,0)) * n_events - s2)
+           * 1000000 + CAST(n_events AS DECIMAL(38,0)) * n_events)
+           DIV (2 * CAST(n_events AS DECIMAL(38,0)) * n_events)
+           AS BIGINT) AS d""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dfP(1L) == 0L)
+    assert(dfP(2L) == 750000L) // 1 - 4·(1/4)² = 3/4
+  }
 }
