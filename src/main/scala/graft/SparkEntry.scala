@@ -164,6 +164,8 @@ object SparkEntry {
     "q139_textrank" -> (TextOps.q139TextRank _),
     "q140_trigram_motifs" -> (RelationalOps.q140TrigramMotifs _),
     "q141_behavior_diversity" -> (RelationalOps.q141BehaviorDiversity _),
+    "q142_weighted_median" -> (StatsOps.q142WeightedMedian _),
+    "q143_mann_whitney" -> (StatsOps.q143MannWhitney _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2614,5 +2616,69 @@ object SparkEntry {
                   // (2 * CAST(n_events AS HUGEINT) * n_events)
                   AS BIGINT) AS diversity_ppm
          FROM u""",
+
+    "q142_weighted_median" ->
+      """WITH b AS (
+           SELECT l_returnflag AS g,
+                  CAST(l_extendedprice AS DECIMAL(18,4)) AS v,
+                  CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT) AS w,
+                  l_orderkey, l_linenumber
+           FROM lineitem
+         ), c AS (
+           SELECT g, v, w,
+                  SUM(w) OVER (PARTITION BY g
+                    ORDER BY v, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cw,
+                  SUM(w) OVER (PARTITION BY g) AS wt
+           FROM b
+         )
+         SELECT g AS l_returnflag, CAST(MAX(wt) AS BIGINT) AS w_total,
+                ROUND(CAST(MIN(v) AS DOUBLE), 4) AS median_v
+         FROM c WHERE 2 * cw >= wt GROUP BY g""",
+
+    "q143_mann_whitney" ->
+      """WITH counts AS (
+           SELECT CAST(value AS DECIMAL(18,4)) AS v,
+                  CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           FROM events
+           WHERE event_type IN ('purchase', 'click')
+           GROUP BY 1
+         ), cum AS (
+           SELECT c1, c2,
+                  2 * COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + c1 + c2 + 1 AS mr2,
+                  c1 + c2 AS ct
+           FROM counts
+         ), m AS (
+           SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c2) AS BIGINT) AS n2,
+                  SUM(CAST(c1 AS HUGEINT) * mr2) AS r1x2,
+                  SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS tsum
+           FROM cum
+         ), zz AS (
+           SELECT n1, n2,
+                  r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2,
+                  CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+                    / 2.0 AS u1,
+                  CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0 AS mu,
+                  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                    * (((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0)
+                      - CAST(tsum AS DOUBLE)
+                        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                          * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                            - 1.0))) AS va
+           FROM m
+         )
+         SELECT n1, n2, CAST(u1x2 AS BIGINT) AS u1_x2,
+                CASE WHEN n1 > 0 AND n2 > 0 AND va > 0
+                  THEN ROUND((u1 - mu) / sqrt(va), 4) END AS z,
+                CASE WHEN n1 > 0 AND n2 > 0 AND va > 0
+                  THEN ABS((u1 - mu) / sqrt(va)) > 1.96 END AS significant
+         FROM zz""",
   )
 }

@@ -590,4 +590,108 @@ object StatsOps {
       .select(col("n"), round(col("m"), 4).as("mean"),
         round(col("lo"), 4).as("ci_lo"), round(col("hi"), 4).as("ci_hi"))
   }
+
+  /** 159. q142: weighted median per group — the order statistic where
+    * half the WEIGHT sits on each side (here: the lineitem price at
+    * which half the shipped QUANTITY is cheaper), the robust center a
+    * mean-of-prices can't give when line sizes differ by 50×. Lower
+    * weighted median: min v with 2·cumW(v) >= W.
+    *
+    * Scale shape: one [[DistributedRank.withRunningSum]] prefix pass
+    * over the (group, v, tie...) total order — never a per-group
+    * single-reducer `SUM OVER (ORDER BY v)` (3 return flags × 33 TB
+    * each is exactly the q38/q83 regime); group totals broadcast back;
+    * the selection is a filter + min, map-side combined. Exact: weights
+    * are exact longs (quantities are integral — pinned through a
+    * decimal cast, since a bare double→long cast truncates in Spark
+    * but rounds in DuckDB), cum sums are longs, the threshold compare
+    * is integer; only the reported price turns into a rounded double.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, tieCols: Seq[String]): DataFrame = {
+    val base = df.select(Seq(col(groupCol).as("_g"),
+      col(valueCol).cast("decimal(18,4)").as("_v"),
+      col(weightCol).cast("decimal(18,4)").cast("long").as("_w"))
+      ++ tieCols.map(col): _*)
+    val cum = DistributedRank.withRunningSum(base, Seq("_g"),
+      "_v" +: tieCols, "_w", "_e")
+    val tot = base.groupBy("_g").agg(sum(col("_w")).cast("long").as("_wt"))
+    cum.join(broadcast(tot), Seq("_g"))
+      .filter((col("_e") + col("_w")) * 2 >= col("_wt"))
+      .groupBy("_g")
+      .agg(max(col("_wt")).as("w_total"),
+        round(min(col("_v")).cast("double"), 4).as("median_v"))
+      .withColumnRenamed("_g", groupCol)
+  }
+
+  /** q142: price below which half the shipped quantity sits, per
+    * return flag.
+    */
+  def q142WeightedMedian(s: SparkSession, d: String): DataFrame =
+    weightedMedian(Tables.lineitem(s, d), "l_returnflag",
+      "l_extendedprice", "l_quantity", Seq("l_orderkey", "l_linenumber"))
+
+  /** 160. q143: Mann–Whitney U rank-sum test (Wilcoxon) — the
+    * nonparametric "is one population stochastically larger?"
+    * companion to q135's KS (KS sees any shape difference; U targets
+    * location shift with more power, and unlike q132's z it never
+    * assumes normality). Midranks handle ties exactly: a pooled value
+    * block at exclusive-prefix p with c members has
+    * 2·midrank = 2p + c + 1 (an INTEGER), so the rank sum accumulates
+    * as exact integers — 2·R₁ = Σ c₁·(2p+c+1), 2·U₁ = 2·R₁ − 2·n₁(n₁+1)/2
+    * — and the tie-corrected normal approximation
+    * z = (U₁ − n₁n₂/2) / sqrt(n₁n₂/12 · (n+1 − Σ(c³−c)/(n(n−1))))
+    * evaluates in double only on the 1-row exact-moment result
+    * (identical IEEE tree both engines).
+    *
+    * Scale shape: value-grouped counts, then the SAME
+    * [[DistributedRank.withRunningSums]] shared-exchange pass as q135
+    * (both prefix counts in one range shuffle), then a map-combined
+    * global fold. Degenerate inputs (an empty arm, all values tied →
+    * zero variance) yield NULL z, not a blow-up.
+    */
+  def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val counts = df.filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .groupBy("_v")
+      .agg(sum(when(col("_g") === a, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("_g") === b, 1L).otherwise(0L)).as("c2"))
+    val cum = DistributedRank.withRunningSums(counts, Nil, Seq("_v"),
+      Seq("c1" -> "e1", "c2" -> "e2"))
+    val parts = cum.select(col("c1"), col("c2"),
+      ((col("e1") + col("e2")) * 2 + col("c1") + col("c2") + 1)
+        .as("mr2"),
+      (col("c1") + col("c2")).as("ct"))
+    val m = parts.agg(
+      sum(col("c1")).cast("long").as("n1"),
+      sum(col("c2")).cast("long").as("n2"),
+      sum(col("c1").cast("decimal(38,0)") * col("mr2")).as("r1x2"),
+      sum(col("ct").cast("decimal(38,0)") * col("ct") * col("ct")
+        - col("ct")).as("tsum"))
+    val u1x2 = col("r1x2") -
+      col("n1").cast("decimal(38,0)") * (col("n1") + 1)
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nd = n1d + n2d
+    val u1 = u1x2.cast("double") / lit(2.0)
+    val mu = n1d * n2d / lit(2.0)
+    val va = (n1d * n2d / lit(12.0)) *
+      ((nd + lit(1.0)) - col("tsum").cast("double") / (nd * (nd - lit(1.0))))
+    val z = (u1 - mu) / sqrt(va)
+    val ok = col("n1") > 0 && col("n2") > 0 && va > 0
+    m.select(col("n1"), col("n2"),
+      u1x2.cast("long").as("u1_x2"),
+      when(ok, round(z, 4)).as("z"),
+      when(ok, abs(z) > 1.96).as("significant"))
+  }
+
+  /** q143: purchase values vs click values through the rank-sum test —
+    * the location-shift probe on the same split q135 KS checks for
+    * shape. */
+  def q143MannWhitney(s: SparkSession, d: String): DataFrame =
+    mannWhitney(Tables.events(s, d)
+        .select(col("event_type"),
+          col("value").cast("decimal(18,4)").as("v")),
+      "v", "event_type", "purchase", "click")
 }

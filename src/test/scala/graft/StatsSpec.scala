@@ -431,4 +431,87 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(r.getDouble(3) - means(62)) <= 5e-5 + 1e-9)
     assert(r.getDouble(2) < r.getDouble(1) && r.getDouble(1) < r.getDouble(3))
   }
+
+  test("weightedMedian: planted weights move the median off the plain " +
+      "one; q142 matches a local prefix replay") {
+    // values 1..9 weight 1, value 10 weight 100 → weighted median 10
+    val planted = ((1 to 9).map(i => ("g", i * 1.0, 1.0, i.toLong, i)) :+
+      (("g", 10.0, 100.0, 10L, 10)))
+      .toDF("k", "v", "w", "t1", "t2")
+    val p = StatsOps.weightedMedian(planted, "k", "v", "w",
+      Seq("t1", "t2")).collect()(0)
+    assert(p.getLong(1) == 109L && p.getDouble(2) == 10.0)
+    val got = StatsOps.q142WeightedMedian(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val rows = Tables.lineitem(spark, Sf)
+      .selectExpr("l_returnflag",
+        "CAST(l_extendedprice AS DECIMAL(18,4)) AS v",
+        "CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT) AS w",
+        "l_orderkey", "CAST(l_linenumber AS BIGINT) AS l_linenumber")
+      .collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = rows.groupBy(_._1).map { case (g, xs) =>
+      val sorted = xs.sortBy(x => (x._2, x._4, x._5))
+      val wt = sorted.map(_._3).sum
+      var cw = 0L
+      val med = sorted.find { x => cw += x._3; 2 * cw >= wt }.get._2
+      g -> ((wt, med.toDouble))
+    }
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    got.foreach { case (g, (wt, m)) =>
+      assert(wt == expected(g)._1 && math.abs(m - expected(g)._2) <= 5e-5,
+        s"$g") }
+  }
+
+  test("mannWhitney: identical samples give z~0, a planted shift is " +
+      "significant, all-tied values yield NULL; q143 matches a " +
+      "midrank replay") {
+    def mw(rows: Seq[(String, Double)]) = {
+      val df = rows.toDF("g", "v")
+        .selectExpr("CAST(v AS DECIMAL(18,4)) AS v", "g")
+      StatsOps.mannWhitney(df, "v", "g", "a", "b").collect()(0)
+    }
+    val same = (1 to 100).flatMap(i => Seq(("a", i * 1.0), ("b", i * 1.0)))
+    val r0 = mw(same)
+    assert(math.abs(r0.getDouble(3)) < 0.1 && !r0.getBoolean(4))
+    val shifted = (1 to 100).map(i => ("a", i * 1.0)) ++
+      (1 to 100).map(i => ("b", i * 1.0 + 60.0))
+    val r1 = mw(shifted)
+    assert(r1.getBoolean(4), "planted shift must be significant")
+    val tied = (1 to 50).flatMap(_ => Seq(("a", 7.0), ("b", 7.0)))
+    val r2 = mw(tied)
+    assert(r2.isNullAt(3) && r2.isNullAt(4), "zero variance → NULL")
+    // real-data midrank replay
+    val r = StatsOps.q143MannWhitney(spark, Sf).collect()(0)
+    val rows = Tables.events(spark, Sf)
+      .selectExpr("event_type", "CAST(value AS DECIMAL(18,4)) AS v")
+      .filter("event_type IN ('purchase', 'click')").collect()
+      .map(x => (x.getString(0), BigDecimal(x.getDecimal(1))))
+    val xs = rows.filter(_._1 == "purchase").map(_._2)
+    val ys = rows.filter(_._1 == "click").map(_._2)
+    val (n1, n2) = (xs.size.toLong, ys.size.toLong)
+    val pooled = (xs ++ ys).groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    var prev = 0L
+    var r1x2 = BigInt(0); var tsum = BigInt(0)
+    pooled.foreach { case (v, ct) =>
+      val c1 = xs.count(_ == v).toLong
+      val mr2 = 2 * prev + ct + 1
+      r1x2 += BigInt(c1) * mr2
+      tsum += BigInt(ct) * ct * ct - ct
+      prev += ct
+    }
+    val u1x2 = r1x2 - BigInt(n1) * (n1 + 1)
+    assert((r.getLong(0), r.getLong(1)) == ((n1, n2)))
+    assert(r.getLong(2) == u1x2.toLong)
+    val u1 = u1x2.toDouble / 2.0
+    val mu = n1.toDouble * n2.toDouble / 2.0
+    val nd = n1.toDouble + n2.toDouble
+    val va = (n1.toDouble * n2.toDouble / 12.0) *
+      ((nd + 1.0) - tsum.toDouble / (nd * (nd - 1.0)))
+    val z = (u1 - mu) / math.sqrt(va)
+    assert(math.abs(r.getDouble(3) - z) <= 5e-5 + 1e-9)
+    assert(r.getBoolean(4) == math.abs(z) > 1.96)
+  }
 }
