@@ -1389,13 +1389,19 @@ object RelationalOps {
     * "signup→click→purchase happens as a UNIT" signal that funnel
     * design (q80) takes as input, detected instead of assumed.
     *
-    * Shapes: ONE user_id window shuffle produces both lead columns;
-    * bigram/trigram tables are |event_type|-bounded (≤ T³ rows) so
-    * every enrichment join broadcasts; lift is cross-multiplied
-    * integer ppm in DECIMAL(38,0) (obs·c_b·10⁶ passes long range at
-    * cluster scale), round-half-up, no float. A trigram's constituent
-    * bigrams are always present (each instance contributes to both),
-    * so the ratio is never 0/0.
+    * Shapes: the corpus is scanned ONCE — one user_id window shuffle
+    * produces both lead columns, and a single grouped aggregate over
+    * (e1, e2, e3) WITH null e3 kept captures trigrams and bigrams
+    * together (every bigram instance is either inside some trigram or
+    * a boundary (e1, e2, null) row, so the bigram table is the
+    * marginal of this one aggregate — no second corpus pass). The
+    * aggregate is |event_type|-bounded (≤ T³+T² rows), checkpointed so
+    * its four consumers don't re-run the corpus scan, and every
+    * enrichment join broadcasts. Lift is cross-multiplied integer ppm
+    * in DECIMAL(38,0) (obs·c_b·10⁶ passes long range at cluster
+    * scale), round-half-up, no float. A trigram's constituent bigrams
+    * are always present (each instance contributes to both), so the
+    * ratio is never 0/0.
     */
   def q140TrigramMotifs(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -1405,13 +1411,14 @@ object RelationalOps {
         col("event_type"))
       .withColumn("e2", lead(col("event_type"), 1).over(w))
       .withColumn("e3", lead(col("event_type"), 2).over(w))
-    val bi = seq.filter(col("e2").isNotNull)
-      .groupBy(col("event_type").as("b1"), col("e2").as("b2"))
-      .agg(count(lit(1)).as("nb"))
-    val fromTot = bi.groupBy(col("b1")).agg(sum(col("nb")).as("cb"))
-    val tri = seq.filter(col("e3").isNotNull)
+    val g3 = seq.filter(col("e2").isNotNull)
       .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val bi = g3.groupBy(col("e1").as("b1"), col("e2").as("b2"))
+      .agg(sum(col("n")).as("nb"))
+    val fromTot = bi.groupBy(col("b1")).agg(sum(col("nb")).as("cb"))
+    val tri = g3.filter(col("e3").isNotNull)
     tri
       .join(broadcast(bi.select(col("b1").as("e1"), col("b2").as("e2"),
         col("nb").as("n12"))), Seq("e1", "e2"))

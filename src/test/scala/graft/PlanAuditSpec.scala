@@ -482,4 +482,78 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2500))
     assert(p.contains("TopKPerKey"), p.take(2500))
   }
+
+  test("q135 KS / q143 U: both prefix sums ride ONE materialized range " +
+      "exchange (ReusedExchange), windows keyed by the slice id") {
+    for (df <- Seq(StatsOps.q135KsTest(spark, Sf),
+        StatsOps.q143MannWhitney(spark, Sf))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("rangepartitioning"), p.take(2500))
+      assert(p.contains("ReusedExchange"),
+        "the two cumsum branches must share the range exchange\n" +
+          p.take(2500))
+      p.linesIterator.filter(_.contains("windowspecdefinition"))
+        .foreach(l => assert(l.contains("_part"), l))
+    }
+  }
+
+  test("q136 winnowing: per-doc selection windows are keyed by doc_id; " +
+      "text never crosses a shuffle (ids+hash only)") {
+    val df = DedupOps.q136WinnowRepeats(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("doc_id"), l))
+    // every exchange carries fingerprints/ids, never the text column
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text"), l))
+  }
+
+  test("q137 skew profile: frequency ranks are range-partitioned " +
+      "slices with broadcast offsets — no global sort reducer") {
+    val df = StatsOps.q137SkewProfile(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("_part"), l))
+  }
+
+  test("q138 bootstrap: the 64x explode collapses in a partial " +
+      "aggregate before the shuffle (map-side combine)") {
+    val df = StatsOps.q138BootstrapCi(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // partial + final HashAggregate pairs around the rep shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2500))
+    assert(p.contains("Generate explode"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("q140 trigram motifs: the corpus pass is checkpointed out of " +
+      "the final plan; enrichment joins broadcast; heap cut") {
+    val df = RelationalOps.q140TrigramMotifs(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the one corpus-scale window pass ran inside the localCheckpoint;
+    // the final plan must touch only the bounded trigram table — no
+    // corpus exchange may appear here
+    assert(!p.contains("Exchange hashpartitioning(user_id"),
+      "corpus re-scan leaked past the checkpoint\n" + p.take(2500))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+  }
+
+  test("q142 weighted median: prefix pass is range-partitioned; group " +
+      "totals broadcast back") {
+    val df = StatsOps.q142WeightedMedian(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("_part"), l))
+  }
 }
