@@ -166,6 +166,9 @@ object SparkEntry {
     "q141_behavior_diversity" -> (RelationalOps.q141BehaviorDiversity _),
     "q142_weighted_median" -> (StatsOps.q142WeightedMedian _),
     "q143_mann_whitney" -> (StatsOps.q143MannWhitney _),
+    "q144_benford" -> (StatsOps.q144Benford _),
+    "q145_join_cardinality" -> (StatsOps.q145JoinCardinality _),
+    "q146_pareto_abc" -> (RelationalOps.q146ParetoAbc _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2680,5 +2683,79 @@ object SparkEntry {
                 CASE WHEN n1 > 0 AND n2 > 0 AND va > 0
                   THEN ABS((u1 - mu) / sqrt(va)) > 1.96 END AS significant
          FROM zz""",
+
+    "q144_benford" ->
+      """WITH d AS (
+           SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                    AS VARCHAR), 1, 1) AS INT) AS digit,
+                  CAST(COUNT(*) AS BIGINT) AS n_obs
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+           GROUP BY 1
+         ), e AS (
+           SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+             (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+             (8, 51153), (9, 45757)) AS t(digit, exp_ppm)
+         ), tt AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM d)
+         SELECT d.digit, d.n_obs,
+                (2 * d.n_obs * 1000000 + n) // (2 * n) AS obs_ppm,
+                CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+                ROUND((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
+                        * (CAST(e.exp_ppm AS DOUBLE) / 1000000.0))
+                      * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
+                        * (CAST(e.exp_ppm AS DOUBLE) / 1000000.0))
+                      / (CAST(n AS DOUBLE)
+                        * (CAST(e.exp_ppm AS DOUBLE) / 1000000.0)), 4)
+                  AS chi2_contrib
+         FROM d JOIN e ON d.digit = e.digit, tt""",
+
+    "q145_join_cardinality" ->
+      """WITH fa AS (
+           SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS fa
+           FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+         ), fb AS (
+           SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS fb
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1
+         ), j AS (
+           SELECT CAST(fa.fa AS HUGEINT) * fb.fb AS contrib
+           FROM fa JOIN fb ON fa.k = fb.k
+         )
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+                CAST(SUM(contrib) AS BIGINT) AS est_rows,
+                CAST(MAX(contrib) AS BIGINT) AS max_key_contrib,
+                CAST((2 * MAX(contrib) * 1000000 + SUM(contrib))
+                  // (2 * SUM(contrib)) AS BIGINT) AS top_contrib_ppm
+         FROM j""",
+
+    "q146_pareto_abc" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+                  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DECIMAL(28,4)) * 100 AS BIGINT) AS r100
+           FROM lineitem GROUP BY 1
+         ), c AS (
+           SELECT l_partkey, r100,
+                  COALESCE(SUM(r100) OVER (ORDER BY r100 DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_excl,
+                  SUM(r100) OVER () AS t100
+           FROM rev
+         ), cl AS (
+           SELECT CASE
+                    WHEN CAST(cum_excl AS HUGEINT) * 100
+                      < CAST(t100 AS HUGEINT) * 80 THEN 'A'
+                    WHEN CAST(cum_excl AS HUGEINT) * 100
+                      < CAST(t100 AS HUGEINT) * 95 THEN 'B'
+                    ELSE 'C' END AS cls,
+                  r100, t100
+           FROM c
+         )
+         SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                ROUND(CAST(SUM(r100) AS DOUBLE) / 100.0, 2) AS revenue,
+                CAST((2 * CAST(SUM(r100) AS HUGEINT) * 1000000
+                    + MAX(t100))
+                  // (2 * CAST(MAX(t100) AS HUGEINT)) AS BIGINT)
+                  AS share_ppm
+         FROM cl GROUP BY cls""",
   )
 }

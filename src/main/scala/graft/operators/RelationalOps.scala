@@ -1458,4 +1458,49 @@ object RelationalOps {
             * 1000000 + CAST(n_events AS DECIMAL(38,0)) * n_events)
           DIV (2 * CAST(n_events AS DECIMAL(38,0)) * n_events)
           AS BIGINT)""").as("diversity_ppm"))
+
+  /** 163. q146: Pareto / ABC classification — parts ranked by revenue,
+    * classed A while the revenue accumulated BEFORE them is under 80%
+    * of the total, B under 95%, else C (the inventory-management
+    * 80/15/5 cut; the boundary item that crosses a line joins the
+    * richer class). Output is the 3-row class summary: how many parts
+    * carry how much revenue.
+    *
+    * Scale shape: one part-level revenue aggregate, then the
+    * descending cumulative revenue via ONE
+    * [[DistributedRank.withRunningSum]] prefix pass over the
+    * (−revenue, partkey) total order — `SUM(rev) OVER (ORDER BY rev
+    * DESC)` is the single-reducer shape this module exists to avoid —
+    * with the grand total broadcast back. Classification compares
+    * 100·cumExcl against 80·T / 95·T in exact decimal ×100 integer
+    * units; shares are round-half-up ppm; no float anywhere.
+    */
+  def q146ParetoAbc(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("decimal(28,4)").as("rev"))
+      // exact ×100 integer units make the running sum a LONG — the
+      // withRunningSum contract — and negation gives the desc order
+      .select(col("l_partkey"), (col("rev") * 100).cast("long").as("r100"),
+        (-(col("rev") * 100)).cast("long").as("nr100"))
+    val cum = DistributedRank.withRunningSum(rev, Seq.empty,
+      Seq("nr100", "l_partkey"), "r100", "cum_excl")
+    val tot = rev.agg(sum(col("r100")).cast("long").as("t100"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(expr("""CAST(cum_excl AS DECIMAL(38,0)) * 100
+            < CAST(t100 AS DECIMAL(38,0)) * 80"""), "A")
+          .when(expr("""CAST(cum_excl AS DECIMAL(38,0)) * 100
+            < CAST(t100 AS DECIMAL(38,0)) * 95"""), "B")
+          .otherwise("C"))
+      .groupBy(col("cls"), col("t100"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("r100")).cast("long").as("rev100"))
+      .select(col("cls"), col("n_parts"),
+        round(col("rev100").cast("double") / 100.0, 2).as("revenue"),
+        expr("""CAST((2 * CAST(rev100 AS DECIMAL(38,0)) * 1000000
+            + t100) DIV (2 * CAST(t100 AS DECIMAL(38,0))) AS BIGINT)""")
+          .as("share_ppm"))
+  }
 }

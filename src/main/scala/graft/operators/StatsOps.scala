@@ -694,4 +694,86 @@ object StatsOps {
         .select(col("event_type"),
           col("value").cast("decimal(18,4)").as("v")),
       "v", "event_type", "purchase", "click")
+
+  /** Benford first-digit probabilities log10(1+1/d) as integer ppm —
+    * literal constants, identical in both engines (a runtime log10
+    * would differ in the last ulp across libms, the q58 rule).
+    */
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** 161. q144: Benford's-law first-digit audit over order totals —
+    * the classic fabricated-data screen (genuine multiplicative-growth
+    * amounts follow P(d) = log10(1+1/d); invented numbers don't). One
+    * map-combined digit aggregate over the fact table; the 9-digit
+    * result joins the broadcast literal expectation table; observed
+    * shares are round-half-up integer ppm and the χ² contribution
+    * (obs−n·p)²/(n·p) evaluates in double on the bounded 9-row result
+    * only (identical IEEE tree). The first digit comes from the
+    * DECIMAL's string form — pure string ops, no float log, engine
+    * identical for positive values.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(substring(col(valueCol).cast("decimal(18,4)")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val exp = df.sparkSession.createDataFrame(BenfordPpm)
+      .toDF("digit", "exp_ppm")
+    val tot = digits.agg(sum(col("n_obs")).cast("long").as("n"))
+    digits.join(broadcast(exp), Seq("digit"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        expr("(2 * n_obs * 1000000 + n) DIV (2 * n)").as("obs_ppm"),
+        col("exp_ppm"),
+        round(
+          (col("n_obs").cast("double") -
+            col("n").cast("double") * (col("exp_ppm").cast("double")
+              / lit(1000000.0))) *
+          (col("n_obs").cast("double") -
+            col("n").cast("double") * (col("exp_ppm").cast("double")
+              / lit(1000000.0))) /
+          (col("n").cast("double") * (col("exp_ppm").cast("double")
+            / lit(1000000.0))), 4).as("chi2_contrib"))
+  }
+
+  def q144Benford(s: SparkSession, d: String): DataFrame =
+    benfordAudit(Tables.orders(s, d), "o_totalprice")
+
+  /** 162. q145: join-cardinality estimator — predicts
+    * |A ⋈ B on key| = Σ_k f_A(k)·f_B(k) from the two key-frequency
+    * tables BEFORE running the row-scale join: the pre-flight that
+    * says "this join is about to 50× your data" (and, with the top
+    * key's contribution share, whether the blowup is one hot key — the
+    * q43 salt case — or uniform). The whole estimate is key-scale:
+    * two map-combined frequency aggregates, one equi-join OF THE
+    * FREQUENCY TABLES, one fold; the row-scale join never runs.
+    * Products accumulate in DECIMAL(38,0)/HUGEINT.
+    */
+  def joinCardinality(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String): DataFrame = {
+    val fa = a.filter(col(aKey).isNotNull)
+      .groupBy(col(aKey).as("_k")).agg(count(lit(1)).as("fa"))
+    val fb = b.filter(col(bKey).isNotNull)
+      .groupBy(col(bKey).as("_k")).agg(count(lit(1)).as("fb"))
+    fa.join(fb, Seq("_k"))
+      .select(col("_k"),
+        (col("fa").cast("decimal(38,0)") * col("fb")).as("contrib"))
+      .agg(count(lit(1)).as("n_matching_keys"),
+        sum(col("contrib")).as("est_rows_d"),
+        max(col("contrib")).as("max_contrib_d"))
+      .select(col("n_matching_keys"),
+        col("est_rows_d").cast("long").as("est_rows"),
+        col("max_contrib_d").cast("long").as("max_key_contrib"),
+        expr("""CAST((2 * max_contrib_d * 1000000 + est_rows_d)
+          DIV (2 * est_rows_d) AS BIGINT)""").as("top_contrib_ppm"))
+  }
+
+  /** q145: the customer-activity join (orders.o_custkey ⋈
+    * events.user_id) sized without running it. */
+  def q145JoinCardinality(s: SparkSession, d: String): DataFrame =
+    joinCardinality(Tables.orders(s, d), "o_custkey",
+      Tables.events(s, d), "user_id")
 }

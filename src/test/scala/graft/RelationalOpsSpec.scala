@@ -845,4 +845,41 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(dfP(1L) == 0L)
     assert(dfP(2L) == 750000L) // 1 - 4·(1/4)² = 3/4
   }
+
+  test("q146 Pareto/ABC matches a local descending-prefix replay and " +
+      "partitions all parts with shares summing to ~1e6") {
+    val got = RelationalOps.q146ParetoAbc(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+    val rev = Tables.lineitem(spark, Sf)
+      .selectExpr("l_partkey", "CAST(l_extendedprice AS DECIMAL(18,4)) AS p")
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDecimal(1))))
+      .groupBy(_._1).view
+      .mapValues(xs => (xs.map(_._2).sum * 100).toLongExact).toSeq
+    val sorted = rev.sortBy { case (k, r) => (-r, k) }
+    val t = sorted.map(_._2).sum
+    var cum = 0L
+    val classed = sorted.map { case (k, r) =>
+      val cls =
+        if (BigInt(cum) * 100 < BigInt(t) * 80) "A"
+        else if (BigInt(cum) * 100 < BigInt(t) * 95) "B"
+        else "C"
+      cum += r
+      (cls, k, r)
+    }
+    val expected = classed.groupBy(_._1).map { case (cls, xs) =>
+      val rv = xs.map(_._3).sum
+      cls -> ((xs.size.toLong, rv / 100.0,
+        ((2 * BigInt(rv) * 1000000 + t) / (2 * BigInt(t))).toLong))
+    }
+    assert(got.keySet == Set("A", "B", "C"))
+    assert(got.map(_._2._1).sum == rev.size.toLong)
+    val shareSum = got.values.map(_._3).sum
+    assert(shareSum >= 999998L && shareSum <= 1000002L, s"$shareSum")
+    got.foreach { case (cls, (np, rv, sh)) =>
+      val (enp, erv, esh) = expected(cls)
+      assert(np == enp && sh == esh, s"$cls")
+      assert(math.abs(rv - erv) <= 0.011, s"$cls revenue")
+    }
+  }
 }

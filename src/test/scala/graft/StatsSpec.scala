@@ -514,4 +514,48 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(r.getDouble(3) - z) <= 5e-5 + 1e-9)
     assert(r.getBoolean(4) == math.abs(z) > 1.96)
   }
+
+  test("q144 Benford: digit counts, ppm shares and chi2 contributions " +
+      "match a local replay over the real orders") {
+    val got = StatsOps.q144Benford(spark, Sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    val prices = Tables.orders(spark, Sf)
+      .selectExpr("CAST(o_totalprice AS DECIMAL(18,4)) AS p")
+      .filter("p IS NOT NULL AND p > 0").collect()
+      .map(r => BigDecimal(r.getDecimal(0)))
+    val counts = prices.groupBy(_.toString.head.asDigit).view
+      .mapValues(_.size.toLong).toMap
+    val n = counts.values.sum
+    val expPpm = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    assert(got.keySet == counts.keySet && got.nonEmpty)
+    got.foreach { case (d, (nObs, obsPpm, ePpm, chi)) =>
+      assert(nObs == counts(d))
+      assert(obsPpm == (2 * counts(d) * 1000000 + n) / (2 * n))
+      assert(ePpm == expPpm(d))
+      val expCnt = n.toDouble * (expPpm(d).toDouble / 1000000.0)
+      val c = (counts(d) - expCnt) * (counts(d) - expCnt) / expCnt
+      assert(math.abs(chi - c) <= 5e-5 + 1e-9, s"digit $d")
+    }
+  }
+
+  test("q145 join-cardinality estimate EQUALS the actual join row " +
+      "count (the estimator is exact per construction)") {
+    val r = StatsOps.q145JoinCardinality(spark, Sf).collect()(0)
+    val actual = Tables.orders(spark, Sf).select(col("o_custkey"))
+      .join(Tables.events(spark, Sf).select(col("user_id")),
+        col("o_custkey") === col("user_id"))
+      .count()
+    assert(r.getLong(1) == actual && actual > 0)
+    // planted skew: one hot key dominating the product
+    import spark.implicits._
+    val a = (Seq.fill(10)(1L) ++ Seq(2L, 3L)).toDF("k")
+    val b = (Seq.fill(20)(1L) ++ Seq(2L)).toDF("k2")
+    val p = StatsOps.joinCardinality(a, "k", b, "k2").collect()(0)
+    assert(p.getLong(0) == 2L && p.getLong(1) == 201L &&
+      p.getLong(2) == 200L)
+    assert(p.getLong(3) == (2L * 200 * 1000000 + 201) / (2 * 201))
+  }
 }
