@@ -169,6 +169,8 @@ object SparkEntry {
     "q144_benford" -> (StatsOps.q144Benford _),
     "q145_join_cardinality" -> (StatsOps.q145JoinCardinality _),
     "q146_pareto_abc" -> (RelationalOps.q146ParetoAbc _),
+    "q147_proration" -> (RelationalOps.q147Proration _),
+    "q148_acf" -> (StatsOps.q148Acf _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2757,5 +2759,75 @@ object SparkEntry {
                   // (2 * CAST(MAX(t100) AS HUGEINT)) AS BIGINT)
                   AS share_ppm
          FROM cl GROUP BY cls""",
+
+    "q147_proration" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_linenumber,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS w
+           FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+                   AS BIGINT) > 0
+         ), o AS (
+           SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS t
+           FROM orders
+           WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+         ), j AS (
+           SELECT l_orderkey, l_linenumber, w, t,
+                  SUM(w) OVER (PARTITION BY l_orderkey) AS ww
+           FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+         ), b AS (
+           SELECT l_orderkey, l_linenumber, t, w,
+                  (t * w) // ww AS base, (t * w) % ww AS rem
+           FROM j
+         ), r AS (
+           SELECT l_orderkey, l_linenumber, base,
+                  t - SUM(base) OVER (PARTITION BY l_orderkey)
+                    AS leftover,
+                  ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                    ORDER BY rem DESC, l_linenumber, w) AS rk
+           FROM b
+         )
+         SELECT l_orderkey, l_linenumber,
+                CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc_cents
+         FROM r""",
+
+    "q148_acf" ->
+      """WITH daily AS (
+           SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT)) AS x
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+           GROUP BY 1
+         ), m AS (
+           SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                  CAST(SUM(x) AS HUGEINT) AS sx
+           FROM daily
+         ), c AS (
+           SELECT day, n * x - sx AS c FROM daily, m
+         ), den AS (
+           SELECT SUM(c * c) AS den FROM c
+         ), lags AS (
+           SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)
+         ), p AS (
+           SELECT l.lag, a.c AS ca, b.c AS cb
+           FROM c a CROSS JOIN lags l
+           JOIN c b ON b.day = a.day + l.lag
+         ), num AS (
+           SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                  SUM(ca * cb) AS num
+           FROM p GROUP BY 1
+         )
+         SELECT lag, n_pairs,
+                CASE WHEN den > 0 THEN CAST(CASE WHEN num >= 0
+                    THEN (2 * num * 1000000 + den) // (2 * den)
+                    ELSE -((2 * (-num) * 1000000 + den) // (2 * den))
+                    END AS BIGINT) END AS acf_ppm
+         FROM num, den""",
   )
 }

@@ -1503,4 +1503,66 @@ object RelationalOps {
             + t100) DIV (2 * CAST(t100 AS DECIMAL(38,0))) AS BIGINT)""")
           .as("share_ppm"))
   }
+
+  /** 164. q147: exact largest-remainder proration (Hamilton method) —
+    * each order's total, in integer cents, is allocated across its
+    * lineitems proportionally to extended price such that the
+    * allocated cents SUM EXACTLY to the order total: floor shares
+    * `(t·w) DIV W` first, then the `t − Σfloor` leftover cents go one
+    * each to the largest remainders (linenumber ties ascending). The
+    * financial-allocation primitive naive `ROUND(t·w/W)` gets wrong —
+    * rounded shares drift off the total by ±n/2 cents and the books
+    * don't close (the reference stores money as raw floats and never
+    * reconciles, helper_functions.py:34-60).
+    *
+    * Determinism: pure integer arithmetic end to end — weights and
+    * totals pin to ×100 integer cents through DECIMAL(18,4), products
+    * t·w stay under 2⁶³ at data scale, and DIV/%/comparisons are
+    * engine-identical on non-negative longs (zero-weight lines are
+    * excluded by contract — they receive nothing and cannot divide by
+    * a zero group weight).
+    *
+    * Scale shape: one orderkey equi-join, then ONE orderkey exchange
+    * shared by the group-sum and row_number windows — per-group
+    * windows are safe here precisely because groups are bounded (≤7
+    * lineitems) and keys are millions (the q38/q83 single-reducer rule
+    * does not apply to bounded-group many-key partitions).
+    */
+  def prorate(items: DataFrame, keyCol: String, lineCol: String,
+      weightCol: String, totals: DataFrame, totalKeyCol: String,
+      totalCol: String): DataFrame = {
+    val li = items
+      .filter(col(keyCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(keyCol).as("_k"), col(lineCol).as("_line"),
+        (col(weightCol).cast("decimal(18,4)") * 100).cast("long").as("_w"))
+      .filter(col("_w") > 0)
+    val t = totals
+      .filter(col(totalKeyCol).isNotNull && col(totalCol).isNotNull)
+      .select(col(totalKeyCol).as("_k"),
+        (col(totalCol).cast("decimal(18,4)") * 100).cast("long").as("_t"))
+    val grp = Window.partitionBy(col("_k"))
+    // the testdata carries DUPLICATE (orderkey, linenumber) pairs, so
+    // the bonus-cent order includes the weight: rows then tie only when
+    // fully identical, making the output MULTISET deterministic (either
+    // assignment among identical rows yields the same rows)
+    val ord = Window.partitionBy(col("_k"))
+      .orderBy(col("_rem").desc, col("_line"), col("_w"))
+    li.join(t, Seq("_k"))
+      .withColumn("_ww", sum(col("_w")).over(grp))
+      .withColumn("_base", expr("(_t * _w) DIV _ww"))
+      .withColumn("_rem", expr("(_t * _w) % _ww"))
+      .withColumn("_leftover", col("_t") - sum(col("_base")).over(grp))
+      .withColumn("_rk", row_number().over(ord).cast("long"))
+      .select(col("_k").as(keyCol), col("_line").as(lineCol),
+        (col("_base") + when(col("_rk") <= col("_leftover"), 1L)
+          .otherwise(0L)).as("alloc_cents"))
+  }
+
+  /** q147: o_totalprice allocated across the order's lineitems by
+    * extended-price weight; Σ alloc_cents per order ≡ the order's
+    * total cents. */
+  def q147Proration(s: SparkSession, d: String): DataFrame =
+    prorate(Tables.lineitem(s, d), "l_orderkey", "l_linenumber",
+      "l_extendedprice", Tables.orders(s, d), "o_orderkey",
+      "o_totalprice")
 }

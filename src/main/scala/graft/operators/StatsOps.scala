@@ -776,4 +776,67 @@ object StatsOps {
   def q145JoinCardinality(s: SparkSession, d: String): DataFrame =
     joinCardinality(Tables.orders(s, d), "o_custkey",
       Tables.events(s, d), "user_id")
+
+  /** 165. q148: engine-exact sample autocorrelation of a calendar
+    * series — r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² at lags 1..maxLag,
+    * the weekly-rhythm / momentum probe behind q133's weekday baseline
+    * (a 7-day business has acf_7 ≫ acf_1; a level shift q134 flags
+    * shows up here as slow decay). The fractional mean never
+    * materializes: multiplying through by n² makes every centered term
+    * c_t = n·x_t − Σx an EXACT integer, so numerator and denominator
+    * accumulate in DECIMAL(38,0)/HUGEINT in any order and the ratio
+    * reports as round-half-up SIGNED integer ppm — sign split out
+    * first, because truncating DIV (Spark) vs floor `//` (DuckDB)
+    * disagree on negatives (units must keep n·Σc² under 10³⁸; rescale
+    * the value column before calling at larger magnitudes).
+    *
+    * Lag pairs match on CALENDAR index (t+k), not row adjacency, so
+    * gap days pair with nothing instead of silently shifting every
+    * later lag. Scale shape: the series itself is the corpus-scale
+    * aggregate (one map-combined groupBy in the caller); everything
+    * here runs on that BOUNDED table — moments broadcast back, the
+    * 7-row lag table broadcasts into the pair join. No corpus rescan,
+    * no global window.
+    */
+  def autocorrelation(series: DataFrame, tCol: String, vCol: String,
+      maxLag: Int): DataFrame = {
+    val s = series.select(col(tCol).cast("long").as("_t"),
+      col(vCol).cast("decimal(19,0)").as("_x"))
+    val m = s.agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+      sum(col("_x")).cast("decimal(38,0)").as("_sx"))
+    val c = s.crossJoin(broadcast(m))
+      .select(col("_t"),
+        (col("_n") * col("_x") - col("_sx")).cast("decimal(38,0)")
+          .as("_c"))
+    val den = c.agg(sum(col("_c") * col("_c")).cast("decimal(38,0)")
+      .as("_den"))
+    val lags = series.sparkSession.range(1, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val a = c.select(col("_t"), col("_c").as("_ca"))
+    val b = c.select(col("_t").as("_tb"), col("_c").as("_cb"))
+    a.join(broadcast(lags))
+      .join(b, col("_tb") === col("_t") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_ca") * col("_cb")).cast("decimal(38,0)").as("_num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        expr("""CASE WHEN _den > 0 THEN CAST(CASE WHEN _num >= 0
+            THEN (2 * _num * 1000000 + _den) DIV (2 * _den)
+            ELSE -((2 * (-_num) * 1000000 + _den) DIV (2 * _den))
+            END AS BIGINT) END""").as("acf_ppm"))
+  }
+
+  /** q148: weekly rhythm of daily order revenue — ACF of the
+    * cents-exact daily totals at lags 1..7. */
+  def q148Acf(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+          .as("day"),
+        (col("o_totalprice").cast("decimal(18,4)") * 100).cast("long")
+          .as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+    autocorrelation(daily, "day", "x", 7)
+  }
 }

@@ -882,4 +882,60 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(rv - erv) <= 0.011, s"$cls revenue")
     }
   }
+
+  test("prorate: planted largest-remainder cases allocate exactly; " +
+      "equal-remainder ties break by line number") {
+    import spark.implicits._
+    // order 1: T=100, equal weights -> bases 33 each, leftover 1 goes
+    // to the lowest linenumber (all remainders tie at 1/3)
+    // order 2: T=101, weights 2:1:1 -> bases 50/25/25, leftover 1 goes
+    // to the largest remainder (line 1, rem 2)
+    val items = Seq((1L, 1, 5.00), (1L, 2, 5.00), (1L, 3, 5.00),
+      (2L, 1, 2.00), (2L, 2, 1.00), (2L, 3, 1.00))
+      .toDF("k", "line", "w")
+    val totals = Seq((1L, 1.00), (2L, 1.01)).toDF("k", "t")
+    val got = RelationalOps.prorate(items, "k", "line", "w",
+        totals, "k", "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((1L, 1) -> 34L, (1L, 2) -> 33L, (1L, 3) -> 33L,
+      (2L, 1) -> 51L, (2L, 2) -> 25L, (2L, 3) -> 25L))
+  }
+
+  test("q147 proration matches a local largest-remainder replay and " +
+      "books close: per-order allocations sum to the order's cents") {
+    // (orderkey, linenumber) is NOT unique in the testdata — compare
+    // per-order allocation MULTISETS, the operator's contract
+    val got = RelationalOps.q147Proration(spark, Sf).collect()
+      .toSeq.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).sorted)
+      .toMap
+    val li = Tables.lineitem(spark, Sf)
+      .selectExpr("l_orderkey", "l_linenumber",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS LONG) AS w")
+      .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .filter(_._3 > 0)
+    val t = Tables.orders(spark, Sf)
+      .selectExpr("o_orderkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS LONG) AS t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = li.groupBy(_._1).filter(x => t.contains(x._1))
+      .map { case (k, xs) =>
+        val tt = t(k)
+        val ww = xs.map(_._3).sum
+        val base = xs.map(x => (x._2, x._3, tt * x._3 / ww, tt * x._3 % ww))
+        val leftover = (tt - base.map(_._3).sum).toInt
+        val ranked = base.sortBy(b => (-b._4, b._1, b._2)).zipWithIndex
+        k -> ranked.map { case (b, i) =>
+          (b._1, b._3 + (if (i < leftover) 1L else 0L)) }.sorted
+      }
+    assert(got.nonEmpty && got.keySet == expected.keySet)
+    expected.foreach { case (k, a) =>
+      assert(got(k) == a, s"order $k: got ${got(k)} expected $a")
+    }
+    // the invariant the operator exists for: books close per order
+    got.foreach { case (k, xs) =>
+      assert(xs.map(_._2).sum == t(k), s"order $k books don't close")
+    }
+  }
 }

@@ -558,4 +558,64 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
       p.getLong(2) == 200L)
     assert(p.getLong(3) == (2L * 200 * 1000000 + 201) / (2 * 201))
   }
+
+  /** BigInt replay of the exact integer ACF pipeline. */
+  private def acfReplay(series: Seq[(Long, Long)], maxLag: Int)
+      : Map[Long, (Long, Option[Long])] = {
+    val n = BigInt(series.size)
+    val sx = series.map(x => BigInt(x._2)).sum
+    val c = series.map { case (t, x) => t -> (n * x - sx) }.toMap
+    val den = c.values.map(v => v * v).sum
+    (1 to maxLag).map { k =>
+      val pairs = c.toSeq.flatMap { case (t, ca) =>
+        c.get(t + k).map(cb => ca * cb) }
+      val num = pairs.sum
+      val ppm =
+        if (den <= 0) None
+        else if (num >= 0)
+          Some(((2 * num * 1000000 + den) / (2 * den)).toLong)
+        else Some(-((2 * (-num) * 1000000 + den) / (2 * den)).toLong)
+      k.toLong -> ((pairs.size.toLong, ppm))
+    }.toMap
+  }
+
+  test("autocorrelation: alternating series is anti-correlated at lag 1 " +
+      "and correlated at lag 2; calendar gaps drop pairs; constant " +
+      "series yields null") {
+    import spark.implicits._
+    val alt = (1L to 20L).map(t => (t, if (t % 2 == 0) 10L else 0L))
+    val got = StatsOps.autocorrelation(alt.toDF("t", "x"), "t", "x", 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(got == acfReplay(alt, 2))
+    assert(got(1L)._2.get < -900000L && got(2L)._2.get >= 900000L)
+    // gap days: lag-1 pairs exist only where both calendar days do
+    val gap = Seq(1L, 2L, 3L, 10L, 11L, 12L).map(t => (t, t * 7 % 5))
+    val g2 = StatsOps.autocorrelation(gap.toDF("t", "x"), "t", "x", 1)
+      .collect()(0)
+    assert(g2.getLong(1) == 4L)
+    // constant series: zero variance -> null ppm, pairs still counted
+    val const = (1L to 8L).map(t => (t, 5L))
+    val c2 = StatsOps.autocorrelation(const.toDF("t", "x"), "t", "x", 1)
+      .collect()(0)
+    assert(c2.getLong(1) == 7L && c2.isNullAt(2))
+  }
+
+  test("q148 ACF matches a full BigInt replay of the daily revenue " +
+      "series") {
+    val got = StatsOps.q148Acf(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    val daily = Tables.orders(spark, Sf)
+      .selectExpr(
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS d",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS LONG) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    assert(got.size == 7 && got.values.forall(_._1 > 0))
+    assert(got == acfReplay(daily, 7))
+  }
 }
