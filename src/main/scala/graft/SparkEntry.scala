@@ -171,6 +171,8 @@ object SparkEntry {
     "q146_pareto_abc" -> (RelationalOps.q146ParetoAbc _),
     "q147_proration" -> (RelationalOps.q147Proration _),
     "q148_acf" -> (StatsOps.q148Acf _),
+    "q149_survival" -> (StatsOps.q149Survival _),
+    "q150_rrf_fusion" -> (SimilarityOps.q150RrfFusion _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2829,5 +2831,119 @@ object SparkEntry {
                     ELSE -((2 * (-num) * 1000000 + den) // (2 * den))
                     END AS BIGINT) END AS acf_ppm
          FROM num, den""",
+
+    "q149_survival" ->
+      """WITH RECURSIVE per AS (
+           SELECT user_id, MIN(epoch_us(ts)) AS m0, MAX(epoch_us(ts)) AS m1
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1
+         ), hz AS (SELECT MAX(m1) AS hz FROM per),
+         spans AS (
+           SELECT (m1 - m0) // 86400000000 AS t,
+                  CASE WHEN m1 < hz - 86400000000 THEN 1 ELSE 0 END AS ev
+           FROM per, hz
+         ), hist AS (
+           SELECT t, CAST(COUNT(*) AS BIGINT) AS c,
+                  CAST(SUM(ev) AS BIGINT) AS d
+           FROM spans WHERE t >= 0 GROUP BY 1
+         ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+         lt AS (
+           SELECT t, c, d,
+                  CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS i,
+                  n - COALESCE(SUM(c) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n_risk
+           FROM hist, tot
+         ), km(i, s) AS (
+           SELECT CAST(0 AS BIGINT), CAST(1000000 AS HUGEINT)
+           UNION ALL
+           SELECT lt.i,
+                  CASE WHEN lt.d > 0
+                       THEN km.s * (lt.n_risk - lt.d) // lt.n_risk
+                       ELSE km.s END
+           FROM km JOIN lt ON lt.i = km.i + 1
+         )
+         SELECT lt.t AS t_days, CAST(lt.n_risk AS BIGINT) AS n_risk,
+                lt.d AS n_events, CAST(km.s AS BIGINT) AS surv_ppm
+         FROM lt JOIN km ON km.i = lt.i
+         WHERE lt.d > 0""",
+
+    "q150_rrf_fusion" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  list_distinct(string_split_regex(lower(trim(text)),
+                    '\s+')) AS tk
+           FROM documents WHERE text IS NOT NULL
+         ), seeds AS (
+           SELECT d.doc_id AS qid FROM docs d
+           JOIN embeddings e ON d.doc_id = e.vec_id
+           ORDER BY qid LIMIT 8
+         ), qtok AS (
+           SELECT qid, unnest(tk) AS term
+           FROM docs JOIN seeds ON doc_id = qid
+         ), qsize AS (
+           SELECT qid, CAST(COUNT(*) AS BIGINT) AS qn
+           FROM qtok GROUP BY 1
+         ), dtok AS (
+           SELECT doc_id AS did, CAST(len(tk) AS BIGINT) AS dn,
+                  unnest(tk) AS term
+           FROM docs
+         ), inter AS (
+           SELECT qid, did, dn, CAST(COUNT(*) AS BIGINT) AS inter
+           FROM dtok JOIN qtok USING (term)
+           WHERE did <> qid
+           GROUP BY 1, 2, 3
+         ), lex AS (
+           SELECT qid, did,
+                  (2 * inter * 1000000 + (qn + dn - inter))
+                    // (2 * (qn + dn - inter)) AS jac_ppm
+           FROM inter JOIN qsize USING (qid)
+         ), lexr AS (
+           SELECT qid, did, lrank FROM (
+             SELECT qid, did,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY jac_ppm DESC, did) AS BIGINT) AS lrank
+             FROM lex)
+           WHERE lrank <= 50
+         ), qv AS (
+           SELECT qid, embedding AS qe
+           FROM seeds JOIN embeddings ON vec_id = qid
+         ), pairs AS (
+           SELECT qid, vec_id AS did, qe, embedding AS ne
+           FROM qv, embeddings WHERE vec_id <> qid
+         ), un AS (
+           SELECT qid, did, CAST(unnest(qe) AS DOUBLE) AS x,
+                  CAST(unnest(ne) AS DOUBLE) AS y
+           FROM pairs
+         ), dots AS (
+           SELECT qid, did, SUM(x*y) AS dot, SUM(x*x) AS na,
+                  SUM(y*y) AS nb
+           FROM un GROUP BY 1, 2
+         ), semr AS (
+           SELECT qid, did, srank FROM (
+             SELECT qid, did,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY ROUND(dot / (sqrt(na) * sqrt(nb)), 4) DESC,
+                        did) AS BIGINT) AS srank
+             FROM dots)
+           WHERE srank <= 50
+         ), fused AS (
+           SELECT COALESCE(l.qid, s.qid) AS qid,
+                  COALESCE(l.did, s.did) AS did,
+                  l.lrank AS lex_rank, s.srank AS sem_rank,
+                  COALESCE(1000000 // (60 + l.lrank), 0)
+                    + COALESCE(1000000 // (60 + s.srank), 0) AS rrf
+           FROM lexr l FULL OUTER JOIN semr s
+             ON l.qid = s.qid AND l.did = s.did
+         )
+         SELECT qid, did, lex_rank, sem_rank,
+                CAST(rrf AS BIGINT) AS rrf_score
+         FROM (
+           SELECT qid, did, lex_rank, sem_rank, rrf,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY rrf DESC, did) AS rn
+           FROM fused)
+         WHERE rn <= 10""",
   )
 }

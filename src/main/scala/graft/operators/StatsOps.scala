@@ -827,6 +827,74 @@ object StatsOps {
             END AS BIGINT) END""").as("acf_ppm"))
   }
 
+  /** 166. q149: Kaplan–Meier survival estimate (Kaplan & Meier 1958)
+    * of user lifetime with right-censoring — the churn/retention
+    * statistic q81's fixed-grid cohort retention can't give (cohort
+    * cells conflate "churned" with "not yet observed"; KM handles the
+    * still-active tail correctly by censoring it). One row per death
+    * time t: subjects at risk, churn events, and the survival
+    * probability S(t) = Π_{s≤t} (n_s − d_s)/n_s.
+    *
+    * Determinism: the product recursion runs in truncating integer ppm
+    * (S·(n−d) DIV n per step, the q105 PageRank fixed-point rule) —
+    * engine-exact and replayable by a recursive CTE, where a float
+    * product would drift in the last ulp. Subjects censored at t stay
+    * in the risk set at t (the standard deaths-before-censoring
+    * convention).
+    *
+    * Scale shape: the corpus-scale work is ONE subject aggregate in
+    * the caller plus ONE map-combined duration histogram here; the
+    * life table is bounded by the observation window in days, and the
+    * sequential fold over it is a driver-side bounded artifact (the
+    * Misra–Gries rule) — n_risk comes from exact suffix counts of the
+    * histogram, so the subject table is never re-scanned.
+    */
+  def kaplanMeier(spans: DataFrame, durCol: String, eventCol: String)
+      : DataFrame = {
+    val sp = spans.sparkSession
+    import sp.implicits._
+    val hist = spans
+      .filter(col(durCol).isNotNull && col(durCol) >= 0)
+      .groupBy(col(durCol).cast("long").as("t"))
+      .agg(count(lit(1)).as("c"),
+        sum(col(eventCol).cast("long")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var atRisk = hist.map(_._2).sum
+    var s = 1000000L
+    val out = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, Long)]
+    hist.foreach { case (t, c, d) =>
+      if (d > 0) {
+        s = s * (atRisk - d) / atRisk
+        out += ((t, atRisk, d, s))
+      }
+      atRisk -= c
+    }
+    out.toSeq.toDF("t_days", "n_risk", "n_events", "surv_ppm")
+  }
+
+  /** q149: user-churn survival over the events table — lifetime = days
+    * between a user's first and last event; a user whose last event is
+    * ≥1 day before the corpus horizon has churned (event = 1), the
+    * still-active rest are right-censored. (The cutoff matches the
+    * testdata's 30-day observation window — at a 7-day cutoff the
+    * synthetic users are ALL censored and the curve is empty; a real
+    * deployment would pass its own inactivity threshold.) */
+  def q149Survival(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)").as("m"))
+      .groupBy(col("user_id"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+    val hz = per.agg(max(col("m1")).as("hz"))
+    val spans = per.crossJoin(broadcast(hz))
+      .select(expr("(m1 - m0) DIV 86400000000").as("dur"),
+        when(col("m1") < col("hz") - lit(86400000000L), 1L)
+          .otherwise(0L).as("ev"))
+    kaplanMeier(spans, "dur", "ev")
+  }
+
   /** q148: weekly rhythm of daily order revenue — ACF of the
     * cents-exact daily totals at lags 1..7. */
   def q148Acf(s: SparkSession, d: String): DataFrame = {

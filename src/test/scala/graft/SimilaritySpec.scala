@@ -285,4 +285,50 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(lift >= 0, s"lift_ppm $lift negative")
     }
   }
+
+  test("rrfFusion: planted two-ranker case fuses exactly — a doc " +
+      "strong in ONE list can beat a doc middling in both only when " +
+      "the integer RRF says so") {
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_rrf").toString
+    // doc 0 is the seed. Lexically: 1 > 2, 3 shares nothing.
+    // Semantically: 3 > 2 > 1.
+    Seq((0L, "alpha beta gamma delta"),
+        (1L, "alpha beta gamma zeta"),
+        (2L, "alpha beta xi omicron"),
+        (3L, "nu xi omicron pi"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    Seq((0L, Array(1f, 0f, 0f, 0f)),
+        (1L, Array(0.1f, 1f, 0f, 0f)),
+        (2L, Array(1f, 0.7f, 0f, 0f)),
+        (3L, Array(1f, 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val got = SimilarityOps.rrfFusion(spark, dir, nQueries = 1,
+        perList = 3, k = 4, rrfK = 60).collect()
+      .map(r => r.getLong(1) -> ((
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4)))).toMap
+    // lexical: jac(1)=3/5, jac(2)=2/6; doc 3 never becomes a candidate
+    // semantic: cos 3 > 2 > 1 (1.0/1.004.., ~0.97, ~0.0995)
+    def c(r: Long) = 1000000L / (60L + r)
+    assert(got(1L) == ((Some(1L), Some(3L), c(1) + c(3))))
+    assert(got(2L) == ((Some(2L), Some(2L), c(2) + c(2))))
+    assert(got(3L) == ((None, Some(1L), c(1))))
+    assert(got.size == 3)
+  }
+
+  test("q150 RRF on real data: <= 10 rows per query, scores are the " +
+      "exact integer contributions of the two ranks") {
+    val rows = SimilarityOps.q150RrfFusion(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.size <= 8 && perQ.values.forall(_.length <= 10))
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(2)) 0L else 1000000L / (60L + r.getLong(2))
+      val sem = if (r.isNullAt(3)) 0L else 1000000L / (60L + r.getLong(3))
+      assert(r.getLong(4) == lex + sem)
+      assert(lex + sem > 0)
+    }
+  }
 }

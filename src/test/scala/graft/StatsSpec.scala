@@ -603,6 +603,45 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(c2.getLong(1) == 7L && c2.isNullAt(2))
   }
 
+  test("kaplanMeier: textbook planted case — deaths step the curve, " +
+      "censoring only shrinks the risk set; exact truncating ppm") {
+    import spark.implicits._
+    val spans = Seq((1L, 1L), (2L, 0L), (3L, 1L), (3L, 1L), (4L, 0L),
+      (5L, 1L)).toDF("dur", "ev")
+    val got = StatsOps.kaplanMeier(spans, "dur", "ev").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 6L, 1L, 833333L),
+      (3L, 4L, 2L, 416666L), (5L, 1L, 1L, 0L)))
+  }
+
+  test("q149 survival matches a local replay of the censored user " +
+      "lifetimes; curve is non-increasing from 1e6") {
+    val got = StatsOps.q149Survival(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val per = Tables.events(spark, Sf)
+      .selectExpr("user_id", "unix_micros(ts) AS m")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values
+      .map(xs => (xs.map(_._2).min, xs.map(_._2).max)).toSeq
+    val hz = per.map(_._2).max
+    val spans = per.map { case (m0, m1) =>
+      ((m1 - m0) / 86400000000L, if (m1 < hz - 86400000000L) 1L else 0L) }
+    val hist = spans.groupBy(_._1).view.mapValues(xs =>
+      (xs.size.toLong, xs.map(_._2).sum)).toSeq.sortBy(_._1)
+    var atRisk = hist.map(_._2._1).sum
+    var s = 1000000L
+    val expected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    hist.foreach { case (t, (c, d)) =>
+      if (d > 0) { s = s * (atRisk - d) / atRisk
+        expected += ((t, atRisk, d, s)) }
+      atRisk -= c
+    }
+    assert(got.nonEmpty && got.toSeq == expected.toSeq)
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.reverse.toSeq)
+  }
+
   test("q148 ACF matches a full BigInt replay of the daily revenue " +
       "series") {
     val got = StatsOps.q148Acf(spark, Sf).collect()
