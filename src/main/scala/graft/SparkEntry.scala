@@ -173,6 +173,8 @@ object SparkEntry {
     "q148_acf" -> (StatsOps.q148Acf _),
     "q149_survival" -> (StatsOps.q149Survival _),
     "q150_rrf_fusion" -> (SimilarityOps.q150RrfFusion _),
+    "q151_link_predict" -> (GraphOps.q151LinkPredict _),
+    "q152_strat_sample" -> (TextOps.q152StratSample _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -2945,5 +2947,79 @@ object SparkEntry {
                     ORDER BY rrf DESC, did) AS rn
            FROM fused)
          WHERE rn <= 10""",
+
+    "q151_link_predict" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem
+         ), pairs AS (
+           SELECT a.pk AS s1, b.pk AS s2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ), edges AS (
+           SELECT s1 AS src, s2 AS dst FROM pairs
+           UNION ALL SELECT s2, s1 FROM pairs
+         ), deg AS (
+           SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM edges GROUP BY 1
+         ), cand AS (
+           SELECT e1.src AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS cn
+           FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+           WHERE e1.src < e2.dst
+           GROUP BY 1, 2
+         ), ne AS (
+           SELECT c.a, c.b, c.cn FROM cand c
+           WHERE NOT EXISTS (SELECT 1 FROM edges e
+                             WHERE e.src = c.a AND e.dst = c.b)
+         ), scored AS (
+           SELECT a, b, cn,
+                  (2 * cn * 1000000 + (da.deg + db.deg - cn))
+                    // (2 * (da.deg + db.deg - cn)) AS jac_ppm
+           FROM ne JOIN deg da ON ne.a = da.n JOIN deg db ON ne.b = db.n
+         ), bidir AS (
+           SELECT a AS node, b AS other, cn, jac_ppm FROM scored
+           UNION ALL
+           SELECT b, a, cn, jac_ppm FROM scored
+         )
+         SELECT node, other, cn, CAST(jac_ppm AS BIGINT) AS jac_ppm
+         FROM (
+           SELECT node, other, cn, jac_ppm,
+                  ROW_NUMBER() OVER (PARTITION BY node
+                    ORDER BY jac_ppm DESC, cn DESC, other) AS rn
+           FROM bidir)
+         WHERE rn <= 5""",
+
+    "q152_strat_sample" ->
+      """WITH c AS (
+           SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents WHERE lang IS NOT NULL GROUP BY 1
+         ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c),
+         alloc AS (
+           SELECT s, n, (2 * t * 1 + 10) // (2 * 10) AS K,
+                  ((2 * t * 1 + 10) // (2 * 10) * n) // t AS base,
+                  ((2 * t * 1 + 10) // (2 * 10) * n) % t AS rem
+           FROM c, tot
+         ), r AS (
+           SELECT s, base,
+                  K - SUM(base) OVER () AS leftover,
+                  ROW_NUMBER() OVER (ORDER BY rem DESC, s) AS rk
+           FROM alloc
+         ), ks AS (
+           SELECT s, base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS k_s
+           FROM r
+         ), h AS (
+           SELECT lang AS s, doc_id,
+                  md5(CAST(doc_id AS VARCHAR)) AS hh
+           FROM documents WHERE lang IS NOT NULL
+         ), rr AS (
+           SELECT s, doc_id,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY s
+                    ORDER BY hh, doc_id) AS BIGINT) AS rk
+           FROM h
+         )
+         SELECT rr.s AS lang, rr.doc_id, rr.rk AS sample_rank
+         FROM rr JOIN ks ON rr.s = ks.s
+         WHERE rr.rk <= ks.k_s""",
   )
 }

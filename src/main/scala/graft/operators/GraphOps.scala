@@ -401,4 +401,49 @@ object GraphOps {
   def q126LabelProp(s: SparkSession, d: String): DataFrame =
     labelPropagation(prunedCoPurchaseEdges(s, d, minCount = 2), rounds = 5)
       .select(col("node").as("partkey"), col("lbl").as("community"))
+
+  /** 168. q151: common-neighbor link prediction (Liben-Nowell &
+    * Kleinberg 2003) — for every NON-adjacent pair reachable in two
+    * hops, the shared-neighbor count and neighborhood-Jaccard score
+    * cn/(deg a + deg b − cn): "parts bought with the same things are
+    * bought together next" — the candidate generator behind
+    * recommend-missing-edge features (q125 scores pairs that DID
+    * co-occur; this ranks pairs that HAVEN'T yet). Adamic–Adar's
+    * 1/log(deg) weights would hit the q58 libm trap, so the scores
+    * stay rational: exact counts and round-half-up integer ppm.
+    *
+    * Scale shape: candidates come from wedge enumeration (one
+    * self-join of the pruned edge table on the middle node, the q107
+    * triangle shape — Σ deg(w)² bounded by the prune), existing edges
+    * leave via one anti-join, degrees broadcast back, and the top-k
+    * per node is the TopKPerKey heap cut. All-pairs never happens.
+    */
+  def linkPredict(symEdges: DataFrame, k: Int): DataFrame = {
+    val deg = symEdges.groupBy(col("src").as("n"))
+      .agg(count(lit(1)).as("deg"))
+    val cand = symEdges.select(col("src").as("a"), col("dst").as("w"))
+      .join(symEdges.select(col("src").as("w"), col("dst").as("b")), "w")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+      .join(symEdges.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+    val scored = cand
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        expr("""CAST((2 * cn * 1000000 + (da + db - cn))
+            DIV (2 * (da + db - cn)) AS BIGINT)""").as("jac_ppm"))
+    val both = scored
+      .select(col("a").as("node"), col("b").as("other"), col("cn"),
+        col("jac_ppm"))
+      .unionByName(scored.select(col("b").as("node"), col("a").as("other"),
+        col("cn"), col("jac_ppm")))
+    graft.plans.TopK.perKey(both, keys = Seq("node"),
+      order = Seq(("jac_ppm", true), ("cn", true), ("other", false)), k = k)
+  }
+
+  /** q151: top-5 predicted next co-purchases per part on the ≥2-shared-
+    * orders graph. */
+  def q151LinkPredict(s: SparkSession, d: String): DataFrame =
+    linkPredict(prunedCoPurchaseEdges(s, d, minCount = 2), k = 5)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: corpus stats,
@@ -951,4 +952,53 @@ object TextOps {
       .limit(20)
       .select(col("node").as("word"), col("r").as("rank_ppt"))
   }
+
+  /** 169. q152: exact-count stratified sampling — a num/den fraction of
+    * the corpus drawn so that (a) the GLOBAL sample size is exactly
+    * round-half-up(N·num/den), (b) per-stratum counts are the
+    * largest-remainder (Hamilton) allocation of that global target —
+    * the q147 proration math applied to sampling — and (c) membership
+    * is a pure function of the row id (rank by md5(id), the q63/q69
+    * reproducibility rule: same corpus → same sample, no stored
+    * assignment, no rand()). q50's hash-threshold sampling hits the
+    * fraction only in expectation; an eval-set builder that must ship
+    * "exactly 10k docs, stratified by language" needs exact counts.
+    *
+    * Scale shape: one map-combined stratum count; the Hamilton split
+    * runs on that BOUNDED table (global window over |strata| rows —
+    * the q113 tiny-aggregate exception); per-stratum ranks come from
+    * [[DistributedRank.withRank]] (range-partitioned — no single
+    * reducer per giant stratum), and the per-stratum quotas broadcast
+    * into the final filter join.
+    */
+  def stratifiedExactSample(docs: DataFrame, stratumCol: String,
+      idCol: String, num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0, "fraction must be a valid ratio")
+    val base = docs.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("_s"), col(idCol).as("_id"))
+    val counts = base.groupBy(col("_s")).agg(count(lit(1)).as("_n"))
+    val tot = counts.agg(sum(col("_n")).cast("long").as("_tot"))
+    val kWin = Window.orderBy(col("_rem").desc, col("_s"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("_K", expr(s"(2 * _tot * $num + $den) DIV (2 * $den)"))
+      .withColumn("_base", expr("(_K * _n) DIV _tot"))
+      .withColumn("_rem", expr("(_K * _n) % _tot"))
+      .withColumn("_left", col("_K") - sum(col("_base"))
+        .over(Window.partitionBy(lit(1))))
+      .withColumn("_rk", row_number().over(kWin).cast("long"))
+      .select(col("_s"), (col("_base") +
+        when(col("_rk") <= col("_left"), 1L).otherwise(0L)).as("_ks"))
+    val ranked = DistributedRank.withRank(
+      base.withColumn("_h", md5(col("_id").cast("string"))),
+      groupCols = Seq("_s"), orderCols = Seq("_h", "_id"), rankCol = "_rk")
+    ranked.join(broadcast(quotas), Seq("_s"))
+      .filter(col("_rk") <= col("_ks"))
+      .select(col("_s").as(stratumCol), col("_id").as(idCol),
+        col("_rk").as("sample_rank"))
+  }
+
+  /** q152: a 1/10 corpus sample, exact-count stratified by language. */
+  def q152StratSample(s: SparkSession, d: String): DataFrame =
+    stratifiedExactSample(Tables.documents(s, d), "lang", "doc_id",
+      num = 1L, den = 10L)
 }

@@ -233,4 +233,57 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == lbl, s"got ${got.size} want ${lbl.size}")
   }
+
+  private def sym(es: Seq[(Long, Long)]) =
+    (es ++ es.map(e => (e._2, e._1))).toDF("src", "dst")
+
+  test("linkPredict: path graph predicts the two-hop closures with " +
+      "exact Jaccard ppm; a triangle (all closures present) predicts " +
+      "nothing") {
+    val got = GraphOps.linkPredict(sym(Seq((1L, 2L), (2L, 3L), (3L, 4L))),
+        k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // (1,3) share {2}: union deg1+deg3-1 = 2 -> 500000; same for (2,4)
+    assert(got == Set((1L, 3L, 1L, 500000L), (3L, 1L, 1L, 500000L),
+      (2L, 4L, 1L, 500000L), (4L, 2L, 1L, 500000L)))
+    val tri = GraphOps.linkPredict(
+      sym(Seq((1L, 2L), (2L, 3L), (1L, 3L))), k = 5).collect()
+    assert(tri.isEmpty)
+  }
+
+  test("q151 link prediction matches a local wedge replay on the " +
+      "pruned co-purchase graph") {
+    val got = GraphOps.q151LinkPredict(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3, x._4)).toSet)
+      .toMap
+    // local replay: pruned edges -> adjacency -> wedge candidates
+    val li = Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairCnt = li.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).keys.toSet
+    val adj = (pairCnt.toSeq ++ pairCnt.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cands = for {
+      (a, na) <- adj.toSeq; b <- na.flatMap(adj(_)) if a < b
+      if !na.contains(b)
+    } yield (a, b)
+    val expected = cands.distinct.flatMap { case (a, b) =>
+      val cn = (adj(a) & adj(b)).size.toLong
+      val un = adj(a).size + adj(b).size - cn
+      val jac = (2 * cn * 1000000 + un) / (2 * un)
+      Seq((a, (b, cn, jac)), (b, (a, cn, jac)))
+    }.groupBy(_._1).view.mapValues { xs =>
+      xs.map(_._2).sortBy(x => (-x._3, -x._2, x._1)).take(5).toSet
+    }.toMap
+    assert(got.nonEmpty && got.keySet == expected.keySet)
+    expected.foreach { case (n, exp) =>
+      assert(got(n) == exp, s"node $n")
+    }
+  }
 }

@@ -471,4 +471,50 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
     val expected = r.toSeq.sortBy { case (w, rr) => (-rr, w) }.take(20)
     assert(got.toSeq == expected)
   }
+
+  test("stratifiedExactSample: global count is exactly round(N/f), " +
+      "per-stratum counts are the Hamilton allocation, membership is " +
+      "the md5-rank prefix, and a second run is identical") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // 3 strata sized 7/5/3 at 1/4: K = round(15/4) = 4 -> quotas from
+    // bases (1,1,0) + leftover 2 to the largest remainders
+    val docs = ((1 to 7).map(i => (s"a", i.toLong)) ++
+      (1 to 5).map(i => ("b", 100L + i)) ++
+      (1 to 3).map(i => ("c", 200L + i))).toDF("lang", "doc_id")
+    val got = TextOps.stratifiedExactSample(docs, "lang", "doc_id",
+        num = 1L, den = 4L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val n = Map("a" -> 7L, "b" -> 5L, "c" -> 3L)
+    val k = 4L // round-half-up(15/4)
+    val base = n.view.mapValues(x => k * x / 15L).toMap
+    val rem = n.map { case (s, x) => s -> (k * x % 15L) }
+    val leftover = (k - base.values.sum).toInt
+    val bonus = rem.toSeq.sortBy { case (s, r) => (-r, s) }
+      .take(leftover).map(_._1).toSet
+    val quota = n.keys.map(s =>
+      s -> (base(s) + (if (bonus(s)) 1L else 0L))).toMap
+    val bySt = got.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got.length.toLong == k && bySt == quota.filter(_._2 > 0))
+    // membership: per stratum, the quota-many lowest md5(id) ranks
+    def h(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docsBySt = Seq(("a", 1L to 7L), ("b", 101L to 105L),
+      ("c", 201L to 203L))
+    docsBySt.foreach { case (s, ids) =>
+      val exp = ids.map(i => (h(i), i)).sorted.take(quota(s).toInt)
+        .map(_._2).toSet
+      assert(got.filter(_._1 == s).map(_._2).toSet == exp, s"stratum $s")
+    }
+    // reproducibility + real data: exact global count, twice
+    val r1 = TextOps.q152StratSample(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val r2 = TextOps.q152StratSample(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(r1 == r2 && r1.nonEmpty)
+    val nDocs = Tables.documents(spark, Sf)
+      .filter(col("lang").isNotNull).count()
+    assert(r1.size.toLong == (2 * nDocs * 1 + 10) / 20)
+  }
 }
