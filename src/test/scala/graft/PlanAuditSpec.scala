@@ -556,4 +556,57 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     p.linesIterator.filter(_.contains("windowspecdefinition"))
       .foreach(l => assert(l.contains("_part"), l))
   }
+
+  test("q147 proration: the windows reuse the join's _k partitioning " +
+      "and add no exchange; no unpartitioned window touches the corpus") {
+    val df = RelationalOps.q147Proration(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // every window is per-order — an empty partition spec would be the
+    // single-reducer trap
+    p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("_k#"), l))
+    // the _k exchanges belong to the equi-join's two sides; the three
+    // window passes reuse that partitioning (partition-local Sorts
+    // only) and add NO exchange of their own
+    val kExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(_k#"))
+      .size
+    assert(kExchanges <= 2, s"$kExchanges _k exchanges\n${p.take(2500)}")
+  }
+
+  test("q150 RRF: seed terms and vectors broadcast into both candidate " +
+      "scans; no cartesian") {
+    val df = SimilarityOps.q150RrfFusion(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("TopKPerKey"), p.take(2000))
+  }
+
+  test("q151 link prediction: wedge join is a shuffle equi-join on the " +
+      "middle node, existing edges leave via a hash anti-join, top-5 " +
+      "is the heap cut") {
+    val df = GraphOps.q151LinkPredict(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(p.contains("TopKPerKey"), p.take(2000))
+  }
+
+  test("q152 stratified sample: ranks are range-partitioned, quotas " +
+      "broadcast into the filter join, corpus never sorts globally") {
+    val df = TextOps.q152StratSample(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    // corpus-side windows are keyed by the range slice; the Hamilton
+    // window may run unpartitioned but only over the bounded strata agg
+    assert(!p.contains("Sort [_h"), p.take(2500))
+  }
 }
