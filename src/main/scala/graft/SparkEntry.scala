@@ -175,6 +175,7 @@ object SparkEntry {
     "q150_rrf_fusion" -> (SimilarityOps.q150RrfFusion _),
     "q151_link_predict" -> (GraphOps.q151LinkPredict _),
     "q152_strat_sample" -> (TextOps.q152StratSample _),
+    "q153_theil_sen" -> (StatsOps.q153TheilSen _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3021,5 +3022,42 @@ object SparkEntry {
          SELECT rr.s AS lang, rr.doc_id, rr.rk AS sample_rank
          FROM rr JOIN ks ON rr.s = ks.s
          WHERE rr.rk <= ks.k_s""",
+
+    "q153_theil_sen" ->
+      """WITH daily AS (
+           SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT)) AS x
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+           GROUP BY 1
+         ), aa AS (SELECT day AS t1, x AS v1 FROM daily),
+         bb AS (SELECT day AS t2, x AS v2 FROM daily),
+         sl AS (
+           SELECT CAST(CASE WHEN v2 >= v1
+               THEN (2 * (CAST(v2 AS HUGEINT) - v1) * 1000000 + (t2 - t1))
+                    // (2 * (t2 - t1))
+               ELSE -((2 * (CAST(v1 AS HUGEINT) - v2) * 1000000
+                       + (t2 - t1)) // (2 * (t2 - t1)))
+               END AS BIGINT) AS slope_e6
+           FROM aa JOIN bb ON t1 < t2
+         ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM sl),
+         med AS (
+           SELECT slope_e6 FROM (
+             SELECT slope_e6,
+                    ROW_NUMBER() OVER (ORDER BY slope_e6) AS rk
+             FROM sl), n
+           WHERE rk = (n_pairs + 1) // 2
+         ), res AS (
+           SELECT CAST(x AS HUGEINT) * 1000000 - slope_e6 * day AS r
+           FROM daily, med
+         ), rn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM res),
+         rmed AS (
+           SELECT r FROM (
+             SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rk FROM res), rn
+           WHERE rk = (c + 1) // 2
+         )
+         SELECT n.n_pairs, med.slope_e6, CAST(rmed.r AS BIGINT) AS icept_e6
+         FROM n, med, rmed""",
   )
 }

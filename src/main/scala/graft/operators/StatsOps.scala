@@ -895,6 +895,72 @@ object StatsOps {
     kaplanMeier(spans, "dur", "ev")
   }
 
+  /** 170. q153: Theil–Sen robust trend (Theil 1950, Sen 1968) — the
+    * median of all pairwise slopes, with intercept the median residual:
+    * the outlier-proof complement of q130's OLS (one corrupted day
+    * drags a least-squares line; the slope median shrugs off up to 29%
+    * contamination). Slopes never touch a float: each pairwise slope
+    * reports as round-half-up SIGNED integer µ-units/day (sign split
+    * out first — the q148 truncating-DIV-vs-floor rule), accumulated
+    * in DECIMAL(38,0)/HUGEINT, and both medians are lower nearest-rank
+    * order statistics — the k-th VALUE is well-defined even though
+    * ranks among equal slopes are arbitrary.
+    *
+    * Scale shape: the input series is the BOUNDED daily aggregate (one
+    * corpus-scale groupBy in the caller), so the O(n²/2) pair build is
+    * bounded by the CALENDAR, not the corpus — constant at 100 TB (the
+    * q122-skyline bounded-quadratic argument); the pair table itself
+    * is distributed and its median rank is a range-partitioned
+    * [[DistributedRank.withRank]], never a single-reducer sort.
+    */
+  def theilSen(series: DataFrame, tCol: String, vCol: String)
+      : DataFrame = {
+    // the bounded series and the pair table each feed MULTIPLE passes
+    // (count + rank for each median, residual join) — checkpoint so the
+    // upstream corpus aggregate and the O(n²) join run exactly once
+    val s = series.select(col(tCol).cast("decimal(19,0)").as("_t"),
+      col(vCol).cast("decimal(19,0)").as("_v"))
+      .localCheckpoint(false)
+    val a = s.select(col("_t").as("t1"), col("_v").as("v1"))
+    val b = s.select(col("_t").as("t2"), col("_v").as("v2"))
+    val slopes = a.join(broadcast(b), col("t1") < col("t2"))
+      .select(expr("""CAST(CASE WHEN v2 >= v1
+          THEN (2 * (v2 - v1) * 1000000 + (t2 - t1)) DIV (2 * (t2 - t1))
+          ELSE -((2 * (v1 - v2) * 1000000 + (t2 - t1))
+                 DIV (2 * (t2 - t1)))
+          END AS BIGINT)""").as("slope_e6"))
+      .localCheckpoint(false)
+    def lowerMedian(df: DataFrame, c: String): DataFrame = {
+      val n = df.agg(count(lit(1)).as("_n"))
+      DistributedRank.withRank(df.select(col(c)), Seq.empty, Seq(c), "_rk")
+        .crossJoin(broadcast(n))
+        .filter(col("_rk") === expr("(_n + 1) DIV 2"))
+        .select(col(c), col("_n"))
+    }
+    val slope = lowerMedian(slopes, "slope_e6").localCheckpoint(false)
+    val resid = s.crossJoin(broadcast(slope))
+      .select(col("slope_e6"), col("_n").as("n_pairs"),
+        expr("CAST(_v * 1000000 - slope_e6 * _t AS DECIMAL(38,0))")
+          .as("resid_e6"))
+    lowerMedian(resid.select(col("resid_e6")), "resid_e6")
+      .crossJoin(broadcast(slope.select(col("slope_e6"),
+        col("_n").as("n_pairs"))))
+      .select(col("n_pairs"), col("slope_e6"),
+        col("resid_e6").cast("long").as("icept_e6"))
+  }
+
+  /** q153: robust daily-revenue trend in µ-cents/day. */
+  def q153TheilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+          .as("day"),
+        (col("o_totalprice").cast("decimal(18,4)") * 100).cast("long")
+          .as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+    theilSen(daily, "day", "x")
+  }
+
   /** q148: weekly rhythm of daily order revenue — ACF of the
     * cents-exact daily totals at lags 1..7. */
   def q148Acf(s: SparkSession, d: String): DataFrame = {

@@ -642,6 +642,42 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._4).toSeq == got.map(_._4).sorted.reverse.toSeq)
   }
 
+  test("theilSen: planted line with an outlier recovers the exact " +
+      "slope and intercept the outlier cannot drag") {
+    import spark.implicits._
+    val pts = (1L to 10L).map(t =>
+      (t, 5L * t + 3L + (if (t == 7L) 1000L else 0L)))
+    val got = StatsOps.theilSen(pts.toDF("t", "v"), "t", "v").collect()(0)
+    assert(got.getLong(0) == 45L)          // C(10,2) pairs
+    assert(got.getLong(1) == 5000000L)     // exactly 5 per day, in e6
+    assert(got.getLong(2) == 3000000L)     // exactly 3, in e6
+  }
+
+  test("q153 Theil-Sen matches a full BigInt replay of the pairwise " +
+      "slope and residual medians") {
+    val got = StatsOps.q153TheilSen(spark, Sf).collect()(0)
+    val daily = Tables.orders(spark, Sf)
+      .selectExpr(
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS d",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS LONG) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    def rhu(a: BigInt, b: BigInt): Long =  // round-half-up a/b, b > 0
+      (if (a >= 0) (2 * a * 1000000 + b) / (2 * b)
+       else -((2 * -a * 1000000 + b) / (2 * b))).toLong
+    val slopes2 = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield rhu(BigInt(daily(j)._2 - daily(i)._2),
+        BigInt(daily(j)._1 - daily(i)._1))).sorted
+    val slope = slopes2((slopes2.length + 1) / 2 - 1)
+    val resid = daily.map { case (t, v) =>
+      BigInt(v) * 1000000 - BigInt(slope) * t }.sorted
+    val icept = resid((resid.length + 1) / 2 - 1)
+    assert(got.getLong(0) == slopes2.length.toLong)
+    assert(got.getLong(1) == slope, s"slope ${got.getLong(1)} vs $slope")
+    assert(got.getLong(2) == icept.toLong)
+  }
+
   test("q148 ACF matches a full BigInt replay of the daily revenue " +
       "series") {
     val got = StatsOps.q148Acf(spark, Sf).collect()

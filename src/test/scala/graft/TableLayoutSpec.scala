@@ -93,4 +93,44 @@ class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
     // a=0b011 on even bits -> 0b000101; b=0b101 on odd -> 0b100010
     assert(df.collect()(0).getLong(2) == 0x27L) // 0b100111
   }
+
+  test("bloom skip index: a point lookup reads only the candidate " +
+      "partitions and equals the full-scan filter; the built artifact " +
+      "is byte-deterministic") {
+    import graft.sources.BloomSkipIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_bsi").toString
+    val table = (0L until 5000L).map(k => (k % 10L, k, s"row$k"))
+      .toDF("p", "k", "payload")
+    table.write.partitionBy("p").parquet(s"$dir/t")
+    val stored = spark.read.parquet(s"$dir/t")
+    val idx = BloomSkipIndex.build(stored, "p", "k",
+      expectedPerPartition = 1000L)
+    assert(idx.count() == 10L)
+    // lookup an existing key: identical rows to the full-scan filter
+    val hit = BloomSkipIndex.lookup(spark, s"$dir/t", idx, "p", "k", 4242L)
+    val full = stored.filter(col("k") === 4242L)
+    assert(hit.collect().map(_.getAs[String]("payload")).toSeq ==
+      full.collect().map(_.getAs[String]("payload")).toSeq)
+    // the plan carries a partition filter (directory pruning), and the
+    // bloom admitted far fewer than all 10 partitions
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    val nCand = idx.collect().count { r =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        .mightContainLong(4242L)
+    }
+    assert(nCand >= 1 && nCand <= 3, s"$nCand candidate partitions")
+    // absent key: empty result regardless of false positives
+    assert(BloomSkipIndex.lookup(spark, s"$dir/t", idx, "p", "k",
+      999999L).count() == 0L)
+    // determinism: rebuild → identical bloom bytes per partition
+    val again = BloomSkipIndex.build(stored, "p", "k",
+      expectedPerPartition = 1000L)
+    val b1 = idx.collect().map(r =>
+      r.getString(0) -> r.getAs[Array[Byte]]("bloom").toSeq).toMap
+    val b2 = again.collect().map(r =>
+      r.getString(0) -> r.getAs[Array[Byte]]("bloom").toSeq).toMap
+    assert(b1 == b2)
+  }
 }
