@@ -176,6 +176,7 @@ object SparkEntry {
     "q151_link_predict" -> (GraphOps.q151LinkPredict _),
     "q152_strat_sample" -> (TextOps.q152StratSample _),
     "q153_theil_sen" -> (StatsOps.q153TheilSen _),
+    "q157_incr_cc" -> (GraphOps.q157IncrCc _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3059,5 +3060,34 @@ object SparkEntry {
          )
          SELECT n.n_pairs, med.slope_e6, CAST(rmed.r AS BIGINT) AS icept_e6
          FROM n, med, rmed""",
+
+    // full-recompute CC over the combined co-purchase graph — the
+    // incremental maintenance is DEFINED to equal it. Self-loops fold
+    // each node's own label into the per-round MIN so the recursive
+    // term references `it` exactly once; 15 synchronous rounds >> the
+    // dense co-purchase graph's min-label convergence depth.
+    "q157_incr_cc" ->
+      """WITH RECURSIVE li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem
+         ), pairs AS (
+           SELECT DISTINCT a.pk AS s1, b.pk AS s2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         ), nodes AS (
+           SELECT s1 AS n FROM pairs UNION SELECT s2 FROM pairs
+         ), edges AS (
+           SELECT s1 AS src, s2 AS dst FROM pairs
+           UNION SELECT s2, s1 FROM pairs
+           UNION SELECT n, n FROM nodes
+         ), it AS (
+           SELECT 0 AS i, n AS node, n AS lbl FROM nodes
+           UNION ALL
+           SELECT it.i + 1, e.dst, MIN(it.lbl)
+           FROM it JOIN edges e ON it.node = e.src
+           WHERE it.i < 15
+           GROUP BY 1, 2
+         )
+         SELECT node AS partkey, CAST(lbl AS BIGINT) AS component
+         FROM it WHERE i = 15""",
   )
 }

@@ -303,40 +303,17 @@ object DedupOps {
     *   returned silently.
     */
   def dedupClusters(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
-    val spark = pairs.sparkSession
+    // the accumulator-fixpoint loop lives in GraphOps.minLabelComponents
+    // (generalized there for the incremental-CC row); behavior is
+    // identical to the original in-place loop
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
       .distinct()
-      .localCheckpoint(false)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(false)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
-      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
-      val mark = udf { chg: Boolean => if (chg) acc.add(1L); chg }
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node")).agg(min(col("label")).as("nl"))
-      val updated = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label")))
-            .as("label"),
-          mark(coalesce(col("nl") < col("label"), lit(false))).as("_chg"))
-        .localCheckpoint() // eager: materializes the round, flushes acc
-      changed = acc.value
-      labels = updated.drop("_chg")
-      rounds += 1
-    }
-    if (changed > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dedupClusters: fixpoint NOT reached after $maxRounds rounds " +
-          s"($changed labels still improving) — returned labels are not " +
-          "fully transitive; raise maxRounds")
-    labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
+    GraphOps.minLabelComponents(edges, maxRounds)
+      .select(col("node").as("doc_id"),
+        col("component").as("canonical_id"))
   }
 
   def q61DedupClusters(s: SparkSession, d: String): DataFrame =

@@ -446,4 +446,114 @@ object GraphOps {
     * orders graph. */
   def q151LinkPredict(s: SparkSession, d: String): DataFrame =
     linkPredict(prunedCoPurchaseEdges(s, d, minCount = 2), k = 5)
+
+  /** Converged min-label connected components over a SYMMETRIC edge
+    * table: every node labeled with the smallest node id in its
+    * component — the generic core of q61's near-dup clustering (the
+    * same accumulator-fixpoint loop: per round ONE edges⋈labels join +
+    * per-node min, lineage cut by an eager checkpoint that also
+    * flushes the changed-counter; the loop exits the round nothing
+    * improves, so the label table is the exact fixpoint, not a capped
+    * approximation). The per-row `udf` exists only to tick the
+    * accumulator — no built-in expression can — and runs on the
+    * node-scale label table, never the corpus.
+    */
+  def minLabelComponents(symEdges: DataFrame, maxRounds: Int = 25)
+      : DataFrame = {
+    val spark = symEdges.sparkSession
+    val edges = symEdges.select(col("src"), col("dst"))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
+      val mark = udf { chg: Boolean => if (chg) acc.add(1L); chg }
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("label")).as("nl"))
+      val updated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label")))
+            .as("label"),
+          mark(coalesce(col("nl") < col("label"), lit(false))).as("_chg"))
+        .localCheckpoint() // eager: materializes the round, flushes acc
+      changed = acc.value
+      labels = updated.drop("_chg")
+      rounds += 1
+    }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"minLabelComponents: fixpoint NOT reached after $maxRounds " +
+          s"rounds ($changed labels still improving) — labels are not " +
+          "fully transitive; raise maxRounds")
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** 172. q157: incremental connected-components maintenance — fold an
+    * APPEND-ONLY edge batch into an existing component labeling
+    * without touching the old graph's edges (the q97/q102/q118
+    * incremental-artifact rule applied to clustering: re-running CC
+    * over 100 TB of accumulated pairs to absorb a day's batch is the
+    * naive plan this replaces). The old graph's structure is already
+    * SUMMARIZED by its labels, so a delta edge can only merge whole
+    * components: map each delta edge to its endpoints' component ids,
+    * run min-label CC on that DELTA-SCALE label graph, and rewrite
+    * only the affected labels via a broadcast map — nodes of untouched
+    * components pass through without even a shuffle. Because every old
+    * label is already the min node id of its part, the merged label is
+    * the min node id of the merged component — BY CONSTRUCTION equal
+    * to the full recompute, which is exactly what the oracle checks.
+    */
+  def incrementalComponents(labels: DataFrame, deltaEdges: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    val delta = deltaEdges.select(col("src"), col("dst"))
+      .localCheckpoint(false)
+    val newNodes = delta.select(col("src").as("node"))
+      .unionByName(delta.select(col("dst").as("node"))).distinct()
+      .join(labels, Seq("node"), "left_anti")
+      .withColumn("component", col("node"))
+    val all = labels.select(col("node"), col("component"))
+      .unionByName(newNodes)
+      .localCheckpoint(false)
+    val lp = delta
+      .join(all.select(col("node").as("src"), col("component").as("ca")),
+        "src")
+      .join(all.select(col("node").as("dst"), col("component").as("cb")),
+        "dst")
+      .select(col("ca"), col("cb"))
+      .filter(col("ca") =!= col("cb")).distinct()
+    val sym = lp.select(col("ca").as("src"), col("cb").as("dst"))
+      .unionByName(lp.select(col("cb").as("src"), col("ca").as("dst")))
+    val merge = minLabelComponents(sym, maxRounds)
+      .select(col("node").as("_lbl"), col("component").as("_canon"))
+    all.join(broadcast(merge), all("component") === col("_lbl"), "left")
+      .select(col("node"),
+        coalesce(col("_canon"), col("component")).as("component"))
+  }
+
+  /** q157: the standing co-purchase component labeling (orders below
+    * the 4/5 footer-stat threshold) absorbs the newest 1/5 of orders'
+    * co-purchase pairs — defined to equal the full recompute over the
+    * combined graph. Unpruned edges, because a shared-order count
+    * does not decompose across the split but the edge UNION does. */
+  def q157IncrCc(s: SparkSession, d: String): DataFrame = {
+    val n = graft.sources.TableStatistics.tableRowCount(s, d, "orders")
+    val t = 4L * n / 5L
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    def sym(part: DataFrame): DataFrame = {
+      val pairs = part.as("a").join(part.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("s1"), col("b.pk").as("s2")).distinct()
+      pairs.select(col("s1").as("src"), col("s2").as("dst"))
+        .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
+    }
+    val standing = minLabelComponents(sym(li.filter(col("ok") < t)))
+    incrementalComponents(standing, sym(li.filter(col("ok") >= t)))
+      .select(col("node").as("partkey"), col("component"))
+  }
 }

@@ -237,6 +237,40 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
   private def sym(es: Seq[(Long, Long)]) =
     (es ++ es.map(e => (e._2, e._1))).toDF("src", "dst")
 
+  test("incrementalComponents: delta edges merge components, extend " +
+      "them with new nodes, and mint new ones — equal to the full " +
+      "recompute") {
+    val old = sym(Seq((1L, 2L), (3L, 4L), (5L, 6L), (8L, 9L)))
+    val labels = GraphOps.minLabelComponents(old)
+    val delta = sym(Seq((2L, 3L), (6L, 7L), (10L, 11L)))
+    val got = GraphOps.incrementalComponents(labels, delta).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 8L,
+      10L -> 10L, 11L -> 10L))
+    val full = GraphOps.minLabelComponents(
+      sym(Seq((1L, 2L), (3L, 4L), (5L, 6L), (8L, 9L), (2L, 3L),
+        (6L, 7L), (10L, 11L)))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+  }
+
+  test("q157 incremental CC equals the full recompute over the " +
+      "combined co-purchase graph") {
+    val got = GraphOps.q157IncrCc(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+    val full = GraphOps.minLabelComponents(pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got == full)
+  }
+
   test("linkPredict: path graph predicts the two-hop closures with " +
       "exact Jaccard ppm; a triangle (all closures present) predicts " +
       "nothing") {
