@@ -176,6 +176,9 @@ object SparkEntry {
     "q151_link_predict" -> (GraphOps.q151LinkPredict _),
     "q152_strat_sample" -> (TextOps.q152StratSample _),
     "q153_theil_sen" -> (StatsOps.q153TheilSen _),
+    "q154_wilson_lcb" -> (StatsOps.q154WilsonLcb _),
+    "q155_cramers_v" -> (StatsOps.q155CramersV _),
+    "q156_mmr" -> (SimilarityOps.q156MmrDiversify _),
     "q157_incr_cc" -> (GraphOps.q157IncrCc _),
   )
 
@@ -3089,5 +3092,60 @@ object SparkEntry {
          )
          SELECT node AS partkey, CAST(lbl AS BIGINT) AS component
          FROM it WHERE i = 15""",
+
+    "q154_wilson_lcb" ->
+      """WITH g AS (
+           SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1
+         )
+         SELECT p_brand, n, k,
+                ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                       + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE))
+                       - 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                           * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                         + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE)
+                           * CAST(n AS DOUBLE))))
+                      / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)), 6)
+                  AS wilson_lcb
+         FROM g""",
+
+    "q155_cramers_v" ->
+      """WITH base AS (
+           SELECT lang AS a, source AS b FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL
+         ), cont AS (
+           SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+           FROM base GROUP BY 1, 2
+         ), ra AS (
+           SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cont GROUP BY 1
+         ), cb AS (
+           SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cont GROUP BY 1
+         ), tot AS (
+           SELECT CAST(SUM(o) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+                  CAST(COUNT(DISTINCT c2.b) AS BIGINT) AS c
+           FROM cont c2
+         ), s12 AS (
+           SELECT SUM((2 * CAST(o AS HUGEINT) * o * 1000000000000
+                       + CAST(ra.ra AS HUGEINT) * cb.cb)
+                      // (2 * CAST(ra.ra AS HUGEINT) * cb.cb)) AS s12
+           FROM cont JOIN ra USING (a) JOIN cb USING (b)
+         ), f AS (
+           SELECT n, r, c,
+                  CAST(n AS HUGEINT) * (s12 - 1000000000000) AS chi2_e12
+           FROM s12, tot
+         )
+         SELECT n, r, c,
+                ROUND(CAST(chi2_e12 AS DOUBLE) / 1e12, 6) AS chi2,
+                CASE WHEN r > 1 AND c > 1 THEN
+                  ROUND(sqrt(CAST(chi2_e12 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE)
+                       * 1e12)), 6)
+                END AS cramers_v
+         FROM f""",
   )
 }

@@ -961,6 +961,98 @@ object StatsOps {
     theilSen(daily, "day", "x")
   }
 
+  /** 173. q154: Wilson lower-confidence-bound ranking (Wilson 1927;
+    * the "how not to sort by average rating" fix) — groups ranked by
+    * the LOWER bound of their binomial proportion, so a 2/2 group
+    * cannot outrank a 180/200 one: small samples get wide intervals
+    * and sink. The q132 double-math rule: counts stay exact longs
+    * through the single map-combined aggregate; the Wilson formula
+    * evaluates in double ONLY on the bounded one-row-per-group result,
+    * as the identical IEEE expression tree the oracle replays (z =
+    * 1.96 literal), ROUND(…, 6) last. Degenerate n = 0 cannot occur
+    * (a group exists only with rows).
+    */
+  def wilsonLcb(df: DataFrame, groupCol: String, successCol: String)
+      : DataFrame = {
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(successCol).cast("long")).as("k"))
+    def dbl(c: Column) = c.cast("double")
+    val z = lit(1.96)
+    val nD = dbl(col("n"))
+    val p = dbl(col("k")) / nD
+    val z2 = z * z
+    val lcb =
+      (p + z2 / (lit(2.0) * nD) -
+        z * sqrt(p * (lit(1.0) - p) / nD +
+          z2 / (lit(4.0) * nD * nD))) /
+      (lit(1.0) + z2 / nD)
+    g.select(col(groupCol), col("n"), col("k"),
+      round(lcb, 6).as("wilson_lcb"))
+  }
+
+  /** q154: brand return-rate ranking — the share of lineitems returned
+    * (l_returnflag = 'R') per brand, ranked by the bound a thin sample
+    * can't inflate. */
+  def q154WilsonLcb(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    wilsonLcb(li, "p_brand", "ret")
+  }
+
+  /** 174. q155: Cramér's V association strength (Cramér 1946) between
+    * two categorical columns — "does source determine language" as one
+    * calibrated 0..1 number, the two-variable dependence complement of
+    * q144's goodness-of-fit χ². A float Σ over grid cells would be
+    * accumulation-order-dependent (the exact trap the q93 integer
+    * moments avoid), so χ² uses the identity χ² = n·(Σ o²/(rₐ·c_b) − 1)
+    * with each cell term as round-half-up INTEGER e-12 units in
+    * DECIMAL(38,0)/HUGEINT — the sum is exact and order-free, per-term
+    * rounding error is ≤ 0.5e-12·cells, far below the 6-decimal
+    * output. Only the final one-row χ²/√ runs in double (identical
+    * IEEE tree, q132 rule). Margins come from the SAME bounded
+    * contingency table — one corpus-scale aggregate total. Degenerate
+    * single-level variables → NULL V.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("_a"), col(bCol).as("_b"))
+    val cont = base.groupBy(col("_a"), col("_b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = cont.groupBy(col("_a")).agg(sum(col("o")).as("ra"))
+    val cb = cont.groupBy(col("_b")).agg(sum(col("o")).as("cb"))
+    val tot = cont.agg(sum(col("o")).as("n"),
+      countDistinct(col("_a")).as("r"),
+      countDistinct(col("_b")).as("c"))
+    val s12 = cont.join(broadcast(ra), Seq("_a"))
+      .join(broadcast(cb), Seq("_b"))
+      .select(expr("""CAST((2 * CAST(o AS DECIMAL(38,0)) * o
+            * 1000000000000 + CAST(ra AS DECIMAL(38,0)) * cb)
+          DIV (2 * CAST(ra AS DECIMAL(38,0)) * cb)
+          AS DECIMAL(38,0))""").as("term"))
+      .agg(sum(col("term")).cast("decimal(38,0)").as("s12"))
+    s12.crossJoin(broadcast(tot))
+      .select(col("n"), col("r"), col("c"),
+        expr("""CAST(CAST(n AS DECIMAL(38,0))
+            * (s12 - 1000000000000) AS DECIMAL(38,0))""").as("chi2_e12"))
+      .select(col("n"), col("r"), col("c"),
+        round(col("chi2_e12").cast("double") / lit(1e12), 6).as("chi2"),
+        when(col("r") > 1 && col("c") > 1,
+          round(sqrt(col("chi2_e12").cast("double") /
+            (col("n").cast("double") *
+              (least(col("r"), col("c")) - lit(1L)).cast("double") *
+              lit(1e12))), 6))
+          .as("cramers_v"))
+  }
+
+  /** q155: language ⇄ source dependence over the documents table. */
+  def q155CramersV(s: SparkSession, d: String): DataFrame =
+    cramersV(Tables.documents(s, d), "lang", "source")
+
   /** q148: weekly rhythm of daily order revenue — ACF of the
     * cents-exact daily totals at lags 1..7. */
   def q148Acf(s: SparkSession, d: String): DataFrame = {

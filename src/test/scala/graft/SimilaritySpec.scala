@@ -318,6 +318,47 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == 3)
   }
 
+  test("mmrDiversify: a near-duplicate of the top pick is displaced " +
+      "by a diverse lower-relevance candidate") {
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_mmr").toString
+    // seed 0: A(1) and B(2) nearly identical, both high-rel; C(3)
+    // moderately relevant but diverse. Pure relevance top-2 = {A, B};
+    // MMR at lambda=1/2 picks C second: score(B) = rel - sim(A,B)
+    // ~ 9990 - 10000 < score(C) ~ 7070 - ~7000-ish
+    Seq((0L, Array(1f, 0f, 0f, 0f)),
+        (1L, Array(0.999f, 0.04f, 0f, 0f)),
+        (2L, Array(0.998f, 0.05f, 0f, 0f)),
+        (3L, Array(0.7f, 0f, 0.7f, 0f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val got = SimilarityOps.mmrDiversify(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        nQueries = 1, shortlist = 3, k = 2).collect()
+      .map(r => (r.getLong(2), r.getLong(1))).sorted.map(_._2).toSeq
+    assert(got == Seq(1L, 3L), s"picked $got")
+  }
+
+  test("q156 MMR on real data: k picks per seed, first pick is the " +
+      "relevance argmax, chosen scores are non-increasing, no " +
+      "duplicates") {
+    val rows = SimilarityOps.q156MmrDiversify(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, xs) =>
+      assert(xs.length == 10 && xs.map(_._2).distinct.length == 10)
+      val byRank = xs.sortBy(_._3)
+      // rank 1 is the pure-relevance argmax (score2 = rel, no penalty)
+      assert(byRank.head._4 == byRank.head._5)
+      assert(byRank.head._4 == xs.map(_._4).max)
+      // greedy chosen scores never increase once the penalty term is
+      // live (rank 1 uses maxSim = 0, so a NEGATIVE max cosine can
+      // push rank 2's score above it — ranks 2..k share the same form)
+      val sc = byRank.map(_._5).drop(1)
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b }, s"q=$q")
+    }
+  }
+
   test("q150 RRF on real data: <= 10 rows per query, scores are the " +
       "exact integer contributions of the two ranks") {
     val rows = SimilarityOps.q150RrfFusion(spark, Sf).collect()

@@ -678,6 +678,95 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.getLong(2) == icept.toLong)
   }
 
+  test("wilsonLcb: a 2-of-2 group cannot outrank 180-of-200; values " +
+      "match the closed-form replay") {
+    import spark.implicits._
+    val rows = Seq.fill(2)(("tiny", 1L)) ++
+      Seq.fill(180)(("big", 1L)) ++ Seq.fill(20)(("big", 0L))
+    val got = StatsOps.wilsonLcb(rows.toDF("g", "s"), "g", "s").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    def lcb(k: Long, n: Long): Double = {
+      val z = 1.96; val nd = n.toDouble; val p = k.toDouble / nd
+      val v = (p + z * z / (2.0 * nd) -
+        z * math.sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))) /
+        (1.0 + z * z / nd)
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("tiny") == ((2L, 2L, lcb(2, 2))))
+    assert(got("big") == ((200L, 180L, lcb(180, 200))))
+    assert(got("big")._3 > got("tiny")._3)
+  }
+
+  test("q154 Wilson ranking matches a local replay over all brands") {
+    val got = StatsOps.q154WilsonLcb(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val rows = Tables.lineitem(spark, Sf)
+      .join(Tables.part(spark, Sf),
+        col("l_partkey") === col("p_partkey"))
+      .selectExpr("p_brand",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(got.nonEmpty)
+    rows.groupBy(_._1).foreach { case (b, xs) =>
+      val (n, k) = (xs.length.toLong, xs.map(_._2.toLong).sum)
+      val z = 1.96; val nd = n.toDouble; val p = k.toDouble / nd
+      val v = (p + z * z / (2.0 * nd) -
+        z * math.sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))) /
+        (1.0 + z * z / nd)
+      val exp = BigDecimal(v).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(b)._1 == n && got(b)._2 == k)
+      assert(math.abs(got(b)._3 - exp) < 1e-9, s"$b")
+    }
+  }
+
+  test("cramersV: perfect 2x2 association gives V = 1, independence " +
+      "gives V = 0") {
+    import spark.implicits._
+    val perfect = (Seq.fill(10)(("a1", "b1")) ++ Seq.fill(10)(("a2", "b2")))
+      .toDF("x", "y")
+    val p = StatsOps.cramersV(perfect, "x", "y").collect()(0)
+    assert(p.getLong(0) == 20L && p.getDouble(3) == 20.0 &&
+      p.getDouble(4) == 1.0)
+    val indep = (for (a <- Seq("a1", "a2"); b <- Seq("b1", "b2");
+      _ <- 1 to 5) yield (a, b)).toDF("x", "y")
+    val i = StatsOps.cramersV(indep, "x", "y").collect()(0)
+    assert(i.getDouble(3) == 0.0 && i.getDouble(4) == 0.0)
+    // single-level variable -> NULL V
+    val deg = Seq.fill(4)(("a", "b")).toDF("x", "y")
+    assert(StatsOps.cramersV(deg, "x", "y").collect()(0).isNullAt(4))
+  }
+
+  test("q155 Cramer's V matches a BigInt replay of the integer-e12 " +
+      "chi-square pipeline") {
+    val got = StatsOps.q155CramersV(spark, Sf).collect()(0)
+    val rows = Tables.documents(spark, Sf)
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cont = rows.groupBy(identity).view.mapValues(_.length.toLong)
+    val ra = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cb = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = rows.length.toLong
+    val s12 = cont.map { case ((a, b), o) =>
+      val den = BigInt(ra(a)) * cb(b)
+      (2 * BigInt(o) * o * BigInt("1000000000000") + den) / (2 * den)
+    }.sum
+    val chi2e12 = BigInt(n) * (s12 - BigInt("1000000000000"))
+    val chi2 = BigDecimal(chi2e12.toDouble / 1e12).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mind = math.min(ra.size, cb.size) - 1
+    val v = BigDecimal(math.sqrt(chi2e12.toDouble /
+      (n.toDouble * mind.toDouble * 1e12))).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == n && got.getLong(1) == ra.size.toLong &&
+      got.getLong(2) == cb.size.toLong)
+    assert(math.abs(got.getDouble(3) - chi2) < 1e-6)
+    assert(math.abs(got.getDouble(4) - v) < 1e-6)
+  }
+
   test("q148 ACF matches a full BigInt replay of the daily revenue " +
       "series") {
     val got = StatsOps.q148Acf(spark, Sf).collect()
