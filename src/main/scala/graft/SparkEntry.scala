@@ -180,6 +180,7 @@ object SparkEntry {
     "q155_cramers_v" -> (StatsOps.q155CramersV _),
     "q156_mmr" -> (SimilarityOps.q156MmrDiversify _),
     "q157_incr_cc" -> (GraphOps.q157IncrCc _),
+    "q158_trunc_ann" -> (SimilarityOps.q158TruncatedAnn _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output

@@ -359,6 +359,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q158 truncated-dim ANN: recall@5 >= 0.8 vs brute force, exact " +
+      "re-ranked cosines match q32 on shared pairs") {
+    val got = SimilarityOps.q158TruncatedAnn(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = SimilarityOps.q32KnnBruteforce(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val gotSet = got.map(x => (x._1, x._2)).toSet
+    val exactSet = exact.map(x => (x._1, x._2)).toSet
+    val recall = (gotSet & exactSet).size.toDouble / exactSet.size
+    assert(recall >= 0.8, s"recall@5 = $recall")
+    // on pairs both return, the re-ranked cosine IS the exact cosine
+    val exactCos = exact.map(x => (x._1, x._2) -> x._3).toMap
+    got.filter(x => exactSet((x._1, x._2))).foreach { x =>
+      assert(x._3 == exactCos((x._1, x._2)), s"${(x._1, x._2)}")
+    }
+    assert(got.groupBy(_._1).values.forall(_.length == 5))
+  }
+
   test("q150 RRF on real data: <= 10 rows per query, scores are the " +
       "exact integer contributions of the two ranks") {
     val rows = SimilarityOps.q150RrfFusion(spark, Sf).collect()
