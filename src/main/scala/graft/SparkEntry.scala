@@ -181,6 +181,8 @@ object SparkEntry {
     "q156_mmr" -> (SimilarityOps.q156MmrDiversify _),
     "q157_incr_cc" -> (GraphOps.q157IncrCc _),
     "q158_trunc_ann" -> (SimilarityOps.q158TruncatedAnn _),
+    "q159_moments" -> (StatsOps.q159Moments _),
+    "q160_ewma" -> (StatsOps.q160Ewma _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3147,6 +3149,71 @@ object SparkEntry {
                     / (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE)
                        * 1e12)), 6)
                 END AS cramers_v
+         FROM f""",
+
+    "q159_moments" ->
+      """WITH scaled AS (
+           SELECT l_returnflag, l_linestatus,
+                  CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000
+                       AS HUGEINT) AS x
+           FROM lineitem WHERE l_quantity IS NOT NULL
+         ), m AS (
+           SELECT l_returnflag, l_linestatus,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(x) AS DOUBLE) AS s1,
+                  CAST(SUM(x*x) AS DOUBLE) AS s2,
+                  CAST(SUM(x*x*x) AS DOUBLE) AS s3,
+                  CAST(SUM(x*x*x*x) AS DOUBLE) AS s4
+           FROM scaled GROUP BY 1, 2
+         ), c AS (
+           SELECT l_returnflag, l_linestatus, n_rows,
+                  s2/n - (s1/n)*(s1/n) AS m2,
+                  s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n) AS m3,
+                  s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                    - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+           FROM m
+         )
+         SELECT l_returnflag, l_linestatus, n_rows,
+                CASE WHEN m2 > 0
+                  THEN ROUND(m3/(sqrt(m2)*m2), 4) END AS skewness,
+                CASE WHEN m2 > 0
+                  THEN ROUND(m4/(m2*m2) - 3, 4) END AS kurtosis_excess
+         FROM c""",
+
+    "q160_ewma" ->
+      """WITH daily AS (
+           SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+                  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+                           AS HUGEINT)) AS rev
+           FROM lineitem
+           WHERE l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL
+           GROUP BY 1, 2
+         ), lagged AS (
+           SELECT l_returnflag, day, rev,
+                  lag(rev, 1) OVER w AS r1, lag(rev, 2) OVER w AS r2,
+                  lag(rev, 3) OVER w AS r3, lag(rev, 4) OVER w AS r4,
+                  lag(rev, 5) OVER w AS r5, lag(rev, 6) OVER w AS r6,
+                  lag(rev, 7) OVER w AS r7
+           FROM daily
+           WINDOW w AS (PARTITION BY l_returnflag ORDER BY day)
+         ), f AS (
+           SELECT l_returnflag, day, rev,
+                  128*rev + 64*COALESCE(r1,0) + 32*COALESCE(r2,0)
+                    + 16*COALESCE(r3,0) + 8*COALESCE(r4,0)
+                    + 4*COALESCE(r5,0) + 2*COALESCE(r6,0)
+                    + COALESCE(r7,0) AS num,
+                  128 + CASE WHEN r1 IS NULL THEN 0 ELSE 64 END
+                      + CASE WHEN r2 IS NULL THEN 0 ELSE 32 END
+                      + CASE WHEN r3 IS NULL THEN 0 ELSE 16 END
+                      + CASE WHEN r4 IS NULL THEN 0 ELSE 8 END
+                      + CASE WHEN r5 IS NULL THEN 0 ELSE 4 END
+                      + CASE WHEN r6 IS NULL THEN 0 ELSE 2 END
+                      + CASE WHEN r7 IS NULL THEN 0 ELSE 1 END AS den
+           FROM lagged
+         )
+         SELECT l_returnflag, day, CAST(rev AS BIGINT) AS rev_units,
+                CAST((2*num + den) // (2*den) AS BIGINT) AS ewma_units
          FROM f""",
   )
 }

@@ -1065,4 +1065,113 @@ object StatsOps {
       .groupBy(col("day")).agg(sum(col("cents")).as("x"))
     autocorrelation(daily, "day", "x", 7)
   }
+
+  /** Grouped distribution SHAPE: Fisher–Pearson skewness g₁ = m₃/m₂^³ᐟ²
+    * and excess kurtosis g₂ = m₄/m₂² − 3 from raw power sums — the
+    * third/fourth-moment completion of the mean/variance profile (the
+    * summary-stats pass the reference runs as per-card aggregate views,
+    * sql/db_creation_script.sql:185-205, generalized to shape).
+    *
+    * ONE corpus-scale aggregate: Σx, Σx², Σx³, Σx⁴ accumulate per group
+    * as map-side-combined partials — the fact table is scanned once and
+    * the shuffle carries 5 numbers per group, the same plan at 100 TB.
+    * Cross-engine determinism (the q93 moment rule): values scale by
+    * 10⁴ to EXACT integers first (4-decimal data), every power sum runs
+    * in DECIMAL(38,0)/HUGEINT — order-free, engine-identical (g₁/g₂ are
+    * scale-invariant, so the ×10⁴ cancels in exact math and both
+    * engines see bit-identical double inputs) — and the finish is the
+    * same IEEE expression tree text in both engines, ROUND(…, 4) last.
+    * Zero-variance groups report NULL shape (CASE-mirrored in the
+    * oracle).
+    */
+  def momentShape(df: DataFrame, keys: Seq[String], valueCol: String)
+      : DataFrame = {
+    val scaled = df.filter(col(valueCol).isNotNull)
+      .select(keys.map(col) :+
+        (col(valueCol).cast("decimal(18,4)") * 10000)
+          .cast("decimal(19,0)").as("_x"): _*)
+    val x = col("_x")
+    val m = scaled.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      sum(x).cast("decimal(38,0)").as("_s1d"),
+      sum(x * x).cast("decimal(38,0)").as("_s2d"),
+      sum(x * x * x).cast("decimal(38,0)").as("_s3d"),
+      sum(x * x * x * x).cast("decimal(38,0)").as("_s4d"))
+    m.select(keys.map(col) ++ Seq(col("n_rows"),
+        col("n_rows").cast("double").as("n"),
+        col("_s1d").cast("double").as("s1"),
+        col("_s2d").cast("double").as("s2"),
+        col("_s3d").cast("double").as("s3"),
+        col("_s4d").cast("double").as("s4")): _*)
+      .select(keys.map(col) ++ Seq(col("n_rows"),
+        expr("s2/n - (s1/n)*(s1/n)").as("m2"),
+        expr("s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)").as("m3"),
+        expr("""s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+          - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n)""").as("m4")): _*)
+      .select(keys.map(col) ++ Seq(col("n_rows"),
+        when(col("m2") > 0,
+          round(col("m3") / (sqrt(col("m2")) * col("m2")), 4))
+          .as("skewness"),
+        when(col("m2") > 0,
+          round(col("m4") / (col("m2") * col("m2")) - 3, 4))
+          .as("kurtosis_excess")): _*)
+  }
+
+  /** q159: quantity-distribution shape per (returnflag, linestatus). */
+  def q159Moments(s: SparkSession, d: String): DataFrame =
+    momentShape(Tables.lineitem(s, d),
+      Seq("l_returnflag", "l_linestatus"), "l_quantity")
+
+  /** Bounded-lookback EWMA with half-life decay (α = ½): smoothed_t =
+    * Σⱼ₌₀..ₖ₋₁ 2^(k−1−j)·x_{t−j} / Σ 2^(k−1−j) over the lags that
+    * exist — the trend-smoothing pass of a monitoring pipeline
+    * (reference's season-over-season usage trend,
+    * helper_functions.py:7-85 / sql/db_creation_script.sql:224-242).
+    *
+    * α = ½ makes every weight a power of two — EXACT in integer
+    * arithmetic, so the whole smoother is a weighted integer sum with
+    * one round-half-up division at the end: engine-identical, no float
+    * accumulation anywhere (the q58 rule; a general-α EWMA is a float
+    * recurrence whose value depends on evaluation order). Truncating at
+    * k lags bounds the state: the window is k `lag`s over the PRE-
+    * AGGREGATED series (one bounded row per (key, tick)), so the
+    * corpus-scale work is the grouped daily sum — map-side combined,
+    * shuffle-once — and the window runs on the tiny grid. Series
+    * starts use the weights of the lags present (den shrinks), so the
+    * smoother is exact from row one instead of biased toward zero.
+    */
+  def ewmaHalfLife(df: DataFrame, key: String, ord: String,
+      unitsCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 62, "k must be in [1, 62]")
+    val w = Window.partitionBy(col(key)).orderBy(col(ord))
+    val lags = (0 until k).map { j =>
+      (lag(col(unitsCol), j).over(w), 1L << (k - 1 - j))
+    }
+    val num = lags.map { case (c, wt) =>
+      coalesce(c.cast("decimal(38,0)"), lit(0).cast("decimal(38,0)")) * wt
+    }.reduce(_ + _)
+    val den = lags.map { case (c, wt) =>
+      when(c.isNotNull, lit(wt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("_num", num).withColumn("_den", den)
+      .withColumn("ewma_units",
+        expr("CAST((2*_num + _den) DIV (2*_den) AS BIGINT)"))
+      .drop("_num", "_den")
+  }
+
+  /** q160: 8-day half-life-smoothed daily revenue per return flag.
+    * Shuffles: one grouped daily sum (map-side combined) + one 3-key
+    * window over the bounded day grid. */
+  def q160Ewma(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").isNotNull && col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag"), date_trunc("day", col("l_shipdate")).as("day"),
+        (col("l_extendedprice").cast("decimal(18,4)") * 10000)
+          .cast("decimal(19,0)").as("units"))
+      .groupBy(col("l_returnflag"), col("day"))
+      .agg(sum(col("units")).cast("decimal(38,0)").as("rev"))
+    ewmaHalfLife(daily, "l_returnflag", "day", "rev", 8)
+      .select(col("l_returnflag"), col("day"),
+        col("rev").cast("long").as("rev_units"), col("ewma_units"))
+  }
 }

@@ -782,4 +782,63 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == 7 && got.values.forall(_._1 > 0))
     assert(got == acfReplay(daily, 7))
   }
+
+  test("momentShape: symmetric data has zero skew, constant group is " +
+      "NULL, and values match a BigInt power-sum replay") {
+    val df = Seq(
+      ("sym", 1.0), ("sym", 2.0), ("sym", 3.0),
+      ("skew", 1.0), ("skew", 1.0), ("skew", 1.0), ("skew", 10.0),
+      ("flat", 5.0), ("flat", 5.0)).toDF("g", "v")
+    val got = StatsOps.momentShape(df, Seq("g"), "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("flat").isNullAt(2) && got("flat").isNullAt(3))
+    assert(got("sym").getDouble(2) == 0.0)
+    assert(got("skew").getDouble(2) > 0.5) // long right tail
+    // replay with the identical IEEE tree on exact scaled power sums
+    def replay(vs: Seq[Double]): (Double, Double) = {
+      val xs = vs.map(v => BigInt((v * 10000).round))
+      val n = xs.length.toDouble
+      val Seq(s1, s2, s3, s4) = (1 to 4).map(p =>
+        xs.map(_.pow(p)).sum.toDouble)
+      val m2 = s2/n - (s1/n)*(s1/n)
+      val m3 = s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)
+      val m4 = s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) -
+        3*(s1/n)*(s1/n)*(s1/n)*(s1/n)
+      def r4(d: Double) = BigDecimal(d).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r4(m3/(math.sqrt(m2)*m2)), r4(m4/(m2*m2) - 3))
+    }
+    val (sk, ku) = replay(Seq(1.0, 1.0, 1.0, 10.0))
+    assert(got("skew").getDouble(2) == sk &&
+      got("skew").getDouble(3) == ku)
+  }
+
+  test("ewmaHalfLife: first row equals its own value, constant series " +
+      "stays constant, and the smoother matches a truncated-convolution " +
+      "replay") {
+    val series = Seq(
+      ("a", 1L, 1000L), ("a", 2L, 2000L), ("a", 3L, 1000L),
+      ("a", 4L, 4000L), ("a", 5L, 0L),
+      ("b", 1L, 7L), ("b", 2L, 7L), ("b", 3L, 7L))
+      .toDF("k", "t", "x")
+      .withColumn("x", col("x").cast("decimal(38,0)"))
+    val got = StatsOps.ewmaHalfLife(series, "k", "t", "x", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got(("b", 1L)) == 7L && got(("b", 2L)) == 7L &&
+      got(("b", 3L)) == 7L)
+    // replay: weights 4,2,1 over present lags, round-half-up
+    val xs = Map(1L -> 1000L, 2L -> 2000L, 3L -> 1000L, 4L -> 4000L,
+      5L -> 0L)
+    for (t <- 1L to 5L) {
+      val terms = (0 until 3).flatMap(j =>
+        xs.get(t - j).map(v => (v, 1L << (2 - j))))
+      val num = terms.map { case (v, w) => v * w }.sum
+      val den = terms.map(_._2).sum
+      assert(got(("a", t)) == (2 * num + den) / (2 * den), s"t=$t")
+    }
+    // q160 wiring: smoothed series exists and starts at its own value
+    val q = StatsOps.q160Ewma(spark, Sf)
+      .orderBy(col("l_returnflag"), col("day")).limit(1).collect().head
+    assert(q.getLong(2) == q.getLong(3))
+  }
 }
