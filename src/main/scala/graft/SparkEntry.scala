@@ -183,6 +183,8 @@ object SparkEntry {
     "q158_trunc_ann" -> (SimilarityOps.q158TruncatedAnn _),
     "q159_moments" -> (StatsOps.q159Moments _),
     "q160_ewma" -> (StatsOps.q160Ewma _),
+    "q161_bitmap_distinct" -> (RelationalOps.q161BitmapDistinct _),
+    "q162_sketch_rollup" -> (RelationalOps.q162SketchRollup _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3215,5 +3217,12 @@ object SparkEntry {
          SELECT l_returnflag, day, CAST(rev AS BIGINT) AS rev_units,
                 CAST((2*num + den) // (2*den) AS BIGINT) AS ewma_units
          FROM f""",
+
+    "q161_bitmap_distinct" ->
+      """SELECT event_type,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+                CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY event_type""",
   )
 }

@@ -1565,4 +1565,53 @@ object RelationalOps {
     prorate(Tables.lineitem(s, d), "l_orderkey", "l_linenumber",
       "l_extendedprice", Tables.orders(s, d), "o_orderkey",
       "o_totalprice")
+
+  /** q161: EXACT distinct users per event type via the fixed-domain
+    * bitmap aggregate (`functions/BitmapDistinct.scala`) — the
+    * countDistinct answer WITHOUT shuffling the distinct keyset: the
+    * word-wise-OR buffer map-side-combines, so the wire carries one
+    * ⌈domain/64⌉-word bitmap per (partition × group). The domain comes
+    * from parquet FOOTER column statistics (`TableStatistics
+    * .parquetLongColumnMax`) — catalog metadata, no sizing job (the
+    * q85 BloomJoin rule). Oracle = plain COUNT(DISTINCT): exactness is
+    * externally checkable, unlike any sketch.
+    */
+  def q161BitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    val maxUser = graft.sources.TableStatistics
+      .parquetLongColumnMax(s, s"$d/events.parquet", "user_id")
+      .getOrElse(throw new IllegalStateException(
+        "events.user_id lacks parquet footer statistics"))
+    val bitmap = udaf(new graft.functions.BitmapDistinct(maxUser + 1),
+      org.apache.spark.sql.Encoders.scalaLong)
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(bitmap(col("user_id")).as("distinct_users"),
+        count(lit(1)).cast("long").as("n_events"))
+  }
+
+  /** q162: re-aggregatable NDV rollup — per-(type, day) HLL sketches
+    * union to per-type estimates WITHOUT rescanning rows (Spark 4
+    * DataSketches `hll_sketch_agg`/`hll_union_agg`). This is the
+    * materialized-rollup pattern a 100 TB metrics store runs on: the
+    * daily sketch table is the persisted artifact (KBs per cell), any
+    * coarser grain — weekly, all-time, ad-hoc slices — derives from
+    * sketch unions at artifact scale. The union is a slot-wise max of
+    * coupons: associative, commutative, merge-order-free (asserted in
+    * the suite), so re-aggregation depth never skews the estimate.
+    * Estimate ±2% vs exact is a suite-asserted tolerance; no ANSI
+    * oracle (DuckDB's HLL is a different sketch) → rows-only gate.
+    */
+  def q162SketchRollup(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        count(lit(1)).cast("long").as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("n")).cast("long").as("n_events"),
+        expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+          .as("est_users"))
+  }
 }

@@ -6,6 +6,8 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.SparkSession
 
+import scala.jdk.CollectionConverters._
+
 /** Catalog-style table statistics read from parquet footers — row counts
   * without a Spark job or a data scan.
   *
@@ -42,4 +44,46 @@ object TableStatistics {
   /** Row count of a named testdata table (`<dir>/<name>.parquet`). */
   def tableRowCount(spark: SparkSession, dir: String, name: String): Long =
     parquetRowCount(spark, s"$dir/$name.parquet")
+
+  /** Exact maximum of an INT64 column from parquet footer statistics —
+    * the catalog's column max, free of any scan (column chunks store
+    * min/max at write time). None when any chunk lacks statistics (a
+    * partial max would be silently wrong). Sizes bounded-domain
+    * structures (bitmap width, bucket counts) at plan-build time the
+    * way BloomJoin sizes its sketch from `parquetRowCount`.
+    */
+  def parquetLongColumnMax(spark: SparkSession, path: String,
+      column: String): Option[Long] = {
+    val conf: Configuration = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    def filesUnder(p: Path): Seq[Path] = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Seq(p)
+      else
+        fs.listStatus(p).toSeq
+          .filterNot(s => s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith("."))
+          .flatMap(s => filesUnder(s.getPath))
+    }
+    val chunkMaxes = filesUnder(p).flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.flatMap { block =>
+          block.getColumns.asScala
+            .filter(_.getPath.toDotString == column)
+            .map { c =>
+              val st = c.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else st.genericGetMax match {
+                case l: java.lang.Long => Some(l.longValue())
+                case _ => None
+              }
+            }
+        }.toList
+      } finally reader.close()
+    }
+    if (chunkMaxes.isEmpty || chunkMaxes.exists(_.isEmpty)) None
+    else Some(chunkMaxes.flatten.max)
+  }
 }

@@ -938,4 +938,61 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(xs.map(_._2).sum == t(k), s"order $k books don't close")
     }
   }
+
+  test("BitmapDistinct: equals countDistinct across a forced multi-" +
+      "partition merge; out-of-domain key is an error") {
+    import org.apache.spark.sql.functions.udaf
+    val bm = udaf(new graft.functions.BitmapDistinct(100L),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 63L), ("a", 64L), ("a", 99L),
+      ("b", 0L), ("b", 0L), ("b", 0L), ("c", 42L))
+      .toDF("g", "k").repartition(7)
+    val got = df.groupBy("g").agg(bm(col("k")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 4L, "b" -> 1L, "c" -> 1L))
+    val err = intercept[Exception] {
+      Seq(("x", 100L)).toDF("g", "k")
+        .groupBy("g").agg(bm(col("k"))).collect()
+    }
+    assert(err.getMessage != null)
+    // q161 wiring: footer-sized domain, exact vs countDistinct
+    val q = RelationalOps.q161BitmapDistinct(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d"),
+        count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(q == exact && q.nonEmpty)
+  }
+
+  test("q162 sketch rollup: estimate within 2% of exact and invariant " +
+      "to merge order/partitioning") {
+    val got = RelationalOps.q162SketchRollup(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val exact = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet && got.nonEmpty)
+    got.foreach { case (t, (_, _, est)) =>
+      val ex = exact(t).toDouble
+      assert(math.abs(est - ex) <= 0.02 * ex + 1,
+        s"$t: est $est vs exact $ex")
+    }
+    // merge-order invariance: union over a different physical
+    // partitioning (and thus merge schedule) gives identical estimates
+    val shuffled = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull).repartition(13, col("user_id"))
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .repartition(5, col("day"))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+        .as("est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shuffled == got.map { case (t, (_, _, e)) => t -> e })
+  }
 }
