@@ -185,6 +185,8 @@ object SparkEntry {
     "q160_ewma" -> (StatsOps.q160Ewma _),
     "q161_bitmap_distinct" -> (RelationalOps.q161BitmapDistinct _),
     "q162_sketch_rollup" -> (RelationalOps.q162SketchRollup _),
+    "q163_business_days" -> (RelationalOps.q163BusinessDays _),
+    "q164_asof_snapshot" -> (RelationalOps.q164AsOfSnapshot _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3224,5 +3226,66 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS n_events
          FROM events WHERE user_id IS NOT NULL
          GROUP BY event_type""",
+
+    "q163_business_days" ->
+      """WITH span AS (
+           SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                  CAST(max(o_orderdate) AS DATE) AS hi
+           FROM orders WHERE o_orderdate IS NOT NULL
+         ), days AS (
+           SELECT CAST(unnest(generate_series(lo, hi + 40,
+                    INTERVAL 1 DAY)) AS DATE) AS day
+           FROM span
+         ), cal AS (
+           SELECT day,
+                  dayofweek(day) BETWEEN 1 AND 5
+                    AND NOT (dayofweek(day) = 1
+                             AND dayofmonth(day) <= 7) AS bday
+           FROM days
+         ), counted AS (
+           SELECT day, bday,
+                  SUM(CASE WHEN bday THEN 1 ELSE 0 END)
+                    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS bd_count
+           FROM cal
+         ), ranks AS (
+           SELECT bd_count AS target, CAST(day AS TIMESTAMP) AS sla_due
+           FROM counted WHERE bday
+         )
+         SELECT o.o_orderkey, o.o_orderdate, r.sla_due
+         FROM orders o
+         JOIN counted c ON CAST(o.o_orderdate AS DATE) = c.day
+         JOIN ranks r ON r.target = c.bd_count + 3
+         WHERE o.o_orderdate IS NOT NULL""",
+
+    "q164_asof_snapshot" ->
+      """WITH marked AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                  CASE WHEN lag(o_orderpriority) OVER w
+                            IS DISTINCT FROM o_orderpriority
+                       THEN 1 ELSE 0 END AS chg
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)
+         ), runs AS (
+           SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS run_id
+           FROM marked
+         ), collapsed AS (
+           SELECT o_custkey AS custkey, run_id,
+                  min(o_orderpriority) AS priority,
+                  min(o_orderdate) AS valid_from
+           FROM runs GROUP BY custkey, run_id
+         ), hist AS (
+           SELECT custkey, priority, valid_from,
+                  lead(valid_from) OVER w2 AS valid_to
+           FROM collapsed
+           WINDOW w2 AS (PARTITION BY custkey ORDER BY run_id)
+         )
+         SELECT custkey, priority, valid_from, valid_to
+         FROM hist
+         WHERE valid_from <= TIMESTAMP '1995-06-01'
+           AND (valid_to IS NULL OR valid_to > TIMESTAMP '1995-06-01')""",
   )
 }

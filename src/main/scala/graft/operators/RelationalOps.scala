@@ -1566,6 +1566,67 @@ object RelationalOps {
       "l_extendedprice", Tables.orders(s, d), "o_orderkey",
       "o_totalprice")
 
+  /** q163: business-day SLA arithmetic — each order's due date is the
+    * 3rd business day strictly after its order date, skipping weekends
+    * and company holidays (first Monday of each month — the reference's
+    * first-Monday season anchor, helper_functions.py:7-85, repurposed
+    * as a holiday rule). The classic calendar-dimension pattern: a
+    * BOUNDED day grid (span + 40-day pad) carries a running
+    * business-day count, so "k business days after d" is pure rank
+    * arithmetic — rank(due) = bd_count(d) + k — and the fact table
+    * resolves it with TWO BROADCAST joins (date → bd_count, rank →
+    * date): the orders never shuffle, the same plan at 100 TB. The
+    * single-partition running count is over the ~2.5 k-row calendar
+    * artifact, not data (the PQ-codebook bounded-artifact rule).
+    */
+  def q163BusinessDays(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val span = orders.agg(to_date(min(col("o_orderdate"))).as("lo"),
+      to_date(max(col("o_orderdate"))).as("hi"))
+    val cal = span
+      .select(explode(expr(
+        "sequence(lo, date_add(hi, 40), INTERVAL 1 DAY)")).as("day"))
+      // Spark dayofweek: 1=Sun..7=Sat; Monday = 2
+      .withColumn("_bday", dayofweek(col("day")).between(2, 6) &&
+        !(dayofweek(col("day")) === 2 && dayofmonth(col("day")) <= 7))
+      .withColumn("bd_count",
+        sum(when(col("_bday"), 1L).otherwise(0L)).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // timestamp_ntz: o_orderdate reads as NTZ from parquet on Spark
+    // 4.1 — keep the output homogeneous (and oracle-comparable)
+    val ranks = cal.filter(col("_bday"))
+      .select(col("bd_count").as("_target"),
+        col("day").cast("timestamp_ntz").as("sla_due"))
+    orders
+      .join(broadcast(cal.select(col("day"), col("bd_count"))),
+        to_date(col("o_orderdate")) === col("day"))
+      .withColumn("_target", col("bd_count") + 3L)
+      .join(broadcast(ranks), Seq("_target"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("sla_due"))
+  }
+
+  /** As-of snapshot (time travel) over an SCD2 history: the dimension
+    * exactly as it stood at `at` — the read side of the type-2 contract
+    * ([[scd2]] builds it, [[incrementalScd2]] maintains it, this
+    * reconstructs any past state without storing per-day copies). A
+    * pure interval filter: valid_from ≤ at < valid_to (open current
+    * rows qualify via NULL valid_to) — pushed to the scan, no shuffle
+    * at all. Reference counterpart: the warehouse's point-in-time
+    * reporting views, sql/db_creation_script.sql:185-242.
+    */
+  def asOfSnapshot(history: DataFrame, at: Column): DataFrame =
+    history.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
+
+  /** q164: the customer-priority dimension as of 1995-06-01. */
+  def q164AsOfSnapshot(s: SparkSession, d: String): DataFrame =
+    asOfSnapshot(q92Scd2(s, d), lit("1995-06-01").cast("timestamp_ntz"))
+      .select(col("custkey"), col("priority"), col("valid_from"),
+        col("valid_to"))
+
   /** q161: EXACT distinct users per event type via the fixed-domain
     * bitmap aggregate (`functions/BitmapDistinct.scala`) — the
     * countDistinct answer WITHOUT shuffling the distinct keyset: the

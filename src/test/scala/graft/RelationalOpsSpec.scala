@@ -966,6 +966,56 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(q == exact && q.nonEmpty)
   }
 
+  test("q163 business days: every SLA is a business day exactly 3 " +
+      "business days after the order date (local calendar replay)") {
+    def toDate(v: Any): java.time.LocalDate = v match {
+      case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+      case t: java.time.LocalDateTime => t.toLocalDate
+    }
+    val got = RelationalOps.q163BusinessDays(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((toDate(r.get(1)), toDate(r.get(2)))))
+      .toMap
+    assert(got.nonEmpty)
+    def isBday(d: java.time.LocalDate): Boolean = {
+      val dow = d.getDayOfWeek.getValue // ISO: Mon=1..Sun=7
+      dow <= 5 && !(dow == 1 && d.getDayOfMonth <= 7)
+    }
+    got.foreach { case (k, (od, due)) =>
+      assert(isBday(due), s"order $k: due $due not a business day")
+      // exactly 3 business days strictly after od, none skipped
+      var d = od.plusDays(1); var n = 0
+      while (d.isBefore(due)) { if (isBday(d)) n += 1; d = d.plusDays(1) }
+      assert(n == 2 && isBday(due), s"order $k: $od -> $due has $n+1 bdays")
+    }
+    // row per order with a non-null date
+    val nOrders = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate").isNotNull).count()
+    assert(got.size.toLong == nOrders)
+  }
+
+  test("q164 as-of snapshot: one row per key with history at T, and " +
+      "the priority equals the key's last order at or before T") {
+    def toLdt(v: Any): java.time.LocalDateTime = v match {
+      case t: java.sql.Timestamp => t.toLocalDateTime
+      case t: java.time.LocalDateTime => t
+    }
+    val t = java.time.LocalDateTime.parse("1995-06-01T00:00:00")
+    val got = RelationalOps.q164AsOfSnapshot(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byKey = Tables.orders(spark, Sf)
+      .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), toLdt(r.get(2)),
+        r.getLong(3)))
+      .filter(x => !x._3.isAfter(t))
+      .groupBy(_._1)
+    val expect = byKey.map { case (k, rows) =>
+      k -> rows.maxBy(x =>
+        (x._3.toInstant(java.time.ZoneOffset.UTC).toEpochMilli, x._4))._2
+    }
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("q162 sketch rollup: estimate within 2% of exact and invariant " +
       "to merge order/partitioning") {
     val got = RelationalOps.q162SketchRollup(spark, Sf).collect()
