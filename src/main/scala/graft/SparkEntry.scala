@@ -187,6 +187,8 @@ object SparkEntry {
     "q162_sketch_rollup" -> (RelationalOps.q162SketchRollup _),
     "q163_business_days" -> (RelationalOps.q163BusinessDays _),
     "q164_asof_snapshot" -> (RelationalOps.q164AsOfSnapshot _),
+    "q165_decile_lift" -> (StatsOps.q165DecileLift _),
+    "q166_rfm" -> (StatsOps.q166Rfm _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3287,5 +3289,92 @@ object SparkEntry {
          FROM hist
          WHERE valid_from <= TIMESTAMP '1995-06-01'
            AND (valid_to IS NULL OR valid_to > TIMESTAMP '1995-06-01')""",
+
+    "q165_decile_lift" ->
+      """WITH cust AS (
+           SELECT c_custkey,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)
+                    AS score
+           FROM customer
+         ), resp AS (
+           SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'
+         ), lab AS (
+           SELECT c.c_custkey, c.score,
+                  CASE WHEN r.o_custkey IS NULL THEN 0 ELSE 1 END AS label
+           FROM cust c LEFT JOIN resp r ON c.c_custkey = r.o_custkey
+         ), tot AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                  CAST(SUM(label) AS BIGINT) AS t_resp
+           FROM lab
+         ), rk AS (
+           SELECT label,
+                  CAST(row_number() OVER (ORDER BY -score, c_custkey)
+                       AS BIGINT) AS rn
+           FROM lab
+         ), dec AS (
+           SELECT ((rn - 1) * 10) // (SELECT n_total FROM tot) + 1
+                    AS decile,
+                  label
+           FROM rk
+         ), g AS (
+           SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                  CAST(SUM(label) AS BIGINT) AS responders
+           FROM dec GROUP BY 1
+         ), c AS (
+           SELECT *,
+                  CAST(SUM(n_customers) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+                  CAST(SUM(responders) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_resp
+           FROM g
+         )
+         SELECT decile, n_customers, responders,
+                CAST((2 * CAST(responders AS HUGEINT) * 1000000
+                  + n_customers) // (2 * CAST(n_customers AS HUGEINT))
+                  AS BIGINT) AS resp_rate_ppm,
+                CASE WHEN (SELECT t_resp FROM tot) > 0 THEN
+                  CAST((2 * CAST(cum_resp AS HUGEINT)
+                        * (SELECT n_total FROM tot) * 1000000
+                      + CAST(cum_n AS HUGEINT) * (SELECT t_resp FROM tot))
+                    // (2 * CAST(cum_n AS HUGEINT)
+                        * (SELECT t_resp FROM tot))
+                  AS BIGINT) END AS cum_lift_ppm
+         FROM c""",
+
+    "q166_rfm" ->
+      """WITH per AS (
+           SELECT o_custkey,
+                  max(o_orderdate) AS last_order,
+                  CAST(COUNT(*) AS BIGINT) AS f_raw,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT)) AS BIGINT) AS m_raw
+           FROM orders WHERE o_orderdate IS NOT NULL
+           GROUP BY 1
+         ), tot AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM per
+         ), rk AS (
+           SELECT o_custkey, f_raw, m_raw,
+                  CAST(row_number() OVER (ORDER BY last_order, o_custkey)
+                       AS BIGINT) AS rn_r,
+                  CAST(row_number() OVER (ORDER BY f_raw, o_custkey)
+                       AS BIGINT) AS rn_f,
+                  CAST(row_number() OVER (ORDER BY m_raw, o_custkey)
+                       AS BIGINT) AS rn_m
+           FROM per
+         ), sc AS (
+           SELECT o_custkey AS custkey, f_raw, m_raw,
+                  ((rn_r - 1) * 5) // (SELECT n_cust FROM tot) + 1
+                    AS r_score,
+                  ((rn_f - 1) * 5) // (SELECT n_cust FROM tot) + 1
+                    AS f_score,
+                  ((rn_m - 1) * 5) // (SELECT n_cust FROM tot) + 1
+                    AS m_score
+           FROM rk
+         )
+         SELECT custkey, f_raw, m_raw, r_score, f_score, m_score,
+                CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                  || CAST(m_score AS VARCHAR) AS segment
+         FROM sc""",
   )
 }

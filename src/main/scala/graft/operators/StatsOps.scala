@@ -1159,6 +1159,100 @@ object StatsOps {
       .drop("_num", "_den")
   }
 
+  /** q165: decile lift / gains table — the model-eval artifact behind
+    * "is this score worth acting on": customers ranked by account
+    * balance, cut into 10 equal-count bins by EXACT integer rank
+    * arithmetic, each bin's response rate (has an URGENT order) and the
+    * cumulative lift over the base rate in round-half-up ppm. The
+    * campaign-targeting / score-validation pass (generalizes the
+    * reference's win-rate views, sql/db_creation_script.sql:224-242).
+    *
+    * Scale shape: the global ranking runs through `DistributedRank
+    * .withRank` (range-partitioned slices + broadcast offsets — no
+    * single-reducer window); totals are a 1-row broadcast; the decile
+    * table is 10 rows, so its cumulative window is bounded-artifact
+    * work. All rates are integer ppm (the q58 rule) — engine-exact.
+    * Decile membership via ((rank−1)·10) DIV n is exact equal-count
+    * binning (the q115 equi-depth rule), deterministic under the
+    * (−score, custkey) total order.
+    */
+  def q165DecileLift(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast("decimal(18,4)") * 100).cast("long")
+          .as("score"))
+    val resp = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+      .withColumn("label", lit(1L))
+    val labeled = cust
+      .join(resp, cust("c_custkey") === resp("o_custkey"), "left")
+      .select(col("c_custkey"), col("score"),
+        coalesce(col("label"), lit(0L)).as("label"))
+    val ranked = DistributedRank.withRank(
+      labeled.withColumn("_negs", -col("score")),
+      Nil, Seq("_negs", "c_custkey"), "rn")
+    val tot = labeled.agg(count(lit(1)).cast("long").as("n_total"),
+      sum(col("label")).cast("long").as("t_resp"))
+    val deciles = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((rn - 1) * 10) DIV n_total + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        sum(col("label")).cast("long").as("responders"))
+    // bounded 10-row artifact: single-partition window is fine here
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .withColumn("cum_n", sum(col("n_customers")).over(w))
+      .withColumn("cum_resp", sum(col("responders")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_customers"), col("responders"),
+        expr("""CAST((2 * CAST(responders AS DECIMAL(38,0)) * 1000000
+              + n_customers) DIV (2 * CAST(n_customers AS DECIMAL(38,0)))
+            AS BIGINT)""").as("resp_rate_ppm"),
+        expr("""CASE WHEN t_resp > 0 THEN
+            CAST((2 * CAST(cum_resp AS DECIMAL(38,0)) * n_total * 1000000
+              + CAST(cum_n AS DECIMAL(38,0)) * t_resp)
+              DIV (2 * CAST(cum_n AS DECIMAL(38,0)) * t_resp)
+            AS BIGINT) END""").as("cum_lift_ppm"))
+  }
+
+  /** q166: RFM segmentation — every customer scored 1..5 on Recency
+    * (last order date), Frequency (order count) and Monetary (total
+    * spend, exact cents), quintiles by the same exact integer rank
+    * arithmetic as q165 (5 = best). THE classic CRM/campaign operator
+    * (the per-player usage profile of the reference's views,
+    * sql/db_creation_script.sql:185-242, lifted to the standard RFM
+    * form). Three `DistributedRank` passes — one per axis, each a
+    * range exchange + broadcast offsets, no single-reducer window;
+    * ties resolve by custkey so every score is run-to-run identical.
+    */
+  def q166Rfm(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).cast("long").as("f_raw"),
+        sum((col("o_totalprice").cast("decimal(18,4)") * 100)
+          .cast("long")).cast("long").as("m_raw"))
+    val n = per.agg(count(lit(1)).cast("long").as("n_cust"))
+    def quintile(df: DataFrame, ord: Seq[String], out: String) =
+      DistributedRank.withRank(df, Nil, ord, s"_rn_$out")
+        .withColumn(out, expr(s"((_rn_$out - 1) * 5) DIV n_cust + 1"))
+        .drop(s"_rn_$out")
+    val scored = Seq(
+      (Seq("last_order", "o_custkey"), "r_score"),
+      (Seq("f_raw", "o_custkey"), "f_score"),
+      (Seq("m_raw", "o_custkey"), "m_score"))
+      .foldLeft(per.crossJoin(broadcast(n))) { case (acc, (ord, out)) =>
+        quintile(acc, ord, out)
+      }
+    scored.select(col("o_custkey").as("custkey"), col("f_raw"),
+      col("m_raw"), col("r_score"), col("f_score"), col("m_score"),
+      concat(col("r_score").cast("string"), col("f_score").cast("string"),
+        col("m_score").cast("string")).as("segment"))
+  }
+
   /** q160: 8-day half-life-smoothed daily revenue per return flag.
     * Shuffles: one grouped daily sum (map-side combined) + one 3-key
     * window over the bounded day grid. */

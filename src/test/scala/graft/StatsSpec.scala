@@ -841,4 +841,80 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
       .orderBy(col("l_returnflag"), col("day")).limit(1).collect().head
     assert(q.getLong(2) == q.getLong(3))
   }
+
+  test("q165 decile lift: bins partition the population, final " +
+      "cumulative lift is exactly the base rate, and a local replay " +
+      "matches") {
+    val got = StatsOps.q165DecileLift(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val cust = Tables.customer(spark, Sf)
+      .selectExpr("c_custkey",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS LONG) AS s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val urgent = Tables.orders(spark, Sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val n = cust.length.toLong
+    val ranked = cust.sortBy { case (k, s) => (-s, k) }.zipWithIndex
+    val byDec = ranked.groupBy { case (_, i) => i.toLong * 10 / n + 1 }
+      .view.mapValues { rows =>
+        val resp = rows.count { case ((k, _), _) => urgent(k) }.toLong
+        (rows.length.toLong, resp)
+      }.toMap
+    val tResp = cust.count { case (k, _) => urgent(k) }.toLong
+    assert(got.keySet == (1L to 10L).toSet)
+    assert(got.values.map(_._1).sum == n)
+    var cumN = 0L; var cumR = 0L
+    for (dec <- 1L to 10L) {
+      val (nc, resp) = byDec(dec)
+      cumN += nc; cumR += resp
+      val rate = (2 * BigInt(resp) * 1000000 + nc) / (2 * BigInt(nc))
+      val lift = (2 * BigInt(cumR) * n * 1000000 + BigInt(cumN) * tResp) /
+        (2 * BigInt(cumN) * tResp)
+      assert(got(dec) == ((nc, resp, rate.toLong, lift.toLong)), s"d$dec")
+    }
+    assert(got(10L)._4 == 1000000L) // whole population = base rate
+  }
+
+  test("q166 RFM: quintiles are balanced within one, 5 means best on " +
+      "every axis, and scores match a local rank replay") {
+    val got = StatsOps.q166Rfm(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getString(6)))).toMap
+    val per = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).as("lo"), count(lit(1)).as("f"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS LONG)"))
+          .as("m"))
+      .selectExpr("o_custkey", "CAST(lo AS STRING) AS lo", "f",
+        "CAST(m AS LONG) AS m")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val n = per.length.toLong
+    def quint[A](xs: Seq[(Long, A)])(implicit o: Ordering[A])
+        : Map[Long, Long] =
+      xs.sortBy { case (k, v) => (v, k) }.zipWithIndex
+        .map { case ((k, _), i) => k -> (i.toLong * 5 / n + 1) }.toMap
+    val r = quint(per.map(x => (x._1, x._2)).toSeq)
+    val f = quint(per.map(x => (x._1, (x._3, 0L))).toSeq)
+    val m = quint(per.map(x => (x._1, (x._4, 0L))).toSeq)
+    assert(got.size.toLong == n && n > 100)
+    per.foreach { case (k, _, _, _) =>
+      val (rs, fs, ms, seg) = got(k)
+      assert((rs, fs, ms) == ((r(k), f(k), m(k))), s"cust $k")
+      assert(seg == s"$rs$fs$ms")
+    }
+    // balance: each axis's quintile sizes differ by at most 1
+    Seq(3, 4, 5).foreach { idx =>
+      val sizes = got.values.groupBy(v => idx match {
+        case 3 => v._1; case 4 => v._2; case 5 => v._3
+      }).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1)
+    }
+    // best customer by monetary carries m_score 5
+    val best = per.maxBy(x => (x._4, x._1))._1
+    assert(got(best)._3 == 5L)
+  }
 }
