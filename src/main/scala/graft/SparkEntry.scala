@@ -189,6 +189,7 @@ object SparkEntry {
     "q164_asof_snapshot" -> (RelationalOps.q164AsOfSnapshot _),
     "q165_decile_lift" -> (StatsOps.q165DecileLift _),
     "q166_rfm" -> (StatsOps.q166Rfm _),
+    "q167_modularity" -> (GraphOps.q167Modularity _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3376,5 +3377,68 @@ object SparkEntry {
                 CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
                   || CAST(m_score AS VARCHAR) AS segment
          FROM sc""",
+
+    "q167_modularity" ->
+      """WITH RECURSIVE li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem
+         ), pairs AS (
+           SELECT a.pk AS s1, b.pk AS s2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ), edges AS (
+           SELECT s1 AS src, s2 AS dst FROM pairs
+           UNION ALL SELECT s2, s1 FROM pairs
+         ), nodes AS (SELECT src FROM edges GROUP BY src),
+         it AS (
+           SELECT 0 AS i, src AS node, src AS lbl FROM nodes
+           UNION ALL
+           SELECT i, node, lbl FROM (
+             SELECT it.i + 1 AS i, e.dst AS node, it.lbl AS lbl,
+                    COUNT(*) AS c
+             FROM it JOIN edges e ON it.node = e.src
+             WHERE it.i < 5
+             GROUP BY 1, 2, 3
+           ) QUALIFY row_number() OVER (PARTITION BY i, node
+               ORDER BY c DESC, lbl ASC) = 1
+         ), comm AS (
+           SELECT node, lbl AS community FROM it WHERE i = 5
+         ), m2t AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges
+         ), deg AS (
+           SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM edges GROUP BY 1
+         ), dsum AS (
+           SELECT c.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                  CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+           FROM comm c JOIN deg d ON c.node = d.node
+           GROUP BY 1
+         ), intra AS (
+           SELECT a.community,
+                  CAST(COUNT(*) AS BIGINT) AS intra2
+           FROM edges e
+           JOIN comm a ON e.src = a.node
+           JOIN comm b ON e.dst = b.node AND b.community = a.community
+           GROUP BY 1
+         ), f AS (
+           SELECT ds.community, ds.n_nodes,
+                  COALESCE(i.intra2, 0) AS intra2, ds.degree_sum,
+                  CAST(m2t.m2 AS HUGEINT) * COALESCE(i.intra2, 0)
+                    - CAST(ds.degree_sum AS HUGEINT) * ds.degree_sum
+                    AS num,
+                  CAST(m2t.m2 AS HUGEINT) * m2t.m2 AS den
+           FROM dsum ds LEFT JOIN intra i ON ds.community = i.community,
+                m2t
+         )
+         SELECT community, n_nodes, intra2 // 2 AS intra_edges,
+                degree_sum,
+                CASE WHEN num >= 0
+                  THEN CAST((2 * num * 1000000 + den) // (2 * den)
+                       AS BIGINT)
+                  ELSE -CAST((2 * (-num) * 1000000 + den) // (2 * den)
+                       AS BIGINT) END AS q_ppm
+         FROM f
+         ORDER BY n_nodes DESC, community
+         LIMIT 25""",
   )
 }

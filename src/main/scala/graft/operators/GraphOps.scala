@@ -556,4 +556,72 @@ object GraphOps {
     incrementalComponents(standing, sym(li.filter(col("ok") >= t)))
       .select(col("node").as("partkey"), col("component"))
   }
+
+  /** Newman–Girvan modularity of a node partition (Newman & Girvan
+    * 2004): per community, Q_c = e_c/m − (d_c/2m)² — "how much denser
+    * inside than a degree-preserving random rewiring". THE quality
+    * score for q126's communities (detection without a quality metric
+    * is unfalsifiable). Everything is counting, so the whole statistic
+    * is one exact rational per community: with m2 = |directed edges| =
+    * 2m and intra2_c = directed intra-community edges = 2e_c,
+    * Q_c = (m2·intra2_c − d_c²)/m2² — signed round-half-up integer ppm
+    * with the sign split OUTSIDE the division (Spark DIV truncates,
+    * DuckDB // floors; they agree only on non-negatives — the
+    * q148/q153 rule). Products in DECIMAL(38,0) for cluster-scale m.
+    *
+    * Scale shape: degrees are one edge-table aggregate; the intra
+    * count joins edges against the NODE-scale label table twice
+    * (broadcast here; a billion-node graph swaps in the src-bucketed
+    * hash join, the q105 note) — the edge table is scanned, never
+    * re-shuffled, and communities reduce map-side. Top-k communities
+    * by size via TakeOrdered, id tie-break.
+    */
+  def modularity(symEdges: DataFrame, labels: DataFrame, topK: Int)
+      : DataFrame = {
+    val edges = symEdges.select(col("src"), col("dst"))
+    val lab = labels.select(col("node"), col("community"))
+    val m2t = edges.agg(count(lit(1)).cast("long").as("m2"))
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val dsum = lab.join(deg, "node")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum(col("deg")).cast("long").as("degree_sum"))
+    val intra = edges
+      .join(broadcast(lab.withColumnRenamed("node", "src")
+        .withColumnRenamed("community", "_cs")), "src")
+      .join(broadcast(lab.withColumnRenamed("node", "dst")
+        .withColumnRenamed("community", "_cd")), "dst")
+      .filter(col("_cs") === col("_cd"))
+      .groupBy(col("_cs").as("community"))
+      .agg(count(lit(1)).cast("long").as("intra2"))
+    dsum.join(intra, Seq("community"), "left")
+      .withColumn("intra2", coalesce(col("intra2"), lit(0L)))
+      .crossJoin(broadcast(m2t))
+      .select(col("community"), col("n_nodes"),
+        expr("intra2 DIV 2").as("intra_edges"), col("degree_sum"),
+        expr("""CAST(m2 AS DECIMAL(38,0)) * intra2
+            - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum""")
+          .as("_num"),
+        expr("CAST(m2 AS DECIMAL(38,0)) * m2").as("_den"))
+      .withColumn("q_ppm", expr(
+        """CASE WHEN _num >= 0
+             THEN CAST((2 * _num * 1000000 + _den) DIV (2 * _den)
+                  AS BIGINT)
+             ELSE -CAST((2 * (-_num) * 1000000 + _den) DIV (2 * _den)
+                  AS BIGINT) END"""))
+      .drop("_num", "_den")
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(topK)
+  }
+
+  /** q167: modularity of the q126 label-propagation communities over
+    * the pruned co-purchase graph — top 25 communities by size. */
+  def q167Modularity(s: SparkSession, d: String): DataFrame = {
+    val edges = prunedCoPurchaseEdges(s, d, minCount = 2)
+      .localCheckpoint(false)
+    val labels = labelPropagation(edges, rounds = 5)
+      .select(col("node"), col("lbl").as("community"))
+    modularity(edges, labels, topK = 25)
+  }
 }

@@ -320,4 +320,36 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       assert(got(n) == exp, s"node $n")
     }
   }
+
+  test("modularity: two bridged triangles score the textbook value, " +
+      "one whole-graph community scores exactly zero, and q167 runs " +
+      "non-empty with a bounded global Q") {
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-4: m = 7,
+    // per-triangle Q_c = (14*6 - 49)/196 = 35/196 -> 178571 ppm
+    val edges = sym((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "community")
+    val got = GraphOps.modularity(edges, labels, topK = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 3L, 7L, 178571L)),
+      4L -> ((3L, 3L, 7L, 178571L))))
+    // everything in one community: Q = (m2*m2 - m2*m2)/m2^2 = 0
+    val one = GraphOps.modularity(edges,
+      Seq(1L, 2L, 3L, 4L, 5L, 6L).map((_, 0L)).toDF("node", "community"),
+      topK = 10).collect()
+    assert(one.length == 1 && one.head.getLong(4) == 0L)
+    // a community with NO intra edges carries a negative contribution
+    val anti = GraphOps.modularity(edges,
+      Seq((1L, 9L), (2L, 8L), (3L, 9L), (4L, 8L), (5L, 9L), (6L, 8L))
+        .toDF("node", "community"), topK = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(anti.values.exists(_ < 0L))
+    // q167 wiring: communities exist and every per-community Q_c is a
+    // valid contribution (|Q_c| <= 1e6)
+    val q = GraphOps.q167Modularity(spark, Sf).collect()
+    assert(q.nonEmpty && q.forall(r => math.abs(r.getLong(4)) <= 1000000L))
+  }
 }
