@@ -190,6 +190,8 @@ object SparkEntry {
     "q165_decile_lift" -> (StatsOps.q165DecileLift _),
     "q166_rfm" -> (StatsOps.q166Rfm _),
     "q167_modularity" -> (GraphOps.q167Modularity _),
+    "q168_quantile_norm" -> (TextOps.q168QuantileNorm _),
+    "q169_overlap_matrix" -> (RelationalOps.q169OverlapMatrix _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3440,5 +3442,57 @@ object SparkEntry {
          FROM f
          ORDER BY n_nodes DESC, community
          LIMIT 25""",
+
+    "q168_quantile_norm" ->
+      """WITH docs AS (
+           SELECT doc_id, source, n_chars FROM documents
+           WHERE n_chars IS NOT NULL
+         ), tot AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM docs
+         ), wr AS (
+           SELECT doc_id, source, n_chars,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS BIGINT) AS rn_s,
+                  CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                    AS n_s
+           FROM docs
+         ), gr AS (
+           SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                       AS BIGINT) AS rn_g,
+                  n_chars AS norm_chars
+           FROM docs
+         )
+         SELECT w.doc_id, w.source, w.n_chars, g.norm_chars
+         FROM wr w
+         JOIN gr g ON g.rn_g =
+           (w.rn_s * (SELECT n_total FROM tot) + w.n_s - 1) // w.n_s""",
+
+    "q169_overlap_matrix" ->
+      """WITH u AS (
+           SELECT DISTINCT event_type, user_id FROM events
+           WHERE user_id IS NOT NULL
+         ), s AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM u GROUP BY 1
+         ), ov AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  CAST(COUNT(*) AS BIGINT) AS overlap
+           FROM u a JOIN u b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+           GROUP BY 1, 2
+         )
+         SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+                COALESCE(o.overlap, 0) AS overlap,
+                sa.n AS n_a, sb.n AS n_b,
+                CAST((2 * CAST(COALESCE(o.overlap, 0) AS HUGEINT)
+                      * 1000000
+                    + (sa.n + sb.n - COALESCE(o.overlap, 0)))
+                  // (2 * CAST(sa.n + sb.n - COALESCE(o.overlap, 0)
+                      AS HUGEINT))
+                  AS BIGINT) AS jaccard_ppm
+         FROM s sa
+         JOIN s sb ON sa.event_type < sb.event_type
+         LEFT JOIN ov o ON o.type_a = sa.event_type
+                       AND o.type_b = sb.event_type""",
   )
 }

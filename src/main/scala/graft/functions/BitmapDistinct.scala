@@ -56,3 +56,26 @@ class BitmapDistinct(val domain: Long)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
+
+/** [[BitmapDistinct]] that returns the BITMAP itself instead of its
+  * popcount — the membership ARTIFACT, not just the count. Set algebra
+  * on the artifacts (AND = intersection, OR = union, word-wise) answers
+  * overlap questions between any groups from ONE scan: k groups → k
+  * bitmaps → k(k−1)/2 exact intersection cardinalities without ever
+  * rescanning or re-shuffling the fact table (the q162 rollup idea with
+  * EXACT set semantics instead of sketch estimates).
+  */
+class BitmapAgg(domain: Long)
+    extends Aggregator[Long, Array[Long], Array[Long]] with Serializable {
+  private val inner = new BitmapDistinct(domain)
+  override def zero: Array[Long] = inner.zero
+  override def reduce(b: Array[Long], key: Long): Array[Long] =
+    inner.reduce(b, key)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    inner.merge(a, b)
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

@@ -1651,6 +1651,48 @@ object RelationalOps {
         count(lit(1)).cast("long").as("n_events"))
   }
 
+  /** q169: exact audience-overlap matrix by bitmap algebra — for every
+    * pair of event types, |users(A) ∩ users(B)| and the exact Jaccard,
+    * computed from ONE fact scan: per-type membership BITMAPS
+    * (`functions/BitmapAgg`) are the k-row artifact; every pairwise
+    * intersection is then a word-wise AND + popcount on that artifact
+    * — k(k−1)/2 EXACT overlap cardinalities with the fact table never
+    * rescanned or self-joined (the naive plan is a per-pair
+    * distinct-join — k² passes over the corpus; the oracle runs the
+    * one-pass SQL equivalent). The k²-row pair table is bounded-
+    * artifact work, so the interpreted HOF popcount is off the hot
+    * path. Jaccard in round-half-up integer ppm (q58 rule).
+    */
+  def q169OverlapMatrix(s: SparkSession, d: String): DataFrame = {
+    val maxUser = graft.sources.TableStatistics
+      .parquetLongColumnMax(s, s"$d/events.parquet", "user_id")
+      .getOrElse(throw new IllegalStateException(
+        "events.user_id lacks parquet footer statistics"))
+    val bm = udaf(new graft.functions.BitmapAgg(maxUser + 1),
+      org.apache.spark.sql.Encoders.scalaLong)
+    def pop(c: Column): Column =
+      aggregate(transform(c, w => bit_count(w).cast("long")), lit(0L),
+        (acc, x) => acc + x)
+    val sets = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(bm(col("user_id")).as("_bits"))
+    val a = sets.select(col("event_type").as("type_a"),
+      col("_bits").as("_ba"))
+    val b = sets.select(col("event_type").as("type_b"),
+      col("_bits").as("_bb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        pop(zip_with(col("_ba"), col("_bb"),
+          (x, y) => x.bitwiseAND(y))).as("overlap"),
+        pop(col("_ba")).as("n_a"), pop(col("_bb")).as("n_b"))
+      .withColumn("jaccard_ppm", expr(
+        """CAST((2 * CAST(overlap AS DECIMAL(38,0)) * 1000000
+            + (n_a + n_b - overlap))
+          DIV (2 * CAST(n_a + n_b - overlap AS DECIMAL(38,0)))
+          AS BIGINT)"""))
+  }
+
   /** q162: re-aggregatable NDV rollup — per-(type, day) HLL sketches
     * union to per-type estimates WITHOUT rescanning rows (Spark 4
     * DataSketches `hll_sketch_agg`/`hll_union_agg`). This is the

@@ -1001,4 +1001,39 @@ object TextOps {
   def q152StratSample(s: SparkSession, d: String): DataFrame =
     stratifiedExactSample(Tables.documents(s, d), "lang", "doc_id",
       num = 1L, den = 10L)
+
+  /** q168: quantile normalization across sources — each document's
+    * n_chars is replaced by the GLOBAL value at its within-source
+    * percentile, so every source's length distribution maps onto the
+    * corpus-wide one (the cross-source feature alignment that makes
+    * per-source quality thresholds comparable; the microarray
+    * normalization classic applied to corpus stats — and the
+    * source-calibration complement of q124's drift detection).
+    * Rank-based and integer-exact end to end: within-source rank rₛ of
+    * nₛ maps to global rank ⌈rₛ·N/nₛ⌉ by round-UP integer division —
+    * the nearest-rank (type-1) quantile, no interpolation, no floats.
+    * Two `DistributedRank` passes (per-source and global — range
+    * slices + broadcast offsets, no single-reducer window) and ONE
+    * shuffle join on the unique global rank.
+    */
+  def q168QuantileNorm(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("n_chars").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val tot = docs.agg(count(lit(1)).cast("long").as("n_total"))
+    val sizes = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("_n_s"))
+    val withinRank = DistributedRank.withRank(docs, Seq("source"),
+      Seq("n_chars", "doc_id"), "_rn_s")
+    val globalRank = DistributedRank.withRank(docs, Nil,
+      Seq("n_chars", "doc_id"), "_rn_g")
+      .select(col("_rn_g"), col("n_chars").as("norm_chars"))
+    withinRank.join(broadcast(sizes), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("_rn_g",
+        expr("(_rn_s * n_total + _n_s - 1) DIV _n_s"))
+      .join(globalRank, "_rn_g")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("norm_chars"))
+  }
 }

@@ -1016,6 +1016,30 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("q169 overlap matrix: bitmap AND/popcount equals the exact " +
+      "distinct self-join on every type pair") {
+    val got = RelationalOps.q169OverlapMatrix(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val sets = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keys.toSeq.sorted
+    val expect = (for {
+      i <- types.indices; j <- i + 1 until types.length
+    } yield {
+      val (a, b) = (types(i), types(j))
+      val ov = (sets(a) & sets(b)).size.toLong
+      val (na, nb) = (sets(a).size.toLong, sets(b).size.toLong)
+      val jac = (2 * BigInt(ov) * 1000000 + (na + nb - ov)) /
+        (2 * BigInt(na + nb - ov))
+      (a, b) -> ((ov, na, nb, jac.toLong))
+    }).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("q162 sketch rollup: estimate within 2% of exact and invariant " +
       "to merge order/partitioning") {
     val got = RelationalOps.q162SketchRollup(spark, Sf).collect()

@@ -517,4 +517,33 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("lang").isNotNull).count()
     assert(r1.size.toLong == (2 * nDocs * 1 + 10) / 20)
   }
+
+  test("q168 quantile normalization matches a local nearest-rank " +
+      "replay and maps each source's max onto the global max") {
+    val got = TextOps.q168QuantileNorm(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, Sf)
+      .filter(col("n_chars").isNotNull)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = docs.length.toLong
+    val globalSorted = docs.sortBy(x => (x._3, x._1)).map(_._3)
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val ns = rows.length.toLong
+      rows.sortBy(x => (x._3, x._1)).zipWithIndex.map { case (x, i) =>
+        x._1 -> globalSorted((((i + 1) * n + ns - 1) / ns - 1).toInt)
+      }.toSeq
+    }
+    assert(got.size == docs.length && docs.nonEmpty)
+    expect.foreach { case (id, norm) =>
+      assert(got(id)._3 == norm, s"doc $id")
+    }
+    // per-source max lands exactly on the global max
+    val globalMax = globalSorted.last
+    docs.groupBy(_._2).foreach { case (_, rows) =>
+      val top = rows.maxBy(x => (x._3, x._1))._1
+      assert(got(top)._3 == globalMax)
+    }
+  }
 }
