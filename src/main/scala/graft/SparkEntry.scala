@@ -192,6 +192,8 @@ object SparkEntry {
     "q167_modularity" -> (GraphOps.q167Modularity _),
     "q168_quantile_norm" -> (TextOps.q168QuantileNorm _),
     "q169_overlap_matrix" -> (RelationalOps.q169OverlapMatrix _),
+    "q170_cosine_allpairs" -> (SimilarityOps.q170CosineAllPairs _),
+    "q171_tv_matrix" -> (TextOps.q171TvMatrix _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3494,5 +3496,82 @@ object SparkEntry {
          JOIN s sb ON sa.event_type < sb.event_type
          LEFT JOIN ov o ON o.type_a = sa.event_type
                        AND o.type_b = sb.event_type""",
+
+    "q170_cosine_allpairs" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents WHERE text IS NOT NULL
+         ), shing AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) >= 3 THEN
+                    list_distinct([tk[i] || ' ' || tk[i+1] || ' '
+                                   || tk[i+2]
+                                   for i in range(1, len(tk) - 1)])
+                  ELSE [array_to_string(tk, ' ')] END AS sh
+           FROM base
+         ), toks AS (
+           SELECT DISTINCT doc_id AS id, tok
+           FROM (SELECT doc_id, unnest(sh) AS tok FROM shing)
+           WHERE tok <> ''
+         ), nt AS (
+           SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n FROM toks
+         ), freq AS (
+           SELECT tok,
+                  LEAST((2 * (SELECT n FROM nt)
+                         + CAST(COUNT(*) AS BIGINT))
+                        // (2 * CAST(COUNT(*) AS BIGINT)), 1000000)
+                    AS w
+           FROM toks GROUP BY tok
+         ), feat AS (
+           SELECT t.id, t.tok, f.w, CAST(f.w AS HUGEINT) * f.w AS w2
+           FROM toks t JOIN freq f ON t.tok = f.tok
+         ), norms AS (
+           SELECT id, CAST(SUM(w2) AS HUGEINT) AS n2
+           FROM feat GROUP BY id
+         ), dot AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+                  CAST(SUM(a.w2) AS HUGEINT) AS dt
+           FROM feat a JOIN feat b
+             ON a.tok = b.tok AND a.id < b.id
+           GROUP BY 1, 2
+         )
+         SELECT d.id_a, d.id_b, CAST(d.dt AS BIGINT) AS dot_w,
+                ROUND(CAST(d.dt AS DOUBLE)
+                  / (sqrt(CAST(na.n2 AS DOUBLE))
+                     * sqrt(CAST(nb.n2 AS DOUBLE))), 4) AS cosine
+         FROM dot d
+         JOIN norms na ON d.id_a = na.id
+         JOIN norms nb ON d.id_b = nb.id
+         WHERE d.dt * d.dt * 4 >= na.n2 * nb.n2""",
+
+    "q171_tv_matrix" ->
+      """WITH binned AS (
+           SELECT source, LEAST(n_chars // 500, 20) AS bin
+           FROM documents WHERE n_chars IS NOT NULL
+         ), counts AS (
+           SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c
+           FROM binned GROUP BY 1, 2
+         ), sizes AS (
+           SELECT source, CAST(SUM(c) AS BIGINT) AS n
+           FROM counts GROUP BY 1
+         ), grid AS (
+           SELECT s.source, b.bin, COALESCE(c.c, 0) AS c
+           FROM sizes s
+           CROSS JOIN (SELECT DISTINCT bin FROM counts) b
+           LEFT JOIN counts c ON c.source = s.source AND c.bin = b.bin
+         )
+         SELECT a.source AS source_a, b.source AS source_b,
+                sa.n AS n_a, sb.n AS n_b,
+                CAST((SUM(ABS(CAST(a.c AS HUGEINT) * sb.n
+                        - CAST(b.c AS HUGEINT) * sa.n)) * 1000000
+                    + CAST(sa.n AS HUGEINT) * sb.n)
+                  // (2 * CAST(sa.n AS HUGEINT) * sb.n) AS BIGINT)
+                  AS tv_ppm
+         FROM grid a
+         JOIN grid b ON a.bin = b.bin AND a.source < b.source
+         JOIN sizes sa ON sa.source = a.source
+         JOIN sizes sb ON sb.source = b.source
+         GROUP BY 1, 2, 3, 4""",
   )
 }

@@ -1016,6 +1016,51 @@ object TextOps {
     * slices + broadcast offsets, no single-reducer window) and ONE
     * shuffle join on the unique global rank.
     */
+  /** q171: total-variation distance matrix between sources on the
+    * length distribution — TV(a,b) = ½ Σ_bins |pₐ − p_b| over fixed
+    * 500-char bins (capped at 20): "which sources have interchangeable
+    * length profiles" — the pairwise-distance completion of q124's
+    * one-vs-rest drift score, and the calibration check behind q168's
+    * normalization. One corpus-scale (source, bin) aggregate; the
+    * pairwise Σ runs on the bounded sources×bins ARTIFACT (dense
+    * zero-filled grid so missing bins count). TV is a RATIONAL
+    * statistic: Σ|cₐᵢ·n_b − c_bᵢ·nₐ| / (2·nₐ·n_b) — exact signed-free
+    * integer arithmetic, round-half-up ppm (abs removes the sign trap).
+    */
+  def q171TvMatrix(s: SparkSession, d: String): DataFrame = {
+    val binned = Tables.documents(s, d)
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), least(expr("n_chars DIV 500"), lit(20L))
+        .as("bin"))
+    val counts = binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val sizes = counts.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n"))
+    val bins = counts.select(col("bin")).distinct()
+    val grid = sizes.select(col("source")).crossJoin(bins)
+      .join(counts, Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.join(sizes, "source")
+      .select(col("source").as("source_a"), col("bin"),
+        col("c").as("_ca"), col("n").as("n_a"))
+    val b = grid.join(sizes, "source")
+      .select(col("source").as("source_b"), col("bin"),
+        col("c").as("_cb"), col("n").as("n_b"))
+    a.join(b, Seq("bin"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+      .agg(sum(abs(col("_ca").cast("decimal(38,0)") * col("n_b") -
+        col("_cb").cast("decimal(38,0)") * col("n_a")))
+        .cast("decimal(38,0)").as("_s"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        // value = _s·10⁶ / (2·nₐ·n_b); round-half-up simplifies to
+        // (_s·10⁶ + nₐ·n_b) DIV (2·nₐ·n_b)
+        expr("""CAST((_s * 1000000 + CAST(n_a AS DECIMAL(38,0)) * n_b)
+            DIV (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+          .as("tv_ppm"))
+  }
+
   def q168QuantileNorm(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .filter(col("n_chars").isNotNull)

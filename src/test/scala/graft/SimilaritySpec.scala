@@ -390,4 +390,59 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(lex + sem > 0)
     }
   }
+
+  test("cosineAllPairs: prefix filter loses nothing vs a naive n² " +
+      "replay, identical twins score cosine 1, and idf weighting " +
+      "outranks boilerplate agreement") {
+    // planted: 1-2 identical rare pair; 3-4 share only the boilerplate
+    // token every doc carries; 5 unrelated
+    val docs = Seq(
+      (1L, Seq("the", "quasar", "flux", "anomaly")),
+      (2L, Seq("the", "quasar", "flux", "anomaly")),
+      (3L, Seq("the", "alpha", "beta")),
+      (4L, Seq("the", "gamma", "delta")),
+      (5L, Seq("the", "omega", "sigma", "tau", "rho"))
+    ).toDF("doc_id", "tk")
+    val got = SimilarityOps.cosineAllPairs(docs, "doc_id", "tk", 1, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L))._2 == 1.0)
+    // naive replay on the real corpus at Sf with the operator's exact
+    // integer weighting — candidate generation must lose NOTHING
+    val corpus = Tables.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .selectExpr("doc_id",
+        "split(lower(trim(text)), '\\\\s+') AS tk")
+    val gotSf = SimilarityOps.cosineAllPairs(corpus, "doc_id", "tk", 1, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val toks = corpus.selectExpr("doc_id", "explode(tk) AS tok")
+      .filter(col("tok") =!= "").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = toks.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n = byDoc.size.toLong
+    val dfreq = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def w(t: String): Long =
+      math.min((2 * n + dfreq(t)) / (2 * dfreq(t)), 1000000L)
+    val norms = byDoc.view.mapValues(ts =>
+      ts.toSeq.map(t => BigInt(w(t)) * w(t)).sum).toMap
+    val ids = byDoc.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices; j <- i + 1 until ids.length
+      a = ids(i); b = ids(j)
+      shared = byDoc(a) & byDoc(b) if shared.nonEmpty
+      dot = shared.toSeq.map(t => BigInt(w(t)) * w(t)).sum
+      if dot * dot * 4 >= norms(a) * norms(b)
+    } yield (a, b) -> dot.toLong).toMap
+    assert(gotSf == expect && expect.nonEmpty)
+    // q170 wiring (3-shingle features): every reported pair clears the
+    // threshold and ordering is canonical
+    val q = SimilarityOps.q170CosineAllPairs(spark, Sf).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1) && r.getDouble(3) >= 0.5)
+    }
+  }
 }

@@ -546,4 +546,32 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
       assert(got(top)._3 == globalMax)
     }
   }
+
+  test("q171 TV matrix matches a local rational replay, is bounded in " +
+      "[0, 1e6], and zero on self-comparison by construction") {
+    val got = TextOps.q171TvMatrix(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val binned = Tables.documents(spark, Sf)
+      .filter(col("n_chars").isNotNull)
+      .selectExpr("source", "LEAST(n_chars DIV 500, 20L) AS bin")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = binned.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap)
+      .toMap
+    val bins = binned.map(_._2).distinct
+    val srcs = bySrc.keys.toSeq.sorted
+    val expect = (for {
+      i <- srcs.indices; j <- i + 1 until srcs.length
+      a = srcs(i); b = srcs(j)
+    } yield {
+      val na = bySrc(a).values.sum; val nb = bySrc(b).values.sum
+      val s = bins.map(k => (BigInt(bySrc(a).getOrElse(k, 0L)) * nb -
+        BigInt(bySrc(b).getOrElse(k, 0L)) * na).abs).sum
+      val tv = (s * 1000000 + BigInt(na) * nb) / (2 * BigInt(na) * nb)
+      (a, b) -> ((na, nb, tv.toLong))
+    }).toMap
+    assert(got == expect && got.nonEmpty)
+    assert(got.values.forall(v => v._3 >= 0L && v._3 <= 1000000L))
+  }
 }
