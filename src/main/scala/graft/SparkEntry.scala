@@ -194,6 +194,8 @@ object SparkEntry {
     "q169_overlap_matrix" -> (RelationalOps.q169OverlapMatrix _),
     "q170_cosine_allpairs" -> (SimilarityOps.q170CosineAllPairs _),
     "q171_tv_matrix" -> (TextOps.q171TvMatrix _),
+    "q172_rolling_median" -> (StatsOps.q172RollingMedian _),
+    "q173_mann_kendall" -> (StatsOps.q173MannKendall _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3573,5 +3575,56 @@ object SparkEntry {
          JOIN sizes sa ON sa.source = a.source
          JOIN sizes sb ON sb.source = b.source
          GROUP BY 1, 2, 3, 4""",
+
+    "q172_rolling_median" ->
+      """WITH daily AS (
+           SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+                  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * 10000 AS HUGEINT)) AS BIGINT) AS rev_units
+           FROM lineitem
+           WHERE l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL
+           GROUP BY 1, 2
+         ), w AS (
+           SELECT l_returnflag, day, rev_units,
+                  list_sort(list(rev_units) OVER (
+                    PARTITION BY l_returnflag ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+           FROM daily
+         )
+         SELECT l_returnflag, day, rev_units,
+                win[(len(win) + 1) // 2] AS med7_units
+         FROM w""",
+
+    "q173_mann_kendall" ->
+      """WITH daily AS (
+           SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                    // 86400000000 AS day,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                    * 100 AS BIGINT)) AS BIGINT) AS x
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+           GROUP BY 1
+         ), st AS (
+           SELECT CAST(SUM(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT)
+                    AS s
+           FROM daily a JOIN daily b ON a.day < b.day
+         ), nt AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
+         ), ties AS (
+           SELECT COALESCE(SUM(CAST(tc AS HUGEINT) * (tc - 1)
+                    * (2 * tc + 5)), 0) AS tsum
+           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tc
+                 FROM daily GROUP BY x)
+         ), f AS (
+           SELECT n, s,
+                  CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tsum
+                    AS var18
+           FROM st, nt, ties
+         )
+         SELECT n AS n_days, s, CAST(var18 AS BIGINT) AS var18,
+                CASE WHEN var18 > 0 THEN
+                  ROUND((CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4) END AS z
+         FROM f""",
   )
 }

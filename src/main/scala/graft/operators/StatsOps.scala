@@ -1253,6 +1253,87 @@ object StatsOps {
         col("m_score").cast("string")).as("segment"))
   }
 
+  /** q172: exact rolling median (7-day window) of daily revenue per
+    * return flag — the ORDER-STATISTIC smoother: one corrupted day
+    * drags q160's EWMA for a full half-life but moves a median not at
+    * all until half the window is bad (the robust-smoothing
+    * complement; q83's MAD is the same idea for outlier FLAGGING).
+    * Lower median of the ≤7-element frame, so the result is an actual
+    * observed integer — deterministic, no interpolation, engine-exact
+    * (both engines sort the same ≤7 values and take element
+    * (n+1) DIV 2). Same scale shape as q160: corpus-scale work is the
+    * grouped daily sum; the sliding frame runs over the bounded
+    * (flag, day) grid, and the per-row sort cost is the constant 7.
+    */
+  def q172RollingMedian(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").isNotNull && col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag"),
+        date_trunc("day", col("l_shipdate")).as("day"),
+        (col("l_extendedprice").cast("decimal(18,4)") * 10000)
+          .cast("decimal(19,0)").as("units"))
+      .groupBy(col("l_returnflag"), col("day"))
+      .agg(sum(col("units")).cast("long").as("rev_units"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("_win", sort_array(collect_list(col("rev_units")).over(w)))
+      .select(col("l_returnflag"), col("day"), col("rev_units"),
+        element_at(col("_win"),
+          expr("CAST((size(_win) + 1) DIV 2 AS INT)"))
+          .as("med7_units"))
+  }
+
+  /** q173: Mann–Kendall trend test on daily order revenue — the
+    * SIGNIFICANCE companion of q153's Theil–Sen slope (the classic
+    * pairing: MK says WHETHER a monotone trend exists, TS says how
+    * steep). S = Σ_{i<j} sign(xⱼ − xᵢ) and the tie-corrected
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) are pure INTEGER
+    * statistics — the pair enumeration is the same calendar-bounded
+    * O(n²) build as q153 (2.4 k days → ~2.9 M pairs at EVERY corpus
+    * size; only the daily aggregate scans facts), the sign sum is one
+    * order-free aggregate, and only the final 1-row z = (S − sgn S)/
+    * √(var18/18) runs in double — identical IEEE tree, ROUND 4.
+    */
+  def mannKendall(series: DataFrame, tCol: String, vCol: String)
+      : DataFrame = {
+    val sr = series.select(col(tCol).cast("decimal(19,0)").as("_t"),
+      col(vCol).cast("decimal(19,0)").as("_v"))
+      .localCheckpoint(false)
+    val a = sr.select(col("_t").as("t1"), col("_v").as("v1"))
+    val b = sr.select(col("_t").as("t2"), col("_v").as("v2"))
+    val sTab = a.join(broadcast(b), col("t1") < col("t2"))
+      .agg(sum(signum(col("v2") - col("v1")).cast("long"))
+        .cast("long").as("s"))
+    val nTab = sr.agg(count(lit(1)).cast("long").as("n"))
+    val ties = sr.groupBy(col("_v")).agg(count(lit(1)).as("_tc"))
+      .agg(coalesce(sum(expr(
+        "CAST(_tc AS DECIMAL(38,0)) * (_tc - 1) * (2 * _tc + 5)")),
+        lit(0).cast("decimal(38,0)")).as("_tsum"))
+    sTab.crossJoin(broadcast(nTab)).crossJoin(broadcast(ties))
+      .select(col("n").as("n_days"), col("s"),
+        expr("""CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)
+            - _tsum AS DECIMAL(38,0))""").as("_var18"))
+      .select(col("n_days"), col("s"),
+        col("_var18").cast("long").as("var18"),
+        when(col("_var18") > 0, round(
+          (col("s").cast("double") - signum(col("s").cast("double"))) /
+            sqrt(col("_var18").cast("double") / lit(18.0)), 4))
+          .as("z"))
+  }
+
+  /** q173: trend significance of the cents-exact daily revenue. */
+  def q173MannKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+          .as("day"),
+        (col("o_totalprice").cast("decimal(18,4)") * 100).cast("long")
+          .as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).cast("long").as("x"))
+    mannKendall(daily, "day", "x")
+  }
+
   /** q160: 8-day half-life-smoothed daily revenue per return flag.
     * Shuffles: one grouped daily sum (map-side combined) + one 3-key
     * window over the bounded day grid. */

@@ -842,6 +842,59 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(q.getLong(2) == q.getLong(3))
   }
 
+  test("q172 rolling median matches a local order-statistic replay " +
+      "and shrugs off a single outlier day") {
+    val got = StatsOps.q172RollingMedian(spark, Sf).collect()
+      .map { r =>
+        val day = r.get(1) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime
+          case t: java.time.LocalDateTime => t
+        }
+        (r.getString(0), day) -> ((r.getLong(2), r.getLong(3)))
+      }.toMap
+    val daily = Tables.lineitem(spark, Sf)
+      .filter(col("l_shipdate").isNotNull)
+      .selectExpr("l_returnflag",
+        "CAST(date_trunc('day', l_shipdate) AS STRING) AS day",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS LONG) AS u")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).sum).toSeq
+    daily.groupBy(_._1._1).foreach { case (_, rows) =>
+      val series = rows.sortBy(_._1._2)
+      series.indices.foreach { i =>
+        val win = series.slice(math.max(0, i - 6), i + 1).map(_._2)
+          .sorted
+        val med = win((win.length + 1) / 2 - 1)
+        val key = (series(i)._1._1,
+          java.time.LocalDateTime.parse(
+            series(i)._1._2.replace(" ", "T")))
+        assert(got(key) == ((series(i)._2, med)), s"at $key")
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("mannKendall: monotone series maxes S, constant series has " +
+      "zero variance (NULL z), and a tied series matches the " +
+      "closed-form tie correction") {
+    val up = (1L to 10L).map(i => (i, i * 10)).toDF("t", "v")
+    val gUp = StatsOps.mannKendall(up, "t", "v").collect().head
+    assert(gUp.getLong(0) == 10L && gUp.getLong(1) == 45L)
+    assert(gUp.getLong(2) == 10L * 9 * 25 && gUp.getDouble(3) > 0)
+    val flat = (1L to 8L).map(i => (i, 7L)).toDF("t", "v")
+    val gFlat = StatsOps.mannKendall(flat, "t", "v").collect().head
+    assert(gFlat.getLong(1) == 0L && gFlat.getLong(2) == 0L &&
+      gFlat.isNullAt(3))
+    // ties: values 1,2,2,3 -> S = sum signs; var18 = n(n-1)(2n+5) -
+    // 2*1*9 for the one tie pair of size 2
+    val tied = Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L)).toDF("t", "v")
+    val gT = StatsOps.mannKendall(tied, "t", "v").collect().head
+    assert(gT.getLong(1) == 5L)
+    assert(gT.getLong(2) == 4L * 3 * 13 - 2 * 1 * 9)
+    // q173 wiring runs and is 1-row
+    assert(StatsOps.q173MannKendall(spark, Sf).collect().length == 1)
+  }
+
   test("q165 decile lift: bins partition the population, final " +
       "cumulative lift is exactly the base rate, and a local replay " +
       "matches") {
