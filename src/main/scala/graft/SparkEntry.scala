@@ -196,6 +196,8 @@ object SparkEntry {
     "q171_tv_matrix" -> (TextOps.q171TvMatrix _),
     "q172_rolling_median" -> (StatsOps.q172RollingMedian _),
     "q173_mann_kendall" -> (StatsOps.q173MannKendall _),
+    "q174_assortativity" -> (GraphOps.q174Assortativity _),
+    "q175_key_gaps" -> (RelationalOps.q175KeyGaps _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3626,5 +3628,55 @@ object SparkEntry {
                   ROUND((CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
                     / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4) END AS z
          FROM f""",
+
+    "q174_assortativity" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem
+         ), pairs AS (
+           SELECT a.pk AS s1, b.pk AS s2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ), edges AS (
+           SELECT s1 AS src, s2 AS dst FROM pairs
+           UNION ALL SELECT s2, s1 FROM pairs
+         ), deg AS (
+           SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM edges GROUP BY 1
+         ), m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(dx.deg AS HUGEINT)) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(dy.deg AS HUGEINT)) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(dx.deg AS HUGEINT) * dy.deg) AS DOUBLE)
+                    AS sxy,
+                  CAST(SUM(CAST(dx.deg AS HUGEINT) * dx.deg) AS DOUBLE)
+                    AS sxx,
+                  CAST(SUM(CAST(dy.deg AS HUGEINT) * dy.deg) AS DOUBLE)
+                    AS syy
+           FROM edges e
+           JOIN deg dx ON e.src = dx.node
+           JOIN deg dy ON e.dst = dy.node
+         ), c AS (
+           SELECT m2, n*sxx - sx*sx AS vx, n*syy - sy*sy AS vy,
+                  n*sxy - sx*sy AS cov
+           FROM m
+         )
+         SELECT m2,
+                CASE WHEN vx > 0 AND vy > 0
+                  THEN ROUND(cov / (sqrt(vx) * sqrt(vy)), 4)
+                END AS assortativity
+         FROM c""",
+
+    "q175_key_gaps" ->
+      """WITH keys AS (
+           SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k
+           FROM lineitem WHERE l_orderkey IS NOT NULL
+         ), nxt AS (
+           SELECT k, lead(k) OVER (ORDER BY k) AS k2 FROM keys
+         )
+         SELECT k + 1 AS gap_start, k2 - 1 AS gap_end,
+                k2 - k - 1 AS n_missing
+         FROM nxt WHERE k2 - k > 1""",
   )
 }

@@ -624,4 +624,56 @@ object GraphOps {
       .select(col("node"), col("lbl").as("community"))
     modularity(edges, labels, topK = 25)
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over all directed edges — one calibrated −1..1
+    * number for "do hubs link to hubs" (social nets: positive;
+    * bought-together product graphs: typically negative — hubs are
+    * staples bridging niche pairs). Decides whether hub-removal
+    * degrades the graph gracefully and whether degree-based sampling
+    * is biased — the structural complement of q167's modularity.
+    *
+    * The q93/q159 exact-moment rule: degrees are INTEGERS, so every
+    * moment (Σx, Σy, Σxy, Σx², Σy² over edges) accumulates exactly in
+    * DECIMAL(38,0)/HUGEINT — order-free, engine-identical — and only
+    * the final 1-row Pearson formula runs in double (identical IEEE
+    * tree, ROUND 4). Scale shape: one degree aggregate + one
+    * node-scale broadcast join onto the edge table per endpoint + one
+    * map-side-combined moment aggregate; the edge table never
+    * re-shuffles. Degenerate (zero-variance) graphs → NULL r.
+    */
+  def assortativity(symEdges: DataFrame): DataFrame = {
+    val deg = symEdges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val m = symEdges
+      .join(broadcast(deg.withColumnRenamed("node", "src")
+        .withColumnRenamed("deg", "_dx")), "src")
+      .join(broadcast(deg.withColumnRenamed("node", "dst")
+        .withColumnRenamed("deg", "_dy")), "dst")
+      .agg(count(lit(1)).cast("long").as("m2"),
+        sum(col("_dx").cast("decimal(38,0)")).as("_sx"),
+        sum(col("_dy").cast("decimal(38,0)")).as("_sy"),
+        sum(col("_dx").cast("decimal(38,0)") * col("_dy")).as("_sxy"),
+        sum(col("_dx").cast("decimal(38,0)") * col("_dx")).as("_sxx"),
+        sum(col("_dy").cast("decimal(38,0)") * col("_dy")).as("_syy"))
+    m.select(col("m2"),
+        col("m2").cast("double").as("n"),
+        col("_sx").cast("double").as("sx"),
+        col("_sy").cast("double").as("sy"),
+        col("_sxy").cast("double").as("sxy"),
+        col("_sxx").cast("double").as("sxx"),
+        col("_syy").cast("double").as("syy"))
+      .select(col("m2"),
+        expr("n*sxx - sx*sx").as("_vx"),
+        expr("n*syy - sy*sy").as("_vy"),
+        expr("n*sxy - sx*sy").as("_cov"))
+      .select(col("m2"),
+        when(col("_vx") > 0 && col("_vy") > 0,
+          round(col("_cov") / (sqrt(col("_vx")) * sqrt(col("_vy"))), 4))
+          .as("assortativity"))
+  }
+
+  /** q174: degree assortativity of the pruned co-purchase graph. */
+  def q174Assortativity(s: SparkSession, d: String): DataFrame =
+    assortativity(prunedCoPurchaseEdges(s, d, minCount = 2))
 }

@@ -1651,6 +1651,37 @@ object RelationalOps {
         count(lit(1)).cast("long").as("n_events"))
   }
 
+  /** q175: sequence-gap detection — the missing RANGES of a surrogate
+    * key (here o_orderkey): each output row is one maximal hole
+    * [gap_start, gap_end] in the observed sequence. The completeness
+    * audit a warehouse load runs after every ingest (did the extract
+    * skip ids?) — the sequence-side complement of q55's FK-orphan
+    * check (reference dedup/insert contract,
+    * etl_pipeline_script.py:40-48). The classic gaps-and-islands
+    * formulation needs each key's successor: a GLOBAL lead() window is
+    * a single-reducer sort, so instead the keys get a `DistributedRank`
+    * rank and successors come from an EQUI-join on rank+1 — hash-
+    * partitioned by rank, no single reducer anywhere, identical
+    * result. Output is bounded by the number of holes, not rows.
+    */
+  def sequenceGaps(df: DataFrame, keyCol: String): DataFrame = {
+    val keys = df.select(col(keyCol).cast("long").as("_k"))
+      .filter(col("_k").isNotNull).distinct()
+    val ranked = DistributedRank.withRank(keys, Nil, Seq("_k"), "_rn")
+    ranked.as("a")
+      .join(ranked.as("b"), col("b._rn") === col("a._rn") + 1)
+      .filter(col("b._k") - col("a._k") > 1)
+      .select((col("a._k") + 1).as("gap_start"),
+        (col("b._k") - 1).as("gap_end"),
+        (col("b._k") - col("a._k") - 1).as("n_missing"))
+  }
+
+  /** q175: holes in lineitem's l_orderkey coverage — order-key ranges
+    * that ship zero lines (the o_orderkey space itself is dense, so
+    * the fact side is where completeness can actually break). */
+  def q175KeyGaps(s: SparkSession, d: String): DataFrame =
+    sequenceGaps(Tables.lineitem(s, d), "l_orderkey")
+
   /** q169: exact audience-overlap matrix by bitmap algebra — for every
     * pair of event types, |users(A) ∩ users(B)| and the exact Jaccard,
     * computed from ONE fact scan: per-type membership BITMAPS

@@ -352,4 +352,36 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val q = GraphOps.q167Modularity(spark, Sf).collect()
     assert(q.nonEmpty && q.forall(r => math.abs(r.getLong(4)) <= 1000000L))
   }
+
+  test("assortativity: stars and paths are perfectly disassortative, " +
+      "regular graphs are NULL, and a mixed graph matches a local " +
+      "moment replay") {
+    def run(edges: Seq[(Long, Long)]): (Long, Option[Double]) = {
+      val r = GraphOps.assortativity(edges.toDF("src", "dst"))
+        .collect().head
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    }
+    assert(run(sym((1L, 2L), (1L, 3L), (1L, 4L))) == ((6L, Some(-1.0))))
+    assert(run(sym((1L, 2L), (2L, 3L))) == ((4L, Some(-1.0))))
+    // 3-cycle: every degree 2 -> zero variance -> NULL
+    assert(run(sym((1L, 2L), (2L, 3L), (3L, 1L))) == ((6L, None)))
+    // mixed graph: replay the exact moment formula locally
+    val mixed = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val deg = mixed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ends = mixed.map { case (a, b) => (deg(a), deg(b)) }
+    val n = ends.size.toDouble
+    val sx = ends.map(_._1.toDouble).sum; val sy = ends.map(_._2.toDouble).sum
+    val sxy = ends.map(e => e._1.toDouble * e._2).sum
+    val sxx = ends.map(e => e._1.toDouble * e._1).sum
+    val syy = ends.map(e => e._2.toDouble * e._2).sum
+    val r = (n*sxy - sx*sy) / (math.sqrt(n*sxx - sx*sx) *
+      math.sqrt(n*syy - sy*sy))
+    val exp = BigDecimal(r).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(run(mixed) == ((10L, Some(exp))))
+    // q174 wiring: one row, |r| <= 1
+    val q = GraphOps.q174Assortativity(spark, Sf).collect()
+    assert(q.length == 1 &&
+      (q.head.isNullAt(1) || math.abs(q.head.getDouble(1)) <= 1.0))
+  }
 }

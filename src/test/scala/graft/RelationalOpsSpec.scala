@@ -1016,6 +1016,27 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("sequenceGaps: planted holes come back as maximal ranges, a " +
+      "dense sequence yields nothing, and q175 matches the orders " +
+      "anti-join") {
+    val planted = Seq(1L, 2L, 3L, 7L, 9L, 10L, 10L).toDF("k")
+    val got = RelationalOps.sequenceGaps(planted, "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((4L, 6L, 3L), (8L, 8L, 1L)))
+    val dense = (5L to 12L).toDF("k")
+    assert(RelationalOps.sequenceGaps(dense, "k").collect().isEmpty)
+    // q175: total missing keys == orders with no lineitems (in-range)
+    val gaps = RelationalOps.q175KeyGaps(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val covered = Tables.lineitem(spark, Sf)
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
+    val missing = (covered.min to covered.max).filterNot(covered)
+    assert(gaps.map(_._3).sum == missing.size.toLong)
+    gaps.foreach { case (a, b, n) =>
+      assert(n == b - a + 1 && (a to b).forall(missing.contains))
+    }
+  }
+
   test("q169 overlap matrix: bitmap AND/popcount equals the exact " +
       "distinct self-join on every type pair") {
     val got = RelationalOps.q169OverlapMatrix(spark, Sf).collect()
