@@ -198,6 +198,8 @@ object SparkEntry {
     "q173_mann_kendall" -> (StatsOps.q173MannKendall _),
     "q174_assortativity" -> (GraphOps.q174Assortativity _),
     "q175_key_gaps" -> (RelationalOps.q175KeyGaps _),
+    "q176_quantile_rollup" -> (RelationalOps.q176QuantileRollup _),
+    "q177_price_volume_mix" -> (RelationalOps.q177PriceVolumeMix _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3678,5 +3680,50 @@ object SparkEntry {
          SELECT k + 1 AS gap_start, k2 - 1 AS gap_end,
                 k2 - k - 1 AS n_missing
          FROM nxt WHERE k2 - k > 1""",
+
+    "q177_price_volume_mix" ->
+      """WITH li AS (
+           SELECT p.p_brand,
+                  year(l.l_shipdate) AS yr,
+                  CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * 100
+                       AS BIGINT) AS cents,
+                  CAST(CAST(l.l_quantity AS DECIMAL(18,4)) * 10000
+                       AS BIGINT) AS qu
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE l.l_shipdate IS NOT NULL
+             AND year(l.l_shipdate) IN (1995, 1996)
+         ), agg AS (
+           SELECT p_brand,
+                  CAST(SUM(CASE WHEN yr = 1995 THEN cents ELSE 0 END)
+                       AS HUGEINT) AS r1,
+                  CAST(SUM(CASE WHEN yr = 1996 THEN cents ELSE 0 END)
+                       AS HUGEINT) AS r2,
+                  CAST(SUM(CASE WHEN yr = 1995 THEN qu ELSE 0 END)
+                       AS HUGEINT) AS q1,
+                  CAST(SUM(CASE WHEN yr = 1996 THEN qu ELSE 0 END)
+                       AS HUGEINT) AS q2
+           FROM li GROUP BY 1
+         )
+         SELECT p_brand,
+                CAST(r1 AS BIGINT) AS rev1_cents,
+                CAST(r2 AS BIGINT) AS rev2_cents,
+                CAST(r2 - r1 AS BIGINT) AS delta_cents,
+                CASE WHEN q1 > 0 AND q2 > 0 THEN
+                  CASE WHEN r2 * q1 - r1 * q2 >= 0
+                    THEN CAST((2 * (r2 * q1 - r1 * q2) + q1)
+                         // (2 * q1) AS BIGINT)
+                    ELSE -CAST((2 * (-(r2 * q1 - r1 * q2)) + q1)
+                         // (2 * q1) AS BIGINT)
+                  END
+                END AS price_eff_cents,
+                CASE WHEN q1 > 0 AND q2 > 0 THEN
+                  CASE WHEN r1 * (q2 - q1) >= 0
+                    THEN CAST((2 * (r1 * (q2 - q1)) + q1)
+                         // (2 * q1) AS BIGINT)
+                    ELSE -CAST((2 * (-(r1 * (q2 - q1))) + q1)
+                         // (2 * q1) AS BIGINT)
+                  END
+                END AS volume_eff_cents
+         FROM agg""",
   )
 }

@@ -1724,6 +1724,118 @@ object RelationalOps {
           AS BIGINT)"""))
   }
 
+  /** q177: price–volume variance decomposition — the FP&A bridge
+    * explaining a revenue change: per brand, Δrev between 1995 and
+    * 1996 splits EXACTLY into a price effect (r₂ − q₂·p₁, what revenue
+    * moved because unit price moved) and a volume effect (q₂·p₁ − r₁,
+    * what moved because quantity moved), with p₁ = r₁/q₁ kept RATIONAL
+    * — the two effects are (r₂·q₁ − r₁·q₂)/q₁ and r₁·(q₂ − q₁)/q₁,
+    * integer numerators in DECIMAL(38,0) over the exact cents/units
+    * sums, so price_eff + vol_eff ≡ Δrev identically before the final
+    * round-half-up to cents (SIGNED → the q148/q153 sign-split rule).
+    * The generalization of the reference's season-over-season usage
+    * delta views (sql/db_creation_script.sql:224-242).
+    *
+    * ONE fact scan: both periods come from conditional aggregates in a
+    * single map-side-combined groupBy (no self-join of the fact
+    * table); the brand dimension broadcasts. Brands missing a period
+    * report Δrev with NULL effects (no p₁ to price against) —
+    * CASE-mirrored in the oracle.
+    */
+  def q177PriceVolumeMix(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").isNotNull)
+      .withColumn("_yr", year(col("l_shipdate")))
+      .filter(col("_yr").isin(1995, 1996))
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    def su(yr: Int, c: Column) =
+      sum(when(col("_yr") === yr, c).otherwise(lit(0L)))
+        .cast("decimal(38,0)")
+    val agg = li.groupBy(col("p_brand"))
+      .agg(
+        su(1995, (col("l_extendedprice").cast("decimal(18,4)") * 100)
+          .cast("long")).as("r1"),
+        su(1996, (col("l_extendedprice").cast("decimal(18,4)") * 100)
+          .cast("long")).as("r2"),
+        su(1995, (col("l_quantity").cast("decimal(18,4)") * 10000)
+          .cast("long")).as("q1"),
+        su(1996, (col("l_quantity").cast("decimal(18,4)") * 10000)
+          .cast("long")).as("q2"))
+    def sdiv(num: String, den: String) = expr(
+      s"""CASE WHEN $num >= 0
+            THEN CAST((2 * $num + $den) DIV (2 * $den) AS BIGINT)
+            ELSE -CAST((2 * (-($num)) + $den) DIV (2 * $den) AS BIGINT)
+          END""")
+    agg
+      .withColumn("_pe_num", expr("r2 * q1 - r1 * q2"))
+      .withColumn("_ve_num", expr("r1 * (q2 - q1)"))
+      .select(col("p_brand"),
+        col("r1").cast("long").as("rev1_cents"),
+        col("r2").cast("long").as("rev2_cents"),
+        (col("r2") - col("r1")).cast("long").as("delta_cents"),
+        when(col("q1") > 0 && col("q2") > 0,
+          sdiv("_pe_num", "q1")).as("price_eff_cents"),
+        when(col("q1") > 0 && col("q2") > 0,
+          sdiv("_ve_num", "q1")).as("volume_eff_cents"))
+  }
+
+  /** q176: re-aggregatable QUANTILE rollup — per-(type, day) DDSketch
+    * bucket arrays (`functions/DdSketch.scala`) merge to per-type
+    * p50/p95/p99 WITHOUT rescanning rows: the q162 rollup pattern for
+    * percentiles, with a sketch that is deterministic BY CONSTRUCTION
+    * (fixed log-γ buckets, element-wise-add merge) where the
+    * DataSketches KLL/REQ family compacts by random sampling and
+    * breaks the determinism contract. The daily bucket table is the
+    * persisted KB-scale artifact; any grain derives from `LongVectorSum`
+    * merges at artifact scale; quantile extraction walks the bounded
+    * k×2048 exploded artifact (per-type running sum + first bucket
+    * reaching ⌈q·n⌉ — nearest-rank, the q52 convention). Estimates
+    * carry the DDSketch ≤ 1% relative-error guarantee (suite-asserted
+    * vs exact); no ANSI oracle (log-bucket boundaries sit on libm ulps)
+    * → rows-only gate.
+    */
+  def q176QuantileRollup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val dd = udaf(new graft.functions.DdSketchAgg, Encoders.scalaLong)
+    val vsum = udaf(new graft.functions.LongVectorSum,
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Long]]())
+    val daily = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long")
+          .as("u"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(dd(col("u")).as("sk"), count(lit(1)).cast("long").as("n"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(vsum(col("sk")).as("sk"),
+        sum(col("n")).cast("long").as("n_events"),
+        count(lit(1)).cast("long").as("n_days"))
+    val ex = merged
+      .select(col("event_type"), col("n_events"), col("n_days"),
+        posexplode(col("sk")).as(Seq("pos", "c")))
+      .filter(col("c") > 0)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ex.withColumn("cum", sum(col("c")).over(w))
+    def firstBucket(q: Double, name: String) =
+      min(when(col("cum") >= ceil(lit(q) * col("n_events")), col("pos")))
+        .as(name)
+    def est(c: Column): Column =
+      when(c === 0, lit(0L)).otherwise(
+        round(lit(2.0) * pow(lit(graft.functions.DdSketch.Gamma), c) /
+          lit(graft.functions.DdSketch.Gamma + 1.0), 0).cast("long"))
+    cum.groupBy(col("event_type"), col("n_events"), col("n_days"))
+      .agg(firstBucket(0.50, "_i50"), firstBucket(0.95, "_i95"),
+        firstBucket(0.99, "_i99"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        est(col("_i50")).as("p50_units"),
+        est(col("_i95")).as("p95_units"),
+        est(col("_i99")).as("p99_units"))
+  }
+
   /** q162: re-aggregatable NDV rollup — per-(type, day) HLL sketches
     * union to per-type estimates WITHOUT rescanning rows (Spark 4
     * DataSketches `hll_sketch_agg`/`hll_union_agg`). This is the

@@ -1037,6 +1037,83 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("DdSketch: bucket estimates honor the 1% relative-error bound, " +
+      "q176 quantiles track exact nearest-rank percentiles, and the " +
+      "rollup is invariant to partitioning") {
+    import graft.functions.DdSketch
+    for (v <- Seq(1L, 2L, 17L, 999L, 123456L, 98765432L)) {
+      val est = DdSketch.estimateOf(DdSketch.bucketOf(v))
+      assert(math.abs(est - v) / v.toDouble <= 0.0101, s"v=$v est=$est")
+    }
+    assert(DdSketch.bucketOf(0L) == 0 && DdSketch.estimateOf(0) == 0.0)
+    intercept[IllegalArgumentException](DdSketch.bucketOf(-1L))
+    val got = RelationalOps.q176QuantileRollup(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val exact = Tables.events(spark, Sf)
+      .selectExpr("event_type",
+        "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS LONG) AS u")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq)
+      .toMap
+    assert(got.keySet == exact.keySet && got.nonEmpty)
+    got.foreach { case (t, (n, p50, p95, p99)) =>
+      val xs = exact(t)
+      assert(n == xs.length.toLong)
+      for ((q, est) <- Seq((0.50, p50), (0.95, p95), (0.99, p99))) {
+        val ex = xs(math.max(1, math.ceil(q * xs.length).toInt) - 1)
+        assert(math.abs(est - ex) <= 0.011 * ex + 1,
+          s"$t q=$q est=$est exact=$ex")
+      }
+    }
+    // merge-schedule invariance: a different physical partitioning of
+    // the daily stage produces identical quantiles
+    val again = RelationalOps.q176QuantileRollup(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(again == got)
+  }
+
+  test("q177 price-volume bridge: effects close to the exact delta " +
+      "within rounding and match a BigInt rational replay") {
+    val got = RelationalOps.q177PriceVolumeMix(spark, Sf).collect()
+      .map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      }.toMap
+    val li = Tables.lineitem(spark, Sf)
+      .filter(col("l_shipdate").isNotNull &&
+        year(col("l_shipdate")).isin(1995, 1996))
+      .join(Tables.part(spark, Sf),
+        col("l_partkey") === col("p_partkey"))
+      .selectExpr("p_brand", "year(l_shipdate) AS yr",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS LONG) AS c",
+        "CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS LONG) AS q")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    def sdiv(num: BigInt, den: BigInt): Long =
+      (if (num >= 0) (2 * num + den) / (2 * den)
+       else -((2 * -num + den) / (2 * den))).toLong
+    val expect = li.groupBy(_._1).map { case (b, rows) =>
+      val r1 = BigInt(rows.filter(_._2 == 1995).map(_._3).sum)
+      val r2 = BigInt(rows.filter(_._2 == 1996).map(_._3).sum)
+      val q1 = BigInt(rows.filter(_._2 == 1995).map(_._4).sum)
+      val q2 = BigInt(rows.filter(_._2 == 1996).map(_._4).sum)
+      val eff = if (q1 > 0 && q2 > 0)
+        (Some(sdiv(r2 * q1 - r1 * q2, q1)), Some(sdiv(r1 * (q2 - q1), q1)))
+      else (None, None)
+      b -> ((r1.toLong, r2.toLong, (r2 - r1).toLong, eff._1, eff._2))
+    }
+    assert(got == expect && got.nonEmpty)
+    // the identity the decomposition exists for: effects close books
+    got.values.foreach {
+      case (_, _, delta, Some(pe), Some(ve)) =>
+        assert(math.abs(pe + ve - delta) <= 1L)
+      case _ =>
+    }
+  }
+
   test("q169 overlap matrix: bitmap AND/popcount equals the exact " +
       "distinct self-join on every type pair") {
     val got = RelationalOps.q169OverlapMatrix(spark, Sf).collect()
