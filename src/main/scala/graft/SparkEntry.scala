@@ -200,6 +200,8 @@ object SparkEntry {
     "q175_key_gaps" -> (RelationalOps.q175KeyGaps _),
     "q176_quantile_rollup" -> (RelationalOps.q176QuantileRollup _),
     "q177_price_volume_mix" -> (RelationalOps.q177PriceVolumeMix _),
+    "q178_repeat_decay" -> (RelationalOps.q178RepeatDecay _),
+    "q179_purchase_gaps" -> (RelationalOps.q179PurchaseGaps _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3725,5 +3727,60 @@ object SparkEntry {
                   END
                 END AS volume_eff_cents
          FROM agg""",
+
+    "q178_repeat_decay" ->
+      """WITH per AS (
+           SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1
+         ), tot AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM per
+         ), spine AS (
+           SELECT unnest(range(1, 13)) AS depth
+         ), reached AS (
+           SELECT s.depth, CAST(COUNT(*) AS BIGINT) AS n_reached
+           FROM per p JOIN spine s ON p.c >= s.depth
+           GROUP BY 1
+         ), nx AS (
+           SELECT depth, n_reached,
+                  lead(n_reached) OVER (ORDER BY depth) AS nxt
+           FROM reached
+         )
+         SELECT CAST(depth AS BIGINT) AS depth, n_reached,
+                CAST((2 * CAST(n_reached AS HUGEINT) * 1000000
+                    + (SELECT n_cust FROM tot))
+                  // (2 * CAST((SELECT n_cust FROM tot) AS HUGEINT))
+                  AS BIGINT) AS share_ppm,
+                CASE WHEN nxt IS NOT NULL THEN
+                  CAST((2 * CAST(nxt AS HUGEINT) * 1000000 + n_reached)
+                    // (2 * CAST(n_reached AS HUGEINT)) AS BIGINT)
+                END AS continue_ppm
+         FROM nx""",
+
+    "q179_purchase_gaps" ->
+      """WITH lagged AS (
+           SELECT o_orderdate,
+                  lag(o_orderdate) OVER w AS prev
+           FROM orders
+           WHERE o_orderdate IS NOT NULL
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)
+         ), g AS (
+           -- filter BEFORE the clamp: DuckDB's LEAST skips NULLs, so
+           -- LEAST(NULL, 52) = 52 would leak first orders into the tail
+           SELECT LEAST((epoch_us(o_orderdate) - epoch_us(prev))
+                    // 604800000000, 52) AS week_bucket
+           FROM lagged WHERE prev IS NOT NULL
+         ), hist AS (
+           SELECT week_bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps
+           FROM g GROUP BY 1
+         ), tot AS (
+           SELECT CAST(SUM(n_gaps) AS BIGINT) AS n_total FROM hist
+         )
+         SELECT week_bucket, n_gaps,
+                CAST((2 * CAST(n_gaps AS HUGEINT) * 1000000
+                    + (SELECT n_total FROM tot))
+                  // (2 * CAST((SELECT n_total FROM tot) AS HUGEINT))
+                  AS BIGINT) AS share_ppm
+         FROM hist""",
   )
 }

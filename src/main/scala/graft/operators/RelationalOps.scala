@@ -1724,6 +1724,71 @@ object RelationalOps {
           AS BIGINT)"""))
   }
 
+  /** q178: repeat-purchase decay curve — for each order depth n, how
+    * many customers ever reach their n-th order, the share of the
+    * customer base (ppm), and the n→n+1 continuation rate (ppm): the
+    * "how sticky is purchase #2" curve that cohort grids (q81) hide by
+    * slicing on calendar time instead of depth. One fact aggregate
+    * (orders per customer, map-side combined) → one bounded
+    * (depth, count) table via explode-free ≥-counting: customers with
+    * c orders contribute to depths 1..c, which is a join against the
+    * TINY depth spine (≤ maxDepth rows, broadcast) — the fact table
+    * shuffles once. All ratios round-half-up integer ppm.
+    */
+  def q178RepeatDecay(s: SparkSession, d: String): DataFrame = {
+    val maxDepth = 12
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val tot = per.agg(count(lit(1)).cast("long").as("n_cust"))
+    val spine = s.range(1, maxDepth + 1).toDF("depth")
+    val reached = per.join(broadcast(spine), col("c") >= col("depth"))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).cast("long").as("n_reached"))
+    val w = Window.orderBy(col("depth")) // bounded ≤ maxDepth rows
+    reached.crossJoin(broadcast(tot))
+      .withColumn("_next", lead(col("n_reached"), 1).over(w))
+      .select(col("depth"), col("n_reached"),
+        expr("""CAST((2 * CAST(n_reached AS DECIMAL(38,0)) * 1000000
+            + n_cust) DIV (2 * CAST(n_cust AS DECIMAL(38,0)))
+          AS BIGINT)""").as("share_ppm"),
+        when(col("_next").isNotNull, expr(
+          """CAST((2 * CAST(_next AS DECIMAL(38,0)) * 1000000
+              + n_reached) DIV (2 * CAST(n_reached AS DECIMAL(38,0)))
+            AS BIGINT)""")).as("continue_ppm"))
+  }
+
+  /** q179: inter-purchase gap distribution — per customer, the day
+    * gaps between consecutive orders; reported as the gap histogram in
+    * week buckets plus each bucket's share (ppm): the replenishment-
+    * cycle profile behind churn prediction (q149's survival input) and
+    * campaign timing. The per-entity lag runs in a customer-keyed
+    * window (the q79 sessionization shape — bounded per entity, no
+    * global sort); the histogram is one map-side-combined aggregate.
+    * Same-day repeat orders land in bucket 0; gaps ≥ 52 weeks clamp
+    * into the tail bucket (CASE-mirrored in the oracle).
+    */
+  def q179PurchaseGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .withColumn("_prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .select(least(
+        expr("(unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
+          "- unix_micros(CAST(_prev AS TIMESTAMP))) DIV 604800000000"),
+        lit(52L)).as("week_bucket"))
+    val hist = gaps.groupBy(col("week_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_gaps"))
+    val tot = hist.agg(sum(col("n_gaps")).cast("long").as("n_total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("week_bucket"), col("n_gaps"),
+        expr("""CAST((2 * CAST(n_gaps AS DECIMAL(38,0)) * 1000000
+            + n_total) DIV (2 * CAST(n_total AS DECIMAL(38,0)))
+          AS BIGINT)""").as("share_ppm"))
+  }
+
   /** q177: price–volume variance decomposition — the FP&A bridge
     * explaining a revenue change: per brand, Δrev between 1995 and
     * 1996 splits EXACTLY into a price effect (r₂ − q₂·p₁, what revenue

@@ -1037,6 +1037,52 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q178 repeat decay: monotone reach counts, depth-1 covers " +
+      "everyone, and counts match a local replay") {
+    val got = RelationalOps.q178RepeatDecay(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val per = Tables.orders(spark, Sf).groupBy("o_custkey")
+      .agg(count(lit(1)).as("c")).collect().map(_.getLong(1))
+    val n = per.length.toLong
+    assert(got(1L)._1 == n && got(1L)._2 == 1000000L)
+    (1L to 11L).foreach { d =>
+      val reach = per.count(_ >= d).toLong
+      val next = per.count(_ >= d + 1).toLong
+      assert(got(d)._1 == reach)
+      if (reach > 0)
+        assert(got(d)._3.contains(
+          ((2 * BigInt(next) * 1000000 + reach) / (2 * BigInt(reach)))
+            .toLong))
+      if (d > 1) assert(got(d)._1 <= got(d - 1)._1)
+    }
+  }
+
+  test("q179 purchase gaps: histogram shares sum to ~1e6 and buckets " +
+      "match a local per-customer lag replay") {
+    val got = RelationalOps.q179PurchaseGaps(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def toLdt(v: Any) = v match {
+      case t: java.sql.Timestamp => t.toLocalDateTime
+      case t: java.time.LocalDateTime => t
+    }
+    val orders = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate").isNotNull)
+      .select("o_custkey", "o_orderdate", "o_orderkey").collect()
+      .map(r => (r.getLong(0), toLdt(r.get(1)), r.getLong(2)))
+    val micros = (t: java.time.LocalDateTime) =>
+      t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val expect = orders.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(x => (micros(x._2), x._3))
+      sorted.sliding(2).collect { case Array(a, b) =>
+        math.min((micros(b._2) - micros(a._2)) / 604800000000L, 52L)
+      }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap == expect && got.nonEmpty)
+    val shareSum = got.values.map(_._2).sum
+    assert(math.abs(shareSum - 1000000L) <= got.size.toLong)
+  }
+
   test("DdSketch: bucket estimates honor the 1% relative-error bound, " +
       "q176 quantiles track exact nearest-rank percentiles, and the " +
       "rollup is invariant to partitioning") {
