@@ -202,6 +202,7 @@ object SparkEntry {
     "q177_price_volume_mix" -> (RelationalOps.q177PriceVolumeMix _),
     "q178_repeat_decay" -> (RelationalOps.q178RepeatDecay _),
     "q179_purchase_gaps" -> (RelationalOps.q179PurchaseGaps _),
+    "q180_tier_migration" -> (RelationalOps.q180TierMigration _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3782,5 +3783,40 @@ object SparkEntry {
                   // (2 * CAST((SELECT n_total FROM tot) AS HUGEINT))
                   AS BIGINT) AS share_ppm
          FROM hist""",
+
+    "q180_tier_migration" ->
+      """WITH per AS (
+           SELECT o_custkey,
+                  CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           FROM orders
+           WHERE o_orderdate IS NOT NULL
+             AND year(o_orderdate) IN (1995, 1996)
+           GROUP BY 1
+         ), tiers AS (
+           SELECT CASE WHEN c1 = 0 THEN 'none'
+                       WHEN c1 = 1 THEN 'one_time'
+                       WHEN c1 <= 3 THEN 'repeat'
+                       ELSE 'loyal' END AS tier_from,
+                  CASE WHEN c2 = 0 THEN 'none'
+                       WHEN c2 = 1 THEN 'one_time'
+                       WHEN c2 <= 3 THEN 'repeat'
+                       ELSE 'loyal' END AS tier_to
+           FROM per
+         ), cells AS (
+           SELECT tier_from, tier_to,
+                  CAST(COUNT(*) AS BIGINT) AS n_customers
+           FROM tiers GROUP BY 1, 2
+         ), ft AS (
+           SELECT tier_from, CAST(SUM(n_customers) AS BIGINT) AS t
+           FROM cells GROUP BY 1
+         )
+         SELECT c.tier_from, c.tier_to, c.n_customers,
+                CAST((2 * CAST(c.n_customers AS HUGEINT) * 1000000
+                    + ft.t) // (2 * CAST(ft.t AS HUGEINT)) AS BIGINT)
+                  AS share_ppm
+         FROM cells c JOIN ft ON c.tier_from = ft.tier_from""",
   )
 }

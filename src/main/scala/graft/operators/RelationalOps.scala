@@ -1724,6 +1724,41 @@ object RelationalOps {
           AS BIGINT)"""))
   }
 
+  /** q180: customer tier migration matrix — every customer tiered by
+    * 1995 and 1996 order count (none/one-time/repeat/loyal at 0, 1,
+    * 2–3, 4+) and the year-over-year transition counts, including the
+    * churn row (active → none) and acquisition row (none → active):
+    * the retention snapshot a subscription business reads weekly (the
+    * temporal completion of q166's static RFM cut). ONE fact scan —
+    * both years come from conditional aggregates in a single
+    * map-side-combined groupBy (the q177 rule), tiers are CASE
+    * arithmetic, the matrix is a ≤16-cell aggregate. Migration share
+    * within each origin tier in round-half-up ppm.
+    */
+  def q180TierMigration(s: SparkSession, d: String): DataFrame = {
+    def tier(c: Column): Column =
+      when(c === 0, "none").when(c === 1, "one_time")
+        .when(c <= 3, "repeat").otherwise("loyal")
+    val per = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .withColumn("_yr", year(col("o_orderdate")))
+      .filter(col("_yr").isin(1995, 1996))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("_yr") === 1995, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("_yr") === 1996, 1L).otherwise(0L)).as("c2"))
+      .select(tier(col("c1")).as("tier_from"),
+        tier(col("c2")).as("tier_to"))
+    val cells = per.groupBy(col("tier_from"), col("tier_to"))
+      .agg(count(lit(1)).cast("long").as("n_customers"))
+    val fromTot = cells.groupBy(col("tier_from"))
+      .agg(sum(col("n_customers")).cast("long").as("_ft"))
+    cells.join(broadcast(fromTot), "tier_from")
+      .select(col("tier_from"), col("tier_to"), col("n_customers"),
+        expr("""CAST((2 * CAST(n_customers AS DECIMAL(38,0)) * 1000000
+            + _ft) DIV (2 * CAST(_ft AS DECIMAL(38,0))) AS BIGINT)""")
+          .as("share_ppm"))
+  }
+
   /** q178: repeat-purchase decay curve — for each order depth n, how
     * many customers ever reach their n-th order, the share of the
     * customer base (ppm), and the n→n+1 continuation rate (ppm): the

@@ -219,4 +219,84 @@ object EventStreams {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Streaming percentile monitor: hourly p50/p95/p99 of `value` per
+    * event type via the DETERMINISTIC DDSketch bucket aggregate
+    * (`functions/DdSketch.scala`) — the streaming face of the q176
+    * rollup, and the thing a latency SLO dashboard actually runs.
+    * The sketch's element-wise-add merge is exactly what a streaming
+    * aggregation needs: partials combine per micro-batch and across
+    * state updates in ANY order with zero drift, so stream output ≡
+    * the batch computation over the same closed windows
+    * (suite-asserted). Watermark bounds state; append mode emits each
+    * window once, closed. The bucket array is 16 KB per open
+    * (window, type) cell — bounded state, RocksDB-friendly.
+    */
+  def windowedSketches(events: DataFrame): DataFrame = {
+    val dd = udaf(new graft.functions.DdSketchAgg,
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .filter(col("value").isNotNull)
+      .withColumn("u",
+        (col("value").cast("decimal(18,4)") * 10000).cast("long"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(dd(col("u")).as("sk"), count(lit(1)).cast("long").as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("sk"), col("n"))
+  }
+
+  /** Start the monitor: closed windows' sketches arrive per batch
+    * (append mode), and the percentile extraction runs in foreachBatch
+    * — a BATCH computation on the bounded closed-window artifact (the
+    * trendingTopK shape; window functions after a streaming aggregate
+    * are not expressible inside the continuous plan).
+    */
+  def percentileMonitor(events: DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedSketches(events).writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(percentilesFromSketch(batch))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Nearest-rank p50/p95/p99 from a DDSketch bucket-count column
+    * `sk` with count column `n`, correlated by the NATURAL key columns
+    * (window_start, event_type) — a synthetic monotonically-increasing
+    * id would be re-evaluated nondeterministically on the two sides of
+    * the self-join and scramble it. Posexplode the bounded 2048-bucket
+    * artifact, per-key running sum, first bucket reaching ⌈q·n⌉ —
+    * exact over the artifact, never over raw rows.
+    */
+  private[graft] def percentilesFromSketch(agg: DataFrame): DataFrame = {
+    val keys = Seq("window_start", "event_type")
+    val kc = keys.map(col)
+    val buckets = agg
+      .select(kc ++ Seq(col("n"),
+        posexplode(col("sk")).as(Seq("pos", "c"))): _*)
+      .filter(col("c") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(kc: _*).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = buckets.withColumn("cum", sum(col("c")).over(w))
+    def est(c: org.apache.spark.sql.Column) =
+      when(c === 0, lit(0L)).otherwise(
+        round(lit(2.0) * pow(lit(graft.functions.DdSketch.Gamma), c) /
+          lit(graft.functions.DdSketch.Gamma + 1.0), 0).cast("long"))
+    def firstBucket(q: Double, name: String) =
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("pos")))
+        .as(name)
+    val idx = cum.groupBy(kc: _*)
+      .agg(firstBucket(0.50, "_i50"), firstBucket(0.95, "_i95"),
+        firstBucket(0.99, "_i99"))
+    agg.join(idx, keys)
+      .withColumn("p50_units", est(col("_i50")))
+      .withColumn("p95_units", est(col("_i95")))
+      .withColumn("p99_units", est(col("_i99")))
+      .drop("_i50", "_i95", "_i99", "sk")
+  }
 }

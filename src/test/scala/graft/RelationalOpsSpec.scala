@@ -1037,6 +1037,33 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q180 tier migration: cells partition the active base, shares " +
+      "sum to ~1e6 per origin tier, and counts match a local replay") {
+    val got = RelationalOps.q180TierMigration(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    def tier(c: Long): String =
+      if (c == 0) "none" else if (c == 1) "one_time"
+      else if (c <= 3) "repeat" else "loyal"
+    val per = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate").isNotNull &&
+        year(col("o_orderdate")).isin(1995, 1996))
+      .selectExpr("o_custkey", "year(o_orderdate) AS yr").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues { rows =>
+        (tier(rows.count(_._2 == 1995).toLong),
+         tier(rows.count(_._2 == 1996).toLong))
+      }.toMap
+    val expect = per.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap == expect && got.nonEmpty)
+    assert(got.values.map(_._1).sum == per.size.toLong)
+    got.keys.map(_._1).toSet.foreach { from: String =>
+      val shares = got.collect { case ((f, _), (_, s)) if f == from => s }
+      assert(math.abs(shares.sum - 1000000L) <= shares.size.toLong)
+    }
+  }
+
   test("q178 repeat decay: monotone reach counts, depth-1 covers " +
       "everyone, and counts match a local replay") {
     val got = RelationalOps.q178RepeatDecay(spark, Sf).collect()

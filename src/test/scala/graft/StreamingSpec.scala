@@ -285,4 +285,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .collect()
     assert(again.length == 6, s"replay appended rows: ${again.length}")
   }
+
+  test("streaming percentile monitor equals the batch DDSketch path " +
+      "on every closed window and tracks exact percentiles within 1%") {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(java.sql.Timestamp, String, Long, Long, Long, Long)]
+    val q = EventStreams.percentileMonitor(
+      EventStreams.readEventStream(spark, Sf)) { out =>
+      buf.synchronized {
+        buf ++= out
+          .select("window_start", "event_type", "n", "p50_units",
+            "p95_units", "p99_units")
+          .collect().map(r => (r.getTimestamp(0), r.getString(1),
+            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      }
+    }
+    q.awaitTermination(120000)
+    val got = buf.toSet
+    assert(got.nonEmpty)
+    val emitted = got.map(x => (x._1, x._2))
+    val batch = EventStreams.percentilesFromSketch(
+        EventStreams.windowedSketches(Tables.events(spark, Sf)))
+      .select("window_start", "event_type", "n", "p50_units",
+        "p95_units", "p99_units")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .filter(x => emitted.contains((x._1, x._2))).toSet
+    assert(got == batch)
+    // emitted estimates track the exact per-window percentiles
+    val exact = Tables.events(spark, Sf)
+      .selectExpr("window(ts, '1 hour').start AS w", "event_type",
+        "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS LONG) AS u")
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)),
+        r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq)
+      .toMap
+    got.foreach { case (w, t, n, p50, p95, p99) =>
+      val xs = exact((w, t))
+      assert(n == xs.length.toLong)
+      for ((qq, est) <- Seq((0.5, p50), (0.95, p95), (0.99, p99))) {
+        val ex = xs(math.max(1, math.ceil(qq * xs.length).toInt) - 1)
+        assert(math.abs(est - ex) <= 0.011 * ex + 1,
+          s"($w,$t) q=$qq est=$est exact=$ex")
+      }
+    }
+  }
 }
