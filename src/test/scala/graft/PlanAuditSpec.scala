@@ -609,4 +609,64 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // window may run unpartitioned but only over the bounded strata agg
     assert(!p.contains("Sort [_h"), p.take(2500))
   }
+
+  test("q161 bitmap distinct: the aggregate partial-merges (object " +
+      "agg in two phases) — the keyset never crosses the wire") {
+    val df = RelationalOps.q161BitmapDistinct(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // typed-Aggregator udafs run as ObjectHashAggregate; a partial +
+    // final pair proves map-side combine of the bitmap buffers
+    assert(p.contains("ObjectHashAggregate"), p.take(2500))
+    assert(p.contains("bitmapdistinct"), p.take(2500))
+    // the only exchange keys on event_type (the group), never user_id
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(e => e.contains("event_type") &&
+        !e.contains("user_id")), exchanges.mkString("\n"))
+  }
+
+  test("q163 business days: both calendar joins broadcast — the " +
+      "orders table is never exchanged") {
+    val df = RelationalOps.q163BusinessDays(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    // no shuffle keyed by any orders attribute: the fact side flows
+    // scan -> broadcast-join -> broadcast-join
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("o_orderkey") || l.contains("o_orderdate")))
+    assert(!badExchange, p.take(2500))
+  }
+
+  test("q177 price-volume bridge reads lineitem exactly once (both " +
+      "periods from one conditional-aggregate scan)") {
+    val df = RelationalOps.q177PriceVolumeMix(spark, Sf)
+    df.collect()
+    // count in the FINAL adaptive plan only — AQE's toString appends
+    // the initial plan too, which would double every scan line
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("FileScan parquet") &&
+        l.contains("lineitem"))
+    assert(lineitemScans == 1, s"lineitem scanned $lineitemScans times")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q170 cosine all-pairs: candidate and dot joins carry ids and " +
+      "integer stats only — document text never crosses a join") {
+    val df = SimilarityOps.q170CosineAllPairs(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    // after the one corpus-side checkpoint, no exchange ships the raw
+    // text column — only ids, tokens and integer weights shuffle
+    val badExchange = p.linesIterator.exists(l =>
+      l.startsWith("Exchange") && l.contains("text#"))
+    assert(!badExchange, p.take(2500))
+  }
 }
