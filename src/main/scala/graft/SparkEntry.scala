@@ -1471,12 +1471,13 @@ object SparkEntry {
          SELECT 'l_discount', 'l_tax',
                 ROUND((n*s23 - s2*s3) / (sqrt(n*s22 - s2*s2) * sqrt(n*s33 - s3*s3)), 4) FROM m""",
     // RANGE frame over event-time µs; DECIMAL sums so the segment-tree
-    // and frame-slide accumulations agree exactly
+    // and frame-slide accumulations agree exactly; output as e4 longs
+    // (never DECIMAL — driver hashes DECIMAL differently per engine)
     "q94_sliding_window" ->
       """SELECT event_id, user_id,
                 CAST(count(*) OVER w AS BIGINT) AS n_hour,
-                CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w
-                     AS DECIMAL(18,4)) AS sum_hour
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w * 10000
+                     AS BIGINT) AS sum_hour_e4
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
@@ -1579,7 +1580,8 @@ object SparkEntry {
            AND (v.valid_to IS NULL OR l.l_shipdate < v.valid_to)""",
     // dense daily spine per user; gap days n=0/null value; LOCF carries
     // the last active day's DECIMAL sum (IGNORE NULLS = Spark's
-    // last(_, ignoreNulls) over the same running frame)
+    // last(_, ignoreNulls) over the same running frame); output as e4
+    // longs (never DECIMAL — driver hashes DECIMAL per-engine)
     "q99_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, CAST(ts AS DATE) AS day,
@@ -1597,11 +1599,12 @@ object SparkEntry {
                   CAST(b.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS g(d)
          )
          SELECT s.user_id, s.day,
-                COALESCE(d.n_events, 0) AS n_events, d.day_value,
+                COALESCE(d.n_events, 0) AS n_events,
+                CAST(d.day_value * 10000 AS BIGINT) AS day_value_e4,
                 CAST(last_value(d.day_value IGNORE NULLS) OVER (
                   PARTITION BY s.user_id ORDER BY s.day
-                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,4))
-                  AS filled_value
+                  ROWS UNBOUNDED PRECEDING) * 10000 AS BIGINT)
+                  AS filled_value_e4
          FROM spine s LEFT JOIN daily d
            ON s.user_id = d.user_id AND s.day = d.day""",
     // explicit non-hierarchical set list; GROUPING bit order matches
@@ -2014,7 +2017,8 @@ object SparkEntry {
          GROUP BY p2.user_id""",
     "q122_skyline" ->
       """SELECT p.p_partkey, p.p_size,
-                CAST(p.p_retailprice AS DECIMAL(18,4)) AS price
+                CAST(CAST(p.p_retailprice AS DECIMAL(18,4)) * 10000
+                     AS BIGINT) AS price_e4
          FROM part p
          WHERE NOT EXISTS (
            SELECT 1 FROM part q

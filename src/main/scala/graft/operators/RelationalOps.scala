@@ -1046,7 +1046,9 @@ object RelationalOps {
     * |keys| × span rows regardless of fact cardinality, generated
     * distributed (no driver-side calendar). Spine ⋈ daily and the LOCF
     * window both cluster on the key, and the measurement rides DECIMAL
-    * so LOCF picks are engine-exact (CLAUDE.md determinism rule).
+    * internally so LOCF picks are engine-exact; callers that dump the
+    * result cast to e4 longs first (no DECIMAL output columns —
+    * CLAUDE.md determinism rule).
     */
   def gapFillDaily(facts: DataFrame, key: String, tsCol: String,
       valueCol: String): DataFrame = {
@@ -1067,14 +1069,17 @@ object RelationalOps {
   }
 
   /** 114. Per-user daily activity resampled to a dense calendar:
-    * gap days surface with n_events = 0 and a null day_value, while
-    * filled_value carries the last active day's DECIMAL sum forward
-    * (never null — the spine starts at each user's first active day).
+    * gap days surface with n_events = 0 and a null day_value_e4, while
+    * filled_value_e4 carries the last active day's sum forward (never
+    * null — the spine starts at each user's first active day). Values
+    * are integer e4 longs in the output (internal math is DECIMAL; a
+    * DECIMAL output column would hash differently across engines).
     */
   def q99GapFill(s: SparkSession, d: String): DataFrame =
     gapFillDaily(Tables.events(s, d), "user_id", "ts", "value")
       .select(col("user_id"), col("day"), col("n_events"),
-        col("day_value"), col("filled_value"))
+        (col("day_value") * 10000).cast("long").as("day_value_e4"),
+        (col("filled_value") * 10000).cast("long").as("filled_value_e4"))
 
   /** 108. Time-RANGE sliding window: per-user rolling 1-hour event count
     * and value sum — a RANGE frame over the event-time axis (q42's
@@ -1082,7 +1087,9 @@ object RelationalOps {
     * VALUE distance, so it is insensitive to tie order by construction).
     * One hash shuffle on user_id; frames never leave the user partition.
     * Sums ride DECIMAL so the frame-add/frame-subtract accumulation and
-    * DuckDB's segment tree agree exactly (CLAUDE.md determinism rule).
+    * DuckDB's segment tree agree exactly; the FINAL output is integer
+    * e4 units (LONG) — never a DECIMAL column, which the driver's
+    * hasher normalizes differently per engine (CLAUDE.md rule).
     */
   def q94SlidingWindow(s: SparkSession, d: String): DataFrame = {
     val hourUs = 3600L * 1000000
@@ -1093,8 +1100,9 @@ object RelationalOps {
         unix_micros(col("ts")).as("_us"),
         col("value").cast("decimal(18,4)").as("_v"))
       .withColumn("n_hour", count(lit(1)).over(w).cast("long"))
-      .withColumn("sum_hour", sum(col("_v")).over(w).cast("decimal(18,4)"))
-      .select("event_id", "user_id", "n_hour", "sum_hour")
+      .withColumn("sum_hour_e4",
+        (sum(col("_v")).over(w) * 10000).cast("long"))
+      .select("event_id", "user_id", "n_hour", "sum_hour_e4")
   }
 
   /** 128. Markov transition matrix over per-user event streams: for
@@ -1182,8 +1190,8 @@ object RelationalOps {
     * min price that beat every larger size's best. Equal (size, price)
     * ties don't dominate each other — both kept, matching NOT EXISTS
     * strictness. Price compares are exact (4-decimal parquet doubles,
-    * no accumulation); output cast to DECIMAL(18,4) per the
-    * cross-engine rule.
+    * no accumulation); output is integer e4 units (a DECIMAL output
+    * column would hash differently across engines — CLAUDE.md rule).
     */
   def q122Skyline(s: SparkSession, d: String): DataFrame = {
     val part = Tables.part(s, d)
@@ -1196,7 +1204,8 @@ object RelationalOps {
       .filter(col("p_retailprice") === col("mp") &&
         (col("hi_mp").isNull || col("p_retailprice") < col("hi_mp")))
       .select(col("p_partkey"), col("p_size"),
-        col("p_retailprice").cast("decimal(18,4)").as("price"))
+        (col("p_retailprice").cast("decimal(18,4)") * 10000)
+          .cast("long").as("price_e4"))
   }
 
   /** 139. Multi-touch attribution: every `purchase` credits the user's

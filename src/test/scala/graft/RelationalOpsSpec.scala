@@ -619,8 +619,7 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     val got = RelationalOps.q94SlidingWindow(spark, Sf).collect()
       .map(r => r.getLong(0) ->
         (r.getLong(r.fieldIndex("n_hour")),
-          r.getDecimal(r.fieldIndex("sum_hour"))
-            .movePointRight(4).longValueExact())).toMap
+          r.getLong(r.fieldIndex("sum_hour_e4")))).toMap
     val ev = Tables.events(spark, Sf)
       .selectExpr("event_id", "user_id", "unix_micros(ts) AS us",
         "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS LONG) AS v")
@@ -640,8 +639,7 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
   test("q122 skyline equals the brute-force dominance replay; every " +
       "kept row is mutually non-dominated") {
     val got = RelationalOps.q122Skyline(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1),
-        r.getDecimal(2).movePointRight(4).longValueExact())).toSet
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val all = Tables.part(spark, Sf)
       .selectExpr("p_partkey", "p_size",
         "CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 10000 AS LONG) AS pr")
