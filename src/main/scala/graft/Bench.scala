@@ -59,7 +59,13 @@ object Bench {
     // unconditionally); empty it costs 12 chars of the window
     val errPart = s""","errors":${errors.mkString("[", ",", "]")}"""
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_errors":${errors.size}$errPart,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_errors":${errors.size}$errPart,"sf":"$sfDir"}"""
+    println(line)
+    // the driver reads a bounded stdout TAIL (BENCH_r07 lost 15 of 180
+    // per-query entries to truncation) — also persist the full line
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -18,6 +18,45 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Broadcast-vs-bucketed gate for the iterative loops: node-scale
+    * tables (rank vectors, label tables, BFS frontiers/visited sets)
+    * ride broadcast joins against the edge table while they fit; past
+    * `spark.graft.graph.maxBroadcastNodes` rows (default 5e7 ≈ a few
+    * hundred MB of (long, long) — the executor-memory broadcast
+    * ceiling) the loop swaps to the bucketed-join shape: the edge
+    * table persists src-BUCKETED once ([[graft.sources.TableLayout
+    * .writeBucketed]] — the bucketed scan reports HashPartitioning,
+    * which survives AQE, where a checkpoint-captured partitioning does
+    * not), so no per-round exchange ever touches the big side and only
+    * the node-scale table shuffles to meet it. The one-time bucketed
+    * write amortizes over the rounds — exactly the production layout
+    * for a billion-node graph. Both modes are bit-identical — integer
+    * fixed-point math is order-independent — and a plan-audit test
+    * pins each shape.
+    */
+  private[graft] def maxBroadcastNodes(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.graph.maxBroadcastNodes")
+      .map(_.toLong).getOrElse(50000000L)
+
+  /** The node-scale side of an edges⋈nodes join under the gate. */
+  private[graft] def nodeSide(nodeTable: DataFrame, bc: Boolean): DataFrame =
+    if (bc) broadcast(nodeTable) else nodeTable
+
+  /** Persist `edges` src-bucketed, run `body` over the bucketed scan,
+    * EAGERLY materialize the result (so the table can drop while the
+    * returned frame stays valid), then drop the table.
+    */
+  private def withBucketedEdges(edges: DataFrame)
+      (body: DataFrame => DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val table = "graft_graph_edges_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.sources.TableLayout.writeBucketed(edges, "src", buckets, table)
+    try body(spark.table(table)).localCheckpoint()
+    finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   /** 15-iteration damped PageRank over a SYMMETRIC edge list
     * (src, dst) with no self-loops (symmetry ⇒ no dangling mass, every
     * node keeps outdeg ≥ 1). Rank mass totals ~10¹² ppt; the update is
@@ -27,9 +66,10 @@ object GraphOps {
     *
     * 100-TB shape: the degree table and rank vector are NODE-scale, the
     * per-iteration work is one hash join of edges against the rank
-    * vector plus one map-side-combined sum — edges never change, so a
-    * production deployment buckets the edge table by src once and every
-    * iteration's join is exchange-free on the big side. Lineage is cut
+    * vector plus one map-side-combined sum — edges never change, and
+    * past the [[maxBroadcastNodes]] gate the edge table is
+    * hash-partitioned on src once so every iteration's join is
+    * exchange-free on the big side. Lineage is cut
     * per round (localCheckpoint — the q61/q76 loop rule); the single
     * driver-side `deg.count()` is the teleport constant N, a bounded
     * scalar artifact like q76's argmax row.
@@ -46,23 +86,35 @@ object GraphOps {
     require(n > 0, "pageRank needs a non-empty edge list")
     val init = total / n
     val base = (15L * init) / 100L
-    val withDeg = edges.join(broadcast(deg), "src").localCheckpoint(false)
-    var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
-    for (_ <- 0 until iters) {
-      // the rank vector is NODE-scale — broadcast it so the edge table
-      // (the big side) is never shuffled per iteration; the only
-      // exchange per round is the map-side-combined contribution sum,
-      // which carries ≤ |nodes| rows. (A billion-node graph outgrows
-      // the broadcast: swap in a src-bucketed hash join there.)
-      ranks = withDeg.join(broadcast(ranks), col("src") === col("node"))
-        .select(col("dst"), expr("r div od").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
-        .select(col("dst").as("node"),
-          (lit(base) + expr("(85 * cs) div 100")).as("r"))
-        .localCheckpoint(false)
+    // the rank vector is NODE-scale — broadcast it (bc mode) so the
+    // edge table (the big side) is never shuffled per iteration; past
+    // the maxBroadcastNodes gate, persist the edge table src-bucketed
+    // once instead, so each round's join still leaves the big side
+    // exchange-free and only the rank vector shuffles.
+    val bc = n <= maxBroadcastNodes(symEdges)
+    def loop(withDeg: DataFrame): DataFrame = {
+      var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
+      for (_ <- 0 until iters)
+        ranks = prRound(withDeg, ranks, base, bc).localCheckpoint(false)
+      ranks
     }
-    ranks
+    if (bc) loop(edges.join(broadcast(deg), "src").localCheckpoint(false))
+    else withBucketedEdges(edges.join(deg, "src"))(loop)
   }
+
+  /** One PageRank round over a `(src, dst, od)` edge table and a
+    * `(node, r)` rank vector — split out so plan audits can pin both
+    * gate modes (broadcast vs bucketed) without the checkpoint hiding
+    * the join shape. The only full-width exchange per round is the
+    * map-side-combined contribution sum (≤ |nodes| rows).
+    */
+  private[graft] def prRound(withDeg: DataFrame, ranks: DataFrame,
+      base: Long, bc: Boolean): DataFrame =
+    withDeg.join(nodeSide(ranks, bc), col("src") === col("node"))
+      .select(col("dst"), expr("r div od").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      .select(col("dst").as("node"),
+        (lit(base) + expr("(85 * cs) div 100")).as("r"))
 
   /** Per-node triangle counts over a SYMMETRIC edge list — the
     * clustering-coefficient numerator (community tightness, spam/bot
@@ -213,26 +265,66 @@ object GraphOps {
     */
   def bfsHops(symEdges: DataFrame, seeds: DataFrame,
       maxHops: Int = 8): DataFrame = {
+    val spark = symEdges.sparkSession
     val edges = symEdges.localCheckpoint(false)
+    val maxB = maxBroadcastNodes(symEdges)
+    // the frontier starts seed-sized and the visited set grows toward
+    // node scale, and every round already counts both (the early-exit
+    // scalars) — so the broadcast gate is PER ROUND and per table, at
+    // zero extra jobs: the src-bucketed edge table materializes lazily
+    // the first round a frontier outgrows the broadcast, and drops
+    // after the final eager materialization
+    var bucketTable: Option[String] = None
+    def srcEdges(): DataFrame = {
+      if (bucketTable.isEmpty) {
+        val t = "graft_graph_edges_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        graft.sources.TableLayout.writeBucketed(edges, "src",
+          spark.conf.get("spark.sql.shuffle.partitions").toInt, t)
+        bucketTable = Some(t)
+      }
+      spark.table(bucketTable.get)
+    }
     var visited = seeds.select(col("node")).distinct()
       .withColumn("hops", lit(0L)).localCheckpoint(false)
     var frontier = visited.select(col("node").as("_f"))
     var h = 0L
     var frontierN = frontier.count()
+    var visitedN = frontierN
     while (h < maxHops && frontierN > 0) {
       h += 1
-      frontier = edges
-        .join(broadcast(frontier), col("src") === col("_f"), "left_semi")
-        .select(col("dst").as("_f")).distinct()
-        .join(broadcast(visited), col("_f") === col("node"), "left_anti")
+      val fBc = frontierN <= maxB
+      frontier = bfsRound(if (fBc) edges else srcEdges(), frontier,
+          visited, fBc, visitedN <= maxB)
         .localCheckpoint(false)
       frontierN = frontier.count()
+      visitedN += frontierN
       visited = visited.unionByName(
           frontier.select(col("_f").as("node"), lit(h).as("hops")))
         .localCheckpoint(false)
     }
-    visited
+    bucketTable match {
+      case None => visited
+      case Some(t) =>
+        val out = visited.localCheckpoint() // eager: safe to drop below
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        out
+    }
   }
+
+  /** One BFS expansion round — split out so plan audits can pin both
+    * gate modes: edge table semi-joined against the `(_f)` frontier,
+    * dedup'd, anti-joined against the `(node, hops)` visited set.
+    */
+  private[graft] def bfsRound(edges: DataFrame, frontier: DataFrame,
+      visited: DataFrame, frontierBc: Boolean, visitedBc: Boolean)
+      : DataFrame =
+    edges
+      .join(nodeSide(frontier, frontierBc), col("src") === col("_f"),
+        "left_semi")
+      .select(col("dst").as("_f")).distinct()
+      .join(nodeSide(visited, visitedBc), col("_f") === col("node"),
+        "left_anti")
 
   /** 125. Hop distance from the 3 highest-degree hub parts of the
     * co-purchase graph (degree ties broken by id, so seed choice is
@@ -271,10 +363,11 @@ object GraphOps {
     * teleport even in a round where nothing flows back to it — the
     * oracle replays the identical union.
     *
-    * Per round: edge table ⋈ broadcast node-scale rank vector (edges
-    * never shuffle — the q105 rule), one map-side-combined sum,
-    * lineage cut. 100-TB: same shape as q105; swap the broadcast for a
-    * src-bucketed join past ~1e9 nodes.
+    * Per round: edge table ⋈ node-scale rank vector (edges never
+    * shuffle — the q105 rule), one map-side-combined sum, lineage cut.
+    * 100-TB: same shape and same `maxBroadcastNodes` gate as q105 —
+    * past it the edge table pre-partitions on src once and the rank
+    * vector shuffles to meet it.
     */
   def personalizedPageRank(symEdges: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
@@ -288,19 +381,25 @@ object GraphOps {
     val init = total / nSeeds
     val sb = (15L * init) / 100L
     val seedBase = seedTab.select(col("node"), lit(sb).as("v"))
-    val withDeg = edges.join(broadcast(deg), "src").localCheckpoint(false)
-    var ranks = seedTab.select(col("node"), lit(init).as("r"))
-    for (_ <- 0 until iters) {
-      val contrib = withDeg
-        .join(broadcast(ranks), col("src") === col("node"))
-        .select(col("dst"), expr("r div od").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
-        .select(col("dst").as("node"), expr("(85 * cs) div 100").as("v"))
-      ranks = contrib.unionByName(seedBase)
-        .groupBy(col("node")).agg(sum(col("v")).as("r"))
-        .localCheckpoint(false)
+    // the rank vector grows toward the reached-set scale, bounded by
+    // |nodes| — gate on the graph's node count like pageRank
+    val bc = deg.count() <= maxBroadcastNodes(symEdges)
+    def loop(withDeg: DataFrame): DataFrame = {
+      var ranks = seedTab.select(col("node"), lit(init).as("r"))
+      for (_ <- 0 until iters) {
+        val contrib = withDeg
+          .join(nodeSide(ranks, bc), col("src") === col("node"))
+          .select(col("dst"), expr("r div od").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+          .select(col("dst").as("node"), expr("(85 * cs) div 100").as("v"))
+        ranks = contrib.unionByName(seedBase)
+          .groupBy(col("node")).agg(sum(col("v")).as("r"))
+          .localCheckpoint(false)
+      }
+      ranks
     }
-    ranks
+    if (bc) loop(edges.join(broadcast(deg), "src").localCheckpoint(false))
+    else withBucketedEdges(edges.join(deg, "src"))(loop)
   }
 
   /** 131. Seeded relevance over the co-purchase graph: personalized
@@ -367,30 +466,38 @@ object GraphOps {
     * q63's seeded bands).
     *
     * Scale shape per round: ONE node-scale aggregate — edges join the
-    * node-scale label table (broadcast; a billion-node graph swaps in
-    * a src-bucketed hash join, the q105 note), then (node, label)
+    * node-scale label table (broadcast, or past [[maxBroadcastNodes]]
+    * the pre-partitioned-edges hash join), then (node, label)
     * partial counts map-side-combine into the argmax via the
     * TopKPerKey heap (≤1 row per partition×node through the shuffle).
     * The edge table itself never re-shuffles. Labels checkpoint per
     * round — the q105 lineage-cut rule.
     */
   def labelPropagation(symEdges: DataFrame, rounds: Int): DataFrame = {
-    val edges = symEdges.localCheckpoint(false)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-    for (_ <- 0 until rounds)
-      labels = lpRound(edges, labels).localCheckpoint(false)
-    labels
+    val edges0 = symEdges.localCheckpoint(false)
+    val labels0 = edges0.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(false)
+    // gate on the node count; fallback mode persists the edge table
+    // src-bucketed once so no round ever re-shuffles the big side
+    // (the pageRank rule)
+    val bc = labels0.count() <= maxBroadcastNodes(symEdges)
+    def loop(edges: DataFrame): DataFrame = {
+      var labels = labels0
+      for (_ <- 0 until rounds)
+        labels = lpRound(edges, labels, bc).localCheckpoint(false)
+      labels
+    }
+    if (bc) loop(edges0) else withBucketedEdges(edges0)(loop)
   }
 
   /** One synchronous LPA round over a `(node, lbl)` label table —
-    * split out so plan audits can pin the round shape (broadcast label
+    * split out so plan audits can pin the round shape (gated label
     * join, heap argmax) without the checkpoint hiding it.
     */
-  private[graft] def lpRound(edges: DataFrame, labels: DataFrame)
-      : DataFrame = {
+  private[graft] def lpRound(edges: DataFrame, labels: DataFrame,
+      bc: Boolean = true): DataFrame = {
     val counted = edges
-      .join(broadcast(labels), col("src") === col("node"))
+      .join(nodeSide(labels, bc), col("src") === col("node"))
       .groupBy(col("dst"), col("lbl"))
       .agg(count(lit(1)).as("c"))
     graft.plans.TopK.perKey(counted, keys = Seq("dst"),

@@ -384,4 +384,29 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(q.length == 1 &&
       (q.head.isNullAt(1) || math.abs(q.head.getDouble(1)) <= 1.0))
   }
+
+  test("maxBroadcastNodes gate: the bucketed fallback is bit-identical " +
+      "to broadcast mode for pageRank, PPR, labelPropagation, bfsHops") {
+    val edges = GraphOps.prunedCoPurchaseEdges(spark, Sf, minCount = 2)
+      .localCheckpoint(false)
+    val seeds = Seq(Tuple1(edges.select(min(col("src")))
+      .collect().head.getLong(0))).toDF("node")
+    def all(): (Set[(Long, Long)], Set[(Long, Long)], Set[(Long, Long)],
+        Set[(Long, Long)]) = (
+      GraphOps.pageRank(edges, iters = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      GraphOps.personalizedPageRank(edges, seeds, iters = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      GraphOps.labelPropagation(edges, rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      GraphOps.bfsHops(edges, seeds, maxHops = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val bcMode = all()
+    spark.conf.set("spark.graft.graph.maxBroadcastNodes", "1")
+    try {
+      val fallback = all()
+      assert(fallback == bcMode)
+      assert(bcMode._1.nonEmpty && bcMode._3.nonEmpty && bcMode._4.size > 1)
+    } finally spark.conf.unset("spark.graft.graph.maxBroadcastNodes")
+  }
 }

@@ -483,6 +483,60 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TopKPerKey"), p.take(2500))
   }
 
+  test("graph loops past the maxBroadcastNodes gate: the rank join has " +
+      "NO broadcast, and the src-bucketed edge side adds zero " +
+      "exchanges (bucketed-scan partitioning)") {
+    import org.apache.spark.sql.functions._
+    // at production scale nothing fits a broadcast — pin the planner's
+    // shape under that condition
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val table = "graft_audit_graph_edges"
+    try {
+      val edges = GraphOps.prunedCoPurchaseEdges(spark, Sf, minCount = 2)
+        .localCheckpoint(false)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      // fallback-mode withDeg exactly as pageRank builds it
+      graft.sources.TableLayout.writeBucketed(edges.join(deg, "src"),
+        "src", spark.conf.get("spark.sql.shuffle.partitions").toInt, table)
+      val withDeg = spark.table(table)
+      val ranks = deg.select(col("src").as("node"), lit(100L).as("r"))
+        .localCheckpoint(false)
+      val pFb = plan(GraphOps.prRound(withDeg, ranks, 100L, bc = false))
+      assert(!pFb.contains("BroadcastHashJoin") &&
+        !pFb.contains("BroadcastExchange"), pFb.take(2500))
+      assert(pFb.contains("SortMergeJoin") ||
+        pFb.contains("ShuffledHashJoin"), pFb.take(2500))
+      // exactly 2 exchanges: the rank vector meeting the bucket
+      // partitioning + the contribution sum — the bucketed side NONE
+      val nEx = pFb.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning")
+      assert(nEx == 2, s"expected 2 exchanges, got $nEx\n" + pFb.take(2500))
+      // BFS fallback round: no broadcast anywhere either
+      val frontier = ranks.select(col("node").as("_f"))
+      val visited = ranks.select(col("node"), lit(0L).as("hops"))
+      val pBfs = plan(GraphOps.bfsRound(withDeg, frontier, visited,
+        frontierBc = false, visitedBc = false))
+      assert(!pBfs.contains("BroadcastHashJoin") &&
+        !pBfs.contains("BroadcastExchange"), pBfs.take(2500))
+      // LPA fallback round: gated label join, heap argmax intact
+      val labels = ranks.select(col("node"), col("node").as("lbl"))
+      val pLp = plan(GraphOps.lpRound(withDeg, labels, bc = false))
+      assert(!pLp.contains("BroadcastHashJoin") &&
+        !pLp.contains("BroadcastExchange"), pLp.take(2500))
+      assert(pLp.contains("TopKPerKey"), pLp.take(2500))
+      // broadcast mode keeps the rank join broadcast (hint overrides
+      // the disabled threshold)
+      val withDegBc = edges.join(broadcast(deg), "src")
+        .localCheckpoint(false)
+      val pBc = plan(GraphOps.prRound(withDegBc, ranks, 100L, bc = true))
+      assert(pBc.contains("BroadcastHashJoin") ||
+        pBc.contains("BroadcastExchange"), pBc.take(2500))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("q135 KS / q143 U: both prefix sums ride ONE materialized range " +
       "exchange (ReusedExchange), windows keyed by the slice id") {
     for (df <- Seq(StatsOps.q135KsTest(spark, Sf),
