@@ -62,17 +62,44 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     out.toSeq
   }
 
+  private def corpusWords() = Tables.documents(spark, Sf)
+    .filter(col("text").isNotNull)
+    .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+    .filter(length(col("word")) > 0)
+    .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
   test("distributed BPE equals the local reference, merge by merge") {
-    val words = Tables.documents(spark, Sf)
-      .filter(col("text").isNotNull)
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val words = corpusWords()
     val wordMap = words.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val got = BpeTrain.train(spark, words, rounds = 8)
+    val got = BpeTrain.trainDistributed(spark, words, rounds = 8)
     val want = localBpe(wordMap, rounds = 8)
     assert(got == want, s"\ngot:  $got\nwant: $want")
+  }
+
+  test("train() local fast path equals the naive reference at 256 " +
+      "merges (incremental pair maintenance is exact, rounds ≪ jobs)") {
+    val words = corpusWords()
+    val wordMap = words.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // train() dispatches to the local trainer (vocab ≪ 4M words):
+    // zero per-merge Spark jobs, merge-by-merge equal to the naive
+    // full-recount reference
+    val got = BpeTrain.train(spark, words, rounds = 256)
+    val want = localBpe(wordMap, rounds = 256)
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"first divergence at step ${g._1}: got $g want $w")
+    }
+  }
+
+  test("local and distributed trainers are merge-by-merge identical " +
+      "(the dispatch gate changes cost, never results)") {
+    val words = corpusWords()
+    val local = BpeTrain.trainLocal(words.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq, rounds = 12)
+    val dist = BpeTrain.trainDistributed(spark, words, rounds = 12)
+    assert(local == dist, s"\nlocal: $local\ndist:  $dist")
   }
 
   test("q76 output: fused symbols, positive weights, distinct steps") {
