@@ -14,10 +14,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * word-wise OR: associative and commutative, so Spark map-side-combines
   * it like any partial aggregate and the shuffle carries ONE buffer per
   * (partition × group) instead of the keyset. For a 10⁹-key domain the
-  * dense buffer is 125 MB — production swaps in a compressed (roaring)
-  * bitmap with the identical merge algebra; the cap here keeps dense
-  * buffers honest (≤ 8 MB). Exactness, unlike HLL, survives any merge
-  * order and any re-aggregation depth.
+  * dense buffer would be 125 MB — the cap keeps a single dense buffer
+  * honest (≤ 8 MB); beyond it, callers chunk the key space into
+  * 2¹⁶-wide slices and run THIS aggregate per (group, chunk) — the
+  * roaring-bitmap idea expressed relationally, with the identical
+  * word-wise-OR merge algebra and no domain bound
+  * ([[graft.operators.RelationalOps.bitmapDistinctPerGroup]]).
+  * Exactness, unlike HLL, survives any merge order and any
+  * re-aggregation depth.
   *
   * Keys must lie in [0, domain); out-of-range input is an ERROR (a
   * silent drop would fake exactness). Nulls are the caller's concern:

@@ -97,7 +97,10 @@ class LongVectorSum
   override def reduce(b: Array[Long], v: Array[Long]): Array[Long] =
     merge(b, if (v == null) Array.emptyLongArray else v)
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    if (a.isEmpty) b
+    // adopt a defensive copy, never the input array itself: later
+    // merges mutate the buffer in place, and aliasing externally-owned
+    // data would corrupt results if the encoder ever reused arrays
+    if (a.isEmpty) b.clone()
     else if (b.isEmpty) a
     else {
       require(a.length == b.length,

@@ -1646,18 +1646,56 @@ object RelationalOps {
     * q85 BloomJoin rule). Oracle = plain COUNT(DISTINCT): exactness is
     * externally checkable, unlike any sketch.
     */
+  /** Key domains the single dense bitmap covers; larger domains chunk.
+    * Conf-overridable so tests can force the chunked path.
+    */
+  private def denseBitmapMax(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.bitmap.denseMaxDomain")
+      .map(_.toLong).getOrElse(1L << 26)
+
+  /** Exact distinct keys + row count per group. Domains ≤
+    * [[denseBitmapMax]] ride ONE dense bitmap per group; above that —
+    * where a dense buffer would outgrow executor memory — the key
+    * space chunks into 2¹⁶-wide slices and the SAME dense aggregate
+    * runs per (group, chunk): the roaring-bitmap idea expressed
+    * relationally. Chunks partition the domain, so per-chunk distinct
+    * counts SUM exactly; the shuffle carries one 1024-word buffer per
+    * (partition × group × occupied chunk) — proportional to occupied
+    * key space, never to the domain — and the map-side combine is the
+    * same word-wise OR. No cap, no loud failure, still exact.
+    */
+  private[graft] def bitmapDistinctPerGroup(df: DataFrame, groupCol: String,
+      keyCol: String, domain: Long): DataFrame = {
+    val s = df.sparkSession
+    if (domain <= denseBitmapMax(s)) {
+      val bitmap = udaf(new graft.functions.BitmapDistinct(domain),
+        org.apache.spark.sql.Encoders.scalaLong)
+      df.filter(col(keyCol).isNotNull)
+        .groupBy(col(groupCol))
+        .agg(bitmap(col(keyCol)).as("distinct_users"),
+          count(lit(1)).cast("long").as("n_events"))
+    } else {
+      val bitmap = udaf(new graft.functions.BitmapDistinct(1L << 16),
+        org.apache.spark.sql.Encoders.scalaLong)
+      df.filter(col(keyCol).isNotNull)
+        .select(col(groupCol), shiftrightunsigned(col(keyCol), 16)
+          .as("_chunk"), col(keyCol).bitwiseAND(lit(65535L)).as("_off"))
+        .groupBy(col(groupCol), col("_chunk"))
+        .agg(bitmap(col("_off")).as("_d"),
+          count(lit(1)).cast("long").as("_n"))
+        .groupBy(col(groupCol))
+        .agg(sum(col("_d")).cast("long").as("distinct_users"),
+          sum(col("_n")).cast("long").as("n_events"))
+    }
+  }
+
   def q161BitmapDistinct(s: SparkSession, d: String): DataFrame = {
     val maxUser = graft.sources.TableStatistics
       .parquetLongColumnMax(s, s"$d/events.parquet", "user_id")
       .getOrElse(throw new IllegalStateException(
         "events.user_id lacks parquet footer statistics"))
-    val bitmap = udaf(new graft.functions.BitmapDistinct(maxUser + 1),
-      org.apache.spark.sql.Encoders.scalaLong)
-    Tables.events(s, d)
-      .filter(col("user_id").isNotNull)
-      .groupBy(col("event_type"))
-      .agg(bitmap(col("user_id")).as("distinct_users"),
-        count(lit(1)).cast("long").as("n_events"))
+    bitmapDistinctPerGroup(Tables.events(s, d), "event_type", "user_id",
+      maxUser + 1)
   }
 
   /** q175: sequence-gap detection — the missing RANGES of a surrogate
@@ -1703,34 +1741,83 @@ object RelationalOps {
     * artifact work, so the interpreted HOF popcount is off the hot
     * path. Jaccard in round-half-up integer ppm (q58 rule).
     */
-  def q169OverlapMatrix(s: SparkSession, d: String): DataFrame = {
-    val maxUser = graft.sources.TableStatistics
-      .parquetLongColumnMax(s, s"$d/events.parquet", "user_id")
-      .getOrElse(throw new IllegalStateException(
-        "events.user_id lacks parquet footer statistics"))
-    val bm = udaf(new graft.functions.BitmapAgg(maxUser + 1),
-      org.apache.spark.sql.Encoders.scalaLong)
+  /** The q169 core over any (group, key) frame. Past [[denseBitmapMax]]
+    * the bitmaps chunk like [[bitmapDistinctPerGroup]]: per-(group,
+    * chunk) 1024-word bitmaps, pairwise AND joined ON THE CHUNK (only
+    * co-occupied chunks ever meet — sparse domains never touch absent
+    * slices), popcounts summed per pair. Same algebra, any domain.
+    */
+  private[graft] def overlapMatrix(df: DataFrame, groupCol: String,
+      keyCol: String, domain: Long): DataFrame = {
+    val s = df.sparkSession
     def pop(c: Column): Column =
       aggregate(transform(c, w => bit_count(w).cast("long")), lit(0L),
         (acc, x) => acc + x)
-    val sets = Tables.events(s, d)
-      .filter(col("user_id").isNotNull)
-      .groupBy(col("event_type"))
-      .agg(bm(col("user_id")).as("_bits"))
-    val a = sets.select(col("event_type").as("type_a"),
-      col("_bits").as("_ba"))
-    val b = sets.select(col("event_type").as("type_b"),
-      col("_bits").as("_bb"))
-    a.join(b, col("type_a") < col("type_b"))
-      .select(col("type_a"), col("type_b"),
-        pop(zip_with(col("_ba"), col("_bb"),
-          (x, y) => x.bitwiseAND(y))).as("overlap"),
-        pop(col("_ba")).as("n_a"), pop(col("_bb")).as("n_b"))
+    def jaccard(pairs: DataFrame): DataFrame = pairs
       .withColumn("jaccard_ppm", expr(
         """CAST((2 * CAST(overlap AS DECIMAL(38,0)) * 1000000
             + (n_a + n_b - overlap))
           DIV (2 * CAST(n_a + n_b - overlap AS DECIMAL(38,0)))
           AS BIGINT)"""))
+    val keyed = df.filter(col(keyCol).isNotNull)
+    if (domain <= denseBitmapMax(s)) {
+      val bm = udaf(new graft.functions.BitmapAgg(domain),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val sets = keyed.groupBy(col(groupCol))
+        .agg(bm(col(keyCol)).as("_bits"))
+      val a = sets.select(col(groupCol).as("type_a"),
+        col("_bits").as("_ba"))
+      val b = sets.select(col(groupCol).as("type_b"),
+        col("_bits").as("_bb"))
+      jaccard(a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          pop(zip_with(col("_ba"), col("_bb"),
+            (x, y) => x.bitwiseAND(y))).as("overlap"),
+          pop(col("_ba")).as("n_a"), pop(col("_bb")).as("n_b")))
+    } else {
+      val bm = udaf(new graft.functions.BitmapAgg(1L << 16),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val sets = keyed
+        .select(col(groupCol), shiftrightunsigned(col(keyCol), 16)
+          .as("_chunk"), col(keyCol).bitwiseAND(lit(65535L)).as("_off"))
+        .groupBy(col(groupCol), col("_chunk"))
+        .agg(bm(col("_off")).as("_bits"))
+        .withColumn("_pop", pop(col("_bits")))
+        .localCheckpoint(false) // feeds sizes + both pair sides
+      val sizes = sets.groupBy(col(groupCol))
+        .agg(sum(col("_pop")).cast("long").as("_n"))
+      val a = sets.select(col(groupCol).as("type_a"), col("_chunk"),
+        col("_bits").as("_ba"))
+      val b = sets.select(col(groupCol).as("type_b"), col("_chunk"),
+        col("_bits").as("_bb"))
+      val overlaps = a
+        .join(b, a("_chunk") === b("_chunk") &&
+          col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(sum(pop(zip_with(col("_ba"), col("_bb"),
+          (x, y) => x.bitwiseAND(y)))).cast("long").as("overlap"))
+      // pair skeleton from the bounded sizes table: pairs sharing NO
+      // occupied chunk never meet in the chunk join but still owe a
+      // zero-overlap row (the dense path emits every pair)
+      val skeleton = sizes
+        .select(col(groupCol).as("type_a"), col("_n").as("n_a"))
+        .join(sizes.select(col(groupCol).as("type_b"),
+          col("_n").as("n_b")), col("type_a") < col("type_b"))
+      jaccard(skeleton
+        .join(overlaps, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          coalesce(col("overlap"), lit(0L)).as("overlap"),
+          col("n_a"), col("n_b")))
+    }
+  }
+
+  def q169OverlapMatrix(s: SparkSession, d: String): DataFrame = {
+    val maxUser = graft.sources.TableStatistics
+      .parquetLongColumnMax(s, s"$d/events.parquet", "user_id")
+      .getOrElse(throw new IllegalStateException(
+        "events.user_id lacks parquet footer statistics"))
+    overlapMatrix(Tables.events(s, d), "event_type", "user_id",
+      maxUser + 1)
   }
 
   /** q180: customer tier migration matrix — every customer tiered by

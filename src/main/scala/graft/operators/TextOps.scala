@@ -1002,20 +1002,6 @@ object TextOps {
     stratifiedExactSample(Tables.documents(s, d), "lang", "doc_id",
       num = 1L, den = 10L)
 
-  /** q168: quantile normalization across sources — each document's
-    * n_chars is replaced by the GLOBAL value at its within-source
-    * percentile, so every source's length distribution maps onto the
-    * corpus-wide one (the cross-source feature alignment that makes
-    * per-source quality thresholds comparable; the microarray
-    * normalization classic applied to corpus stats — and the
-    * source-calibration complement of q124's drift detection).
-    * Rank-based and integer-exact end to end: within-source rank rₛ of
-    * nₛ maps to global rank ⌈rₛ·N/nₛ⌉ by round-UP integer division —
-    * the nearest-rank (type-1) quantile, no interpolation, no floats.
-    * Two `DistributedRank` passes (per-source and global — range
-    * slices + broadcast offsets, no single-reducer window) and ONE
-    * shuffle join on the unique global rank.
-    */
   /** q171: total-variation distance matrix between sources on the
     * length distribution — TV(a,b) = ½ Σ_bins |pₐ − p_b| over fixed
     * 500-char bins (capped at 20): "which sources have interchangeable
@@ -1061,6 +1047,20 @@ object TextOps {
           .as("tv_ppm"))
   }
 
+  /** q168: quantile normalization across sources — each document's
+    * n_chars is replaced by the GLOBAL value at its within-source
+    * percentile, so every source's length distribution maps onto the
+    * corpus-wide one (the cross-source feature alignment that makes
+    * per-source quality thresholds comparable; the microarray
+    * normalization classic applied to corpus stats — and the
+    * source-calibration complement of q124's drift detection).
+    * Rank-based and integer-exact end to end: within-source rank rₛ of
+    * nₛ maps to global rank ⌈rₛ·N/nₛ⌉ by round-UP integer division —
+    * the nearest-rank (type-1) quantile, no interpolation, no floats.
+    * Two `DistributedRank` passes (per-source and global — range
+    * slices + broadcast offsets, no single-reducer window) and ONE
+    * shuffle join on the unique global rank.
+    */
   def q168QuantileNorm(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .filter(col("n_chars").isNotNull)

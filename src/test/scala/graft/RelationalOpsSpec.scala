@@ -1209,6 +1209,40 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("chunked bitmap fallback: past the dense-domain gate q161/q169 " +
+      "chunk the key space and stay EXACT (no scale cliff); keys " +
+      "beyond 2^26 work") {
+    def run161() = RelationalOps.q161BitmapDistinct(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def run169() = RelationalOps.q169OverlapMatrix(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (dense161, dense169) = (run161(), run169())
+    spark.conf.set("spark.graft.bitmap.denseMaxDomain", "1024")
+    try {
+      assert(run161() == dense161 && dense161.nonEmpty)
+      assert(run169() == dense169 && dense169.nonEmpty)
+    } finally spark.conf.unset("spark.graft.bitmap.denseMaxDomain")
+    // domain far past the dense cap: the old code path threw at plan
+    // build; the chunked path counts exactly, including a pair with
+    // NO shared chunk (the zero-overlap skeleton row)
+    val big = 1L << 40
+    val df = Seq(("a", big), ("a", big), ("a", big + 65536L),
+      ("a", 3L), ("b", big), ("b", 7L), ("c", big + (1L << 30)))
+      .toDF("g", "k").repartition(5)
+    val d = RelationalOps.bitmapDistinctPerGroup(df, "g", "k", big + (1L << 31))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(d == Map("a" -> ((3L, 4L)), "b" -> ((2L, 2L)), "c" -> ((1L, 1L))))
+    val m = RelationalOps.overlapMatrix(df, "g", "k", big + (1L << 31))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m == Map(
+      ("a", "b") -> ((1L, 3L, 2L)),
+      ("a", "c") -> ((0L, 3L, 1L)),
+      ("b", "c") -> ((0L, 2L, 1L))))
+  }
+
   test("q162 sketch rollup: estimate within 2% of exact and invariant " +
       "to merge order/partitioning") {
     val got = RelationalOps.q162SketchRollup(spark, Sf).collect()
