@@ -73,6 +73,18 @@ object BloomSkipIndex {
       .select(col("part"), col("n_rows"), col("bloom"))
   }
 
+  /** The partitions whose sketch might contain `key` — the bounded
+    * driver-side index consultation (one row per partition value).
+    */
+  def candidates(index: DataFrame, key: Long): Seq[String] =
+    index.select(col("part"), col("bloom")).collect()
+      .filter { r =>
+        val bf = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        bf.mightContainLong(key)
+      }
+      .map(_.getString(0)).toSeq
+
   /** Point lookup through the index: consult the bounded index table
     * driver-side, then scan ONLY the candidate partitions (directory
     * pruning via the partition-column IN filter) with the exact key
@@ -81,16 +93,10 @@ object BloomSkipIndex {
     */
   def lookup(spark: SparkSession, tableDir: String, index: DataFrame,
       partCol: String, keyCol: String, key: Long): DataFrame = {
-    val cands = index.select(col("part"), col("bloom")).collect()
-      .filter { r =>
-        val bf = BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-        bf.mightContainLong(key)
-      }
-      .map(_.getString(0))
+    val cands = candidates(index, key)
     val t = spark.read.parquet(tableDir)
     if (cands.isEmpty) t.filter(lit(false))
-    else t.filter(col(partCol).cast("string").isin(cands.toSeq: _*))
+    else t.filter(col(partCol).cast("string").isin(cands: _*))
       .filter(col(keyCol) === key)
   }
 }

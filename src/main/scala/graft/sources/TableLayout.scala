@@ -22,6 +22,16 @@ object TableLayout {
     df.withColumn("part_month", date_format(col(tsCol), "yyyy-MM"))
       .write.mode("overwrite").partitionBy("part_month").parquet(dir)
 
+  /** Day-grain variant — the right cut when a table's hot window is
+    * days, not months (the layout decision is grain-per-velocity, not
+    * one-size). The `d` prefix keeps partition-column type inference
+    * from re-reading the value as DATE (the value must round-trip as
+    * the STRING the Bloom index keys on).
+    */
+  def writeDayPartitioned(df: DataFrame, tsCol: String, dir: String): Unit =
+    df.withColumn("part_day", date_format(col(tsCol), "'d'yyyyMMdd"))
+      .write.mode("overwrite").partitionBy("part_day").parquet(dir)
+
   def readPartitioned(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 

@@ -21,6 +21,24 @@ class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
       .filter(date_format(col("ts"), "yyyy-MM") === "2024-01").count())
   }
 
+  test("day-partitioned write: partition value round-trips as STRING " +
+      "(no DATE re-inference), filter prunes, rows match the flat scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_day").toString
+    TableLayout.writeDayPartitioned(Tables.events(spark, Sf), "ts", dir)
+    val stored = TableLayout.readPartitioned(spark, dir)
+    assert(stored.schema("part_day").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val day = stored.select(col("part_day")).distinct()
+      .collect().map(_.getString(0)).sorted.head
+    val q = stored.filter(col("part_day") === day)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part_day"),
+      plan.take(1500))
+    assert(q.count() == Tables.events(spark, Sf)
+      .filter(date_format(col("ts"), "'d'yyyyMMdd") === day).count())
+    assert(q.count() > 0)
+  }
+
   test("bucketed tables join without any shuffle") {
     TableLayout.writeBucketed(
       Tables.orders(spark, Sf).select("o_orderkey", "o_custkey"),
