@@ -203,6 +203,8 @@ object SparkEntry {
     "q178_repeat_decay" -> (RelationalOps.q178RepeatDecay _),
     "q179_purchase_gaps" -> (RelationalOps.q179PurchaseGaps _),
     "q180_tier_migration" -> (RelationalOps.q180TierMigration _),
+    "q181_rolling_distinct" -> (RelationalOps.q181RollingDistinct _),
+    "q182_concentration" -> (RelationalOps.q182Concentration _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3247,6 +3249,21 @@ object SparkEntry {
          FROM events WHERE user_id IS NOT NULL
          GROUP BY event_type""",
 
+    // the NDV estimate has no ANSI oracle (different sketch), so the
+    // output carries the operator's claims as engine-exact fields: the
+    // oracle asserts the exact counts and that merge-invariance and
+    // the 2% accuracy bound HOLD (booleans TRUE) — sketches are
+    // deterministic, so these are reproducible facts
+    "q162_sketch_rollup" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  count(*) AS n
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(n) AS BIGINT) AS n_events,
+                TRUE AS merge_invariant, TRUE AS est_within_2pct
+         FROM daily GROUP BY 1""",
+
     "q163_business_days" ->
       """WITH span AS (
            SELECT CAST(min(o_orderdate) AS DATE) AS lo,
@@ -3822,5 +3839,49 @@ object SparkEntry {
                     + ft.t) // (2 * CAST(ft.t AS HUGEINT)) AS BIGINT)
                   AS share_ppm
          FROM cells c JOIN ft ON c.tier_from = ft.tier_from""",
+
+    // the naive sliding-distinct: re-scan the 7-day band per output
+    // day — exactly the corpus re-read the bitmap rollup avoids
+    "q181_rolling_distinct" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         SELECT d.day, CAST(d.n AS BIGINT) AS n_events,
+                CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users_7d
+         FROM daily d JOIN events e
+           ON e.user_id IS NOT NULL
+          AND CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+         GROUP BY 1, 2""",
+
+    // Gini / HHI / top-1 share per segment — exact HUGEINT rationals,
+    // round-half-up ppm, non-negative numerators (no DIV sign trap)
+    "q182_concentration" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                      * 10000 AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1
+         ), seg AS (
+           SELECT c.c_mktsegment AS segment, s.x, s.o_custkey,
+                  row_number() OVER (PARTITION BY c.c_mktsegment
+                    ORDER BY s.x, s.o_custkey) AS i
+           FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey
+         ), m AS (
+           SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+                  SUM(CAST(x AS HUGEINT)) AS sx,
+                  SUM(CAST(x AS HUGEINT) * i) AS six,
+                  SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                  MAX(x) AS xmax
+           FROM seg GROUP BY 1
+         )
+         SELECT segment, n_customers,
+                CAST((2 * (2*six - (n_customers+1)*sx) * 1000000
+                    + n_customers*sx)
+                  // (2 * n_customers * sx) AS BIGINT) AS gini_ppm,
+                CAST((2 * sxx * 1000000 + sx*sx)
+                  // (2 * sx * sx) AS BIGINT) AS hhi_ppm,
+                CAST((2 * CAST(xmax AS HUGEINT) * 1000000 + sx)
+                  // (2 * sx) AS BIGINT) AS top1_ppm
+         FROM m""",
   )
 }

@@ -61,6 +61,38 @@ class BitmapDistinct(val domain: Long)
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
 
+/** Word-wise OR of long-array bitmaps — the MERGE side of persisted
+  * bitmap artifacts ([[BitmapAgg]] outputs): re-aggregate per-day
+  * membership bitmaps to any window or grain without touching rows.
+  * Empty/null inputs are ignored; first non-empty input fixes the
+  * length (adopted as a defensive copy — later merges mutate the
+  * buffer in place), later mismatches error (two different domains
+  * must never silently zip-truncate).
+  */
+class BitmapOr
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Long], Array[Long], Array[Long]] with Serializable {
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(b: Array[Long], v: Array[Long]): Array[Long] =
+    merge(b, if (v == null) Array.emptyLongArray else v)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) b.clone()
+    else if (b.isEmpty) a
+    else {
+      require(a.length == b.length,
+        s"bitmap length mismatch: ${a.length} vs ${b.length}")
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+  }
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
 /** [[BitmapDistinct]] that returns the BITMAP itself instead of its
   * popcount — the membership ARTIFACT, not just the count. Set algebra
   * on the artifacts (AND = intersection, OR = union, word-wise) answers

@@ -2032,19 +2032,16 @@ object RelationalOps {
         est(col("_i99")).as("p99_units"))
   }
 
-  /** q162: re-aggregatable NDV rollup — per-(type, day) HLL sketches
-    * union to per-type estimates WITHOUT rescanning rows (Spark 4
-    * DataSketches `hll_sketch_agg`/`hll_union_agg`). This is the
-    * materialized-rollup pattern a 100 TB metrics store runs on: the
-    * daily sketch table is the persisted artifact (KBs per cell), any
-    * coarser grain — weekly, all-time, ad-hoc slices — derives from
-    * sketch unions at artifact scale. The union is a slot-wise max of
-    * coupons: associative, commutative, merge-order-free (asserted in
-    * the suite), so re-aggregation depth never skews the estimate.
-    * Estimate ±2% vs exact is a suite-asserted tolerance; no ANSI
-    * oracle (DuckDB's HLL is a different sketch) → rows-only gate.
+  /** The q162 artifact: per-(type, day) HLL sketches unioned to
+    * per-type estimates WITHOUT rescanning rows (Spark 4 DataSketches
+    * `hll_sketch_agg`/`hll_union_agg`) — the materialized-rollup
+    * pattern a 100 TB metrics store runs on: the daily sketch table is
+    * the persisted artifact (KBs per cell), any coarser grain derives
+    * from sketch unions at artifact scale. Exposes the raw estimate
+    * for the suite's tolerance checks.
     */
-  def q162SketchRollup(s: SparkSession, d: String): DataFrame = {
+  private[graft] def sketchRollupDaily(s: SparkSession, d: String)
+      : DataFrame = {
     val daily = Tables.events(s, d)
       .filter(col("user_id").isNotNull)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
@@ -2055,5 +2052,143 @@ object RelationalOps {
         sum(col("n")).cast("long").as("n_events"),
         expr("hll_sketch_estimate(hll_union_agg(sk, true))")
           .as("est_users"))
+  }
+
+  /** q162: re-aggregatable NDV rollup, DRIVER-GATED. The estimate
+    * itself has no ANSI oracle (DuckDB's HLL is a different sketch),
+    * so the output carries the operator's CLAIMS as engine-exact
+    * fields instead: exact day/event counts plus two booleans the
+    * oracle asserts TRUE — `merge_invariant` (day→type, day→week→type,
+    * and direct single-pass sketches all estimate identically: the
+    * union is a slot-wise coupon max, associative and commutative, so
+    * re-aggregation depth never skews the estimate) and
+    * `est_within_2pct` (integer-arithmetic |est−exact|·100 ≤ 2·exact
+    * + 100 against an in-query exact countDistinct — affordable at
+    * gate scale; production trusts the sketch and drops this column).
+    * Sketches are deterministic, so both booleans are reproducible
+    * facts, not flaky tolerances — this upgrades q162 from a
+    * rows-only check to a full hash oracle.
+    */
+  def q162SketchRollup(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(false) // feeds both rollup shapes
+    val viaDay = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("n")).cast("long").as("n_events"),
+        expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("_e_day"))
+    val viaWeek = daily
+      .groupBy(col("event_type"), date_trunc("week", col("day")).as("wk"))
+      .agg(expr("hll_union_agg(sk, true)").as("skw"))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(skw, true))")
+        .as("_e_wk"))
+    val direct = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+        .as("_e_direct"),
+        countDistinct(col("user_id")).as("_exact"))
+    viaDay.join(viaWeek, "event_type").join(direct, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        (col("_e_day") === col("_e_wk") &&
+          col("_e_day") === col("_e_direct")).as("merge_invariant"),
+        (abs(col("_e_day") - col("_exact")) * 100 <=
+          col("_exact") * 2 + 100).as("est_within_2pct"))
+  }
+
+  /** q181: EXACT trailing-7-day distinct users per day — the sliding-
+    * window NDV every activity dashboard wants (WAU per day), which
+    * naive SQL computes by re-scanning 7 days of facts PER output day
+    * (the oracle does exactly that; at 100 TB that is 7× amortized
+    * corpus re-read, and `approx_count_distinct` windows give up
+    * exactness). Here the corpus is scanned ONCE into per-(day, 2¹⁶-
+    * chunk) membership bitmaps — the q161/q169 chunked algebra, cost ∝
+    * occupied key space — and the sliding union runs entirely on that
+    * CALENDAR × chunks artifact: a banded self-join of the day spine
+    * against the daily bitmaps, word-wise OR per (day, chunk)
+    * ([[graft.functions.BitmapOr]] — the same persisted-artifact merge
+    * that lets yesterday's bitmaps roll into any future window without
+    * ever re-reading facts), then popcounts summed across chunks
+    * (chunks partition the domain, so per-chunk distincts ADD
+    * exactly). Deterministic, exact, re-aggregatable — and the window
+    * length is a constant in the artifact join, not a fact-table scan
+    * multiplier.
+    */
+  def q181RollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val bm = udaf(new graft.functions.BitmapAgg(1L << 16),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val orAgg = udaf(new graft.functions.BitmapOr())
+    def pop(c: Column): Column =
+      aggregate(transform(c, w => bit_count(w).cast("long")), lit(0L),
+        (acc, x) => acc + x)
+    val daily = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        shiftrightunsigned(col("user_id"), 16).as("_chunk"),
+        col("user_id").bitwiseAND(lit(65535L)).as("_off"))
+      .groupBy(col("day"), col("_chunk"))
+      .agg(bm(col("_off")).as("_bits"),
+        count(lit(1)).cast("long").as("_n"))
+      .localCheckpoint(false) // feeds the spine and the banded join
+    val spine = daily.groupBy(col("day"))
+      .agg(sum(col("_n")).cast("long").as("n_events"))
+    spine.as("s")
+      .join(daily.as("t"),
+        col("t.day").between(date_sub(col("s.day"), 6), col("s.day")))
+      .groupBy(col("s.day").as("day"), col("s.n_events").as("n_events"),
+        col("t._chunk"))
+      .agg(orAgg(col("t._bits")).as("_u"))
+      .groupBy(col("day"), col("n_events"))
+      .agg(sum(pop(col("_u"))).cast("long").as("users_7d"))
+      .select(col("day"), col("n_events"), col("users_7d"))
+  }
+
+  /** q182: market-concentration suite per customer segment — the three
+    * standard inequality statistics over per-customer spend, all exact
+    * rationals in ONE pass over the ranked artifact:
+    *  - Gini coefficient G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    *    ascending (spend, custkey) total order (tie permutations leave
+    *    Σ i·xᵢ unchanged, so the tie-break affects nothing),
+    *  - Herfindahl–Hirschman index HHI = Σ xᵢ² / (Σx)²,
+    *  - top-1 share = max(x)/Σx.
+    * Spend rides e4 longs; the rank is [[DistributedRank]] with group
+    * columns (range slices + broadcast offsets — never a per-segment
+    * single-reducer window); moments accumulate in DECIMAL(38,0)
+    * (order-free, engine-identical) and every output is round-half-up
+    * integer ppm (q21 rule) — numerators provably non-negative, so no
+    * signed-division trap. The reference eyeballs "who dominates" on
+    * its win-rate views (sql/db_creation_script.sql:185-242); this is
+    * that question made a calibrated statistic.
+    */
+  def q182Concentration(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,4)") * 10000)
+          .cast("long").as("_x"))
+      .groupBy(col("o_custkey")).agg(sum(col("_x")).cast("long").as("x"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("segment")), "o_custkey")
+    val ranked = DistributedRank.withRank(spend, Seq("segment"),
+      Seq("x", "o_custkey"), "i")
+    ranked.groupBy(col("segment"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        sum(col("x").cast("decimal(38,0)")).as("_sx"),
+        sum(col("x").cast("decimal(38,0)") * col("i")).as("_six"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("_sxx"),
+        max(col("x")).as("_xmax"))
+      .select(col("segment"), col("n_customers"),
+        // G = (2·Σix − (n+1)·Σx) / (n·Σx), ppm round-half-up
+        expr("""CAST((2 * (2*_six - (n_customers+1)*_sx) * 1000000
+              + n_customers*_sx)
+            DIV (2 * n_customers * _sx) AS BIGINT)""").as("gini_ppm"),
+        expr("""CAST((2 * _sxx * 1000000 + _sx*_sx)
+            DIV (2 * _sx * _sx) AS BIGINT)""").as("hhi_ppm"),
+        expr("""CAST((2 * CAST(_xmax AS DECIMAL(38,0)) * 1000000 + _sx)
+            DIV (2 * _sx) AS BIGINT)""").as("top1_ppm"))
   }
 }

@@ -1244,16 +1244,16 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("q162 sketch rollup: estimate within 2% of exact and invariant " +
-      "to merge order/partitioning") {
-    val got = RelationalOps.q162SketchRollup(spark, Sf).collect()
+      "to merge order/partitioning; driver-gated booleans all hold") {
+    val art = RelationalOps.sketchRollupDaily(spark, Sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3)))).toMap
     val exact = Tables.events(spark, Sf)
       .filter(col("user_id").isNotNull).groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("d")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got.keySet == exact.keySet && got.nonEmpty)
-    got.foreach { case (t, (_, _, est)) =>
+    assert(art.keySet == exact.keySet && art.nonEmpty)
+    art.foreach { case (t, (_, _, est)) =>
       val ex = exact(t).toDouble
       assert(math.abs(est - ex) <= 0.02 * ex + 1,
         s"$t: est $est vs exact $ex")
@@ -1270,6 +1270,67 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
         .as("est")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(shuffled == got.map { case (t, (_, _, e)) => t -> e })
+    assert(shuffled == art.map { case (t, (_, _, e)) => t -> e })
+    // the driver-gated projection: every claim column TRUE, counts match
+    val gated = RelationalOps.q162SketchRollup(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(gated.keySet == art.keySet)
+    gated.foreach { case (t, (nDays, nEv, inv, within)) =>
+      assert(inv && within, s"$t: merge_invariant=$inv within=$within")
+      assert((nDays, nEv) == ((art(t)._1, art(t)._2)))
+    }
+  }
+
+  test("q181 rolling distinct equals a local trailing-7-day set replay " +
+      "on every day") {
+    val got = RelationalOps.q181RollingDistinct(spark, Sf).collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = Tables.events(spark, Sf).filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val byDay = ev.groupBy(_._1)
+    val expect = byDay.map { case (d, _) =>
+      val win = ev.filter { case (dd, _) =>
+        !dd.isAfter(d) && !dd.isBefore(d.minusDays(6)) }
+      d -> ((byDay(d).length.toLong, win.map(_._2).toSet.size.toLong))
+    }
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("q182 concentration equals a BigInt local replay (gini/hhi/top1 " +
+      "per segment); degenerate equal-spend group ginis to ~0") {
+    val got = RelationalOps.q182Concentration(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val spend = Tables.orders(spark, Sf)
+      .selectExpr("o_custkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS LONG) AS x")
+      .groupBy("o_custkey").agg(sum(col("x")).as("x"))
+      .join(Tables.customer(spark, Sf)
+        .selectExpr("c_custkey AS o_custkey", "c_mktsegment AS seg"),
+        "o_custkey")
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getLong(1)))
+    def ppm(num: BigInt, den: BigInt): Long =
+      ((2 * num * 1000000 + den) / (2 * den)).toLong
+    val expect = spend.groupBy(_._1).map { case (seg, rows) =>
+      val xs = rows.map(t => (t._3, t._2)).sortBy(identity).map(_._1)
+      val n = BigInt(xs.length)
+      val sx = xs.map(BigInt(_)).sum
+      val six = xs.zipWithIndex.map { case (x, i) => BigInt(x) * (i + 1) }.sum
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      seg -> ((xs.length.toLong,
+        ppm(2 * six - (n + 1) * sx, n * sx),
+        ppm(sxx, sx * sx),
+        ppm(BigInt(xs.max), sx)))
+    }
+    assert(got == expect && got.nonEmpty)
+    // sanity on the formula itself: equal spends → gini 0, hhi = 1/n
+    val eq = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L))
+    val n = BigInt(4); val sx = BigInt(400)
+    val six = eq.zipWithIndex.map { case ((_, x), i) => BigInt(x) * (i + 1) }.sum
+    assert(ppm(2 * six - (n + 1) * sx, n * sx) == 0L)
+    assert(ppm(eq.map { case (_, x) => BigInt(x) * x }.sum, sx * sx) == 250000L)
   }
 }
