@@ -723,4 +723,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       l.startsWith("Exchange") && l.contains("text#"))
     assert(!badExchange, p.take(2500))
   }
+
+  test("q181 rolling distinct: the sliding union runs on the bitmap " +
+      "ARTIFACT (the checkpoint cut the one fact scan out of the " +
+      "final plan); the 7-day band is an equi-free range join on the " +
+      "calendar, never a fact-table re-scan") {
+    val df = RelationalOps.q181RollingDistinct(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the events parquet scan happened exactly once, BEFORE the
+    // checkpoint — the window plan reads only the artifact RDD
+    assert(!p.contains("events.parquet"), p.take(2500))
+    assert(p.contains("Scan ExistingRDD"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("q182 concentration: grouped rank is range-partitioned slices " +
+      "(DistributedRank), never a per-segment single-reducer window; " +
+      "moments partial-aggregate before the shuffle") {
+    val df = RelationalOps.q182Concentration(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p.take(2500))
+    p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("_part"), l))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      p.take(2500))
+  }
 }
