@@ -205,6 +205,9 @@ object SparkEntry {
     "q180_tier_migration" -> (RelationalOps.q180TierMigration _),
     "q181_rolling_distinct" -> (RelationalOps.q181RollingDistinct _),
     "q182_concentration" -> (RelationalOps.q182Concentration _),
+    "q183_absorption" -> (RelationalOps.q183Absorption _),
+    "q184_dup_payments" -> (RelationalOps.q184DupPayments _),
+    "q185_cohort_ltv" -> (RelationalOps.q185CohortLtv _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -3883,5 +3886,145 @@ object SparkEntry {
                 CAST((2 * CAST(xmax AS HUGEINT) * 1000000 + sx)
                   // (2 * sx) AS BIGINT) AS top1_ppm
          FROM m""",
+
+    // 8-step absorption into 'purchase': q113's ppm matrix, purchase
+    // row dropped (modeled absorbing, value pinned to 1e6), then 8
+    // UNROLLED integer matrix-vector steps — per-term (p*a)//1e6 on
+    // non-negative longs, the exact Spark DIV replay
+    "q183_absorption" ->
+      """WITH pairs AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS to_type
+           FROM events
+         ), t0 AS (
+           SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           FROM pairs WHERE to_type IS NOT NULL
+           GROUP BY 1, 2
+         ), m AS (
+           SELECT from_type, to_type,
+                  CAST((2000000 * CAST(n AS HUGEINT)
+                        + sum(n) OVER (PARTITION BY from_type))
+                       // (2 * sum(n) OVER (PARTITION BY from_type))
+                       AS BIGINT) AS p_ppm
+           FROM t0
+         ), states AS (
+           SELECT DISTINCT state FROM (
+             SELECT from_type AS state FROM m
+             UNION SELECT to_type FROM m)
+         ), t AS (
+           SELECT * FROM m WHERE from_type <> 'purchase'
+         ), a0 AS (
+           SELECT state,
+                  CASE WHEN state = 'purchase' THEN 1000000
+                       ELSE 0 END AS a
+           FROM states
+         ), a1 AS (
+           SELECT st.state, CASE WHEN st.state = 'purchase' THEN 1000000
+                  ELSE COALESCE(x.v, 0) END AS a
+           FROM states st LEFT JOIN (
+             SELECT t.from_type, SUM((t.p_ppm * p.a) // 1000000) AS v
+             FROM t JOIN a0 p ON p.state = t.to_type GROUP BY 1) x
+           ON x.from_type = st.state
+         ), a2 AS (
+           SELECT st.state, CASE WHEN st.state = 'purchase' THEN 1000000
+                  ELSE COALESCE(x.v, 0) END AS a
+           FROM states st LEFT JOIN (
+             SELECT t.from_type, SUM((t.p_ppm * p.a) // 1000000) AS v
+             FROM t JOIN a1 p ON p.state = t.to_type GROUP BY 1) x
+           ON x.from_type = st.state
+         ), a3 AS (
+           SELECT st.state, CASE WHEN st.state = 'purchase' THEN 1000000
+                  ELSE COALESCE(x.v, 0) END AS a
+           FROM states st LEFT JOIN (
+             SELECT t.from_type, SUM((t.p_ppm * p.a) // 1000000) AS v
+             FROM t JOIN a2 p ON p.state = t.to_type GROUP BY 1) x
+           ON x.from_type = st.state
+         ), a4 AS (
+           SELECT st.state, CASE WHEN st.state = 'purchase' THEN 1000000
+                  ELSE COALESCE(x.v, 0) END AS a
+           FROM states st LEFT JOIN (
+             SELECT t.from_type, SUM((t.p_ppm * p.a) // 1000000) AS v
+             FROM t JOIN a3 p ON p.state = t.to_type GROUP BY 1) x
+           ON x.from_type = st.state
+         ), a5 AS (
+           SELECT st.state, CASE WHEN st.state = 'purchase' THEN 1000000
+                  ELSE COALESCE(x.v, 0) END AS a
+           FROM states st LEFT JOIN (
+             SELECT t.from_type, SUM((t.p_ppm * p.a) // 1000000) AS v
+             FROM t JOIN a4 p ON p.state = t.to_type GROUP BY 1) x
+           ON x.from_type = st.state
+         ), a6 AS (
+           SELECT st.state, CASE WHEN st.state = 'purchase' THEN 1000000
+                  ELSE COALESCE(x.v, 0) END AS a
+           FROM states st LEFT JOIN (
+             SELECT t.from_type, SUM((t.p_ppm * p.a) // 1000000) AS v
+             FROM t JOIN a5 p ON p.state = t.to_type GROUP BY 1) x
+           ON x.from_type = st.state
+         ), a7 AS (
+           SELECT st.state, CASE WHEN st.state = 'purchase' THEN 1000000
+                  ELSE COALESCE(x.v, 0) END AS a
+           FROM states st LEFT JOIN (
+             SELECT t.from_type, SUM((t.p_ppm * p.a) // 1000000) AS v
+             FROM t JOIN a6 p ON p.state = t.to_type GROUP BY 1) x
+           ON x.from_type = st.state
+         ), a8 AS (
+           SELECT st.state, CASE WHEN st.state = 'purchase' THEN 1000000
+                  ELSE COALESCE(x.v, 0) END AS a
+           FROM states st LEFT JOIN (
+             SELECT t.from_type, SUM((t.p_ppm * p.a) // 1000000) AS v
+             FROM t JOIN a7 p ON p.state = t.to_type GROUP BY 1) x
+           ON x.from_type = st.state
+         )
+         SELECT state, CAST(a AS BIGINT) AS p_convert_ppm FROM a8""",
+
+    // custkey-blocked near-duplicate pairs; amount band in integer e4
+    "q184_dup_payments" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderkey,
+                  CAST(o_orderdate AS DATE) AS day,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                       AS BIGINT) AS amt
+           FROM orders)
+         SELECT a.o_custkey AS custkey, a.o_orderkey AS orderkey_a,
+                b.o_orderkey AS orderkey_b,
+                CAST(abs(a.day - b.day) AS BIGINT) AS day_gap,
+                a.amt AS amt_a_e4, b.amt AS amt_b_e4
+         FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+           AND a.o_orderkey < b.o_orderkey
+           AND abs(a.day - b.day) <= 7
+           AND abs(a.amt - b.amt) * 100 <= least(a.amt, b.amt) * 5""",
+
+    // integer y*12+m month arithmetic on both engines; HUGEINT window
+    // cumsum (integer segment tree is exact); truncating LTV division
+    "q185_cohort_ltv" ->
+      """WITH o AS (
+           SELECT o_custkey,
+                  CAST(EXTRACT(year FROM o_orderdate) * 12
+                       + EXTRACT(month FROM o_orderdate) - 1
+                       AS BIGINT) AS ym,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                       AS BIGINT) AS amt
+           FROM orders
+         ), coh AS (
+           SELECT o_custkey, min(ym) AS cym FROM o GROUP BY 1
+         ), sizes AS (
+           SELECT cym, CAST(count(*) AS BIGINT) AS n_customers
+           FROM coh GROUP BY 1
+         ), cells AS (
+           SELECT c.cym, o.ym - c.cym AS age_months,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  SUM(CAST(amt AS HUGEINT)) AS rev
+           FROM o JOIN coh c ON o.o_custkey = c.o_custkey GROUP BY 1, 2
+         ), cum AS (
+           SELECT cym, age_months, n_orders,
+                  SUM(rev) OVER (PARTITION BY cym ORDER BY age_months
+                                 ROWS UNBOUNDED PRECEDING) AS cumrev
+           FROM cells)
+         SELECT CAST(c.cym // 12 AS BIGINT) AS cohort_year,
+                CAST(c.cym % 12 + 1 AS BIGINT) AS cohort_month,
+                c.age_months, s.n_customers, c.n_orders,
+                CAST(c.cumrev // s.n_customers AS BIGINT) AS ltv_e4
+         FROM cum c JOIN sizes s ON c.cym = s.cym""",
   )
 }

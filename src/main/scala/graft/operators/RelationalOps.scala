@@ -2147,6 +2147,119 @@ object RelationalOps {
       .select(col("day"), col("n_events"), col("users_7d"))
   }
 
+  /** q183: k-step absorption probability into the `purchase` state —
+    * "from each behavioral state, how likely does the user CONVERT
+    * within 8 transitions" (Kemeny & Snell 1960 absorbing-chain
+    * analysis; q113 gives the one-step matrix, q119 scores observed
+    * flows — this answers the forward-looking question marketing
+    * actually asks). `purchase` is MODELED absorbing: its outgoing
+    * row is dropped and its value pins to 10⁶ ppm every round.
+    *
+    * Engine-exact like q105's PageRank: the one-step matrix is q113's
+    * round-half-up integer ppm, and each iteration is
+    * aₜ₊₁(s) = Σ_s' (p_ppm(s,s')·aₜ(s')) DIV 10⁶ — truncating
+    * division on non-negative longs (Spark DIV ≡ DuckDB //), sums of
+    * longs (order-free), so the 8-round fixed point is bit-identical
+    * anywhere and the oracle replays it as 8 UNROLLED CTE steps.
+    *
+    * Scale shape: ONE corpus pass (the q113 per-user lead window)
+    * producing the |types|²-bounded matrix — a SCHEMA constant (≤ a
+    * few dozen rows at any corpus size), so collecting it and running
+    * the 8 matrix-vector steps driver-side is bounded-artifact work
+    * (the BPE-argmax/MMR-seeds rationale), not a distributed loop's 8
+    * job floors. The corpus is never touched again.
+    */
+  def q183Absorption(s: SparkSession, d: String): DataFrame = {
+    val absorbing = "purchase"
+    val iters = 8
+    val m = markovTransitions(Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type")))
+      .select(col("from_type"), col("to_type"), col("p_ppm"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (m.map(_._1) ++ m.map(_._2)).distinct
+    val trans = m.filter(_._1 != absorbing)
+    var a = states.map(st =>
+      st -> (if (st == absorbing) 1000000L else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val nxt = trans.groupBy(_._1).map { case (f, rows) =>
+        f -> rows.map { case (_, t, p) => (p * a(t)) / 1000000L }.sum
+      }
+      a = states.map(st => st ->
+        (if (st == absorbing) 1000000L else nxt.getOrElse(st, 0L))).toMap
+    }
+    import s.implicits._
+    states.sorted.toSeq.map(st => (st, a(st)))
+      .toDF("state", "p_convert_ppm")
+  }
+
+  /** q184: duplicate-payment audit — order pairs from the SAME
+    * customer whose amounts agree within 5% and dates within 7 days
+    * (the classic accounts-payable double-charge screen; the exact-key
+    * q07/q23 dedups can't see these, q91's edit-distance join is the
+    * text sibling). Blocking is the customer key: ONE equi-shuffle on
+    * o_custkey, and per-customer order counts are bounded (≤ tens), so
+    * the within-block pair build never explodes — the amount and date
+    * bands are post-join predicates (the q123 band rule), NOT join
+    * dimensions. Amount test in integer e4: |a−b|·100 ≤ min(a,b)·5 —
+    * engine-exact, no float ratio; day gap from date arithmetic.
+    */
+  def q184DupPayments(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      col("o_orderkey"), to_date(col("o_orderdate")).as("day"),
+      (col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("long").as("amt"))
+    o.as("a").join(o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.o_orderkey") < col("b.o_orderkey"))
+      .filter(abs(datediff(col("a.day"), col("b.day"))) <= 7 &&
+        abs(col("a.amt") - col("b.amt")) * 100 <=
+          least(col("a.amt"), col("b.amt")) * 5)
+      .select(col("a.o_custkey").as("custkey"),
+        col("a.o_orderkey").as("orderkey_a"),
+        col("b.o_orderkey").as("orderkey_b"),
+        abs(datediff(col("a.day"), col("b.day"))).cast("long")
+          .as("day_gap"),
+        col("a.amt").as("amt_a_e4"), col("b.amt").as("amt_b_e4"))
+  }
+
+  /** q185: cohort lifetime-value curve — customers cohorted by first
+    * order month; for each (cohort, months-since-first) the cumulative
+    * revenue per cohort member (the LTV curve finance reads against
+    * CAC; q81's retention grid counts WHO came back, this sums what
+    * they were WORTH). Month arithmetic is integer y·12+m on both
+    * engines (never float months_between); revenue rides e4 longs with
+    * DECIMAL(38,0) accumulation; the cumulative window runs on the
+    * BOUNDED cohorts×ages grid (a calendar square, never the fact
+    * table), cohort sizes join back broadcast-size, and
+    * ltv = cum_rev DIV n_customers is truncating division on
+    * non-negatives (engine-identical).
+    */
+  def q185CohortLtv(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("ym"),
+      (col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("long").as("amt"))
+    val coh = o.groupBy(col("o_custkey")).agg(min(col("ym")).as("cym"))
+      .localCheckpoint(false) // feeds sizes + the fact re-join
+    val sizes = coh.groupBy(col("cym"))
+      .agg(count(lit(1)).cast("long").as("n_customers"))
+    val cells = o.join(coh, "o_custkey")
+      .groupBy(col("cym"), (col("ym") - col("cym")).as("age_months"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(col("amt").cast("decimal(38,0)")).as("_rev"))
+    val w = Window.partitionBy(col("cym")).orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("_cum", sum(col("_rev")).over(w))
+      .join(broadcast(sizes), "cym")
+      .select(expr("cym DIV 12").as("cohort_year"),
+        (col("cym") % 12 + 1).as("cohort_month"),
+        col("age_months"), col("n_customers"), col("n_orders"),
+        expr("CAST(_cum DIV n_customers AS BIGINT)").as("ltv_e4"))
+  }
+
   /** q182: market-concentration suite per customer segment — the three
     * standard inequality statistics over per-customer spend, all exact
     * rationals in ONE pass over the ranked artifact:

@@ -1282,6 +1282,89 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q183 absorption equals a local integer matrix-power replay; " +
+      "purchase pins to 1e6 and probabilities are monotone in k") {
+    def replay(iters: Int): Map[String, Long] = {
+      val m = RelationalOps.markovTransitions(
+          Tables.events(spark, Sf).select(col("user_id"), col("ts"),
+            col("event_id"), col("event_type")))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(3))).toSeq
+      val states = (m.map(_._1) ++ m.map(_._2)).distinct
+      val trans = m.filter(_._1 != "purchase")
+      var a = states.map(s =>
+        s -> (if (s == "purchase") 1000000L else 0L)).toMap
+      for (_ <- 0 until iters) {
+        val nxt = trans.groupBy(_._1).map { case (f, rows) =>
+          f -> rows.map { case (_, t, p) => (p * a(t)) / 1000000L }.sum
+        }
+        a = states.map(s => s ->
+          (if (s == "purchase") 1000000L else nxt.getOrElse(s, 0L))).toMap
+      }
+      a
+    }
+    val got = RelationalOps.q183Absorption(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == replay(8) && got.nonEmpty)
+    assert(got("purchase") == 1000000L)
+    // more steps can only help: k=4 <= k=8 per state
+    val k4 = replay(4)
+    got.foreach { case (s, p) => assert(k4(s) <= p, s"$s: ${k4(s)} > $p") }
+    assert(got.values.forall(p => p >= 0L && p <= 1000100L))
+  }
+
+  test("q184 duplicate payments equals a local banded-pair replay; " +
+      "bands are strict (amount OR date outside band excludes)") {
+    val got = RelationalOps.q184DupPayments(spark, Sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val os = Tables.orders(spark, Sf)
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(o_orderdate AS DATE) AS day",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS LONG) AS amt")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDate(2).toLocalDate.toEpochDay, r.getLong(3)))
+    val expect = (for {
+      a <- os; b <- os
+      if a._1 == b._1 && a._2 < b._2
+      gap = math.abs(a._3 - b._3)
+      if gap <= 7 && math.abs(a._4 - b._4) * 100 <=
+        math.min(a._4, b._4) * 5
+    } yield (a._2, b._2) -> ((a._1, gap, a._4, b._4))).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("q185 cohort LTV: curve is non-decreasing in age per cohort; " +
+      "total cohort revenue closes against the books; cohort sizes " +
+      "partition the customer base") {
+    val rows = RelationalOps.q185CohortLtv(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, cs) =>
+      val byAge = cs.sortBy(_._3).map(_._6).toSeq
+      assert(byAge == byAge.sorted, "LTV must be cumulative per cohort")
+    }
+    // cohort sizes sum to the distinct customer count
+    val nCust = rows.groupBy(t => (t._1, t._2)).map(_._2.head._4).sum
+    assert(nCust == Tables.orders(spark, Sf)
+      .select(countDistinct(col("o_custkey"))).collect().head.getLong(0))
+    // the final LTV row of each cohort closes against total revenue:
+    // sum over cohorts of lastLtv*n (± n truncation units) ≈ Σ amt
+    val total = Tables.orders(spark, Sf)
+      .selectExpr("SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) " +
+        "* 10000 AS LONG) AS DECIMAL(38,0))) AS t")
+      .collect().head.getDecimal(0).longValueExact()
+    val closed = rows.groupBy(t => (t._1, t._2)).map { case (_, cs) =>
+      val last = cs.maxBy(_._3)
+      (BigInt(last._6) * last._4, BigInt(last._4))
+    }
+    val lo = closed.map(_._1).sum
+    val hi = closed.map { case (v, n) => v + n }.sum
+    assert(lo <= BigInt(total) && BigInt(total) < hi,
+      s"books don't close: $lo <= $total < $hi")
+  }
+
   test("q181 rolling distinct equals a local trailing-7-day set replay " +
       "on every day") {
     val got = RelationalOps.q181RollingDistinct(spark, Sf).collect()
