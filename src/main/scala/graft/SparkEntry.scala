@@ -208,6 +208,7 @@ object SparkEntry {
     "q183_absorption" -> (RelationalOps.q183Absorption _),
     "q184_dup_payments" -> (RelationalOps.q184DupPayments _),
     "q185_cohort_ltv" -> (RelationalOps.q185CohortLtv _),
+    "q186_mutual_nn" -> (SimilarityOps.q186MutualNn _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -4026,5 +4027,35 @@ object SparkEntry {
                 c.age_months, s.n_customers, c.n_orders,
                 CAST(c.cumrev // s.n_customers AS BIGINT) AS ltv_e4
          FROM cum c JOIN sizes s ON c.cym = s.cym""",
+
+    // full-corpus top-1 (the q32 ROUND-4 cosine pattern) then the
+    // reciprocity self-join; each mutual pair emitted once (id_a<id_b)
+    "q186_mutual_nn" ->
+      """WITH pairs AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  a.embedding AS qe, b.embedding AS ne
+           FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+         ), un AS (
+           SELECT qid, nid, CAST(unnest(qe) AS DOUBLE) AS x,
+                  CAST(unnest(ne) AS DOUBLE) AS y
+           FROM pairs
+         ), dots AS (
+           SELECT qid, nid, SUM(x*y) AS dot, SUM(x*x) AS na,
+                  SUM(y*y) AS nb
+           FROM un GROUP BY qid, nid
+         ), scored AS (
+           SELECT qid, nid,
+                  ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+           FROM dots
+         ), top1 AS (
+           SELECT qid, nid, cos_sim FROM (
+             SELECT qid, nid, cos_sim,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY cos_sim DESC, nid) AS rk
+             FROM scored) WHERE rk = 1
+         )
+         SELECT x.qid AS id_a, x.nid AS id_b, x.cos_sim AS mutual_cos
+         FROM top1 x JOIN top1 y
+           ON x.nid = y.qid AND y.nid = x.qid AND x.qid < y.qid""",
   )
 }

@@ -445,4 +445,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(r.getLong(0) < r.getLong(1) && r.getDouble(3) >= 0.5)
     }
   }
+
+  test("q186 mutual NN equals a local all-pairs reciprocal-top-1 " +
+      "replay; every pair is canonical and symmetric") {
+    val got = SimilarityOps.q186MutualNn(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vecs = Tables.embeddings(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val top1 = vecs.map { case (q, qv) =>
+      q -> vecs.view.filterKeys(_ != q)
+        .map { case (n, nv) => (n, cos(qv, nv)) }
+        .minBy { case (n, c) => (-c, n) }
+    }
+    val expect = top1.flatMap { case (q, (n, c)) =>
+      if (q < n && top1(n)._1 == q) Some((q, n) -> c) else None
+    }.toMap
+    assert(got == expect && got.nonEmpty)
+    got.keys.foreach { case (a, b) => assert(a < b) }
+  }
 }
