@@ -209,6 +209,7 @@ object SparkEntry {
     "q184_dup_payments" -> (RelationalOps.q184DupPayments _),
     "q185_cohort_ltv" -> (RelationalOps.q185CohortLtv _),
     "q186_mutual_nn" -> (SimilarityOps.q186MutualNn _),
+    "q187_knn_purity" -> (SimilarityOps.q187KnnPurity _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -4057,5 +4058,38 @@ object SparkEntry {
          SELECT x.qid AS id_a, x.nid AS id_b, x.cos_sim AS mutual_cos
          FROM top1 x JOIN top1 y
            ON x.nid = y.qid AND y.nid = x.qid AND x.qid < y.qid""",
+
+    // top-5 by the q32 ROUND-4 cosine recipe, then label agreement in
+    // round-half-up ppm over the constant k = 5
+    "q187_knn_purity" ->
+      """WITH pairs AS (
+           SELECT a.vec_id AS qid, a.label AS qlabel,
+                  b.vec_id AS nid, b.label AS nlabel,
+                  a.embedding AS qe, b.embedding AS ne
+           FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+         ), un AS (
+           SELECT qid, qlabel, nid, nlabel,
+                  CAST(unnest(qe) AS DOUBLE) AS x,
+                  CAST(unnest(ne) AS DOUBLE) AS y
+           FROM pairs
+         ), dots AS (
+           SELECT qid, qlabel, nid, nlabel, SUM(x*y) AS dot,
+                  SUM(x*x) AS na, SUM(y*y) AS nb
+           FROM un GROUP BY qid, qlabel, nid, nlabel
+         ), ranked AS (
+           SELECT qid, qlabel, nid, nlabel,
+                  row_number() OVER (PARTITION BY qid ORDER BY
+                    ROUND(dot / (sqrt(na) * sqrt(nb)), 4) DESC, nid)
+                    AS rk
+           FROM dots
+         )
+         SELECT qid AS vec_id, qlabel AS label,
+                CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_same,
+                CAST((2000000 * SUM(CASE WHEN nlabel = qlabel
+                                    THEN 1 ELSE 0 END) + 5)
+                     // 10 AS BIGINT) AS purity_ppm
+         FROM ranked WHERE rk <= 5
+         GROUP BY 1, 2""",
   )
 }

@@ -472,4 +472,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect && got.nonEmpty)
     got.keys.foreach { case (a, b) => assert(a < b) }
   }
+
+  test("q187 knn purity equals a local top-5 label-agreement replay; " +
+      "ppm arithmetic exact") {
+    val got = SimilarityOps.q187KnnPurity(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val rows = Tables.embeddings(spark, Sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = rows.map { case (q, ql, qv) =>
+      val top5 = rows.filter(_._1 != q)
+        .map { case (n, nl, nv) => (n, nl, cos(qv, nv)) }
+        .sortBy { case (n, _, c) => (-c, n) }.take(5)
+      val same = top5.count(_._2 == ql).toLong
+      q -> ((ql, same, (2000000L * same + 5) / 10))
+    }.toMap
+    assert(got == expect && got.nonEmpty)
+    assert(got.size == rows.length)
+  }
 }
