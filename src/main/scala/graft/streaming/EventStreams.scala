@@ -262,6 +262,59 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming EXACT windowed distinct users — the q161/q181 chunked
+    * bitmap algebra as streaming state, where the row-48 HLL variant
+    * only estimates: one 1024-word OR-mergeable buffer per (window,
+    * type, occupied 2¹⁶-chunk of the user-id space), watermark-bounded
+    * like any windowed aggregate; micro-batch partials combine in any
+    * order (word-wise OR is commutative ⇒ zero drift, stream ≡ batch
+    * on closed windows). State cost ∝ occupied chunks, never the
+    * domain — the same scale story as the batch operator.
+    */
+  def windowedDistinctChunks(events: DataFrame): DataFrame = {
+    val bm = udaf(new graft.functions.BitmapAgg(1L << 16),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .filter(col("user_id").isNotNull)
+      .withColumn("_chunk", shiftrightunsigned(col("user_id"), 16))
+      .withColumn("_off", col("user_id").bitwiseAND(lit(65535L)))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+        col("_chunk"))
+      .agg(bm(col("_off")).as("bits"), count(lit(1)).cast("long").as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("_chunk"), col("bits"), col("n"))
+  }
+
+  /** Distinct counts from the closed-window chunk artifact — batch
+    * work in foreachBatch (the percentileMonitor shape): per-chunk
+    * popcounts SUM exactly because chunks partition the key domain.
+    */
+  private[graft] def distinctFromChunks(agg: DataFrame): DataFrame = {
+    def pop(c: org.apache.spark.sql.Column) =
+      aggregate(transform(c, w => bit_count(w).cast("long")), lit(0L),
+        (acc, x) => acc + x)
+    agg
+      .withColumn("_pop", pop(col("bits")))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(sum(col("_pop")).cast("long").as("distinct_users"),
+        sum(col("n")).cast("long").as("n_events"))
+  }
+
+  /** Start the exact-distinct monitor: closed windows' chunk bitmaps
+    * arrive per batch (append mode), popcount rollup runs in
+    * foreachBatch on the bounded artifact.
+    */
+  def distinctMonitor(events: DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedDistinctChunks(events).writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(distinctFromChunks(batch))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Nearest-rank p50/p95/p99 from a DDSketch bucket-count column
     * `sk` with count column `n`, correlated by the NATURAL key columns
     * (window_start, event_type) — a synthetic monotonically-increasing

@@ -330,4 +330,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("streaming exact-distinct monitor equals batch countDistinct " +
+      "EXACTLY on every closed window (bitmap state, zero drift)") {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(java.sql.Timestamp, String, Long, Long)]
+    val q = EventStreams.distinctMonitor(
+      EventStreams.readEventStream(spark, Sf)) { out =>
+      buf.synchronized {
+        buf ++= out
+          .select("window_start", "event_type", "distinct_users",
+            "n_events")
+          .collect().map(r => (r.getTimestamp(0), r.getString(1),
+            r.getLong(2), r.getLong(3)))
+      }
+    }
+    q.awaitTermination(120000)
+    val got = buf.toSet
+    assert(got.nonEmpty)
+    val emitted = got.map(x => (x._1, x._2))
+    val batch = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("window(ts, '1 hour').start AS w", "event_type",
+        "user_id")
+      .groupBy("w", "event_type")
+      .agg(countDistinct(col("user_id")).as("d"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+      .filter(x => emitted.contains((x._1, x._2))).toSet
+    assert(got == batch, "streaming bitmap distinct must be EXACT")
+  }
 }

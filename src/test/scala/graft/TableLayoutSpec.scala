@@ -39,6 +39,40 @@ class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(q.count() > 0)
   }
 
+  test("bitmap index artifact: write → read → range-derive equals the " +
+      "fact-table countDistinct exactly; re-aggregation order never " +
+      "matters; day-range reads prune partitions") {
+    import graft.sources.BitmapIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_bmidx").toString
+    val facts = Tables.events(spark, Sf)
+    BitmapIndex.write(
+      BitmapIndex.build(facts, "event_type", "ts", "user_id"), dir)
+    val idx = BitmapIndex.read(spark, dir)
+    // pick an interior date range covering some but not all days
+    val days = facts.select(to_date(col("ts")).as("d")).distinct()
+      .orderBy("d").collect().map(_.getDate(0).toString)
+    val (from, to) = (days(days.length / 4), days(days.length / 2))
+    val got = BitmapIndex.distinctBetween(idx, from, to).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = facts
+      .filter(col("user_id").isNotNull &&
+        to_date(col("ts")).between(from, to))
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exact && got.nonEmpty)
+    // day-range scan prunes partitions at planning time
+    val plan = idx.filter(col("day") === lit(from).cast("date"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    // re-aggregation order invariance: shuffle the artifact first
+    val scrambled = BitmapIndex.distinctBetween(
+        idx.repartition(13, col("chunk")), from, to).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scrambled == got)
+  }
+
   test("bucketed tables join without any shuffle") {
     TableLayout.writeBucketed(
       Tables.orders(spark, Sf).select("o_orderkey", "o_custkey"),
