@@ -210,6 +210,7 @@ object SparkEntry {
     "q185_cohort_ltv" -> (RelationalOps.q185CohortLtv _),
     "q186_mutual_nn" -> (SimilarityOps.q186MutualNn _),
     "q187_knn_purity" -> (SimilarityOps.q187KnnPurity _),
+    "q188_seasonal_decomp" -> (StatsOps.q188SeasonalDecomp _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -4091,5 +4092,39 @@ object SparkEntry {
                      // 10 AS BIGINT) AS purity_ppm
          FROM ranked WHERE rk <= 5
          GROUP BY 1, 2""",
+
+    // centered 7-day MA trend (full windows only), per-isodow seasonal
+    // mean with the sign split out of the round-half-up division
+    // (detrended values go negative; // floors, DIV truncates)
+    "q188_seasonal_decomp" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                      * 10000 AS BIGINT)) AS BIGINT) AS value_e4
+           FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+         ), t AS (
+           SELECT day, value_e4,
+                  SUM(value_e4) OVER w AS s7, COUNT(*) OVER w AS n7
+           FROM daily
+           WINDOW w AS (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         ), tr AS (
+           SELECT day, value_e4,
+                  CAST((2 * s7 + 7) // 14 AS BIGINT) AS trend_e4,
+                  CAST(value_e4 - (2 * s7 + 7) // 14 AS BIGINT) AS d,
+                  CAST(isodow(day) AS BIGINT) AS dow
+           FROM t WHERE n7 = 7
+         ), se AS (
+           SELECT dow,
+                  CAST(CASE WHEN SUM(d) >= 0
+                    THEN (2 * SUM(d) + COUNT(*)) // (2 * COUNT(*))
+                    ELSE -((2 * (-SUM(d)) + COUNT(*)) // (2 * COUNT(*)))
+                  END AS BIGINT) AS seasonal_e4
+           FROM tr GROUP BY 1
+         )
+         SELECT tr.day, tr.value_e4, tr.trend_e4, tr.dow,
+                se.seasonal_e4,
+                CAST(tr.d - se.seasonal_e4 AS BIGINT) AS remainder_e4
+         FROM tr JOIN se ON tr.dow = se.dow""",
   )
 }

@@ -1349,4 +1349,51 @@ object StatsOps {
       .select(col("l_returnflag"), col("day"),
         col("rev").cast("long").as("rev_units"), col("ewma_units"))
   }
+
+  /** q188: classical additive seasonal decomposition of daily order
+    * revenue — value = trend + seasonal + remainder (the STL shape
+    * with moving-average trend; q133 flags pointwise DOW outliers,
+    * this SEPARATES the series into its components, the standard
+    * pre-step before forecasting or anomaly thresholds on the
+    * remainder):
+    *  - trend = centered 7-day moving average (full windows only —
+    *    the 3 edge days on each end carry no trend row),
+    *  - seasonal = per-ISO-DOW mean of the detrended series,
+    *  - remainder = detrended − seasonal.
+    * Everything is integer e4 units: the 7-day sum is exact long
+    * arithmetic, means are round-half-up integer division with the
+    * SIGN SPLIT OUT (detrended values go negative; Spark DIV truncates
+    * where DuckDB // floors — the q148/q153 rule). All windows and
+    * aggregates run on the CALENDAR-bounded daily artifact (one corpus
+    * aggregate feeds it), so the unpartitioned ORDER BY day window is
+    * artifact-scale — never the fact table.
+    */
+  def q188SeasonalDecomp(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .select(to_date(col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast("decimal(18,4)") * 10000)
+          .cast("long").as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).cast("long").as("value_e4"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("_s7", sum(col("value_e4")).over(w7))
+      .withColumn("_n7", count(lit(1)).over(w7))
+      .filter(col("_n7") === 7)
+      .withColumn("trend_e4", expr("(2 * _s7 + 7) DIV 14"))
+      .withColumn("_d", col("value_e4") - col("trend_e4"))
+      .withColumn("dow", expr("CAST(weekday(day) + 1 AS BIGINT)"))
+      .localCheckpoint(false) // feeds the DOW means and the final join
+    val signedMean = (sd: String, nd: String) => expr(
+      s"""CASE WHEN $sd >= 0 THEN (2 * $sd + $nd) DIV (2 * $nd)
+          ELSE -((2 * (-$sd) + $nd) DIV (2 * $nd)) END""")
+    val seasonal = trended.groupBy(col("dow"))
+      .agg(sum(col("_d")).cast("long").as("_sd"),
+        count(lit(1)).cast("long").as("_nd"))
+      .select(col("dow"), signedMean("_sd", "_nd").as("seasonal_e4"))
+    trended.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("value_e4"), col("trend_e4"), col("dow"),
+        col("seasonal_e4"),
+        (col("_d") - col("seasonal_e4")).as("remainder_e4"))
+  }
 }

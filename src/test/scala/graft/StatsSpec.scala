@@ -970,4 +970,40 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     val best = per.maxBy(x => (x._4, x._1))._1
     assert(got(best)._3 == 5L)
   }
+
+  test("q188 seasonal decomposition equals a local integer replay; " +
+      "components reassemble the series exactly") {
+    val got = StatsOps.q188SeasonalDecomp(spark, Sf).collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val daily = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate").isNotNull)
+      .selectExpr("CAST(o_orderdate AS DATE) AS day",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS LONG) AS v")
+      .groupBy("day").agg(sum(col("v")).as("v"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val vs = daily.map(_._2)
+    def halfUp(sd: Long, nd: Long): Long =
+      if (sd >= 0) (2 * sd + nd) / (2 * nd)
+      else -((2 * -sd + nd) / (2 * nd))
+    val interior = (3 until daily.length - 3).map { i =>
+      val s7 = (i - 3 to i + 3).map(vs).sum
+      val trend = (2 * s7 + 7) / 14
+      val dow = daily(i)._1.getDayOfWeek.getValue.toLong
+      (daily(i)._1, vs(i), trend, dow, vs(i) - trend)
+    }
+    val seasonal = interior.groupBy(_._4).map { case (dw, rows) =>
+      dw -> halfUp(rows.map(_._5).sum, rows.length.toLong)
+    }
+    val expect = interior.map { case (day, v, tr, dw, d) =>
+      day -> ((v, tr, dw, seasonal(dw), d - seasonal(dw)))
+    }.toMap
+    assert(got == expect && got.nonEmpty)
+    // reassembly: value = trend + seasonal + remainder on every row
+    got.foreach { case (day, (v, tr, _, se, re)) =>
+      assert(v == tr + se + re, s"$day does not reassemble")
+    }
+  }
 }
