@@ -738,6 +738,58 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2500))
   }
 
+  test("q184 dup payments: custkey-blocked equi-join — bands are " +
+      "post-join predicates, never a cartesian or range join") {
+    val df = RelationalOps.q184DupPayments(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
+
+  test("q185 cohort LTV: the cumulative window runs keyed by the " +
+      "cohort on the bounded grid; cohort sizes broadcast back") {
+    val df = RelationalOps.q185CohortLtv(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("cym"), l))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("q186/q187 embedding ops: top cut is the heap operator, no " +
+      "cartesian; q186's reciprocity join is an equi-join on the " +
+      "checkpointed node-scale top-1 artifact") {
+    val p187 = plan(SimilarityOps.q187KnnPurity(spark, Sf))
+    assert(p187.contains("TopKPerKey"), p187.take(2500))
+    assert(!p187.contains("CartesianProduct"), p187.take(2500))
+    // q186 checkpoints top-1 (the heap ran before the cut); the final
+    // plan must be an equi self-join over the artifact RDD only
+    val p186 = plan(SimilarityOps.q186MutualNn(spark, Sf))
+    assert(p186.contains("Scan ExistingRDD"), p186.take(2500))
+    assert(!p186.contains("CartesianProduct") &&
+      !p186.contains("BroadcastNestedLoopJoin"), p186.take(2500))
+    assert(!p186.contains("embeddings.parquet"),
+      "corpus must not be re-scanned after the top-1 cut\n" +
+        p186.take(2500))
+  }
+
+  test("q188 seasonal decomposition: the unpartitioned 7-day window " +
+      "runs on the AGGREGATED daily artifact (partial aggregation " +
+      "collapsed the fact scan first), seasonal means broadcast back") {
+    val df = StatsOps.q188SeasonalDecomp(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the window's child chain must contain the day aggregate — i.e.
+    // partial aggregation happened below the window, so the window
+    // input is calendar-scale, not the orders scan
+    assert(p.contains("partial_sum"), p.take(2500))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"), p.take(2500))
+  }
+
   test("q182 concentration: grouped rank is range-partitioned slices " +
       "(DistributedRank), never a per-segment single-reducer window; " +
       "moments partial-aggregate before the shuffle") {
