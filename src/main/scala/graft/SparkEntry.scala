@@ -211,6 +211,12 @@ object SparkEntry {
     "q186_mutual_nn" -> (SimilarityOps.q186MutualNn _),
     "q187_knn_purity" -> (SimilarityOps.q187KnnPurity _),
     "q188_seasonal_decomp" -> (StatsOps.q188SeasonalDecomp _),
+    "q189_lead_lag" -> (StatsOps.q189LeadLag _),
+    "q190_golden_record" -> (RelationalOps.q190GoldenRecord _),
+    "q191_fd_discovery" -> (RelationalOps.q191FdDiscovery _),
+    "q192_unpivot" -> (RelationalOps.q192Unpivot _),
+    "q193_sssp" -> (GraphOps.q193Sssp _),
+    "q194_kmeans" -> (SimilarityOps.q194Kmeans _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -4126,5 +4132,225 @@ object SparkEntry {
                 se.seasonal_e4,
                 CAST(tr.d - se.seasonal_e4 AS BIGINT) AS remainder_e4
          FROM tr JOIN se ON tr.dow = se.dow""",
+    // lead-lag OLS slope in pure integer rationals (no sqrt — the
+    // correlation denominator is libm; the slope form is exact), with
+    // the signed round-half-up sign split (Spark DIV truncates,
+    // DuckDB // floors; identical on non-negatives only)
+    "q189_lead_lag" ->
+      """WITH daily AS (
+           SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  CAST(COUNT(*) AS BIGINT) AS x,
+                  SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT)) AS y
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+           GROUP BY 1
+         ), lags AS (
+           SELECT CAST(range AS BIGINT) AS lag FROM range(-7, 8)
+         ), p AS (
+           SELECT l.lag, CAST(a.x AS HUGEINT) AS x, CAST(b.y AS HUGEINT) AS y
+           FROM daily a CROSS JOIN lags l
+           JOIN daily b ON b.day = a.day + l.lag
+         ), agg AS (
+           SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+                  SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(x * y) AS sxy, SUM(x * x) AS sxx
+           FROM p GROUP BY 1
+         )
+         SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+                CASE WHEN n * sxx - sx * sx > 0 THEN
+                  CAST(CASE WHEN n * sxy - sx * sy >= 0
+                    THEN (2 * (n * sxy - sx * sy) * 1000000
+                          + (n * sxx - sx * sx))
+                         // (2 * (n * sxx - sx * sx))
+                    ELSE -((2 * (sx * sy - n * sxy) * 1000000
+                            + (n * sxx - sx * sx))
+                           // (2 * (n * sxx - sx * sx)))
+                  END AS BIGINT) END AS beta_ppm
+         FROM agg""",
+    // survivorship rules replayed as windows: MODE = highest count,
+    // smallest value; LATEST = max (day, orderkey)
+    "q190_golden_record" ->
+      """WITH obs AS (
+           SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS day,
+                  o_orderstatus, o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                    AS BIGINT) AS amt_e4
+           FROM orders
+         ), md AS (
+           SELECT o_custkey, o_orderstatus,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY COUNT(*) DESC, o_orderstatus) AS rn
+           FROM obs GROUP BY o_custkey, o_orderstatus
+         ), lt AS (
+           SELECT o_custkey, o_orderpriority,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY day DESC, o_orderkey DESC) AS rn
+           FROM obs
+         ), f AS (
+           SELECT o_custkey, MAX(amt_e4) AS max_amount_e4,
+                  MIN(day) AS first_seen_day,
+                  CAST(COUNT(*) AS BIGINT) AS n_obs
+           FROM obs GROUP BY o_custkey
+         )
+         SELECT f.o_custkey AS custkey,
+                md.o_orderstatus AS mode_status,
+                lt.o_orderpriority AS latest_priority,
+                f.max_amount_e4, f.first_seen_day, f.n_obs,
+                COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+         FROM f
+         JOIN md ON md.o_custkey = f.o_custkey AND md.rn = 1
+         JOIN lt ON lt.o_custkey = f.o_custkey AND lt.rn = 1
+         LEFT JOIN customer c ON c.c_custkey = f.o_custkey""",
+    "q191_fd_discovery" ->
+      """WITH c1 AS (SELECT l_orderkey AS a, CAST(l_returnflag AS VARCHAR) AS b, COUNT(*) AS c FROM lineitem GROUP BY 1,2),
+         g1 AS (SELECT CAST(SUM(mc) AS BIGINT) AS keep_rows, CAST(SUM(n) AS BIGINT) AS n_rows FROM (SELECT a, MAX(c) AS mc, SUM(c) AS n FROM c1 GROUP BY a)),
+         c2 AS (SELECT l_orderkey AS a, CAST(l_linestatus AS VARCHAR) AS b, COUNT(*) AS c FROM lineitem GROUP BY 1,2),
+         g2 AS (SELECT CAST(SUM(mc) AS BIGINT) AS keep_rows, CAST(SUM(n) AS BIGINT) AS n_rows FROM (SELECT a, MAX(c) AS mc, SUM(c) AS n FROM c2 GROUP BY a)),
+         c3 AS (SELECT l_partkey AS a, CAST(l_suppkey AS VARCHAR) AS b, COUNT(*) AS c FROM lineitem GROUP BY 1,2),
+         g3 AS (SELECT CAST(SUM(mc) AS BIGINT) AS keep_rows, CAST(SUM(n) AS BIGINT) AS n_rows FROM (SELECT a, MAX(c) AS mc, SUM(c) AS n FROM c3 GROUP BY a)),
+         c4 AS (SELECT l_suppkey AS a, CAST(l_returnflag AS VARCHAR) AS b, COUNT(*) AS c FROM lineitem GROUP BY 1,2),
+         g4 AS (SELECT CAST(SUM(mc) AS BIGINT) AS keep_rows, CAST(SUM(n) AS BIGINT) AS n_rows FROM (SELECT a, MAX(c) AS mc, SUM(c) AS n FROM c4 GROUP BY a)),
+         c5 AS (SELECT l_partkey AS a, CAST(l_returnflag AS VARCHAR) AS b, COUNT(*) AS c FROM lineitem GROUP BY 1,2),
+         g5 AS (SELECT CAST(SUM(mc) AS BIGINT) AS keep_rows, CAST(SUM(n) AS BIGINT) AS n_rows FROM (SELECT a, MAX(c) AS mc, SUM(c) AS n FROM c5 GROUP BY a)),
+         u AS (
+           SELECT 'l_orderkey' AS lhs, 'l_returnflag' AS rhs, n_rows, keep_rows FROM g1
+           UNION ALL SELECT 'l_orderkey', 'l_linestatus', n_rows, keep_rows FROM g2
+           UNION ALL SELECT 'l_partkey', 'l_suppkey', n_rows, keep_rows FROM g3
+           UNION ALL SELECT 'l_suppkey', 'l_returnflag', n_rows, keep_rows FROM g4
+           UNION ALL SELECT 'l_partkey', 'l_returnflag', n_rows, keep_rows FROM g5
+         )
+         SELECT lhs, rhs, n_rows, keep_rows,
+                CAST((2 * (n_rows - keep_rows) * 10000 + n_rows)
+                     // (2 * n_rows) AS BIGINT) AS g3_e4
+         FROM u""",
+    // melt replayed as the ANSI UNION-ALL stack
+    "q192_unpivot" ->
+      """WITH wide AS (
+           SELECT n.n_name,
+                  CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,4))
+                    * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY 1
+         )
+         SELECT n_name, 'revenue_e4' AS metric, revenue_e4 AS value FROM wide
+         UNION ALL
+         SELECT n_name, 'n_orders', n_orders FROM wide
+         UNION ALL
+         SELECT n_name, 'n_customers', n_customers FROM wide""",
+    // hop-bounded Bellman–Ford: after k relaxations dist = cheapest
+    // cost over ≤k-hop paths, so the bounded run replays as k
+    // unrolled min-plus CTEs (NOT a recursive CTE — weighted label
+    // states explode; the unroll is the exact mirror of the loop)
+    "q193_sssp" ->
+      """WITH pr AS (
+           SELECT a.l_partkey AS s1, b.l_partkey AS s2, COUNT(*) AS c
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey < b.l_partkey
+           GROUP BY 1, 2
+         ), wp AS (
+           SELECT s1, s2, CAST((1000 + c - 1) // c AS BIGINT) AS w FROM pr
+         ), edges AS (
+           SELECT s1 AS src, s2 AS dst, w FROM wp
+           UNION ALL SELECT s2, s1, w FROM wp
+         ), seeds AS (
+           SELECT src AS node FROM edges
+           GROUP BY src ORDER BY COUNT(*) DESC, src LIMIT 3
+         ), d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+         d1 AS (SELECT node, MIN(dist) AS dist FROM (
+           SELECT node, dist FROM d0 UNION ALL
+           SELECT e.dst, p.dist + e.w FROM d0 p
+           JOIN edges e ON p.node = e.src) GROUP BY node),
+         d2 AS (SELECT node, MIN(dist) AS dist FROM (
+           SELECT node, dist FROM d1 UNION ALL
+           SELECT e.dst, p.dist + e.w FROM d1 p
+           JOIN edges e ON p.node = e.src) GROUP BY node),
+         d3 AS (SELECT node, MIN(dist) AS dist FROM (
+           SELECT node, dist FROM d2 UNION ALL
+           SELECT e.dst, p.dist + e.w FROM d2 p
+           JOIN edges e ON p.node = e.src) GROUP BY node),
+         d4 AS (SELECT node, MIN(dist) AS dist FROM (
+           SELECT node, dist FROM d3 UNION ALL
+           SELECT e.dst, p.dist + e.w FROM d3 p
+           JOIN edges e ON p.node = e.src) GROUP BY node),
+         d5 AS (SELECT node, MIN(dist) AS dist FROM (
+           SELECT node, dist FROM d4 UNION ALL
+           SELECT e.dst, p.dist + e.w FROM d4 p
+           JOIN edges e ON p.node = e.src) GROUP BY node),
+         d6 AS (SELECT node, MIN(dist) AS dist FROM (
+           SELECT node, dist FROM d5 UNION ALL
+           SELECT e.dst, p.dist + e.w FROM d5 p
+           JOIN edges e ON p.node = e.src) GROUP BY node),
+         d7 AS (SELECT node, MIN(dist) AS dist FROM (
+           SELECT node, dist FROM d6 UNION ALL
+           SELECT e.dst, p.dist + e.w FROM d6 p
+           JOIN edges e ON p.node = e.src) GROUP BY node),
+         d8 AS (SELECT node, MIN(dist) AS dist FROM (
+           SELECT node, dist FROM d7 UNION ALL
+           SELECT e.dst, p.dist + e.w FROM d7 p
+           JOIN edges e ON p.node = e.src) GROUP BY node)
+         SELECT node AS partkey, CAST(dist AS BIGINT) AS cost FROM d8""",
+    // exact integer-lattice Lloyd rounds: floor-e6 points (floor, not
+    // CAST — DuckDB CAST rounds, ANSI Spark truncates), squared-long
+    // distances, smallest-cid ties, signed round-half-up means; three
+    // unrolled assign/update rounds mirror the loop exactly
+    "q194_kmeans" ->
+      """WITH base AS (
+           SELECT vec_id,
+                  [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                   for x in embedding] AS e6
+           FROM embeddings
+         ), pdim AS (
+           SELECT vec_id, i, e6[i] AS e
+           FROM (SELECT vec_id, e6,
+                        unnest(generate_series(1, len(e6))) AS i
+                 FROM base)
+         ), c0 AS (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                    AS cid, vec_id
+           FROM (SELECT vec_id FROM base ORDER BY vec_id LIMIT 8)
+         ), cd0 AS (
+           SELECT c0.cid, p.i, p.e FROM c0 JOIN pdim p USING (vec_id)
+         ), a1 AS (
+           SELECT p.vec_id, c.cid, SUM((p.e - c.e) * (p.e - c.e)) AS d2
+           FROM pdim p JOIN cd0 c ON p.i = c.i GROUP BY 1, 2
+         ), asg1 AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d2, cid) AS rn FROM a1) WHERE rn = 1
+         ), cd1 AS (
+           SELECT a.cid, p.i,
+                  CASE WHEN SUM(p.e) >= 0
+                    THEN (2 * SUM(p.e) + COUNT(*)) // (2 * COUNT(*))
+                    ELSE -((2 * (-SUM(p.e)) + COUNT(*)) // (2 * COUNT(*)))
+                  END AS e
+           FROM pdim p JOIN asg1 a USING (vec_id) GROUP BY 1, 2
+         ), a2 AS (
+           SELECT p.vec_id, c.cid, SUM((p.e - c.e) * (p.e - c.e)) AS d2
+           FROM pdim p JOIN cd1 c ON p.i = c.i GROUP BY 1, 2
+         ), asg2 AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d2, cid) AS rn FROM a2) WHERE rn = 1
+         ), cd2 AS (
+           SELECT a.cid, p.i,
+                  CASE WHEN SUM(p.e) >= 0
+                    THEN (2 * SUM(p.e) + COUNT(*)) // (2 * COUNT(*))
+                    ELSE -((2 * (-SUM(p.e)) + COUNT(*)) // (2 * COUNT(*)))
+                  END AS e
+           FROM pdim p JOIN asg2 a USING (vec_id) GROUP BY 1, 2
+         ), a3 AS (
+           SELECT p.vec_id, c.cid, SUM((p.e - c.e) * (p.e - c.e)) AS d2
+           FROM pdim p JOIN cd2 c ON p.i = c.i GROUP BY 1, 2
+         )
+         SELECT vec_id, CAST(cid AS BIGINT) AS cid,
+                CAST(d2 AS BIGINT) AS d2
+         FROM (SELECT vec_id, cid, d2, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a3)
+         WHERE rn = 1""",
   )
 }

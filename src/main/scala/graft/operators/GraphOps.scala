@@ -783,4 +783,118 @@ object GraphOps {
   /** q174: degree assortativity of the pruned co-purchase graph. */
   def q174Assortativity(s: SparkSession, d: String): DataFrame =
     assortativity(prunedCoPurchaseEdges(s, d, minCount = 2))
+
+  /** Hop-bounded weighted single-source shortest paths — Bellman–Ford
+    * label-correcting relaxation (Bellman 1958), the WEIGHTED upgrade
+    * of [[bfsHops]]'s unit-cost distance: after round k, `dist` is
+    * EXACTLY the cheapest cost over paths of ≤ k hops, which is what
+    * makes a bounded run replayable by k unrolled min-plus
+    * relaxations in the oracle (an unbounded "until converged" run
+    * can need up to |V|−1 rounds — a weighted detour through more
+    * hops can be cheaper, so the BFS-diameter argument of q110 does
+    * NOT carry over; the hop bound is part of the operator's
+    * semantics here). Early exit when no label improves: at that
+    * point the answer has converged and equals every deeper bound.
+    *
+    * Per round: edge table ⋈ improved-frontier (the ONLY node-scale
+    * side — broadcast under the [[maxBroadcastNodes]] gate, past it
+    * the src-bucketed edge table materializes lazily exactly as in
+    * [[bfsHops]]), one map-side-combined MIN per dst, then a
+    * node-scale merge join against the running label table. Edges
+    * never shuffle in bc mode; lineage cut per round (the q61/q105
+    * loop rule). Integer costs throughout — engine-exact.
+    */
+  def weightedSssp(wEdges: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 8): DataFrame = {
+    val spark = wEdges.sparkSession
+    val edges = wEdges.localCheckpoint(false)
+    val maxB = maxBroadcastNodes(wEdges)
+    var bucketTable: Option[String] = None
+    def srcEdges(): DataFrame = {
+      if (bucketTable.isEmpty) {
+        val t = "graft_graph_edges_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        graft.sources.TableLayout.writeBucketed(edges, "src",
+          spark.conf.get("spark.sql.shuffle.partitions").toInt, t)
+        bucketTable = Some(t)
+      }
+      spark.table(bucketTable.get)
+    }
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
+    var frontier = dist
+    var r = 0
+    var frontierN = frontier.count()
+    var distN = frontierN
+    while (r < maxRounds && frontierN > 0) {
+      r += 1
+      val fBc = frontierN <= maxB
+      val improved = ssspRound(if (fBc) edges else srcEdges(), frontier,
+          dist, fBc, distN <= maxB)
+        .localCheckpoint(false)
+      frontierN = improved.count()
+      dist = dist
+        .join(improved.select(col("node").as("_n"), col("dist").as("_nd")),
+          col("node") === col("_n"), "full_outer")
+        .select(coalesce(col("node"), col("_n")).as("node"),
+          coalesce(col("_nd"), col("dist")).as("dist"))
+        .localCheckpoint(false)
+      distN = dist.count()
+      frontier = improved
+    }
+    bucketTable match {
+      case None => dist
+      case Some(t) =>
+        val out = dist.localCheckpoint() // eager: safe to drop below
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        out
+    }
+  }
+
+  /** One Bellman–Ford relaxation round — split out so plan audits can
+    * pin both gate modes: edges ⋈ `(node, dist)` frontier on src, the
+    * per-dst MIN of candidate labels, then the improvement filter
+    * against the running label table (left join, keep strictly-better
+    * or brand-new labels).
+    */
+  private[graft] def ssspRound(edges: DataFrame, frontier: DataFrame,
+      dist: DataFrame, frontierBc: Boolean, distBc: Boolean): DataFrame =
+    edges
+      .join(nodeSide(frontier, frontierBc), col("src") === col("node"))
+      .select(col("dst"), (col("dist") + col("w")).as("_c"))
+      .groupBy(col("dst")).agg(min(col("_c")).as("_nd"))
+      .join(nodeSide(dist.select(col("node"), col("dist").as("_od")),
+        distBc), col("dst") === col("node"), "left")
+      .filter(col("_od").isNull || col("_nd") < col("_od"))
+      .select(col("dst").as("node"), col("_nd").as("dist"))
+
+  /** q193: cheapest-path cost (≤ 8 hops) from the 3 highest-degree
+    * hub parts over the co-purchase graph with AFFINITY costs — edge
+    * cost ⌈1000 / shared-order-count⌉, so frequently-bundled pairs
+    * are "close" and one-off pairs are far. The weighted-distance
+    * ranking q110's unit-hop BFS flattens (two 1-hop neighbors are
+    * tied for BFS; the one sharing 40 baskets is 25× closer here).
+    * Seeds tie-break by id (the q110 rule) so the run is
+    * deterministic end-to-end.
+    */
+  def q193Sssp(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("s1"), col("b.pk").as("s2"))
+      .agg(count(lit(1)).as("_c"))
+      .select(col("s1"), col("s2"),
+        expr("(1000 + _c - 1) DIV _c").as("w"))
+    val edges = pairs.select(col("s1").as("src"), col("s2").as("dst"),
+        col("w"))
+      .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst"),
+        col("w")))
+      .localCheckpoint(false)
+    val seeds = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).limit(3)
+      .select(col("src").as("node"))
+    weightedSssp(edges, seeds, maxRounds = 8)
+      .select(col("node").as("partkey"), col("dist").as("cost"))
+  }
 }

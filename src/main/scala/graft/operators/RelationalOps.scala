@@ -2304,4 +2304,126 @@ object RelationalOps {
         expr("""CAST((2 * CAST(_xmax AS DECIMAL(38,0)) * 1000000 + _sx)
             DIV (2 * _sx) AS BIGINT)""").as("top1_ppm"))
   }
+
+  /** q190: golden-record survivorship merge (MDM master-data rule
+    * stack): every order is an OBSERVATION of its customer, and the
+    * golden record fuses conflicting observations per key with one
+    * rule per attribute — MODE (most frequent status, ties to the
+    * smallest value), LATEST (priority from the most recent order,
+    * same-day ties to the highest orderkey), MAX (largest amount),
+    * MIN (first-seen day) — then the CRM dimension wins outright for
+    * its own attribute (segment). The multi-source upgrade of q12's
+    * last-write-wins MERGE (db_ops.py:62-148): q12 keeps whole-row
+    * winners; survivorship composes a row that never existed from
+    * per-attribute winners.
+    *
+    * Shape: TWO map-side-combined aggregates (value-frequency, then
+    * per-key fuse via struct-max argmax — no window over the fact
+    * table, no per-key sort) + one broadcast dimension join. The
+    * struct-max trick keeps every rule inside ONE hash aggregate, so
+    * the fact table is scanned once and shuffled once on the key.
+    */
+  def q190GoldenRecord(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("day"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,4)") * 10000).cast("long")
+          .as("amt_e4"))
+    // MODE with deterministic ties: max over (cnt, -, value) is wrong
+    // for "smallest value wins ties", so invert the count and take the
+    // struct-MIN of (-cnt, value).
+    val mode = obs.groupBy(col("o_custkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("o_custkey"))
+      .agg(min(struct((-col("_c")).as("_nc"), col("o_orderstatus")))
+        .as("_m"))
+      .select(col("o_custkey"), col("_m.o_orderstatus").as("mode_status"))
+    val fused = obs.groupBy(col("o_custkey"))
+      .agg(
+        max(struct(col("day"), col("o_orderkey"), col("o_orderpriority")))
+          .as("_l"),
+        max(col("amt_e4")).as("max_amount_e4"),
+        min(col("day")).as("first_seen_day"),
+        count(lit(1)).cast("long").as("n_obs"))
+      .select(col("o_custkey"), col("_l.o_orderpriority")
+        .as("latest_priority"), col("max_amount_e4"),
+        col("first_seen_day"), col("n_obs"))
+    fused.join(mode, "o_custkey")
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_custkey").as("custkey"), col("mode_status"),
+        col("latest_priority"), col("max_amount_e4"),
+        col("first_seen_day"), col("n_obs"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+  }
+
+  /** q191: functional-dependency DISCOVERY via the g₃ error
+    * (Kivinen & Mannila 1995; the TANE/metanome profiling metric):
+    * for each candidate FD A→B, the minimum fraction of rows that
+    * must be removed for the dependency to hold exactly —
+    * g₃ = 1 − (Σ_a max_b count(a,b)) / n. Scores a fixed candidate
+    * set over lineitem; g₃ = 0 certifies the FD (the schema-key
+    * discovery the reference hardcodes as PRIMARY KEY choices in
+    * sql/db_creation_script.sql — here it is MEASURED from data).
+    *
+    * Shape per candidate: a 2-column pruned scan → (A,B) count
+    * aggregate → per-A max → one global sum. All map-side-combined;
+    * the candidate list is a constant, so the union is a fixed fan of
+    * independent 2-column passes (column pruning keeps each scan to
+    * exactly its pair — the q01 pushdown rule). Violation ratio in
+    * integer e4 round-half-up (non-negative, so no sign split).
+    */
+  def q191FdDiscovery(s: SparkSession, d: String): DataFrame = {
+    val cands = Seq(
+      ("l_orderkey", "l_returnflag"), ("l_orderkey", "l_linestatus"),
+      ("l_partkey", "l_suppkey"), ("l_suppkey", "l_returnflag"),
+      ("l_partkey", "l_returnflag"))
+    cands.map { case (lhs, rhs) =>
+      Tables.lineitem(s, d)
+        .select(col(lhs).as("_a"), col(rhs).cast("string").as("_b"))
+        .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_c"))
+        .groupBy(col("_a")).agg(max(col("_c")).as("_mc"),
+          sum(col("_c")).as("_n"))
+        .agg(sum(col("_mc")).cast("long").as("keep_rows"),
+          sum(col("_n")).cast("long").as("n_rows"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"), col("n_rows"),
+          col("keep_rows"),
+          expr("""CAST((2 * (n_rows - keep_rows) * 10000 + n_rows)
+                  DIV (2 * n_rows) AS BIGINT)""").as("g3_e4"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** q192: UNPIVOT / melt — the wide-to-long reshape (the inverse of
+    * q44's pivot): a per-nation metric table (revenue, orders,
+    * customers) melts into (nation, metric, value) rows, the layout
+    * every generic KPI store and charting sink wants. Uses Spark's
+    * native `unpivot` (Expand under the hood: one projection per
+    * metric, zero shuffle beyond the feeding aggregate); metrics are
+    * cast to one type (long — revenue in e4) because melt stacks them
+    * into a single column.
+    *
+    * Shape: broadcast dim joins (nation is tiny) → one shuffle on
+    * nationkey for the aggregate → Expand. The melt itself is
+    * pipeline-local and costs |metrics|× the aggregate's (bounded)
+    * row count, never the fact table's.
+    */
+  def q192Unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((sum((col("o_totalprice").cast("decimal(18,4)") * 10000)
+          .cast("long"))).cast("long").as("revenue_e4"),
+        count(lit(1)).cast("long").as("n_orders"),
+        countDistinct(col("o_custkey")).cast("long").as("n_customers"))
+    wide.unpivot(Array(col("n_name")),
+      Array(col("revenue_e4"), col("n_orders"), col("n_customers")),
+      "metric", "value")
+  }
 }

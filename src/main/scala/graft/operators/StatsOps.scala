@@ -1396,4 +1396,63 @@ object StatsOps {
         col("seasonal_e4"),
         (col("_d") - col("seasonal_e4")).as("remainder_e4"))
   }
+
+  /** q189: lead-lag regression sweep between two daily series — does
+    * order VOLUME lead order REVENUE (or lag it)? For every lag k in
+    * [−7, +7] the OLS slope of revenue on volume over the overlapping
+    * day pairs: beta(k) = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with
+    * x = orders-per-day at t, y = cents at t+k. The cross-series
+    * completion of q148's autocorrelation (same lag-join machinery,
+    * second series) — the demand-forecasting "which KPI moves first"
+    * screen the reference's per-day win-rate views
+    * (sql/db_creation_script.sql:185-205) stop short of.
+    *
+    * Determinism: the textbook cross-CORRELATION needs √(Sxx·Syy) —
+    * libm, engine-varying (the q58 ln rule). The slope form is a pure
+    * rational in the per-lag integer sums, so decimal(38,0) products
+    * + the signed round-half-up DIV (q148/q153 sign-split — DuckDB //
+    * floors, Spark DIV truncates) make it engine-exact. Per-lag means
+    * are computed over each lag's own overlap window, not globally,
+    * so every lag is a self-contained regression.
+    *
+    * Scale: the corpus-scale work is ONE map-side-combined daily
+    * aggregate; the lag join runs on the calendar-bounded daily table
+    * (constant-size at 100 TB, the q153 rationale) against a
+    * broadcast 15-row lag spine.
+    */
+  def q189LeadLag(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .select(expr(
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+        .as("day"),
+        (col("o_totalprice").cast("decimal(18,4)") * 100).cast("long")
+          .as("cents"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).cast("long").as("x"), sum(col("cents")).as("y"))
+      .localCheckpoint(false) // both sides of the lag self-join
+    val lags = s.range(-7L, 8L).select(col("id").as("lag"))
+    val a = daily.select(col("day"), col("x"))
+    val b = daily.select(col("day").as("_db"), col("y"))
+    a.join(broadcast(lags))
+      .join(b, col("_db") === col("day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(col("x")).cast("decimal(38,0)").as("_sx"),
+        sum(col("y")).cast("decimal(38,0)").as("_sy"),
+        sum(col("x").cast("decimal(19,0)") * col("y")).cast("decimal(38,0)")
+          .as("_sxy"),
+        sum(col("x").cast("decimal(19,0)") * col("x")).cast("decimal(38,0)")
+          .as("_sxx"))
+      .select(col("lag"), col("_n").cast("long").as("n_pairs"),
+        expr("""CASE WHEN _n * _sxx - _sx * _sx > 0 THEN
+            CAST(CASE WHEN _n * _sxy - _sx * _sy >= 0
+              THEN (2 * (_n * _sxy - _sx * _sy) * 1000000
+                    + (_n * _sxx - _sx * _sx))
+                   DIV (2 * (_n * _sxx - _sx * _sx))
+              ELSE -((2 * (_sx * _sy - _n * _sxy) * 1000000
+                      + (_n * _sxx - _sx * _sx))
+                     DIV (2 * (_n * _sxx - _sx * _sx)))
+            END AS BIGINT) END""").as("beta_ppm"))
+  }
 }

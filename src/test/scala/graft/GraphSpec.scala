@@ -409,4 +409,53 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       assert(bcMode._1.nonEmpty && bcMode._3.nonEmpty && bcMode._4.size > 1)
     } finally spark.conf.unset("spark.graft.graph.maxBroadcastNodes")
   }
+
+  test("weightedSssp: a cheap 3-hop detour beats the direct edge " +
+      "(where BFS would not); the hop bound is honored; bucketed " +
+      "fallback is bit-identical") {
+    val es = Seq((1L, 4L, 10L), (1L, 2L, 2L), (2L, 3L, 2L), (3L, 4L, 2L))
+    val edges = (es ++ es.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    def run(rounds: Int) = GraphOps.weightedSssp(edges, seeds, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // converged: node 4 reached for 6 through the 3-hop detour, not 10
+    assert(run(8) == Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 6L))
+    // <= 1 hop: only the direct (expensive) labels exist
+    assert(run(1) == Map(1L -> 0L, 2L -> 2L, 4L -> 10L))
+    // <= 2 hops: node 4 still pinned to the direct edge's 10? No —
+    // 1→2→3 costs 4, and 4 is reachable in 2 hops only via 1→4 (10)
+    assert(run(2) == Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 10L))
+    spark.conf.set("spark.graft.graph.maxBroadcastNodes", "1")
+    try assert(run(8) == Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 6L))
+    finally spark.conf.unset("spark.graft.graph.maxBroadcastNodes")
+  }
+
+  test("q193 SSSP equals a local Bellman-Ford replay (8 rounds) over " +
+      "the affinity-weighted co-purchase graph") {
+    val got = GraphOps.q193Sssp(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val li = Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cnt = li.groupBy(_._1).values.toSeq.flatMap { xs =>
+      val ps = xs.map(_._2).toSeq
+      for (a <- ps; b <- ps; if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val edges = cnt.toSeq.flatMap { case ((a, b), c) =>
+      val w = (1000 + c - 1) / c
+      Seq((a, b, w), (b, a, w))
+    }
+    val seeds = edges.groupBy(_._1).toSeq
+      .map { case (n, es) => (-es.length, n) }.sorted.take(3).map(_._2)
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to 8) {
+      val cand = edges.flatMap { case (s, t, w) =>
+        dist.get(s).map(ds => t -> (ds + w)) }
+      dist = (dist.toSeq ++ cand).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    assert(got == dist && got.nonEmpty)
+    assert(seeds.forall(got(_) == 0L))
+  }
 }

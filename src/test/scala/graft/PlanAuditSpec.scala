@@ -802,4 +802,91 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       p.take(2500))
   }
+
+  test("q189 lead-lag: the 15-row lag spine broadcasts against the " +
+      "checkpointed daily artifact — the fact table is aggregated " +
+      "once, never re-scanned per lag") {
+    val df = StatsOps.q189LeadLag(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(2500))
+    assert(p.contains("Scan ExistingRDD"), p.take(2500))
+    assert(!p.contains("orders.parquet"),
+      "fact must be behind the daily checkpoint\n" + p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("q190 golden record: survivorship is hash aggregates (struct " +
+      "argmax), never a window over the fact table; CRM dim broadcast") {
+    val df = RelationalOps.q190GoldenRecord(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("windowspecdefinition"),
+      "no fact-table window allowed\n" + p.take(2500))
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+  }
+
+  test("q191 FD discovery: every candidate scan is pruned to exactly " +
+      "its two columns") {
+    val p = plan(RelationalOps.q191FdDiscovery(spark, Sf))
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema"))
+      .toSeq
+    assert(schemas.nonEmpty)
+    schemas.foreach { l =>
+      val cols = "l_[a-z]+".r.findAllIn(l).toSet
+      assert(cols.size == 2, s"scan not pruned to the pair: $l")
+    }
+  }
+
+  test("q192 unpivot: melt is an Expand over the aggregate — no " +
+      "shuffle multiplies with the metric count; dims broadcast") {
+    val df = RelationalOps.q192Unpivot(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    // the Expand must sit ABOVE the final aggregate: exchanges appear
+    // only below the aggregate, so exactly the agg shuffles exist
+    val expandIdx = p.indexOf("Expand")
+    assert(!p.substring(0, expandIdx).contains("Exchange hashpartitioning"),
+      "no shuffle above the melt\n" + p.take(2500))
+  }
+
+  test("ssspRound: frontier broadcasts against the edge table (edges " +
+      "exchange-free below the relax join); one map-combined MIN " +
+      "shuffle; no cartesian") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 5L)).toDF("src", "dst", "w")
+      .localCheckpoint(false)
+    val frontier = Seq((1L, 0L)).toDF("node", "dist")
+    val dist = frontier
+    val df = GraphOps.ssspRound(edges, frontier, dist,
+      frontierBc = true, distBc = true)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(p.contains("partial_min"), p.take(2500))
+    // the ONLY hash exchange allowed is the per-dst MIN aggregate's —
+    // the edge table reaches the relax join exchange-free
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(l.contains("dst"),
+        "edges must not shuffle before relaxation: " + l))
+  }
+
+  test("q194 k-means: the assignment pass is shuffle-free and " +
+      "join-free — centroids are inlined codegen literals over the " +
+      "checkpointed lattice corpus") {
+    val df = SimilarityOps.q194Kmeans(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"), p.take(2500))
+    assert(!p.contains("Exchange"),
+      "assignment must not shuffle the corpus\n" + p.take(2500))
+    assert(!p.contains("Join"), p.take(2500))
+    assert(p.contains("intdotproduct"), p.take(2500))
+  }
 }

@@ -1416,4 +1416,73 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ppm(2 * six - (n + 1) * sx, n * sx) == 0L)
     assert(ppm(eq.map { case (_, x) => BigInt(x) * x }.sum, sx * sx) == 250000L)
   }
+
+  test("q190 golden record equals a local survivorship replay " +
+      "(mode/latest/max/min rules per key, CRM segment wins)") {
+    val got = RelationalOps.q190GoldenRecord(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3), r.getDate(4).toLocalDate, r.getLong(5),
+        r.getString(6)))).toMap
+    val obs = Tables.orders(spark, Sf)
+      .selectExpr("o_custkey", "o_orderkey", "CAST(o_orderdate AS DATE) d",
+        "o_orderstatus", "o_orderpriority",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS LONG) amt")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDate(2).toLocalDate, r.getString(3), r.getString(4),
+        r.getLong(5)))
+    val seg = Tables.customer(spark, Sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = obs.groupBy(_._1).map { case (ck, rows) =>
+      val mode = rows.groupBy(_._4).toSeq
+        .map { case (st, rs) => (-rs.length, st) }.min._2
+      val latest = rows.map(r => ((r._3.toEpochDay, r._2), r._5)).max._2
+      ck -> ((mode, latest, rows.map(_._6).max, rows.map(_._3).minBy(
+        _.toEpochDay), rows.length.toLong,
+        seg.getOrElse(ck, "UNKNOWN")))
+    }
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("q191 FD discovery: g3 is the exact min-removal fraction per " +
+      "candidate (local replay); key-like FDs certify near-zero") {
+    val got = RelationalOps.q191FdDiscovery(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val li = Tables.lineitem(spark, Sf)
+      .selectExpr("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus")
+      .collect()
+    def g3(lhs: Int, rhs: Int): (Long, Long, Long) = {
+      val pairs = li.map(r => (r.get(lhs).toString, r.get(rhs).toString))
+      val keep = pairs.groupBy(_._1).values
+        .map(_.groupBy(_._2).values.map(_.length).max).sum.toLong
+      val n = pairs.length.toLong
+      (n, keep, (2 * (n - keep) * 10000 + n) / (2 * n))
+    }
+    val expect = Map(
+      ("l_orderkey", "l_returnflag") -> g3(0, 4),
+      ("l_orderkey", "l_linestatus") -> g3(0, 5),
+      ("l_partkey", "l_suppkey") -> g3(2, 3),
+      ("l_suppkey", "l_returnflag") -> g3(3, 4),
+      ("l_partkey", "l_returnflag") -> g3(2, 4))
+    assert(got == expect && got.size == 5)
+    // a violated FD must cost strictly more than zero rows
+    assert(got.values.exists(_._3 > 0))
+  }
+
+  test("q192 unpivot: melt stacks exactly the wide row set — pivoting " +
+      "back reconstructs every (nation, metric) cell once") {
+    val rows = RelationalOps.q192Unpivot(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nations = rows.map(_._1).distinct
+    assert(rows.length == nations.length * 3)
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    val byCell = rows.map(t => (t._1, t._2) -> t._3).toMap
+    // n_customers <= n_orders, and revenue positive, per nation
+    nations.foreach { nn =>
+      assert(byCell((nn, "n_customers")) <= byCell((nn, "n_orders")))
+      assert(byCell((nn, "revenue_e4")) > 0)
+    }
+  }
 }

@@ -500,4 +500,39 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect && got.nonEmpty)
     assert(got.size == rows.length)
   }
+
+  test("q194 exact k-means equals a local 3-round Lloyd replay on the " +
+      "e6 lattice; every point sits in its argmin cluster") {
+    val got = SimilarityOps.q194Kmeans(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val pts = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 1000000).toLong).toArray
+      }.sortBy(_._1)
+    def d2(p: Array[Long], c: Array[Long]): Long =
+      p.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    def halfUp(sd: Long, nd: Long): Long =
+      if (sd >= 0) (2 * sd + nd) / (2 * nd)
+      else -((2 * -sd + nd) / (2 * nd))
+    var cents: Seq[(Long, Array[Long])] =
+      pts.take(8).zipWithIndex.map { case ((_, e), i) => (i.toLong, e) }
+    def assign(): Map[Long, (Long, Long)] = pts.map { case (id, e) =>
+      id -> cents.map { case (cid, c) => (d2(e, c), cid) }.min.swap
+    }.toMap
+    for (_ <- 1 until 3) {
+      val byId = pts.toMap
+      val byC = assign().toSeq.groupBy(_._2._1)
+      cents = byC.toSeq.sortBy(_._1).map { case (cid, members) =>
+        val es = members.map(m => byId(m._1))
+        val dim = es.head.length
+        (cid, Array.tabulate(dim)(i =>
+          halfUp(es.map(_(i)).sum, es.length.toLong)))
+      }
+    }
+    val expect = assign()
+    assert(got == expect && got.size == pts.length)
+    assert(got.values.map(_._1).toSet.size > 1) // non-degenerate split
+  }
 }

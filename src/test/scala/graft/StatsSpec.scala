@@ -1006,4 +1006,41 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
       assert(v == tr + se + re, s"$day does not reassemble")
     }
   }
+
+  test("q189 lead-lag equals a BigInt local replay at every lag; " +
+      "lag 0 is the plain same-day regression") {
+    val got = StatsOps.q189LeadLag(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val daily = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .selectExpr(
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS day",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS LONG) AS cents")
+      .groupBy("day")
+      .agg(count(lit(1)).cast("long").as("x"), sum(col("cents")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDay = daily.map(t => t._1 -> ((t._2, t._3))).toMap
+    def halfUpSigned(num: BigInt, den: BigInt): BigInt =
+      if (num >= 0) (2 * num + den) / (2 * den)
+      else -((2 * -num + den) / (2 * den))
+    val expect = (-7L to 7L).map { lag =>
+      val pairs = daily.flatMap { case (d, x, _) =>
+        byDay.get(d + lag).map { case (_, y2) => (BigInt(x), BigInt(y2)) }
+      }
+      val n = BigInt(pairs.length)
+      val sx = pairs.map(_._1).sum
+      val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val den = n * sxx - sx * sx
+      val beta = if (den > 0)
+        Some(halfUpSigned((n * sxy - sx * sy) * 1000000, den).toLong)
+      else None
+      lag -> ((pairs.length.toLong, beta))
+    }.toMap
+    assert(got == expect && got.size == 15)
+    // a non-degenerate series must regress on itself at lag 0
+    assert(got(0L)._1 > 0)
+  }
 }
