@@ -217,6 +217,9 @@ object SparkEntry {
     "q192_unpivot" -> (RelationalOps.q192Unpivot _),
     "q193_sssp" -> (GraphOps.q193Sssp _),
     "q194_kmeans" -> (SimilarityOps.q194Kmeans _),
+    "q195_gini_rank" -> (StatsOps.q195GiniRank _),
+    "q196_interp_fill" -> (RelationalOps.q196InterpFill _),
+    "q197_table_checksum" -> (RelationalOps.q197TableChecksum _),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
@@ -4352,5 +4355,134 @@ object SparkEntry {
          FROM (SELECT vec_id, cid, d2, ROW_NUMBER() OVER (
                  PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a3)
          WHERE rn = 1""",
+    // Gini is a pure rational in counts (entropy needs ln — libm);
+    // per-value e9 terms round-half-up THEN sum exactly (q155 rule)
+    "q195_gini_rank" ->
+      """WITH root AS (
+           SELECT CAST((2 * (n * n - s2) * 1000000000 + n * n)
+                  // (2 * n * n) AS BIGINT) AS root_e9
+           FROM (SELECT CAST(SUM(k) AS HUGEINT) AS n,
+                        CAST(SUM(CAST(k AS HUGEINT) * k) AS HUGEINT) AS s2
+                 FROM (SELECT COUNT(*) AS k FROM orders
+                       GROUP BY o_orderstatus))
+         ), pv1 AS (
+           SELECT v, CAST(SUM(k) AS HUGEINT) AS nv,
+                  CAST(SUM(CAST(k AS HUGEINT) * k) AS HUGEINT) AS s2
+           FROM (SELECT COALESCE(o_orderpriority, '∅') AS v,
+                        COALESCE(o_orderstatus, '∅') AS c, COUNT(*) AS k
+                 FROM orders GROUP BY 1, 2)
+           GROUP BY v
+         ), f1 AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+                  CAST(SUM(CAST((2 * (nv * nv - s2) * 1000000000 + n * nv)
+                    // (2 * n * nv) AS BIGINT)) AS BIGINT) AS split_e9
+           FROM (SELECT v, nv, s2, SUM(nv) OVER () AS n FROM pv1)
+         ), pv2 AS (
+           SELECT v, CAST(SUM(k) AS HUGEINT) AS nv,
+                  CAST(SUM(CAST(k AS HUGEINT) * k) AS HUGEINT) AS s2
+           FROM (SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), '∅')
+                          AS v,
+                        COALESCE(o_orderstatus, '∅') AS c, COUNT(*) AS k
+                 FROM orders GROUP BY 1, 2)
+           GROUP BY v
+         ), f2 AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+                  CAST(SUM(CAST((2 * (nv * nv - s2) * 1000000000 + n * nv)
+                    // (2 * n * nv) AS BIGINT)) AS BIGINT) AS split_e9
+           FROM (SELECT v, nv, s2, SUM(nv) OVER () AS n FROM pv2)
+         ), pv3 AS (
+           SELECT v, CAST(SUM(k) AS HUGEINT) AS nv,
+                  CAST(SUM(CAST(k AS HUGEINT) * k) AS HUGEINT) AS s2
+           FROM (SELECT COALESCE(c.c_mktsegment, '∅') AS v,
+                        COALESCE(o.o_orderstatus, '∅') AS c, COUNT(*) AS k
+                 FROM orders o JOIN customer c
+                   ON o.o_custkey = c.c_custkey GROUP BY 1, 2)
+           GROUP BY v
+         ), f3 AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+                  CAST(SUM(CAST((2 * (nv * nv - s2) * 1000000000 + n * nv)
+                    // (2 * n * nv) AS BIGINT)) AS BIGINT) AS split_e9
+           FROM (SELECT v, nv, s2, SUM(nv) OVER () AS n FROM pv3)
+         )
+         SELECT 'o_orderpriority' AS feature, n_values, split_e9,
+                root_e9 - split_e9 AS gain_e9 FROM f1, root
+         UNION ALL
+         SELECT 'order_year', n_values, split_e9,
+                root_e9 - split_e9 FROM f2, root
+         UNION ALL
+         SELECT 'c_mktsegment', n_values, split_e9,
+                root_e9 - split_e9 FROM f3, root""",
+    // anchors via IGNORE NULLS frames; the increment rounds with the
+    // sign split and the division runs on the increment so both
+    // engines round the identical rational
+    "q196_interp_fill" ->
+      """WITH daily AS (
+           SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,4))
+                    * 10000 AS BIGINT)) AS BIGINT) AS v
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           WHERE o.o_orderdate IS NOT NULL
+           GROUP BY 1, 2
+         ), spine AS (
+           SELECT n_name,
+                  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                    AS DATE) AS day
+           FROM (SELECT n_name, MIN(day) AS d0, MAX(day) AS d1
+                 FROM daily GROUP BY 1)
+         ), w AS (
+           SELECT s.n_name, s.day, d.v,
+             last_value(d.v IGNORE NULLS) OVER
+               (PARTITION BY s.n_name ORDER BY s.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN d.v IS NOT NULL THEN s.day END
+               IGNORE NULLS) OVER
+               (PARTITION BY s.n_name ORDER BY s.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(d.v IGNORE NULLS) OVER
+               (PARTITION BY s.n_name ORDER BY s.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN d.v IS NOT NULL THEN s.day END
+               IGNORE NULLS) OVER
+               (PARTITION BY s.n_name ORDER BY s.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+           FROM spine s LEFT JOIN daily d
+             ON s.n_name = d.n_name AND s.day = d.day
+         )
+         SELECT n_name, day,
+           CAST(CASE WHEN v IS NOT NULL THEN v
+             ELSE pv + CASE WHEN (nv - pv) >= 0
+               THEN (2 * (nv - pv) * (day - pd) + (nd - pd))
+                    // (2 * (nd - pd))
+               ELSE -((2 * (pv - nv) * (day - pd) + (nd - pd))
+                      // (2 * (nd - pd))) END
+           END AS BIGINT) AS value_e4,
+           (v IS NULL) AS is_interp
+         FROM w""",
+    // 60-bit row hash from the md5 hex prefix (engine-identical), then
+    // BIT_XOR per month — commutative/associative/self-inverse, so the
+    // checksum is order-free and map-side combinable
+    "q197_table_checksum" ->
+      """WITH h AS (
+           SELECT COALESCE(strftime(o_orderdate, '%Y-%m'), 'unknown')
+                    AS month,
+                  md5(concat_ws('|',
+                    CAST(o_orderkey AS VARCHAR),
+                    CAST(o_custkey AS VARCHAR),
+                    COALESCE(o_orderstatus, '∅'),
+                    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                      AS BIGINT) AS VARCHAR),
+                    COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                      '∅'),
+                    COALESCE(o_orderpriority, '∅'))) AS hx
+           FROM orders
+         )
+         SELECT month, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(bit_xor(list_sum(
+                  [(CAST(strpos('0123456789abcdef', hx[i]) AS BIGINT) - 1)
+                   << ((15 - i) * 4) for i in range(1, 16)]))
+                  AS BIGINT) AS cksum
+         FROM h GROUP BY month""",
   )
 }

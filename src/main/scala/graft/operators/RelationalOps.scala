@@ -2426,4 +2426,93 @@ object RelationalOps {
       Array(col("revenue_e4"), col("n_orders"), col("n_customers")),
       "metric", "value")
   }
+
+  /** q196: LINEAR-interpolation gap fill of per-nation daily revenue —
+    * the straight-line sibling of q99's LOCF resample (LOCF answers
+    * "what was the last known state"; interpolation answers "what is
+    * the best between-points estimate", the standard choice for
+    * continuous KPIs before window/seasonal math). Every nation's
+    * calendar spine runs from its first to its last observed day, so
+    * every gap has both anchors and no null survives.
+    *
+    * Determinism: anchors via last/first IGNORE NULLS frames (both
+    * engines); the interpolated increment is integer round-half-up
+    * with the q148/q153 sign split (revenue deltas go negative), and
+    * the division happens on the INCREMENT (v1−v0)·(t−t0)/(t1−t0) so
+    * both engines round the identical rational.
+    *
+    * Scale shape: one broadcast-dim fact aggregate → the spine is the
+    * bounded nations×days grid (sequence + explode, never a fact-scan
+    * multiplier); windows partition by nation over the grid.
+    */
+  def q196InterpFill(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("long")).cast("long").as("v"))
+    val spine = daily.groupBy(col("n_name"))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col("n_name"),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val wPrev = Window.partitionBy(col("n_name")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("n_name")).orderBy(col("day"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    spine.join(daily, Seq("n_name", "day"), "left")
+      .withColumn("_pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("_pd", last(when(col("v").isNotNull, col("day")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("_nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("_nd", first(when(col("v").isNotNull, col("day")),
+        ignoreNulls = true).over(wNext))
+      .select(col("n_name"), col("day"),
+        when(col("v").isNotNull, col("v")).otherwise(col("_pv") + expr(
+          """CASE WHEN (_nv - _pv) >= 0
+               THEN (2 * (_nv - _pv) * datediff(day, _pd)
+                     + datediff(_nd, _pd)) DIV (2 * datediff(_nd, _pd))
+               ELSE -((2 * (_pv - _nv) * datediff(day, _pd)
+                       + datediff(_nd, _pd)) DIV (2 * datediff(_nd, _pd)))
+             END""")).as("value_e4"),
+        col("v").isNull.as("is_interp"))
+  }
+
+  /** q197: order-independent table fingerprint — the anti-entropy /
+    * Merkle-leaf checksum for replica reconciliation and sink
+    * validation (the integrity side of q41's ANALYZE stats and the
+    * cheap precursor to q73's full snapshot diff: compare per-month
+    * checksums first, diff ONLY the months that disagree). Each row
+    * hashes to a 60-bit integer (15 hex chars of md5 over a
+    * '|'-joined canonical payload — md5 because it must match the
+    * oracle engine, the q23/q29 rule; floats enter as e4 longs, never
+    * as engine-formatted float strings) and a month's checksum is the
+    * BIT_XOR of its row hashes — commutative, associative, and
+    * self-inverse, so it is map-side combinable, order-free, and a
+    * replica diff localizes to the months whose XOR differs.
+    *
+    * Scale shape: ONE scan, ONE map-side-combined aggregate over the
+    * bounded month grid; no joins, no windows.
+    */
+  def q197TableChecksum(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(coalesce(date_format(col("o_orderdate"), "yyyy-MM"),
+        lit("unknown")).as("month"),
+        conv(substring(md5(concat_ws("|",
+          col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"),
+          coalesce(col("o_orderstatus"), lit("∅")),
+          (col("o_totalprice").cast("decimal(18,4)") * 10000)
+            .cast("long").cast("string"),
+          coalesce(to_date(col("o_orderdate")).cast("string"), lit("∅")),
+          coalesce(col("o_orderpriority"), lit("∅")))), 1, 15), 16, 10)
+          .cast("long").as("_h"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        expr("bit_xor(_h)").cast("long").as("cksum"))
 }

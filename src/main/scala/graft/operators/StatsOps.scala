@@ -1455,4 +1455,66 @@ object StatsOps {
                      DIV (2 * (_n * _sxx - _sx * _sx)))
             END AS BIGINT) END""").as("beta_ppm"))
   }
+
+  /** q195: Gini-impurity feature ranking (Breiman et al. 1984, the
+    * CART split criterion): for each candidate categorical feature,
+    * the weighted post-split impurity of the order-status target
+    * Σ_v (n_v/n)·(1 − Σ_c (n_vc/n_v)²) and its gain vs the root
+    * impurity — the feature-screening pass a tree/GBM pipeline runs
+    * before training, and the exact-arithmetic sibling of q191's FD
+    * g₃ (g₃ asks "does A determine B"; Gini gain asks "how much does
+    * A separate B"). Entropy-based gain needs ln (the q58 libm rule);
+    * Gini is a pure rational in the count tables, so it stays
+    * engine-exact.
+    *
+    * Determinism: per-value terms are round-half-up e9 fixed point,
+    * (2·(n_v²−Σ_c n_vc²)·10⁹ + n·n_v) DIV (2·n·n_v), summed exactly
+    * as integers (the q155 rule: round each term, then sum — a float
+    * sum would be order-dependent); all products in DECIMAL(38,0)
+    * (n² at 100 TB overflows a long). Non-negative throughout — no
+    * sign split needed. gain_e9 = root_e9 − split_e9 can be a few
+    * units negative by rounding; that is the documented fixed-point
+    * semantics, identical in both engines.
+    *
+    * Scale shape per feature: one 2-column pruned scan (plus ONE
+    * broadcast dim hop for the segment feature) → (v,c) count →
+    * per-v aggregate → ONE global sum; the 3-feature fan is a
+    * constant. The root term is a single broadcast scalar.
+    */
+  def q195GiniRank(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val feats: Seq[(String, DataFrame)] = Seq(
+      ("o_orderpriority", o.select(col("o_orderpriority").as("v"),
+        col("o_orderstatus").as("c"))),
+      ("order_year", o.select(year(col("o_orderdate")).cast("string")
+        .as("v"), col("o_orderstatus").as("c"))),
+      ("c_mktsegment", o.join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("v"), col("o_orderstatus").as("c"))))
+    val root = o.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("_nc"))
+      .agg(sum(col("_nc")).cast("decimal(38,0)").as("_n"),
+        sum(col("_nc").cast("decimal(19,0)") * col("_nc"))
+          .cast("decimal(38,0)").as("_s2"))
+      .select(expr("""CAST((2 * (_n * _n - _s2) * 1000000000 + _n * _n)
+          DIV (2 * _n * _n) AS BIGINT)""").as("root_e9"))
+    feats.map { case (name, df) =>
+      val perV = df.na.fill("∅", Seq("v", "c"))
+        .groupBy(col("v"), col("c")).agg(count(lit(1)).as("_k"))
+        .groupBy(col("v"))
+        .agg(sum(col("_k")).cast("decimal(38,0)").as("_nv"),
+          sum(col("_k").cast("decimal(19,0)") * col("_k"))
+            .cast("decimal(38,0)").as("_s2"))
+      val nRow = perV.agg(sum(col("_nv")).cast("decimal(38,0)").as("_n"))
+      perV.crossJoin(broadcast(nRow))
+        .select(expr("""CAST((2 * (_nv * _nv - _s2) * 1000000000
+            + _n * _nv) DIV (2 * _n * _nv) AS BIGINT)""").as("_term"))
+        .agg(count(lit(1)).cast("long").as("n_values"),
+          sum(col("_term")).cast("long").as("split_e9"))
+        .crossJoin(broadcast(root))
+        .select(lit(name).as("feature"), col("n_values"),
+          col("split_e9"),
+          (col("root_e9") - col("split_e9")).as("gain_e9"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -889,4 +889,44 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Join"), p.take(2500))
     assert(p.contains("intdotproduct"), p.take(2500))
   }
+
+  test("q195 Gini ranking: candidate scans prune to their columns, the " +
+      "segment dim broadcasts, counts partial-aggregate") {
+    val df = StatsOps.q195GiniRank(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    // no orders scan may read more than target + feature (+ join key)
+    p.linesIterator.filter(l => l.contains("ReadSchema") &&
+        l.contains("o_orderstatus"))
+      .foreach(l => assert("o_[a-z]+".r.findAllIn(l).toSet.size <= 3, l))
+  }
+
+  test("q196 interpolation: windows partition by nation (never a " +
+      "single-reducer global window); the spine is the bounded " +
+      "aggregate grid, not a fact-scan multiplier") {
+    val df = RelationalOps.q196InterpFill(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("n_name"), l))
+    assert(p.contains("Generate explode"), p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+  }
+
+  test("q197 checksum: one scan, map-side-combined XOR aggregate, no " +
+      "join, no window") {
+    val df = RelationalOps.q197TableChecksum(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_bit_xor"), p.take(2500))
+    assert(!p.contains("Join") && !p.contains("windowspecdefinition"),
+      p.take(2500))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      p.take(2500))
+  }
 }

@@ -1485,4 +1485,78 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(byCell((nn, "revenue_e4")) > 0)
     }
   }
+
+  test("q196 linear interpolation equals a local replay; observed days " +
+      "pass through untouched; spines are gapless per nation") {
+    val got = RelationalOps.q196InterpFill(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    val daily = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate").isNotNull)
+      .join(Tables.customer(spark, Sf)
+        .selectExpr("c_custkey AS o_custkey", "c_nationkey"), "o_custkey")
+      .join(Tables.nation(spark, Sf)
+        .selectExpr("n_nationkey AS c_nationkey", "n_name"), "c_nationkey")
+      .selectExpr("n_name", "CAST(o_orderdate AS DATE) AS day",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS LONG) AS v")
+      .groupBy("n_name", "day").agg(sum(col("v")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    def halfUpSigned(num: Long, den: Long): Long =
+      if (num >= 0) (2 * num + den) / (2 * den)
+      else -((2 * -num + den) / (2 * den))
+    val expect = daily.groupBy(_._1).flatMap { case (nn, rows) =>
+      val obs = rows.map(t => t._2 -> t._3).sortBy(_._1.toEpochDay)
+      val byDay = obs.toMap
+      val days = Iterator.iterate(obs.head._1)(_.plusDays(1))
+        .takeWhile(!_.isAfter(obs.last._1)).toSeq
+      days.map { day =>
+        byDay.get(day) match {
+          case Some(v) => (nn, day) -> ((v, false))
+          case None =>
+            val (pd, pv) = obs.filter(_._1.isBefore(day)).last
+            val (nd, nv) = obs.find(_._1.isAfter(day)).get
+            val inc = halfUpSigned((nv - pv) * (day.toEpochDay - pd.toEpochDay),
+              nd.toEpochDay - pd.toEpochDay)
+            (nn, day) -> ((pv + inc, true))
+        }
+      }
+    }.toMap
+    assert(got == expect && got.nonEmpty)
+    assert(got.values.exists(_._2), "sf0.001 must contain gaps to fill")
+  }
+
+  test("q197 checksum equals a local md5 replay; XOR is order-free and " +
+      "self-inverse (a flipped row relocates its month's checksum)") {
+    val got = RelationalOps.q197TableChecksum(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = Tables.orders(spark, Sf)
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS LONG) amt",
+        "CAST(CAST(o_orderdate AS DATE) AS STRING) ds",
+        "date_format(o_orderdate, 'yyyy-MM') mo", "o_orderpriority")
+      .collect()
+    def h64(payload: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(payload.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val expect = rows.groupBy(r =>
+        Option(r.getString(5)).getOrElse("unknown"))
+      .map { case (mo, rs) =>
+        val hs = rs.map { r =>
+          h64(Seq(r.getLong(0).toString, r.getLong(1).toString,
+            Option(r.getString(2)).getOrElse("∅"), r.getLong(3).toString,
+            Option(r.getString(4)).getOrElse("∅"),
+            Option(r.getString(6)).getOrElse("∅")).mkString("|"))
+        }
+        mo -> ((rs.length.toLong, hs.reduce(_ ^ _)))
+      }
+    assert(got == expect && got.nonEmpty)
+    // self-inverse: xor-ing a row's hash out then in restores the sum
+    val (m0, (_, ck0)) = expect.head
+    val one = h64("probe")
+    assert(((ck0 ^ one) ^ one) == ck0 && (ck0 ^ one) != ck0, m0)
+  }
 }

@@ -1043,4 +1043,53 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     // a non-degenerate series must regress on itself at lag 0
     assert(got(0L)._1 > 0)
   }
+
+  test("q195 Gini ranking equals a BigInt local replay; a perfectly " +
+      "uninformative feature gains ~0") {
+    val got = StatsOps.q195GiniRank(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val o = Tables.orders(spark, Sf)
+      .selectExpr("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "CAST(year(o_orderdate) AS STRING) AS yr", "o_custkey")
+      .collect().map(r => (r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3), r.getLong(4)))
+    val seg = Tables.customer(spark, Sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def halfUp(num: BigInt, den: BigInt): BigInt = (2 * num + den) / (2 * den)
+    def splitOf(pairs: Seq[(String, String)]): (Long, Long) = {
+      val fixed = pairs.map { case (v, c) =>
+        (Option(v).getOrElse("∅"), Option(c).getOrElse("∅")) }
+      val n = BigInt(fixed.length)
+      val terms = fixed.groupBy(_._1).values.toSeq.map { rows =>
+        val nv = BigInt(rows.length)
+        val s2 = rows.groupBy(_._2).values
+          .map(g => BigInt(g.length) * g.length).sum
+        halfUp((nv * nv - s2) * 1000000000, n * nv)
+      }
+      (terms.length.toLong, terms.sum.toLong)
+    }
+    val rootCounts = o.groupBy(_._1).values.map(g => BigInt(g.length))
+    val n = rootCounts.sum
+    val root = halfUp((n * n - rootCounts.map(c => c * c).sum) * 1000000000,
+      n * n).toLong
+    val expect = Map(
+      "o_orderpriority" -> splitOf(o.map(t => (t._2, t._1))),
+      "order_year" -> splitOf(o.map(t => (t._3, t._1))),
+      "c_mktsegment" -> splitOf(o.flatMap(t =>
+        seg.get(t._4).map(sg => (sg, t._1)))))
+      .map { case (f, (nv, sp)) => f -> ((nv, sp, root - sp)) }
+    assert(got == expect && got.size == 3)
+    // synthetic: independent feature gains ~0 (rounding units only) —
+    // each of the 4 values sees both classes equally
+    val ind = (0 until 1000).map(i =>
+      (((i / 2) % 4).toString, (i % 2).toString))
+    val (_, sInd) = splitOf(ind)
+    val rc = ind.groupBy(_._2).values.map(g => BigInt(g.length))
+    val ni = BigInt(ind.length)
+    val rInd = halfUp((ni * ni - rc.map(c => c * c).sum) * 1000000000,
+      ni * ni).toLong
+    assert(math.abs(rInd - sInd) <= 4)
+  }
 }
