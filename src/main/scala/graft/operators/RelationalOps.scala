@@ -2457,20 +2457,23 @@ object RelationalOps {
       .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,4)") * 10000)
         .cast("long")).cast("long").as("v"))
+      .localCheckpoint(false) // feeds the spine bounds AND the join
     val spine = daily.groupBy(col("n_name"))
       .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
       .select(col("n_name"),
         explode(sequence(col("_d0"), col("_d1"))).as("day"))
     val wPrev = Window.partitionBy(col("n_name")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wNext = Window.partitionBy(col("n_name")).orderBy(col("day"))
-      .rowsBetween(0, Window.unboundedFollowing)
+    // "first over CURRENT..UNBOUNDED FOLLOWING" is Spark's from-scratch
+    // O(n²) frame; the same anchor as a DESC running frame is O(n)
+    val wNext = Window.partitionBy(col("n_name")).orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     spine.join(daily, Seq("n_name", "day"), "left")
       .withColumn("_pv", last(col("v"), ignoreNulls = true).over(wPrev))
       .withColumn("_pd", last(when(col("v").isNotNull, col("day")),
         ignoreNulls = true).over(wPrev))
-      .withColumn("_nv", first(col("v"), ignoreNulls = true).over(wNext))
-      .withColumn("_nd", first(when(col("v").isNotNull, col("day")),
+      .withColumn("_nv", last(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("_nd", last(when(col("v").isNotNull, col("day")),
         ignoreNulls = true).over(wNext))
       .select(col("n_name"), col("day"),
         when(col("v").isNotNull, col("v")).otherwise(col("_pv") + expr(
