@@ -1081,4 +1081,55 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("norm_chars"))
   }
+
+  /** q199: vocabulary-growth curve per source (the raw points behind a
+    * Heaps'-law fit): at every power-of-2 document prefix of the
+    * source's doc_id order (plus the full size), the cumulative token
+    * count and cumulative DISTINCT-token count — the corpus-health
+    * signal data curation watches (a flattening curve means the crawl
+    * is re-reading itself; a straight log-log line is fresh text).
+    * The fit itself needs ln (the q58 libm rule) so the operator
+    * emits the exact integer curve and leaves the regression to the
+    * caller.
+    *
+    * Exactness: "distinct tokens in the first c docs" = tokens whose
+    * FIRST position ≤ c — one corpus-scale (source, token) MIN
+    * aggregate, so cumulative-distinct never rescans prefixes.
+    * Checkpoints are a log-sized broadcast spine; both cumulative
+    * sums are banded joins of bounded artifacts (per-doc counts,
+    * first-position table) against it. The doc_id rank runs on the
+    * DOCS table partitioned by source (at extreme per-source doc
+    * counts swap in DistributedRank — the q78/q182 machinery).
+    */
+  def q199VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t =!= "").as("tk"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id")))
+        .cast("long"))
+      .localCheckpoint(false) // feeds tokens, counts, and checkpoints
+    val cps = docs.groupBy(col("source"))
+      .agg(max(col("pos")).as("_n"))
+      .select(col("source"), explode(array_distinct(concat(
+        filter(transform(sequence(lit(0), lit(40)),
+          k => shiftleft(lit(1L), k.cast("int"))), c => c <= col("_n")),
+        array(col("_n"))))).as("checkpoint"))
+    val perDoc = docs.select(col("source"), col("pos"),
+      size(col("tk")).cast("long").as("_ntk"))
+    val firstPos = docs
+      .select(col("source"), col("pos"), explode(col("tk")).as("_tok"))
+      .groupBy(col("source"), col("_tok")).agg(min(col("pos")).as("_fp"))
+    val cumTok = perDoc.join(broadcast(cps), Seq("source"))
+      .filter(col("pos") <= col("checkpoint"))
+      .groupBy(col("source"), col("checkpoint"))
+      .agg(sum(col("_ntk")).cast("long").as("n_tokens"))
+    val cumDist = firstPos.join(broadcast(cps), Seq("source"))
+      .filter(col("_fp") <= col("checkpoint"))
+      .groupBy(col("source"), col("checkpoint"))
+      .agg(count(lit(1)).cast("long").as("n_distinct"))
+    cumTok.join(cumDist, Seq("source", "checkpoint"))
+  }
 }
