@@ -62,10 +62,20 @@ object Bench {
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_errors":${errors.size}$errPart,"sf":"$sfDir"}"""
     println(line)
     // the driver reads a bounded stdout TAIL (BENCH_r07 lost 15 of 180
-    // per-query entries to truncation) — also persist the full line
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
+    // per-query entries to truncation) — also persist the full line.
+    // Per-SF file names so an sf0.001 smoke can never clobber the
+    // durable sf0.1 record; directory overridable (SPARK_GRAFT_BENCH_DIR)
+    // and the write non-fatal — a read-only CWD must not fail a
+    // completed benchmark.
+    try {
+      val sfName = new java.io.File(sfDir).getName
+      val dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ".")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"BENCH_LOCAL_$sfName.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

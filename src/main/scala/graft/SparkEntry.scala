@@ -220,13 +220,75 @@ object SparkEntry {
     "q195_gini_rank" -> (StatsOps.q195GiniRank _),
     "q196_interp_fill" -> (RelationalOps.q196InterpFill _),
     "q197_table_checksum" -> (RelationalOps.q197TableChecksum _),
+    "q198_medoid" -> (SimilarityOps.q198Medoid _),
+    "q199_vocab_growth" -> (TextOps.q199VocabGrowth _),
   )
+
+  /** The q176 oracle's literal DDSketch range table: one (pos, lo, hi,
+    * est) row per REACHABLE bucket — bucket pos covers integer units in
+    * (lo, hi], est is the exact-rational midpoint estimate. Generated
+    * from [[graft.functions.DdSketch.BoundaryUnits]] so the oracle and
+    * the engine share one definition; ~1.9k rows (buckets whose ⌊γ^i⌋
+    * ties its predecessor are unreachable and skipped), the top bucket
+    * clamps everything above the last boundary.
+    */
+  private def ddSketchRangesSql: String = {
+    val b = graft.functions.DdSketch.BoundaryUnits
+    val e = graft.functions.DdSketch.EstimateUnits
+    val rows = scala.collection.mutable.ArrayBuffer("(0, -1, 0, 0)")
+    for (i <- 1 until b.length - 1 if b(i) > b(i - 1))
+      rows += s"($i, ${b(i - 1)}, ${b(i)}, ${e(i)})"
+    rows += s"(${b.length - 1}, ${b(b.length - 2)}, ${Long.MaxValue}, " +
+      s"${e(b.length - 1)})"
+    rows.mkString(", ")
+  }
 
   /** DuckDB-runnable equivalents over the same parquet tables. Output
     * column names match the Spark results exactly (the driver sorts
     * columns by name before hashing).
     */
   def oracleSql: Map[String, String] = Map(
+    // full DDSketch replay from the shared exact-rational range table:
+    // identical bucket assignment (integer (lo, hi] ranges), identical
+    // integer nearest-rank rule (100·cum ≥ p·n), identical exact
+    // estimates — engine-exact end to end, no libm on either side
+    "q176_quantile_rollup" ->
+      s"""WITH r(pos, lo, hi, est) AS (VALUES $ddSketchRangesSql),
+         u AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    AS u
+           FROM events WHERE value IS NOT NULL
+         ), pb AS (
+           SELECT event_type, day, r.pos, r.est
+           FROM u JOIN r ON u.u > r.lo AND u.u <= r.hi
+         ), merged AS (
+           SELECT event_type, pos, MIN(est) AS est,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM pb GROUP BY 1, 2
+         ), tot AS (
+           SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events
+           FROM merged GROUP BY 1
+         ), days AS (
+           SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT)
+                    AS n_days
+           FROM u GROUP BY 1
+         ), cum AS (
+           SELECT event_type, pos, est,
+                  SUM(c) OVER (PARTITION BY event_type ORDER BY pos)
+                    AS cum
+           FROM merged
+         )
+         SELECT c.event_type, d.n_days, t.n_events,
+                CAST(MIN(CASE WHEN cum * 100 >= 50 * t.n_events
+                              THEN est END) AS BIGINT) AS p50_units,
+                CAST(MIN(CASE WHEN cum * 100 >= 95 * t.n_events
+                              THEN est END) AS BIGINT) AS p95_units,
+                CAST(MIN(CASE WHEN cum * 100 >= 99 * t.n_events
+                              THEN est END) AS BIGINT) AS p99_units
+         FROM cum c
+         JOIN tot t USING (event_type) JOIN days d USING (event_type)
+         GROUP BY 1, 2, 3""",
     "q01_scan_project" ->
       "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders",
     "q02_filter" ->
@@ -3268,7 +3330,15 @@ object SparkEntry {
     // output carries the operator's claims as engine-exact fields: the
     // oracle asserts the exact counts and that merge-invariance and
     // the 2% accuracy bound HOLD (booleans TRUE) — sketches are
-    // deterministic, so these are reproducible facts
+    // deterministic, so these are reproducible facts.
+    // COUPLING WARNING: the hardcoded TRUEs depend on (a) Spark's
+    // DataSketches HLL giving bit-identical union-vs-direct estimates
+    // and (b) the 2% bound holding at the driver's scale factor — a
+    // Spark/DataSketches version bump or data change flips them and
+    // hash-fails the gate here. RelationalOpsSpec's q162 test asserts
+    // the same two claims with a per-type message, so diagnose THERE
+    // first: if the suite test is red, this oracle is stale, not the
+    // engine.
     "q162_sketch_rollup" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', ts) AS day,
@@ -4484,5 +4554,83 @@ object SparkEntry {
                    << ((15 - i) * 4) for i in range(1, 16)]))
                   AS BIGINT) AS cksum
          FROM h GROUP BY month""",
+    // exact medoid replay: brute-force all-pairs squared distance per
+    // label in HUGEINT on the same e6 lattice — equals the engine's
+    // centroid decomposition exactly (both are Σ_j |p_i − p_j|² in
+    // exact integer arithmetic)
+    "q198_medoid" ->
+      """WITH pts AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                   for x in embedding] AS e6
+           FROM embeddings
+         ), dims AS (
+           SELECT vec_id, label, i, e6[i] AS e
+           FROM (SELECT vec_id, label, e6,
+                        unnest(generate_series(1, len(e6))) AS i
+                 FROM pts)
+         ), pd AS (
+           SELECT a.label, a.vec_id AS vid, b.vec_id AS oid,
+                  SUM(CAST(a.e - b.e AS HUGEINT)
+                      * CAST(a.e - b.e AS HUGEINT)) AS d2
+           FROM dims a JOIN dims b
+             ON a.label = b.label AND a.i = b.i
+           GROUP BY a.label, a.vec_id, b.vec_id
+         ), score AS (
+           SELECT label, vid AS vec_id,
+                  CAST(SUM(d2) AS HUGEINT) AS s,
+                  CAST(COUNT(*) AS HUGEINT) AS n
+           FROM pd GROUP BY label, vid
+         ), ranked AS (
+           SELECT label, vec_id AS medoid_id, CAST(n AS BIGINT) AS n,
+                  CAST((2 * s + n) // (2 * n) AS BIGINT) AS mean_d2,
+                  ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY s, vec_id) AS rk
+           FROM score
+         )
+         SELECT label, medoid_id, n, mean_d2 FROM ranked WHERE rk = 1""",
+    // vocab-growth replay: same whitespace tokens, per-source doc rank
+    // by doc_id, power-of-two checkpoints ∪ {n_docs}, cumulative token
+    // count + first-position distinct count — all integer-exact
+    "q199_vocab_growth" ->
+      """WITH docs AS (
+           SELECT doc_id, source,
+                  list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    t -> t <> '') AS tk,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS BIGINT)
+                    AS pos
+           FROM documents WHERE text IS NOT NULL
+         ), ns AS (
+           SELECT source, MAX(pos) AS _n FROM docs GROUP BY source
+         ), cps AS (
+           SELECT source, CAST(power(2, k) AS BIGINT) AS checkpoint
+           FROM ns, (SELECT unnest(generate_series(0, 40)) AS k)
+           WHERE CAST(power(2, k) AS BIGINT) <= _n
+           UNION
+           SELECT source, _n AS checkpoint FROM ns
+         ), perdoc AS (
+           SELECT source, pos, CAST(len(tk) AS BIGINT) AS _ntk FROM docs
+         ), firstpos AS (
+           SELECT source, _tok, MIN(pos) AS _fp
+           FROM (SELECT source, pos, unnest(tk) AS _tok FROM docs)
+           GROUP BY source, _tok
+         ), cumtok AS (
+           SELECT d.source, c.checkpoint,
+                  CAST(SUM(d._ntk) AS BIGINT) AS n_tokens
+           FROM perdoc d JOIN cps c
+             ON d.source = c.source AND d.pos <= c.checkpoint
+           GROUP BY 1, 2
+         ), cumdist AS (
+           SELECT f.source, c.checkpoint,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct
+           FROM firstpos f JOIN cps c
+             ON f.source = c.source AND f._fp <= c.checkpoint
+           GROUP BY 1, 2
+         )
+         SELECT t.source, t.checkpoint, t.n_tokens, d.n_distinct
+         FROM cumtok t JOIN cumdist d
+           ON t.source = d.source AND t.checkpoint = d.checkpoint""",
   )
 }

@@ -29,15 +29,76 @@ import org.apache.spark.sql.expressions.Aggregator
 object DdSketch {
   val Gamma = 1.02
   val Buckets = 2048
-  private val LogGamma = math.log(Gamma)
 
-  /** Bucket index of a non-negative value in units. */
+  /** Exact integer bucket boundaries: BoundaryUnits(i) = ⌊γ^i⌋,
+    * computed in exact rational arithmetic (102^i / 100^i by
+    * BigInteger division — no libm anywhere). For INTEGER units,
+    * "smallest i with units ≤ ⌊γ^i⌋" is exactly ceil(log_γ units), so
+    * this is the classic DDSketch index — but defined by integer
+    * comparisons, which makes bucket assignment engine-exact and lets
+    * an ANSI oracle replay it from a literal (lo, hi] range table
+    * (the q176 upgrade from rows-only to a full hash oracle).
+    * γ^2047 ≈ 4·10¹⁷ < 2⁶³, so every boundary fits a long.
+    */
+  val BoundaryUnits: Array[Long] = {
+    val a = new Array[Long](Buckets)
+    val n102 = java.math.BigInteger.valueOf(102)
+    val n100 = java.math.BigInteger.valueOf(100)
+    var num = java.math.BigInteger.ONE
+    var den = java.math.BigInteger.ONE
+    a(0) = 0L // bucket 0 holds exact zeros
+    var i = 1
+    while (i < Buckets) {
+      num = num.multiply(n102); den = den.multiply(n100)
+      a(i) = num.divide(den).longValueExact()
+      i += 1
+    }
+    a
+  }
+
+  /** Exact integer midpoint estimates: EstimateUnits(i) =
+    * round-half-up(2γ^i/(γ+1)) = round-half-up(100·102^i/(101·100^i))
+    * in the same exact rational arithmetic — so the reported quantile
+    * VALUE is engine-exact too, not a double pow rounded at the ulp.
+    */
+  val EstimateUnits: Array[Long] = {
+    val a = new Array[Long](Buckets)
+    val n102 = java.math.BigInteger.valueOf(102)
+    val n100 = java.math.BigInteger.valueOf(100)
+    val two = java.math.BigInteger.TWO
+    var p102 = java.math.BigInteger.ONE
+    var p100 = java.math.BigInteger.ONE
+    a(0) = 0L
+    var i = 1
+    while (i < Buckets) {
+      p102 = p102.multiply(n102); p100 = p100.multiply(n100)
+      val num = n100.multiply(p102)                       // 100·102^i
+      val den = java.math.BigInteger.valueOf(101).multiply(p100)
+      a(i) = num.multiply(two).add(den)
+        .divide(den.multiply(two)).longValueExact()       // half-up
+      i += 1
+    }
+    a
+  }
+
+  /** Bucket index of a non-negative value in units: smallest i ≥ 1
+    * with units ≤ BoundaryUnits(i) (binary search — pure integer
+    * comparisons), values past the last boundary clamp to the top
+    * bucket. Identical to ceil(log_γ units) for integer inputs, minus
+    * the libm ulp hazard.
+    */
   def bucketOf(units: Long): Int = {
     require(units >= 0, s"DdSketch values must be non-negative: $units")
     if (units == 0L) 0
+    else if (units > BoundaryUnits(Buckets - 1)) Buckets - 1
     else {
-      val i = math.ceil(math.log(units.toDouble) / LogGamma).toInt
-      math.min(math.max(i, 1), Buckets - 1)
+      var lo = 1
+      var hi = Buckets - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (BoundaryUnits(mid) >= units) hi = mid else lo = mid + 1
+      }
+      lo
     }
   }
 

@@ -1989,8 +1989,11 @@ object RelationalOps {
     * k×2048 exploded artifact (per-type running sum + first bucket
     * reaching ⌈q·n⌉ — nearest-rank, the q52 convention). Estimates
     * carry the DDSketch ≤ 1% relative-error guarantee (suite-asserted
-    * vs exact); no ANSI oracle (log-bucket boundaries sit on libm ulps)
-    * → rows-only gate.
+    * vs exact). FULL hash oracle (r9): bucket boundaries and estimates
+    * are exact rationals (⌊(102/100)^i⌋ by BigInteger — see
+    * [[graft.functions.DdSketch.BoundaryUnits]]), so DuckDB replays the
+    * whole pipeline from a literal (pos, lo, hi, est) range table and
+    * the integer nearest-rank rule — no libm anywhere on either side.
     */
   def q176QuantileRollup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.Encoders
@@ -2016,16 +2019,18 @@ object RelationalOps {
     val w = Window.partitionBy(col("event_type")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = ex.withColumn("cum", sum(col("c")).over(w))
-    def firstBucket(q: Double, name: String) =
-      min(when(col("cum") >= ceil(lit(q) * col("n_events")), col("pos")))
+    // nearest-rank target in pure integers: cum ≥ ⌈p·n/100⌉ ⇔
+    // 100·cum ≥ p·n — no double ceil, engine-exact (the q21 ratio rule)
+    def firstBucket(p: Int, name: String) =
+      min(when(col("cum") * 100 >= lit(p) * col("n_events"), col("pos")))
         .as(name)
-    def est(c: Column): Column =
-      when(c === 0, lit(0L)).otherwise(
-        round(lit(2.0) * pow(lit(graft.functions.DdSketch.Gamma), c) /
-          lit(graft.functions.DdSketch.Gamma + 1.0), 0).cast("long"))
+    // bucket estimate from the exact integer table (a 2048-long
+    // broadcast literal), not a double pow rounded at the ulp
+    val estArr = lit(graft.functions.DdSketch.EstimateUnits)
+    def est(c: Column): Column = element_at(estArr, (c + 1).cast("int"))
     cum.groupBy(col("event_type"), col("n_events"), col("n_days"))
-      .agg(firstBucket(0.50, "_i50"), firstBucket(0.95, "_i95"),
-        firstBucket(0.99, "_i99"))
+      .agg(firstBucket(50, "_i50"), firstBucket(95, "_i95"),
+        firstBucket(99, "_i99"))
       .select(col("event_type"), col("n_days"), col("n_events"),
         est(col("_i50")).as("p50_units"),
         est(col("_i95")).as("p95_units"),

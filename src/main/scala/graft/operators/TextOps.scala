@@ -1115,7 +1115,7 @@ object TextOps {
       .agg(max(col("pos")).as("_n"))
       .select(col("source"), explode(array_distinct(concat(
         filter(transform(sequence(lit(0), lit(40)),
-          k => shiftleft(lit(1L), k.cast("int"))), c => c <= col("_n")),
+          k => pow(lit(2.0), k).cast("long")), c => c <= col("_n")),
         array(col("_n"))))).as("checkpoint"))
     val perDoc = docs.select(col("source"), col("pos"),
       size(col("tk")).cast("long").as("_ntk"))

@@ -11,9 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * `900.5` — the r7 q94/q99/q122 hash-FAIL class). DECIMAL is fine —
   * required, even — for INTERNAL accumulation, but a final output
   * column must be an integer e4 long (money rule) or a ROUND-4 double.
-  * This spec makes that rule structural: it plans all entries (schema
-  * only, no execution) and fails on any DecimalType anywhere in the
-  * output schema, including nested struct/array/map element types.
+  * This spec makes that rule structural: it builds every entry's
+  * DataFrame and inspects the schema, failing on any DecimalType
+  * anywhere in the output, including nested struct/array/map element
+  * types. NOTE: most entries are lazy (plan-only), but a few run real
+  * Spark jobs during CONSTRUCTION (driver-side bounded-artifact
+  * collects — e.g. q183's matrix power, q186/q194's codebook/checkpoint
+  * collects), so this spec does execute corpus-scale work for those.
   */
 class OutputSchemaSpec extends AnyFunSuite with SparkTestBase {
 

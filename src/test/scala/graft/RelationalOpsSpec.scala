@@ -1284,18 +1284,32 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
 
   test("q183 absorption equals a local integer matrix-power replay; " +
       "purchase pins to 1e6 and probabilities are monotone in k") {
+    // INDEPENDENT replay from raw events: lead pairs, ppm rounding and
+    // the k steps all recomputed in plain Scala — no operator reuse, so
+    // a bug in markovTransitions or the shared iteration fails here
+    val raw = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairCounts = raw.groupBy(_._1).iterator
+      .flatMap { case (_, es) =>
+        es.sortBy(e => (e._2, e._3)).map(_._4).sliding(2)
+          .collect { case Array(f, t) => (f, t) }
+      }.toSeq.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val cFrom = pairCounts.groupBy(_._1._1)
+      .map { case (f, m) => f -> m.values.sum }
+    val trans = pairCounts.map { case ((f, t), n) =>
+      (f, t, (2000000L * n + cFrom(f)) / (2 * cFrom(f)))
+    }.toSeq
     def replay(iters: Int): Map[String, Long] = {
-      val m = RelationalOps.markovTransitions(
-          Tables.events(spark, Sf).select(col("user_id"), col("ts"),
-            col("event_id"), col("event_type")))
-        .collect().map(r => (r.getString(0), r.getString(1),
-          r.getLong(3))).toSeq
-      val states = (m.map(_._1) ++ m.map(_._2)).distinct
-      val trans = m.filter(_._1 != "purchase")
+      val states = (trans.map(_._1) ++ trans.map(_._2)).distinct
+      val act = trans.filter(_._1 != "purchase")
       var a = states.map(s =>
         s -> (if (s == "purchase") 1000000L else 0L)).toMap
       for (_ <- 0 until iters) {
-        val nxt = trans.groupBy(_._1).map { case (f, rows) =>
+        val nxt = act.groupBy(_._1).map { case (f, rows) =>
           f -> rows.map { case (_, t, p) => (p * a(t)) / 1000000L }.sum
         }
         a = states.map(s => s ->

@@ -535,4 +535,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect && got.size == pts.length)
     assert(got.values.map(_._1).toSet.size > 1) // non-degenerate split
   }
+
+  test("q198 medoid equals a local brute-force all-pairs replay on " +
+      "the e6 lattice; argmin ties to the smallest vec_id") {
+    val got = SimilarityOps.q198Medoid(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val pts = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Float](2)
+        .map(x => math.floor(x.toDouble * 1000000).toLong).toArray))
+    val expect = pts.groupBy(_._2).map { case (label, members) =>
+      val scored = members.map { case (id, _, e) =>
+        val s = members.map { case (_, _, o) =>
+          e.zip(o).map { case (a, b) =>
+            BigInt(a - b) * BigInt(a - b) }.sum
+        }.sum
+        (id, s)
+      }
+      val (mid, ms) = scored.minBy { case (id, s) => (s, id) }
+      val n = BigInt(members.length)
+      label -> ((mid, members.length.toLong,
+        ((2 * ms + n) / (2 * n)).toLong))
+    }
+    assert(got == expect && got.nonEmpty)
+  }
 }

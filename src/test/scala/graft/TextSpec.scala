@@ -574,4 +574,52 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect && got.nonEmpty)
     assert(got.values.forall(v => v._3 >= 0L && v._3 <= 1000000L))
   }
+
+  test("q199 vocab growth equals a local first-position replay at " +
+      "sf0.001 (checkpoints = powers of two ∪ {n})") {
+    val got = TextOps.q199VocabGrowth(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(col("text").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).toSeq))
+    val expect = docs.groupBy(_._2).flatMap { case (src, ds) =>
+      val ordered = ds.sortBy(_._1).map(_._3)
+      val n = ordered.length.toLong
+      val cps = (Iterator.iterate(1L)(_ * 2).takeWhile(_ <= n).toSeq
+        :+ n).distinct
+      cps.map { cp =>
+        val prefix = ordered.take(cp.toInt)
+        (src, cp) -> ((prefix.map(_.length.toLong).sum,
+          prefix.flatten.distinct.length.toLong))
+      }
+    }
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("q199 vocab growth on a planted corpus: exact token and " +
+      "distinct counts at every checkpoint, n = 2^k dedup'd") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q199").toString
+    // 8 docs (n = 2^3, so the n checkpoint collides with a power of
+    // two and must appear ONCE): doc i introduces exactly one new
+    // token "w<i>" plus i repeats of "the"
+    val rows = (1 to 8).map { i =>
+      (i.toLong, "planted", (Seq(s"w$i") ++ Seq.fill(i)("the"))
+        .mkString("  "))
+    }
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.q199VocabGrowth(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // prefix of length p has Σ_{i≤p}(1+i) tokens and p new words + "the"
+    val expect = Seq(1L, 2L, 4L, 8L).map(p =>
+      p -> ((p + p * (p + 1) / 2, p + 1))).toMap
+    assert(got == expect)
+  }
 }
