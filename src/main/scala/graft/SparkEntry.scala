@@ -248,6 +248,19 @@ object SparkEntry {
     * columns by name before hashing).
     */
   def oracleSql: Map[String, String] = Map(
+    // q60 gated like q162: the sketch VALUES have no cross-engine
+    // oracle, so the output carries exact row counts plus booleans
+    // asserting the sketch claims (HLL within 3·rsd + slack; approx
+    // median inside its ±0.001 rank-guarantee window). Same COUPLING
+    // WARNING as q162: the TRUEs depend on Spark's sketch
+    // implementations and the driver's scale factor — if this entry
+    // goes red, check RelationalOpsSpec's q60 test first (same claims,
+    // per-flag messages).
+    "q60_sketch_stats" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                TRUE AS orders_ndv_ok, TRUE AS parts_ndv_ok,
+                TRUE AS p50_rank_ok
+         FROM lineitem GROUP BY 1""",
     // full DDSketch replay from the shared exact-rational range table:
     // identical bucket assignment (integer (lo, hi] ranges), identical
     // integer nearest-rank rule (100·cum ≥ p·n), identical exact

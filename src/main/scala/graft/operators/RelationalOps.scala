@@ -496,14 +496,12 @@ object RelationalOps {
       .reduce(_ unionByName _)
   }
 
-  /** 60. Sketch aggregates — the 100-TB alternative to exact
-    * distinct/percentile shuffles: HyperLogLog++ distinct counts and
-    * quantile sketches combine map-side (constant memory per
-    * partition), so the shuffle carries sketches, not values. Tolerance
-    * vs the exact answers is asserted in the test suite (approximate →
-    * no SQL-hash oracle; rows-only in the driver gate).
+  /** The q60 artifact with BOTH the sketch answers and their exact
+    * counterparts side by side — the suite's tolerance assertions and
+    * q60's gated booleans read from here.
     */
-  def q60SketchStats(s: SparkSession, d: String): DataFrame =
+  private[graft] def sketchStatsRaw(s: SparkSession, d: String)
+      : DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -512,7 +510,38 @@ object RelationalOps {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
           .as("approx_p50"),
-        count(lit(1)).as("n_rows"))
+        countDistinct(col("l_orderkey")).as("_x_orders"),
+        countDistinct(col("l_partkey")).as("_x_parts"),
+        // exact rank neighborhood for the p50 claim: percentile_approx
+        // at accuracy 10⁴ guarantees rank error ≤ n/10⁴; the ±0.001
+        // quantile window is 10× that guarantee
+        expr("percentile(l_extendedprice, 0.499)").as("_p_lo"),
+        expr("percentile(l_extendedprice, 0.501)").as("_p_hi"),
+        count(lit(1)).cast("long").as("n_rows"))
+
+  /** 60. Sketch aggregates — the 100-TB alternative to exact
+    * distinct/percentile shuffles: HyperLogLog++ distinct counts and
+    * quantile sketches combine map-side (constant memory per
+    * partition), so the shuffle carries sketches, not values. DRIVER-
+    * GATED like q162 (r9 upgrade from rows-only): the approximate
+    * values themselves have no ANSI oracle (different sketches per
+    * engine), so the output carries the operator's CLAIMS as
+    * engine-exact fields — exact row counts plus booleans asserting the
+    * HLL estimates sit within 3·rsd (+small-group slack) of exact and
+    * the approx median within the ±0.001 quantile window its rank
+    * guarantee promises. Sketches are deterministic, so the booleans
+    * are reproducible facts; the suite asserts the same claims with
+    * per-flag messages (diagnose there first — see the q162 oracle
+    * coupling note).
+    */
+  def q60SketchStats(s: SparkSession, d: String): DataFrame =
+    sketchStatsRaw(s, d).select(col("l_returnflag"), col("n_rows"),
+      (abs(col("approx_orders") - col("_x_orders")) * 100 <=
+        col("_x_orders") * 6 + 100).as("orders_ndv_ok"),
+      (abs(col("approx_parts") - col("_x_parts")) * 100 <=
+        col("_x_parts") * 6 + 100).as("parts_ndv_ok"),
+      (col("approx_p50") >= col("_p_lo") &&
+        col("approx_p50") <= col("_p_hi")).as("p50_rank_ok"))
 
   /** 22. 3-way join + scalar-subquery usage/win rate (reference
     * usp_card_usage_wins, sql:224-242): per-brand share of line items in

@@ -82,11 +82,12 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(parsed.filter(col("parsed_ts").isNull).count() == nErrors)
   }
 
-  test("q60 sketch aggregates land within tolerance of exact answers") {
-    val got = RelationalOps.q60SketchStats(spark, Sf)
+  test("q60 sketch aggregates land within tolerance of exact answers; " +
+      "driver-gated booleans all hold") {
+    val raw = RelationalOps.sketchStatsRaw(spark, Sf)
       .collect().map(r => r.getAs[String]("l_returnflag") ->
-        (r.getAs[Long]("approx_orders"), r.getAs[Double]("approx_p50")))
-      .toMap
+        (r.getAs[Long]("approx_orders"), r.getAs[Long]("_x_orders"),
+          r.getAs[Double]("approx_p50"))).toMap
     val exact = Tables.lineitem(spark, Sf)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("orders"),
@@ -94,12 +95,21 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getAs[String]("l_returnflag") ->
         (r.getAs[Long]("orders"), r.getAs[Double]("p50")))
       .toMap
-    assert(got.keySet == exact.keySet)
-    for (k <- got.keySet) {
-      assert(math.abs(got(k)._1 - exact(k)._1).toDouble / exact(k)._1 < 0.05,
-        s"$k distinct: ${got(k)._1} vs ${exact(k)._1}")
-      assert(math.abs(got(k)._2 - exact(k)._2) / exact(k)._2 < 0.02,
-        s"$k p50: ${got(k)._2} vs ${exact(k)._2}")
+    assert(raw.keySet == exact.keySet)
+    for (k <- raw.keySet) {
+      assert(raw(k)._2 == exact(k)._1, s"$k exact-distinct mismatch")
+      assert(math.abs(raw(k)._1 - exact(k)._1).toDouble / exact(k)._1 < 0.05,
+        s"$k distinct: ${raw(k)._1} vs ${exact(k)._1}")
+      assert(math.abs(raw(k)._3 - exact(k)._2) / exact(k)._2 < 0.02,
+        s"$k p50: ${raw(k)._3} vs ${exact(k)._2}")
+    }
+    // the driver-gated projection: every claim column TRUE (the oracle
+    // hardcodes TRUE — this is its fast, well-messaged failure point)
+    RelationalOps.q60SketchStats(spark, Sf).collect().foreach { r =>
+      val k = r.getAs[String]("l_returnflag")
+      assert(r.getAs[Boolean]("orders_ndv_ok"), s"$k orders_ndv_ok")
+      assert(r.getAs[Boolean]("parts_ndv_ok"), s"$k parts_ndv_ok")
+      assert(r.getAs[Boolean]("p50_rank_ok"), s"$k p50_rank_ok")
     }
   }
 
