@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** 10× stress validation (run ad hoc, results recorded in BASELINE.md):
+  * the skew-sensitive machinery the 100-TB claims lean on, driven at
+  * ~10× the sf0.1 event volume on GENERATED high-cardinality/skewed
+  * data, each machine validated EXACTLY against an independent
+  * formulation in the same run.
+  *
+  *   - TopKPerKey map-side heaps: 1M distinct keys (heap-table
+  *     pressure) plus one 25%-of-corpus hot key (skew), validated
+  *     against a window row_number on a deterministic key sample and
+  *     the exact hot-key top-5.
+  *   - DistributedRank's range exchange: a 20M-row global total order
+  *     with ~20× duplicated order values; ranks must be a permutation
+  *     of 1..n (min/max/count/countDistinct all checked).
+  *   - Chunked bitmap distinct: a 2·10⁸ key domain (past the dense
+  *     gate) validated against exact countDistinct per group.
+  *   - SimHash band widening: 4M docs — past the 2¹⁶·32 row threshold,
+  *     so the band plan must WIDEN (bits > 16) to keep the bucket join
+  *     linear; 1000 planted token-permutation twins (identical
+  *     signature) must all surface through the widened buckets.
+  *
+  * Usage: `sbt 'runMain graft.Stress [nRows] [nDocs]'` — defaults
+  * 20M / 4M. Prints one JSON line like Bench.
+  */
+object Stress {
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    import spark.implicits._
+    val n = args.headOption.map(_.toLong).getOrElse(20000000L)
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(4000000L)
+
+    // 25% of rows on ONE hot key, the rest uniform over 1M keys; user
+    // ids sparse in a 2·10⁸ domain (forces the chunked bitmap path);
+    // v carries ~20× ties so the rank machinery sees heavy duplicates
+    val base = spark.range(n).select(
+      col("id"),
+      when(pmod(xxhash64(col("id")), lit(4)) === 0, lit(0L))
+        .otherwise(pmod(xxhash64(col("id"), lit(1)), lit(1000000L)) + 1)
+        .as("key"),
+      pmod(xxhash64(col("id"), lit(2)), lit(200000000L)).as("user"),
+      pmod(xxhash64(col("id"), lit(3)), lit(1000000L)).as("v"))
+      .localCheckpoint() // eager: generation cost out of the timings
+
+    // ---- 1. TopKPerKey under key-count and skew pressure -------------
+    val topDf = graft.plans.TopK.perKey(base, Seq("key"),
+      Seq(("v", true), ("id", true)), 5)
+    val (gotTop, tTop) = timed(topDf.count())
+    val expTop = base.groupBy(col("key")).count()
+      .agg(sum(least(col("count"), lit(5L)))).as[Long].head()
+    val sampled = pmod(col("key"), lit(9973)) === 1
+    val win = Window.partitionBy(col("key"))
+      .orderBy(col("v").desc, col("id").desc)
+    val exactSample = base.filter(sampled)
+      .withColumn("_rn", row_number().over(win))
+      .filter(col("_rn") <= 5)
+      .select(col("key"), col("id")).as[(Long, Long)].collect().toSet
+    val gotSample = topDf.filter(sampled)
+      .select(col("key"), col("id")).as[(Long, Long)].collect().toSet
+    val exactHot = base.filter(col("key") === 0)
+      .orderBy(col("v").desc, col("id").desc).limit(5)
+      .select(col("id")).as[Long].collect().toSet
+    val gotHot = topDf.filter(col("key") === 0)
+      .select(col("id")).as[Long].collect().toSet
+    val topOk = gotTop == expTop && gotSample == exactSample &&
+      gotHot == exactHot
+
+    // ---- 2. DistributedRank: global total order, massive ties --------
+    val ((rankOk, rankDiag), tRank) = timed {
+      val rk = graft.operators.DistributedRank
+        .withRank(base, Seq.empty, Seq("v", "id"), "rk")
+      val a = rk.agg(min(col("rk")), max(col("rk")), count(lit(1)),
+        countDistinct(col("rk"))).head()
+      (a.getLong(0) == 1L && a.getLong(1) == n && a.getLong(2) == n &&
+        a.getLong(3) == n,
+        s"""[${a.getLong(0)},${a.getLong(1)},${a.getLong(2)},""" +
+          s"""${a.getLong(3)}]""")
+    }
+
+    // ---- 3. Chunked bitmap distinct vs exact countDistinct -----------
+    val grouped = base.withColumn("g", pmod(col("key"), lit(16)))
+    val (bmOk, tBm) = timed {
+      val got = graft.operators.RelationalOps
+        .bitmapDistinctPerGroup(grouped, "g", "user", 200000000L)
+        .select(col("g"), col("distinct_users"))
+        .as[(Long, Long)].collect().toMap
+      val exact = grouped.groupBy(col("g"))
+        .agg(countDistinct(col("user")).as("d"))
+        .as[(Long, Long)].collect().toMap
+      got == exact
+    }
+
+    // ---- 4. SimHash band widening at 4M docs --------------------------
+    def toks(idc: Column, rev: Boolean): Column = {
+      val js = if (rev) (11 to 0 by -1) else (0 to 11)
+      concat_ws(" ", js.map(j => concat(lit("w"),
+        pmod(xxhash64(idc, lit(j)), lit(50000L)))): _*)
+    }
+    val mainDocs = spark.range(nDocs)
+      .select(col("id").as("doc_id"), toks(col("id"), rev = false)
+        .as("text"))
+    // twins: same token multiset REVERSED → identical simhash; the
+    // banded join must surface all of them through widened buckets
+    val nPlant = math.min(1000L, nDocs)
+    val twins = spark.range(nPlant)
+      .select((col("id") + nDocs).as("doc_id"),
+        toks(col("id"), rev = true).as("text"))
+    val docs = mainDocs.unionByName(twins)
+    val (bands, bits) = graft.operators.DedupOps.simhashBandPlan(nDocs)
+    val ((pairsFound, plantedFound), tSh) = timed {
+      val r = graft.operators.DedupOps
+        .simhashNearDup(spark, docs, maxHamming = 3, nRows = nDocs)
+        .localCheckpoint()
+      (r.count(),
+        r.filter(col("doc_b") === col("doc_a") + nDocs &&
+          col("doc_a") < nPlant).count())
+    }
+    // bits > 16 is the WIDENING claim — only meaningful past the
+    // 2¹⁶·32-row threshold (a small smoke run keeps the 16-bit default)
+    val shOk = plantedFound == nPlant &&
+      (nDocs <= (1L << 16) * 32 || bits > 16)
+
+    def f(d: Double): String = BigDecimal(d)
+      .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    println(s"""{"stress":{"n":$n,"n_docs":$nDocs,""" +
+      s""""topk":{"sec":${f(tTop)},"rows":$gotTop,"ok":$topOk},""" +
+      s""""rank":{"sec":${f(tRank)},"minmaxcntdst":$rankDiag,"ok":$rankOk},""" +
+      s""""bitmap":{"sec":${f(tBm)},"ok":$bmOk},""" +
+      s""""simhash":{"sec":${f(tSh)},"bands":$bands,"bits":$bits,""" +
+      s""""pairs":$pairsFound,"planted_found":$plantedFound,"ok":$shOk}}}""")
+    val allOk = topOk && rankOk && bmOk && shOk
+    spark.stop()
+    if (!allOk) sys.exit(1)
+  }
+}

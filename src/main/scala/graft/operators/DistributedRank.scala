@@ -21,22 +21,32 @@ object DistributedRank {
     * `groupCols` group ordered by `orderCols` (ascending).
     *
     * INVARIANT the correctness of `_off + _lrn` rests on: the offsets
-    * branch and the join's left branch both read `local`, so
-    * `spark_partition_id()` must evaluate identically in both. That is
-    * physically guaranteed because the two branches contain the SAME
-    * range Exchange and Spark's ReuseExchange rule materializes it once
-    * — both consumers read one set of shuffle files, so partition ids
-    * agree even under a nondeterministic upstream (a retried upstream
-    * task re-feeds the same single shuffle, never two divergent copies).
-    * PlanAuditSpec pins the ReusedExchange in q45's executed plan so a
-    * plan change that silently splits the exchange fails the suite.
+    * branch and the join's left branch must see IDENTICAL
+    * `spark_partition_id()` values, i.e. one physical execution of the
+    * range exchange. Relying on Spark's ReuseExchange rule for that is
+    * NOT safe — the r9 20M-row stress run caught the self-join's
+    * attribute dedup defeating reuse, the range exchange executing
+    * twice, and RangePartitioner's rdd-id-seeded SAMPLING picking
+    * different boundaries per execution (≈450k duplicate ranks). The
+    * ranged frame is therefore localCheckpoint'd: `_part` is data
+    * computed on one materialization, impossible to diverge.
+    * PlanAuditSpec pins exactly ONE rangepartitioning exchange in
+    * q45's executed plan so a regression fails the suite.
     */
+  /** The pre-checkpoint ranged frame — split out so PlanAuditSpec can
+    * pin the rangepartitioning exchange that the checkpoint hides from
+    * consumer plans.
+    */
+  private[graft] def rangeSliced(df: DataFrame, gc: Seq[org.apache.spark
+      .sql.Column], oc: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.repartitionByRange((gc ++ oc): _*)
+      .withColumn("_part", spark_partition_id())
+
   def withRank(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[String], rankCol: String): DataFrame = {
     val gc = groupCols.map(col)
     val oc = orderCols.map(col)
-    val parted = df.repartitionByRange((gc ++ oc): _*)
-      .withColumn("_part", spark_partition_id())
+    val parted = rangeSliced(df, gc, oc).localCheckpoint(false)
     // per-partition rank: parallel (each range slice independently)
     val localW = Window.partitionBy(col("_part") +: gc: _*).orderBy(oc: _*)
     val local = parted.withColumn("_lrn",
@@ -61,8 +71,9 @@ object DistributedRank {
     * row of a group through one reducer; here partitions are ordered
     * range slices summed in parallel, plus broadcast per-(partition,
     * group) offsets (a #partitions × #groups table — driver-scale).
-    * Shares withRank's ReusedExchange invariant: both consumers of
-    * `local` read the one materialized range exchange.
+    * Shares withRank's one-materialization invariant: the ranged frame
+    * is localCheckpoint'd so both consumers of `local` read identical
+    * `_part` values (ReuseExchange alone is not safe — see withRank).
     */
   def withRunningSum(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[String], valueCol: String, outCol: String): DataFrame =
@@ -80,8 +91,7 @@ object DistributedRank {
       "output column names must be unique")
     val gc = groupCols.map(col)
     val oc = orderCols.map(col)
-    val parted = df.repartitionByRange((gc ++ oc): _*)
-      .withColumn("_part", spark_partition_id())
+    val parted = rangeSliced(df, gc, oc).localCheckpoint(false)
     val localW = Window.partitionBy(col("_part") +: gc: _*).orderBy(oc: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     // all windowed columns share one Window operator (same spec)

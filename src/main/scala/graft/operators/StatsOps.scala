@@ -1517,4 +1517,67 @@ object StatsOps {
           (col("root_e9") - col("split_e9")).as("gain_e9"))
     }.reduce(_ unionByName _)
   }
+
+  /** q200: Holt DOUBLE-exponential smoothing of per-nation daily order
+    * revenue (Holt 1957) — level + trend state, the forecasting step up
+    * from q160's EWMA (level only, no trend): l_t = α·y_t +
+    * (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, here
+    * α = ½, β = ¼ so every update is exact integer shift arithmetic.
+    * Output per nation: final level/trend and the 7-step-ahead linear
+    * forecast l + 7b — the "where is this source heading" signal a
+    * corpus-intake dashboard wants (reference analogue: the aggregate
+    * trend views, sql/db_creation_script.sql:185-242).
+    *
+    * The recursion is inherently sequential per series, so it runs as
+    * an ordered array fold (`aggregate` over the sorted per-nation day
+    * array) on the CALENDAR-bounded daily artifact — one corpus-scale
+    * aggregate builds the (nation, day) table, the fold touches
+    * |days|-length arrays per nation, never the fact table (the q183
+    * bounded-artifact rule, kept distributed per nation). Engine-exact:
+    * e4 revenue units, round-half-away-from-zero at each step with the
+    * q148/q153 SIGN SPLIT (the trend and level updates go negative),
+    * halving/quartering as non-negative shifts after the split —
+    * replayable in a DuckDB recursive CTE with identical CASE
+    * arithmetic. Init: l₁ = y₁, b₁ = 0.
+    */
+  def q200HoltSmoothing(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"))
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("long")).cast("long").as("y"))
+    // round-half-away-from-zero x/2^k as sign-split shifts (exact:
+    // operands stay far below 2^62)
+    def rhalf(x: Column, k: Int): Column =
+      when(x >= 0, shiftright(x * 2 + (1L << k), k + 1))
+        .otherwise(-shiftright((-x) * 2 + (1L << k), k + 1))
+    val zero = struct(lit(0L).as("l"), lit(0L).as("b"),
+      lit(false).as("s"))
+    def step(acc: Column, e: Column): Column = {
+      val y = e.getField("y")
+      val l0 = acc.getField("l"); val b0 = acc.getField("b")
+      val l1 = rhalf(y + l0 + b0, 1)            // α = ½
+      val b1 = rhalf(l1 - l0 + b0 * 3, 2)       // β = ¼
+      when(!acc.getField("s"),
+        struct(y.as("l"), lit(0L).as("b"), lit(true).as("s")))
+        .otherwise(struct(l1.as("l"), b1.as("b"), lit(true).as("s")))
+    }
+    daily
+      .groupBy(col("nation"))
+      .agg(sort_array(collect_list(struct(col("day").as("d"),
+        col("y").as("y")))).as("_arr"))
+      .select(col("nation"),
+        size(col("_arr")).cast("long").as("n_days"),
+        aggregate(col("_arr"), zero, step).as("_st"))
+      .select(col("nation"), col("n_days"),
+        col("_st.l").as("level_units"), col("_st.b").as("trend_units"),
+        (col("_st.l") + col("_st.b") * 7).as("forecast7_units"))
+  }
 }
