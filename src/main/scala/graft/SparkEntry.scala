@@ -222,6 +222,11 @@ object SparkEntry {
     "q197_table_checksum" -> (RelationalOps.q197TableChecksum _),
     "q198_medoid" -> (SimilarityOps.q198Medoid _),
     "q199_vocab_growth" -> (TextOps.q199VocabGrowth _),
+    "q200_holt_smoothing" -> (StatsOps.q200HoltSmoothing _),
+    "q201_rev_rec" -> (RelationalOps.q201RevenueRecognition _),
+    "q202_dwell_time" -> (RelationalOps.q202DwellTime _),
+    "q204_transition_latency" -> (RelationalOps.q204TransitionLatency _),
+    "q205_k_anonymity" -> (RelationalOps.q205KAnonymity _),
   )
 
   /** The q176 oracle's literal DDSketch range table: one (pos, lo, hi,
@@ -4645,5 +4650,149 @@ object SparkEntry {
          SELECT t.source, t.checkpoint, t.n_tokens, d.n_distinct
          FROM cumtok t JOIN cumdist d
            ON t.source = d.source AND t.checkpoint = d.checkpoint""",
+    // Holt replay: identical integer recursion as a lockstep recursive
+    // CTE — the round-half-away-from-zero CASE arithmetic is expanded
+    // inline (l₁ appears twice inside b₁'s sign split)
+    "q200_holt_smoothing" ->
+      """WITH RECURSIVE daily AS (
+           SELECT n.n_name AS nation,
+                  date_trunc('day', o.o_orderdate) AS day,
+                  CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,4))
+                    * 10000 AS BIGINT)) AS BIGINT) AS y
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           WHERE o.o_orderdate IS NOT NULL
+             AND o.o_totalprice IS NOT NULL
+           GROUP BY 1, 2
+         ), seq AS (
+           SELECT nation, day, y,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY nation
+                                          ORDER BY day) AS BIGINT) AS rn
+           FROM daily
+         ), ns AS (
+           SELECT nation, MAX(rn) AS n_days FROM seq GROUP BY 1
+         ), hw(nation, rn, l, b) AS (
+           SELECT nation, rn, y, CAST(0 AS BIGINT) FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT s.nation, s.rn,
+             CASE WHEN s.y + h.l + h.b >= 0
+                  THEN ((s.y + h.l + h.b) * 2 + 2) // 4
+                  ELSE -(((-(s.y + h.l + h.b)) * 2 + 2) // 4) END,
+             CASE WHEN (CASE WHEN s.y + h.l + h.b >= 0
+                        THEN ((s.y + h.l + h.b) * 2 + 2) // 4
+                        ELSE -(((-(s.y + h.l + h.b)) * 2 + 2) // 4) END)
+                       - h.l + 3 * h.b >= 0
+               THEN (((CASE WHEN s.y + h.l + h.b >= 0
+                       THEN ((s.y + h.l + h.b) * 2 + 2) // 4
+                       ELSE -(((-(s.y + h.l + h.b)) * 2 + 2) // 4) END)
+                      - h.l + 3 * h.b) * 2 + 4) // 8
+               ELSE -(((-((CASE WHEN s.y + h.l + h.b >= 0
+                        THEN ((s.y + h.l + h.b) * 2 + 2) // 4
+                        ELSE -(((-(s.y + h.l + h.b)) * 2 + 2) // 4) END)
+                       - h.l + 3 * h.b)) * 2 + 4) // 8) END
+           FROM hw h JOIN seq s
+             ON s.nation = h.nation AND s.rn = h.rn + 1
+         )
+         SELECT h.nation, ns.n_days, h.l AS level_units,
+                h.b AS trend_units,
+                h.l + 7 * h.b AS forecast7_units
+         FROM hw h JOIN ns
+           ON ns.nation = h.nation AND h.rn = ns.n_days""",
+    "q201_rev_rec" ->
+      """WITH ship AS (
+           SELECT l_orderkey,
+                  date_trunc('month', MAX(l_shipdate)) AS m_end
+           FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
+         ), o AS (
+           SELECT o_orderkey, date_trunc('month', o_orderdate) AS m_start,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                    AS BIGINT) AS total
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+         ), spans AS (
+           SELECT o.total, o.m_start,
+                  GREATEST(CAST(date_diff('month', o.m_start, s.m_end)
+                    AS BIGINT), 0) + 1 AS k
+           FROM o JOIN ship s ON o.o_orderkey = s.l_orderkey
+         ), alloc AS (
+           SELECT CAST(m_start + jj * INTERVAL 1 MONTH AS DATE) AS month,
+                  total // k + CASE WHEN jj < total % k THEN 1 ELSE 0 END
+                    AS a
+           FROM spans,
+                unnest(generate_series(0, CAST(k - 1 AS INT))) t(jj)
+         )
+         SELECT month, CAST(SUM(a) AS BIGINT) AS recognized_units,
+                CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM alloc GROUP BY 1""",
+    // the null next-event rows filter BEFORE the cap on BOTH sides —
+    // LEAST skips NULLs in both engines, so a NULL gap would silently
+    // become the cap (the q179 rule)
+    "q202_dwell_time" ->
+      """WITH raw AS (
+           SELECT event_type,
+                  CAST(epoch_us(LEAD(ts) OVER w) - epoch_us(ts)
+                    AS BIGINT) AS gap0
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), g AS (
+           SELECT event_type, LEAST(gap0, 1800000000) AS gap_us
+           FROM raw WHERE gap0 IS NOT NULL
+         )
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                CAST(SUM(gap_us) AS BIGINT) AS total_dwell_us,
+                CAST((2 * SUM(gap_us) + 1000 * COUNT(*))
+                     // (2000 * COUNT(*)) AS BIGINT) AS mean_dwell_ms
+         FROM g GROUP BY 1""",
+    "q204_transition_latency" ->
+      """WITH g AS (
+           SELECT event_type AS from_type,
+                  LEAD(event_type) OVER w AS to_type,
+                  CAST(epoch_us(LEAD(ts) OVER w) - epoch_us(ts)
+                    AS BIGINT) AS gap_us,
+                  user_id, event_id
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), r AS (
+           SELECT from_type, to_type, gap_us,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY from_type, to_type
+                    ORDER BY gap_us, user_id, event_id) AS BIGINT) AS rk,
+                  CAST(COUNT(*) OVER (PARTITION BY from_type, to_type)
+                    AS BIGINT) AS n
+           FROM g WHERE to_type IS NOT NULL
+         )
+         SELECT from_type, to_type, n,
+                CAST((2 * MIN(CASE WHEN rk = (n + 1) // 2
+                                   THEN gap_us END) + 1000) // 2000
+                  AS BIGINT) AS median_gap_ms,
+                CAST((2 * MIN(CASE WHEN rk = (9 * n + 9) // 10
+                                   THEN gap_us END) + 1000) // 2000
+                  AS BIGINT) AS p90_gap_ms
+         FROM r
+         WHERE rk = (n + 1) // 2 OR rk = (9 * n + 9) // 10
+         GROUP BY 1, 2, 3""",
+    "q205_k_anonymity" ->
+      """WITH sizes AS (
+           SELECT c_nationkey, c_mktsegment,
+                  CAST(COUNT(*) AS BIGINT) AS g
+           FROM customer GROUP BY 1, 2
+         ), tot AS (
+           SELECT CAST(SUM(g) AS BIGINT) AS n,
+                  CAST(COUNT(*) AS BIGINT) AS n_groups,
+                  CAST(MIN(g) AS BIGINT) AS min_group_size
+           FROM sizes
+         ), ks AS (
+           SELECT CAST(unnest([2, 5, 10, 25]) AS BIGINT) AS k
+         )
+         SELECT ks.k, tot.n_groups, tot.min_group_size,
+                CAST(COALESCE(COUNT(CASE WHEN s.g < ks.k THEN 1 END), 0)
+                  AS BIGINT) AS n_groups_below,
+                CAST(COALESCE(SUM(CASE WHEN s.g < ks.k THEN s.g END), 0)
+                  AS BIGINT) AS rows_at_risk,
+                CAST((2000000 * COALESCE(SUM(CASE WHEN s.g < ks.k
+                       THEN s.g END), 0) + tot.n) // (2 * tot.n)
+                  AS BIGINT) AS risk_ppm
+         FROM ks CROSS JOIN tot LEFT JOIN sizes s ON TRUE
+         GROUP BY 1, 2, 3, tot.n""",
   )
 }

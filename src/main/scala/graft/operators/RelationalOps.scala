@@ -2572,4 +2572,154 @@ object RelationalOps {
       .groupBy(col("month"))
       .agg(count(lit(1)).cast("long").as("n_rows"),
         expr("bit_xor(_h)").cast("long").as("cksum"))
+
+  /** q201: calendar revenue recognition — each order's e4 total spread
+    * EVENLY across the months its fulfillment spans (order month →
+    * last ship month), with the division remainder allocated to the
+    * EARLIEST months (largest-remainder over a date range — the
+    * finance-closing sibling of q147's per-group proration; deferred-
+    * revenue schedules, subscription amortization, capacity planning
+    * all want exactly this reshape). Conservation is exact BY
+    * CONSTRUCTION: per order, Σ month allocations ≡ total (base·k +
+    * rem), so the monthly table reconciles to the books to the unit.
+    *
+    * Shapes: one lineitem aggregate for the per-order ship horizon
+    * (map-side combined), one orders join, then each order explodes to
+    * its ≤ |calendar| month span — output is calendar-scale. All
+    * integer: base = total DIV k, month j gets +1 iff j < total MOD k.
+    * Orders with no shipped lineitem have no recognition horizon and
+    * drop (inner join, documented).
+    */
+  def q201RevenueRecognition(s: SparkSession, d: String): DataFrame = {
+    val ship = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").isNotNull)
+      .groupBy(col("l_orderkey"))
+      .agg(max(date_trunc("month", col("l_shipdate"))).as("_m_end"))
+    Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("_m_start"),
+        (col("o_totalprice").cast("decimal(18,4)") * 10000)
+          .cast("long").as("_total"))
+      .join(ship, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("_k", greatest(months_between(col("_m_end"),
+        col("_m_start")).cast("long"), lit(0L)) + 1)
+      .select(col("_total"), col("_k"), col("_m_start"),
+        explode(sequence(lit(0L), col("_k") - 1)).as("_j"))
+      .select(
+        add_months(col("_m_start").cast("date"), col("_j").cast("int"))
+          .as("month"),
+        (expr("_total DIV _k") +
+          when(col("_j") < col("_total") % col("_k"), 1L)
+            .otherwise(0L)).as("_alloc"))
+      .groupBy(col("month"))
+      .agg(sum(col("_alloc")).cast("long").as("recognized_units"),
+        count(lit(1)).cast("long").as("n_orders"))
+  }
+
+  /** q202: state dwell-time attribution — per event type, how long
+    * users SIT in that state before their next action (gap to the
+    * user's next event, capped at 30 min so session ends don't
+    * attribute overnight idle to the last click). The engagement
+    * decomposition behind "where does time go" product analytics; the
+    * duration complement of q113's transition COUNTS.
+    *
+    * One user-keyed window (the q79/q94 single-shuffle shape) + one
+    * map-combined aggregate. Engine-exact integers: gaps in µs, the
+    * cap applied with `least` only AFTER the null next-event rows are
+    * filtered (the q179 LEAST-skips-NULL rule), mean ms round-half-up
+    * (non-negative — no sign split needed).
+    */
+  def q202DwellTime(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("_next_us", lead(unix_micros(col("ts")), 1).over(w))
+      .filter(col("_next_us").isNotNull) // BEFORE the cap, both engines
+      .select(col("event_type"),
+        least(col("_next_us") - unix_micros(col("ts")),
+          lit(1800000000L)).as("_gap_us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_intervals"),
+        sum(col("_gap_us")).cast("long").as("total_dwell_us"))
+      .withColumn("mean_dwell_ms", expr(
+        "(2 * total_dwell_us + 1000 * n_intervals) DIV (2000 * n_intervals)"))
+  }
+
+  /** q204: semi-Markov transition latency — per (from_type → to_type)
+    * consecutive-event edge, the EXACT nearest-rank median and p90 of
+    * the time gap. q113 gives the transition probabilities; this gives
+    * the tempo (queueing diagnosis: which edges are slow, not just
+    * likely). Exact percentiles over |types|²-bounded groups whose
+    * member counts are corpus-scale, so the ranking is
+    * [[DistributedRank.withRank]] (range-partitioned — never a
+    * per-group single-reducer sort on the two hottest edges), targets
+    * picked by pure-integer ceil ranks, µs→ms round-half-up
+    * (non-negative).
+    */
+  def q204TransitionLatency(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("_nt", lead(col("event_type"), 1).over(w))
+      .withColumn("_nus", lead(unix_micros(col("ts")), 1).over(w))
+      .filter(col("_nt").isNotNull)
+      .select(col("event_type").as("from_type"), col("_nt").as("to_type"),
+        (col("_nus") - unix_micros(col("ts"))).as("_gap_us"),
+        col("user_id"), col("event_id"))
+    val ranked = DistributedRank.withRank(gaps,
+      Seq("from_type", "to_type"),
+      Seq("_gap_us", "user_id", "event_id"), "_rk")
+    val counts = gaps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    ranked.join(broadcast(counts), Seq("from_type", "to_type"))
+      .filter(col("_rk") === expr("(n + 1) DIV 2") ||
+        col("_rk") === expr("(9 * n + 9) DIV 10"))
+      .groupBy(col("from_type"), col("to_type"), col("n"))
+      .agg(
+        min(when(col("_rk") === expr("(n + 1) DIV 2"), col("_gap_us")))
+          .as("_med_us"),
+        min(when(col("_rk") === expr("(9 * n + 9) DIV 10"),
+          col("_gap_us"))).as("_p90_us"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(2 * _med_us + 1000) DIV 2000").as("median_gap_ms"),
+        expr("(2 * _p90_us + 1000) DIV 2000").as("p90_gap_ms"))
+  }
+
+  /** q205: k-anonymity audit over the (nation, market-segment) quasi-
+    * identifier — for each disclosure threshold k, how many identifier
+    * groups fall below k members and how many ROWS sit in them (the
+    * re-identification exposure). The privacy screen a training-data
+    * release runs before publishing joins of user attributes; the
+    * reference has no analogue (its data is public game stats) but any
+    * pipeline exporting per-user tables needs exactly this report.
+    * One group-size aggregate (map-combined) + a constant threshold
+    * fan over the BOUNDED group-size table; risk share in integer ppm.
+    */
+  def q205KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val sizes = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).cast("long").as("_g"))
+      .localCheckpoint(false) // bounded: |nations|×|segments| rows
+    val tot = sizes.agg(sum(col("_g")).cast("long").as("_n"),
+      count(lit(1)).cast("long").as("n_groups"),
+      min(col("_g")).cast("long").as("min_group_size"))
+    Seq(2L, 5L, 10L, 25L).map { k =>
+      sizes.filter(col("_g") < k)
+        .agg(coalesce(count(lit(1)), lit(0L)).cast("long")
+            .as("n_groups_below"),
+          coalesce(sum(col("_g")), lit(0L)).cast("long")
+            .as("rows_at_risk"))
+        .withColumn("k", lit(k))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_groups"), col("min_group_size"),
+        col("n_groups_below"), col("rows_at_risk"),
+        expr("(2000000 * rows_at_risk + _n) DIV (2 * _n)")
+          .as("risk_ppm"))
+  }
 }

@@ -1583,4 +1583,105 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     val one = h64("probe")
     assert(((ck0 ^ one) ^ one) == ck0 && (ck0 ^ one) != ck0, m0)
   }
+
+  test("q201 revenue recognition conserves every order's total to the " +
+      "unit and matches a local largest-remainder replay") {
+    val got = RelationalOps.q201RevenueRecognition(spark, Sf).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val ship = Tables.lineitem(spark, Sf)
+      .filter(col("l_shipdate").isNotNull)
+      .groupBy(col("l_orderkey"))
+      .agg(max(date_trunc("month", col("l_shipdate"))).as("me"))
+      .select(col("l_orderkey"), col("me").cast("date")).collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate).toMap
+    val orders = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date"),
+        (col("o_totalprice").cast("decimal(18,4)") * 10000).cast("long"))
+      .collect()
+      .flatMap { r =>
+        ship.get(r.getLong(0)).map(me =>
+          (r.getDate(1).toLocalDate, me, r.getLong(2)))
+      }
+    // month-start LocalDate.toString is yyyy-MM-dd — same as getDate
+    val expectKeyed = orders.flatMap { case (ms, me, total) =>
+      val k = math.max(
+        (me.getYear - ms.getYear) * 12 + me.getMonthValue -
+          ms.getMonthValue, 0) + 1
+      (0 until k).map(j =>
+        ms.plusMonths(j).toString ->
+          (total / k + (if (j < total % k) 1L else 0L)))
+    }.groupBy(_._1).map { case (m, rows) =>
+      m -> ((rows.map(_._2).sum, rows.size.toLong)) }
+    assert(got == expectKeyed && got.nonEmpty)
+    // conservation: the monthly table reconciles to the books exactly
+    assert(got.values.map(_._1).sum == orders.map(_._3).sum)
+  }
+
+  test("q202 dwell time equals a local capped-gap replay from raw " +
+      "events; the cap binds only on real gaps (q179 null rule)") {
+    val got = RelationalOps.q202DwellTime(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val raw = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2), r.getString(3)))
+    val gaps = raw.groupBy(_._1).iterator.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._2, e._3))
+      s.zip(s.drop(1)).map { case (a, b) =>
+        (a._4, math.min(b._2 - a._2, 1800000000L)) }
+    }.toSeq
+    val expect = gaps.groupBy(_._1).map { case (t, g) =>
+      val n = g.size.toLong
+      val tot = g.map(_._2).sum
+      t -> ((n, tot, (2 * tot + 1000 * n) / (2000 * n)))
+    }
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("q204 transition latency equals a local nearest-rank replay") {
+    val got = RelationalOps.q204TransitionLatency(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val raw = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2), r.getString(3)))
+    val gaps = raw.groupBy(_._1).iterator.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._2, e._3))
+      s.zip(s.drop(1)).map { case (a, b) => ((a._4, b._4), b._2 - a._2) }
+    }.toSeq
+    val expect = gaps.groupBy(_._1).map { case (e, g) =>
+      val sorted = g.map(_._2).sorted
+      val n = sorted.length.toLong
+      val med = sorted(((n + 1) / 2 - 1).toInt)
+      val p90 = sorted(((9 * n + 9) / 10 - 1).toInt)
+      e -> ((n, (2 * med + 1000) / 2000, (2 * p90 + 1000) / 2000))
+    }
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("q205 k-anonymity equals a local group-size replay and the " +
+      "risk shares are monotone in k") {
+    val rows = RelationalOps.q205KAnonymity(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val sizes = Tables.customer(spark, Sf)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("g")).collect().map(_.getLong(2))
+    val n = sizes.sum
+    for (k <- Seq(2L, 5L, 10L, 25L)) {
+      val below = sizes.filter(_ < k)
+      val risk = below.sum
+      assert(rows(k) == ((sizes.length.toLong, sizes.min,
+        below.length.toLong, risk, (2000000L * risk + n) / (2 * n))), s"k=$k")
+    }
+    val shares = Seq(2L, 5L, 10L, 25L).map(k => rows(k)._5)
+    assert(shares == shares.sorted)
+  }
 }

@@ -1092,4 +1092,47 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
       ni * ni).toLong
     assert(math.abs(rInd - sInd) <= 4)
   }
+
+  test("q200 Holt smoothing equals a plain-Scala integer fold from raw " +
+      "orders; a constant series converges to level=y, trend=0") {
+    def rhalf(x: Long, k: Int): Long =
+      if (x >= 0) (x * 2 + (1L << k)) >> (k + 1)
+      else -(((-x) * 2 + (1L << k)) >> (k + 1))
+    def fold(ys: Seq[Long]): (Long, Long) =
+      ys.tail.foldLeft((ys.head, 0L)) { case ((l, b), y) =>
+        val l1 = rhalf(y + l + b, 1)
+        (l1, rhalf(l1 - l + 3 * b, 2))
+      }
+    val got = StatsOps.q200HoltSmoothing(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // independent replay: raw orders -> nation -> daily e4 sums ->
+    // day-ordered fold in plain Scala
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val nat = Tables.nation(spark, Sf)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    val cust = Tables.customer(spark, Sf)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => lv(r, 0) -> lv(r, 1)).toMap
+    val daily = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .select(col("o_custkey"),
+        date_trunc("day", col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast("decimal(18,4)") * 10000)
+          .cast("long").as("u")).collect()
+      .map(r => (nat(cust(lv(r, 0))), r.get(1).toString,
+        r.getLong(2)))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((n, d), rows) => (n, d, rows.map(_._3).sum) }
+    val expect = daily.groupBy(_._1).map { case (n, rows) =>
+      val ys = rows.toSeq.sortBy(_._2).map(_._3)
+      val (l, b) = fold(ys)
+      n -> ((ys.length.toLong, l, b, l + 7 * b))
+    }
+    assert(got == expect && got.nonEmpty)
+    // structural sanity on a planted constant series
+    assert(fold(Seq.fill(50)(1000L)) == ((1000L, 0L)))
+  }
 }
