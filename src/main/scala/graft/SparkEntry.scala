@@ -225,8 +225,12 @@ object SparkEntry {
     "q200_holt_smoothing" -> (StatsOps.q200HoltSmoothing _),
     "q201_rev_rec" -> (RelationalOps.q201RevenueRecognition _),
     "q202_dwell_time" -> (RelationalOps.q202DwellTime _),
+    "q203_share_of_parent" -> (RelationalOps.q203ShareOfParent _),
     "q204_transition_latency" -> (RelationalOps.q204TransitionLatency _),
     "q205_k_anonymity" -> (RelationalOps.q205KAnonymity _),
+    "q206_entry_paths" -> (RelationalOps.q206EntryPaths _),
+    "q210_spend_gini" -> (StatsOps.q210SpendGini _),
+    "q215_top_movers" -> (RelationalOps.q215TopMovers _),
   )
 
   /** The q176 oracle's literal DDSketch range table: one (pos, lo, hi,
@@ -4794,5 +4798,111 @@ object SparkEntry {
                   AS BIGINT) AS risk_ppm
          FROM ks CROSS JOIN tot LEFT JOIN sizes s ON TRUE
          GROUP BY 1, 2, 3, tot.n""",
+    "q203_share_of_parent" ->
+      """WITH natrev AS (
+           SELECT r.r_name AS region, n.n_name AS nation,
+                  CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,4))
+                    * 10000 AS BIGINT)) AS HUGEINT) AS rev
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE o.o_totalprice IS NOT NULL
+           GROUP BY 1, 2
+         ), regtot AS (
+           SELECT region, CAST(SUM(rev) AS HUGEINT) AS rr
+           FROM natrev GROUP BY 1
+         ), gtot AS (
+           SELECT CAST(SUM(rr) AS HUGEINT) AS g FROM regtot
+         )
+         SELECT nv.region, nv.nation,
+                CAST(nv.rev AS BIGINT) AS rev_units,
+                CAST((2000000 * nv.rev + rt.rr) // (2 * rt.rr)
+                  AS BIGINT) AS nation_share_ppm,
+                CAST(rt.rr AS BIGINT) AS region_rev_units,
+                CAST((2000000 * rt.rr + gl.g) // (2 * gl.g)
+                  AS BIGINT) AS region_share_ppm
+         FROM natrev nv
+         JOIN regtot rt ON nv.region = rt.region
+         CROSS JOIN gtot gl""",
+    "q206_entry_paths" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us
+           FROM events
+         ), s1 AS (
+           SELECT *, CASE WHEN us - LAG(us) OVER w IS NULL
+                            OR us - LAG(us) OVER w > 14400000000
+                          THEN 1 ELSE 0 END AS nw
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), s2 AS (
+           SELECT *, SUM(nw) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM s1
+         ), s3 AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+             ORDER BY ts, event_id) AS rn
+           FROM s2
+         ), p AS (
+           SELECT user_id, sid,
+                  string_agg(event_type, ' > ' ORDER BY rn) AS path
+           FROM s3 WHERE rn <= 3 GROUP BY 1, 2
+         )
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 20""",
+    "q210_spend_gini" ->
+      """WITH spend AS (
+           SELECT n.n_name AS nation, o.o_custkey,
+                  CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,4))
+                    * 10000 AS BIGINT)) AS BIGINT) AS x
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           WHERE o.o_totalprice IS NOT NULL
+           GROUP BY 1, 2
+         ), r AS (
+           SELECT nation, x,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY nation
+                    ORDER BY x, o_custkey) AS HUGEINT) AS i
+           FROM spend
+         ), a AS (
+           SELECT nation, CAST(COUNT(*) AS HUGEINT) AS n,
+                  CAST(SUM(x) AS HUGEINT) AS sx,
+                  CAST(SUM(i * x) AS HUGEINT) AS six
+           FROM r GROUP BY 1
+         )
+         SELECT nation, CAST(n AS BIGINT) AS n_customers,
+                CAST(sx AS BIGINT) AS total_spend_units,
+                CAST((2 * ((2 * six - (n + 1) * sx) * 1000000)
+                      + (n * sx)) // (2 * (n * sx)) AS BIGINT)
+                  AS gini_ppm
+         FROM a""",
+    "q215_top_movers" ->
+      """WITH agg AS (
+           SELECT p.p_brand,
+                  CAST(SUM(CASE WHEN year(l.l_shipdate) = 1995
+                    THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * 10000 AS BIGINT) ELSE 0 END) AS HUGEINT) AS r1,
+                  CAST(SUM(CASE WHEN year(l.l_shipdate) = 1996
+                    THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * 10000 AS BIGINT) ELSE 0 END) AS HUGEINT) AS r2
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE l.l_shipdate IS NOT NULL
+             AND year(l.l_shipdate) IN (1995, 1996)
+           GROUP BY 1
+         ), tot AS (
+           SELECT CAST(SUM(abs(r2 - r1)) AS HUGEINT) AS ta FROM agg
+         )
+         SELECT p_brand, CAST(r1 AS BIGINT) AS rev1_units,
+                CAST(r2 AS BIGINT) AS rev2_units,
+                CAST(r2 - r1 AS BIGINT) AS delta_units,
+                CASE WHEN r2 - r1 >= 0
+                  THEN CAST((2000000 * (r2 - r1) + ta) // (2 * ta)
+                    AS BIGINT)
+                  ELSE -CAST((2000000 * (r1 - r2) + ta) // (2 * ta)
+                    AS BIGINT) END AS contrib_ppm
+         FROM agg CROSS JOIN tot
+         ORDER BY abs(r2 - r1) DESC, p_brand LIMIT 15""",
   )
 }

@@ -2690,6 +2690,122 @@ object RelationalOps {
         expr("(2 * _p90_us + 1000) DIV 2000").as("p90_gap_ms"))
   }
 
+  /** q203: contribution / share-of-parent rollup — nation revenue with
+    * its ppm share WITHIN its region, and the region's ppm share of
+    * the global total (the drill-down every exec dashboard renders
+    * next to q43's ROLLUP totals; rollup gives the totals, this gives
+    * the mix). ONE fact aggregate to nation grain (dims broadcast);
+    * every parent total then derives from the BOUNDED nation table —
+    * no window, no second fact scan. DECIMAL(38,0) internal sums
+    * (100 TB e4 revenue), integer round-half-up ppm (non-negative),
+    * long outputs.
+    */
+  def q203ShareOfParent(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables.region(s, d)
+      .select(col("r_regionkey"), col("r_name"))
+    val natRev = Tables.orders(s, d)
+      .filter(col("o_totalprice").isNotNull)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("long")).cast("decimal(38,0)").as("_rev"))
+    val regTot = natRev.groupBy(col("region"))
+      .agg(sum(col("_rev")).cast("decimal(38,0)").as("_rr"))
+    val global = regTot.agg(sum(col("_rr")).cast("decimal(38,0)")
+      .as("_g"))
+    natRev.join(broadcast(regTot), "region").crossJoin(broadcast(global))
+      .select(col("region"), col("nation"),
+        col("_rev").cast("long").as("rev_units"),
+        expr("CAST((2000000 * _rev + _rr) DIV (2 * _rr) AS BIGINT)")
+          .as("nation_share_ppm"),
+        col("_rr").cast("long").as("region_rev_units"),
+        expr("CAST((2000000 * _rr + _g) DIV (2 * _g) AS BIGINT)")
+          .as("region_share_ppm"))
+  }
+
+  /** q206: session ENTRY paths — the first ≤3 event types of every
+    * 4-h-gap session (q79's session convention), concatenated in
+    * order, with the top-20 most common paths. "How do sessions
+    * start" is the product question q79's durations and q80's fixed
+    * funnel don't answer; the path table is what landing-page and
+    * onboarding work is prioritized from. Two user-keyed windows (one
+    * shuffle key) + a session-grain aggregate; the top-20 is a total
+    * order (count desc, path) so the LIMIT is deterministic in both
+    * engines.
+    */
+  def q206EntryPaths(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 4L * 3600 * 1000000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("_us", unix_micros(col("ts")))
+      .withColumn("_gap", col("_us") - lag(col("_us"), 1).over(w))
+      .withColumn("_new",
+        when(col("_gap").isNull || col("_gap") > gapUs, 1L).otherwise(0L))
+      .withColumn("_sid", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("_sid"))
+      .orderBy(col("ts"), col("event_id"))
+    sess.withColumn("_rn", row_number().over(ws))
+      .filter(col("_rn") <= 3)
+      .groupBy(col("user_id"), col("_sid"))
+      .agg(concat_ws(" > ", transform(
+        array_sort(collect_list(struct(col("_rn").as("r"),
+          col("event_type").as("t")))),
+        e => e.getField("t"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  /** q215: period-over-period TOP MOVERS — which brands drove the
+    * 1995→1996 revenue change, each with its signed ppm contribution
+    * to the total ABSOLUTE change (the "why did the number move"
+    * decomposition an exec review starts from; q177 splits ONE
+    * brand's change into price/volume, this ranks the movers across
+    * brands). One fact aggregate + broadcast part dim; Σ|Δ| is the
+    * stable denominator (a net-zero quarter would blow up shares of
+    * net Δ); signed ppm uses the q148/q153 sign split; the top-15 cut
+    * is a total order (|Δ| desc, brand) over the BOUNDED brand table.
+    */
+  def q215TopMovers(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").isNotNull)
+      .withColumn("_yr", year(col("l_shipdate")))
+      .filter(col("_yr").isin(1995, 1996))
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    def su(yr: Int) = sum(when(col("_yr") === yr,
+      (col("l_extendedprice").cast("decimal(18,4)") * 10000)
+        .cast("long")).otherwise(lit(0L))).cast("decimal(38,0)")
+    val agg = li.groupBy(col("p_brand"))
+      .agg(su(1995).as("_r1"), su(1996).as("_r2"))
+      .withColumn("_d", col("_r2") - col("_r1"))
+    val tot = agg.agg(sum(abs(col("_d"))).cast("decimal(38,0)")
+      .as("_ta"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("p_brand"),
+        col("_r1").cast("long").as("rev1_units"),
+        col("_r2").cast("long").as("rev2_units"),
+        col("_d").cast("long").as("delta_units"),
+        expr("""CASE WHEN _d >= 0
+             THEN CAST((2000000 * _d + _ta) DIV (2 * _ta) AS BIGINT)
+             ELSE -CAST((2000000 * (-_d) + _ta) DIV (2 * _ta) AS BIGINT)
+           END""").as("contrib_ppm"))
+      .orderBy(abs(col("delta_units")).desc, col("p_brand"))
+      .limit(15)
+  }
+
   /** q205: k-anonymity audit over the (nation, market-segment) quasi-
     * identifier — for each disclosure threshold k, how many identifier
     * groups fall below k members and how many ROWS sit in them (the

@@ -1580,4 +1580,49 @@ object StatsOps {
         col("_st.l").as("level_units"), col("_st.b").as("trend_units"),
         (col("_st.l") + col("_st.b") * 7).as("forecast7_units"))
   }
+
+  /** q210: per-nation spend-concentration GINI over customer lifetime
+    * order totals (Gini 1912 — the inequality coefficient, ppm): with
+    * per-nation spends sorted ascending and 1-based ranks i,
+    * G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ). The revenue-concentration
+    * answer q146's ABC classes and q182's HHI approximate — "how
+    * unequal is this market" as one exact number per nation.
+    *
+    * The rank is the whole problem at scale (customers per nation are
+    * corpus-scale): [[DistributedRank.withRank]] (range partition +
+    * broadcast offsets — never a per-nation single-reducer sort). All
+    * moments accumulate in DECIMAL(38,0) (i·x at 10⁹ customers × e4
+    * spend overflows long), the numerator is provably non-negative
+    * (sorted order), ppm is integer round-half-up. Ties in spend
+    * break by custkey — Σ i·xᵢ is tie-order-invariant, so the Gini is
+    * data-determined. Customers with no orders are out of frame
+    * (spend concentration OF buyers).
+    */
+  def q210SpendGini(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"))
+    val spend = Tables.orders(s, d)
+      .filter(col("o_totalprice").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("long")).cast("long").as("x"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("x"), col("o_custkey"))
+    val ranked = DistributedRank.withRank(spend, Seq("nation"),
+      Seq("x", "o_custkey"), "i")
+    ranked.groupBy(col("nation"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("_sx"),
+        sum(col("i").cast("decimal(19,0)") * col("x"))
+          .cast("decimal(38,0)").as("_six"))
+      .select(col("nation"), col("_n").cast("long").as("n_customers"),
+        col("_sx").cast("long").as("total_spend_units"),
+        expr("""CAST((2 * ((2 * _six - (_n + 1) * _sx) * 1000000)
+                + (_n * _sx)) DIV (2 * (_n * _sx)) AS BIGINT)""")
+          .as("gini_ppm"))
+  }
 }

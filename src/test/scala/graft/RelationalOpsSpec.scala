@@ -1684,4 +1684,102 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     val shares = Seq(2L, 5L, 10L, 25L).map(k => rows(k)._5)
     assert(shares == shares.sorted)
   }
+
+  test("q203 share-of-parent equals a local rollup replay; shares sum " +
+      "to ~1e6 within every parent") {
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val got = RelationalOps.q203ShareOfParent(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val cust = Tables.customer(spark, Sf)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => lv(r, 0) -> lv(r, 1)).toMap
+    val nat = Tables.nation(spark, Sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .collect().map(r => lv(r, 0) -> ((r.getString(1), lv(r, 2)))).toMap
+    val reg = Tables.region(spark, Sf)
+      .select(col("r_regionkey"), col("r_name")).collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    val natRev = Tables.orders(spark, Sf)
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,4)") * 10000).cast("long"))
+      .collect().map { r =>
+        val (nm, rk) = nat(cust(lv(r, 0)))
+        ((reg(rk), nm), r.getLong(1))
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val regRev = natRev.groupBy(_._1._1)
+      .map { case (k, v) => k -> v.values.sum }
+    val g = regRev.values.sum
+    def ppm(a: Long, b: Long): Long = (2000000L * a + b) / (2 * b)
+    val expect = natRev.map { case ((r0, n0), rv) =>
+      (r0, n0) -> ((rv, ppm(rv, regRev(r0)), regRev(r0),
+        ppm(regRev(r0), g)))
+    }
+    assert(got == expect && got.nonEmpty)
+    // within-parent shares close to 1e6 (half-up rounding slack)
+    got.toSeq.groupBy(_._1._1).foreach { case (_, rows2) =>
+      val s = rows2.map(_._2._2).sum
+      assert(math.abs(s - 1000000L) <= rows2.size, s.toString)
+    }
+  }
+
+  test("q206 entry paths equal a local sessionization replay") {
+    val got = RelationalOps.q206EntryPaths(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val raw = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = raw.groupBy(_._1).iterator.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._2, e._3))
+      val sid = s.scanLeft((0L, Option.empty[Long])) {
+        case ((id, prev), e) =>
+          (if (prev.isEmpty || e._2 - prev.get > 14400000000L) id + 1
+           else id, Some(e._2))
+      }.drop(1).map(_._1)
+      s.zip(sid).groupBy(_._2).values
+        .map(g => g.sortBy(e => (e._1._2, e._1._3))
+          .take(3).map(_._1._4).mkString(" > "))
+    }.toSeq
+    val expect = paths.groupBy(identity)
+      .map { case (p, v) => p -> v.size.toLong }.toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq.sortBy { case (p, n) => (-n, p) } == expect &&
+      got.nonEmpty)
+  }
+
+  test("q215 top movers equal a local replay; signed contributions " +
+      "and the |delta| ordering hold") {
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val got = RelationalOps.q215TopMovers(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val part = Tables.part(spark, Sf)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    val li = Tables.lineitem(spark, Sf)
+      .filter(col("l_shipdate").isNotNull &&
+        year(col("l_shipdate")).isin(1995, 1996))
+      .select(col("l_partkey"), year(col("l_shipdate")),
+        (col("l_extendedprice").cast("decimal(18,4)") * 10000)
+          .cast("long"))
+      .collect().map(r => (part(lv(r, 0)), r.getInt(1), r.getLong(2)))
+    val agg = li.groupBy(_._1).map { case (b, rows) =>
+      (b, rows.filter(_._2 == 1995).map(_._3).sum,
+        rows.filter(_._2 == 1996).map(_._3).sum)
+    }.toSeq
+    val ta = agg.map { case (_, r1, r2) => math.abs(r2 - r1) }.sum
+    def sppm(d: Long): Long =
+      if (d >= 0) (2000000L * d + ta) / (2 * ta)
+      else -((2000000L * -d + ta) / (2 * ta))
+    val expect = agg.map { case (b, r1, r2) =>
+      (b, r1, r2, r2 - r1, sppm(r2 - r1)) }
+      .sortBy { case (b, _, _, d, _) => (-math.abs(d), b) }.take(15)
+    assert(got.toSeq == expect && got.nonEmpty)
+  }
 }

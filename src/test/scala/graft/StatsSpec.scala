@@ -1135,4 +1135,42 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     // structural sanity on a planted constant series
     assert(fold(Seq.fill(50)(1000L)) == ((1000L, 0L)))
   }
+
+  test("q210 spend Gini equals a BigInt local replay; bounded in " +
+      "[0, 1e6) and zero on an equal-spend population") {
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val got = StatsOps.q210SpendGini(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val cust = Tables.customer(spark, Sf)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => lv(r, 0) -> lv(r, 1)).toMap
+    val nat = Tables.nation(spark, Sf)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    val spend = Tables.orders(spark, Sf)
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,4)") * 10000).cast("long"))
+      .collect().map(r => (lv(r, 0), r.getLong(1)))
+      .groupBy(_._1).map { case (c, v) => (c, v.map(_._2).sum) }
+    def gini(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val n = BigInt(s.length)
+      val sx = s.map(BigInt(_)).sum
+      val six = s.zipWithIndex.map { case (x, i) =>
+        BigInt(i + 1) * x }.sum
+      val num = (2 * six - (n + 1) * sx) * 1000000
+      ((2 * num + n * sx) / (2 * n * sx)).toLong
+    }
+    val expect = spend.toSeq.groupBy(t => nat(cust(t._1)))
+      .map { case (nt, rows) =>
+        val xs = rows.map(_._2)
+        nt -> ((xs.length.toLong, xs.sum, gini(xs)))
+      }
+    assert(got == expect && got.nonEmpty)
+    got.values.foreach { case (_, _, g) => assert(g >= 0 && g < 1000000) }
+    assert(gini(Seq.fill(40)(777L)) == 0L)
+  }
 }
