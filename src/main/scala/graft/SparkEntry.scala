@@ -229,6 +229,8 @@ object SparkEntry {
     "q204_transition_latency" -> (RelationalOps.q204TransitionLatency _),
     "q205_k_anonymity" -> (RelationalOps.q205KAnonymity _),
     "q206_entry_paths" -> (RelationalOps.q206EntryPaths _),
+    "q207_term_screen" -> (TextOps.q207TermScreen _),
+    "q208_twap" -> (RelationalOps.q208Twap _),
     "q210_spend_gini" -> (StatsOps.q210SpendGini _),
     "q215_top_movers" -> (RelationalOps.q215TopMovers _),
   )
@@ -4851,6 +4853,44 @@ object SparkEntry {
          SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
          FROM p GROUP BY 1
          ORDER BY n_sessions DESC, path LIMIT 20""",
+    "q207_term_screen" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(h) AS BIGINT) AS total_hits,
+                CAST(SUM(CASE WHEN h >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_flagged,
+                CAST((2000000 * SUM(CASE WHEN h >= 3 THEN 1 ELSE 0 END)
+                      + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+                  AS flag_rate_ppm
+         FROM (
+           SELECT source,
+                  CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    t -> list_contains(['slow', 'dup', 'big'], t)))
+                    AS BIGINT) AS h
+           FROM documents WHERE text IS NOT NULL
+         ) GROUP BY 1""",
+    "q208_twap" ->
+      """WITH obs AS (
+           SELECT p.p_brand,
+                  epoch_us(date_trunc('day', l.l_shipdate)) AS us,
+                  CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * 10000
+                    AS BIGINT) AS pr,
+                  l.l_orderkey, l.l_linenumber
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE l.l_shipdate IS NOT NULL
+             AND l.l_extendedprice IS NOT NULL
+         ), seg AS (
+           SELECT p_brand, us, pr, LEAD(us) OVER w AS nus
+           FROM obs
+           WINDOW w AS (PARTITION BY p_brand
+                        ORDER BY us, pr, l_orderkey, l_linenumber)
+         )
+         SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_segments,
+                CASE WHEN SUM(nus - us) > 0
+                  THEN CAST((2 * SUM(CAST(pr AS HUGEINT) * (nus - us))
+                             + SUM(nus - us)) // (2 * SUM(nus - us))
+                    AS BIGINT) END AS twap_units
+         FROM seg WHERE nus IS NOT NULL GROUP BY 1""",
     "q210_spend_gini" ->
       """WITH spend AS (
            SELECT n.n_name AS nation, o.o_custkey,

@@ -2767,6 +2767,51 @@ object RelationalOps {
       .limit(20)
   }
 
+  /** q208: TIME-weighted average price per brand (TWAP — the
+    * market-data convention): each observed price weighted by how long
+    * it stood until the next observation, over the brand's full
+    * observation span. An arithmetic mean over-weights bursts of
+    * quotes; TWAP is what "average price over the period" actually
+    * means for irregular event-time series (metering, spot pricing,
+    * sensor rollups). One brand-keyed window + one map-combined
+    * aggregate; Σ price·Δt in DECIMAL(38,0) (µs spans × e4 prices
+    * overflow long), round-half-up to e4 units.
+    *
+    * Determinism under same-timestamp ties: ordering adds (price,
+    * orderkey, linenumber) after the timestamp, so zero-width
+    * segments pair identically in both engines — and rows that remain
+    * ambiguous are full duplicates, where the order cannot change the
+    * sum. Brands with a single observation have no span and emit NULL
+    * twap (no time to average over).
+    */
+  def q208Twap(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").isNotNull && col("l_extendedprice").isNotNull)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        unix_micros(date_trunc("day", col("l_shipdate"))).as("_us"),
+        (col("l_extendedprice").cast("decimal(18,4)") * 10000)
+          .cast("long").as("_p"),
+        col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("_us"), col("_p"), col("l_orderkey"),
+        col("l_linenumber"))
+    obs
+      .withColumn("_nus", lead(col("_us"), 1).over(w))
+      .filter(col("_nus").isNotNull)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast("long").as("n_segments"),
+        sum(col("_p").cast("decimal(19,0)") *
+          (col("_nus") - col("_us"))).cast("decimal(38,0)").as("_num"),
+        sum(col("_nus") - col("_us")).cast("decimal(38,0)").as("_den"))
+      .select(col("p_brand"), col("n_segments"),
+        when(col("_den") > 0,
+          expr("CAST((2 * _num + _den) DIV (2 * _den) AS BIGINT)"))
+          .as("twap_units"))
+  }
+
   /** q215: period-over-period TOP MOVERS — which brands drove the
     * 1995→1996 revenue change, each with its signed ppm contribution
     * to the total ABSOLUTE change (the "why did the number move"

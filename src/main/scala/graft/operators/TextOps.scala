@@ -1132,4 +1132,36 @@ object TextOps {
       .agg(count(lit(1)).cast("long").as("n_distinct"))
     cumTok.join(cumDist, Seq("source", "checkpoint"))
   }
+
+  /** The q207 content-policy termlist — a broadcast-literal artifact
+    * standing in for a real deny/flag list (weapon/abuse/pii term
+    * inventories are corpus-external config; these three corpus terms
+    * give the pipeline real, varied hit rates to exercise).
+    */
+  private[graft] val ScreenTerms = Seq("slow", "dup", "big")
+
+  /** q207: content term-screening — per source, the rate of documents
+    * flagged by a termlist OCCURRENCE threshold (hits ≥ 3 across the
+    * flag terms) plus total hit volume: the safety/content-policy
+    * filtering stage of a training-data pipeline (q10 drops rows by
+    * KEY blocklist; this screens CONTENT, the step between q64's PII
+    * scrub and q26's quality score in a real intake). ONE scan, token
+    * filter against the broadcast literal list (codegen'd — no join),
+    * one map-combined aggregate; integer ppm rate.
+    */
+  def q207TermScreen(s: SparkSession, d: String): DataFrame = {
+    val terms = array(ScreenTerms.map(lit): _*)
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        size(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => array_contains(terms, t))).cast("long").as("_hits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_hits")).cast("long").as("total_hits"),
+        sum(when(col("_hits") >= 3, 1L).otherwise(0L)).cast("long")
+          .as("n_flagged"))
+      .withColumn("flag_rate_ppm",
+        expr("(2000000 * n_flagged + n_docs) DIV (2 * n_docs)"))
+  }
 }

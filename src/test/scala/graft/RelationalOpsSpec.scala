@@ -1782,4 +1782,43 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       .sortBy { case (b, _, _, d, _) => (-math.abs(d), b) }.take(15)
     assert(got.toSeq == expect && got.nonEmpty)
   }
+
+  test("q208 TWAP equals a BigInt local segment replay and sits " +
+      "inside the brand's price range") {
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val got = RelationalOps.q208Twap(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val part = Tables.part(spark, Sf)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    val obs = Tables.lineitem(spark, Sf)
+      .filter(col("l_shipdate").isNotNull && col("l_extendedprice").isNotNull)
+      .select(col("l_partkey"),
+        unix_micros(date_trunc("day", col("l_shipdate"))),
+        (col("l_extendedprice").cast("decimal(18,4)") * 10000)
+          .cast("long"), col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (part(lv(r, 0)), r.getLong(1), r.getLong(2),
+        r.getLong(3), lv(r, 4)))
+    val expect = obs.groupBy(_._1).flatMap { case (b, rows) =>
+      val s = rows.sortBy(t => (t._2, t._3, t._4, t._5))
+      val segs = s.zip(s.drop(1))
+        .map { case (a, c) => (a._3, c._2 - a._2) }
+      if (segs.isEmpty) None else {
+        val den = segs.map(_._2).sum
+        val num = segs.map { case (p, dt) => BigInt(p) * dt }.sum
+        Some(b -> ((segs.length.toLong,
+          if (den > 0) Some(((2 * num + den) / (2 * BigInt(den))).toLong)
+          else None)))
+      }
+    }
+    assert(got == expect && got.nonEmpty)
+    // the weighted mean sits inside the observed price range
+    obs.groupBy(_._1).foreach { case (b, rows) =>
+      got.get(b).flatMap(_._2).foreach { tw =>
+        assert(tw >= rows.map(_._3).min && tw <= rows.map(_._3).max, b)
+      }
+    }
+  }
 }

@@ -622,4 +622,26 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
       p -> ((p + p * (p + 1) / 2, p + 1))).toMap
     assert(got == expect)
   }
+
+  test("q207 term screen equals a local occurrence-count replay; the " +
+      "flag threshold counts occurrences, not distinct terms") {
+    val got = TextOps.q207TermScreen(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val terms = TextOps.ScreenTerms.toSet
+    val docs = Tables.documents(spark, Sf)
+      .select(col("source"), col("text"))
+      .filter(col("text").isNotNull).collect()
+      .map(r => (r.getString(0), r.getString(1).trim.toLowerCase
+        .split("\\s+").count(terms)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val n = ds.length.toLong
+      val hits = ds.map(_._2.toLong).sum
+      val fl = ds.count(_._2 >= 3).toLong
+      src -> ((n, hits, fl, (2000000L * fl + n) / (2 * n)))
+    }
+    assert(got == expect && got.nonEmpty)
+    // the corpus actually exercises both branches
+    assert(got.values.exists(_._3 > 0) && got.values.exists(_._2 > 0))
+  }
 }
