@@ -231,6 +231,7 @@ object SparkEntry {
     "q206_entry_paths" -> (RelationalOps.q206EntryPaths _),
     "q207_term_screen" -> (TextOps.q207TermScreen _),
     "q208_twap" -> (RelationalOps.q208Twap _),
+    "q209_format_census" -> (MultimodalOps.q209FormatCensus _),
     "q210_spend_gini" -> (StatsOps.q210SpendGini _),
     "q215_top_movers" -> (RelationalOps.q215TopMovers _),
   )
@@ -4891,6 +4892,37 @@ object SparkEntry {
                              + SUM(nus - us)) // (2 * SUM(nus - us))
                     AS BIGINT) END AS twap_units
          FROM seg WHERE nus IS NOT NULL GROUP BY 1""",
+    // same magic choice (md5 first hex digit mod 3), same sniff on the
+    // leading bytes; DuckDB hex() is uppercase like Spark's
+    "q209_format_census" ->
+      """WITH blobs AS (
+           SELECT source,
+                  unhex(CASE (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                         - 1) % 3
+                        WHEN 0 THEN 'FFD8' WHEN 1 THEN '8950'
+                        ELSE '5249' END)
+                    || encode(text) AS media
+           FROM documents WHERE text IS NOT NULL
+         ), sniffed AS (
+           SELECT source,
+                  CASE substr(hex(media), 1, 4)
+                    WHEN 'FFD8' THEN 'jpeg' WHEN '8950' THEN 'png'
+                    WHEN '5249' THEN 'riff' ELSE 'unknown' END AS format,
+                  CAST(octet_length(media) AS BIGINT) AS b
+           FROM blobs
+         ), census AS (
+           SELECT source, format, CAST(COUNT(*) AS BIGINT) AS n_blobs,
+                  CAST(SUM(b) AS BIGINT) AS total_bytes
+           FROM sniffed GROUP BY 1, 2
+         ), tot AS (
+           SELECT source, CAST(SUM(n_blobs) AS BIGINT) AS n
+           FROM census GROUP BY 1
+         )
+         SELECT c.source, c.format, c.n_blobs, c.total_bytes,
+                CAST((2000000 * c.n_blobs + t.n) // (2 * t.n) AS BIGINT)
+                  AS mix_ppm
+         FROM census c JOIN tot t ON c.source = t.source""",
     "q210_spend_gini" ->
       """WITH spend AS (
            SELECT n.n_name AS nation, o.o_custkey,

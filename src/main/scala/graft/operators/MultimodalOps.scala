@@ -53,4 +53,47 @@ object MultimodalOps {
       .as[MediaBlob]
     extractFeatures(blobs).toDF()
   }
+
+  /** q209: multimodal FORMAT CENSUS — per (source, container format)
+    * counts, byte volume and ppm mix, with the format detected from
+    * the blob's MAGIC BYTES (the first job any media lake runs: "what
+    * is actually in these binary columns", catching mislabeled
+    * extensions and corrupt headers before decode workers waste GPU
+    * time on them). Detection is pure binary ops on the leading bytes
+    * — no decode, no UDF, one scan + one map-combined aggregate.
+    *
+    * The blobs here are synthesized (the container has no media): each
+    * doc's UTF-8 bytes get a REAL container magic (JPEG ff d8 / PNG
+    * 89 50 / RIFF 52 49) chosen by the md5 of its id — deterministic
+    * and engine-identical, so the census is fully oracle-checked. A
+    * real deployment swaps the synthesis for the actual media column;
+    * the sniffing and census stages are unchanged.
+    */
+  def q209FormatCensus(s: SparkSession, d: String): DataFrame = {
+    val pick = expr(
+      "conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 1), 16, 10)")
+      .cast("int") % 3
+    val magic = element_at(
+      array(lit("FFD8"), lit("8950"), lit("5249")), pick + 1)
+    val blobs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        concat(unhex(magic), encode(col("text"), "UTF-8")).as("media"))
+    val census = blobs
+      .select(col("source"),
+        when(hex(substring(col("media"), 1, 2)) === "FFD8", "jpeg")
+          .when(hex(substring(col("media"), 1, 2)) === "8950", "png")
+          .when(hex(substring(col("media"), 1, 2)) === "5249", "riff")
+          .otherwise("unknown").as("format"),
+        length(col("media")).cast("long").as("_bytes"))
+      .groupBy(col("source"), col("format"))
+      .agg(count(lit(1)).cast("long").as("n_blobs"),
+        sum(col("_bytes")).cast("long").as("total_bytes"))
+    val tot = census.groupBy(col("source"))
+      .agg(sum(col("n_blobs")).cast("long").as("_n"))
+    census.join(broadcast(tot), "source")
+      .select(col("source"), col("format"), col("n_blobs"),
+        col("total_bytes"),
+        expr("(2000000 * n_blobs + _n) DIV (2 * _n)").as("mix_ppm"))
+  }
 }
