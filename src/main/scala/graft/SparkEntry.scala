@@ -233,6 +233,7 @@ object SparkEntry {
     "q208_twap" -> (RelationalOps.q208Twap _),
     "q209_format_census" -> (MultimodalOps.q209FormatCensus _),
     "q210_spend_gini" -> (StatsOps.q210SpendGini _),
+    "q211_isotonic" -> (StatsOps.q211IsotonicCalibration _),
     "q215_top_movers" -> (RelationalOps.q215TopMovers _),
   )
 
@@ -4950,6 +4951,55 @@ object SparkEntry {
                       + (n * sx)) // (2 * (n * sx)) AS BIGINT)
                   AS gini_ppm
          FROM a""",
+    // same minimax closed form fitted(i) = max_{j<=i} min_{k>=i}
+    // wavg(j..k); rational argmin/argmax picked by double division —
+    // exact-decision here because distinct rationals with den ≤ cells
+    // differ by ≥ 1/(d1·d2) ≫ ulp — and the e4 emission is integer
+    // round-half-up from the picked (num, den), which is invariant
+    // under representation scaling
+    "q211_isotonic" ->
+      """WITH cells AS (
+           SELECT p.p_brand AS brand,
+                  CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS dpct,
+                  CAST(COUNT(*) AS BIGINT) AS w,
+                  CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,4))
+                    AS BIGINT)) AS BIGINT) AS sy
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE l.l_quantity IS NOT NULL AND l.l_discount IS NOT NULL
+           GROUP BY 1, 2
+         ), idx AS (
+           SELECT brand, dpct, w, sy,
+                  ROW_NUMBER() OVER (PARTITION BY brand
+                    ORDER BY dpct) AS i,
+                  CAST(SUM(w) OVER (PARTITION BY brand ORDER BY dpct)
+                    AS BIGINT) AS pw,
+                  CAST(SUM(sy) OVER (PARTITION BY brand ORDER BY dpct)
+                    AS BIGINT) AS psy
+           FROM cells
+         ), tri AS (
+           SELECT a.brand, a.i, a.dpct, a.w, a.sy, j.i AS j,
+                  k.psy - (j.psy - j.sy) AS num,
+                  k.pw - (j.pw - j.w) AS den
+           FROM idx a
+           JOIN idx j ON j.brand = a.brand AND j.i <= a.i
+           JOIN idx k ON k.brand = a.brand AND k.i >= a.i
+         ), mn AS (
+           SELECT brand, i, dpct, w, sy, j,
+                  arg_min(struct_pack(num := num, den := den),
+                          num / CAST(den AS DOUBLE)) AS r
+           FROM tri GROUP BY 1, 2, 3, 4, 5, 6
+         ), mx AS (
+           SELECT brand, i, dpct, w, sy,
+                  arg_max(r, r['num'] / CAST(r['den'] AS DOUBLE)) AS r
+           FROM mn GROUP BY 1, 2, 3, 4, 5
+         )
+         SELECT brand, dpct AS disc_pct, w AS n_rows,
+                CAST((20000 * sy + w) // (2 * w) AS BIGINT)
+                  AS raw_avg_qty_e4,
+                CAST((20000 * r['num'] + r['den']) // (2 * r['den'])
+                  AS BIGINT) AS iso_avg_qty_e4
+         FROM mx""",
     "q215_top_movers" ->
       """WITH agg AS (
            SELECT p.p_brand,

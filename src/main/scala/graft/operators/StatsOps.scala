@@ -1625,4 +1625,84 @@ object StatsOps {
                 + (_n * _sx)) DIV (2 * (_n * _sx)) AS BIGINT)""")
           .as("gini_ppm"))
   }
+
+  /** q211: per-brand ISOTONIC CALIBRATION (weighted isotonic
+    * regression) of average order quantity against discount level —
+    * the monotone demand-curve fit. Raw per-level averages are noisy
+    * and can dip non-monotonically; isotonic regression (Barlow et al.
+    * 1972 — the estimator behind sklearn's IsotonicRegression and
+    * model-probability calibration in ML scoring pipelines) finds the
+    * LSQ-closest non-decreasing fit by pooling adjacent violators.
+    * Generalizes the reference's per-card win/usage-rate views
+    * (sql/db_creation_script.sql:185-242) from point averages to a
+    * shape-constrained calibration curve.
+    *
+    * Scale shape: ONE map-combined aggregate collapses the corpus to
+    * (brand, level) cells — the discount DOMAIN is fixed (11 levels),
+    * so each brand's series is a bounded artifact and the fit runs as
+    * array ops on a ≤11-length array (the parallelism axis is brands,
+    * not series length). The fit uses the exact minimax closed form
+    * fitted(i) = max_{j≤i} min_{k≥i} wavg(y_j..y_k) — O(m³) on m=11 is
+    * ~200 rational comparisons per brand, all in exact long
+    * cross-multiplication (sums bounded: qty ≤ 50, cells ≤ corpus/11;
+    * at true 100-TB cell counts the cross-products would move to
+    * DECIMAL(38,0)). No doubles anywhere; e4 emission is integer
+    * round-half-up, representation-invariant under num/den scaling.
+    * The suite replays the O(m) PAVA stack algorithm (the form you'd
+    * use for LONG series) as an independent differential.
+    */
+  def q211IsotonicCalibration(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    val cells = Tables.lineitem(s, d)
+      .filter(col("l_quantity").isNotNull && col("l_discount").isNotNull)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        (col("l_discount").cast("decimal(18,4)") * 100).cast("long")
+          .as("disc_pct"))
+      .agg(count(lit(1)).cast("long").as("w"),
+        sum(col("l_quantity").cast("decimal(18,4)").cast("long"))
+          .cast("long").as("sy"))
+    val prefixed = cells
+      .groupBy(col("brand"))
+      .agg(sort_array(collect_list(struct(col("disc_pct").as("d"),
+        col("w").as("w"), col("sy").as("sy")))).as("arr"))
+      // leading-0 prefix arrays: psy(j) = Σ sy[1..j-1] at index j
+      .withColumn("psy", aggregate(col("arr"), array(lit(0L)),
+        (acc, x) => concat(acc,
+          array(element_at(acc, -1) + x.getField("sy")))))
+      .withColumn("pw", aggregate(col("arr"), array(lit(0L)),
+        (acc, x) => concat(acc,
+          array(element_at(acc, -1) + x.getField("w")))))
+      .withColumn("m", size(col("arr")))
+    val unset = struct(lit(-1L).as("num"), lit(0L).as("den"))
+    def wavg(psy: Column, pw: Column, j: Column, k: Column): Column =
+      struct((element_at(psy, (k + 1).cast("int"))
+        - element_at(psy, j.cast("int"))).as("num"),
+        (element_at(pw, (k + 1).cast("int"))
+          - element_at(pw, j.cast("int"))).as("den"))
+    val fit = prefixed.withColumn("fitted",
+      transform(sequence(lit(1), col("m")), i =>
+        aggregate(sequence(lit(1), i), unset, (bj, j) => {
+          val mn = aggregate(sequence(i, col("m")), unset, (bk, k) => {
+            val c = wavg(col("psy"), col("pw"), j, k)
+            when(bk.getField("den") === 0, c)
+              .when(c.getField("num") * bk.getField("den")
+                < bk.getField("num") * c.getField("den"), c)
+              .otherwise(bk)
+          })
+          when(bj.getField("den") === 0, mn)
+            .when(mn.getField("num") * bj.getField("den")
+              > bj.getField("num") * mn.getField("den"), mn)
+            .otherwise(bj)
+        })))
+    fit.select(col("brand"),
+        posexplode(arrays_zip(col("arr"), col("fitted"))))
+      .select(col("brand"),
+        col("col.arr.d").as("disc_pct"),
+        col("col.arr.w").as("n_rows"),
+        expr("(20000 * col.arr.sy + col.arr.w) DIV (2 * col.arr.w)")
+          .as("raw_avg_qty_e4"),
+        expr("""(20000 * col.fitted.num + col.fitted.den)
+                DIV (2 * col.fitted.den)""").as("iso_avg_qty_e4"))
+  }
 }

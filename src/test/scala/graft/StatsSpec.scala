@@ -1173,4 +1173,63 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     got.values.foreach { case (_, _, g) => assert(g >= 0 && g < 1000000) }
     assert(gini(Seq.fill(40)(777L)) == 0L)
   }
+
+  test("q211 isotonic calibration equals an independent PAVA-stack " +
+      "replay; fits are monotone and preserve the weighted sum") {
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    // the operator uses the minimax closed form; this replay runs the
+    // O(m) pool-adjacent-violators STACK algorithm — an independent
+    // derivation of the same LSQ-optimal fit
+    def pava(cells: Seq[(Long, Long)]): Seq[(BigInt, BigInt)] = {
+      // cells: (w, sy) in series order; returns per-cell (num, den)
+      val stack = collection.mutable.ArrayBuffer[(BigInt, BigInt, Int)]()
+      cells.foreach { case (w, sy) =>
+        var blk = (BigInt(sy), BigInt(w), 1)
+        while (stack.nonEmpty &&
+            stack.last._1 * blk._2 >= blk._1 * stack.last._2) {
+          val t = stack.remove(stack.length - 1)
+          blk = (t._1 + blk._1, t._2 + blk._2, t._3 + blk._3)
+        }
+        stack += blk
+      }
+      stack.toSeq.flatMap { case (n0, d0, len) =>
+        Seq.fill(len)((n0, d0)) }
+    }
+    val got = StatsOps.q211IsotonicCalibration(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val parts = Tables.part(spark, Sf)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    val raw = Tables.lineitem(spark, Sf)
+      .filter(col("l_quantity").isNotNull && col("l_discount").isNotNull)
+      .select(col("l_partkey"),
+        (col("l_discount").cast("decimal(18,4)") * 100).cast("long"),
+        col("l_quantity").cast("decimal(18,4)").cast("long"))
+      .collect().map(r => (parts(lv(r, 0)), r.getLong(1), r.getLong(2)))
+    val expect = raw.groupBy(_._1).flatMap { case (brand, rows) =>
+      val cells = rows.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (d, v) => (d, v.size.toLong, v.map(_._3).sum) }
+      val fit = pava(cells.map(t => (t._2, t._3)))
+      cells.zip(fit).map { case ((d, w, sy), (fn, fd)) =>
+        (brand, d) -> ((w,
+          ((BigInt(20000) * sy + w) / (2 * w)).toLong,
+          ((BigInt(20000) * fn + fd) / (2 * fd)).toLong))
+      }
+    }
+    assert(got == expect && got.nonEmpty)
+    // monotone non-decreasing per brand in discount order
+    got.toSeq.groupBy(_._1._1).foreach { case (b, rows) =>
+      val fs = rows.sortBy(_._1._2).map(_._2._3)
+      assert(fs.zip(fs.tail).forall { case (a, c) => a <= c }, s"$b: $fs")
+    }
+    // PAVA on an already-monotone series is the identity
+    assert(pava(Seq((5L, 10L), (5L, 20L), (5L, 30L)))
+      == Seq((BigInt(10), BigInt(5)), (BigInt(20), BigInt(5)),
+        (BigInt(30), BigInt(5))))
+    // a strict violation pools to the weighted mean
+    assert(pava(Seq((1L, 30L), (1L, 10L)))
+      == Seq((BigInt(40), BigInt(2)), (BigInt(40), BigInt(2))))
+  }
 }
