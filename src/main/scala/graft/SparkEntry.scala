@@ -234,6 +234,7 @@ object SparkEntry {
     "q209_format_census" -> (MultimodalOps.q209FormatCensus _),
     "q210_spend_gini" -> (StatsOps.q210SpendGini _),
     "q211_isotonic" -> (StatsOps.q211IsotonicCalibration _),
+    "q212_shapley" -> (RelationalOps.q212ShapleyAttribution _),
     "q215_top_movers" -> (RelationalOps.q215TopMovers _),
   )
 
@@ -5000,6 +5001,63 @@ object SparkEntry {
                 CAST((20000 * r['num'] + r['den']) // (2 * r['den'])
                   AS BIGINT) AS iso_avg_qty_e4
          FROM mx""",
+    // same user-day journeys, v(S) by subset containment on the 2^n
+    // lattice, factorial weights in HUGEINT; φ stays n!-scaled until
+    // the integer round-half-up emission
+    "q212_shapley" ->
+      """WITH RECURSIVE base AS (
+           SELECT user_id, date_trunc('day', ts) AS day, event_type
+           FROM events WHERE user_id IS NOT NULL
+         ), chans AS (
+           SELECT event_type AS ch,
+                  CAST(1 AS BIGINT) << CAST(ROW_NUMBER() OVER
+                    (ORDER BY event_type) - 1 AS INT) AS bit
+           FROM (SELECT DISTINCT event_type FROM base
+                 WHERE event_type IS NOT NULL
+                   AND event_type != 'purchase')
+         ), nn AS (SELECT CAST(COUNT(*) AS INT) AS n FROM chans),
+         j AS (
+           SELECT b.user_id, b.day,
+                  COALESCE(bit_or(c.bit), 0) AS mask,
+                  MAX(CASE WHEN b.event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS conv
+           FROM base b LEFT JOIN chans c ON b.event_type = c.ch
+           GROUP BY 1, 2
+         ), jm AS (
+           SELECT mask, CAST(SUM(conv) AS BIGINT) AS c
+           FROM j GROUP BY 1
+         ), ms AS (
+           SELECT CAST(0 AS BIGINT) AS vmask
+           UNION ALL
+           SELECT vmask + 1 FROM ms
+           WHERE vmask + 1 < (SELECT 1 << n FROM nn)
+         ), v AS (
+           SELECT m.vmask, CAST(COALESCE(SUM(jm.c), 0) AS BIGINT) AS v
+           FROM ms m LEFT JOIN jm ON (jm.mask & m.vmask) = jm.mask
+           GROUP BY 1
+         ), phi AS (
+           SELECT c.ch AS channel,
+                  CAST(SUM(CAST(factorial(CAST(bit_count(s.vmask)
+                        AS INT)) AS HUGEINT)
+                    * CAST(factorial((SELECT n FROM nn) - 1
+                        - CAST(bit_count(s.vmask) AS INT)) AS HUGEINT)
+                    * (t.v - s.v)) AS HUGEINT) AS phi
+           FROM chans c
+           JOIN v s ON (s.vmask & c.bit) = 0
+           JOIN v t ON t.vmask = s.vmask + c.bit
+           GROUP BY 1
+         ), tot AS (
+           SELECT CAST(SUM(phi) AS HUGEINT) AS tot,
+                  CAST(factorial((SELECT n FROM nn)) AS HUGEINT) AS nf
+           FROM phi
+         )
+         SELECT p.channel,
+                CAST((2 * 10000 * p.phi + t.nf) // (2 * t.nf)
+                  AS BIGINT) AS phi_users_e4,
+                CASE WHEN t.tot = 0 THEN NULL
+                     ELSE CAST((2 * 1000000 * p.phi + t.tot)
+                       // (2 * t.tot) AS BIGINT) END AS share_ppm
+         FROM phi p, tot t""",
     "q215_top_movers" ->
       """WITH agg AS (
            SELECT p.p_brand,

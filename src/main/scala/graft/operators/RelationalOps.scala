@@ -2883,4 +2883,81 @@ object RelationalOps {
         expr("(2000000 * rows_at_risk + _n) DIV (2 * _n)")
           .as("risk_ppm"))
   }
+
+  /** q212: SHAPLEY-VALUE channel attribution (Shapley 1953; the
+    * data-driven attribution model behind Google's DDA, Zhao et al.
+    * 2018) — the game-theoretic answer to "which channel deserves the
+    * conversion credit" that q123's rule-based position weights
+    * approximate. Journeys are user-days; the characteristic function
+    * v(S) = converted journeys whose touched channel set ⊆ S; channel
+    * i's credit is φᵢ = Σ_{S∌i} |S|!(n−1−|S|)!/n! · (v(S∪{i}) − v(S)).
+    * Satisfies efficiency exactly: Σφᵢ = v(N) − v(∅) (conversions not
+    * explained by the no-touch baseline) — the suite asserts it.
+    *
+    * Scale shape: the ONLY corpus-scale work is one map-combined
+    * bit-OR aggregate to (user, day) journeys and one count rollup to
+    * ≤2ⁿ exact touch-set rows; everything after runs on the bounded
+    * 2ⁿ lattice (n = |channels|, here 4): v(S) by a broadcast
+    * subset-containment join, φ by an n·2ⁿ⁻¹-pair self-join. All
+    * arithmetic exact: factorial weights as long literals, sums in
+    * DECIMAL(38,0) (n!·v(N) at 10⁹ journeys × n=10 tops 3.6×10¹⁵),
+    * φ scaled by n! until the final integer round-half-up emission.
+    * Reference analogue: the battlelog win-attribution views
+    * (sql/db_creation_script.sql:185-242) generalized from single-card
+    * credit to coalition credit.
+    */
+  def q212ShapleyAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+    // bounded artifact: the channel alphabet (distinct event types)
+    val chans = ev.filter(col("event_type").isNotNull
+        && col("event_type") =!= "purchase")
+      .select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val n = chans.length
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val nf = fact(n)
+    // w(|S|) = |S|!·(n−1−|S|)! for |S| = 0..n−1
+    val wArr = array((0 until n).map(sz =>
+      lit(fact(sz) * fact(n - 1 - sz))): _*)
+    val bitOf = chans.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (c, i)) =>
+        when(col("event_type") === c, lit(1L << i)).otherwise(acc)
+    }
+    val journeys = ev
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        bitOf.as("_bit"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("_p"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(coalesce(expr("bit_or(_bit)"), lit(0L)).as("mask"),
+        max(col("_p")).as("_conv"))
+    val jm = journeys.groupBy(col("mask"))
+      .agg(sum(col("_conv")).cast("long").as("_c"))
+    val vs = s.range(0, 1L << n).toDF("vmask")
+      .join(broadcast(jm),
+        col("mask").bitwiseAND(col("vmask")) === col("mask"), "left")
+      .groupBy(col("vmask"))
+      .agg(coalesce(sum(col("_c")), lit(0L)).cast("long").as("v"))
+    val chanDf = chans.zipWithIndex.toSeq
+      .map { case (c, i) => (c, 1L << i) }.toDF("channel", "bit")
+    val phi = chanDf
+      .join(vs.as("s0"), col("s0.vmask").bitwiseAND(col("bit")) === 0)
+      .join(vs.as("t0"), col("t0.vmask") === col("s0.vmask") + col("bit"))
+      .select(col("channel"),
+        (element_at(wArr, bit_count(col("s0.vmask")) + 1)
+          .cast("decimal(38,0)")
+          * (col("t0.v") - col("s0.v")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("_term"))
+      .groupBy(col("channel"))
+      .agg(sum(col("_term")).cast("decimal(38,0)").as("_phi"))
+    val tot = phi.agg(sum(col("_phi")).cast("decimal(38,0)").as("_tot"))
+    phi.crossJoin(broadcast(tot))
+      .select(col("channel"),
+        expr(s"CAST((2 * 10000 * _phi + $nf) DIV (2 * $nf) AS BIGINT)")
+          .as("phi_users_e4"),
+        expr("""CASE WHEN _tot = 0 THEN NULL
+                ELSE CAST((2 * 1000000 * _phi + _tot) DIV (2 * _tot)
+                          AS BIGINT) END""").as("share_ppm"))
+  }
 }

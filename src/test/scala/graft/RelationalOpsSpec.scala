@@ -1821,4 +1821,48 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("q212 Shapley attribution equals a BigInt lattice replay and " +
+      "satisfies efficiency: scaled credits sum to n!*(v(N) - v(0))") {
+    val got = RelationalOps.q212ShapleyAttribution(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val raw = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).cast("string"),
+        col("event_type")).collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.getString(1), r.getString(2)))
+    val chans = raw.map(_._3)
+      .filter(t => t != null && t != "purchase").distinct.sorted
+    val n = chans.length
+    val bit = chans.zipWithIndex.toMap
+    val jm = raw.groupBy(t => (t._1, t._2)).values.map { es =>
+      val mask = es.collect { case (_, _, t) if bit.contains(t) =>
+        1L << bit(t) }.foldLeft(0L)(_ | _)
+      (mask, if (es.exists(_._3 == "purchase")) 1L else 0L)
+    }.groupBy(_._1).map { case (m, v) => m -> v.map(_._2).sum }
+    def v(ss: Long): BigInt =
+      BigInt(jm.filter { case (m, _) => (m & ss) == m }.values.sum)
+    def fact(k: Int): BigInt =
+      (1 to k).foldLeft(BigInt(1))(_ * _)
+    val nf = fact(n)
+    val phiS = chans.map { c =>
+      val b = 1L << bit(c)
+      c -> (0L until (1L << n)).filter(ss => (ss & b) == 0).map { ss =>
+        val sz = java.lang.Long.bitCount(ss)
+        fact(sz) * fact(n - 1 - sz) * (v(ss | b) - v(ss))
+      }.sum
+    }.toMap
+    val tot = phiS.values.sum
+    val expect = phiS.map { case (c, p) =>
+      c -> (((2 * 10000 * p + nf) / (2 * nf)).toLong,
+        ((2 * 1000000 * p + tot) / (2 * tot)).toLong)
+    }
+    assert(got == expect && got.nonEmpty && n >= 2)
+    // efficiency (exact, pre-rounding)
+    assert(tot == nf * (v((1L << n) - 1) - v(0L)))
+    got.values.foreach { case (p, s) =>
+      assert(p >= 0 && s >= 0 && s <= 1000000)
+    }
+  }
 }
