@@ -235,6 +235,7 @@ object SparkEntry {
     "q210_spend_gini" -> (StatsOps.q210SpendGini _),
     "q211_isotonic" -> (StatsOps.q211IsotonicCalibration _),
     "q212_shapley" -> (RelationalOps.q212ShapleyAttribution _),
+    "q213_rec_eval" -> (RelationalOps.q213RecEval _),
     "q215_top_movers" -> (RelationalOps.q215TopMovers _),
   )
 
@@ -5058,6 +5059,64 @@ object SparkEntry {
                      ELSE CAST((2 * 1000000 * p.phi + t.tot)
                        // (2 * t.tot) AS BIGINT) END AS share_ppm
          FROM phi p, tot t""",
+    // same 80%-span day split, same popularity top-10 (count desc,
+    // partkey tie-break), reciprocal ranks in 1/2520 units and AP
+    // terms in 1/2520^2 units — every division is exact (2520^2 is
+    // divisible by any rank*min(m,10) product, both factors <= 10)
+    "q213_rec_eval" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE)
+             AS day
+           FROM orders WHERE o_orderdate IS NOT NULL
+         ), sp AS (
+           SELECT MIN(day) + CAST((4 * date_diff('day', MIN(day),
+             MAX(day))) // 5 AS INT) AS split
+           FROM o
+         ), top10 AS (
+           SELECT rec, rnk FROM (
+             SELECT l.l_partkey AS rec,
+                    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                      l.l_partkey) AS BIGINT) AS rnk
+             FROM o CROSS JOIN sp
+             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             WHERE o.day < sp.split
+             GROUP BY l.l_partkey
+           ) WHERE rnk <= 10
+         ), test AS (
+           SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+           FROM o CROSS JOIN sp
+           JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           WHERE o.day >= sp.split
+         ), pu AS (
+           SELECT t.cust, CAST(COUNT(*) AS BIGINT) AS m,
+                  MIN(r.rnk) AS minr
+           FROM test t LEFT JOIN top10 r ON t.part = r.rec GROUP BY 1
+         ), hits AS (
+           SELECT t.cust, r.rnk,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY t.cust
+                    ORDER BY r.rnk) AS BIGINT) AS j
+           FROM test t JOIN top10 r ON t.part = r.rec
+         ), apu AS (
+           SELECT h.cust,
+                  SUM(6350400 * h.j // (h.rnk * LEAST(p.m, 10))) AS ap
+           FROM hits h JOIN pu p ON h.cust = p.cust GROUP BY 1
+         ), fin AS (
+           SELECT CAST(COUNT(*) AS HUGEINT) AS u,
+                  CAST(SUM(CASE WHEN p.minr IS NOT NULL THEN 1 ELSE 0
+                    END) AS HUGEINT) AS h,
+                  CAST(SUM(COALESCE(2520 // p.minr, 0)) AS HUGEINT)
+                    AS srr,
+                  CAST(SUM(COALESCE(a.ap, 0)) AS HUGEINT) AS sap
+           FROM pu p LEFT JOIN apu a ON p.cust = a.cust
+         )
+         SELECT CAST(u AS BIGINT) AS n_users,
+                CAST((2 * 1000000 * h + u) // (2 * u) AS BIGINT)
+                  AS hit_rate_ppm,
+                CAST((2 * 1000000 * srr + 2520 * u)
+                  // (2 * 2520 * u) AS BIGINT) AS mrr_ppm,
+                CAST((2 * 1000000 * sap + 6350400 * u)
+                  // (2 * 6350400 * u) AS BIGINT) AS map_ppm
+         FROM fin""",
     "q215_top_movers" ->
       """WITH agg AS (
            SELECT p.p_brand,

@@ -2960,4 +2960,76 @@ object RelationalOps {
                 ELSE CAST((2 * 1000000 * _phi + _tot) DIV (2 * _tot)
                           AS BIGINT) END""").as("share_ppm"))
   }
+
+  /** q213: RECOMMENDER RANKING EVALUATION — Hit@10 / MRR@10 / MAP@10
+    * of a train-period popularity recommender against each customer's
+    * held-out purchases (the offline eval harness every recommender /
+    * retrieval system ships with; the metrics are the classic IR
+    * ones, e.g. Manning et al. IR ch.8). Time split at the 80% point
+    * of the order-date span (integer day arithmetic — no config);
+    * recommend the 10 most-purchased parts of the train period
+    * (popularity baseline — the eval MACHINERY is the operator);
+    * evaluate on customers with ≥1 post-split purchase.
+    *
+    * Exactness: reciprocal ranks in 1/2520 units (2520 = lcm(1..10))
+    * and AP terms in 1/6350400 units (2520² is divisible by any
+    * rank·min(m,10) product, both ≤ 10) — every per-user metric is an
+    * exact scaled integer, corpus means emit by integer round-half-up
+    * from DECIMAL(38,0) sums. Scale shape: train popularity is one
+    * map-combined count + a global top-10 (catalog-bounded — for
+    * per-key variants [[TopKPerKey]] is the operator); the 10-row
+    * list broadcasts into the test join; per-user scoring is one
+    * groupBy over (customer, part) distincts; hit terms unfold by
+    * posexplode on ≤10-element arrays. No driver loops, no doubles.
+    */
+  def q213RecEval(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_orderdate").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("day"))
+    val span = o.agg(min(col("day")).as("_mn"), max(col("day")).as("_mx"))
+      .select(expr(
+        "date_add(_mn, CAST((4 * datediff(_mx, _mn)) DIV 5 AS INT))")
+        .as("_split"))
+    val od = o.crossJoin(broadcast(span))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val top10 = od.filter(col("day") < col("_split"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("l_partkey").asc).limit(10)
+      .select(col("l_partkey").as("_rec"), row_number().over(
+        Window.orderBy(col("_n").desc, col("l_partkey").asc))
+        .cast("long").as("_rnk"))
+    val testParts = od.filter(col("day") >= col("_split"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("_cust"), col("l_partkey").as("_part"))
+      .distinct()
+    val perUser = testParts
+      .join(broadcast(top10), col("_part") === col("_rec"), "left")
+      .groupBy(col("_cust"))
+      .agg(count(lit(1)).cast("long").as("_m"),
+        min(col("_rnk")).as("_minr"),
+        sort_array(collect_list(col("_rnk"))).as("_ranks"))
+      .select(col("_cust"), col("_ranks"),
+        least(col("_m"), lit(10L)).as("_k"),
+        expr("coalesce(2520 DIV _minr, 0)").as("_rr"),
+        when(col("_minr").isNotNull, 1L).otherwise(0L).as("_hit"))
+    val base = perUser.agg(
+      count(lit(1)).cast("decimal(38,0)").as("_u"),
+      sum(col("_hit")).cast("decimal(38,0)").as("_h"),
+      sum(col("_rr")).cast("decimal(38,0)").as("_srr"))
+    val ap = perUser
+      .select(col("_k"), posexplode_outer(col("_ranks")))
+      .agg(coalesce(sum(
+        expr("6350400 * (pos + 1) DIV (col * _k)")), lit(0L))
+        .cast("decimal(38,0)").as("_sap"))
+    base.crossJoin(broadcast(ap))
+      .select(col("_u").cast("long").as("n_users"),
+        expr("CAST((2 * 1000000 * _h + _u) DIV (2 * _u) AS BIGINT)")
+          .as("hit_rate_ppm"),
+        expr("""CAST((2 * 1000000 * _srr + 2520 * _u)
+                DIV (2 * 2520 * _u) AS BIGINT)""").as("mrr_ppm"),
+        expr("""CAST((2 * 1000000 * _sap + 6350400 * _u)
+                DIV (2 * 6350400 * _u) AS BIGINT)""").as("map_ppm"))
+  }
 }

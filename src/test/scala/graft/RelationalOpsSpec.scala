@@ -1865,4 +1865,52 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(p >= 0 && s >= 0 && s <= 1000000)
     }
   }
+
+  test("q213 recommender eval equals a local exact-rational replay; " +
+      "MRR and MAP are bounded by the hit rate") {
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val got = RelationalOps.q213RecEval(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    val os = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate"))).collect()
+      .map(r => (lv(r, 0), lv(r, 1), r.getDate(2).toLocalDate.toEpochDay))
+    val li = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (lv(r, 0), lv(r, 1)))
+    val byOrder = li.groupBy(_._1)
+    val mn = os.map(_._3).min; val mx = os.map(_._3).max
+    val split = mn + (4 * (mx - mn)) / 5
+    val top10 = os.filter(_._3 < split)
+      .flatMap(o => byOrder.getOrElse(o._1, Array()).map(_._2))
+      .groupBy(identity).map { case (p, v) => (p, v.size) }.toSeq
+      .sortBy(t => (-t._2, t._1)).take(10)
+      .zipWithIndex.map { case ((p, _), i) => (p, i + 1L) }.toMap
+    val testSet = os.filter(_._3 >= split)
+      .flatMap(o => byOrder.getOrElse(o._1, Array())
+        .map(p => (o._2, p._2))).distinct
+    val perUser = testSet.groupBy(_._1).values.map { parts =>
+      val k = math.min(parts.size.toLong, 10L)
+      val ranks = parts.flatMap(p => top10.get(p._2)).sorted
+      val ap = ranks.zipWithIndex
+        .map { case (r, j0) => 6350400L * (j0 + 1) / (r * k) }.sum
+      (if (ranks.nonEmpty) 1L else 0L,
+        if (ranks.nonEmpty) 2520L / ranks.min else 0L, ap)
+    }.toSeq
+    def rhu(num: BigInt, den: BigInt): Long =
+      ((2 * num + den) / (2 * den)).toLong
+    val u = BigInt(perUser.size)
+    val expect = (u.toLong,
+      rhu(BigInt(1000000) * perUser.map(_._1).sum, u),
+      rhu(BigInt(1000000) * perUser.map(_._2).sum, 2520 * u),
+      rhu(BigInt(1000000) * perUser.map(_._3).sum, 6350400 * u))
+    assert(got == expect && got._1 > 0)
+    // per-user RR and AP are <= 1 and 0 on a miss, so both means are
+    // bounded by the hit rate (MAP vs MRR is NOT ordered in general)
+    assert(got._3 <= got._2 + 1 && got._4 <= got._2 + 1)
+    assert(Seq(got._2, got._3, got._4).forall(x => x >= 0 &&
+      x <= 1000000))
+  }
 }
