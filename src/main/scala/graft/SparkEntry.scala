@@ -236,6 +236,7 @@ object SparkEntry {
     "q211_isotonic" -> (StatsOps.q211IsotonicCalibration _),
     "q212_shapley" -> (RelationalOps.q212ShapleyAttribution _),
     "q213_rec_eval" -> (RelationalOps.q213RecEval _),
+    "q214_hits" -> (GraphOps.q214Hits _),
     "q215_top_movers" -> (RelationalOps.q215TopMovers _),
   )
 
@@ -5117,6 +5118,51 @@ object SparkEntry {
                 CAST((2 * 1000000 * sap + 6350400 * u)
                   // (2 * 6350400 * u) AS BIGINT) AS map_ppm
          FROM fin""",
+    // same M = EᵀE contraction and the same 4 L1-normalized integer
+    // rounds, unrolled as chained CTEs (floor division in HUGEINT)
+    "q214_hits" ->
+      """WITH e AS (
+           SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         ), m AS (
+           SELECT x.p AS p1, y.p AS p2, CAST(COUNT(*) AS HUGEINT) AS w
+           FROM e x JOIN e y ON x.c = y.c GROUP BY 1, 2
+         ), n0 AS (
+           SELECT CAST(COUNT(DISTINCT p1) AS HUGEINT) AS n FROM m
+         ), a0 AS (
+           SELECT p1 AS node, 1000000000000 // (SELECT n FROM n0) AS a
+           FROM (SELECT DISTINCT p1 FROM m)
+         ), r1 AS (
+           SELECT m.p1, SUM(m.w * a.a) AS araw
+           FROM m JOIN a0 a ON m.p2 = a.node GROUP BY 1
+         ), a1 AS (
+           SELECT p1 AS node, (araw * 1000000000000)
+             // (SELECT SUM(araw) FROM r1) AS a FROM r1
+         ), r2 AS (
+           SELECT m.p1, SUM(m.w * a.a) AS araw
+           FROM m JOIN a1 a ON m.p2 = a.node GROUP BY 1
+         ), a2 AS (
+           SELECT p1 AS node, (araw * 1000000000000)
+             // (SELECT SUM(araw) FROM r2) AS a FROM r2
+         ), r3 AS (
+           SELECT m.p1, SUM(m.w * a.a) AS araw
+           FROM m JOIN a2 a ON m.p2 = a.node GROUP BY 1
+         ), a3 AS (
+           SELECT p1 AS node, (araw * 1000000000000)
+             // (SELECT SUM(araw) FROM r3) AS a FROM r3
+         ), r4 AS (
+           SELECT m.p1, SUM(m.w * a.a) AS araw
+           FROM m JOIN a3 a ON m.p2 = a.node GROUP BY 1
+         ), a4 AS (
+           SELECT p1 AS node, (araw * 1000000000000)
+             // (SELECT SUM(araw) FROM r4) AS a FROM r4
+         ), deg AS (
+           SELECT p, CAST(COUNT(*) AS BIGINT) AS n_buyers
+           FROM e GROUP BY 1
+         )
+         SELECT d.p AS partkey, d.n_buyers, CAST(a4.a AS BIGINT)
+           AS auth_ppt
+         FROM deg d JOIN a4 ON d.p = a4.node""",
     "q215_top_movers" ->
       """WITH agg AS (
            SELECT p.p_brand,

@@ -897,4 +897,67 @@ object GraphOps {
     weightedSssp(edges, seeds, maxRounds = 8)
       .select(col("node").as("partkey"), col("dist").as("cost"))
   }
+
+  /** q214: HITS authority scores (Kleinberg 1999) on the BIPARTITE
+    * customer→part purchase graph — hubs are customers, authorities
+    * are parts, mutually reinforcing: an authoritative part is bought
+    * by good hub customers, a hub customer buys authoritative parts.
+    * The directed complement of q105's undirected PageRank (and the
+    * global version of q116's seeded relevance).
+    *
+    * Scale shape: the hub side is CORPUS-scale (customers), so the hub
+    * vector is never materialized — the authority iteration contracts
+    * it out: a' = Eᵀ(E·a) = M·a with M = EᵀE the part×part
+    * co-purchase-through-customer matrix. M is CATALOG-bounded
+    * (|parts|² sparse; built ONCE by a customer-keyed self-join whose
+    * fan-out is per-customer basket size, the q105 pair-build rule),
+    * and each of the 4 rounds is a bounded M ⋈ broadcast(a) join +
+    * one map-combined sum — the corpus is never rescanned. Integer
+    * determinism: per-round L1 normalization to ppt units by floor
+    * division (a = araw·10¹² // Σaraw) in DECIMAL(38,0) (w·a tops
+    * 10²¹ at 10⁹ customers; ·10¹² stays under 10³⁴), engine-exact,
+    * order-independent — the oracle unrolls the same 4 rounds as
+    * chained CTEs in HUGEINT. Same `maxBroadcastNodes` gate as
+    * [[pageRank]] for the authority vector.
+    */
+  def q214Hits(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(false) // feeds the M build (twice) and degrees
+    val m = e.select(col("c"), col("p").as("p1"))
+      .join(e.select(col("c"), col("p").as("p2")), "c")
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).cast("long").as("w"))
+      .localCheckpoint(false) // bounded: catalog² sparse; feeds 4 rounds
+    val nodes = m.select(col("p1").as("node")).distinct()
+      .localCheckpoint(false)
+    val n = nodes.count()
+    require(n > 0, "q214Hits needs a non-empty purchase graph")
+    val bc = n <= maxBroadcastNodes(e)
+    var a = nodes.select(col("node"), lit(1000000000000L / n).as("a"))
+    for (_ <- 0 until 4) {
+      val raw = m.join(nodeSide(a, bc), col("p2") === col("node"))
+        .select(col("p1"),
+          (col("w").cast("decimal(38,0)") * col("a").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("_t"))
+        .groupBy(col("p1"))
+        .agg(sum(col("_t")).cast("decimal(38,0)").as("_araw"))
+      val tot = raw.agg(sum(col("_araw")).cast("decimal(38,0)")
+        .as("_tot"))
+      a = raw.crossJoin(broadcast(tot))
+        .select(col("p1").as("node"),
+          expr("CAST((_araw * 1000000000000) DIV _tot AS BIGINT)")
+            .as("a"))
+        .localCheckpoint(false)
+    }
+    e.groupBy(col("p")).agg(count(lit(1)).cast("long").as("n_buyers"))
+      .join(a, col("p") === col("node"))
+      .select(col("p").as("partkey"), col("n_buyers"),
+        col("a").as("auth_ppt"))
+  }
 }

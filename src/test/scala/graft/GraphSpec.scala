@@ -458,4 +458,39 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(got == dist && got.nonEmpty)
     assert(seeds.forall(got(_) == 0L))
   }
+
+  test("q214 HITS authorities equal a BigInt M = EtE power-iteration " +
+      "replay; ppt mass is conserved up to per-node floor loss") {
+    import org.apache.spark.sql.functions._
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val got = graft.operators.GraphOps.q214Hits(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val e = Tables.orders(spark, Sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, Sf)
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (lv(r, 0), lv(r, 1))).toSeq
+    val m = e.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2)
+      for (a <- parts; b <- parts) yield (a, b)
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> BigInt(v.size) }
+    val nodes = m.keys.map(_._1).toSeq.distinct.sorted
+    var a = nodes.map(_ -> BigInt(10).pow(12) / nodes.size).toMap
+    for (_ <- 0 until 4) {
+      val raw = m.toSeq.groupBy(_._1._1).map { case (p1, es) =>
+        p1 -> es.map { case ((_, p2), w) => w * a(p2) }.sum
+      }
+      val tot = raw.values.sum
+      a = nodes.map(p => p -> raw(p) * BigInt(10).pow(12) / tot).toMap
+    }
+    val deg = e.groupBy(_._2).map { case (p, v) => p -> v.size.toLong }
+    val expect = nodes.map(p => p -> ((deg(p), a(p).toLong))).toMap
+    assert(got == expect && got.nonEmpty)
+    val mass = got.values.map(_._2).sum
+    assert(mass <= 1000000000000L &&
+      mass > 1000000000000L - nodes.size)
+  }
 }
