@@ -238,6 +238,7 @@ object SparkEntry {
     "q213_rec_eval" -> (RelationalOps.q213RecEval _),
     "q214_hits" -> (GraphOps.q214Hits _),
     "q215_top_movers" -> (RelationalOps.q215TopMovers _),
+    "q216_growth_accounting" -> (RelationalOps.q216GrowthAccounting _),
   )
 
   /** The q176 oracle's literal DDSketch range table: one (pos, lo, hi,
@@ -5189,5 +5190,49 @@ object SparkEntry {
                     AS BIGINT) END AS contrib_ppm
          FROM agg CROSS JOIN tot
          ORDER BY abs(r2 - r1) DESC, p_brand LIMIT 15""",
+
+    "q216_growth_accounting" ->
+      """WITH bc AS (
+           SELECT o_custkey,
+                  CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                      * 10000 AS BIGINT) ELSE 0 END) AS BIGINT) AS r1,
+                  CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                      * 10000 AS BIGINT) ELSE 0 END) AS BIGINT) AS r2
+           FROM orders
+           WHERE o_orderdate IS NOT NULL
+             AND year(o_orderdate) IN (1995, 1996)
+           GROUP BY 1
+         ), cl AS (
+           SELECT n_name,
+                  CASE WHEN r1 = 0 THEN 'new'
+                       WHEN r2 = 0 THEN 'churned'
+                       WHEN r2 > r1 THEN 'expansion'
+                       WHEN r2 < r1 THEN 'contraction'
+                       ELSE 'flat' END AS cls,
+                  r1, r2
+           FROM bc
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey)
+         SELECT n_name,
+                CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+                CAST(SUM(CASE WHEN cls = 'expansion' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_expanded,
+                CAST(SUM(CASE WHEN cls = 'contraction' THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_contracted,
+                CAST(SUM(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_churned,
+                CAST(SUM(CASE WHEN cls = 'new' THEN r2 - r1 ELSE 0 END)
+                  AS BIGINT) AS new_units,
+                CAST(SUM(CASE WHEN cls = 'expansion' THEN r2 - r1
+                  ELSE 0 END) AS BIGINT) AS expansion_units,
+                CAST(SUM(CASE WHEN cls = 'contraction' THEN r2 - r1
+                  ELSE 0 END) AS BIGINT) AS contraction_units,
+                CAST(SUM(CASE WHEN cls = 'churned' THEN r2 - r1
+                  ELSE 0 END) AS BIGINT) AS churn_units,
+                CAST(SUM(r2 - r1) AS BIGINT) AS net_units
+         FROM cl GROUP BY 1""",
   )
 }

@@ -3032,4 +3032,66 @@ object RelationalOps {
         expr("""CAST((2 * 1000000 * _sap + 6350400 * _u)
                 DIV (2 * 6350400 * _u) AS BIGINT)""").as("map_ppm"))
   }
+
+  /** q216: revenue GROWTH ACCOUNTING — the 1995→1996 change per nation
+    * decomposed into the four customer-level bridges every subscription
+    * /repeat-revenue review runs on: NEW (no prior-period revenue),
+    * EXPANSION (grew), CONTRACTION (shrank but stayed), CHURNED (went
+    * to zero). q215 ranks movers across brands and q177 splits one
+    * brand into price×volume; this explains the same delta by customer
+    * lifecycle — "did we grow by acquiring or by expanding, and how
+    * much walked out the door". The identity net = new + expansion +
+    * contraction + churn holds to the unit by construction (every
+    * customer's Δ lands in exactly one bucket; flat customers
+    * contribute 0) — the suite asserts it against rev2−rev1.
+    *
+    * Scale shape: ONE orders aggregate to customer grain (map-side
+    * combined conditional sums), one shuffle join to the same-grain
+    * customer dim for the nation key (co-keyed; at 100 TB orders ≫
+    * customers and both sides hash on custkey), one broadcast nation
+    * join, one bounded-output rollup. Per-customer sums stay in long
+    * (e4 units); nation rollups accumulate in DECIMAL(38,0). No
+    * windows, no second fact scan. Reference analogue: the season-over-
+    * season player-trophy deltas (sql/db_creation_script.sql:185-242)
+    * lifted from single-entity diffs to a population bridge.
+    */
+  def q216GrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    def su(yr: Int) = sum(when(col("_yr") === yr,
+      (col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("long")).otherwise(lit(0L))).cast("long")
+    val byCust = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .withColumn("_yr", year(col("o_orderdate")))
+      .filter(col("_yr").isin(1995, 1996))
+      .groupBy(col("o_custkey"))
+      .agg(su(1995).as("_r1"), su(1996).as("_r2"))
+    val classed = byCust.withColumn("_cls",
+      when(col("_r1") === 0L, lit("new"))
+        .when(col("_r2") === 0L, lit("churned"))
+        .when(col("_r2") > col("_r1"), lit("expansion"))
+        .when(col("_r2") < col("_r1"), lit("contraction"))
+        .otherwise(lit("flat")))
+    def nOf(c: String) = sum(when(col("_cls") === c, 1L)
+      .otherwise(0L)).cast("long")
+    def dOf(c: String) = sum(when(col("_cls") === c,
+      col("_r2") - col("_r1")).otherwise(lit(0L)))
+      .cast("decimal(38,0)").cast("long")
+    classed
+      .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(nOf("new").as("n_new"), nOf("expansion").as("n_expanded"),
+        nOf("contraction").as("n_contracted"),
+        nOf("churned").as("n_churned"),
+        dOf("new").as("new_units"),
+        dOf("expansion").as("expansion_units"),
+        dOf("contraction").as("contraction_units"),
+        dOf("churned").as("churn_units"),
+        sum(col("_r2") - col("_r1")).cast("decimal(38,0)")
+          .cast("long").as("net_units"))
+  }
 }

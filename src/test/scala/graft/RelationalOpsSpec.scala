@@ -1913,4 +1913,53 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(Seq(got._2, got._3, got._4).forall(x => x >= 0 &&
       x <= 1000000))
   }
+
+  test("q216 growth accounting equals a local per-customer replay; " +
+      "the bridge identity holds to the unit") {
+    val got = RelationalOps.q216GrowthAccounting(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9))).toMap
+    // independent replay from raw orders/customer/nation rows
+    val os = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate").isNotNull)
+      .selectExpr("o_custkey", "year(o_orderdate) AS yr",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS LONG)" +
+          " AS amt")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .filter(t => t._2 == 1995 || t._2 == 1996)
+    val nat = Tables.customer(spark, Sf)
+      .join(Tables.nation(spark, Sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perCust = os.groupBy(_._1).map { case (ck, rows) =>
+      (ck, rows.filter(_._2 == 1995).map(_._3).sum,
+        rows.filter(_._2 == 1996).map(_._3).sum)
+    }
+    val expect = perCust.toSeq.groupBy(t => nat(t._1))
+      .map { case (n, cs) =>
+        def cls(r1: Long, r2: Long) =
+          if (r1 == 0L) "new" else if (r2 == 0L) "churned"
+          else if (r2 > r1) "expansion"
+          else if (r2 < r1) "contraction" else "flat"
+        def cnt(c: String) = cs.count(t => cls(t._2, t._3) == c).toLong
+        def dlt(c: String) = cs.filter(t => cls(t._2, t._3) == c)
+          .map(t => t._3 - t._2).sum
+        n -> ((cnt("new"), cnt("expansion"), cnt("contraction"),
+          cnt("churned"), dlt("new"), dlt("expansion"),
+          dlt("contraction"), dlt("churned"),
+          cs.map(t => t._3 - t._2).sum))
+      }
+    assert(got == expect && got.nonEmpty)
+    // bridge identity: net == new + expansion + contraction + churn
+    got.values.foreach { v =>
+      assert(v._9 == v._5 + v._6 + v._7 + v._8)
+    }
+    // sign structure: new >= 0, expansion > 0 iff any expanded,
+    // contraction <= 0, churn <= 0
+    got.values.foreach { v =>
+      assert(v._5 >= 0 && v._6 >= 0 && v._7 <= 0 && v._8 <= 0)
+    }
+  }
 }
