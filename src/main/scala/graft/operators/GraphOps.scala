@@ -905,20 +905,25 @@ object GraphOps {
     * The directed complement of q105's undirected PageRank (and the
     * global version of q116's seeded relevance).
     *
-    * Scale shape: the hub side is CORPUS-scale (customers), so the hub
-    * vector is never materialized — the authority iteration contracts
-    * it out: a' = Eᵀ(E·a) = M·a with M = EᵀE the part×part
-    * co-purchase-through-customer matrix. M is CATALOG-bounded
-    * (|parts|² sparse; built ONCE by a customer-keyed self-join whose
-    * fan-out is per-customer basket size, the q105 pair-build rule),
-    * and each of the 4 rounds is a bounded M ⋈ broadcast(a) join +
-    * one map-combined sum — the corpus is never rescanned. Integer
-    * determinism: per-round L1 normalization to ppt units by floor
-    * division (a = araw·10¹² // Σaraw) in DECIMAL(38,0) (w·a tops
-    * 10²¹ at 10⁹ customers; ·10¹² stays under 10³⁴), engine-exact,
-    * order-independent — the oracle unrolls the same 4 rounds as
-    * chained CTEs in HUGEINT. Same `maxBroadcastNodes` gate as
-    * [[pageRank]] for the authority vector.
+    * Scale shape: each round is the TWO-HOP contraction a' = Eᵀ(E·a)
+    * — hub pass h = E·a (one part-keyed vector join + one customer
+    * aggregate), authority pass araw = Eᵀ·h (one customer-keyed join
+    * + one part aggregate) — both LINEAR in |E|. The co-purchase
+    * matrix M = EᵀE is deliberately NEVER materialized: its row count
+    * is Σ_c basket(c)², which a power-law hot customer turns
+    * quadratic (a first cut that checkpointed M measured 11.4 s at
+    * sf0.1 vs 2–3 s two-hop, and would not survive 100 TB); the
+    * intermediate hub vector is customer-grain, same cardinality as
+    * the corpus keys it joins on. Exactly equal by linearity: every
+    * per-round sum is exact DECIMAL(38,0), so contraction order
+    * cannot change the value — the M-form oracle still matches
+    * bit-for-bit. Integer determinism: per-round L1 normalization to
+    * ppt units by floor division (a = araw·10¹² // Σaraw) in
+    * DECIMAL(38,0) (h tops basket·10¹² ≤ 10¹⁷, araw buyers·h ≤ 10²⁶
+    * at 10⁹ customers), engine-exact, order-independent — the oracle
+    * unrolls the same 4 rounds as chained CTEs in HUGEINT. Same
+    * `maxBroadcastNodes` gate as [[pageRank]] for the authority
+    * vector.
     */
   def q214Hits(s: SparkSession, d: String): DataFrame = {
     val e = Tables.orders(s, d)
@@ -928,25 +933,22 @@ object GraphOps {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint(false) // feeds the M build (twice) and degrees
-    val m = e.select(col("c"), col("p").as("p1"))
-      .join(e.select(col("c"), col("p").as("p2")), "c")
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).cast("long").as("w"))
-      .localCheckpoint(false) // bounded: catalog² sparse; feeds 4 rounds
-    val nodes = m.select(col("p1").as("node")).distinct()
+      .localCheckpoint(false) // feeds all 8 hop passes and degrees
+    val nodes = e.select(col("p").as("node")).distinct()
       .localCheckpoint(false)
     val n = nodes.count()
     require(n > 0, "q214Hits needs a non-empty purchase graph")
     val bc = n <= maxBroadcastNodes(e)
     var a = nodes.select(col("node"), lit(1000000000000L / n).as("a"))
     for (_ <- 0 until 4) {
-      val raw = m.join(nodeSide(a, bc), col("p2") === col("node"))
-        .select(col("p1"),
-          (col("w").cast("decimal(38,0)") * col("a").cast("decimal(38,0)"))
-            .cast("decimal(38,0)").as("_t"))
-        .groupBy(col("p1"))
-        .agg(sum(col("_t")).cast("decimal(38,0)").as("_araw"))
+      val h = e.join(nodeSide(a, bc), col("p") === col("node"))
+        .groupBy(col("c"))
+        .agg(sum(col("a").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("_h"))
+      val raw = e.join(h, "c")
+        .groupBy(col("p"))
+        .agg(sum(col("_h")).cast("decimal(38,0)").as("_araw"))
+        .withColumnRenamed("p", "p1")
       val tot = raw.agg(sum(col("_araw")).cast("decimal(38,0)")
         .as("_tot"))
       a = raw.crossJoin(broadcast(tot))
