@@ -239,7 +239,54 @@ object SparkEntry {
     "q214_hits" -> (GraphOps.q214Hits _),
     "q215_top_movers" -> (RelationalOps.q215TopMovers _),
     "q216_growth_accounting" -> (RelationalOps.q216GrowthAccounting _),
+    "q217_kcenter" -> (SimilarityOps.q217KcenterCoreset _),
   )
+
+  /** The q217 oracle's unrolled greedy farthest-point traversal — the
+    * same e6 lattice, seed rule and (md DESC, vec_id) tie order as the
+    * operator, one (pick, running-min) CTE pair per round so DuckDB
+    * replays the exact integer selection sequence.
+    */
+  private def kcenterOracleSql: String = {
+    val sb = new StringBuilder(
+      """WITH base AS (
+           SELECT vec_id,
+                  [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                   for x in embedding] AS e6
+           FROM embeddings
+         ), pdim AS (
+           SELECT vec_id, i, e6[i] AS e
+           FROM (SELECT vec_id, e6,
+                        unnest(generate_series(1, len(e6))) AS i
+                 FROM base)
+         ), c1 AS (SELECT vec_id FROM base ORDER BY vec_id LIMIT 1
+         ), m1 AS (
+           SELECT p.vec_id, SUM((p.e - c.e) * (p.e - c.e)) AS md
+           FROM pdim p JOIN (SELECT i, e FROM pdim
+             WHERE vec_id = (SELECT vec_id FROM c1)) c ON p.i = c.i
+           GROUP BY 1)""")
+    for (i <- 2 to 8) {
+      sb ++= s""", c$i AS (SELECT vec_id, md FROM m${i - 1}
+           ORDER BY md DESC, vec_id LIMIT 1)"""
+      if (i < 8) sb ++= s""", m$i AS (
+           SELECT m.vec_id, LEAST(m.md, d.d2) AS md
+           FROM m${i - 1} m JOIN (
+             SELECT p.vec_id, SUM((p.e - c.e) * (p.e - c.e)) AS d2
+             FROM pdim p JOIN (SELECT i, e FROM pdim
+               WHERE vec_id = (SELECT vec_id FROM c$i)) c ON p.i = c.i
+             GROUP BY 1) d USING (vec_id))"""
+    }
+    sb ++= """
+         SELECT CAST(1 AS BIGINT) AS pick_rank,
+                (SELECT vec_id FROM c1) AS vec_id,
+                CAST(NULL AS BIGINT) AS radius_d2"""
+    for (i <- 2 to 8)
+      sb ++= s"""
+         UNION ALL SELECT CAST($i AS BIGINT),
+                (SELECT vec_id FROM c$i),
+                CAST((SELECT md FROM c$i) AS BIGINT)"""
+    sb.toString
+  }
 
   /** The q176 oracle's literal DDSketch range table: one (pos, lo, hi,
     * est) row per REACHABLE bucket — bucket pos covers integer units in
@@ -5234,5 +5281,7 @@ object SparkEntry {
                   ELSE 0 END) AS BIGINT) AS churn_units,
                 CAST(SUM(r2 - r1) AS BIGINT) AS net_units
          FROM cl GROUP BY 1""",
+
+    "q217_kcenter" -> kcenterOracleSql,
   )
 }

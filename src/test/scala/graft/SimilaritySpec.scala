@@ -560,4 +560,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
     assert(got == expect && got.nonEmpty)
   }
+
+  test("q217 k-center picks equal a local greedy farthest-point " +
+      "replay; the radius curve is non-increasing and picks distinct") {
+    val got = SimilarityOps.q217KcenterCoreset(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+      .sortBy(_._1)
+    val pts = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)
+        .map(x => math.floor(x.toDouble * 1000000).toLong).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var sel = Vector((pts.head._1, pts.head._2, Option.empty[Long]))
+    while (sel.size < 8) {
+      val (id, e, md) = pts.map { case (id, e) =>
+        (id, e, sel.map(c => d2(e, c._2)).min)
+      }.maxBy { case (id, _, md) => (md, -id) }
+      sel = sel :+ ((id, e, Some(md)))
+    }
+    val expect = sel.zipWithIndex.map { case ((id, _, r), i) =>
+      ((i + 1).toLong, id, r) }
+    assert(got == expect && got.size == 8)
+    // coverage-radius curve: non-increasing, all picks distinct
+    val radii = got.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+    assert(got.map(_._2).distinct.size == 8)
+    assert(radii.forall(_ > 0))
+  }
 }
