@@ -240,6 +240,7 @@ object SparkEntry {
     "q215_top_movers" -> (RelationalOps.q215TopMovers _),
     "q216_growth_accounting" -> (RelationalOps.q216GrowthAccounting _),
     "q217_kcenter" -> (SimilarityOps.q217KcenterCoreset _),
+    "q218_dup_source_matrix" -> (DedupOps.q218DupSourceMatrix _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -5283,5 +5284,65 @@ object SparkEntry {
          FROM cl GROUP BY 1""",
 
     "q217_kcenter" -> kcenterOracleSql,
+
+    "q218_dup_source_matrix" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
+           FROM documents
+         ), base AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM corpus
+         ), sh AS (
+           SELECT doc_id, list_distinct(tk) AS toks,
+                  CASE WHEN len(tk) >= 3 THEN
+                    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                   for i in range(1, len(tk) - 1)])
+                  ELSE [array_to_string(tk, ' ')] END AS sh
+           FROM base
+         ), sigs AS (
+           SELECT doc_id, toks,
+                  list_min(list_transform(sh, x -> md5('0|' || x))) AS m0,
+                  list_min(list_transform(sh, x -> md5('1|' || x))) AS m1,
+                  list_min(list_transform(sh, x -> md5('2|' || x))) AS m2,
+                  list_min(list_transform(sh, x -> md5('3|' || x))) AS m3,
+                  list_min(list_transform(sh, x -> md5('4|' || x))) AS m4,
+                  list_min(list_transform(sh, x -> md5('5|' || x))) AS m5,
+                  list_min(list_transform(sh, x -> md5('6|' || x))) AS m6,
+                  list_min(list_transform(sh, x -> md5('7|' || x))) AS m7
+           FROM sh
+         ), banded AS (
+           SELECT doc_id,
+                  unnest([0, 1, 2, 3]) AS band_id,
+                  unnest([m0 || ',' || m1, m2 || ',' || m3,
+                          m4 || ',' || m5, m6 || ',' || m7]) AS band_key
+           FROM sigs
+         ), pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+         ), iv AS (
+           SELECT p.doc_a, p.doc_b,
+                  len(list_intersect(ta.toks, tb.toks)) AS inter,
+                  len(ta.toks) AS na, len(tb.toks) AS nb
+           FROM pairs p
+           JOIN sh ta ON ta.doc_id = p.doc_a
+           JOIN sh tb ON tb.doc_id = p.doc_b
+         ), flt AS (
+           SELECT doc_a % 1000000 AS ba, doc_b % 1000000 AS bb,
+                  (2 * 1000 * inter + (na + nb - inter))
+                    // (2 * (na + nb - inter)) AS jm
+           FROM iv WHERE 10 * inter >= 7 * (na + nb - inter)
+         )
+         SELECT least(sa.source, sb.source) AS source_a,
+                greatest(sa.source, sb.source) AS source_b,
+                CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                CAST(MAX(jm) AS BIGINT) AS max_j_mills
+         FROM flt
+         JOIN documents sa ON sa.doc_id = flt.ba
+         JOIN documents sb ON sb.doc_id = flt.bb
+         GROUP BY 1, 2""",
   )
 }

@@ -229,9 +229,12 @@ object DedupOps {
     *
     * The hot-path family (minhashCandidates above) keeps the codegen'd
     * xxhash64 signatures; this md5 family is the cross-engine-checkable
-    * verify stage layered on the same LSH shape.
+    * verify stage layered on the same LSH shape. Returns the pair-level
+    * EXACT integers (doc_a, doc_b, inter, na, nb) so every consumer
+    * (q31's rounded jaccard, q218's integer-mills rollup) derives its
+    * own emission without re-verifying.
     */
-  def ngramJaccardVerify(docs: DataFrame): DataFrame = {
+  def ngramVerifiedPairs(docs: DataFrame): DataFrame = {
     // toks (for the exact verify) and shingles (for the candidate
     // stage) materialized once; read by the band explode and both
     // re-attach joins.
@@ -274,14 +277,63 @@ object DedupOps {
       .join(base.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
         "doc_b")
       .withColumn("inter", inter)
+      .select(col("doc_a"), col("doc_b"), col("inter").cast("long")
+          .as("inter"),
+        size(col("toks_a")).cast("long").as("na"),
+        size(col("toks_b")).cast("long").as("nb"))
+  }
+
+  /** [[ngramVerifiedPairs]] reduced to q31's rounded-double contract:
+    * (doc_a, doc_b, jaccard ROUND-3). Kept as the public verify shape;
+    * consumers needing exact integer similarity (q218's rollup) read
+    * the (inter, na, nb) triple instead.
+    */
+  def ngramJaccardVerify(docs: DataFrame): DataFrame =
+    ngramVerifiedPairs(docs)
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 3)
-          .as("jaccard"))
-  }
+          (col("na") + col("nb") - col("inter")), 3).as("jaccard"))
 
   def q31NgramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardVerify(corpusWithPlantedDups(s, d))
+
+  /** q218: near-duplicate PROVENANCE matrix — verified near-dup pairs
+    * (exact n-gram Jaccard ≥ 0.7 over the LSH candidates, the q31/q61
+    * machinery) rolled up to the (source, source) grain: which source
+    * pairs the duplication actually comes from. The first question a
+    * corpus owner asks after a dedup run ("is it re-crawls within one
+    * source, or mirrors ACROSS sources?") — it decides whether the fix
+    * is crawler dedup or source-level blocklisting. Diagonal rows are
+    * within-source duplication; off-diagonal rows are cross-source
+    * mirrors.
+    *
+    * Scale shape: the pair table is candidate-bounded (LSH bands →
+    * ids-only bucket join, never all-pairs); source attribution is two
+    * id-keyed joins of that bounded table against the doc→source map;
+    * the matrix itself is |sources|²-bounded. Integer determinism: the
+    * threshold is the exact rational 10·inter ≥ 7·|A∪B| (no float
+    * compare) and the reported max similarity is integer mills by
+    * round-half-up — no double ever aggregates.
+    */
+  def q218DupSourceMatrix(s: SparkSession, d: String): DataFrame = {
+    val flt = ngramVerifiedPairs(corpusWithPlantedDups(s, d))
+      .withColumn("_den", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * lit(10L) >= col("_den") * lit(7L))
+      .select((col("doc_a") % 1000000L).as("_ba"),
+        (col("doc_b") % 1000000L).as("_bb"),
+        expr("CAST((2 * 1000 * inter + _den) DIV (2 * _den) AS BIGINT)")
+          .as("_jm"))
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    flt
+      .join(src.select(col("doc_id").as("_ba"), col("source").as("_sa")),
+        "_ba")
+      .join(src.select(col("doc_id").as("_bb"), col("source").as("_sb")),
+        "_bb")
+      .groupBy(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        max(col("_jm")).as("max_j_mills"))
+  }
 
   /** 61. Near-dup clusters: connected components over the verified
     * candidate pairs, canonical doc = component minimum — the step that

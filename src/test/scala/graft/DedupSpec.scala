@@ -422,4 +422,55 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(got == expected)
   }
+
+  test("q218 dup-source matrix equals a full local md5-minhash LSH " +
+      "replay; twin pairs land on the diagonal") {
+    val got = DedupOps.q218DupSourceMatrix(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").toSeq
+    def shing(tk: Seq[String]): Seq[String] =
+      if (tk.size >= 3) tk.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      else Seq(tk.mkString(" "))
+    val corpus = docs.map(d => (d._1, d._2)) ++ docs.map(d =>
+      (d._1 + 1000000L, d._2.substring(d._2.indexOf(' ') + 1)))
+    val sigs = corpus.map { case (id, t) =>
+      val tk = toks(t)
+      val sh = shing(tk)
+      val ms = (0 until 8).map(i => sh.map(x => md5hex(s"$i|$x")).min)
+      val bands = (0 until 4).map(b =>
+        (b, ms(2 * b) + "," + ms(2 * b + 1)))
+      (id, tk.distinct.toSet, bands)
+    }
+    val pairs = sigs.flatMap { case (id, _, bands) =>
+      bands.map(bk => bk -> id) }
+      .groupBy(_._1).values.flatMap { g =>
+        val ids = g.map(_._2).toSeq.sorted
+        for { i <- ids.indices; j <- i + 1 until ids.size }
+          yield (ids(i), ids(j))
+      }.toSet
+    val tokOf = sigs.map(s => s._1 -> s._2).toMap
+    val srcOf = docs.map(d => d._1 -> d._3).toMap
+    val expect = pairs.toSeq.flatMap { case (a, b) =>
+      val (ta, tb) = (tokOf(a), tokOf(b))
+      val inter = ta.intersect(tb).size.toLong
+      val den = ta.size + tb.size - inter
+      if (10 * inter >= 7 * den) {
+        val (sa, sb) = (srcOf(a % 1000000L), srcOf(b % 1000000L))
+        val key = if (sa <= sb) (sa, sb) else (sb, sa)
+        Some(key -> ((2 * 1000 * inter + den) / (2 * den)))
+      } else None
+    }.groupBy(_._1).map { case (k, v) =>
+      k -> ((v.size.toLong, v.map(_._2).max)) }
+    assert(got == expect && got.nonEmpty)
+    // the planted drop-first-token twins verify within their source
+    assert(got.keys.exists(k => k._1 == k._2))
+  }
 }
