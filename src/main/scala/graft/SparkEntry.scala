@@ -241,6 +241,7 @@ object SparkEntry {
     "q216_growth_accounting" -> (RelationalOps.q216GrowthAccounting _),
     "q217_kcenter" -> (SimilarityOps.q217KcenterCoreset _),
     "q218_dup_source_matrix" -> (DedupOps.q218DupSourceMatrix _),
+    "q219_tokenizer_fertility" -> (TextOps.q219TokenizerFertility _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -5344,5 +5345,39 @@ object SparkEntry {
          JOIN documents sa ON sa.doc_id = flt.ba
          JOIN documents sb ON sb.doc_id = flt.bb
          GROUP BY 1, 2""",
+
+    "q219_tokenizer_fertility" ->
+      """WITH per AS (
+           SELECT lang,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                       AS BIGINT) AS w,
+                  CAST(len(regexp_extract_all(lower(trim(text)),
+                       '[a-z]+')) AS BIGINT) AS st,
+                  CAST(length(regexp_replace(lower(trim(text)), '\s+',
+                       '', 'g')) AS BIGINT) AS ch
+           FROM documents
+         ), ag AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(w) AS BIGINT) AS ws_tokens,
+                  CAST(SUM(st) AS BIGINT) AS subtokens,
+                  CAST(SUM(ch) AS BIGINT) AS chars
+           FROM per GROUP BY 1
+         ), tp AS (
+           SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+           FROM (SELECT lang,
+                        unnest(regexp_extract_all(lower(trim(text)),
+                          '[a-z]+')) AS tok
+                 FROM documents)
+           GROUP BY 1
+         )
+         SELECT ag.lang, n_docs, ws_tokens, subtokens, chars, n_types,
+                CAST((2 * 1000000 * subtokens + ws_tokens)
+                  // (2 * ws_tokens) AS BIGINT) AS fertility_ppm,
+                CAST((2 * 1000 * chars + subtokens)
+                  // (2 * subtokens) AS BIGINT)
+                  AS chars_per_subtoken_mills,
+                CAST((2 * 1000000 * n_types + subtokens)
+                  // (2 * subtokens) AS BIGINT) AS ttr_ppm
+         FROM ag JOIN tp ON ag.lang = tp.lang""",
   )
 }

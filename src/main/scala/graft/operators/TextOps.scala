@@ -1164,4 +1164,51 @@ object TextOps {
       .withColumn("flag_rate_ppm",
         expr("(2000000 * n_flagged + n_docs) DIV (2 * n_docs)"))
   }
+
+  /** q219: tokenizer FERTILITY report per language — subtokens per
+    * whitespace word (fertility), characters per subtoken, and the
+    * type-token ratio of the subtoken stream. The sizing table every
+    * multilingual training run reads before fixing a token budget:
+    * fertility says how much more a language costs per word (the
+    * standard tokenizer-quality metric), chars/subtoken how compressed
+    * the stream is, TTR how heavy the tail vocabulary is. Uses the
+    * q25 subtoken family ([a-z]+ runs — the BPE-ish pre-tokenizer)
+    * so the report is engine-exact and needs no trained vocab.
+    *
+    * Scale shape: one scan → one map-combined per-lang sum aggregate;
+    * the type count is a two-level distinct (explode → (lang, token)
+    * distinct → count), never countDistinct inside the wide aggregate
+    * (the q60 Expand rule). All ratios exact integer round-half-up.
+    * Reference analogue: the per-attribute profiling sweeps
+    * (api_extract.py:179-196) applied to token streams.
+    */
+  def q219TokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d).select(col("lang"),
+      size(toks).cast("long").as("_w"),
+      size(regexp_extract_all(normText, lit("[a-z]+"), lit(0)))
+        .cast("long").as("_st"),
+      length(regexp_replace(normText, "\\s+", "")).cast("long")
+        .as("_ch"))
+    val ag = per.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_w")).cast("long").as("ws_tokens"),
+        sum(col("_st")).cast("long").as("subtokens"),
+        sum(col("_ch")).cast("long").as("chars"))
+    val types = Tables.documents(s, d)
+      .select(col("lang"), explode(
+        regexp_extract_all(normText, lit("[a-z]+"), lit(0))).as("_t"))
+      .distinct()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_types"))
+    ag.join(broadcast(types), "lang")
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("subtokens"), col("chars"), col("n_types"),
+        expr("""CAST((2 * 1000000 * subtokens + ws_tokens)
+                DIV (2 * ws_tokens) AS BIGINT)""").as("fertility_ppm"),
+        expr("""CAST((2 * 1000 * chars + subtokens)
+                DIV (2 * subtokens) AS BIGINT)""")
+          .as("chars_per_subtoken_mills"),
+        expr("""CAST((2 * 1000000 * n_types + subtokens)
+                DIV (2 * subtokens) AS BIGINT)""").as("ttr_ppm"))
+  }
 }

@@ -644,4 +644,34 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
     // the corpus actually exercises both branches
     assert(got.values.exists(_._3 > 0) && got.values.exists(_._2 > 0))
   }
+
+  test("q219 tokenizer fertility equals a local per-language replay " +
+      "with exact integer ratios") {
+    val got = TextOps.q219TokenizerFertility(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))).toMap
+    val docs = Tables.documents(spark, Sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sub = "[a-z]+".r
+    val expect = docs.groupBy(_._1).map { case (lang, ds) =>
+      val per = ds.map { case (_, t) =>
+        val n = t.trim.toLowerCase
+        (n.split("\\s+").length.toLong,
+          sub.findAllIn(n).toSeq,
+          n.replaceAll("\\s+", "").length.toLong)
+      }
+      val (w, st, ch) = (per.map(_._1).sum,
+        per.map(_._2.size.toLong).sum, per.map(_._3).sum)
+      val types = per.flatMap(_._2).distinct.size.toLong
+      def rhu(num: Long, den: Long) = (2 * num + den) / (2 * den)
+      lang -> ((ds.size.toLong, w, st, ch, types,
+        rhu(1000000L * st, w), rhu(1000L * ch, st),
+        rhu(1000000L * types, st)))
+    }
+    assert(got == expect && got.nonEmpty)
+    // fertility is at least 1 subtoken per word-bearing corpus
+    assert(got.values.forall(_._6 > 0))
+  }
 }
