@@ -242,6 +242,7 @@ object SparkEntry {
     "q217_kcenter" -> (SimilarityOps.q217KcenterCoreset _),
     "q218_dup_source_matrix" -> (DedupOps.q218DupSourceMatrix _),
     "q219_tokenizer_fertility" -> (TextOps.q219TokenizerFertility _),
+    "q220_interval_coverage" -> (RelationalOps.q220IntervalCoverage _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -5379,5 +5380,38 @@ object SparkEntry {
                 CAST((2 * 1000000 * n_types + subtokens)
                   // (2 * subtokens) AS BIGINT) AS ttr_ppm
          FROM ag JOIN tp ON ag.lang = tp.lang""",
+
+    "q220_interval_coverage" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id
+           FROM events WHERE user_id IS NOT NULL
+         ), sw AS (
+           SELECT user_id, us,
+                  MAX(us + 1800000000) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pme
+           FROM ev
+         ), contrib AS (
+           SELECT user_id, us,
+                  CASE WHEN pme IS NULL THEN 1800000000
+                       WHEN us >= pme THEN 1800000000
+                       WHEN us + 1800000000 > pme
+                         THEN us + 1800000000 - pme
+                       ELSE 0 END AS cov,
+                  CASE WHEN pme IS NULL OR us > pme THEN 1
+                       ELSE 0 END AS seg
+           FROM sw
+         )
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(SUM(seg) AS BIGINT) AS n_segments,
+                CAST(SUM(cov) AS BIGINT) AS covered_us,
+                CAST(MAX(us) + 1800000000 - MIN(us) AS BIGINT)
+                  AS span_us,
+                CAST((2 * 1000000 * SUM(cov)
+                      + (MAX(us) + 1800000000 - MIN(us)))
+                  // (2 * (MAX(us) + 1800000000 - MIN(us))) AS BIGINT)
+                  AS util_ppm
+         FROM contrib GROUP BY 1""",
   )
 }

@@ -3094,4 +3094,50 @@ object RelationalOps {
         sum(col("_r2") - col("_r1")).cast("decimal(38,0)")
           .cast("long").as("net_units"))
   }
+
+  /** q220: interval-UNION coverage per user — each event opens a
+    * 30-minute activity window; overlapping/touching windows merge,
+    * and the report is the exact union length, segment count and
+    * utilization of the user's active span. The "how much wall-clock
+    * was this user actually active" metric (billing meters, SLA
+    * uptime, engagement depth) that a plain SUM of windows
+    * double-counts and q129's concurrency sweep doesn't answer —
+    * THE classic sweep-line union, done as one pass.
+    *
+    * Scale shape: ONE user-keyed window (running max of interval end
+    * over a deterministic (ts, event_id) total order) + one
+    * map-combined aggregate — no self-join, no explode. Integer
+    * determinism: pure-µs longs; the overlap clamp is an explicit
+    * integer CASE (never GREATEST/LEAST around a NULL first-row lag —
+    * the q179 rule); touching intervals (gap 0) merge in both
+    * engines by the same us > pme strict compare.
+    */
+  def q220IntervalCoverage(s: SparkSession, d: String): DataFrame = {
+    val L = 1800000000L // 30 min in µs
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("_us", unix_micros(col("ts")))
+      .withColumn("_pme", max(unix_micros(col("ts")) + L).over(w))
+      .select(col("user_id"), col("_us"),
+        expr(s"""CASE WHEN _pme IS NULL THEN $L
+                 WHEN _us >= _pme THEN $L
+                 WHEN _us + $L > _pme THEN _us + $L - _pme
+                 ELSE 0 END""").as("_cov"),
+        expr("""CASE WHEN _pme IS NULL OR _us > _pme THEN 1
+                ELSE 0 END""").as("_seg"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("_seg")).cast("long").as("n_segments"),
+        sum(col("_cov")).cast("long").as("covered_us"),
+        (max(col("_us")) + lit(L) - min(col("_us"))).cast("long")
+          .as("span_us"))
+      .withColumn("util_ppm", expr(
+        // DECIMAL(38,0) internally: 2e6 × a multi-year µs span tops long
+        """CAST((2 * 1000000 * CAST(covered_us AS DECIMAL(38,0))
+           + span_us) DIV (2 * span_us) AS BIGINT)"""))
+  }
 }

@@ -1962,4 +1962,40 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(v._5 >= 0 && v._6 >= 0 && v._7 <= 0 && v._8 <= 0)
     }
   }
+
+  test("q220 interval coverage equals a local merge-sweep replay; " +
+      "coverage never exceeds span or the unmerged sum") {
+    val L = 1800000000L
+    val got = RelationalOps.q220IntervalCoverage(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val ev = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = ev.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      // explicit interval merge — structurally different from the
+      // operator's running-max contribution formula
+      var (cov, segs, end) = (0L, 0L, Long.MinValue)
+      sorted.foreach { us =>
+        if (end == Long.MinValue || us > end) segs += 1
+        val start = math.max(us, if (end == Long.MinValue) us else end)
+        if (us + L > start) cov += us + L - start
+        end = math.max(end, us + L)
+      }
+      val span = sorted.max + L - sorted.min
+      u -> ((rows.size.toLong, segs, cov, span,
+        (2 * 1000000L * cov + span) / (2 * span)))
+    }
+    assert(got == expect && got.nonEmpty)
+    got.foreach { case (_, (n, segs, cov, span, util)) =>
+      assert(cov <= span && cov <= n * L && segs >= 1 &&
+        util <= 1000000L)
+    }
+    // the corpus actually merges something: some user has fewer
+    // segments than events
+    assert(got.values.exists(v => v._2 < v._1))
+  }
 }
