@@ -243,6 +243,7 @@ object SparkEntry {
     "q218_dup_source_matrix" -> (DedupOps.q218DupSourceMatrix _),
     "q219_tokenizer_fertility" -> (TextOps.q219TokenizerFertility _),
     "q220_interval_coverage" -> (RelationalOps.q220IntervalCoverage _),
+    "q221_spearman" -> (StatsOps.q221Spearman _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -5413,5 +5414,41 @@ object SparkEntry {
                   // (2 * (MAX(us) + 1800000000 - MIN(us))) AS BIGINT)
                   AS util_ppm
          FROM contrib GROUP BY 1""",
+
+    "q221_spearman" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                    * 10000 AS BIGINT)) AS BIGINT) AS x
+           FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+         ), base AS (
+           SELECT n_name AS nation, c_custkey,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000
+                    AS BIGINT) AS bal,
+                  COALESCE(x, 0) AS x
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           LEFT JOIN spend ON o_custkey = c_custkey
+         ), rk AS (
+           SELECT nation,
+                  ROW_NUMBER() OVER (PARTITION BY nation
+                    ORDER BY bal, c_custkey) AS r,
+                  ROW_NUMBER() OVER (PARTITION BY nation
+                    ORDER BY x, c_custkey) AS sr
+           FROM base
+         ), ag AS (
+           SELECT nation, CAST(COUNT(*) AS HUGEINT) AS n,
+                  CAST(SUM((r - sr) * (r - sr)) AS HUGEINT) AS sd2
+           FROM rk GROUP BY 1
+         )
+         SELECT nation, CAST(n AS BIGINT) AS n_customers,
+                CASE WHEN (n * n * n - n) - 6 * sd2 >= 0
+                  THEN CAST((2 * 1000000 * ((n * n * n - n) - 6 * sd2)
+                    + (n * n * n - n)) // (2 * (n * n * n - n))
+                    AS BIGINT)
+                  ELSE -CAST((2 * 1000000 * (6 * sd2 - (n * n * n - n))
+                    + (n * n * n - n)) // (2 * (n * n * n - n))
+                    AS BIGINT) END AS rho_ppm
+         FROM ag WHERE n >= 2""",
   )
 }

@@ -1705,4 +1705,58 @@ object StatsOps {
         expr("""(20000 * col.fitted.num + col.fitted.den)
                 DIV (2 * col.fitted.den)""").as("iso_avg_qty_e4"))
   }
+
+  /** q221: SPEARMAN rank correlation per nation between customer
+    * account balance and lifetime spend — "do wealthier accounts
+    * actually buy more?" as a monotone-association measure, robust to
+    * the heavy spend tail that makes q93's Pearson unstable (Spearman
+    * 1904; the nonparametric complement to q93, as q143's rank-sum is
+    * to the t-test). Customers with no orders count at spend 0 — the
+    * association question includes the non-buyers.
+    *
+    * Determinism: ranks are a PERMUTATION per nation — the order is
+    * the total (value, custkey) — so the classic ρ = 1 − 6Σd²/(n³−n)
+    * identity is exact (no average-rank rationals), every quantity an
+    * integer, and the tie policy is explicit and engine-identical.
+    * Both rank passes run on ONE checkpointed per-customer frame via
+    * [[DistributedRank.withRank]] (range-partitioned — corpus-scale
+    * nations never hit a single-reducer window sort). Σd² ≤ n³ and
+    * n³−n overflow long at ~2M members → DECIMAL(38,0); signed ppm
+    * emission uses the q148/q153 sign split.
+    */
+  def q221Spearman(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .filter(col("o_totalprice").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("long")).cast("long").as("x"))
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,4)") * 10000).cast("long")
+          .as("bal"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("n_name").as("nation"), col("c_custkey"),
+        col("bal"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint(false) // one materialization feeds both ranks
+    val ranked = DistributedRank.withRank(
+      DistributedRank.withRank(base, Seq("nation"),
+        Seq("bal", "c_custkey"), "r"),
+      Seq("nation"), Seq("x", "c_custkey"), "sr")
+    ranked.groupBy(col("nation"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(((col("r") - col("sr")) * (col("r") - col("sr")))
+          .cast("decimal(19,0)")).cast("decimal(38,0)").as("_sd2"))
+      .filter(col("_n") >= 2)
+      .select(col("nation"), col("_n").cast("long").as("n_customers"),
+        expr("""CASE WHEN (_n * _n * _n - _n) - 6 * _sd2 >= 0
+             THEN CAST((2 * 1000000 * ((_n * _n * _n - _n) - 6 * _sd2)
+               + (_n * _n * _n - _n)) DIV (2 * (_n * _n * _n - _n))
+               AS BIGINT)
+             ELSE -CAST((2 * 1000000 * (6 * _sd2 - (_n * _n * _n - _n))
+               + (_n * _n * _n - _n)) DIV (2 * (_n * _n * _n - _n))
+               AS BIGINT) END""").as("rho_ppm"))
+  }
 }

