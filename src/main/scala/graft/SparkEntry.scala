@@ -244,6 +244,7 @@ object SparkEntry {
     "q219_tokenizer_fertility" -> (TextOps.q219TokenizerFertility _),
     "q220_interval_coverage" -> (RelationalOps.q220IntervalCoverage _),
     "q221_spearman" -> (StatsOps.q221Spearman _),
+    "q222_changelog_compact" -> (RelationalOps.q222ChangelogCompact _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -5450,5 +5451,36 @@ object SparkEntry {
                     + (n * n * n - n)) // (2 * (n * n * n - n))
                     AS BIGINT) END AS rho_ppm
          FROM ag WHERE n >= 2""",
+
+    "q222_changelog_compact" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+                  CASE event_type WHEN 'signup' THEN 'I'
+                       WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+                  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    AS v
+           FROM events WHERE user_id IS NOT NULL
+         ), rk AS (
+           SELECT user_id, us, event_id, op, v,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS rn
+           FROM ev
+         ), ag AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ops,
+                  MIN(us) AS first_us, MAX(us) AS last_us,
+                  arg_min(op, rn) AS fop,
+                  arg_max(op, rn) AS lop,
+                  arg_max(v, CASE WHEN op <> 'D' THEN rn END) AS lnd
+           FROM rk GROUP BY 1
+         )
+         SELECT user_id,
+                CASE WHEN lop = 'D' THEN
+                       CASE WHEN fop = 'I' THEN 'none' ELSE 'delete'
+                       END
+                     WHEN fop = 'I' THEN 'insert'
+                     ELSE 'upsert' END AS net_op,
+                n_ops, first_us, last_us,
+                CASE WHEN lop <> 'D' THEN lnd END AS value_units
+         FROM ag""",
   )
 }

@@ -3140,4 +3140,48 @@ object RelationalOps {
         """CAST((2 * 1000000 * CAST(covered_us AS DECIMAL(38,0))
            + span_us) DIV (2 * span_us) AS BIGINT)"""))
   }
+
+  /** q222: CHANGELOG COMPACTION — collapse a CDC op stream (insert /
+    * update / delete per key) to its NET effect, the batch form of
+    * Kafka log compaction / Debezium snapshot merging and the step
+    * that turns a day of change events into one applyable delta (q12
+    * upserts last-write-wins VALUES; this compacts OPERATIONS, where
+    * I→…→D must vanish and D→…→I must become an update). The net op
+    * needs only the FIRST and LAST op per key — existence-before is
+    * first=I, existence-after is last≠D; interior churn is provably
+    * irrelevant — so the whole operator is ONE map-side-combinable
+    * aggregate: min/max over (ts, event_id, op) structs, no window,
+    * no sort, no second scan. Op stream derived from events (signup →
+    * I, error → D, else U); payload = last non-delete value in exact
+    * e4 units via the same lexicographic struct-max.
+    */
+  def q222ChangelogCompact(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("_us"),
+        col("event_id"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("_op"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long")
+          .as("_v"))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_ops"),
+        min(col("_us")).as("first_us"),
+        max(col("_us")).as("last_us"),
+        min(struct(col("_us"), col("event_id"), col("_op")))
+          .getField("_op").as("_fop"),
+        max(struct(col("_us"), col("event_id"), col("_op")))
+          .getField("_op").as("_lop"),
+        max(when(col("_op") =!= "D",
+          struct(col("_us"), col("event_id"), col("_v"))))
+          .getField("_v").as("_lv"))
+      .select(col("user_id"),
+        expr("""CASE WHEN _lop = 'D' THEN
+                  CASE WHEN _fop = 'I' THEN 'none' ELSE 'delete' END
+                WHEN _fop = 'I' THEN 'insert'
+                ELSE 'upsert' END""").as("net_op"),
+        col("n_ops"), col("first_us"), col("last_us"),
+        when(col("_lop") =!= "D", col("_lv")).as("value_units"))
+  }
 }

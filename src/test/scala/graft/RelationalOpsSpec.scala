@@ -1998,4 +1998,39 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     // segments than events
     assert(got.values.exists(v => v._2 < v._1))
   }
+
+  test("q222 changelog compaction equals a local op-fold replay; " +
+      "net ops respect existence algebra") {
+    val got = RelationalOps.q222ChangelogCompact(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    val ev = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type",
+        "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS LONG) AS v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    val expect = ev.groupBy(_._1).map { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      def opOf(t: String) =
+        if (t == "signup") "I" else if (t == "error") "D" else "U"
+      val fop = opOf(ordered.head._4)
+      val lop = opOf(ordered.last._4)
+      val net =
+        if (lop == "D") { if (fop == "I") "none" else "delete" }
+        else if (fop == "I") "insert" else "upsert"
+      val lv = ordered.reverse.find(r => opOf(r._4) != "D").map(_._5)
+      u -> ((net, rows.size.toLong, ordered.head._2, ordered.last._2,
+        if (lop == "D") None else lv))
+    }
+    assert(got == expect && got.nonEmpty)
+    // value present exactly when the key survives
+    got.values.foreach { v =>
+      assert(v._5.isDefined == (v._1 == "insert" || v._1 == "upsert"))
+    }
+    // the mapping produces more than one net class on real data
+    assert(got.values.map(_._1).toSet.size >= 2)
+  }
 }
