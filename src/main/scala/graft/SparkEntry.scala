@@ -245,6 +245,7 @@ object SparkEntry {
     "q220_interval_coverage" -> (RelationalOps.q220IntervalCoverage _),
     "q221_spearman" -> (StatsOps.q221Spearman _),
     "q222_changelog_compact" -> (RelationalOps.q222ChangelogCompact _),
+    "q223_clustering_coef" -> (GraphOps.q223ClusteringCoef _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -5482,5 +5483,36 @@ object SparkEntry {
                 n_ops, first_us, last_us,
                 CASE WHEN lop <> 'D' THEN lnd END AS value_units
          FROM ag""",
+
+    "q223_clustering_coef" ->
+      """WITH pairs AS (
+           SELECT DISTINCT a.l_partkey AS s1, b.l_partkey AS s2
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey < b.l_partkey
+         ), sym AS (
+           SELECT s1 AS src, s2 AS dst FROM pairs
+           UNION ALL
+           SELECT s2, s1 FROM pairs
+         ), deg AS (
+           SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+           FROM sym GROUP BY 1
+         ), tri AS (
+           SELECT p1.s1 AS a, p2.s1 AS b, p2.s2 AS c
+           FROM pairs p1
+           JOIN pairs p2 ON p1.s2 = p2.s1 AND p1.s1 < p2.s1
+           JOIN pairs p3 ON p3.s1 = p1.s1 AND p3.s2 = p2.s2
+         ), tcnt AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+           FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+           GROUP BY node
+         )
+         SELECT d.node AS partkey, d.degree,
+                COALESCE(t.n_tri, 0) AS n_tri,
+                CAST((2 * 2000000 * CAST(COALESCE(t.n_tri, 0)
+                      AS HUGEINT) + d.degree * (d.degree - 1))
+                  // (2 * d.degree * (d.degree - 1)) AS BIGINT)
+                  AS cc_ppm
+         FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+         WHERE d.degree >= 2""",
   )
 }

@@ -962,4 +962,34 @@ object GraphOps {
       .select(col("p").as("partkey"), col("n_buyers"),
         col("a").as("auth_ppt"))
   }
+
+  /** q223: LOCAL clustering coefficient per node (Watts–Strogatz
+    * 1998) on the part co-purchase graph — cc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)), "how much of v's neighborhood closes into
+    * bundles". q107 counts the triangles; this normalizes them per
+    * node, separating true bundle cores (high cc) from mere hubs
+    * (high degree, low cc) — the ego-density screen behind community
+    * seeding and fraud-ring triage.
+    *
+    * Scale shape: the checkpointed symmetric edge list feeds BOTH the
+    * degree aggregate and [[triangleCounts]]'s oriented wedge join
+    * (O(E^{3/2}), never hub-quadratic) — one edge build, two
+    * consumers. Integer determinism: ppm by round-half-up with the
+    * triangle count widened to DECIMAL(38,0) (4·10⁶·tri(v) tops long
+    * at hub degree ~10⁷); degree-1 nodes carry no defined cc and are
+    * filtered, triangle-free nodes report 0.
+    */
+  def q223ClusteringCoef(s: SparkSession, d: String): DataFrame = {
+    val edges = coPurchaseEdges(s, d).localCheckpoint(false)
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+      .filter(col("degree") >= 2)
+    deg.join(triangleCounts(edges), Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)).cast("long"))
+      .select(col("node").as("partkey"), col("degree"), col("n_tri"),
+        expr("""CAST((2 * 2000000 * CAST(n_tri AS DECIMAL(38,0))
+             + degree * (degree - 1))
+             DIV (2 * degree * (degree - 1)) AS BIGINT)""")
+          .as("cc_ppm"))
+  }
 }

@@ -493,4 +493,36 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(mass <= 1000000000000L &&
       mass > 1000000000000L - nodes.size)
   }
+
+  test("q223 local clustering coefficient equals an adjacency-set " +
+      "replay; cc is a ppm in [0, 1e6]") {
+    val got = GraphOps.q223ClusteringCoef(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val li = Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for { i <- ps.indices; j <- i + 1 until ps.size }
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = pairs.toSeq.flatMap(p => Seq(p, (p._2, p._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val expect = adj.collect { case (v, ns) if ns.size >= 2 =>
+      val nsSeq = ns.toSeq.sorted
+      var tri = 0L
+      for { i <- nsSeq.indices; j <- i + 1 until nsSeq.size }
+        if (pairs.contains((nsSeq(i), nsSeq(j)))) tri += 1
+      val degree = ns.size.toLong
+      val den = degree * (degree - 1)
+      v -> ((degree, tri, (2 * 2000000L * tri + den) / (2 * den)))
+    }
+    assert(got == expect && got.nonEmpty)
+    got.values.foreach { case (_, _, cc) =>
+      assert(cc >= 0L && cc <= 1000000L)
+    }
+    // real data separates hubs from bundle cores
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
 }
