@@ -246,6 +246,7 @@ object SparkEntry {
     "q221_spearman" -> (StatsOps.q221Spearman _),
     "q222_changelog_compact" -> (RelationalOps.q222ChangelogCompact _),
     "q223_clustering_coef" -> (GraphOps.q223ClusteringCoef _),
+    "q224_forecast_backtest" -> (StatsOps.q224ForecastBacktest _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -5514,5 +5515,33 @@ object SparkEntry {
                   AS cc_ppm
          FROM deg d LEFT JOIN tcnt t ON d.node = t.node
          WHERE d.degree >= 2""",
+
+    "q224_forecast_backtest" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2
+         ), scored AS (
+           SELECT d.event_type,
+                  abs(d.y - s.y) AS es, abs(d.y - n.y) AS en
+           FROM daily d
+           JOIN daily s ON s.event_type = d.event_type
+                       AND s.day + INTERVAL 7 DAY = d.day
+           JOIN daily n ON n.event_type = d.event_type
+                       AND n.day + INTERVAL 1 DAY = d.day
+         ), ag AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                  CAST(SUM(es) AS HUGEINT) AS ses,
+                  CAST(SUM(en) AS HUGEINT) AS sen
+           FROM scored GROUP BY 1
+         )
+         SELECT event_type, n_days,
+                CAST((2 * ses + n_days) // (2 * n_days) AS BIGINT)
+                  AS mae_snaive,
+                CAST((2 * sen + n_days) // (2 * n_days) AS BIGINT)
+                  AS mae_naive,
+                CAST((2 * 1000000 * ses + sen) // (2 * sen) AS BIGINT)
+                  AS mase_ppm
+         FROM ag WHERE sen > 0""",
   )
 }

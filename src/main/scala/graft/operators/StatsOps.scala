@@ -1759,4 +1759,56 @@ object StatsOps {
                + (_n * _n * _n - _n)) DIV (2 * (_n * _n * _n - _n))
                AS BIGINT) END""").as("rho_ppm"))
   }
+
+  /** q224: seasonal-naive forecast BACKTEST per event type — rolling-
+    * origin evaluation of "this weekday last week" (seasonal naive,
+    * m=7) against "yesterday" (naive) on daily event volume, scored
+    * by MASE (Hyndman & Koehler 2006: MAE ratio vs the naive
+    * benchmark — THE scale-free forecast-accuracy standard; < 1e6
+    * ppm means the weekly pattern is real signal). The evaluation
+    * harness q200's Holt forecasts would plug into: no forecast
+    * method ships without a backtest, and the naive pair is the
+    * mandated baseline. (Traffic counts, not revenue: the event
+    * stream is observed every day, so the backtest has support at
+    * every scale; a sparse-series revenue variant would first
+    * gap-fill via q99.)
+    *
+    * Both predecessors join by EXACT calendar offset (day−7, day−1 on
+    * the observed series) — never "7 rows ago", which silently slips
+    * across gaps; scoring runs on the common support so both MAEs see
+    * identical days. One fact aggregate to the calendar-bounded daily
+    * artifact (checkpointed — feeds three plan branches), two
+    * broadcast-scale self-joins on it; |e| sums exact longs widened
+    * to DECIMAL(38,0) for the ppm cross-ratio (1e6·Σ|e| tops long at
+    * 10¹²-event days × decades).
+    */
+  def q224ForecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+      .localCheckpoint(false) // bounded artifact; feeds 3 branches
+    val sn = daily.select(col("event_type"),
+      (col("day") + expr("INTERVAL 7 DAYS")).as("day"),
+      col("y").as("_ysn"))
+    val nv = daily.select(col("event_type"),
+      (col("day") + expr("INTERVAL 1 DAY")).as("day"),
+      col("y").as("_ynv"))
+    daily.join(sn, Seq("event_type", "day"))
+      .join(nv, Seq("event_type", "day"))
+      .select(col("event_type"), abs(col("y") - col("_ysn")).as("_es"),
+        abs(col("y") - col("_ynv")).as("_en"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("_es")).cast("decimal(38,0)").as("_ses"),
+        sum(col("_en")).cast("decimal(38,0)").as("_sen"))
+      .filter(col("_sen") > 0)
+      .select(col("event_type"), col("n_days"),
+        expr("CAST((2 * _ses + n_days) DIV (2 * n_days) AS BIGINT)")
+          .as("mae_snaive"),
+        expr("CAST((2 * _sen + n_days) DIV (2 * n_days) AS BIGINT)")
+          .as("mae_naive"),
+        expr("""CAST((2 * 1000000 * _ses + _sen) DIV (2 * _sen)
+                AS BIGINT)""").as("mase_ppm"))
+  }
 }

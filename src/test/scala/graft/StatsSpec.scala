@@ -1271,4 +1271,37 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.forall(v =>
       v._2 >= -1000000L && v._2 <= 1000000L))
   }
+
+  test("q224 forecast backtest equals a local calendar-offset replay; " +
+      "MASE is the exact cross-ratio of the two MAEs") {
+    val got = graft.operators.StatsOps.q224ForecastBacktest(spark, Sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val daily = Tables.events(spark, Sf)
+      .selectExpr("event_type",
+        "CAST(date_trunc('day', ts) AS DATE) AS day")
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate.toEpochDay),
+        1L))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val expect = daily.keys.map(_._1).toSet.toSeq.flatMap {
+      nation: String =>
+        val series = daily.collect {
+          case ((n, d), y) if n == nation => d -> y }
+        val errs = series.toSeq.flatMap { case (d, y) =>
+          for { ysn <- series.get(d - 7); ynv <- series.get(d - 1) }
+            yield (math.abs(y - ysn), math.abs(y - ynv))
+        }
+        val (ses, sen) = (errs.map(e => BigInt(e._1)).sum,
+          errs.map(e => BigInt(e._2)).sum)
+        val n = BigInt(errs.size)
+        if (errs.nonEmpty && sen > 0)
+          Some(nation -> ((errs.size.toLong,
+            ((2 * ses + n) / (2 * n)).toLong,
+            ((2 * sen + n) / (2 * n)).toLong,
+            ((2 * 1000000 * ses + sen) / (2 * sen)).toLong)))
+        else None
+    }.toMap
+    assert(got == expect && got.nonEmpty)
+  }
 }
