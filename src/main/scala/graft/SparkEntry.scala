@@ -247,6 +247,7 @@ object SparkEntry {
     "q222_changelog_compact" -> (RelationalOps.q222ChangelogCompact _),
     "q223_clustering_coef" -> (GraphOps.q223ClusteringCoef _),
     "q224_forecast_backtest" -> (StatsOps.q224ForecastBacktest _),
+    "q225_outlier_screen" -> (SimilarityOps.q225OutlierScreen _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -5543,5 +5544,45 @@ object SparkEntry {
                 CAST((2 * 1000000 * ses + sen) // (2 * sen) AS BIGINT)
                   AS mase_ppm
          FROM ag WHERE sen > 0""",
+
+    "q225_outlier_screen" ->
+      """WITH base AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                   for x in embedding] AS e6
+           FROM embeddings
+         ), pdim AS (
+           SELECT vec_id, label, i, e6[i] AS e
+           FROM (SELECT vec_id, label, e6,
+                        unnest(generate_series(1, len(e6))) AS i
+                 FROM base)
+         ), cent AS (
+           SELECT label, i,
+                  CASE WHEN SUM(e) >= 0
+                    THEN (2 * SUM(e) + COUNT(*)) // (2 * COUNT(*))
+                    ELSE -((2 * (-SUM(e)) + COUNT(*)) // (2 * COUNT(*)))
+                  END AS c
+           FROM pdim GROUP BY 1, 2
+         ), dd AS (
+           SELECT p.vec_id, p.label,
+                  CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS d2
+           FROM pdim p
+           JOIN cent c ON p.label = c.label AND p.i = c.i
+           GROUP BY 1, 2
+         ), lab AS (
+           SELECT label, CAST(COUNT(*) AS HUGEINT) AS n,
+                  CAST(SUM(d2) AS HUGEINT) AS sd2
+           FROM dd GROUP BY 1
+         ), rk AS (
+           SELECT vec_id, label, d2,
+                  ROW_NUMBER() OVER (PARTITION BY label
+                    ORDER BY d2 DESC, vec_id) AS rn
+           FROM dd
+         )
+         SELECT r.label, r.vec_id, r.d2,
+                CAST((2 * 1000000 * l.n * CAST(r.d2 AS HUGEINT)
+                  + l.sd2) // (2 * l.sd2) AS BIGINT) AS ratio_ppm
+         FROM rk r JOIN lab l ON r.label = l.label
+         WHERE r.rn <= 3 AND l.sd2 > 0""",
   )
 }

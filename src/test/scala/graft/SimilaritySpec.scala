@@ -590,4 +590,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._2).distinct.size == 8)
     assert(radii.forall(_ > 0))
   }
+
+  test("q225 outlier screen equals a local rounded-centroid replay; " +
+      "outliers sit above their label mean") {
+    val got = SimilarityOps.q225OutlierScreen(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val pts = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Float](2)
+        .map(x => math.floor(x.toDouble * 1000000).toLong).toArray))
+    def rhu(num: Long, den: Long): Long =
+      if (num >= 0) (2 * num + den) / (2 * den)
+      else -((2 * -num + den) / (2 * den))
+    val expect = pts.groupBy(_._2).flatMap { case (label, members) =>
+      val dim = members.head._3.length
+      val cent = Array.tabulate(dim) { i =>
+        rhu(members.map(_._3(i)).sum, members.length.toLong) }
+      val dds = members.map { case (id, _, e) =>
+        (id, e.zip(cent).map { case (a, c) => (a - c) * (a - c) }.sum) }
+      val sd2 = dds.map(t => BigInt(t._2)).sum
+      val n = BigInt(members.length)
+      dds.sortBy(t => (-t._2, t._1)).take(3).toSeq.map { case (id, d2) =>
+        (label, id, d2,
+          ((2 * 1000000 * n * BigInt(d2) + sd2) / (2 * sd2)).toLong) }
+    }.toSet
+    assert(got == expect && got.nonEmpty)
+    // an extreme point is at least its label's mean distance (ratio
+    // >= 1e6) — true for every reported max (rank-1 rows exist)
+    assert(got.exists(_._4 >= 1000000L))
+  }
 }
