@@ -248,6 +248,7 @@ object SparkEntry {
     "q223_clustering_coef" -> (GraphOps.q223ClusteringCoef _),
     "q224_forecast_backtest" -> (StatsOps.q224ForecastBacktest _),
     "q225_outlier_screen" -> (SimilarityOps.q225OutlierScreen _),
+    "q226_dedup_yield" -> (DedupOps.q226DedupYield _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -5584,5 +5585,72 @@ object SparkEntry {
                   + l.sd2) // (2 * l.sd2) AS BIGINT) AS ratio_ppm
          FROM rk r JOIN lab l ON r.label = l.label
          WHERE r.rn <= 3 AND l.sd2 > 0""",
+
+    "q226_dedup_yield" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
+           FROM documents
+         ), base AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM corpus
+         ), sh AS (
+           SELECT doc_id, list_distinct(tk) AS toks,
+                  CASE WHEN len(tk) >= 3 THEN
+                    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                   for i in range(1, len(tk) - 1)])
+                  ELSE [array_to_string(tk, ' ')] END AS sh
+           FROM base
+         ), sigs AS (
+           SELECT doc_id, toks,
+                  list_min(list_transform(sh, x -> md5('0|' || x))) AS m0,
+                  list_min(list_transform(sh, x -> md5('1|' || x))) AS m1,
+                  list_min(list_transform(sh, x -> md5('2|' || x))) AS m2,
+                  list_min(list_transform(sh, x -> md5('3|' || x))) AS m3,
+                  list_min(list_transform(sh, x -> md5('4|' || x))) AS m4,
+                  list_min(list_transform(sh, x -> md5('5|' || x))) AS m5,
+                  list_min(list_transform(sh, x -> md5('6|' || x))) AS m6,
+                  list_min(list_transform(sh, x -> md5('7|' || x))) AS m7
+           FROM sh
+         ), banded AS (
+           SELECT doc_id,
+                  unnest([0, 1, 2, 3]) AS band_id,
+                  unnest([m0 || ',' || m1, m2 || ',' || m3,
+                          m4 || ',' || m5, m6 || ',' || m7]) AS band_key
+           FROM sigs
+         ), prs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+         ), iv AS (
+           SELECT p.doc_a, p.doc_b,
+                  1000 * len(list_intersect(ta.toks, tb.toks)) AS sc,
+                  len(ta.toks) + len(tb.toks)
+                    - len(list_intersect(ta.toks, tb.toks)) AS den
+           FROM prs p
+           JOIN sh ta ON ta.doc_id = p.doc_a
+           JOIN sh tb ON tb.doc_id = p.doc_b
+         ), th AS (
+           SELECT unnest([500, 700, 900]) AS t
+         ), fl AS (
+           SELECT t, doc_a, doc_b
+           FROM th CROSS JOIN iv WHERE sc >= t * den
+         ), pc AS (
+           SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs
+           FROM fl GROUP BY 1
+         ), dc AS (
+           SELECT t, CAST(COUNT(DISTINCT d) AS BIGINT)
+                    AS n_docs_involved
+           FROM (SELECT t, unnest([doc_a, doc_b]) AS d FROM fl)
+           GROUP BY 1
+         )
+         SELECT CAST(th.t AS BIGINT) AS threshold_mills,
+                CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+                CAST(COALESCE(n_docs_involved, 0) AS BIGINT)
+                  AS n_docs_involved
+         FROM th LEFT JOIN pc ON pc.t = th.t
+                 LEFT JOIN dc ON dc.t = th.t""",
   )
 }

@@ -335,6 +335,41 @@ object DedupOps {
         max(col("_jm")).as("max_j_mills"))
   }
 
+  /** q226: dedup YIELD CURVE — how many verified near-dup pairs (and
+    * how many distinct documents) survive each Jaccard threshold in
+    * {0.5, 0.7, 0.9}. The tuning table a dedup rollout reads before
+    * fixing the production threshold: too low and distinct documents
+    * get merged, too high and mirrors survive — the curve shows where
+    * the volume lives so the threshold is a decision, not a guess
+    * (q218 says WHERE duplication comes from; this says HOW MUCH goes
+    * away per setting).
+    *
+    * Scale shape: ONE LSH verify pass (the q31 candidate-bounded
+    * machinery) checkpointed, then a constant 3-threshold fan over the
+    * bounded pair table (the q205 pattern) — each threshold one count
+    * + one single-column distinct count (no Expand: one distinct per
+    * aggregate, the q60 rule). Thresholds compare as exact rationals
+    * (1000·inter ≥ t·|A∪B|) — no float ever compares.
+    */
+  def q226DedupYield(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramVerifiedPairs(corpusWithPlantedDups(s, d))
+      .select(col("doc_a"), col("doc_b"),
+        (lit(1000L) * col("inter")).as("_sc"),
+        (col("na") + col("nb") - col("inter")).as("_den"))
+      .localCheckpoint(false) // candidate-bounded; feeds the fan
+    Seq(500L, 700L, 900L).map { t =>
+      val f = pairs.filter(col("_sc") >= lit(t) * col("_den"))
+      f.agg(count(lit(1)).cast("long").as("n_pairs"))
+        .crossJoin(f.select(explode(array(col("doc_a"), col("doc_b")))
+            .as("_d"))
+          .agg(countDistinct(col("_d")).cast("long")
+            .as("n_docs_involved")))
+        .withColumn("threshold_mills", lit(t))
+        .select(col("threshold_mills"), col("n_pairs"),
+          col("n_docs_involved"))
+    }.reduce(_ unionByName _)
+  }
+
   /** 61. Near-dup clusters: connected components over the verified
     * candidate pairs, canonical doc = component minimum — the step that
     * turns pairwise similarity into an actual keep/drop decision.

@@ -473,4 +473,55 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // the planted drop-first-token twins verify within their source
     assert(got.keys.exists(k => k._1 == k._2))
   }
+
+  test("q226 dedup yield curve equals a full local LSH replay; " +
+      "yield is monotone non-increasing in the threshold") {
+    val got = DedupOps.q226DedupYield(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").toSeq
+    def shing(tk: Seq[String]): Seq[String] =
+      if (tk.size >= 3) tk.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      else Seq(tk.mkString(" "))
+    val corpus = docs ++ docs.map(d =>
+      (d._1 + 1000000L, d._2.substring(d._2.indexOf(' ') + 1)))
+    val sigs = corpus.map { case (id, t) =>
+      val tk = toks(t)
+      val ms = (0 until 8).map(i =>
+        shing(tk).map(x => md5hex(s"$i|$x")).min)
+      (id, tk.distinct.toSet, (0 until 4).map(b =>
+        (b, ms(2 * b) + "," + ms(2 * b + 1))))
+    }
+    val cand = sigs.flatMap { case (id, _, bands) =>
+      bands.map(bk => bk -> id) }
+      .groupBy(_._1).values.flatMap { g =>
+        val ids = g.map(_._2).toSeq.sorted
+        for { i <- ids.indices; j <- i + 1 until ids.size }
+          yield (ids(i), ids(j))
+      }.toSet
+    val tokOf = sigs.map(s => s._1 -> s._2).toMap
+    val iv = cand.toSeq.map { case (a, b) =>
+      val inter = tokOf(a).intersect(tokOf(b)).size.toLong
+      (a, b, 1000L * inter,
+        tokOf(a).size + tokOf(b).size - inter)
+    }
+    val expect = Seq(500L, 700L, 900L).map { t =>
+      val f = iv.filter(p => p._3 >= t * p._4)
+      t -> ((f.size.toLong,
+        f.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong))
+    }.toMap
+    assert(got == expect && got.size == 3)
+    // monotone: a stricter threshold never yields more
+    assert(got(500L)._1 >= got(700L)._1 &&
+      got(700L)._1 >= got(900L)._1)
+    assert(got(500L)._2 >= got(700L)._2 &&
+      got(700L)._2 >= got(900L)._2)
+    assert(got(500L)._1 > 0)
+  }
 }
