@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph centrality over relational co-occurrence graphs — PageRank
@@ -116,79 +116,120 @@ object GraphOps {
       .select(col("dst").as("node"),
         (lit(base) + expr("(85 * cs) div 100")).as("r"))
 
-  /** Per-node triangle counts over a SYMMETRIC edge list — the
+  /** Per-node triangle counts over a SYMMETRIC edge list (duplicate
+    * edges allowed — the adjacency build dedups) — the
     * clustering-coefficient numerator (community tightness, spam/bot
-    * subgraph detection). The naive wedge join explodes on hubs
-    * (Σ deg² wedges); DEGREE ORIENTATION (Schank & Wagner 2005 —
-    * forward/compact-forward) points every undirected edge from its
-    * lower-(degree, id) endpoint to the higher, so wedges form only at
-    * a triangle's SMALLEST corner and each node generates at most
-    * (out-deg choose 2) ≤ O(E) wedge pairs total for out-deg ≤ √(2E) —
-    * the bound that survives power-law hubs. Each triangle is found
-    * exactly once, then exploded to its 3 corners for the per-node
-    * count; everything is hash equi-joins + one aggregate, all exact
-    * integers.
+    * subgraph detection). Adjacency-intersection edge-iterator
+    * (Latapy 2008; Schank & Wagner 2005 orientation): each node's
+    * neighbors are collected once into a SORTED PACKED array, and for
+    * every oriented edge (u, v) the third corners are exactly the
+    * common neighbors above v's packed key — a two-pointer merge of
+    * two sorted suffixes ([[graft.functions.SortedIntersectAbove]],
+    * codegen; the HOF spelling ran interpreted and cost ~5 s alone at
+    * sf0.1). Each triangle is found exactly once, at its smallest
+    * corner pair under the orientation order.
+    *
+    * Orientation order: (raw per-node edge count, id) packed into one
+    * long. Any deterministic total order is CORRECT (it only decides
+    * where each triangle is counted); ordering by degree keeps the
+    * per-node out-degree ≤ O(√E) so Σ intersect work stays O(E^{3/2})
+    * on power-law graphs. The RAW count (duplicates included) tracks
+    * the distinct degree closely enough for that bound while staying a
+    * plain map-side-combinable sum — no per-group set on the first
+    * pass. Packing is injective only for ids < 2³² and counts < 2³¹;
+    * beyond that distinct keys would alias and inflate counts
+    * silently, so the build asserts the bound per row.
+    *
+    * Scale shape: two node-scale artifacts (degree, packed adjacency),
+    * each checkpointed once; the per-node joins broadcast under a
+    * size gate (≤4 M nodes, ≤100 M edge endpoints ≈ 800 MB packed)
+    * and fall back to shuffle joins beyond it — the kernel itself is
+    * unchanged. Wedge-scale data never leaves the intersect loop:
+    * nothing larger than the edge list is shuffled or materialized.
     */
   def triangleCounts(symEdges: DataFrame): DataFrame = {
-    val deg = symEdges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // undirected representative with both endpoint degrees attached
-    val und = symEdges.filter(col("src") < col("dst"))
-      .join(deg.select(col("src"), col("d").as("ds")), "src")
-      .join(deg.select(col("src").as("dst"), col("d").as("dd")), "dst")
-    // orient by (degree, id): lo → hi
-    val oriented = und.select(
-      when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
-        struct(col("src").as("lo"), col("dst").as("hi"),
-          col("dd").as("dhi")))
-        .otherwise(struct(col("dst").as("lo"), col("src").as("hi"),
-          col("ds").as("dhi"))).as("e"))
-      // ok = packed (deg, id) orientation key: one long compare per
-      // wedge candidate instead of a struct comparator. Packing is only
-      // injective for ids < 2³² and degrees < 2³¹ — beyond that,
-      // distinct keys would ALIAS and inflate counts silently, so the
-      // one-pass build asserts the bound per row (two long compares;
-      // a 64-bit-id graph needs the unpacked 2-column formulation)
-      .select(col("e.lo").as("lo"), col("e.hi").as("hi"),
-        // assert_true yields NULL on success, so the packed key is
-        // routed through it — column pruning can't drop the check
-        when(assert_true(
-            col("e.hi") >= 0 && col("e.hi") < lit(1L << 32) &&
-            col("e.lo") >= 0 && col("e.lo") < lit(1L << 32) &&
-            col("e.dhi") < lit(1L << 31),
-            lit("triangleCounts: node ids must be in [0, 2^32) and " +
-              "degrees < 2^31 for packed keys")).isNull,
-          shiftleft(col("e.dhi"), 32) + col("e.hi")).as("ok"))
+    val (adj, useBc) = triangleAdjacency(symEdges)
+    triangleKernel(adj, useBc)
+  }
+
+  /** [[triangleCounts]] plus each node's exact distinct degree —
+    * `size(nbrs)` of the deduped adjacency, so q223 pays nothing extra
+    * for its normalizer. Covers EVERY node (degree ≥ 1); nodes with no
+    * triangles report n_tri = 0.
+    */
+  private[graft] def triangleCountsWithDegree(symEdges: DataFrame): DataFrame = {
+    val (adj, useBc) = triangleAdjacency(symEdges)
+    adj.select(col("pku").bitwiseAND(lit((1L << 32) - 1)).as("node"),
+        size(col("nbrs")).cast("long").as("degree"))
+      .join(triangleKernel(adj, useBc), Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)).cast("long"))
+  }
+
+  /** Packed sorted adjacency per node, plus the broadcast-gate verdict.
+    * `nbrs` is the ascending array of (raw-count<<32 | id) over the
+    * node's DISTINCT neighbors (collect_set dedups, so duplicate input
+    * edges are free); `pku` is the node's own packed key.
+    */
+  private def triangleAdjacency(symEdges: DataFrame): (DataFrame, Boolean) = {
+    // raw (duplicates-included) per-node edge count: the orientation key
+    val deg = symEdges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
       .localCheckpoint(false)
-    // wedges at the smallest corner; the closing edge is oriented too
-    // the wedge table is the BIG side (Σ (outdeg choose 2) rows ≫ E):
-    // broadcast the closing-edge set so 41 M wedges at sf0.1 are
-    // filtered in place instead of shuffled by (b, c). For graphs whose
-    // edge set outgrows a broadcast, drop the hint — AQE then plans the
-    // shuffled semi-join, which is the algorithm's unavoidable cost.
-    val tris = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.lo") === col("e2.lo") && col("e1.ok") < col("e2.ok"))
-      .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
-        col("e2.hi").as("c"))
-      // single packed long key → LongHashedRelation build + probe (ids
-      // are 32-bit here; a generic graph would keep the 2-column key)
-      .withColumn("bc", shiftleft(col("b"), 32) + col("c"))
-      .join(broadcast(oriented
-          .select((shiftleft(col("lo"), 32) + col("hi")).as("bc"))),
-        Seq("bc"), "left_semi")
-      .drop("bc")
-    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    // bounded driver read: ONE row of node/endpoint totals for the gate
+    val stats = deg.agg(count(lit(1)).as("n"), sum(col("dg")).as("m")).collect()(0)
+    val useBc = stats.getLong(0) <= 4000000L && stats.getLong(1) <= 100000000L
+    def side(df: DataFrame): DataFrame = if (useBc) broadcast(df) else df
+    // assert_true yields NULL on success, so the packed value is routed
+    // through it — column pruning can't drop the check
+    def packGuard(id: Column, dgc: Column): Column =
+      when(assert_true(id >= 0 && id < lit(1L << 32) && dgc < lit(1L << 31),
+          lit("triangleCounts: node ids must be in [0, 2^32) and " +
+            "raw degrees < 2^31 for packed keys")).isNull,
+        shiftleft(dgc, 32) + id)
+    val adj = symEdges
+      .join(side(deg.select(col("src").as("dst"), col("dg").as("dv"))), "dst")
+      .groupBy(col("src"))
+      .agg(sort_array(collect_set(packGuard(col("dst"), col("dv")))).as("nbrs"))
+      .join(side(deg), "src")
+      .select(packGuard(col("src"), col("dg")).as("pku"), col("nbrs"))
+      .localCheckpoint(false)
+    (adj, useBc)
+  }
+
+  /** The edge-iterator kernel: oriented edges stream straight out of
+    * the adjacency explode, and each edge's closing corners are one
+    * sorted-suffix merge ([[graft.functions.SortedIntersectAbove]]).
+    * Returns (node, n_tri) for nodes in ≥ 1 triangle.
+    */
+  private def triangleKernel(adj: DataFrame, useBc: Boolean): DataFrame = {
+    val spark = adj.sparkSession
+    val MASK = (1L << 32) - 1
+    val edges = adj
+      .select(col("pku"), col("nbrs"), explode(col("nbrs")).as("pkv"))
+      .filter(col("pku") < col("pkv"))
+    val vSide = adj.select(col("pku").as("pkv"), col("nbrs").as("nv"))
+    val withV = edges.join(if (useBc) broadcast(vSide) else vSide, "pkv")
+    val tris = withV.select(col("pku").as("pa"), col("pkv").as("pb"),
+        graft.functions.SortedIntersectAbove.intersectAbove(spark,
+          col("nbrs"), col("nv"), col("pkv")).as("ww"))
+      .filter(size(col("ww")) > 0)
+    tris.select(col("pa"), col("pb"), explode(col("ww")).as("pc"))
+      .select(explode(array(
+        col("pa").bitwiseAND(lit(MASK)), col("pb").bitwiseAND(lit(MASK)),
+        col("pc").bitwiseAND(lit(MASK)))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
-  /** 122. Triangle census of the part co-purchase graph (same edge
-    * build as q105): parts whose neighborhoods close into triangles
-    * are bundle cores, and the count is exact — verified against the
-    * oracle's direct a<b<c three-way enumeration, which the orientation
-    * provably equals while doing O(E^{3/2}) work instead of hub-
-    * quadratic.
+  /** 122. Triangle census of the part co-purchase graph (same graph as
+    * q105): parts whose neighborhoods close into triangles are bundle
+    * cores, and the count is exact — verified against the oracle's
+    * direct a<b<c three-way enumeration, which the orientation provably
+    * equals while doing O(E^{3/2}) work instead of hub-quadratic.
+    * Feeds [[coPurchaseRawPairs]] (duplicates included) — the
+    * adjacency collect_set dedups, so the separate DISTINCT shuffle of
+    * [[coPurchaseEdges]] is skipped.
     */
   def q107Triangles(s: SparkSession, d: String): DataFrame =
-    triangleCounts(coPurchaseEdges(s, d))
+    triangleCounts(coPurchaseRawPairs(s, d))
       .select(col("node").as("partkey"), col("n_tri"))
 
   /** k-core of a SYMMETRIC edge list by iterative peeling (Seidman
@@ -430,6 +471,27 @@ object GraphOps {
       .select(col("a.pk").as("s1"), col("b.pk").as("s2")).distinct()
     pairs.select(col("s1").as("src"), col("s2").as("dst"))
       .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
+  }
+
+  /** Symmetric co-purchase pairs WITH duplicates (one row per ordered
+    * pair per shared order) for consumers that dedup internally
+    * (triangleCounts' collect_set adjacency): one groupBy into
+    * per-order part arrays — bounded by order size, never table size —
+    * then a double explode. Skipping the DISTINCT shuffle and the
+    * self-join halves the edge-build cost vs [[coPurchaseEdges]].
+    */
+  private[graft] def coPurchaseRawPairs(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // checkpoint the slimmest form — per-order arrays, bounded by order
+    // count — so the two consumers (degree pass, adjacency pass) replay
+    // the explode from memory instead of re-running the scan + groupBy
+    val orders = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("parts"))
+      .select(col("parts")).filter(size(col("parts")) > 1)
+      .localCheckpoint(false)
+    orders
+      .select(col("parts"), explode(col("parts")).as("src"))
+      .select(col("src"), explode(array_remove(col("parts"), col("src"))).as("dst"))
   }
 
   /** The co-purchase graph pruned to pairs sharing ≥ `minCount` orders
@@ -971,21 +1033,19 @@ object GraphOps {
     * (high degree, low cc) — the ego-density screen behind community
     * seeding and fraud-ring triage.
     *
-    * Scale shape: the checkpointed symmetric edge list feeds BOTH the
-    * degree aggregate and [[triangleCounts]]'s oriented wedge join
-    * (O(E^{3/2}), never hub-quadratic) — one edge build, two
-    * consumers. Integer determinism: ppm by round-half-up with the
+    * Scale shape: one [[triangleCountsWithDegree]] pipeline — the
+    * degree is size(nbrs) of the kernel's own deduped adjacency
+    * (O(E^{3/2}) intersect work, never hub-quadratic), so q223 costs
+    * the same as q107. Integer determinism: ppm by round-half-up with the
     * triangle count widened to DECIMAL(38,0) (4·10⁶·tri(v) tops long
     * at hub degree ~10⁷); degree-1 nodes carry no defined cc and are
     * filtered, triangle-free nodes report 0.
     */
   def q223ClusteringCoef(s: SparkSession, d: String): DataFrame = {
-    val edges = coPurchaseEdges(s, d).localCheckpoint(false)
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).cast("long").as("degree"))
+    // degree rides along free: it's size(nbrs) of the kernel's own
+    // deduped adjacency — no separate edge materialization or agg
+    triangleCountsWithDegree(coPurchaseRawPairs(s, d))
       .filter(col("degree") >= 2)
-    deg.join(triangleCounts(edges), Seq("node"), "left")
-      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)).cast("long"))
       .select(col("node").as("partkey"), col("degree"), col("n_tri"),
         expr("""CAST((2 * 2000000 * CAST(n_tri AS DECIMAL(38,0))
              + degree * (degree - 1))

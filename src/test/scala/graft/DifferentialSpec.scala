@@ -376,4 +376,29 @@ class DifferentialSpec extends AnyFunSuite with SparkTestBase {
       assert(got == want, s"trial $trial")
     }
   }
+
+  test("SortedIntersectAbove equals the HOF formulation on random " +
+      "sorted long arrays (empty arrays, all-below thresholds, dups " +
+      "across arrays)") {
+    val rnd = new scala.util.Random(9119)
+    for (trial <- 1 to 10) {
+      val n = 1 + rnd.nextInt(150)
+      def arr(): Seq[Long] =
+        (0 until rnd.nextInt(14)).map(_ => rnd.nextInt(40).toLong)
+          .distinct.sorted
+      val rows = (0 until n).map { i =>
+        // thresholds straddle the domain: some below all, some above all
+        (i.toLong, arr(), arr(), rnd.nextInt(50).toLong - 5L)
+      }
+      val df = rows.toDF("id", "a", "b", "t")
+      val native = graft.functions.SortedIntersectAbove
+        .intersectAbove(spark, col("a"), col("b"), col("t"))
+      val hof = filter(array_intersect(col("a"), col("b")),
+        x => x > col("t"))
+      val diff = df.select(col("id"), native.as("x"),
+          sort_array(hof).as("y"))
+        .filter(not(col("x") <=> col("y"))).collect()
+      assert(diff.isEmpty, s"trial $trial: ${diff.take(3).mkString(",")}")
+    }
+  }
 }
