@@ -73,7 +73,7 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, s"BENCH_LOCAL_$sfName.json"),
         (line + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
     spark.stop()

@@ -249,6 +249,7 @@ object SparkEntry {
     "q224_forecast_backtest" -> (StatsOps.q224ForecastBacktest _),
     "q225_outlier_screen" -> (SimilarityOps.q225OutlierScreen _),
     "q226_dedup_yield" -> (DedupOps.q226DedupYield _),
+    "q227_ann_index_search" -> (graft.sources.AnnIndexStore.q227AnnIndexSearch _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the

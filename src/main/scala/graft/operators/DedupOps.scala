@@ -64,7 +64,16 @@ object DedupOps {
   def corpusWithPlantedDups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val perturbed = docs.select(
-      (col("doc_id") + 1000000L).as("doc_id"),
+      // the +1,000,000 offset is what q218/q226 invert with `% 1000000`
+      // to map a planted copy back to its source — a corpus with ids
+      // ≥ 1,000,000 would alias planted and natural ids and
+      // mis-attribute silently on BOTH engines (the gate can't see
+      // it), so the bound is asserted per row, mirroring
+      // triangleCounts' packed-key guard
+      when(assert_true(col("doc_id") >= 0 && col("doc_id") < 1000000L,
+          lit("corpusWithPlantedDups: doc_id must be in [0, 1e6) — " +
+            "the planted-copy offset would alias")).isNull,
+        col("doc_id") + 1000000L).as("doc_id"),
       // drop the first token: everything after the first space
       expr("substring(text, instr(text, ' ') + 1)").as("text"))
     docs.unionByName(perturbed)

@@ -30,8 +30,10 @@ object DistributedRank {
     * different boundaries per execution (≈450k duplicate ranks). The
     * ranged frame is therefore localCheckpoint'd: `_part` is data
     * computed on one materialization, impossible to diverge.
-    * PlanAuditSpec pins exactly ONE rangepartitioning exchange in
-    * q45's executed plan so a regression fails the suite.
+    * PlanAuditSpec asserts ZERO rangepartitioning in q45's consumer
+    * plan (the exchange is hidden inside the checkpoint — consumers
+    * see a Scan ExistingRDD) and pins the exchange itself in
+    * [[rangeSliced]]'s own plan, so a regression fails the suite.
     */
   /** The pre-checkpoint ranged frame — split out so PlanAuditSpec can
     * pin the rangepartitioning exchange that the checkpoint hides from

@@ -33,8 +33,8 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
-  private val M = 8
-  private val SubK = 16
+  private[graft] val M = 8
+  private[graft] val SubK = 16
   private val K = 5
 
   /** Coarse centroids + residual sub-codebooks from ONE capped
@@ -99,18 +99,41 @@ object IvfPq {
 
   /** Top-K cosine neighbors for queries (vec_id < 10): probe `nProbe`
     * cells, ADC over residual codes, exact re-rank of the shortlist.
+    * Trains + encodes inline, then delegates to [[searchEncoded]] —
+    * the same kernel the persisted-index path
+    * ([[graft.sources.AnnIndexStore]]) uses, so index-backed search is
+    * provably the in-memory result.
     */
   def search(spark: SparkSession, emb: DataFrame, nCells: Int,
       nProbe: Int, shortlist: Int = 64): DataFrame = {
     val dim = 64
-    val subDim = dim / M
     val (coarse, pq) = train(emb, dim, nCells)
     val coded = encode(emb, coarse, pq, dim).localCheckpoint(false)
+    val codesOnly = coded.select(
+      col("vec_id") +: col("cell") +:
+        (0 until M).map(m => col(s"code$m")): _*)
+    searchEncoded(spark, codesOnly,
+      coded.select(col("vec_id"), col("embedding")),
+      coarse, pq, dim, nProbe, shortlist)
+  }
+
+  /** The search-only kernel over a pre-encoded corpus: `codes` is the
+    * index payload (vec_id, cell, code0..code{M-1} — 4 bytes + a cell
+    * id per vector), `vecs` the float corpus (vec_id, embedding),
+    * touched only for the query vectors and the shortlist re-rank.
+    * Everything upstream (training, encoding) can come from a
+    * persisted artifact; this path never trains.
+    */
+  private[graft] def searchEncoded(spark: SparkSession, codes: DataFrame,
+      vecs: DataFrame, coarse: Array[Array[Double]],
+      pq: Array[Array[Array[Double]]], dim: Int,
+      nProbe: Int, shortlist: Int = 64): DataFrame = {
+    val subDim = dim / M
     val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
 
     // probe selection: nProbe nearest cells per query, same metric as
     // the quantizer (L2 in unit-normalized space)
-    val queries = coded.filter(col("vec_id") < 10)
+    val queries = vecs.filter(col("vec_id") < 10)
       .withColumn("q", PqAnn.unitE)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("q"))
     val probedAll = queries
@@ -131,8 +154,10 @@ object IvfPq {
     }.select(col("qid") +: col("cell").as("pcell") +:
       (0 until M).map(m => col(s"dt$m")): _*)
 
-    // cell-pruned ADC scan: codes + cell only (4 bytes + int payload)
-    val codesOnly = coded.select(
+    // cell-pruned ADC scan: codes + cell only (4 bytes + int payload);
+    // when codes come from a cell-partitioned parquet artifact the
+    // probe join's cell predicate is partition pruning, not a scan
+    val codesOnly = codes.select(
       col("vec_id").as("nid") +: col("cell") +:
         (0 until M).map(m => col(s"code$m")): _*)
     val adist = (0 until M).map(m =>
@@ -147,7 +172,7 @@ object IvfPq {
 
     // exact re-rank: floats touched only for the shortlist
     val reranked = short
-      .join(coded.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+      .join(vecs.select(col("vec_id").as("nid"), col("embedding").as("ne")),
         "nid")
       .join(broadcast(queries.select(col("qid"), col("qe"))), "qid")
       .withColumn("cos_sim",

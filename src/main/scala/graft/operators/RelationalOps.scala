@@ -2915,6 +2915,12 @@ object RelationalOps {
       .select(col("event_type")).distinct()
       .collect().map(_.getString(0)).sorted
     val n = chans.length
+    // fact(n) overflows Long at n ≥ 21 and the 2^n coalition lattice
+    // explodes well before that — fail loudly instead of silently
+    // overflowing if the channel alphabet ever grows past exact range
+    require(n <= 20,
+      s"q212ShapleyAttribution: $n channels — the exact 2^n lattice " +
+        "and n! weights need n <= 20; sample or bucket channels first")
     def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
     val nf = fact(n)
     // w(|S|) = |S|!·(n−1−|S|)! for |S| = 0..n−1
@@ -3173,7 +3179,12 @@ object RelationalOps {
           .getField("_op").as("_fop"),
         max(struct(col("_us"), col("event_id"), col("_op")))
           .getField("_op").as("_lop"),
-        max(when(col("_op") =!= "D",
+        // _v IS NOT NULL mirrors DuckDB arg_max, which skips rows whose
+        // ARG is NULL — without the filter a trailing null-valued
+        // update would win here but be skipped by the oracle (silent
+        // divergence; testdata has no null event.value today, so the
+        // gate can't catch it)
+        max(when(col("_op") =!= "D" && col("_v").isNotNull,
           struct(col("_us"), col("event_id"), col("_v"))))
           .getField("_v").as("_lv"))
       .select(col("user_id"),
