@@ -31,10 +31,14 @@ import org.apache.spark.sql.functions._
 object CorpusPipeline {
 
   /** Gopher-style knobs: minimum token count, maximum top-token share
-    * (per-mille, integer — no float threshold), near-dup Jaccard.
+    * (per-mille, integer — no float threshold), near-dup Jaccard,
+    * semantic-dedup cosine (applies when embeddings are supplied), and
+    * the decontamination near-dup floor in integer thousandths
+    * (applies when a benchmark set is supplied).
     */
   final case class Config(minTokens: Long = 3, maxTopSharePerMille: Long = 500,
-    nearDupJaccard: Double = 0.8)
+    nearDupJaccard: Double = 0.8, semDedupCosine: Double = 0.95,
+    contamJaccardPpt: Long = 500L)
 
   final case class Result(report: DataFrame, corpusDir: String,
     runLogPath: String)
@@ -42,9 +46,24 @@ object CorpusPipeline {
   /** Run the pipeline over `docs(doc_id, text, lang, source)`; writes
     * the kept corpus split-partitioned under `outDir/corpus` and the
     * run record under `outDir/runlog`. Returns the per-stage report.
+    *
+    * Optional stages (the full published recipe):
+    *   - `embeddings(vec_id, embedding)` keyed by doc_id adds SEMANTIC
+    *     dedup after the lexical near-dup pass: sign-LSH bucketed
+    *     cosine pairs ≥ semDedupCosine (the q36 machinery — paraphrase
+    *     / re-crawl duplicates lexical dedup can't see) → min-label
+    *     components → keep canonicals. Pairwise-exact semantics so the
+    *     integration test can pin planted same-embedding twins; q75's
+    *     cell-representative form is the coarser corpus-scale variant.
+    *   - `benchmark(doc_id, text)` adds DECONTAMINATION before the
+    *     split: drop survivors sharing any word shingle with the
+    *     benchmark (q62's broadcast shape) or near-duplicating it at
+    *     ≥ contamJaccardPpt (q84's banded cross-corpus match) — eval
+    *     questions never reach a training split.
     */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
-      cfg: Config = Config()): Result = {
+      cfg: Config = Config(), embeddings: Option[DataFrame] = None,
+      benchmark: Option[DataFrame] = None): Result = {
     import spark.implicits._
     val log = new RunLog("corpus-" +
       java.util.UUID.randomUUID.toString.take(8))
@@ -115,8 +134,48 @@ object CorpusPipeline {
       d.join(clusters, Seq("doc_id"), "left_anti")
     }
 
+    // q36/q61 over embeddings: semantic twins (paraphrase, re-crawl,
+    // translation) that lexical shingles can't see; ids-only bucket
+    // join, exact rounded cosine verify, min-id canonical survives
+    val semantic = embeddings.fold(nearDup) { emb =>
+      stage("semantic_dedup", nearDup) { d =>
+        val sub = emb
+          .join(d.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi")
+          .localCheckpoint(false)
+        // the stage already counts its input; the subset count here
+        // sizes the LSH buckets (stands in for the catalog row count)
+        val pairs = graft.operators.SimilarityOps
+          .embedNearDup(spark, sub, sub.count())
+          .filter(col("cos_sim") >= cfg.semDedupCosine)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        val losers = DedupOps.dedupClusters(pairs)
+          .filter(col("doc_id") =!= col("canonical_id"))
+          .select("doc_id")
+        d.join(losers, Seq("doc_id"), "left_anti")
+      }
+    }
+
+    // q62 + q84: benchmark decontamination — exact shingle overlap
+    // (broadcast benchmark shingles, corpus never shuffles) plus
+    // banded near-dup leakage (paraphrased eval questions)
+    val decontaminated = benchmark.fold(semantic) { bench =>
+      stage("decontaminate", semantic) { d =>
+        val b = bench.select("doc_id", "text").localCheckpoint(false)
+        val exactHits = DedupOps
+          .contamination(d.select("doc_id", "text"), b)
+          .select("doc_id")
+        val nearHits = DedupOps
+          .nearDupContamination(spark, d.select("doc_id", "text"), b,
+            cfg.contamJaccardPpt)
+          .select(col("train_doc").as("doc_id"))
+        d.join(exactHits.unionByName(nearHits).distinct(),
+          Seq("doc_id"), "left_anti")
+      }
+    }
+
     // q69: stable md5 hash split — a doc never migrates as data grows
-    val split9055 = stage("split", nearDup) { d =>
+    val split9055 = stage("split", decontaminated) { d =>
       d.withColumn("_h",
           md5(encode(col("doc_id").cast("string"), "UTF-8")))
         .withColumn("split",

@@ -104,4 +104,73 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
     assert(m1 == m2)
   }
+
+  test("full recipe: semantic dedup kills planted same-embedding twins " +
+      "lexical dedup can't see, decontamination scrubs benchmark " +
+      "leakage, and the extended stage counts still telescope") {
+    // semantic twins: docs 100..119 cloned with UNRELATED text (passes
+    // clean/quality/exact/near-dup) but the IDENTICAL embedding — only
+    // the semantic stage can connect them to their originals
+    val twinIds = (100L until 120L)
+    val base = Tables.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text", "lang", "source")
+    val twinDocs = twinIds.zipWithIndex.map { case (id, i) =>
+      (id + 30000000L,
+        s"unrelated twin body $i carries fresh vocabulary alpha$i " +
+          s"beta$i gamma$i delta$i with no shingle overlap at all",
+        "en", "twin")
+    }.toDF("doc_id", "text", "lang", "source")
+    val docs = base.unionByName(twinDocs)
+    val emb = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val twinEmb = emb.filter(col("vec_id").isin(twinIds: _*))
+      .select((col("vec_id") + 30000000L).as("vec_id"), col("embedding"))
+    val allEmb = emb.unionByName(twinEmb)
+    // benchmark: 10 real docs verbatim — exact-contaminated by their
+    // sources, which decontamination must drop from the corpus
+    val bench = base.filter(col("doc_id") % 50 === 0)
+      .limit(10).select("doc_id", "text")
+      .select((col("doc_id") + 40000000L).as("doc_id"), col("text"))
+
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe3").toString
+    val res = CorpusPipeline.run(spark, docs, out,
+      embeddings = Some(allEmb), benchmark = Some(bench))
+    val report = res.report.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(report.map(_._1).toSeq ==
+      Seq("clean_scrub", "quality_filter", "exact_dedup",
+        "neardup_dedup", "semantic_dedup", "decontaminate", "split"))
+    report.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 == b._2, s"${a._1} out ${a._3} != ${b._1} in ${b._2}")
+    }
+
+    val kept = spark.read.parquet(res.corpusDir)
+    val keptIds = kept.collect().map(_.getAs[Long]("doc_id")).toSet
+    // identical embeddings give cos 1.0 ≥ 0.95 and the min-id
+    // canonical keeps the original — a pair can never BOTH survive.
+    // (A base doc may die lexically BEFORE the semantic stage — its
+    // twin then has no partner and legitimately survives.)
+    twinIds.foreach { id =>
+      assert(!(keptIds.contains(id) && keptIds.contains(id + 30000000L)),
+        s"both $id and its semantic twin survived")
+    }
+    // twins can die ONLY at the semantic stage (their text is unique
+    // and benchmark-disjoint); a twin survives only when its base died
+    // lexically first, leaving no pair
+    val twinsKilled = twinIds.count(id => !keptIds.contains(id + 30000000L))
+    assert(twinsKilled >= 15,
+      s"only $twinsKilled twins died — the semantic stage missed pairs")
+    // decontamination: nothing kept shares a shingle with the benchmark
+    val residualContam = graft.operators.DedupOps.contamination(
+        kept.select(col("doc_id"), col("text")),
+        bench).count()
+    assert(residualContam == 0L,
+      s"$residualContam benchmark-contaminated docs survived")
+    // and the semantic stage really fired
+    val sem = report.find(_._1 == "semantic_dedup").get
+    assert(sem._2 - sem._3 >= twinsKilled,
+      s"semantic stage dropped only ${sem._2 - sem._3}")
+  }
 }
