@@ -250,6 +250,10 @@ object SparkEntry {
     "q225_outlier_screen" -> (SimilarityOps.q225OutlierScreen _),
     "q226_dedup_yield" -> (DedupOps.q226DedupYield _),
     "q227_ann_index_search" -> (graft.sources.AnnIndexStore.q227AnnIndexSearch _),
+    "q228_rate_limit" -> (RelationalOps.q228RateLimitReplay _),
+    "q229_epsilon_join" -> (SimilarityOps.q229EpsilonJoin _),
+    "q230_ndcg_eval" -> (RelationalOps.q230NdcgEval _),
+    "q231_two_hop_reach" -> (GraphOps.q231TwoHopReach _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -5653,5 +5657,167 @@ object SparkEntry {
                   AS n_docs_involved
          FROM th LEFT JOIN pc ON pc.t = th.t
                  LEFT JOIN dc ON dc.t = th.t""",
+
+    // q228: lockstep recursive replay of the same integer token-bucket
+    // recursion (capacity 3e6 µtok, cost 1e6, refill Δµs // 86400 —
+    // all operands non-negative, so DuckDB's flooring // equals
+    // Spark's truncating DIV)
+    "q228_rate_limit" ->
+      """WITH RECURSIVE ev AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events WHERE user_id IS NOT NULL
+         ), nn AS (
+           SELECT user_id, CAST(MAX(rn) AS BIGINT) AS n_events
+           FROM ev GROUP BY 1
+         ), st AS (
+           SELECT user_id, rn, us AS lu,
+                  CAST(2000000 AS BIGINT) AS tk,
+                  CAST(1 AS BIGINT) AS ad, CAST(0 AS BIGINT) AS dn
+           FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.rn, e.us,
+                  CASE WHEN least(3000000, st.tk + (e.us - st.lu) // 86400)
+                            >= 1000000
+                       THEN least(3000000, st.tk + (e.us - st.lu) // 86400)
+                            - 1000000
+                       ELSE least(3000000, st.tk + (e.us - st.lu) // 86400)
+                  END,
+                  st.ad + CASE WHEN least(3000000,
+                      st.tk + (e.us - st.lu) // 86400) >= 1000000
+                    THEN 1 ELSE 0 END,
+                  st.dn + CASE WHEN least(3000000,
+                      st.tk + (e.us - st.lu) // 86400) >= 1000000
+                    THEN 0 ELSE 1 END
+           FROM st JOIN ev e
+             ON e.user_id = st.user_id AND e.rn = st.rn + 1
+         )
+         SELECT st.user_id, nn.n_events,
+                st.ad AS n_admitted, st.dn AS n_denied,
+                st.tk AS final_units
+         FROM st JOIN nn ON nn.user_id = st.user_id
+         WHERE st.rn = nn.n_events""",
+
+    // q229: naive n² inequality join — same integer coordinates and
+    // exact dist² cut, quadratically more work (the q96/q108
+    // deliberately-quadratic-oracle class)
+    "q229_epsilon_join" ->
+      """WITH pts AS (
+           SELECT p_partkey,
+                  CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 100
+                       AS BIGINT) AS x,
+                  CAST(p_size AS BIGINT) * 100 AS y
+           FROM part
+           WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+         )
+         SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+                (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                  AS dist2_units
+         FROM pts a JOIN pts b ON a.p_partkey < b.p_partkey
+         WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+               <= 10000""",
+
+    // q230: same split/top10/holdout CTEs as q213; discounts and ideal
+    // prefix sums are the SAME e6 integer literals as the Spark side
+    // (round(1e6/log2(r+1)) — fixed table, no libm in either engine)
+    "q230_ndcg_eval" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE)
+             AS day
+           FROM orders WHERE o_orderdate IS NOT NULL
+         ), sp AS (
+           SELECT MIN(day) + CAST((4 * date_diff('day', MIN(day),
+             MAX(day))) // 5 AS INT) AS split
+           FROM o
+         ), top10 AS (
+           SELECT rec, rnk FROM (
+             SELECT l.l_partkey AS rec,
+                    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                      l.l_partkey) AS BIGINT) AS rnk
+             FROM o CROSS JOIN sp
+             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             WHERE o.day < sp.split
+             GROUP BY l.l_partkey
+           ) WHERE rnk <= 10
+         ), test AS (
+           SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+           FROM o CROSS JOIN sp
+           JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           WHERE o.day >= sp.split
+         ), dtab AS (
+           SELECT * FROM (VALUES (1, 1000000), (2, 630930), (3, 500000),
+             (4, 430677), (5, 386853), (6, 356207), (7, 333333),
+             (8, 315465), (9, 301030), (10, 289065)) AS t(rnk, disc)
+         ), itab AS (
+           SELECT * FROM (VALUES (1, 1000000), (2, 1630930),
+             (3, 2130930), (4, 2561607), (5, 2948460), (6, 3304667),
+             (7, 3638000), (8, 3953465), (9, 4254495),
+             (10, 4543560)) AS t(k, idcg)
+         ), pu AS (
+           SELECT t.cust, CAST(COUNT(*) AS BIGINT) AS m,
+                  CAST(SUM(CASE WHEN r.rnk IS NOT NULL THEN 1 ELSE 0
+                    END) AS BIGINT) AS h,
+                  CAST(SUM(COALESCE(dt.disc, 0)) AS BIGINT) AS dcg
+           FROM test t
+           LEFT JOIN top10 r ON t.part = r.rec
+           LEFT JOIN dtab dt ON dt.rnk = r.rnk
+           GROUP BY 1
+         ), pm AS (
+           SELECT p.cust,
+                  (2 * 1000000 * p.dcg + it.idcg) // (2 * it.idcg)
+                    AS ndcg,
+                  p.h * 100000 AS prec,
+                  (2 * 1000000 * p.h + p.m) // (2 * p.m) AS rec
+           FROM pu p JOIN itab it ON it.k = LEAST(p.m, 10)
+         ), fin AS (
+           SELECT CAST(COUNT(*) AS HUGEINT) AS u,
+                  CAST(SUM(ndcg) AS HUGEINT) AS sn,
+                  CAST(SUM(prec) AS HUGEINT) AS sp2,
+                  CAST(SUM(rec) AS HUGEINT) AS sr
+           FROM pm
+         )
+         SELECT CAST(u AS BIGINT) AS n_users,
+                CAST((2 * sn + u) // (2 * u) AS BIGINT) AS ndcg_ppm,
+                CAST((2 * sp2 + u) // (2 * u) AS BIGINT)
+                  AS precision_ppm,
+                CAST((2 * sr + u) // (2 * u) AS BIGINT) AS recall_ppm
+         FROM fin""",
+
+    // q231: same ≥2-shared-orders symmetric graph (q151's), exact
+    // distance-2 census via wedge join + distinct + adjacency
+    // anti-filter
+    "q231_two_hop_reach" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem
+         ), pr AS (
+           SELECT a.pk AS s1, b.pk AS s2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ), e AS (
+           SELECT s1 AS src, s2 AS dst FROM pr
+           UNION ALL
+           SELECT s2, s1 FROM pr
+         ), deg AS (
+           SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM e GROUP BY 1
+         ), two AS (
+           SELECT DISTINCT a.src AS a, b.dst AS c
+           FROM e a JOIN e b ON a.dst = b.src
+           WHERE a.src <> b.dst
+         ), nonadj AS (
+           SELECT t.a, t.c FROM two t
+           WHERE NOT EXISTS (SELECT 1 FROM e
+                             WHERE e.src = t.a AND e.dst = t.c)
+         ), r2 AS (
+           SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS reach2
+           FROM nonadj GROUP BY 1
+         )
+         SELECT d.node, d.deg,
+                CAST(COALESCE(r2.reach2, 0) AS BIGINT) AS reach2,
+                CAST((2 * 1000000 * COALESCE(r2.reach2, 0) + d.deg)
+                  // (2 * d.deg) AS BIGINT) AS amp_ppm
+         FROM deg d LEFT JOIN r2 ON r2.node = d.node""",
   )
 }

@@ -1052,4 +1052,48 @@ object GraphOps {
              DIV (2 * degree * (degree - 1)) AS BIGINT)""")
           .as("cc_ppm"))
   }
+
+  /** q231: TWO-HOP REACH PROFILE — per node, the exact count of
+    * distinct nodes at graph distance EXACTLY 2 (friends-of-friends
+    * who aren't friends), plus degree and the reach-amplification
+    * ratio reach2/deg. The classic neighborhood-growth feature
+    * (Palmer et al. 2002's ANF is its approximate cousin) that feeds
+    * fraud scoring and influence models: a hub with low amplification
+    * sits in a clique; a low-degree node with high amplification is a
+    * bridge. q168 scores individual two-hop PAIRS for link
+    * prediction; this profiles each node's two-hop NEIGHBORHOOD SIZE
+    * — same wedge machinery, a node-grain census instead of a
+    * pair-grain ranking. Graph: ≥2-shared-orders co-purchase
+    * (q151/q168's graph).
+    *
+    * Scale shape: ids-only wedge join on the checkpointed slim edge
+    * table (2 longs/row; wedge rows collapse through the DISTINCT
+    * before the anti-join — the exact-distinct compression point),
+    * one anti-join against the adjacency to cut distance-1 pairs,
+    * one map-combined count per node. Exactness: pure integer counts;
+    * the ratio is integer round-half-up ppm (deg ≥ 1 by
+    * construction — every output node has an edge).
+    */
+  def q231TwoHopReach(s: SparkSession, d: String): DataFrame = {
+    // four plan consumers (deg, both wedge sides, anti-join) — cut the
+    // self-join replay with one checkpoint of the slim edge table
+    val e = prunedCoPurchaseEdges(s, d, minCount = 2)
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val two = e.select(col("src").as("a"), col("dst").as("w"))
+      .join(e.select(col("src").as("w"), col("dst").as("c")), "w")
+      .filter(col("a") =!= col("c"))
+      .select(col("a"), col("c")).distinct()
+    val r2 = two
+      .join(e.select(col("src").as("a"), col("dst").as("c")),
+        Seq("a", "c"), "left_anti")
+      .groupBy(col("a").as("node"))
+      .agg(count(lit(1)).cast("long").as("reach2"))
+    deg.join(r2, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("reach2"), lit(0L)).as("reach2"))
+      .withColumn("amp_ppm",
+        expr("CAST((2 * 1000000 * reach2 + deg) DIV (2 * deg) AS BIGINT)"))
+  }
 }

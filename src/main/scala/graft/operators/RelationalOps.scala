@@ -3195,4 +3195,146 @@ object RelationalOps {
         col("n_ops"), col("first_us"), col("last_us"),
         when(col("_lop") =!= "D", col("_lv")).as("value_units"))
   }
+
+  /** q228: TOKEN-BUCKET ADMISSION REPLAY — batch re-simulation of a
+    * per-user rate limiter over the event log (the token-bucket
+    * algorithm of every API gateway / quota system; RFC 6585's
+    * 429-shaping): capacity 3 tokens, refill 1 token/day, cost 1
+    * token/event. The batch replay answers the capacity-planning
+    * question a 100 TB event archive gets asked — "under quota Q, how
+    * much of each user's historical traffic would have been shed?" —
+    * without a streaming re-run (reference analogue: the API fetch
+    * layer's client-side rate limiting, api_extract.py:59-110, turned
+    * into an analyzable operator).
+    *
+    * The bucket state is inherently sequential per user, so it runs as
+    * an ordered `aggregate` fold over `sort_array(collect_list(us,
+    * event_id))` per user — the q200 per-series-recursion pattern. The
+    * per-user array is bounded here (≤86 events/user at every SF; at
+    * unbounded per-key volume the fold chunks by epoch with carried
+    * state, same as the q66 packing machinery). All arithmetic is
+    * integer µtokens (1 token = 1e6): refill = Δµs DIV 86400 — Δµs and
+    * the balance are non-negative so Spark's truncating DIV and
+    * DuckDB's flooring // agree (the q148 sign rule never triggers).
+    * Oracle: lockstep recursive CTE stepping rn→rn+1 per user.
+    */
+  def q228RateLimitReplay(s: SparkSession, d: String): DataFrame = {
+    val Cap = 3000000L // 3 tokens in µtokens
+    val Cost = 1000000L // 1 token per event
+    val RefillDiv = 86400L // 1e6 µtok per 86400e6 µs = 1 token/day
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+    val zero = struct(lit(false).as("s"), lit(0L).as("tk"),
+      lit(0L).as("lu"), lit(0L).as("ad"), lit(0L).as("dn"))
+    // exact long division for non-negative x (Column./ is double
+    // division; subtracting the pmod first makes the quotient an
+    // integer-valued double well under 2^53, so the cast is exact)
+    def idiv(x: Column): Column =
+      ((x - pmod(x, lit(RefillDiv))) / lit(RefillDiv)).cast("long")
+    def step(acc: Column, e: Column): Column = {
+      val tk1 = least(lit(Cap),
+        acc.getField("tk") +
+          idiv(e.getField("us") - acc.getField("lu")))
+      val admit = tk1 >= Cost
+      when(!acc.getField("s"),
+        // first event: bucket starts full and always admits
+        struct(lit(true).as("s"), lit(Cap - Cost).as("tk"),
+          e.getField("us").as("lu"), lit(1L).as("ad"), lit(0L).as("dn")))
+        .otherwise(struct(lit(true).as("s"),
+          when(admit, tk1 - Cost).otherwise(tk1).as("tk"),
+          e.getField("us").as("lu"),
+          (acc.getField("ad") + when(admit, 1L).otherwise(0L)).as("ad"),
+          (acc.getField("dn") + when(admit, 0L).otherwise(1L)).as("dn")))
+    }
+    ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("us"), col("event_id"))))
+        .as("_arr"))
+      .select(col("user_id"),
+        size(col("_arr")).cast("long").as("n_events"),
+        aggregate(col("_arr"), zero, step).as("_st"))
+      .select(col("user_id"), col("n_events"),
+        col("_st.ad").as("n_admitted"), col("_st.dn").as("n_denied"),
+        col("_st.tk").as("final_units"))
+  }
+
+  /** q230: nDCG@10 RANKING EVALUATION (Järvelin & Kekäläinen 2002) —
+    * the position-discounted companion of q213's Hit/MRR/MAP over the
+    * SAME popularity-recommender harness (identical 80%-span day
+    * split, identical top-10, identical holdout), plus macro-averaged
+    * precision@10 and recall@10. nDCG's 1/log2(r+1) discounts are
+    * irrational, so cross-engine exactness comes from a FIXED e6
+    * integer discount table (the same 10 literals in both engines —
+    * the q58 "score with integer arithmetic" rule applied to libm
+    * log2): DCG and ideal-DCG are exact integer sums, per-user nDCG
+    * is integer round-half-up ppm, and the corpus mean averages those
+    * exact per-user values (macro average, the standard IR protocol).
+    *
+    * Scale shape: identical to q213 — one train-side count + global
+    * top-10 (catalog-bounded), the 10-row list broadcast into the
+    * holdout join, per-user scoring one groupBy; the discount lookup
+    * is element_at on a 10-literal array. No windows over the corpus,
+    * no doubles anywhere.
+    */
+  def q230NdcgEval(s: SparkSession, d: String): DataFrame = {
+    // round(1e6 / log2(r+1)), r = 1..10, and its prefix sums — shared
+    // literal constants with the oracle SQL
+    val disc = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L)
+    val idcg = disc.scanLeft(0L)(_ + _).tail
+    val discArr = array(disc.map(lit): _*)
+    val idcgArr = array(idcg.map(lit): _*)
+    val o = Tables.orders(s, d).filter(col("o_orderdate").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("day"))
+    val span = o.agg(min(col("day")).as("_mn"), max(col("day")).as("_mx"))
+      .select(expr(
+        "date_add(_mn, CAST((4 * datediff(_mx, _mn)) DIV 5 AS INT))")
+        .as("_split"))
+    val od = o.crossJoin(broadcast(span))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val top10 = od.filter(col("day") < col("_split"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("l_partkey").asc).limit(10)
+      .select(col("l_partkey").as("_rec"), row_number().over(
+        Window.orderBy(col("_n").desc, col("l_partkey").asc))
+        .cast("long").as("_rnk"))
+    val testParts = od.filter(col("day") >= col("_split"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("_cust"), col("l_partkey").as("_part"))
+      .distinct()
+    val perUser = testParts
+      .join(broadcast(top10), col("_part") === col("_rec"), "left")
+      .groupBy(col("_cust"))
+      .agg(count(lit(1)).cast("long").as("_m"),
+        sum(when(col("_rnk").isNotNull,
+          element_at(discArr, col("_rnk").cast("int")))
+          .otherwise(0L)).cast("long").as("_dcg"),
+        sum(when(col("_rnk").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("_h"))
+      .select(col("_cust"), col("_h"),
+        element_at(idcgArr, least(col("_m"), lit(10L)).cast("int"))
+          .as("_idcg"),
+        col("_dcg"), col("_m"))
+      .select(
+        expr("CAST((2 * 1000000 * _dcg + _idcg) DIV (2 * _idcg) AS BIGINT)")
+          .as("_ndcg"),
+        (col("_h") * 100000L).as("_prec"),
+        expr("CAST((2 * 1000000 * _h + _m) DIV (2 * _m) AS BIGINT)")
+          .as("_rec"))
+    perUser.agg(count(lit(1)).cast("decimal(38,0)").as("_u"),
+        sum(col("_ndcg")).cast("decimal(38,0)").as("_sn"),
+        sum(col("_prec")).cast("decimal(38,0)").as("_sp"),
+        sum(col("_rec")).cast("decimal(38,0)").as("_sr"))
+      .select(col("_u").cast("long").as("n_users"),
+        expr("CAST((2 * _sn + _u) DIV (2 * _u) AS BIGINT)")
+          .as("ndcg_ppm"),
+        expr("CAST((2 * _sp + _u) DIV (2 * _u) AS BIGINT)")
+          .as("precision_ppm"),
+        expr("CAST((2 * _sr + _u) DIV (2 * _u) AS BIGINT)")
+          .as("recall_ppm"))
+  }
 }
