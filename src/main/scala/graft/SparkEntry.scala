@@ -254,6 +254,8 @@ object SparkEntry {
     "q229_epsilon_join" -> (SimilarityOps.q229EpsilonJoin _),
     "q230_ndcg_eval" -> (RelationalOps.q230NdcgEval _),
     "q231_two_hop_reach" -> (GraphOps.q231TwoHopReach _),
+    "q232_seq_patterns" -> (RelationalOps.q232SeqPatterns _),
+    "q233_holt_winters" -> (StatsOps.q233HoltWinters _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -5819,5 +5821,150 @@ object SparkEntry {
                 CAST((2 * 1000000 * COALESCE(r2.reach2, 0) + d.deg)
                   // (2 * d.deg) AS BIGINT) AS amp_ppm
          FROM deg d LEFT JOIN r2 ON r2.node = d.node""",
+
+    // q232: same 4-h-gap sessions (LAG + running SUM), containment as
+    // DISTINCT inequality self-joins within the session — subsequence
+    // existence i<j(<k), quadratic per session by design
+    "q232_seq_patterns" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events WHERE user_id IS NOT NULL
+         ), gap AS (
+           SELECT *, CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                    ORDER BY rn) > 14400000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM ev
+         ), s AS (
+           SELECT user_id, rn, event_type,
+                  SUM(brk) OVER (PARTITION BY user_id ORDER BY rn)
+                    AS sid
+           FROM gap
+         ), tot AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+             (SELECT DISTINCT user_id, sid FROM s)
+         ), c1 AS (
+           SELECT event_type AS pattern, user_id, sid
+           FROM s GROUP BY 1, 2, 3
+         ), c2 AS (
+           SELECT a.event_type || '>' || b.event_type AS pattern,
+                  a.user_id, a.sid
+           FROM s a JOIN s b ON a.user_id = b.user_id
+             AND a.sid = b.sid AND a.rn < b.rn
+           GROUP BY 1, 2, 3
+         ), c3 AS (
+           SELECT a.event_type || '>' || b.event_type || '>'
+                    || c.event_type AS pattern,
+                  a.user_id, a.sid
+           FROM s a
+           JOIN s b ON a.user_id = b.user_id AND a.sid = b.sid
+                   AND a.rn < b.rn
+           JOIN s c ON b.user_id = c.user_id AND b.sid = c.sid
+                   AND b.rn < c.rn
+           GROUP BY 1, 2, 3
+         ), allc AS (
+           SELECT pattern, 1 AS k, user_id, sid FROM c1
+           UNION ALL SELECT pattern, 2, user_id, sid FROM c2
+           UNION ALL SELECT pattern, 3, user_id, sid FROM c3
+         )
+         SELECT pattern, CAST(k AS BIGINT) AS k,
+                CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                CAST((2 * 1000000 * COUNT(*) + MAX(tot.n))
+                  // (2 * MAX(tot.n)) AS BIGINT) AS support_ppm
+         FROM allc CROSS JOIN tot
+         GROUP BY pattern, k""",
+
+    // q233: lockstep Holt-Winters replay — the same integer recursion
+    // with the 7 seasonal slots carried as columns s1..s7; layered
+    // derived tables in the recursive term keep each sign-split
+    // formula written once (l1 in the inner layer, b1/snew next, the
+    // slot CASE assembly outermost)
+    "q233_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+                    AS BIGINT)) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL
+           GROUP BY 1, 2
+         ), seq AS (
+           SELECT event_type, y,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY day) AS BIGINT) AS rn
+           FROM daily
+         ), ns AS (
+           SELECT event_type, MAX(rn) AS n_days FROM seq GROUP BY 1
+         ), init AS (
+           SELECT event_type,
+                  CAST(CASE WHEN SUM(y) >= 0
+                            THEN (2 * SUM(y) + 7) // 14
+                            ELSE -((2 * (-SUM(y)) + 7) // 14) END
+                       AS BIGINT) AS l,
+                  MAX(CASE WHEN rn = 1 THEN y END) AS y1,
+                  MAX(CASE WHEN rn = 2 THEN y END) AS y2,
+                  MAX(CASE WHEN rn = 3 THEN y END) AS y3,
+                  MAX(CASE WHEN rn = 4 THEN y END) AS y4,
+                  MAX(CASE WHEN rn = 5 THEN y END) AS y5,
+                  MAX(CASE WHEN rn = 6 THEN y END) AS y6,
+                  MAX(CASE WHEN rn = 7 THEN y END) AS y7
+           FROM seq WHERE rn <= 7 GROUP BY 1
+         ), hw(event_type, rn, l, b, s1, s2, s3, s4, s5, s6, s7) AS (
+           SELECT event_type, CAST(7 AS BIGINT), l, CAST(0 AS BIGINT),
+                  y1 - l, y2 - l, y3 - l, y4 - l, y5 - l, y6 - l,
+                  y7 - l
+           FROM init
+           UNION ALL
+           SELECT event_type, rn, l1, b1,
+                  CASE WHEN slot = 1 THEN snew ELSE s1 END,
+                  CASE WHEN slot = 2 THEN snew ELSE s2 END,
+                  CASE WHEN slot = 3 THEN snew ELSE s3 END,
+                  CASE WHEN slot = 4 THEN snew ELSE s4 END,
+                  CASE WHEN slot = 5 THEN snew ELSE s5 END,
+                  CASE WHEN slot = 6 THEN snew ELSE s6 END,
+                  CASE WHEN slot = 7 THEN snew ELSE s7 END
+           FROM (
+             SELECT *,
+                    CASE WHEN l1 - l0 + 3 * b0 >= 0
+                         THEN ((l1 - l0 + 3 * b0) * 2 + 4) // 8
+                         ELSE -(((-(l1 - l0 + 3 * b0)) * 2 + 4) // 8)
+                    END AS b1,
+                    CASE WHEN y - l1 + sold >= 0
+                         THEN ((y - l1 + sold) * 2 + 2) // 4
+                         ELSE -(((-(y - l1 + sold)) * 2 + 2) // 4)
+                    END AS snew
+             FROM (
+               SELECT *,
+                      CASE WHEN y - sold + l0 + b0 >= 0
+                           THEN ((y - sold + l0 + b0) * 2 + 2) // 4
+                           ELSE -(((-(y - sold + l0 + b0)) * 2 + 2)
+                                  // 4)
+                      END AS l1
+               FROM (
+                 SELECT h.event_type, s.rn, h.l AS l0, h.b AS b0,
+                        h.s1, h.s2, h.s3, h.s4, h.s5, h.s6, h.s7,
+                        CAST(((s.rn - 1) % 7) + 1 AS BIGINT) AS slot,
+                        CASE CAST(((s.rn - 1) % 7) + 1 AS BIGINT)
+                             WHEN 1 THEN h.s1 WHEN 2 THEN h.s2
+                             WHEN 3 THEN h.s3 WHEN 4 THEN h.s4
+                             WHEN 5 THEN h.s5 WHEN 6 THEN h.s6
+                             ELSE h.s7 END AS sold,
+                        s.y
+                 FROM hw h JOIN seq s
+                   ON s.event_type = h.event_type AND s.rn = h.rn + 1
+               )
+             )
+           )
+         )
+         SELECT h.event_type, ns.n_days, h.l AS level_units,
+                h.b AS trend_units,
+                h.l + 7 * h.b +
+                  CASE ((ns.n_days + 6) % 7) + 1
+                       WHEN 1 THEN h.s1 WHEN 2 THEN h.s2
+                       WHEN 3 THEN h.s3 WHEN 4 THEN h.s4
+                       WHEN 5 THEN h.s5 WHEN 6 THEN h.s6
+                       ELSE h.s7 END AS forecast7_units
+         FROM hw h JOIN ns
+           ON ns.event_type = h.event_type AND h.rn = ns.n_days
+         WHERE ns.n_days >= 8""",
   )
 }

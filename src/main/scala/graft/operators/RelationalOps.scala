@@ -3337,4 +3337,75 @@ object RelationalOps {
         expr("CAST((2 * _sr + _u) DIV (2 * _u) AS BIGINT)")
           .as("recall_ppm"))
   }
+
+  /** q232: SEQUENTIAL PATTERN MINING — support of every event-type
+    * subsequence of length ≤ 3 within 4-h-gap sessions (the GSP /
+    * PrefixSpan problem, Srikant & Agrawal 1996, at the exact small-
+    * alphabet grain): "view → click → purchase happens in 4.1% of
+    * sessions" is the behavioral-motif table funnels (q80: ONE fixed
+    * path) and adjacent-trigram motifs (q140: contiguous only) can't
+    * produce — subsequences allow gaps, so interleaved noise doesn't
+    * break the match.
+    *
+    * Scale shape: the pattern lattice is generated PER SESSION from
+    * the session's own distinct types (|d|≤|session|, so the work is
+    * Σ|d|²·|arr| array scans — self-bounding, no global alphabet
+    * blowup and no session×pattern cross join; containment rows leave
+    * the session grain only for patterns actually contained). Sessions
+    * build with one per-user window (the q80 gap rule); per-session
+    * arrays are bounded (≤86 events/user at every SF). Subsequence
+    * containment is the greedy earliest-match (complete for
+    * existence): first a, first b after it, any c after that — pure
+    * array_position/slice integer logic, bit-identical cross-engine.
+    * Oracle: the same sessions via LAG + running SUM, containment as
+    * DISTINCT inequality self-joins (quadratic per session by design).
+    */
+  def q232SeqPatterns(s: SparkSession, d: String): DataFrame = {
+    val GapUs = 14400000000L // 4 h
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("_brk",
+        when(col("us") - lag(col("us"), 1).over(w) > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum(col("_brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("_sid"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("us"), col("event_id"),
+          col("event_type").as("t")))),
+        e => e.getField("t")).as("arr"))
+      .select(col("arr"), array_distinct(col("arr")).as("d"))
+    // greedy earliest-match containment over the session's type array
+    def after(arr: Column, p: Column): Column =
+      slice(arr, (p + 1).cast("int"), size(arr))
+    val contained = sess.select(concat(
+      transform(col("d"), a => a),
+      filter(flatten(transform(col("d"), a =>
+        transform(col("d"), b =>
+          when(array_position(
+            after(col("arr"), array_position(col("arr"), a)), b) > 0,
+            concat(a, lit(">"), b))))), x => x.isNotNull),
+      filter(flatten(flatten(transform(col("d"), a =>
+        transform(col("d"), b =>
+          transform(col("d"), c => {
+            val r1 = after(col("arr"), array_position(col("arr"), a))
+            val p2 = array_position(r1, b)
+            when(p2 > 0 && array_position(after(r1, p2), c) > 0,
+              concat(a, lit(">"), b, lit(">"), c))
+          }))))), x => x.isNotNull)).as("pats"))
+    val tot = contained.agg(count(lit(1)).cast("long").as("_n"))
+    contained.select(explode(col("pats")).as("pattern"))
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"))
+      .crossJoin(broadcast(tot))
+      .select(col("pattern"),
+        size(split(col("pattern"), ">")).cast("long").as("k"),
+        col("n_sessions"),
+        expr("""CAST((2 * 1000000 * n_sessions + _n) DIV (2 * _n)
+            AS BIGINT)""").as("support_ppm"))
+  }
 }

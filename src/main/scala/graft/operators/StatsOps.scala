@@ -1811,4 +1811,97 @@ object StatsOps {
         expr("""CAST((2 * 1000000 * _ses + _sen) DIV (2 * _sen)
                 AS BIGINT)""").as("mase_ppm"))
   }
+
+  /** q233: HOLT-WINTERS additive TRIPLE-exponential smoothing (Winters
+    * 1960) — level + trend + 7-slot weekly seasonal state over per-
+    * event-type daily value series, the seasonal step up from q200's
+    * Holt (level+trend only): l_t = α(y_t−s_{t−7}) + (1−α)(l+b),
+    * b_t = β(l_t−l) + (1−β)b, s_t = γ(y_t−l_t) + (1−γ)s_{t−7}, with
+    * α = γ = ½, β = ¼ so every update is exact shift arithmetic after
+    * the q148 sign split. Init is fully specified (no fitting): after
+    * the first 7 observations, l₇ = round-half mean of week one,
+    * b₇ = 0, s_j = y_j − l₇; the recursion starts at observation 8.
+    * Output per type: final level/trend and the day-t+7 forecast
+    * l + 7b + s_slot(t+7) — the seasonality-aware "next week" number
+    * q200's linear forecast can't give. Series built from EVENTS
+    * (dense at every SF — the q224 daily-series rule); the fold steps
+    * over OBSERVED days (index-based slots; both engines see the same
+    * sequence, and the event series has no gaps in practice).
+    *
+    * Scale shape: one map-combined daily aggregate (types × days
+    * artifact, calendar-bounded), then an ordered `aggregate` fold
+    * per type carrying the (l, b, s[7], warm-up buffer) state — the
+    * q200 per-series-recursion pattern with array state. Oracle: the
+    * same recursion as a lockstep recursive CTE carrying s1..s7 as
+    * columns, layered derived tables in the recursive term so each
+    * sign-split formula is written once.
+    */
+  def q233HoltWinters(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")).cast("long").as("y"))
+    // round-half-away-from-zero x/2^k (q200's rhalf)
+    def rhalf(x: Column, k: Int): Column =
+      when(x >= 0, shiftright(x * 2 + (1L << k), k + 1))
+        .otherwise(-shiftright((-x) * 2 + (1L << k), k + 1))
+    // round-half-away x/14 (the week-one mean; 14 isn't a power of
+    // two, so integer division goes via pmod subtraction — exact,
+    // operands ≪ 2^53)
+    def rdiv14(x: Column): Column = {
+      def q(u: Column): Column =
+        ((u - pmod(u, lit(14L))) / lit(14L)).cast("long")
+      when(x >= 0, q(x * 2 + 7)).otherwise(-q((-x) * 2 + 7))
+    }
+    val zero = struct(lit(0).as("i"),
+      array().cast("array<bigint>").as("buf"),
+      lit(0L).as("l"), lit(0L).as("b"),
+      array((0 until 7).map(_ => lit(0L)): _*).as("sz"))
+    def step(acc: Column, e: Column): Column = {
+      val y = e.getField("y")
+      val i = acc.getField("i")
+      val buf = acc.getField("buf")
+      val l0 = acc.getField("l"); val b0 = acc.getField("b")
+      val sz = acc.getField("sz")
+      // warm-up: collect week one
+      val grow = struct((i + 1).as("i"),
+        concat(buf, array(y)).as("buf"), l0.as("l"), b0.as("b"),
+        sz.as("sz"))
+      // init at the 7th observation
+      val buf7 = concat(buf, array(y))
+      val s7 = (0 until 7).map(j => element_at(buf7, j + 1))
+      val lInit = rdiv14(s7.reduce(_ + _))
+      val init = struct((i + 1).as("i"),
+        array().cast("array<bigint>").as("buf"),
+        lInit.as("l"), lit(0L).as("b"),
+        array(s7.map(_ - lInit): _*).as("sz"))
+      // steady state: slot = i mod 7 (0-based observation index)
+      val slot = pmod(i, lit(7)).cast("int")
+      val sOld = element_at(sz, slot + 1)
+      val l1 = rhalf(y - sOld + l0 + b0, 1)
+      val b1 = rhalf(l1 - l0 + b0 * 3, 2)
+      val sNew = rhalf(y - l1 + sOld, 1)
+      val szNew = concat(slice(sz, lit(1), slot), array(sNew),
+        slice(sz, slot + 2, lit(6) - slot))
+      val steady = struct((i + 1).as("i"), buf.as("buf"),
+        l1.as("l"), b1.as("b"), szNew.as("sz"))
+      when(i < 6, grow).when(i === 6, init).otherwise(steady)
+    }
+    daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day").as("d"),
+        col("y").as("y")))).as("_arr"))
+      .filter(size(col("_arr")) >= 8)
+      .select(col("event_type"),
+        size(col("_arr")).cast("long").as("n_days"),
+        aggregate(col("_arr"), zero, step).as("_st"))
+      .select(col("event_type"), col("n_days"),
+        col("_st.l").as("level_units"), col("_st.b").as("trend_units"),
+        (col("_st.l") + col("_st.b") * 7 +
+          element_at(col("_st.sz"),
+            pmod(col("n_days") + 6, lit(7)).cast("int") + 1))
+          .as("forecast7_units"))
+  }
 }
