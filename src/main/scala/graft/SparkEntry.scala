@@ -256,6 +256,8 @@ object SparkEntry {
     "q231_two_hop_reach" -> (GraphOps.q231TwoHopReach _),
     "q232_seq_patterns" -> (RelationalOps.q232SeqPatterns _),
     "q233_holt_winters" -> (StatsOps.q233HoltWinters _),
+    "q234_rbo" -> (SimilarityOps.q234Rbo _),
+    "q235_conformal" -> (StatsOps.q235ConformalCalibration _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -5966,5 +5968,139 @@ object SparkEntry {
          FROM hw h JOIN ns
            ON ns.event_type = h.event_type AND h.rn = ns.n_days
          WHERE ns.n_days >= 8""",
+
+    // q234: q150's ranking CTEs at depth 10 + the same 10 exact RBO
+    // weight literals W_m = Σ_{d=m..10} (2520/d)·10^(10−d)·9^d
+    // (p = 9/10; 2520 = lcm(1..10)); D = 9·2520·10^10
+    "q234_rbo" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  list_distinct(string_split_regex(lower(trim(text)),
+                    '\s+')) AS tk
+           FROM documents WHERE text IS NOT NULL
+         ), seeds AS (
+           SELECT d.doc_id AS qid FROM docs d
+           JOIN embeddings e ON d.doc_id = e.vec_id
+           ORDER BY qid LIMIT 8
+         ), qtok AS (
+           SELECT qid, unnest(tk) AS term
+           FROM docs JOIN seeds ON doc_id = qid
+         ), qsize AS (
+           SELECT qid, CAST(COUNT(*) AS BIGINT) AS qn
+           FROM qtok GROUP BY 1
+         ), dtok AS (
+           SELECT doc_id AS did, CAST(len(tk) AS BIGINT) AS dn,
+                  unnest(tk) AS term
+           FROM docs
+         ), inter AS (
+           SELECT qid, did, dn, CAST(COUNT(*) AS BIGINT) AS inter
+           FROM dtok JOIN qtok USING (term)
+           WHERE did <> qid
+           GROUP BY 1, 2, 3
+         ), lex AS (
+           SELECT qid, did,
+                  (2 * inter * 1000000 + (qn + dn - inter))
+                    // (2 * (qn + dn - inter)) AS jac_ppm
+           FROM inter JOIN qsize USING (qid)
+         ), lexr AS (
+           SELECT qid, did, lrank FROM (
+             SELECT qid, did,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY jac_ppm DESC, did) AS BIGINT) AS lrank
+             FROM lex)
+           WHERE lrank <= 10
+         ), qv AS (
+           SELECT qid, embedding AS qe
+           FROM seeds JOIN embeddings ON vec_id = qid
+         ), pairs AS (
+           SELECT qid, vec_id AS did, qe, embedding AS ne
+           FROM qv, embeddings WHERE vec_id <> qid
+         ), un AS (
+           SELECT qid, did, CAST(unnest(qe) AS DOUBLE) AS x,
+                  CAST(unnest(ne) AS DOUBLE) AS y
+           FROM pairs
+         ), dots AS (
+           SELECT qid, did, SUM(x*y) AS dot, SUM(x*x) AS na,
+                  SUM(y*y) AS nb
+           FROM un GROUP BY 1, 2
+         ), semr AS (
+           SELECT qid, did, srank FROM (
+             SELECT qid, did,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY ROUND(dot / (sqrt(na) * sqrt(nb)), 4) DESC,
+                        did) AS BIGINT) AS srank
+             FROM dots)
+           WHERE srank <= 10
+         ), wt AS (
+           SELECT * FROM (VALUES
+             (1, 53392439389752), (2, 30712439389752),
+             (3, 20506439389752), (4, 14382839389752),
+             (5, 10249409389752), (6, 7273339789752),
+             (7, 5041287589752), (8, 3319418749752),
+             (9, 1963447038252), (10, 878669669052)) AS t(m, w)
+         ), com AS (
+           SELECT l.qid, GREATEST(l.lrank, s.srank) AS m
+           FROM lexr l JOIN semr s ON l.qid = s.qid AND l.did = s.did
+         ), agg AS (
+           SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_common,
+                  CAST(SUM(w) AS HUGEINT) AS sw
+           FROM com JOIN wt ON wt.m = com.m GROUP BY 1
+         )
+         SELECT s.qid, CAST(COALESCE(a.n_common, 0) AS BIGINT)
+                  AS n_common,
+                CAST((2 * 1000000 * COALESCE(a.sw, 0)
+                  + 226800000000000)
+                  // (2 * 226800000000000) AS BIGINT) AS rbo_ppm
+         FROM seeds s LEFT JOIN agg a ON a.qid = s.qid""",
+
+    // q235: same daily series, lag-7 residuals, exact nearest-rank
+    // q-hat at ceil(4(n+1)/5) = (4n+8)//5 clamped to n_cal, integer
+    // coverage ppm
+    "q235_conformal" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+                    AS BIGINT)) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL
+           GROUP BY 1, 2
+         ), seq AS (
+           SELECT event_type, y,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY day) AS BIGINT) AS rn,
+                  LAG(y, 7) OVER (PARTITION BY event_type
+                    ORDER BY day) AS p
+           FROM daily
+         ), ns AS (
+           SELECT event_type, (4 * MAX(rn)) // 5 AS split
+           FROM seq GROUP BY 1
+         ), res AS (
+           SELECT s.event_type, s.rn, ns.split, ABS(s.y - s.p) AS r
+           FROM seq s JOIN ns ON ns.event_type = s.event_type
+           WHERE s.rn > 7
+         ), calr AS (
+           SELECT event_type, r,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY r) AS BIGINT) AS rr
+           FROM res WHERE rn <= split
+         ), nc AS (
+           SELECT event_type, CAST(MAX(rr) AS BIGINT) AS n_cal
+           FROM calr GROUP BY 1
+         ), qh AS (
+           SELECT c.event_type, nc.n_cal, c.r AS qhat_units
+           FROM calr c JOIN nc ON nc.event_type = c.event_type
+           WHERE c.rr = LEAST((4 * nc.n_cal + 8) // 5, nc.n_cal)
+         ), tst AS (
+           SELECT res.event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n_test,
+                  CAST(SUM(CASE WHEN res.r <= qh.qhat_units THEN 1
+                    ELSE 0 END) AS BIGINT) AS cov
+           FROM res JOIN qh ON qh.event_type = res.event_type
+           WHERE res.rn > res.split
+           GROUP BY 1
+         )
+         SELECT q.event_type, q.n_cal, t.n_test, q.qhat_units,
+                CAST((2 * 1000000 * t.cov + t.n_test)
+                  // (2 * t.n_test) AS BIGINT) AS coverage_ppm
+         FROM qh q JOIN tst t ON t.event_type = q.event_type""",
   )
 }

@@ -1904,4 +1904,64 @@ object StatsOps {
             pmod(col("n_days") + 6, lit(7)).cast("int") + 1))
           .as("forecast7_units"))
   }
+
+  /** q235: SPLIT-CONFORMAL PREDICTION INTERVALS (Vovk et al. 2005;
+    * Lei et al. JASA 2018's split-conformal recipe) for the seasonal-
+    * naive forecaster — the distribution-free uncertainty wrapper
+    * model governance asks for: on a calibration window (the first
+    * 80% of each event type's daily series), take the nonconformity
+    * scores r_t = |y_t − y_{t−7}|; q̂ = the ⌈(n_cal+1)·0.8⌉-th
+    * smallest (exact nearest-rank, index clamped to n_cal); the claim
+    * "y ∈ ŷ ± q̂ with ≥80% probability" is then AUDITED on the
+    * held-out tail — empirical coverage_ppm vs the 800000 target.
+    * q224 scores the same forecaster's accuracy (MASE); this
+    * calibrates and verifies its INTERVALS.
+    *
+    * Exactness: residuals are exact e4 longs; the rank index is
+    * integer ceiling division ⌈4(n+1)/5⌉ = (4n+8) DIV 5; coverage is
+    * integer round-half-up ppm. Scale shape: one map-combined daily
+    * aggregate, one per-type lag window on the calendar-bounded
+    * artifact, per-type sorted-array selection (the q200 bounded-
+    * artifact rule) — the fact table is scanned once.
+    */
+  def q235ConformalCalibration(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")).cast("long").as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val seq0 = daily
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("p", lag(col("y"), 7).over(w))
+    val n = seq0.groupBy(col("event_type"))
+      .agg(max(col("rn")).as("_n"))
+      .select(col("event_type"), expr("(4 * _n) DIV 5").as("_split"))
+    seq0.join(broadcast(n), "event_type")
+      .filter(col("rn") > 7)
+      .select(col("event_type"), col("rn"), col("_split"),
+        abs(col("y") - col("p")).as("r"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(when(col("rn") <= col("_split"),
+          col("r")))).as("_cal"),
+        collect_list(when(col("rn") > col("_split"), col("r")))
+          .as("_test"))
+      .filter(size(col("_cal")) >= 1 && size(col("_test")) >= 1)
+      .select(col("event_type"),
+        size(col("_cal")).cast("long").as("n_cal"),
+        size(col("_test")).cast("long").as("n_test"),
+        element_at(col("_cal"),
+          least(expr("(4 * size(_cal) + 8) DIV 5"),
+            size(col("_cal")).cast("long")).cast("int")).as("qhat_units"),
+        col("_test"))
+      .select(col("event_type"), col("n_cal"), col("n_test"),
+        col("qhat_units"),
+        size(filter(col("_test"), x => x <= col("qhat_units")))
+          .cast("long").as("_cov"))
+      .select(col("event_type"), col("n_cal"), col("n_test"),
+        col("qhat_units"),
+        expr("""CAST((2 * 1000000 * _cov + n_test) DIV (2 * n_test)
+            AS BIGINT)""").as("coverage_ppm"))
+  }
 }
