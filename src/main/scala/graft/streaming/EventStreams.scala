@@ -185,6 +185,60 @@ object EventStreams {
       }
   }
 
+  // ---- Rate limiting ----------------------------------------------------
+
+  // NOT private (same encoder-visibility rule as SessionState)
+  case class LimiterState(started: Boolean, tokens: Long, lastUs: Long,
+      admitted: Long, denied: Long)
+  case class Admission(user_id: Long, n_events: Long, n_admitted: Long,
+      n_denied: Long, final_units: Long)
+
+  /** q228's token bucket as LIVE streaming state — the enforcement
+    * twin of the batch replay (RelationalOps.q228RateLimitReplay, which
+    * answers the planning question offline): one bucket per user via
+    * mapGroupsWithState, capacity 3 tokens, 1 token/day refill, 1
+    * token/event, IDENTICAL integer µtoken arithmetic (refill =
+    * Δµs / 86400, truncating — non-negative operands). Update mode:
+    * each micro-batch emits the user's running admission counters;
+    * counters are monotone, so the max-n_events row per user is the
+    * current truth. Within a batch events order by (ts, event_id);
+    * across batches the order is ingestion order — causal on a live
+    * stream, and exact batch-replay parity needs time-ordered files
+    * (the suite replays day-split files and asserts equality with
+    * q228's fold). State is one 5-field struct per user — bounded by
+    * the user population, the same state budget as sessionization.
+    */
+  def rateLimitStateful(events: Dataset[Event]): Dataset[Admission] = {
+    import events.sparkSession.implicits._
+    val Cap = 3000000L; val Cost = 1000000L; val RefillDiv = 86400L
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[LimiterState, Admission](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[LimiterState]) =>
+          var st = state.getOption
+            .getOrElse(LimiterState(false, 0L, 0L, 0L, 0L))
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            st = if (!st.started)
+              LimiterState(true, Cap - Cost, us, 1L, 0L)
+            else {
+              val tk1 = math.min(Cap,
+                st.tokens + (us - st.lastUs) / RefillDiv)
+              if (tk1 >= Cost)
+                LimiterState(true, tk1 - Cost, us, st.admitted + 1,
+                  st.denied)
+              else LimiterState(true, tk1, us, st.admitted,
+                st.denied + 1)
+            }
+          }
+          state.update(st)
+          Admission(uid, st.admitted + st.denied, st.admitted, st.denied,
+            st.tokens)
+      }
+  }
+
   /** 144 (stage 1). Tumbling-hour per-user event counts with a
     * watermark — the streaming aggregate feeding [[trendingTopK]].
     * State is (open windows × active users) and the watermark evicts

@@ -361,4 +361,80 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .filter(x => emitted.contains((x._1, x._2))).toSet
     assert(got == batch, "streaming bitmap distinct must be EXACT")
   }
+
+  test("stateful rate limiter (batch execution) equals the q228 fold") {
+    val ev = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+    val got = EventStreams.rateLimitStateful(ev)
+      .collect().map(a => (a.user_id,
+        (a.n_events, a.n_admitted, a.n_denied, a.final_units))).toMap
+    val exp = graft.operators.RelationalOps
+      .q228RateLimitReplay(spark, Sf)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_admitted"),
+          r.getAs[Long]("n_denied"), r.getAs[Long]("final_units"))))
+      .toMap
+    assert(got == exp, "batch execution of the streaming limiter must " +
+      "replay q228 exactly")
+  }
+
+  test("streaming rate limiter carries bucket state across time-ordered " +
+      "micro-batches and matches the batch replay") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_rl").toString
+    def addFile(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rl_w")
+      rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(srcDir, name))
+    }
+    // three chronological slices of the real event log — the bucket
+    // state (tokens + last refill time) must survive batch boundaries
+    val ev = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val cuts = ev.selectExpr(
+      "percentile_approx(unix_micros(ts), 0.34) AS a",
+      "percentile_approx(unix_micros(ts), 0.67) AS b").collect()(0)
+    val (ca, cb) = (cuts.getLong(0), cuts.getLong(1))
+    addFile("f1.parquet", ev.filter(unix_micros(col("ts")) <= ca))
+    Thread.sleep(1200)
+    addFile("f2.parquet", ev.filter(unix_micros(col("ts")) > ca &&
+      unix_micros(col("ts")) <= cb))
+    Thread.sleep(1200)
+    addFile("f3.parquet", ev.filter(unix_micros(col("ts")) > cb))
+
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Event].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .as[Event]
+    val q = EventStreams.rateLimitStateful(stream)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("rl_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // counters are monotone — the max-n_events emission per user is the
+    // final state
+    val got = spark.table("rl_out")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("n_admitted"),
+        col("n_denied"), col("final_units"))).as("s"))
+      .select(col("user_id"), col("s.*"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val exp = graft.operators.RelationalOps
+      .q228RateLimitReplay(spark, Sf)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_admitted"),
+          r.getAs[Long]("n_denied"), r.getAs[Long]("final_units"))))
+      .toMap
+    assert(got == exp, "time-ordered streaming replay must equal the " +
+      "batch token-bucket fold")
+  }
 }
