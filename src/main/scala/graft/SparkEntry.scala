@@ -258,6 +258,8 @@ object SparkEntry {
     "q233_holt_winters" -> (StatsOps.q233HoltWinters _),
     "q234_rbo" -> (SimilarityOps.q234Rbo _),
     "q235_conformal" -> (StatsOps.q235ConformalCalibration _),
+    "q236_interval_overlap" -> (RelationalOps.q236IntervalOverlapJoin _),
+    "q237_countmin" -> (StatsOps.q237CountMin _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -6102,5 +6104,74 @@ object SparkEntry {
                 CAST((2 * 1000000 * t.cov + t.n_test)
                   // (2 * t.n_test) AS BIGINT) AS coverage_ppm
          FROM qh q JOIN tst t ON t.event_type = q.event_type""",
+
+    // q236: same sessions/incidents, direct inequality overlap join
+    // (no banding — quadratic candidates, same output)
+    "q236_interval_overlap" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+           FROM events WHERE user_id IS NOT NULL
+         ), gap AS (
+           SELECT *, CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) > 14400000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM ev
+         ), sess AS (
+           SELECT user_id, MIN(us) AS s_start, MAX(us) AS s_end
+           FROM (SELECT user_id, us,
+                        SUM(brk) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id) AS sid
+                 FROM gap)
+           GROUP BY user_id, sid
+         ), egap AS (
+           SELECT us, event_id,
+                  CASE WHEN us - LAG(us) OVER (ORDER BY us, event_id)
+                         > 300000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM ev WHERE event_type = 'error'
+         ), inc AS (
+           SELECT MIN(us) AS i_start, MAX(us) AS i_end
+           FROM (SELECT us,
+                        SUM(brk) OVER (ORDER BY us, event_id) AS iid
+                 FROM egap)
+           GROUP BY iid HAVING COUNT(*) >= 3
+         )
+         SELECT s.user_id, s.s_start AS sess_start_us,
+                i.i_start AS inc_start_us,
+                LEAST(s.s_end, i.i_end)
+                  - GREATEST(s.s_start, i.i_start) AS overlap_us
+         FROM sess s JOIN inc i
+           ON s.s_start <= i.i_end AND i.i_start <= s.s_end""",
+
+    // q237: identical md5-prefix Count-Min — same 4×256 bucket keys
+    // (first two hex chars of md5(j || '|' || key)), same min-of-rows
+    // estimate, same top-20 probe set
+    "q237_countmin" ->
+      """WITH li AS (
+           SELECT l_partkey FROM lineitem
+         ), keyed AS (
+           SELECT l_partkey, j,
+                  substr(md5(CAST(j AS VARCHAR) || '|'
+                    || CAST(l_partkey AS VARCHAR)), 1, 2) AS bucket
+           FROM li CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+         ), sketch AS (
+           SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+           FROM keyed GROUP BY 1, 2
+         ), top AS (
+           SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS true_cnt
+           FROM li GROUP BY 1
+           ORDER BY true_cnt DESC, l_partkey ASC LIMIT 20
+         ), probes AS (
+           SELECT t.l_partkey, t.true_cnt, j,
+                  substr(md5(CAST(j AS VARCHAR) || '|'
+                    || CAST(t.l_partkey AS VARCHAR)), 1, 2) AS bucket
+           FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+         )
+         SELECT p.l_partkey, p.true_cnt,
+                CAST(MIN(s.c) AS BIGINT) AS est_cnt,
+                CAST(MIN(s.c) - p.true_cnt AS BIGINT) AS overcount
+         FROM probes p JOIN sketch s
+           ON s.j = p.j AND s.bucket = p.bucket
+         GROUP BY 1, 2""",
   )
 }

@@ -3408,4 +3408,77 @@ object RelationalOps {
         expr("""CAST((2 * 1000000 * n_sessions + _n) DIV (2 * _n)
             AS BIGINT)""").as("support_ppm"))
   }
+
+  /** q236: INTERVAL-INTERVAL OVERLAP JOIN — every user activity
+    * session that overlaps an error-burst incident window, with the
+    * exact overlap duration. Completes the temporal-join family: q39
+    * matches a point to the latest PRECEDING point (as-of), q99 a
+    * point INSIDE an interval (banded range join), this an interval
+    * AGAINST an interval — the blast-radius question ("whose sessions
+    * were in flight during the incident?") behind every outage
+    * postmortem and SLA-credit calculation. Sessions are the 4-h-gap
+    * user sessions (q232's rule, [min,max] event time); incidents are
+    * maximal ≤5-min-gap runs of ≥3 error events (a burst, not a lone
+    * error), detected on the FILTERED error slice — the one global
+    * window runs over that bounded slice only, never the full log (at
+    * 100 TB the error stream after severity filtering is orders
+    * smaller than traffic; were it not, incident detection would move
+    * to the q66-style chunked fold).
+    *
+    * Scale shape: the standard day-cell banding — each interval
+    * explodes to the UTC days it spans (sessions ≪ a day, incidents
+    * minutes — the explode is ~1 row per interval), the join is an
+    * EQUI-join on the day cell, a pair sharing several days dedups
+    * through DISTINCT on ids BEFORE the overlap arithmetic, and the
+    * exact inclusive overlap test + duration are integer µs. Output
+    * keys are the interval start times (sessions and incidents are
+    * both uniquely keyed by start within their stream).
+    */
+  def q236IntervalOverlapJoin(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 86400000000L
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val uw = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val sessions = ev
+      .withColumn("_brk",
+        when(col("us") - lag(col("us"), 1).over(uw) > 14400000000L, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum(col("_brk")).over(
+        uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("_sid"))
+      .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+    // incident windows: global 5-min-gap runs over the error slice
+    val ew = Window.orderBy(col("us"), col("event_id"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .withColumn("_brk",
+        when(col("us") - lag(col("us"), 1).over(ew) > 300000000L, 1L)
+          .otherwise(0L))
+      .withColumn("_iid", sum(col("_brk")).over(
+        ew.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("_iid"))
+      .agg(min(col("us")).as("i_start"), max(col("us")).as("i_end"),
+        count(lit(1)).as("_n"))
+      .filter(col("_n") >= 3)
+      .select(col("i_start"), col("i_end"))
+    val sx = sessions.select(col("user_id"), col("s_start"), col("s_end"),
+      explode(sequence(expr(s"s_start DIV $DayUs"),
+        expr(s"s_end DIV $DayUs"))).as("cell"))
+    val ix = incidents.select(col("i_start"), col("i_end"),
+      explode(sequence(expr(s"i_start DIV $DayUs"),
+        expr(s"i_end DIV $DayUs"))).as("cell"))
+    sx.join(ix, Seq("cell"))
+      .filter(col("s_start") <= col("i_end") &&
+        col("i_start") <= col("s_end"))
+      .select(col("user_id"), col("s_start"), col("i_start"),
+        col("s_end"), col("i_end"))
+      .distinct() // a pair spanning several shared days appears once
+      .select(col("user_id"),
+        col("s_start").as("sess_start_us"),
+        col("i_start").as("inc_start_us"),
+        (least(col("s_end"), col("i_end")) -
+          greatest(col("s_start"), col("i_start"))).as("overlap_us"))
+  }
 }

@@ -1964,4 +1964,50 @@ object StatsOps {
         expr("""CAST((2 * 1000000 * _cov + n_test) DIV (2 * n_test)
             AS BIGINT)""").as("coverage_ppm"))
   }
+
+  /** q237: COUNT-MIN FREQUENCY SKETCH (Cormode & Muthukrishnan 2005)
+    * — point-frequency estimation under a FIXED memory budget: 4 rows
+    * × 256 md5-prefix buckets (4·256 counters regardless of key
+    * cardinality) summarize the lineitem part-frequency distribution;
+    * a key's estimate is the MIN of its 4 bucket counters, guaranteed
+    * ≥ the true count. The sketch complements q91's Misra–Gries
+    * (which RANKS heavy hitters) with O(1)-memory POINT queries, and
+    * like it is fully mergeable: per-partition sketches union by
+    * bucket-wise SUM, so a day-partitioned corpus rolls up without
+    * rescanning (the q165/q179 re-aggregatable-artifact family).
+    * Audited here against truth: the 20 most frequent parts, their
+    * exact counts, estimates, and overcount — the error the 1024-
+    * counter budget costs on a 20k-key domain.
+    *
+    * Engine-exactness: buckets are the FIRST TWO HEX CHARS of
+    * md5(row || '|' || key) — the md5-MinHash rule (q31): both
+    * engines hash identically and the bucket key stays a string, so
+    * no hex→int conversion ever happens. Scale shape: the build is
+    * ONE map-combined groupBy to a 1024-row artifact; the probe side
+    * is a broadcast of 20×4 bucket keys.
+    */
+  def q237CountMin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"))
+    val rows = array((0 until 4).map(lit): _*)
+    val keyed = li.select(col("l_partkey"),
+      explode(rows).as("j"))
+      .select(col("l_partkey"), col("j"),
+        substring(md5(concat(col("j").cast("string"), lit("|"),
+          col("l_partkey").cast("string"))), 1, 2).as("bucket"))
+    val sketch = keyed.groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val top = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).cast("long").as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("l_partkey").asc).limit(20)
+    val probes = top.select(col("l_partkey"), col("true_cnt"),
+      explode(rows).as("j"))
+      .select(col("l_partkey"), col("true_cnt"), col("j"),
+        substring(md5(concat(col("j").cast("string"), lit("|"),
+          col("l_partkey").cast("string"))), 1, 2).as("bucket"))
+    broadcast(probes).join(sketch, Seq("j", "bucket"))
+      .groupBy(col("l_partkey"), col("true_cnt"))
+      .agg(min(col("c")).cast("long").as("est_cnt"))
+      .select(col("l_partkey"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"))
+  }
 }
