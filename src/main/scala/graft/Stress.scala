@@ -130,6 +130,32 @@ object Stress {
     val shOk = plantedFound == nPlant &&
       (nDocs <= (1L << 16) * 32 || bits > 16)
 
+    // ---- 5. Grid ε-ball join: planted-pair recall at n points --------
+    // uniform integer points on a 1e8×1e8 plane (natural ε-pairs are
+    // rare); nPlant twins offset by δ ∈ [-70,70]² (dist² ≤ 9800 < ε²,
+    // clamped at 0 which only shrinks the distance) MUST all surface —
+    // the grid's 100%-recall guarantee, at 1000× the bench point count
+    val eps = 100L
+    val basePts = spark.range(n).select(col("id").as("pid"),
+      pmod(xxhash64(col("id"), lit(10)), lit(100000000L)).as("x"),
+      pmod(xxhash64(col("id"), lit(11)), lit(100000000L)).as("y"))
+    val twinPts = spark.range(nPlant).select((col("id") + n).as("pid"),
+      greatest(pmod(xxhash64(col("id"), lit(10)), lit(100000000L)) +
+        pmod(xxhash64(col("id"), lit(12)), lit(141L)) - 70L, lit(0L))
+        .as("x"),
+      greatest(pmod(xxhash64(col("id"), lit(11)), lit(100000000L)) +
+        pmod(xxhash64(col("id"), lit(13)), lit(141L)) - 70L, lit(0L))
+        .as("y"))
+    val allPts = basePts.unionByName(twinPts).localCheckpoint()
+    val ((nEpsPairs, plantedEps), tEps) = timed {
+      val r = graft.operators.SimilarityOps.epsilonJoin(allPts, eps)
+        .localCheckpoint()
+      (r.count(),
+        r.filter(col("pk_b") === col("pk_a") + n &&
+          col("pk_a") < nPlant).count())
+    }
+    val epsOk = plantedEps == nPlant
+
     def f(d: Double): String = BigDecimal(d)
       .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     println(s"""{"stress":{"n":$n,"n_docs":$nDocs,""" +
@@ -137,8 +163,10 @@ object Stress {
       s""""rank":{"sec":${f(tRank)},"minmaxcntdst":$rankDiag,"ok":$rankOk},""" +
       s""""bitmap":{"sec":${f(tBm)},"ok":$bmOk},""" +
       s""""simhash":{"sec":${f(tSh)},"bands":$bands,"bits":$bits,""" +
-      s""""pairs":$pairsFound,"planted_found":$plantedFound,"ok":$shOk}}}""")
-    val allOk = topOk && rankOk && bmOk && shOk
+      s""""pairs":$pairsFound,"planted_found":$plantedFound,"ok":$shOk},""" +
+      s""""epsjoin":{"sec":${f(tEps)},"pairs":$nEpsPairs,""" +
+      s""""planted_found":$plantedEps,"ok":$epsOk}}}""")
+    val allOk = topOk && rankOk && bmOk && shOk && epsOk
     spark.stop()
     if (!allOk) sys.exit(1)
   }

@@ -933,4 +933,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(finalPlan.linesIterator.count(_.contains("FileScan parquet")) == 1,
       p.take(2500))
   }
+
+  test("q229 epsilon-ball join: equi-join on grid cells, never a " +
+      "cartesian or nested-loop product") {
+    val df = SimilarityOps.q229EpsilonJoin(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    // the candidate join must key on BOTH cell coordinates
+    assert(p.contains("Join") || p.contains("HashJoin"), p.take(2500))
+    assert(p.contains("gx") && p.contains("gy"), p.take(2500))
+  }
+
+  test("q231 two-hop reach: wedge join is an equi-join on the middle " +
+      "node; the adjacency filter is a hash anti-join") {
+    val df = GraphOps.q231TwoHopReach(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(p.contains("LeftAnti"), p.take(2500))
+  }
+
+  test("q236 interval-overlap join: candidates come from the day-cell " +
+      "equi-join, never an inequality-only product") {
+    val df = RelationalOps.q236IntervalOverlapJoin(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(p.contains("cell"), p.take(2500))
+  }
+
+  test("q237 count-min: the sketch build is one map-side-combined " +
+      "aggregate over the scan (partial_count before the shuffle)") {
+    val df = StatsOps.q237CountMin(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
 }
