@@ -260,6 +260,8 @@ object SparkEntry {
     "q235_conformal" -> (StatsOps.q235ConformalCalibration _),
     "q236_interval_overlap" -> (RelationalOps.q236IntervalOverlapJoin _),
     "q237_countmin" -> (StatsOps.q237CountMin _),
+    "q238_feature_hashing" -> (TextOps.q238FeatureHashing _),
+    "q239_dbscan" -> (SimilarityOps.q239Dbscan _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -6173,5 +6175,63 @@ object SparkEntry {
          FROM probes p JOIN sketch s
            ON s.j = p.j AND s.bucket = p.bucket
          GROUP BY 1, 2""",
+
+    // q238: same whitespace tokenization and md5-prefix dimension
+    "q238_feature_hashing" ->
+      """SELECT doc_id, substr(md5(tok), 1, 2) AS dim,
+                CAST(COUNT(*) AS BIGINT) AS weight
+         FROM (SELECT doc_id,
+                      unnest(string_split_regex(lower(trim(text)),
+                        '\s+')) AS tok
+               FROM documents WHERE text IS NOT NULL)
+         WHERE len(tok) > 0
+         GROUP BY 1, 2""",
+
+    // q239: naive n² ε-neighbors + recursive-CTE transitive closure on
+    // the core-core graph (UNION dedup terminates on cycles); cluster
+    // = min core id in the component, borders adopt the min core-
+    // neighbor cluster, noise = -1
+    "q239_dbscan" ->
+      """WITH RECURSIVE pts AS (
+           SELECT p_partkey AS pid,
+                  CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 100
+                       AS BIGINT) AS x,
+                  CAST(p_size AS BIGINT) * 100 AS y
+           FROM part
+           WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+         ), nb AS (
+           SELECT a.pid AS pa, b.pid AS pb
+           FROM pts a JOIN pts b ON a.pid <> b.pid
+           WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                 <= 10000
+         ), core AS (
+           SELECT pa AS pid FROM nb GROUP BY 1 HAVING COUNT(*) >= 3
+         ), ce AS (
+           SELECT pa, pb FROM nb
+           WHERE pa IN (SELECT pid FROM core)
+             AND pb IN (SELECT pid FROM core)
+         ), reach(a, b) AS (
+           SELECT pa, pb FROM ce
+           UNION
+           SELECT r.a, ce.pb FROM reach r JOIN ce ON ce.pa = r.b
+         ), lab AS (
+           SELECT c.pid,
+                  LEAST(c.pid, COALESCE(MIN(r.b), c.pid)) AS cluster
+           FROM core c LEFT JOIN reach r ON r.a = c.pid
+           GROUP BY c.pid
+         ), bord AS (
+           SELECT n.pa AS pid, MIN(l.cluster) AS cluster
+           FROM nb n JOIN lab l ON n.pb = l.pid
+           WHERE n.pa NOT IN (SELECT pid FROM core)
+           GROUP BY 1
+         )
+         SELECT p.pid,
+                CAST(CASE WHEN l.pid IS NOT NULL THEN 1 ELSE 0 END
+                     AS BIGINT) AS is_core,
+                CAST(COALESCE(l.cluster, b.cluster, -1) AS BIGINT)
+                  AS cluster
+         FROM pts p
+         LEFT JOIN lab l ON l.pid = p.pid
+         LEFT JOIN bord b ON b.pid = p.pid""",
   )
 }

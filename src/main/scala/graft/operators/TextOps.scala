@@ -1211,4 +1211,32 @@ object TextOps {
         expr("""CAST((2 * 1000000 * n_types + subtokens)
                 DIV (2 * subtokens) AS BIGINT)""").as("ttr_ppm"))
   }
+
+  /** q238: FEATURE HASHING / the hashing trick (Weinberger et al. ICML
+    * 2009) — each document's bag-of-words projected into a FIXED
+    * 256-dimension hashed feature space: dimension = first two hex
+    * chars of md5(token), weight = exact term frequency. The
+    * vectorizer that feeds linear models/ANN without a vocabulary
+    * dictionary: no global vocab build, no OOV problem, memory O(dims)
+    * per doc regardless of corpus vocabulary — which is why it's the
+    * standard featurizer at corpus scale (vs q58's TF-IDF, which
+    * carries the full term dictionary). Output in LONG (doc, dim,
+    * weight) form — the sparse-matrix exchange format, exact integer
+    * weights.
+    *
+    * Scale shape: one explode + one map-combined (doc, dim) count —
+    * embarrassingly parallel, no joins, no windows; the md5-prefix
+    * bucket is the q31/q237 engine-identical hash rule. Collisions are
+    * the hashing trick's documented trade (unsigned variant here;
+    * at 256 dims the collision mass is itself a measurable feature).
+    */
+  def q238FeatureHashing(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"),
+        substring(md5(col("tok")), 1, 2).as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).cast("long").as("weight"))
 }
