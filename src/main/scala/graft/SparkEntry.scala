@@ -262,6 +262,8 @@ object SparkEntry {
     "q237_countmin" -> (StatsOps.q237CountMin _),
     "q238_feature_hashing" -> (TextOps.q238FeatureHashing _),
     "q239_dbscan" -> (SimilarityOps.q239Dbscan _),
+    "q240_ktruss" -> (GraphOps.q240KTruss _),
+    "q241_user_growth" -> (RelationalOps.q241UserGrowth _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -6233,5 +6235,90 @@ object SparkEntry {
          FROM pts p
          LEFT JOIN lab l ON l.pid = p.pid
          LEFT JOIN bord b ON b.pid = p.pid""",
+
+    // q240: fixed-8-round recursive peel; per-level support is the
+    // direct u<v<w triangle enumeration credited to all 3 edges (the
+    // Spark side early-exits at the fixpoint, which the cascade
+    // reaches well inside 8 rounds)
+    "q240_ktruss" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+         ), it(i, u, v) AS (
+           SELECT 0, u, v FROM e0
+           UNION ALL
+           SELECT i + 1, t.u, t.v
+           FROM it t JOIN (
+             SELECT u, v, COUNT(*) AS sup FROM (
+               SELECT e1.u AS u, e1.v AS v FROM it e1
+                 JOIN it e2 ON e1.u = e2.u AND e1.v < e2.v
+                 JOIN it e3 ON e3.u = e1.v AND e3.v = e2.v
+               UNION ALL
+               SELECT e1.u, e2.v FROM it e1
+                 JOIN it e2 ON e1.u = e2.u AND e1.v < e2.v
+                 JOIN it e3 ON e3.u = e1.v AND e3.v = e2.v
+               UNION ALL
+               SELECT e1.v, e2.v FROM it e1
+                 JOIN it e2 ON e1.u = e2.u AND e1.v < e2.v
+                 JOIN it e3 ON e3.u = e1.v AND e3.v = e2.v
+             ) GROUP BY 1, 2
+           ) s ON s.u = t.u AND s.v = t.v AND s.sup >= 4
+           WHERE t.i < 8
+         ), fin AS (
+           SELECT u, v FROM it WHERE i = 8
+         ), sup AS (
+           SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
+             SELECT e1.u AS u, e1.v AS v FROM fin e1
+               JOIN fin e2 ON e1.u = e2.u AND e1.v < e2.v
+               JOIN fin e3 ON e3.u = e1.v AND e3.v = e2.v
+             UNION ALL
+             SELECT e1.u, e2.v FROM fin e1
+               JOIN fin e2 ON e1.u = e2.u AND e1.v < e2.v
+               JOIN fin e3 ON e3.u = e1.v AND e3.v = e2.v
+             UNION ALL
+             SELECT e1.v, e2.v FROM fin e1
+               JOIN fin e2 ON e1.u = e2.u AND e1.v < e2.v
+               JOIN fin e3 ON e3.u = e1.v AND e3.v = e2.v
+           ) GROUP BY 1, 2
+         )
+         SELECT f.u, f.v, COALESCE(s.support, 0) AS support
+         FROM fin f LEFT JOIN sup s ON s.u = f.u AND s.v = f.v""",
+
+    // q241: same Monday weeks, same lag classification, churn via
+    // NOT EXISTS restricted to observed weeks
+    "q241_user_growth" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+           FROM events WHERE user_id IS NOT NULL
+         ), cl AS (
+           SELECT user_id, wk,
+                  LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS pv
+           FROM uw
+         ), agg AS (
+           SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_active,
+                  CAST(SUM(CASE WHEN pv IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_new,
+                  CAST(SUM(CASE WHEN pv = wk - INTERVAL 7 DAY
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                  CAST(SUM(CASE WHEN pv IS NOT NULL
+                         AND pv < wk - INTERVAL 7 DAY
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+           FROM cl GROUP BY 1
+         ), ch AS (
+           SELECT a.wk + INTERVAL 7 DAY AS wk,
+                  CAST(COUNT(*) AS BIGINT) AS n_churned
+           FROM uw a
+           WHERE NOT EXISTS (SELECT 1 FROM uw b
+                             WHERE b.user_id = a.user_id
+                               AND b.wk = a.wk + INTERVAL 7 DAY)
+             AND a.wk + INTERVAL 7 DAY IN (SELECT wk FROM uw)
+           GROUP BY 1
+         )
+         SELECT epoch_us(a.wk) AS week_us, a.n_active, a.n_new,
+                a.n_retained, a.n_resurrected,
+                CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+         FROM agg a LEFT JOIN ch c ON c.wk = a.wk""",
   )
 }

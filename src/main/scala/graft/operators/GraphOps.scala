@@ -1074,6 +1074,85 @@ object GraphOps {
     * the ratio is integer round-half-up ppm (deg ≥ 1 by
     * construction — every output node has an edge).
     */
+  /** q240: k-TRUSS DECOMPOSITION at k = 6 (Cohen 2008's trusses; the
+    * canonical distributed edge-cohesion primitive): the maximal
+    * subgraph in which EVERY EDGE closes ≥ k−2 = 4 triangles —
+    * stricter than q109's k-core (degree is a node property a hub
+    * fakes; triangle support is a relationship property only a dense
+    * community produces), the standard community-core/spam-ring
+    * primitive between core decomposition and clique mining. Peel
+    * iteratively: per-edge support via the SAME degree-oriented
+    * packed-adjacency intersect kernel as q107 (each round is one
+    * O(E^{3/2}) enumeration, never hub-quadratic), drop edges under
+    * support, repeat to the fixpoint (early exit) with the oracle's
+    * fixed 8-round horizon as the cap — the cascade here settles in
+    * ≤6 rounds. Output: surviving edges with their final support.
+    *
+    * Scale shape per round: adjacency rebuild (one groupBy of the
+    * shrinking edge set) + the intersect explode + one map-combined
+    * (u,v) count; the support join is edge-keyed, ids only. Exact
+    * integer counts — oracle replays the peel as a recursive CTE
+    * whose per-level support is the same triangle enumeration.
+    */
+  def kTruss(symEdges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    var und = symEdges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") < col("v")).distinct()
+      .localCheckpoint(false)
+    var sup = edgeSupport(und)
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val kept = und.join(sup, Seq("u", "v"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select(col("u"), col("v"))
+        .localCheckpoint(false)
+      if (kept.count() == und.count()) done = true
+      else { und = kept; sup = edgeSupport(und) }
+      r += 1
+    }
+    und.join(sup, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Per-edge triangle support of an undirected (u < v) edge set —
+    * q107's intersect kernel re-aggregated at EDGE grain (each
+    * triangle credits its 3 id-normalized edges).
+    */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    val MASK = (1L << 32) - 1
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+    val (adj, useBc) = triangleAdjacency(sym)
+    val edges = adj
+      .select(col("pku"), col("nbrs"), explode(col("nbrs")).as("pkv"))
+      .filter(col("pku") < col("pkv"))
+    val vSide = adj.select(col("pku").as("pkv"), col("nbrs").as("nv"))
+    val a = col("pa").bitwiseAND(lit(MASK))
+    val b = col("pb").bitwiseAND(lit(MASK))
+    val cc = col("pc").bitwiseAND(lit(MASK))
+    edges.join(if (useBc) broadcast(vSide) else vSide, "pkv")
+      .select(col("pku").as("pa"), col("pkv").as("pb"),
+        graft.functions.SortedIntersectAbove.intersectAbove(spark,
+          col("nbrs"), col("nv"), col("pkv")).as("ww"))
+      .filter(size(col("ww")) > 0)
+      .select(col("pa"), col("pb"), explode(col("ww")).as("pc"))
+      .select(explode(array(
+        struct(least(a, b).as("u"), greatest(a, b).as("v")),
+        struct(least(a, cc).as("u"), greatest(a, cc).as("v")),
+        struct(least(b, cc).as("u"), greatest(b, cc).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).cast("long").as("support"))
+  }
+
+  /** q240 entry: 6-truss of the full co-purchase graph. */
+  def q240KTruss(s: SparkSession, d: String): DataFrame =
+    kTruss(coPurchaseRawPairs(s, d), k = 6)
+
   def q231TwoHopReach(s: SparkSession, d: String): DataFrame = {
     // four plan consumers (deg, both wedge sides, anti-join) — cut the
     // self-join replay with one checkpoint of the slim edge table

@@ -3481,4 +3481,54 @@ object RelationalOps {
         (least(col("s_end"), col("i_end")) -
           greatest(col("s_start"), col("i_start"))).as("overlap_us"))
   }
+
+  /** q241: USER GROWTH ACCOUNTING — weekly active users decomposed
+    * into the standard four buckets every growth review runs on
+    * (the WAU accounting identity): NEW (first week ever), RETAINED
+    * (also active the previous week), RESURRECTED (active before, but
+    * not last week), plus the week's CHURN-OUT (last week's actives
+    * who didn't return). active = new + retained + resurrected holds
+    * to the unit by construction (each active user lands in exactly
+    * one bucket — the q216 identity argument at user grain; q216
+    * bridges REVENUE across two fixed years, q81 grids retention by
+    * cohort — this is the per-period population bridge). Weeks are
+    * date_trunc Mondays (identical in both engines); churn for week w
+    * counts only OBSERVED weeks (no phantom week after the data ends).
+    *
+    * Scale shape: one distinct to (user, week) grain, one user-keyed
+    * lag window on that reduced frame, one anti-join for churn —
+    * the event log is scanned once. Integer counts; weeks emit as
+    * epoch-µs longs (the q222 timestamp-output rule).
+    */
+  def q241UserGrowth(s: SparkSession, d: String): DataFrame = {
+    val uw = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+      .localCheckpoint(false) // classing, churn probe, week spine
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val agg = uw
+      .withColumn("_pv", lag(col("wk"), 1).over(w))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).cast("long").as("n_active"),
+        sum(when(col("_pv").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_new"),
+        sum(when(col("_pv") === col("wk") - expr("INTERVAL 7 DAYS"), 1L)
+          .otherwise(0L)).cast("long").as("n_retained"),
+        sum(when(col("_pv").isNotNull &&
+          col("_pv") < col("wk") - expr("INTERVAL 7 DAYS"), 1L)
+          .otherwise(0L)).cast("long").as("n_resurrected"))
+    val churn = uw
+      .withColumn("_nw", col("wk") + expr("INTERVAL 7 DAYS"))
+      .join(uw.select(col("user_id"), col("wk").as("_nw")),
+        Seq("user_id", "_nw"), "left_anti")
+      .join(uw.select(col("wk").as("_nw")).distinct(), Seq("_nw"))
+      .groupBy(col("_nw").as("wk"))
+      .agg(count(lit(1)).cast("long").as("_ch"))
+    agg.join(churn, Seq("wk"), "left")
+      .select(unix_micros(col("wk")).as("week_us"),
+        col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        coalesce(col("_ch"), lit(0L)).as("n_churned"))
+  }
 }
