@@ -264,6 +264,8 @@ object SparkEntry {
     "q239_dbscan" -> (SimilarityOps.q239Dbscan _),
     "q240_ktruss" -> (GraphOps.q240KTruss _),
     "q241_user_growth" -> (RelationalOps.q241UserGrowth _),
+    "q242_conformance" -> (RelationalOps.q242Conformance _),
+    "q243_simpson" -> (StatsOps.q243SimpsonScreen _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -540,7 +542,8 @@ object SparkEntry {
                 CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                 CAST(MIN(n_chars) AS BIGINT) AS min_chars,
                 CAST(MAX(n_chars) AS BIGINT) AS max_chars,
-                ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
+                CAST((2 * 100 * SUM(n_chars) + COUNT(*))
+                  // (2 * COUNT(*)) AS BIGINT) / 100.0 AS avg_chars
          FROM documents GROUP BY lang, source""",
     "q25_token_count" ->
       """SELECT doc_id,
@@ -2509,7 +2512,8 @@ object SparkEntry {
            SELECT event_type, dow,
                   CAST(COUNT(*) AS DOUBLE) AS n,
                   CAST(SUM(total) AS DOUBLE) AS sx,
-                  CAST(SUM(total * total) AS DOUBLE) AS sxx
+                  CAST(SUM(CAST(total AS DECIMAL(30,4)) * total)
+                    AS DOUBLE) AS sxx
            FROM dailyd GROUP BY 1, 2
          ), j AS (
            SELECT d.event_type, d.day,
@@ -2536,7 +2540,8 @@ object SparkEntry {
            SELECT event_type,
                   CAST(COUNT(*) AS DOUBLE) AS n,
                   CAST(SUM(total) AS DOUBLE) AS sx,
-                  CAST(SUM(total * total) AS DOUBLE) AS sxx
+                  CAST(SUM(CAST(total AS DECIMAL(30,4)) * total)
+                    AS DOUBLE) AS sxx
            FROM daily GROUP BY 1
          ), seq AS (
            SELECT d.event_type, d.day,
@@ -6320,5 +6325,88 @@ object SparkEntry {
                 a.n_retained, a.n_resurrected,
                 CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
          FROM agg a LEFT JOIN ch c ON c.wk = a.wk""",
+
+    // q242: same 4-h sessions, first-letter traces capped at 20,
+    // DuckDB's unit-cost levenshtein (identical DP to Spark's)
+    "q242_conformance" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events WHERE user_id IS NOT NULL
+         ), gap AS (
+           SELECT *, CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                    ORDER BY rn) > 14400000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM ev
+         ), s AS (
+           SELECT user_id, rn, event_type,
+                  SUM(brk) OVER (PARTITION BY user_id ORDER BY rn)
+                    AS sid
+           FROM gap
+         ), sr AS (
+           SELECT user_id, sid, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                    ORDER BY rn) AS k
+           FROM s
+         ), tr AS (
+           SELECT string_agg(substr(event_type, 1, 1), ''
+                    ORDER BY k) AS trace
+           FROM sr WHERE k <= 20 GROUP BY user_id, sid
+         )
+         SELECT CAST(len(trace) AS BIGINT) AS trace_len,
+                CAST(levenshtein(trace, 'vcp') AS BIGINT) AS dist,
+                CAST(COUNT(*) AS BIGINT) AS n_sessions
+         FROM tr GROUP BY 1, 2""",
+
+    // q243: same (brand, year) moment cells in HUGEINT; the slope
+    // sign is the q130 numerator — no division anywhere
+    "q243_simpson" ->
+      """WITH base AS (
+           SELECT p.p_brand, year(l.l_shipdate) AS yr,
+                  CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 10000
+                       AS BIGINT) AS x,
+                  CAST(CAST(l.l_quantity AS DECIMAL(18,4)) * 10000
+                       AS BIGINT) AS y
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE l.l_discount IS NOT NULL AND l.l_quantity IS NOT NULL
+             AND l.l_shipdate IS NOT NULL
+         ), cells AS (
+           SELECT p_brand, yr, CAST(COUNT(*) AS HUGEINT) AS n,
+                  CAST(SUM(x) AS HUGEINT) AS sx,
+                  CAST(SUM(y) AS HUGEINT) AS sy,
+                  CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+           FROM base GROUP BY 1, 2
+         ), seg AS (
+           SELECT p_brand,
+                  CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                       WHEN n * sxy - sx * sy < 0 THEN -1
+                       ELSE 0 END AS s
+           FROM cells
+         ), pooled AS (
+           SELECT p_brand,
+                  CASE WHEN SUM(n) * SUM(sxy) - SUM(sx) * SUM(sy) > 0
+                         THEN 1
+                       WHEN SUM(n) * SUM(sxy) - SUM(sx) * SUM(sy) < 0
+                         THEN -1
+                       ELSE 0 END AS overall_sign
+           FROM cells GROUP BY 1
+         ), segs AS (
+           SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_segments,
+                  CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_pos,
+                  CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_neg
+           FROM seg GROUP BY 1
+         )
+         SELECT g.p_brand, CAST(p.overall_sign AS BIGINT)
+                  AS overall_sign,
+                g.n_segments, g.n_pos, g.n_neg,
+                CAST(CASE WHEN (p.overall_sign > 0
+                                AND g.n_neg > g.n_pos)
+                            OR (p.overall_sign < 0
+                                AND g.n_pos > g.n_neg)
+                     THEN 1 ELSE 0 END AS BIGINT) AS simpson_flag
+         FROM segs g JOIN pooled p ON p.p_brand = g.p_brand""",
   )
 }

@@ -3531,4 +3531,44 @@ object RelationalOps {
         col("n_resurrected"),
         coalesce(col("_ch"), lit(0L)).as("n_churned"))
   }
+
+  /** q242: TRACE CONFORMANCE CHECKING (process mining — van der Aalst
+    * 2011's alignment problem at the edit-distance grain): every 4-h
+    * session's event-type trace scored by Levenshtein distance to the
+    * canonical funnel trace "vcp" (view → click → purchase), reported
+    * as the (trace length × distance) histogram — "how far does real
+    * behavior deviate from the designed process, and does deviation
+    * grow with session length". q80 counts sessions that CONTAIN the
+    * funnel; conformance measures HOW WRONG the rest are (inserts,
+    * skips, wrong order all priced 1 edit).
+    *
+    * Determinism: event types map to their distinct first letters, so
+    * a trace is a plain string and both engines run the same unit-cost
+    * Levenshtein DP (the q91 rule). Traces cap at 20 events — the DP
+    * is O(len·3) per session, bounded; the cap is part of the operator
+    * contract, not a shortcut (conformance beyond a screenful of
+    * events is process noise).
+    */
+  def q242Conformance(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("_brk",
+        when(col("us") - lag(col("us"), 1).over(w) > 14400000000L, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("_sid"))
+      .agg(array_join(slice(transform(
+        sort_array(collect_list(struct(col("us"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")))),
+        e => e.getField("c")), 1, 20), "").as("_trace"))
+      .select(length(col("_trace")).cast("long").as("trace_len"),
+        levenshtein(col("_trace"), lit("vcp")).cast("long").as("dist"))
+      .groupBy(col("trace_len"), col("dist"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"))
+  }
 }

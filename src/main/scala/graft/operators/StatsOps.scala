@@ -2010,4 +2010,62 @@ object StatsOps {
       .select(col("l_partkey"), col("true_cnt"), col("est_cnt"),
         (col("est_cnt") - col("true_cnt")).as("overcount"))
   }
+
+  /** q243: SIMPSON'S-PARADOX SCREEN (Simpson 1951; the aggregation-
+    * reversal audit every self-serve BI layer needs): per brand, the
+    * SIGN of the discount→quantity relationship computed on the
+    * pooled data vs within each order-year segment — a brand where
+    * the pooled sign contradicts the majority of within-segment signs
+    * is flagged (the pooled number would mislead). The slope sign
+    * needs no division: sign(β̂) = sign(n·Σxy − Σx·Σy) (the q130
+    * closed form's numerator), exact in DECIMAL(38,0) over e4-integer
+    * discount/quantity units — so the screen is engine-exact with no
+    * ratio rounding at all.
+    *
+    * Scale shape: ONE map-side-combinable aggregate pass at (brand,
+    * year) grain carrying the 4 moments, then brand-level re-sums of
+    * those bounded cells for the pooled sign — the fact table is
+    * scanned once, everything after is artifact-scale.
+    */
+  def q243SimpsonScreen(s: SparkSession, d: String): DataFrame = {
+    def sgn(c: Column): Column =
+      when(c > 0, 1L).when(c < 0, -1L).otherwise(0L)
+    val base = Tables.lineitem(s, d)
+      .filter(col("l_discount").isNotNull && col("l_quantity").isNotNull
+        && col("l_shipdate").isNotNull)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        year(col("l_shipdate")).cast("long").as("yr"),
+        (col("l_discount").cast("decimal(18,4)") * 10000).cast("long")
+          .as("x"),
+        (col("l_quantity").cast("decimal(18,4)") * 10000).cast("long")
+          .as("y"))
+    val cells = base.groupBy(col("p_brand"), col("yr"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+    val seg = cells.select(col("p_brand"),
+      sgn(col("n") * col("sxy") - col("sx") * col("sy")).as("_s"))
+    val pooled = cells.groupBy(col("p_brand"))
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"))
+      .select(col("p_brand"),
+        sgn(col("n") * col("sxy") - col("sx") * col("sy"))
+          .as("overall_sign"))
+    seg.groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast("long").as("n_segments"),
+        sum(when(col("_s") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_pos"),
+        sum(when(col("_s") < 0, 1L).otherwise(0L)).cast("long")
+          .as("n_neg"))
+      .join(pooled, Seq("p_brand"))
+      .select(col("p_brand"), col("overall_sign"), col("n_segments"),
+        col("n_pos"), col("n_neg"),
+        when((col("overall_sign") > 0 && col("n_neg") > col("n_pos")) ||
+          (col("overall_sign") < 0 && col("n_pos") > col("n_neg")), 1L)
+          .otherwise(0L).as("simpson_flag"))
+  }
 }

@@ -24,9 +24,14 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
         min(col("n_chars")).as("min_chars"),
-        max(col("n_chars")).as("max_chars"),
-        round(sum(col("n_chars")).cast("double") / count(lit(1)), 2)
-          .as("avg_chars"))
+        max(col("n_chars")).as("max_chars"))
+      // integer round-half-up e2 then one shared /100.0 — the sf1
+      // certification caught ROUND(float division) diverging at a
+      // .xx5 boundary (297.775 → 297.78 vs 297.77); the q21 ratio
+      // rule applies to averages too
+      .withColumn("avg_chars", expr(
+        """CAST((2 * 100 * total_chars + n_docs) DIV (2 * n_docs)
+           AS BIGINT) / 100.0"""))
 
   /** 25. Token counting: whitespace tokens, alpha "BPE-ish" subtokens
     * (maximal [a-z]+ runs), distinct token count.
