@@ -69,12 +69,15 @@ object ScaleUp {
     (col(k) + col("_c") * stride).as(k)
 
   def main(args: Array[String]): Unit = {
-    val src = args(0)
-    val dst = args(1)
-    val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val embFactor = args.lift(3).map(_.toInt).getOrElse(4)
     val spark = GraftSession.get()
+    run(spark, args(0), args(1),
+      args.lift(2).map(_.toInt).getOrElse(10),
+      args.lift(3).map(_.toInt).getOrElse(4))
+    spark.stop()
+  }
 
+  def run(spark: SparkSession, src: String, dst: String,
+      factor: Int, embFactor: Int): Unit = {
     val KCust = 100000L // max 14,999  -> < 1e6 at factor 10
     val KOrd = 1000000L // max 149,999
     val KPart = 100000L // max 19,999  -> < 2^31 (GraphOps packed keys)
@@ -176,7 +179,5 @@ object ScaleUp {
     write(emb.select(shifted("vec_id", KVec),
       col("_e").as("embedding"), col("label")),
       "embeddings")
-
-    spark.stop()
   }
 }
