@@ -53,9 +53,11 @@ import org.apache.spark.sql.functions._
   *
   * Dimension leaves (region, nation) and all value/date distributions
   * are unchanged. Each table is written as ONE parquet file (multiple
-  * row groups — still splittable) named `<table>.parquet`, byte-stable
-  * across runs, so both Spark and the DuckDB oracle tooling read the
-  * destination exactly like driver testdata.
+  * row groups — still splittable) named `<table>.parquet`,
+  * content-deterministic across runs (ScaleUpSpec pins multiset
+  * equality; parquet footer bytes are not pinned), so both Spark and
+  * the DuckDB oracle tooling read the destination exactly like driver
+  * testdata.
   *
   * Usage: `sbt 'runMain graft.ScaleUp <srcDir> <dstDir> [factor] [embFactor]'`
   */
@@ -78,6 +80,13 @@ object ScaleUp {
 
   def run(spark: SparkSession, src: String, dst: String,
       factor: Int, embFactor: Int): Unit = {
+    // The key strides below and the doubled-digit c_name suffix argument
+    // (cross-copy Levenshtein >= 2) are only valid for single-digit copy
+    // indices; both break silently past 10.
+    require(factor >= 1 && factor <= 10,
+      s"ScaleUp factor must be in [1, 10], got $factor")
+    require(embFactor >= 1 && embFactor <= 10,
+      s"ScaleUp embFactor must be in [1, 10], got $embFactor")
     val KCust = 100000L // max 14,999  -> < 1e6 at factor 10
     val KOrd = 1000000L // max 149,999
     val KPart = 100000L // max 19,999  -> < 2^31 (GraphOps packed keys)

@@ -314,6 +314,163 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The q112 oracle: the SAME integer BM25 pipeline as the plan —
+    * [[graft.operators.TextOps.bm25LnSteps]] emits the identical e9
+    * fixed-point ln steps for both engines (DuckDB lateral column
+    * aliases resolve them left-to-right, exactly like the chained
+    * withColumn fold), idf·tf products run in HUGEINT where Spark uses
+    * DECIMAL(38,0), and every division is non-negative so `//` ≡ DIV.
+    */
+  private def bm25OracleSql: String = {
+    val steps = graft.operators.TextOps.bm25LnSteps("//")
+      .map { case (n, e) => s"$e AS $n" }.mkString(",\n                  ")
+    s"""WITH base AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+')
+                    AS tk
+           FROM documents WHERE text IS NOT NULL
+         ), post AS (
+           SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+                        unnest(tk) AS term
+                 FROM base)
+           GROUP BY term, doc_id, dl
+         ), dfreq AS (
+           SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM post GROUP BY term
+         ), stats AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(tk)) AS BIGINT) AS total_len
+           FROM base
+         ), seeds AS (
+           SELECT doc_id AS query_id FROM base ORDER BY doc_id LIMIT 8
+         ), qt AS (
+           SELECT query_id, term, df FROM (
+             SELECT s.query_id, p.term, d.df,
+                    row_number() OVER (PARTITION BY s.query_id
+                      ORDER BY d.df, p.term) AS rn
+             FROM post p
+             JOIN seeds s ON p.doc_id = s.query_id
+             JOIN dfreq d ON p.term = d.term)
+           WHERE rn <= 3
+         ), idf AS (
+           SELECT q.query_id, p.doc_id, p.tf, p.dl, n_docs, total_len,
+                  2 * n_docs + 2 AS _p, 2 * q.df + 1 AS _q,
+                  $steps
+           FROM post p JOIN qt q ON p.term = q.term, stats
+         ), contrib AS (
+           SELECT query_id, doc_id,
+                  88 * total_len * tf AS _num,
+                  40 * total_len * tf + 12 * total_len
+                    + 36 * dl * n_docs AS _den,
+                  CAST((2 * CAST(idf_e9 AS HUGEINT) * _num + _den)
+                       // (2 * _den) AS BIGINT) AS c9
+           FROM idf
+         ), scored AS (
+           SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                  CAST(SUM(c9) AS BIGINT) AS score_e9
+           FROM contrib GROUP BY query_id, doc_id
+         )
+         SELECT query_id, doc_id, n_terms, score_e9 FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY score_e9 DESC, doc_id) AS rn
+           FROM scored) WHERE rn <= 10"""
+  }
+
+  /** The q156 oracle's unrolled greedy MMR replay: the same e4-integer
+    * rounded cosines (the q32 recipe — sums over the unnested vector in
+    * index order, ROUND 4-equivalent ×10000), the same 50-deep
+    * (rel_e4 DESC, did) shortlist, then one (score, pick, pick-set) CTE
+    * triple per round so DuckDB replays the exact integer greedy:
+    * score₂ = rel − max sim(c, selected), argmax ties by did. Every
+    * shortlist pair has a sim row, so the step-i score join is inner.
+    */
+  private def mmrOracleSql: String = {
+    val sb = new StringBuilder(
+      """WITH q AS (
+           SELECT vec_id AS qid, embedding AS qe
+           FROM embeddings ORDER BY vec_id LIMIT 8
+         ), cand AS (
+           SELECT q.qid, e.vec_id AS did, q.qe, e.embedding AS ne
+           FROM q, embeddings e WHERE e.vec_id <> q.qid
+         ), un AS (
+           SELECT qid, did, CAST(unnest(qe) AS DOUBLE) AS x,
+                  CAST(unnest(ne) AS DOUBLE) AS y
+           FROM cand
+         ), dots AS (
+           SELECT qid, did, SUM(x*y) AS dot, SUM(x*x) AS na,
+                  SUM(y*y) AS nb
+           FROM un GROUP BY qid, did
+         ), rel AS (
+           SELECT qid, did,
+                  CAST(ROUND(dot / (sqrt(na) * sqrt(nb)) * 10000, 0)
+                       AS BIGINT) AS rel_e4
+           FROM dots
+         ), short AS MATERIALIZED (
+           SELECT qid, did, rel_e4 FROM (
+             SELECT qid, did, rel_e4,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY rel_e4 DESC, did) AS rn
+             FROM rel) WHERE rn <= 50
+         ), sp AS (
+           SELECT s1.qid, s1.did AS a, s2.did AS b,
+                  ea.embedding AS va, eb.embedding AS vb
+           FROM short s1
+           JOIN short s2 ON s1.qid = s2.qid AND s1.did < s2.did
+           JOIN embeddings ea ON ea.vec_id = s1.did
+           JOIN embeddings eb ON eb.vec_id = s2.did
+         ), spu AS (
+           SELECT qid, a, b, CAST(unnest(va) AS DOUBLE) AS x,
+                  CAST(unnest(vb) AS DOUBLE) AS y
+           FROM sp
+         ), sd AS (
+           SELECT qid, a, b, SUM(x*y) AS dot, SUM(x*x) AS na,
+                  SUM(y*y) AS nb
+           FROM spu GROUP BY qid, a, b
+         ), simb AS MATERIALIZED (
+           SELECT qid, a, b,
+                  CAST(ROUND(dot / (sqrt(na) * sqrt(nb)) * 10000, 0)
+                       AS BIGINT) AS sim_e4
+           FROM sd
+           UNION ALL
+           SELECT qid, b, a,
+                  CAST(ROUND(dot / (sqrt(na) * sqrt(nb)) * 10000, 0)
+                       AS BIGINT)
+           FROM sd
+         ), p1 AS MATERIALIZED (
+           SELECT qid, did, rel_e4, rel_e4 AS score2 FROM (
+             SELECT qid, did, rel_e4,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY rel_e4 DESC, did) AS rn
+             FROM short) WHERE rn = 1
+         ), pset1 AS MATERIALIZED (SELECT qid, did FROM p1)""")
+    for (i <- 2 to 10) {
+      sb ++= s""", s$i AS MATERIALIZED (
+           SELECT c.qid, c.did, c.rel_e4,
+                  c.rel_e4 - MAX(sb.sim_e4) AS score2
+           FROM short c
+           JOIN simb sb ON sb.qid = c.qid AND sb.a = c.did
+           JOIN pset${i - 1} p ON p.qid = sb.qid AND p.did = sb.b
+           WHERE NOT EXISTS (SELECT 1 FROM pset${i - 1} x
+                             WHERE x.qid = c.qid AND x.did = c.did)
+           GROUP BY c.qid, c.did, c.rel_e4
+         ), p$i AS MATERIALIZED (
+           SELECT qid, did, rel_e4, score2 FROM (
+             SELECT qid, did, rel_e4, score2,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY score2 DESC, did) AS rn
+             FROM s$i) WHERE rn = 1
+         ), pset$i AS MATERIALIZED (
+           SELECT qid, did FROM pset${i - 1}
+           UNION ALL SELECT qid, did FROM p$i
+         )"""
+    }
+    sb ++= (1 to 10).map(i =>
+      s"""SELECT qid, did, CAST($i AS BIGINT) AS mmr_rank, rel_e4,
+                CAST(score2 AS BIGINT) AS score2_e4 FROM p$i""")
+      .mkString("\n         ", "\n         UNION ALL ", "")
+    sb.toString
+  }
+
   /** The q176 oracle's literal DDSketch range table: one (pos, lo, hi,
     * est) row per REACHABLE bucket — bucket pos covers integer units in
     * (lo, hi], est is the exact-rational midpoint estimate. Generated
@@ -2074,6 +2231,8 @@ object SparkEntry {
                   AS score_ppm
          FROM db JOIN sc ON db.x = sc.x AND db.y = sc.y
          GROUP BY db.doc_id""",
+    "q112_bm25" -> bm25OracleSql,
+
     // per-user consecutive-event transitions; probability in
     // round-half-up integer ppm over the from-state row total
     "q113_markov" ->
@@ -2093,6 +2252,27 @@ object SparkEntry {
                      // (2 * sum(n) OVER (PARTITION BY from_type))
                      AS BIGINT) AS p_ppm
          FROM t""",
+    // sequential-Poisson draw key h DIV w: h = first 13 md5 hex digits
+    // (engine-identical hash family), integer division (non-negative →
+    // Spark DIV == DuckDB //); k smallest per lang, ties by doc_id
+    "q114_weighted_sample" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                       AS BIGINT) AS weight
+           FROM documents WHERE text IS NOT NULL
+         ), keyed AS (
+           SELECT doc_id, lang, weight,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || '|' || '42'), 1, 13)) AS BIGINT)
+                    // weight AS sp_key
+           FROM w
+         ), rk AS (
+           SELECT *, row_number() OVER (PARTITION BY lang
+                       ORDER BY sp_key, doc_id) AS rn
+           FROM keyed
+         )
+         SELECT doc_id, lang, weight, sp_key FROM rk WHERE rn <= 10""",
     // global 16-quantile equi-depth bin per row: floor((rank-1)*B/n)
     // over the (price, orderkey, linenumber) total order
     "q115_equidepth_bins" ->
@@ -3324,6 +3504,8 @@ object SparkEntry {
                       / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)), 6)
                   AS wilson_lcb
          FROM g""",
+
+    "q156_mmr" -> mmrOracleSql,
 
     "q155_cramers_v" ->
       """WITH base AS (

@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   *     so the band plan must WIDEN (bits > 16) to keep the bucket join
   *     linear; 1000 planted token-permutation twins (identical
   *     signature) must all surface through the widened buckets.
+  *   - Two-sided prefix-filter cosine all-pairs (q170's kernel): 20.5k
+  *     docs on a deliberately DENSE 31-word vocabulary (4× the sf0.1
+  *     doc count at the real corpus's feature density); 500 planted
+  *     verbatim twins must all surface — the zero-miss guarantee of
+  *     the r11 prefix⋈prefix candidate join.
   *
   * Usage: `sbt 'runMain graft.Stress [nRows] [nDocs]'` — defaults
   * 20M / 4M. Prints one JSON line like Bench.
@@ -156,6 +161,38 @@ object Stress {
     }
     val epsOk = plantedEps == nPlant
 
+    // ---- 6. Two-sided prefix-filter cosine all-pairs (q170's kernel) --
+    // dense feature space ON PURPOSE: ~12 tokens/doc from a 31-word
+    // vocab (the real corpus's density — 31³ shingles, heavy df) at 4×
+    // the sf0.1 doc count; 500 planted VERBATIM twins must all surface
+    // (the filter's zero-miss guarantee at cos = 1.0 ≥ ½) through the
+    // prefix⋈prefix candidate join that replaced the r10 one-sided
+    // index-prefix/probe-full plan
+    val nCos = math.min(20000L, nDocs)
+    val nTwin = 500L
+    def cosText(idc: Column): Column =
+      concat_ws(" ", (0 to 11).map(j => concat(lit("t"),
+        pmod(xxhash64(idc, lit(100 + j)), lit(31L)))): _*)
+    val cosDocs = spark.range(nCos)
+      .select(col("id").as("doc_id"), cosText(col("id")).as("text"))
+      .unionByName(spark.range(nTwin)
+        .select((col("id") + nCos).as("doc_id"),
+          cosText(col("id")).as("text")))
+    def shingle(toks: Column): Column = array_distinct(
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+    val cosFeat = cosDocs.select(col("doc_id"),
+      shingle(split(col("text"), " ")).as("tk"))
+    val ((nCosPairs, twinFound), tCos) = timed {
+      val r = graft.operators.SimilarityOps
+        .cosineAllPairs(cosFeat, "doc_id", "tk", 1, 2)
+        .localCheckpoint()
+      (r.count(),
+        r.filter(col("id_b") === col("id_a") + nCos &&
+          col("id_a") < nTwin).count())
+    }
+    val cosOk = twinFound == nTwin
+
     def f(d: Double): String = BigDecimal(d)
       .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     println(s"""{"stress":{"n":$n,"n_docs":$nDocs,""" +
@@ -165,8 +202,10 @@ object Stress {
       s""""simhash":{"sec":${f(tSh)},"bands":$bands,"bits":$bits,""" +
       s""""pairs":$pairsFound,"planted_found":$plantedFound,"ok":$shOk},""" +
       s""""epsjoin":{"sec":${f(tEps)},"pairs":$nEpsPairs,""" +
-      s""""planted_found":$plantedEps,"ok":$epsOk}}}""")
-    val allOk = topOk && rankOk && bmOk && shOk && epsOk
+      s""""planted_found":$plantedEps,"ok":$epsOk},""" +
+      s""""cosallpairs":{"sec":${f(tCos)},"n_docs":${nCos + nTwin},""" +
+      s""""pairs":$nCosPairs,"planted_found":$twinFound,"ok":$cosOk}}}""")
+    val allOk = topOk && rankOk && bmOk && shOk && epsOk && cosOk
     spark.stop()
     if (!allOk) sys.exit(1)
   }

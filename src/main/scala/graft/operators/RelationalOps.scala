@@ -247,8 +247,24 @@ object RelationalOps {
     * orders in a period.
     */
   def q21WinRate(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")))
+    winRate(Tables.orders(s, d), since = "1997-01-01")
+
+  /** The PARAMETERIZED win-rate proc shape (reference
+    * usp_player_win_rate(@player_tag, @season) —
+    * sql/db_creation_script.sql:209-222): season = orders on/after
+    * `since`, player = optional single-customer filter (None = every
+    * customer, the view shape; Some(k) = the point-lookup proc call).
+    * q21 is the gate instantiation (`since=1997-01-01`, all
+    * customers); RelationalSpec drives a second (player, season)
+    * instantiation against an independent replay.
+    */
+  def winRate(orders: DataFrame, since: String,
+      custkey: Option[Long] = None): DataFrame = {
+    val seasonal = orders
+      .filter(col("o_orderdate") >= to_timestamp(lit(since)))
+    val scoped = custkey.fold(seasonal)(k =>
+      seasonal.filter(col("o_custkey") === k))
+    scoped
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
         sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("wins"))
@@ -257,6 +273,7 @@ object RelationalOps {
           .otherwise(round(lit(100.0) * col("wins") / col("n_orders"), 2))
           .as("win_rate"),
         col("n_orders").cast("long").as("n_orders"))
+  }
 
   /** 41. Table statistics collection (ANALYZE-style): per-column
     * min/max/count/distinct over the fact table in ONE pass — the
@@ -568,24 +585,37 @@ object RelationalOps {
     * the season plus per-brand win rate. The season total comes from an
     * unpartitioned window over the ~25 brand rows — not a re-scan.
     */
-  def q22UsageRate(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey",
-      "l_returnflag")
-    val o = Tables.orders(s, d)
-      .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01")))
+  def q22UsageRate(s: SparkSession, d: String): DataFrame =
+    usageRate(Tables.lineitem(s, d), Tables.orders(s, d),
+      Tables.part(s, d), since = "1998-01-01")
+
+  /** The PARAMETERIZED usage/win-rate proc shape (reference
+    * usp_card_usage_wins(@card_name, @season) —
+    * sql/db_creation_script.sql:224-242): season = orders on/after
+    * `since`, card = optional single-brand filter applied AFTER the
+    * season-share window so a brand's usage_rate is its share of the
+    * WHOLE season (the proc's scalar-subquery semantics), not of the
+    * filtered remainder. q22 is the gate instantiation.
+    */
+  def usageRate(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+      since: String, brand: Option[String] = None): DataFrame = {
+    val li = lineitem.select("l_orderkey", "l_partkey", "l_returnflag")
+    val o = orders
+      .filter(col("o_orderdate") >= to_timestamp(lit(since)))
       .select("o_orderkey")
-    val p = Tables.part(s, d).select("p_partkey", "p_brand")
+    val p = part.select("p_partkey", "p_brand")
     val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(p), li("l_partkey") === p("p_partkey"))
     val byBrand = joined.groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_uses"),
         sum(when(col("l_returnflag") === "N", 1).otherwise(0)).as("wins"))
-    byBrand
+    val rated = byBrand
       .withColumn("total", sum(col("n_uses")).over(Window.partitionBy()))
       .select(col("p_brand"),
         round(lit(100.0) * col("n_uses") / col("total"), 2).as("usage_rate"),
         round(lit(100.0) * col("wins") / col("n_uses"), 2).as("win_rate"),
         col("n_uses").cast("long").as("n_uses"))
+    brand.fold(rated)(b => rated.filter(col("p_brand") === b))
   }
 
   /** 87. Event-sequence export: each user's time-ordered action string

@@ -1269,7 +1269,7 @@ object StatsOps {
     val daily = Tables.lineitem(s, d)
       .filter(col("l_shipdate").isNotNull && col("l_extendedprice").isNotNull)
       .select(col("l_returnflag"),
-        date_trunc("day", col("l_shipdate")).as("day"),
+        to_date(col("l_shipdate")).as("day"),
         (col("l_extendedprice").cast("decimal(18,4)") * 10000)
           .cast("decimal(19,0)").as("units"))
       .groupBy(col("l_returnflag"), col("day"))
@@ -1340,7 +1340,7 @@ object StatsOps {
   def q160Ewma(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.lineitem(s, d)
       .filter(col("l_shipdate").isNotNull && col("l_extendedprice").isNotNull)
-      .select(col("l_returnflag"), date_trunc("day", col("l_shipdate")).as("day"),
+      .select(col("l_returnflag"), to_date(col("l_shipdate")).as("day"),
         (col("l_extendedprice").cast("decimal(18,4)") * 10000)
           .cast("decimal(19,0)").as("units"))
       .groupBy(col("l_returnflag"), col("day"))

@@ -29,9 +29,12 @@ object TextOps {
       // certification caught ROUND(float division) diverging at a
       // .xx5 boundary (297.775 → 297.78 vs 297.77); the q21 ratio
       // rule applies to averages too
+      // Column-API division by a double literal — an expr-level `/ 100.0`
+      // parses 100.0 as DECIMAL(4,1) and makes the OUTPUT DecimalType,
+      // which the driver hasher normalizes differently per engine.
       .withColumn("avg_chars", expr(
         """CAST((2 * 100 * total_chars + n_docs) DIV (2 * n_docs)
-           AS BIGINT) / 100.0"""))
+           AS BIGINT)""") / lit(100.0))
 
   /** 25. Token counting: whitespace tokens, alpha "BPE-ish" subtokens
     * (maximal [a-z]+ runs), distinct token count.
@@ -766,15 +769,20 @@ object TextOps {
     * ties by term), the "find documents like this seed" retrieval-eval
     * shape.
     *
-    * Scores are doubles (idf needs `ln`, which differs in the last ulp
-    * across libms — the q58 rule — so this is a rows-only +
-    * differential-test operator, not an oracle row). Determinism within
-    * the engine is still absolute: per (query, doc) the ≤`qTerms`
-    * per-term contributions are folded in TERM-SORTED order via
-    * `aggregate` over a sorted array — never a float `sum()` whose
-    * accumulation order the scheduler picks — then rounded to 4
-    * decimals, ranked by (rounded score desc, doc_id) per the cosine
-    * rule.
+    * ENGINE-EXACT INTEGER SCORING (a full oracle row; was rows-only
+    * while the idf went through libm `ln`, whose last ulp differs
+    * across engines — the q58 rule): the idf argument is the exact
+    * rational (2N+2)/(2df+1) and its log is computed as e9 fixed-point
+    * integer arithmetic via [[bm25LnSteps]] — range-reduce by the
+    * integer-compare power of two, then the atanh series on
+    * z=(m−1)/(m+1) < 1/3, every division a truncating non-negative DIV
+    * so Spark and DuckDB replay bit-identical values (absolute error vs
+    * true ln ≲ 1e-8, irrelevant: BOTH engines rank by the same
+    * integer). The tf-saturation factor is the exact rational
+    * 88·L·tf / (40·L·tf + 12·L + 36·dl·N) (the k1/b constants cleared
+    * to integers over denominator 40·L), contributions are
+    * round-half-up e9 longs, and the per-doc score is their exact
+    * integer sum — order-free, so no sorted-fold is needed.
     *
     * 100-TB shape: the corpus is touched once to build the (term,
     * doc_id, tf, dl) posting relation (materialized once, reused for
@@ -788,6 +796,52 @@ object TextOps {
     */
   def q112Bm25(s: SparkSession, d: String): DataFrame =
     bm25TopK(Tables.documents(s, d), nQueries = 8, qTerms = 3, k = 10)
+
+  /** The e9 fixed-point integer `ln(_p/_q)` pipeline shared by the
+    * Spark plan and the DuckDB oracle — ONE definition, two division
+    * tokens (`DIV` vs `//`; all operands non-negative, so truncating
+    * and flooring division agree). Input columns `_p`, `_q` (longs,
+    * _p ≥ _q ≥ 1); output column `idf_e9` = ln(_p/_q)·1e9 ± ~1e-8.
+    * Steps: t = ⌊p/q⌋ picks the power-of-two scale (⌊log₂(p/q)⌋ =
+    * ⌊log₂⌊p/q⌋⌋ for integer p, q > 0) by pure integer compares (no
+    * libm log2), m = (p/q)/2^k ∈ [1,2), z = (m−1)/(m+1) ∈ [0,1/3),
+    * ln m = 2·atanh z by the odd series through z¹⁷ (truncation
+    * < 1e-9), ln(p/q) = k·ln2 + ln m with ln2 as the e9 constant.
+    * Long-safe for corpora up to ~2.3e9 docs (the z numerator
+    * 2e9·(p−q·2^k) is the first to overflow); beyond that, widen the
+    * z step to DECIMAL.
+    */
+  private[graft] def bm25LnSteps(div: String): Seq[(String, String)] = {
+    val ks = (1 to 40).reverse
+    val kkCase = ks.map(k => s"WHEN _t >= ${1L << k} THEN $k")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val m2kCase = ks.map(k => s"WHEN _t >= ${1L << k} THEN ${1L << k}")
+      .mkString("CASE ", " ", " ELSE 1 END")
+    Seq(
+      "_t" -> s"_p $div _q",
+      "_kk" -> kkCase,
+      "_m2k" -> m2kCase,
+      "_a9" -> "_p - _q * _m2k",
+      "_b9" -> "_p + _q * _m2k",
+      // 2000000000 folded: ANSI Spark parses 2 * 1000000000 as INT×INT
+      // and throws on the overflow before promoting
+      "_z" -> s"(2000000000 * _a9 + _b9) $div (2 * _b9)",
+      "_z2" -> s"(_z * _z) $div 1000000000",
+      "_p3" -> s"(_z * _z2) $div 1000000000",
+      "_p5" -> s"(_p3 * _z2) $div 1000000000",
+      "_p7" -> s"(_p5 * _z2) $div 1000000000",
+      "_p9" -> s"(_p7 * _z2) $div 1000000000",
+      "_p11" -> s"(_p9 * _z2) $div 1000000000",
+      "_p13" -> s"(_p11 * _z2) $div 1000000000",
+      "_p15" -> s"(_p13 * _z2) $div 1000000000",
+      "_p17" -> s"(_p15 * _z2) $div 1000000000",
+      "_lns" -> (s"_z + _p3 $div 3 + _p5 $div 5 + _p7 $div 7 " +
+        s"+ _p9 $div 9 + _p11 $div 11 + _p13 $div 13 " +
+        s"+ _p15 $div 15 + _p17 $div 17"),
+      // CAST before the multiply: _kk is an INT-typed CASE and
+      // INT×693147181 overflows 32 bits at kk ≥ 4 (ANSI throws)
+      "idf_e9" -> "CAST(_kk AS BIGINT) * 693147181 + 2 * _lns")
+  }
 
   /** [[q112Bm25]]'s core over any (doc_id, text) frame. */
   def bm25TopK(documents: DataFrame, nQueries: Int, qTerms: Int,
@@ -814,42 +868,55 @@ object TextOps {
       seedTerms.join(dfreq, "term"),
       keys = Seq("query_id"), order = Seq(("df", false), ("term", false)),
       k = qTerms).select(col("query_id"), col("term"), col("df"))
-    // score candidates: postings of query terms only (broadcast probe)
-    val contrib = tf
-      .join(broadcast(qterms), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"), col("term"),
-        expr("""ln(1.0d + (CAST(n_docs AS DOUBLE) - df + 0.5d) / (df + 0.5d))
-                * (tf * 2.2d)
-                / (tf + 1.2d * (0.25d + 0.75d * dl
-                                / (CAST(total_len AS DOUBLE) / n_docs)))""")
-          .as("contrib"))
+    // score candidates: postings of query terms only (broadcast probe);
+    // per-term contribution in exact e9 integers (see [[bm25LnSteps]])
+    val withIdf = bm25LnSteps("DIV").foldLeft(
+      tf.join(broadcast(qterms), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("_p", expr("2 * n_docs + 2"))
+        .withColumn("_q", expr("2 * df + 1"))
+    ) { case (acc, (name, e)) => acc.withColumn(name, expr(e)) }
+    val contrib = withIdf
+      .withColumn("_num", expr("88 * total_len * tf"))
+      .withColumn("_den",
+        expr("40 * total_len * tf + 12 * total_len + 36 * dl * n_docs"))
+      // idf_e9·num overflows a long at corpus scale → DECIMAL(38,0)
+      // INTERNAL math, BIGINT out (the r7 decimal-output rule)
+      .withColumn("contrib_e9", expr(
+        """CAST((2 * CAST(idf_e9 AS DECIMAL(38,0)) * _num + _den)
+                DIV (2 * _den) AS BIGINT)"""))
+      .select(col("query_id"), col("doc_id"), col("contrib_e9"))
     val scored = contrib
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_terms"),
-        round(aggregate(
-          array_sort(collect_list(struct(col("term"), col("contrib")))),
-          lit(0.0), (acc, e) => acc + e.getField("contrib")), 4).as("score"))
+        sum(col("contrib_e9")).cast("long").as("score_e9"))
     graft.plans.TopK.perKey(scored, keys = Seq("query_id"),
-      order = Seq(("score", true), ("doc_id", false)), k = k)
+      order = Seq(("score_e9", true), ("doc_id", false)), k = k)
   }
 
-  /** 129. Weighted sampling WITHOUT replacement per group (Efraimidis &
-    * Spirakis 2006 A-ES): keep the k rows with the largest u^(1/w),
-    * where u is a uniform derived from `xxhash64(doc_id, salt)` — the
-    * exact distributed form of "sample k docs per language proportional
-    * to weight" (quality-weighted corpus subsetting, eval-set draws,
+  /** 129. Weighted sampling WITHOUT replacement per group (Ohlsson 1998
+    * SEQUENTIAL POISSON sampling, the πps workhorse of official
+    * statistics): keep the k rows with the SMALLEST u/w, where u is a
+    * 52-bit uniform derived from `md5(doc_id || '|' || salt)` — the
+    * distributed form of "sample k docs per language proportional to
+    * weight" (quality-weighted corpus subsetting, eval-set draws,
     * curriculum mixes). Hash-derived randomness, not `rand()`: the draw
     * is REPRODUCIBLE (same salt → same sample on every retry/backfill,
-    * the q63/q69 rule) and the inclusion law is exact (P(first pick) =
-    * w/Σw per group, proven by E&S; the planted-dominance test measures
-    * it).
+    * the q63/q69 rule) and inclusion tracks weight (P(doc heads the
+    * draw) ≈ w/Σw; the planted-dominance test measures it).
+    *
+    * Engine-exact by construction: the md5 hash family is identical in
+    * Spark and DuckDB (the q31 rule) and the draw key is INTEGER
+    * h DIV w (h = first 13 md5 hex digits as a 52-bit int, truncating
+    * division — non-negative, so Spark DIV and DuckDB // agree), ties
+    * by doc_id. No pow/ln touches the order (the previous A-ES
+    * u^(1/w) form needed libm pow → was rows-only; sequential Poisson
+    * ranks by u/w, which integerizes exactly), so the draw is a full
+    * oracle row.
     *
     * 100-TB shape: one scan computes the key, the per-group top-k is
     * the [[graft.plans.TopK.perKey]] heap cut (map-side k-bounded, no
-    * global or per-group sort, no skew trap on giant groups). Doubles
-    * (u^(1/w) needs pow) → rows-only + differential; in-engine
-    * determinism is exact — ties broken by doc_id.
+    * global or per-group sort, no skew trap on giant groups).
     */
   def q114WeightedSample(s: SparkSession, d: String): DataFrame =
     weightedSample(
@@ -858,22 +925,27 @@ object TextOps {
           size(toks).cast("long").as("weight")),
       groupCols = Seq("lang"), k = 10, salt = 42L)
 
-  /** [[q114WeightedSample]]'s keyed frame: every row with its A-ES draw
-    * key (exposed separately so tests and resumable pipelines can
-    * persist/inspect the full keyed population).
+  /** [[q114WeightedSample]]'s keyed frame: every row with its
+    * sequential-Poisson draw key (exposed separately so tests and
+    * resumable pipelines can persist/inspect the full keyed
+    * population). `sp_key` = h DIV w with h the 52-bit md5-derived
+    * uniform numerator; smaller key = earlier pick.
     */
   def weightedSampleKeys(rows: DataFrame, salt: Long): DataFrame =
-    rows.withColumn("es_key",
-      pow(
-        shiftrightunsigned(xxhash64(col("doc_id"), lit(salt)), 11)
-          .cast("double") / lit(9007199254740992.0d), // 2^53
-        lit(1.0d) / col("weight")))
+    rows.withColumn("sp_key",
+      // integer DIV, never Column./ — double division can round a
+      // just-below-boundary quotient UP before the cast truncates
+      expr(s"""CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),
+                 '|', '$salt')), 1, 13), 16, 10) AS BIGINT)
+               DIV weight"""))
 
-  /** A-ES top-k per group over [[weightedSampleKeys]]. */
+  /** Sequential-Poisson k-smallest per group over
+    * [[weightedSampleKeys]].
+    */
   def weightedSample(rows: DataFrame, groupCols: Seq[String], k: Int,
       salt: Long): DataFrame =
     graft.plans.TopK.perKey(weightedSampleKeys(rows, salt),
-      keys = groupCols, order = Seq(("es_key", true), ("doc_id", false)),
+      keys = groupCols, order = Seq(("sp_key", false), ("doc_id", false)),
       k = k)
 
   /** 140. Corpus drift detection: every source's unigram distribution

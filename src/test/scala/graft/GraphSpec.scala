@@ -525,4 +525,62 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     // real data separates hubs from bundle cores
     assert(got.values.map(_._3).toSet.size > 1)
   }
+
+  test("q240 k-truss: incremental peel equals a local full-recount " +
+      "replay at k=4 and k=6 (drop cascades exercised)") {
+    // local reference: recount EVERY edge's support each round — the
+    // naive formulation the incremental delta must match exactly
+    def localTruss(es: Set[(Long, Long)], k: Int)
+        : Map[(Long, Long), Long] = {
+      def supports(cur: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+        val adj = cur.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        cur.map { case (u, v) =>
+          (u, v) -> (adj(u) & adj(v)).size.toLong }.toMap
+      }
+      var cur = es
+      var done = false
+      var r = 0
+      while (r < 8 && !done) {
+        val sup = supports(cur)
+        val kept = cur.filter(e => sup(e) >= k - 2)
+        if (kept == cur) done = true else cur = kept
+        r += 1
+      }
+      supports(cur)
+    }
+    val raw = GraphOps.coPurchaseRawPairs(spark, Sf)
+    val es = raw.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") < col("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (k <- Seq(4, 6)) {
+      val got = GraphOps.kTruss(raw, k = k).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val expect = localTruss(es, k)
+      assert(got == expect, s"k=$k diff: extra=${(got.toSet -- expect.toSet).take(5)} missing=${(expect.toSet -- got.toSet).take(5)}")
+      assert(got.nonEmpty)
+    }
+    // synthetic MULTI-ROUND cascade: a triangle strip 0-1-2, 1-2-3, …
+    // peels inward one layer per round at k=4 (end edges have support
+    // 1, interior 2 — each drop exposes the next layer), while an
+    // attached 6-clique (every edge support 4) survives untouched —
+    // exercises the incremental delta across ≥2 drop rounds including
+    // triangles with 2 dropped edges
+    val strip = (0L to 7L).flatMap(i =>
+      Seq((i, i + 1), (i, i + 2))) :+ (8L -> 9L)
+    val clique = (20L to 25L).flatMap(a =>
+      (a + 1 to 25L).map(b => (a, b)))
+    val synth = (strip ++ clique).toSet
+    val synthDf = synth.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .toDF("src", "dst")
+    val gotS = GraphOps.kTruss(synthDf, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expS = localTruss(synth, 4)
+    assert(gotS == expS, s"synthetic diff: got=$gotS exp=$expS")
+    // the strip is fully peeled, the clique fully kept
+    assert(gotS.keySet == clique.toSet)
+    assert(gotS.values.forall(_ == 4L))
+  }
 }

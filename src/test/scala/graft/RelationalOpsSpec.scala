@@ -2033,4 +2033,37 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     // the mapping produces more than one net class on real data
     assert(got.values.map(_._1).toSet.size >= 2)
   }
+
+  test("parameterized proc shapes: winRate(player, season) and " +
+      "usageRate(card, season) second instantiations match the view row") {
+    val orders = Tables.orders(spark, Sf)
+    // winRate: the point-lookup proc call must equal the full view's
+    // row for that player, on a season q21 does NOT use
+    val seasonal = orders
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")))
+    val ck = seasonal.agg(min("o_custkey")).first().getLong(0)
+    val full = RelationalOps.winRate(orders, "1996-01-01").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val got = RelationalOps.winRate(orders, "1996-01-01", Some(ck))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.length == 1 && got.head._1 == ck)
+    assert(full.contains(got.head))
+    assert(got.head._3 ==
+      seasonal.filter(col("o_custkey") === ck).count())
+    // usageRate: the single-card call keeps the share-of-WHOLE-season
+    // denominator (the proc's scalar-subquery semantics)
+    val (li, pt) = (Tables.lineitem(spark, Sf), Tables.part(spark, Sf))
+    val fullU = RelationalOps.usageRate(li, orders, pt, "1997-06-01")
+    val b = fullU.agg(min("p_brand")).first().getString(0)
+    val gotU = RelationalOps.usageRate(li, orders, pt, "1997-06-01",
+      Some(b)).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    val expU = fullU.filter(col("p_brand") === b).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(gotU.toSeq == expU.toSeq && gotU.length == 1)
+    // single-brand share is a share of the season, not 100%
+    assert(gotU.head._2 < 100.0)
+  }
 }

@@ -287,7 +287,7 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
       (5L, "quark filler filler filler"))  // one (rarer) query term
       .toDF("doc_id", "text")
     val got = TextOps.bm25TopK(docs, nQueries = 1, qTerms = 2, k = 5)
-      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(-_._3)
     val byDoc = got.map(r => r._1 -> r._3).toMap
     assert(!byDoc.contains(4L)) // no query term, never a candidate
@@ -299,23 +299,48 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
     assert(got.take(2).map(_._1).toSet == Set(1L, 2L))
   }
 
-  test("bm25: differential vs a local reference replay on real docs") {
+  test("bm25: differential vs a local integer replay on real docs; " +
+      "fixed-point idf tracks Math.log to ~1e-8") {
     val docs = Tables.documents(spark, Sf).filter(col("text").isNotNull)
       .filter(col("doc_id") < 40) // deterministic subset (limit isn't)
       .select(col("doc_id"), col("text"))
     val got = TextOps.bm25TopK(docs, nQueries = 8, qTerms = 3, k = 10)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
 
+    // the bm25LnSteps algorithm, replayed independently in Scala longs
+    def lnE9(p: Long, q: Long): Long = {
+      val t = p / q
+      val kk = (40 to 1 by -1).find(k => t >= (1L << k)).getOrElse(0)
+      val m2k = 1L << kk
+      val a9 = p - q * m2k
+      val b9 = p + q * m2k
+      val z = (2 * 1000000000L * a9 + b9) / (2 * b9)
+      val z2 = z * z / 1000000000L
+      var pw = z
+      var lns = z
+      for (j <- Seq(3L, 5L, 7L, 9L, 11L, 13L, 15L, 17L)) {
+        pw = pw * z2 / 1000000000L
+        lns += pw / j
+      }
+      kk * 693147181L + 2 * lns
+    }
     val toks = docs.collect().map(r =>
       r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq)
-    val n = toks.size
+    val n = toks.size.toLong
     val totalLen = toks.map(_._2.size.toLong).sum
     val tf = toks.flatMap { case (id, tk) =>
       tk.groupBy(identity).map { case (t, o) =>
         (t, id, tk.size.toLong, o.size.toLong) } }
     val dfm = tf.groupBy(_._1).map { case (t, rows) => t -> rows.size.toLong }
+    // the fixed-point ln is within 1e-8 of libm ln on every idf arg used
+    dfm.values.toSet[Long].foreach { df =>
+      val exact = Math.log((2.0 * n + 2) / (2.0 * df + 1))
+      val fixed = lnE9(2 * n + 2, 2 * df + 1) / 1e9
+      assert(math.abs(exact - fixed) < 1e-7,
+        s"df=$df exact=$exact fixed=$fixed")
+    }
     val seeds = toks.map(_._1).sorted.take(8)
     val qterms = seeds.flatMap { q =>
       toks.find(_._1 == q).get._2.distinct
@@ -324,14 +349,15 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
     val expected = qterms
       .flatMap { case (q, t) =>
         tf.filter(_._1 == t).map { case (term, id, dl, f) =>
-          val idf = Math.log(1.0 + (n.toDouble - dfm(term) + 0.5) / (dfm(term) + 0.5))
-          val c = idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl / (totalLen.toDouble / n)))
-          (q, id, term, c) } }
+          val idf = lnE9(2 * n + 2, 2 * dfm(term) + 1)
+          val num = BigInt(88) * totalLen * f
+          val den = BigInt(40) * totalLen * f + BigInt(12) * totalLen +
+            BigInt(36) * dl * n
+          val c9 = ((BigInt(2) * idf * num + den) / (BigInt(2) * den)).toLong
+          (q, id, term, c9) } }
       .groupBy(p => (p._1, p._2))
       .map { case ((q, id), rows) =>
-        val s = rows.sortBy(_._3).map(_._4).foldLeft(0.0)(_ + _)
-        (q, id, rows.size.toLong,
-          BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        (q, id, rows.size.toLong, rows.map(_._4).sum) }
       .groupBy(_._1)
       .flatMap { case (_, rows) =>
         rows.toSeq.sortBy(r => (-r._4, r._2)).take(10) }
@@ -382,24 +408,25 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
     assert(inc == full)
   }
 
-  test("weighted sample: exact A-ES replay from the keyed frame; " +
-      "deterministic across runs") {
+  test("weighted sample: exact sequential-Poisson replay from the " +
+      "keyed frame; deterministic across runs") {
     val rows = Tables.documents(spark, Sf).filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         size(split(lower(trim(col("text"))), "\\s+")).cast("long")
           .as("weight"))
     val keyed = TextOps.weightedSampleKeys(rows, salt = 42L).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // k SMALLEST u/w keys per group, ties by doc_id
     val expected = keyed.groupBy(_._2).toSeq.flatMap { case (_, g) =>
-      g.sortBy(r => (-r._4, r._1)).take(10) }.toSet
+      g.sortBy(r => (r._4, r._1)).take(10) }.toSet
     val got = TextOps.weightedSample(rows.toDF, Seq("lang"), k = 10,
       salt = 42L).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got.toSet == expected)
     assert(got.groupBy(_._2).values.forall(_.size == 10))
     val again = TextOps.weightedSample(rows.toDF, Seq("lang"), k = 10,
       salt = 42L).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(again.toSet == got.toSet)
   }
 

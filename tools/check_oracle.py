@@ -4,10 +4,56 @@
 Runs each SparkEntry query result (parquet dumped by graft.Verify) against
 the DuckDB oracle SQL over the same testdata tables, normalizes (sort
 columns by name, sort rows), and reports exact row/schema/value matches.
+
+Fidelity with the real driver (hard-won, r10): the driver hashes typed
+values, so a DECIMAL output column hash-fails even when the string repr
+matches a DOUBLE oracle. This replica therefore ALSO:
+  - reads each Spark result's parquet FOOTER schema and fails on any
+    decimal-typed output column (the r7/r10 escape class), and
+  - compares type CLASSES (int/float/decimal/...) between the Spark
+    parquet schema and the DuckDB oracle result, per column.
 Not part of the shipped library.
 """
 import json, sys, glob, os
 import duckdb
+import pyarrow.parquet as pq
+import pyarrow.types as pat
+
+
+def pa_type_class(t):
+    if pat.is_decimal(t): return "decimal"
+    if pat.is_integer(t): return "int"
+    if pat.is_floating(t): return "float"
+    if pat.is_boolean(t): return "bool"
+    if pat.is_string(t) or pat.is_large_string(t): return "str"
+    if pat.is_date(t): return "date"
+    if pat.is_timestamp(t): return "timestamp"
+    if pat.is_binary(t) or pat.is_large_binary(t): return "binary"
+    if pat.is_list(t) or pat.is_large_list(t): return "list"
+    return str(t)
+
+
+def duck_type_class(t):
+    s = str(t).upper()
+    if s.startswith("DECIMAL") or s == "HUGEINT": return "decimal"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"): return "int"
+    if s in ("FLOAT", "DOUBLE", "REAL"): return "float"
+    if s == "BOOLEAN": return "bool"
+    if s == "VARCHAR": return "str"
+    if s == "DATE": return "date"
+    if s.startswith("TIMESTAMP"): return "timestamp"
+    if s == "BLOB": return "binary"
+    if s.endswith("[]"): return "list"
+    return s
+
+
+def spark_schema(res_glob):
+    """Column -> pyarrow type class, from the first parquet footer."""
+    f = sorted(glob.glob(res_glob))[0]
+    sch = pq.read_schema(f)
+    return {name: pa_type_class(sch.field(name).type) for name in sch.names}
+
 
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
@@ -27,12 +73,21 @@ def main():
         if not glob.glob(res_glob):
             results[name] = "NO_RESULT"
             continue
+        # driver-parity: DECIMAL in the OUTPUT schema is an automatic fail
+        # (its hasher normalizes Decimal vs float differently per engine)
+        sch = spark_schema(res_glob)
+        dec_cols = [c for c, k in sch.items() if k == "decimal"]
+        if dec_cols:
+            results[name] = f"DECIMAL_OUTPUT cols={dec_cols} (driver hash-fails these)"
+            continue
         got = con.sql(f"SELECT * FROM '{res_glob}'").fetchdf()
         if name not in oracles:
             results[name] = f"ROWS_ONLY rows={len(got)}" + (" EMPTY!" if len(got)==0 else "")
             continue
         try:
-            exp = con.sql(oracles[name]).fetchdf()
+            rel = con.sql(oracles[name])
+            exp_types = dict(zip(rel.columns, [duck_type_class(t) for t in rel.types]))
+            exp = rel.fetchdf()
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
@@ -40,6 +95,15 @@ def main():
         exp = exp[sorted(exp.columns)]
         if list(got.columns) != list(exp.columns):
             results[name] = f"SCHEMA_MISMATCH cols got={list(got.columns)} exp={list(exp.columns)}"
+            continue
+        # type-CLASS parity between the Spark parquet footer and the oracle
+        # (decimal-vs-double, int-vs-float etc. — the r10 q24 escape class).
+        # DuckDB SUM(int)->HUGEINT maps to "decimal" here; that's a real
+        # oracle bug too (CLAUDE.md: always CAST(... AS BIGINT)).
+        tmm = [(c, sch.get(c), exp_types.get(c)) for c in got.columns
+               if sch.get(c) != exp_types.get(c)]
+        if tmm:
+            results[name] = f"TYPE_CLASS_MISMATCH {tmm}"
             continue
         if len(got) != len(exp):
             results[name] = f"ROWCOUNT got={len(got)} exp={len(exp)}"
