@@ -266,6 +266,9 @@ object SparkEntry {
     "q241_user_growth" -> (RelationalOps.q241UserGrowth _),
     "q242_conformance" -> (RelationalOps.q242Conformance _),
     "q243_simpson" -> (StatsOps.q243SimpsonScreen _),
+    "q244_woe_iv" -> (StatsOps.q244WoeIv _),
+    "q245_js_matrix" -> (TextOps.q245JsMatrix _),
+    "q246_doc_entropy" -> (TextOps.q246DocEntropy _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -375,6 +378,151 @@ object SparkEntry {
                        ORDER BY score_e9 DESC, doc_id) AS rn
            FROM scored) WHERE rn <= 10"""
   }
+
+  /** Lateral-alias select fragment for the shared fixed-point ln —
+    * "<expr> AS <name>, …" in step order; DuckDB resolves the aliases
+    * left-to-right exactly like Spark's chained withColumn fold.
+    */
+  private def lnSelect(out: String): String =
+    graft.functions.FixedLn.steps("//", out)
+      .map { case (n, e) => s"$e AS $n" }
+      .mkString(",\n                  ")
+
+  /** q244 oracle: the identical ppm-quantize → signed fixed-point ln →
+    * integer IV pipeline in DuckDB (FixedLn emits both engines' steps
+    * from one definition).
+    */
+  private def woeIvOracleSql: String =
+    s"""WITH byb AS (
+           SELECT o_orderpriority AS bucket,
+                  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                           END) AS BIGINT) AS n_good,
+                  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1
+                           END) AS BIGINT) AS n_bad
+           FROM orders GROUP BY 1
+         ), tot AS (
+           SELECT CAST(SUM(n_good) AS BIGINT) AS _gt,
+                  CAST(SUM(n_bad) AS BIGINT) AS _bt
+           FROM byb
+         ), ppm AS (
+           SELECT bucket, n_good, n_bad,
+                  (2000000 * n_good + _gt) // (2 * _gt) AS pg_ppm,
+                  (2000000 * n_bad + _bt) // (2 * _bt) AS pb_ppm
+           FROM byb, tot
+         ), ppmf AS (
+           SELECT * FROM ppm WHERE pg_ppm > 0 AND pb_ppm > 0
+         ), lnr AS (
+           SELECT bucket, n_good, n_bad, pg_ppm, pb_ppm,
+                  GREATEST(pg_ppm, pb_ppm) AS _p,
+                  LEAST(pg_ppm, pb_ppm) AS _q,
+                  CASE WHEN pg_ppm >= pb_ppm THEN 1 ELSE -1 END AS _sgn,
+                  ${lnSelect("_ln9")}
+           FROM ppmf
+         )
+         SELECT bucket, n_good, n_bad, pg_ppm, pb_ppm,
+                CAST(_sgn * _ln9 AS BIGINT) AS woe_e9,
+                CAST((2 * SUM((pg_ppm - pb_ppm) * _sgn * _ln9) OVER ()
+                      + 1000000) // (2 * 1000000) AS BIGINT) AS iv_e9
+         FROM lnr"""
+
+  /** q245 oracle: shared-vocab pair rows exploded to one signed
+    * fixed-point ln per side, single-source mass closed with +ppm·ln2
+    * from the per-source totals — the plan's algebra verbatim.
+    */
+  private def jsMatrixOracleSql: String =
+    s"""WITH tok AS (
+           SELECT d.source, t.term
+           FROM (SELECT source,
+                        string_split_regex(lower(trim(text)), '\\s+')
+                          AS toks
+                 FROM documents) d,
+                LATERAL unnest(d.toks) AS t(term)
+           WHERE len(t.term) > 0
+         ), st AS (
+           SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n_st
+           FROM tok GROUP BY 1, 2
+         ), stot AS (
+           SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s
+           FROM st GROUP BY 1
+         ), ppm0 AS (
+           SELECT source, term,
+                  (2000000 * n_st + n_s) // (2 * n_s) AS ppm
+           FROM st JOIN stot USING (source)
+         ), ppmf AS (
+           SELECT * FROM ppm0 WHERE ppm > 0
+         ), tot AS (
+           SELECT source, CAST(SUM(ppm) AS BIGINT) AS tot_ppm
+           FROM ppmf GROUP BY 1
+         ), pr AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+                  a.ppm AS a, b.ppm AS b
+           FROM ppmf a JOIN ppmf b
+             ON a.term = b.term AND a.source < b.source
+         ), er AS (
+           SELECT src_a, src_b, a, b,
+                  unnest([a, b]) AS w,
+                  unnest([2 * a, 2 * b]) AS num,
+                  a + b AS den
+           FROM pr
+         ), lnr AS (
+           SELECT src_a, src_b, a, b, w,
+                  GREATEST(num, den) AS _p, LEAST(num, den) AS _q,
+                  CASE WHEN num >= den THEN 1 ELSE -1 END AS _sgn,
+                  ${lnSelect("_ln9")}
+           FROM er
+         ), sh AS (
+           SELECT src_a, src_b,
+                  CAST(COUNT(*) // 2 AS BIGINT) AS n_common,
+                  SUM(w * _sgn * _ln9) AS _inner,
+                  CAST(SUM(a) // 2 AS BIGINT) AS _sa,
+                  CAST(SUM(b) // 2 AS BIGINT) AS _sb
+           FROM lnr GROUP BY 1, 2
+         )
+         SELECT ta.source AS src_a, tb.source AS src_b,
+                CAST(COALESCE(sh.n_common, 0) AS BIGINT) AS n_common,
+                CAST((2 * (COALESCE(sh._inner, 0)
+                        + ${graft.functions.FixedLn.Ln2E9} *
+                          ((ta.tot_ppm - COALESCE(sh._sa, 0))
+                           + (tb.tot_ppm - COALESCE(sh._sb, 0))))
+                      + 2000000) // (2 * 2000000) AS BIGINT) AS js_e9
+         FROM tot ta
+         JOIN tot tb ON ta.source < tb.source
+         LEFT JOIN sh ON sh.src_a = ta.source AND sh.src_b = tb.source"""
+
+  /** q246 oracle: ln computed once per vocab term (1e6/ppm, ppm
+    * clamped ≥ 1), per-doc exact integer Σ tf·(−ln p) with one
+    * round-half-up division by the doc length.
+    */
+  private def docEntropyOracleSql: String =
+    s"""WITH tok AS (
+           SELECT d.doc_id, t.term
+           FROM (SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\\s+')
+                          AS toks
+                 FROM documents WHERE text IS NOT NULL) d,
+                LATERAL unnest(d.toks) AS t(term)
+           WHERE len(t.term) > 0
+         ), tf AS (
+           SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2
+         ), nc AS (
+           SELECT CAST(SUM(tf) AS BIGINT) AS n_c FROM tf
+         ), tp AS (
+           SELECT term,
+                  1000000 AS _p,
+                  GREATEST((2000000 * CAST(SUM(tf) AS BIGINT) + n_c)
+                           // (2 * n_c), 1) AS _q
+           FROM tf, nc GROUP BY term, n_c
+         ), lnt AS (
+           SELECT term,
+                  ${lnSelect("_nl9")}
+           FROM tp
+         )
+         SELECT f.doc_id, CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
+                CAST((2 * SUM(f.tf * l._nl9) + SUM(f.tf))
+                     // (2 * SUM(f.tf)) AS BIGINT) AS xent_e9
+         FROM tf f JOIN lnt l ON f.term = l.term
+         GROUP BY f.doc_id"""
 
   /** The q156 oracle's unrolled greedy MMR replay: the same e4-integer
     * rounded cosines (the q32 recipe — sums over the unnested vector in
@@ -6590,5 +6738,9 @@ object SparkEntry {
                                 AND g.n_pos > g.n_neg)
                      THEN 1 ELSE 0 END AS BIGINT) AS simpson_flag
          FROM segs g JOIN pooled p ON p.p_brand = g.p_brand""",
+
+    "q244_woe_iv" -> woeIvOracleSql,
+    "q245_js_matrix" -> jsMatrixOracleSql,
+    "q246_doc_entropy" -> docEntropyOracleSql,
   )
 }

@@ -2068,4 +2068,62 @@ object StatsOps {
           (col("overall_sign") < 0 && col("n_pos") > col("n_neg")), 1L)
           .otherwise(0L).as("simpson_flag"))
   }
+
+  /** q244: WEIGHT-OF-EVIDENCE / INFORMATION-VALUE feature screening
+    * (Siddiqi 2006, the credit-scoring standard; the supervised
+    * complement of q195's Gini ranking): per feature bucket,
+    * WoE = ln(P(bucket|good)/P(bucket|bad)), and the feature's IV =
+    * Σ_b (P(b|good) − P(b|bad))·WoE_b — "how well does this categorical
+    * separate the classes", the go/no-go a feature pipeline runs before
+    * training. Feature = o_orderpriority, good = fulfilled orders
+    * (o_orderstatus = 'F').
+    *
+    * ENGINE-EXACT (a [[graft.functions.FixedLn]]-family operator, r11):
+    * class shares quantize to round-half-up ppm FIRST (bounding the ln
+    * rationals at 1e6, the long-safety rule), WoE is the signed e9
+    * fixed-point ln of the ppm ratio, IV contributions are exact
+    * integer (Δppm)·woe_e9 products rounded to e9 — no libm anywhere.
+    * Buckets whose share rounds to 0 ppm in either class carry no
+    * defined WoE and are filtered (the standard practice absent
+    * smoothing; every priority bucket is dense in both classes here).
+    *
+    * Scale shape: one map-combined groupBy of the fact table, a 1-row
+    * class-total broadcast, ln on the BUCKET-cardinality artifact, a
+    * bounded window for the IV total. 100 TB cost = the one groupBy.
+    */
+  def q244WoeIv(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("bucket"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("_g"))
+    val byBucket = base.groupBy(col("bucket"))
+      .agg(sum(col("_g")).as("n_good"),
+        sum(lit(1L) - col("_g")).as("n_bad"))
+    val tot = byBucket.agg(sum(col("n_good")).as("_gt"),
+      sum(col("n_bad")).as("_bt"))
+    val ppm = byBucket.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        col("n_good").cast("long").as("n_good"),
+        col("n_bad").cast("long").as("n_bad"),
+        expr("(2000000 * n_good + _gt) DIV (2 * _gt)").as("pg_ppm"),
+        expr("(2000000 * n_bad + _bt) DIV (2 * _bt)").as("pb_ppm"))
+      .filter(col("pg_ppm") > 0 && col("pb_ppm") > 0)
+      // signed ln: steps need _p >= _q, so feed the max/min and carry
+      // the sign (the q148 sign-split rule, applied to logs)
+      .withColumn("_p", greatest(col("pg_ppm"), col("pb_ppm")))
+      .withColumn("_q", least(col("pg_ppm"), col("pb_ppm")))
+      .withColumn("_sgn",
+        when(col("pg_ppm") >= col("pb_ppm"), 1L).otherwise(-1L))
+    val withLn = graft.functions.FixedLn.steps("DIV", "_ln9")
+      .foldLeft(ppm) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    withLn
+      .select(col("bucket"), col("n_good"), col("n_bad"),
+        col("pg_ppm"), col("pb_ppm"),
+        (col("_sgn") * col("_ln9")).as("woe_e9"),
+        ((col("pg_ppm") - col("pb_ppm")) * col("_sgn") * col("_ln9"))
+          .as("_ivc"))
+      .withColumn("iv_e9", expr(
+        """CAST((2 * sum(_ivc) OVER () + 1000000)
+                DIV (2 * 1000000) AS BIGINT)"""))
+      .drop("_ivc")
+  }
 }

@@ -797,51 +797,13 @@ object TextOps {
   def q112Bm25(s: SparkSession, d: String): DataFrame =
     bm25TopK(Tables.documents(s, d), nQueries = 8, qTerms = 3, k = 10)
 
-  /** The e9 fixed-point integer `ln(_p/_q)` pipeline shared by the
-    * Spark plan and the DuckDB oracle — ONE definition, two division
-    * tokens (`DIV` vs `//`; all operands non-negative, so truncating
-    * and flooring division agree). Input columns `_p`, `_q` (longs,
-    * _p ≥ _q ≥ 1); output column `idf_e9` = ln(_p/_q)·1e9 ± ~1e-8.
-    * Steps: t = ⌊p/q⌋ picks the power-of-two scale (⌊log₂(p/q)⌋ =
-    * ⌊log₂⌊p/q⌋⌋ for integer p, q > 0) by pure integer compares (no
-    * libm log2), m = (p/q)/2^k ∈ [1,2), z = (m−1)/(m+1) ∈ [0,1/3),
-    * ln m = 2·atanh z by the odd series through z¹⁷ (truncation
-    * < 1e-9), ln(p/q) = k·ln2 + ln m with ln2 as the e9 constant.
-    * Long-safe for corpora up to ~2.3e9 docs (the z numerator
-    * 2e9·(p−q·2^k) is the first to overflow); beyond that, widen the
-    * z step to DECIMAL.
+  /** BM25's idf ln(_p/_q) as [[graft.functions.FixedLn]] steps with
+    * output `idf_e9` — see FixedLn for the algorithm, bounds, and the
+    * operator family it unlocks. Long-safe for corpora up to ~2.3e9
+    * docs (p = 2N+2 in the z-numerator bound).
     */
-  private[graft] def bm25LnSteps(div: String): Seq[(String, String)] = {
-    val ks = (1 to 40).reverse
-    val kkCase = ks.map(k => s"WHEN _t >= ${1L << k} THEN $k")
-      .mkString("CASE ", " ", " ELSE 0 END")
-    val m2kCase = ks.map(k => s"WHEN _t >= ${1L << k} THEN ${1L << k}")
-      .mkString("CASE ", " ", " ELSE 1 END")
-    Seq(
-      "_t" -> s"_p $div _q",
-      "_kk" -> kkCase,
-      "_m2k" -> m2kCase,
-      "_a9" -> "_p - _q * _m2k",
-      "_b9" -> "_p + _q * _m2k",
-      // 2000000000 folded: ANSI Spark parses 2 * 1000000000 as INT×INT
-      // and throws on the overflow before promoting
-      "_z" -> s"(2000000000 * _a9 + _b9) $div (2 * _b9)",
-      "_z2" -> s"(_z * _z) $div 1000000000",
-      "_p3" -> s"(_z * _z2) $div 1000000000",
-      "_p5" -> s"(_p3 * _z2) $div 1000000000",
-      "_p7" -> s"(_p5 * _z2) $div 1000000000",
-      "_p9" -> s"(_p7 * _z2) $div 1000000000",
-      "_p11" -> s"(_p9 * _z2) $div 1000000000",
-      "_p13" -> s"(_p11 * _z2) $div 1000000000",
-      "_p15" -> s"(_p13 * _z2) $div 1000000000",
-      "_p17" -> s"(_p15 * _z2) $div 1000000000",
-      "_lns" -> (s"_z + _p3 $div 3 + _p5 $div 5 + _p7 $div 7 " +
-        s"+ _p9 $div 9 + _p11 $div 11 + _p13 $div 13 " +
-        s"+ _p15 $div 15 + _p17 $div 17"),
-      // CAST before the multiply: _kk is an INT-typed CASE and
-      // INT×693147181 overflows 32 bits at kk ≥ 4 (ANSI throws)
-      "idf_e9" -> "CAST(_kk AS BIGINT) * 693147181 + 2 * _lns")
-  }
+  private[graft] def bm25LnSteps(div: String): Seq[(String, String)] =
+    graft.functions.FixedLn.steps(div, "idf_e9")
 
   /** [[q112Bm25]]'s core over any (doc_id, text) frame. */
   def bm25TopK(documents: DataFrame, nQueries: Int, qTerms: Int,
@@ -1316,4 +1278,143 @@ object TextOps {
         substring(md5(col("tok")), 1, 2).as("dim"))
       .groupBy(col("doc_id"), col("dim"))
       .agg(count(lit(1)).cast("long").as("weight"))
+
+  /** Per-source unigram ppm distribution — the shared input of q124
+    * (TV distance to the corpus) and q245 (pairwise JS divergence):
+    * one corpus-scale (source, term) aggregate, shares in
+    * round-half-up ppm.
+    */
+  private def sourceTermPpm(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(toks).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n_st"))
+    st.join(st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s")),
+        "source")
+      .select(col("source"), col("term"),
+        expr("(2000000 * n_st + n_s) DIV (2 * n_s)").as("ppm"))
+      .filter(col("ppm") > 0)
+  }
+
+  /** q245: JENSEN–SHANNON DIVERGENCE MATRIX between sources (Lin 1991;
+    * the symmetric, bounded [0, ln 2] cousin of KL): for every source
+    * pair, JS(P‖Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2, over unigram
+    * distributions — the pairwise "how different are these crawls"
+    * complement of q124's per-source-vs-corpus TV monitor (JS sees
+    * log-scale tail divergence TV underweights; √JS is a metric, so
+    * the matrix supports clustering sources).
+    *
+    * ENGINE-EXACT (a [[graft.functions.FixedLn]]-family operator, r11
+    * — KL/JS was exactly the operator q124's scaladoc called
+    * log-blocked): distributions quantize to round-half-up ppm, each
+    * present-in-both term contributes a_t·ln(2a_t/(a_t+b_t)) +
+    * b_t·ln(2b_t/(a_t+b_t)) via the signed fixed-point ln (args are
+    * ≤2e6-bounded rationals), and single-source terms close the
+    * algebra EXACTLY with + ppm·ln2 each (2a/(a+0) = 2) — computed
+    * from per-source ppm totals minus the shared-term sums, so the
+    * sources × vocab grid is never materialized (the q124 rule).
+    * Output js_e9 in e9 nats, ½-factor folded via the final /(2·1e6).
+    *
+    * Scale shape: one corpus-scale (source, term) aggregate feeds a
+    * vocab-scale self-join on term (pairs × shared-vocab rows, ln on
+    * exactly those rows), plus one #sources-row total broadcast.
+    */
+  def q245JsMatrix(s: SparkSession, d: String): DataFrame =
+    jsMatrix(Tables.documents(s, d))
+
+  /** [[q245JsMatrix]]'s core over any (source, text) frame. */
+  def jsMatrix(docs: DataFrame): DataFrame = {
+    val ppm = sourceTermPpm(docs).localCheckpoint(false)
+    val tot = ppm.groupBy(col("source"))
+      .agg(sum(col("ppm")).as("tot_ppm"))
+    // shared-vocab pair rows, exploded to one ln application per side
+    val pairRows = ppm.select(col("source").as("src_a"),
+        col("term"), col("ppm").as("a"))
+      .join(ppm.select(col("source").as("src_b"), col("term"),
+        col("ppm").as("b")), "term")
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("a"), col("b"),
+        explode(array(
+          struct(col("a").as("w"), (col("a") * 2).as("num"),
+            (col("a") + col("b")).as("den")),
+          struct(col("b").as("w"), (col("b") * 2).as("num"),
+            (col("a") + col("b")).as("den")))).as("e"))
+      .select(col("src_a"), col("src_b"), col("a"), col("b"),
+        col("e.w").as("w"),
+        greatest(col("e.num"), col("e.den")).as("_p"),
+        least(col("e.num"), col("e.den")).as("_q"),
+        when(col("e.num") >= col("e.den"), 1L).otherwise(-1L)
+          .as("_sgn"))
+    val withLn = graft.functions.FixedLn.steps("DIV", "_ln9")
+      .foldLeft(pairRows) { case (acc, (n, e)) =>
+        acc.withColumn(n, expr(e)) }
+    val shared = withLn.groupBy(col("src_a"), col("src_b"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_common"),
+        sum(col("w") * col("_sgn") * col("_ln9")).as("_inner"),
+        (sum(col("a")) / 2).cast("long").as("_sa"),
+        (sum(col("b")) / 2).cast("long").as("_sb"))
+    // EVERY source pair gets a row — a fully-disjoint pair has no
+    // shared-vocab rows, coalesces to zero sums and correctly reports
+    // JS = ln 2 (all mass in the single-source correction terms)
+    tot.select(col("source").as("src_a"), col("tot_ppm").as("_ta"))
+      .crossJoin(tot.select(col("source").as("src_b"),
+        col("tot_ppm").as("_tb")))
+      .filter(col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr(s"""CAST((2 * (coalesce(_inner, 0)
+                   + ${graft.functions.FixedLn.Ln2E9} *
+                     ((_ta - coalesce(_sa, 0))
+                      + (_tb - coalesce(_sb, 0))))
+                   + 2000000)
+                 DIV (2 * 2000000) AS BIGINT)""").as("js_e9"))
+  }
+
+  /** q246: per-document CROSS-ENTROPY under the corpus unigram LM —
+    * H(d) = −Σ_t (tf_t/len_d)·ln p_corpus(t) in e9 nats: the
+    * "surprise" quality score (Wenzek et al. 2020's CCNet ranks crawl
+    * text exactly this way, with a KenLM in place of the unigram
+    * model): low H = stereotyped/boilerplate-like text, high H = rare
+    * vocabulary. The log-domain complement of q111's bigram-ppm
+    * fluency score and q26's surface-statistics quality gate.
+    *
+    * ENGINE-EXACT (FixedLn family, r11): corpus unigram shares in
+    * round-half-up ppm (clamped ≥ 1 ppm so the tail stays in the ln
+    * domain — documented quantization, identical both engines),
+    * −ln p = lnE9(1e6, ppm) ≥ 0 computed ONCE PER VOCAB TERM (never
+    * per token — ln cost is vocabulary-scale), per-doc total is the
+    * exact integer Σ tf·lnE9 with one round-half-up division by the
+    * doc length.
+    *
+    * Scale shape: one corpus (term) aggregate, the ln'd vocab table
+    * broadcast into the (doc, term, tf) scan, one map-combined per-doc
+    * sum. 100 TB cost = two corpus scans' worth of shuffle-light work.
+    */
+  def q246DocEntropy(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val termPpm = tf.groupBy(col("term")).agg(sum(col("tf")).as("n_t"))
+      .crossJoin(broadcast(
+        tf.agg(sum(col("tf")).as("n_c"))))
+      .select(col("term"),
+        greatest(expr("(2000000 * n_t + n_c) DIV (2 * n_c)"), lit(1L))
+          .as("_q"))
+      .withColumn("_p", lit(1000000L))
+    val lnTerm = graft.functions.FixedLn.steps("DIV", "_nl9")
+      .foldLeft(termPpm) { case (acc, (n, e)) =>
+        acc.withColumn(n, expr(e)) }
+      .select(col("term"), col("_nl9"))
+    tf.join(broadcast(lnTerm), "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        expr("""CAST((2 * sum(tf * _nl9) + sum(tf))
+                DIV (2 * sum(tf)) AS BIGINT)""").as("xent_e9"))
+  }
 }

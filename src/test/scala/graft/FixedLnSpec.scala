@@ -1,0 +1,153 @@
+package graft
+
+import graft.functions.FixedLn
+import graft.operators.{StatsOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The e9 fixed-point ln and the r11 operator family it unlocks
+  * (q244 WOE/IV, q245 JS matrix, q246 doc entropy — plus q112 BM25,
+  * replay-tested in TextSpec).
+  */
+class FixedLnSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("lnE9 tracks Math.log within 1e-7 across the rational domain " +
+      "(ppm ratios, BM25 idf args, near-1 and boundary cases)") {
+    val cases = Seq[(Long, Long)](
+      (1L, 1L), (2L, 1L), (3L, 2L), (1000000L, 1L), (1000000L, 999999L),
+      (2000000L, 1000001L), (4000000L, 2000001L), (10002L, 3L),
+      (2300000000L, 7L), (1048576L, 1L), (1048577L, 1048576L),
+      (699001L, 300999L), (123456789L, 987L))
+    cases.foreach { case (p, q) =>
+      val exact = Math.log(p.toDouble / q)
+      val fixed = FixedLn.lnE9(p, q) / 1e9
+      assert(math.abs(exact - fixed) < 1e-7, s"ln($p/$q): $exact vs $fixed")
+    }
+    // dense sweep around small ratios (the ppm regime)
+    for (p <- 1L to 2000L; q <- Seq(1L, 7L, 13L) if p >= q) {
+      val exact = Math.log(p.toDouble / q)
+      val fixed = FixedLn.lnE9(p, q) / 1e9
+      assert(math.abs(exact - fixed) < 1e-7, s"ln($p/$q)")
+    }
+  }
+
+  test("lnE9Signed is antisymmetric and the SQL steps equal the Scala " +
+      "replay on a generated rational grid (both engines' division)") {
+    assert(FixedLn.lnE9Signed(3, 7) == -FixedLn.lnE9Signed(7, 3))
+    assert(FixedLn.lnE9Signed(5, 5) == 0L)
+    val grid = (1 to 500).map(i => (i * 997L % 4099 + 1, i * 31L % 211 + 1))
+      .map { case (a, b) => (math.max(a, b), math.min(a, b)) }
+    val df = grid.toDF("_p", "_q")
+    val got = FixedLn.steps("DIV", "out_e9")
+      .foldLeft(df) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+      .select(col("_p"), col("_q"), col("out_e9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    grid.foreach { case (p, q) =>
+      assert(got((p, q)) == FixedLn.lnE9(p, q), s"SQL vs Scala at $p/$q")
+    }
+  }
+
+  test("q244 WOE/IV: signs track class shares, IV is non-negative, " +
+      "and a local integer replay matches exactly") {
+    val rows = StatsOps.q244WoeIv(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, pg, pb, woe, _) =>
+      assert((pg >= pb) == (woe >= 0), s"woe sign: pg=$pg pb=$pb woe=$woe")
+    }
+    val iv = rows.map(_._7).distinct
+    assert(iv.size == 1 && iv.head >= 0)
+    // local replay from raw counts
+    val o = Tables.orders(spark, Sf)
+      .select(col("o_orderpriority"), col("o_orderstatus")).collect()
+      .map(r => (r.getString(0), r.getString(1) == "F"))
+    val byB = o.groupBy(_._1).view.mapValues { xs =>
+      (xs.count(_._2).toLong, xs.count(!_._2).toLong) }.toMap
+    val gt = byB.values.map(_._1).sum
+    val bt = byB.values.map(_._2).sum
+    val exp = byB.toSeq.flatMap { case (b, (g, bad)) =>
+      val pg = (2000000L * g + gt) / (2 * gt)
+      val pb = (2000000L * bad + bt) / (2 * bt)
+      if (pg > 0 && pb > 0)
+        Some((b, g, bad, pg, pb, FixedLn.lnE9Signed(pg, pb)))
+      else None
+    }
+    val ivExp = {
+      val s = exp.map { case (_, _, _, pg, pb, w) => (pg - pb) * w }.sum
+      (2 * s + 1000000) / 2000000
+    }
+    assert(rows.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet ==
+      exp.toSet)
+    assert(rows.head._7 == ivExp)
+  }
+
+  test("q245 JS matrix: symmetric-bounded values, identical-source " +
+      "sanity via a local replay on a synthetic two-source corpus") {
+    val got = TextOps.q245JsMatrix(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.nonEmpty)
+    val ln2 = FixedLn.Ln2E9
+    got.foreach { case (a, b, nc, js) =>
+      assert(a < b)
+      assert(nc > 0)
+      // JS ∈ [0, ln 2] (+ quantization slack)
+      assert(js >= -2000 && js <= ln2 + 2000, s"js($a,$b)=$js")
+    }
+    // every source pair appears exactly once
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
+    // synthetic: identical distributions → JS = 0 exactly; disjoint
+    // vocabularies → JS = ln 2 (up to ppm/series quantization)
+    val twin = Seq(("s1", "a b c a"), ("s2", "a b c a"))
+      .toDF("source", "text")
+    val twinJs = TextOps.jsMatrix(twin).collect()
+    assert(twinJs.length == 1 && twinJs.head.getLong(3) == 0L)
+    val disj = Seq(("s1", "a b c d"), ("s2", "x y z w"))
+      .toDF("source", "text")
+    val disjJs = TextOps.jsMatrix(disj).collect()
+    // fully-disjoint vocabularies → JS = ln 2 exactly (all mass in
+    // the single-source correction terms), n_common = 0
+    assert(disjJs.length == 1 && disjJs.head.getLong(2) == 0L)
+    assert(math.abs(disjJs.head.getLong(3) - ln2) < 2000,
+      s"disjoint js=${disjJs.head.getLong(3)}")
+    val mixed = Seq(("s1", "a b"), ("s2", "a z")).toDF("source", "text")
+    val mj = TextOps.jsMatrix(mixed).collect()
+    assert(mj.length == 1)
+    // p = (½,½,0), q = (½,0,½): JS = ½ln2 exactly
+    assert(math.abs(mj.head.getLong(3) - ln2 / 2) < 2000,
+      s"mixed js=${mj.head.getLong(3)}")
+  }
+
+  test("q246 doc entropy: equals a local integer replay; uniform-ish " +
+      "docs score near the corpus entropy scale") {
+    val got = TextOps.q246DocEntropy(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").toSeq
+          .filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+    val tf = docs.flatMap { case (id, tk) =>
+      tk.groupBy(identity).map { case (t, xs) =>
+        (id, t, xs.size.toLong) } }
+    val nT = tf.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nC = nT.values.sum
+    val nl9 = nT.map { case (t, n) =>
+      t -> FixedLn.lnE9(1000000L,
+        math.max((2000000L * n + nC) / (2 * nC), 1L)) }
+    val exp = tf.groupBy(_._1).map { case (id, xs) =>
+      val len = xs.map(_._3).sum
+      val s = xs.map { case (_, t, f) => f * nl9(t) }.sum
+      id -> ((len, (2 * s + len) / (2 * len)))
+    }
+    assert(got.size == exp.size)
+    exp.foreach { case (id, (len, x)) =>
+      assert(got(id) == ((len, x)), s"doc $id: ${got(id)} vs ($len, $x)")
+    }
+  }
+}

@@ -161,4 +161,29 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     assert(got.select("user_id", "ts")
       .join(expected, Seq("user_id", "ts"), "left_anti").count() == 0)
   }
+
+  test("dashboard export: parquet round-trips each view exactly, CSV " +
+      "carries header + all rows, manifest written with true counts") {
+    val dir = tmpTable()
+    val views = graft.sources.DashboardExport.defaultViews(spark, Sf)
+    val counts = graft.sources.DashboardExport.export(spark, dir, views)
+    assert(counts.keySet ==
+      Set("recent_rankings", "customer_geo", "win_rates", "usage_rates"))
+    views.foreach { case (name, df) =>
+      val back = spark.read.parquet(s"$dir/$name.parquet")
+      assert(back.schema.fieldNames.toSeq == df.columns.toSeq)
+      assert(back.count() == counts(name))
+      assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+        s"$name parquet round-trip")
+      val csvLines = scala.io.Source.fromFile(s"$dir/$name.csv")
+        .getLines().toSeq
+      assert(csvLines.head == df.columns.mkString(","))
+      assert(csvLines.size.toLong == counts(name) + 1, s"$name csv rows")
+    }
+    val manifest = scala.io.Source.fromFile(s"$dir/_manifest.json")
+      .getLines().mkString("\n")
+    counts.foreach { case (name, n) =>
+      assert(manifest.contains(s""""$name": {"rows": $n"""))
+    }
+  }
 }
