@@ -269,6 +269,9 @@ object SparkEntry {
     "q244_woe_iv" -> (StatsOps.q244WoeIv _),
     "q245_js_matrix" -> (TextOps.q245JsMatrix _),
     "q246_doc_entropy" -> (TextOps.q246DocEntropy _),
+    "q247_quality_classifier" -> (TextOps.q247QualityClassifier _),
+    "q248_softmax_mix" -> (TextOps.q248SoftmaxMix _),
+    "q249_perplexity" -> (TextOps.q249Perplexity _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -523,6 +526,136 @@ object SparkEntry {
                      // (2 * SUM(f.tf)) AS BIGINT) AS xent_e9
          FROM tf f JOIN lnt l ON f.term = l.term
          GROUP BY f.doc_id"""
+
+  /** Lateral-alias select fragment for the shared fixed-point exp. */
+  private def expSelect(out: String): String =
+    graft.functions.FixedExp.steps("//", out)
+      .map { case (n, e) => s"$e AS $n" }
+      .mkString(",\n                  ")
+
+  /** The q247 feature+logit CTE chain shared textually by the q247 and
+    * q248 oracles (q248 carries `source` through for the mixing stage).
+    */
+  private def logitCtes: String =
+    s"""f AS (
+           SELECT doc_id, source,
+                  CAST(len(tk) AS BIGINT) AS t,
+                  CAST(len(list_filter(tk, x -> list_contains(
+                         ['the','a','of','and','to','in'], x)))
+                       AS BIGINT) AS stop_cnt,
+                  CAST(len(list_distinct(tk)) AS BIGINT) AS dct,
+                  CAST(length(regexp_replace(lower(trim(text)), '\\s+',
+                       '', 'g')) AS BIGINT) AS nonspace
+           FROM (SELECT doc_id, source, text,
+                        string_split_regex(lower(trim(text)), '\\s+')
+                          AS tk
+                 FROM documents WHERE text IS NOT NULL)
+         ), feats AS (
+           SELECT doc_id, source, t,
+                  (2000000 * stop_cnt + t) // (2 * t) AS stop_ppm,
+                  (2000000 * dct + t) // (2 * t) AS dist_ppm,
+                  (200 * nonspace + t) // (2 * t) AS len_e2
+           FROM f
+         ), lg AS (
+           SELECT doc_id, source, t,
+                  -6000000000 + 4000 * stop_ppm + 3000 * dist_ppm
+                    + 8000000 * LEAST(t, 400)
+                    - 2000000 * LEAST(GREATEST(t - 400, 0), 2000)
+                    + 1000000 * LEAST(len_e2, 800) AS z_e9
+           FROM feats
+         ), ex AS (
+           SELECT doc_id, source, t, z_e9,
+                  LEAST(ABS(z_e9), 20000000000) AS _x,
+                  ${expSelect("_a")}
+           FROM lg
+         ), sc AS (
+           SELECT doc_id, source, t, z_e9,
+                  CASE WHEN z_e9 >= 0 THEN _pos
+                       ELSE 1000000000 - _pos END AS score_e9
+           FROM (SELECT *,
+                   CAST((2 * 1000000000 * CAST(_a AS HUGEINT)
+                          + (_a + 1000000000))
+                        // (2 * (CAST(_a AS HUGEINT) + 1000000000))
+                        AS BIGINT) AS _pos
+                 FROM ex)
+         )"""
+
+  private def qualityClassifierOracleSql: String =
+    s"""WITH $logitCtes
+         SELECT doc_id, t AS n_tokens, z_e9, score_e9,
+                score_e9 >= 500000000 AS kept
+         FROM sc"""
+
+  private def softmaxMixOracleSql: String =
+    s"""WITH $logitCtes, bysrc AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST((2 * SUM(score_e9) + COUNT(*))
+                       // (2 * COUNT(*)) AS BIGINT) AS q_e9
+           FROM sc GROUP BY 1
+         ), zx AS (
+           SELECT source, n_docs, q_e9,
+                  LEAST(MAX(q_e9 * 20) OVER () - q_e9 * 20,
+                        20000000000) AS _x
+           FROM bysrc
+         ), ez AS (
+           SELECT source, n_docs, q_e9,
+                  ${expSelect("_a")}
+           FROM zx
+         ), u AS (
+           SELECT source, n_docs, q_e9,
+                  CAST((2 * CAST(1000000000000000000 AS HUGEINT) + _a)
+                       // (2 * CAST(_a AS HUGEINT)) AS BIGINT) AS _u
+           FROM ez
+         )
+         SELECT source, n_docs, q_e9,
+                CAST((2 * 1000000 * _u + SUM(_u) OVER ())
+                     // (2 * SUM(_u) OVER ()) AS BIGINT) AS weight_ppm
+         FROM u"""
+
+  private def perplexityOracleSql: String =
+    s"""WITH tok AS (
+           SELECT d.doc_id, t.term
+           FROM (SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\\s+')
+                          AS toks
+                 FROM documents WHERE text IS NOT NULL) d,
+                LATERAL unnest(d.toks) AS t(term)
+           WHERE len(t.term) > 0
+         ), tf AS (
+           SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2
+         ), nc AS (
+           SELECT CAST(SUM(tf) AS BIGINT) AS n_c FROM tf
+         ), tp AS (
+           SELECT term,
+                  1000000 AS _p,
+                  GREATEST((2000000 * CAST(SUM(tf) AS BIGINT) + n_c)
+                           // (2 * n_c), 1) AS _q
+           FROM tf, nc GROUP BY term, n_c
+         ), lnt AS (
+           SELECT term,
+                  ${lnSelect("_nl9")}
+           FROM tp
+         ), ent AS (
+           SELECT f.doc_id, CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
+                  CAST((2 * SUM(f.tf * l._nl9) + SUM(f.tf))
+                       // (2 * SUM(f.tf)) AS BIGINT) AS xent_e9
+           FROM tf f JOIN lnt l ON f.term = l.term
+           GROUP BY f.doc_id
+         ), pex AS (
+           SELECT doc_id, n_tokens, xent_e9, xent_e9 AS _x,
+                  ${expSelect("_a")}
+           FROM ent
+         )
+         SELECT doc_id, n_tokens, xent_e9,
+                CAST((2 * _a + 1000000) // (2 * 1000000) AS BIGINT)
+                  AS ppl_e3,
+                CASE WHEN (2 * _a + 1000000) // (2 * 1000000) < 30000
+                       THEN 'head'
+                     WHEN (2 * _a + 1000000) // (2 * 1000000) < 31500
+                       THEN 'middle'
+                     ELSE 'tail' END AS band
+         FROM pex"""
 
   /** The q156 oracle's unrolled greedy MMR replay: the same e4-integer
     * rounded cosines (the q32 recipe — sums over the unnested vector in
@@ -6742,5 +6875,8 @@ object SparkEntry {
     "q244_woe_iv" -> woeIvOracleSql,
     "q245_js_matrix" -> jsMatrixOracleSql,
     "q246_doc_entropy" -> docEntropyOracleSql,
+    "q247_quality_classifier" -> qualityClassifierOracleSql,
+    "q248_softmax_mix" -> softmaxMixOracleSql,
+    "q249_perplexity" -> perplexityOracleSql,
   )
 }

@@ -1392,6 +1392,132 @@ object TextOps {
     * broadcast into the (doc, term, tf) scan, one map-combined per-doc
     * sum. 100 TB cost = two corpus scans' worth of shuffle-light work.
     */
+  /** q247: LOGISTIC QUALITY-CLASSIFIER SCORING — batch inference of a
+    * frozen linear quality model over surface features, σ(w·f) per
+    * document plus the keep/drop decision at 0.5: the fastText-style
+    * quality-filter pass of the GPT-3/CCNet lineage (Brown et al. 2020
+    * §A; the reference analogue is the is_win derived-flag scoring,
+    * api_extract.py:212, upgraded to a probabilistic model). The
+    * WEIGHTS here are a documented frozen stand-in (the sandbox has no
+    * trained model; swapping real coefficients changes only the one
+    * literal expression) — the deliverable is the ENGINE-EXACT
+    * in-engine inference path.
+    *
+    * A [[graft.functions.FixedExp]]-family operator (r11): integer
+    * features (stopword/distinct ppm, capped length terms), logit
+    * clamped to ±20e9, σ computed all-positive (exp of |z|, the
+    * 1 − σ identity for the negative side) with the shared fixed-point
+    * exp — both engines produce the identical score_e9, so inference
+    * is a full oracle row. One corpus scan, zero joins/shuffles before
+    * the final projection.
+    */
+  def q247QualityClassifier(s: SparkSession, d: String): DataFrame =
+    logisticQualityScore(Tables.documents(s, d))
+
+  /** [[q247QualityClassifier]]'s core over any (doc_id, text) frame. */
+  def logisticQualityScore(documents: DataFrame): DataFrame = {
+    val f = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("t"),
+        size(filter(toks, t => t.isin(Stopwords.map(x => x: Any): _*)))
+          .cast("long").as("stop_cnt"),
+        size(array_distinct(toks)).cast("long").as("dct"),
+        length(regexp_replace(normText, "\\s+", "")).cast("long")
+          .as("nonspace"))
+      .select(col("doc_id"), col("t"),
+        expr("(2000000 * stop_cnt + t) DIV (2 * t)").as("stop_ppm"),
+        expr("(2000000 * dct + t) DIV (2 * t)").as("dist_ppm"),
+        expr("(200 * nonspace + t) DIV (2 * t)").as("len_e2"))
+      .withColumn("z_e9", expr(
+        """-6000000000 + 4000 * stop_ppm + 3000 * dist_ppm
+           + 8000000 * LEAST(t, 400)
+           - 2000000 * LEAST(GREATEST(t - 400, 0), 2000)
+           + 1000000 * LEAST(len_e2, 800)"""))
+      .withColumn("_x", expr(
+        "LEAST(ABS(z_e9), 20000000000)"))
+    val withExp = graft.functions.FixedExp.steps("DIV", "_a")
+      .foldLeft(f) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    withExp
+      .withColumn("_pos", expr(
+        """CAST((2 * 1000000000 * CAST(_a AS DECIMAL(38,0))
+                 + (_a + 1000000000))
+                DIV (2 * (_a + 1000000000)) AS BIGINT)"""))
+      .select(col("doc_id"), col("t").as("n_tokens"), col("z_e9"),
+        when(col("z_e9") >= 0, col("_pos"))
+          .otherwise(lit(1000000000L) - col("_pos")).as("score_e9"))
+      .withColumn("kept", col("score_e9") >= 500000000L)
+  }
+
+  /** q248: TEMPERATURE-SOFTMAX SOURCE-MIXING WEIGHTS — per-source
+    * sampling weights ∝ exp(quality_s/τ) over each source's mean
+    * document quality score: the reward-weighted mixing rule
+    * (Xie et al. 2023 DoReMi's EXPONENTIATED-preference shape) that
+    * complements q71's count-temperature power weights — q71 flattens
+    * SIZE imbalance, this tilts toward QUALITY. τ = 0.05 in score
+    * units (so the observed cross-source quality spread lands in a
+    * usable logit range).
+    *
+    * FixedExp family: all-positive max-gap form (softmax(z) =
+    * exp(−(z_max − z))/Σ — gaps clamped at 20e9 where the weight is
+    * already < 2.1e-9), inverse exp(−g)·1e9 = round(1e18/exp(g)·…),
+    * final weights round-half-up ppm of exact integer sums. The mean
+    * quality per source is the q247 score averaged in round-half-up
+    * e9. Sources-cardinality artifact after one corpus scan; the
+    * softmax runs on the bounded artifact.
+    */
+  def q248SoftmaxMix(s: SparkSession, d: String): DataFrame = {
+    val scored = logisticQualityScore(Tables.documents(s, d))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id")
+    val bySrc = scored.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        expr("CAST((2 * sum(score_e9) + count(1)) DIV (2 * count(1)) AS BIGINT)")
+          .as("q_e9"))
+    // logit = q/τ with τ = 0.05 → ×20; gap to the max source
+    val z = bySrc.withColumn("_z", col("q_e9") * 20L)
+      .withColumn("_x", expr(
+        """LEAST(MAX(_z) OVER () - _z, 20000000000)"""))
+    val withExp = graft.functions.FixedExp.steps("DIV", "_a")
+      .foldLeft(z) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    withExp
+      // u = exp(−gap)·1e9 = round(1e18/a); a ≥ 1e9 so u ≤ 1e9
+      .withColumn("_u", expr(
+        """CAST((2 * CAST(1000000000000000000 AS DECIMAL(38,0)) + _a)
+                DIV (2 * CAST(_a AS DECIMAL(38,0))) AS BIGINT)"""))
+      .withColumn("weight_ppm", expr(
+        """CAST((2 * 1000000 * _u + SUM(_u) OVER ())
+                DIV (2 * SUM(_u) OVER ()) AS BIGINT)"""))
+      .select(col("source"), col("n_docs"), col("q_e9"),
+        col("weight_ppm"))
+  }
+
+  /** q249: PERPLEXITY FILTERING — ppl(d) = exp(H(d)) over q246's
+    * cross-entropy, the unit every CCNet-style corpus filter actually
+    * thresholds on (Wenzek et al. 2020 filter crawl text by LM
+    * perplexity bands). FixedExp family: H ≤ ln(1e6) < MaxX, so
+    * ppl_e3 = round-half-up(exp(H)·1e9 / 1e6) is engine-exact; the
+    * band label applies the classic head/middle/tail cut at fixed
+    * integer thresholds. Cost = q246 + a vocab… ppl is per-DOC: one
+    * more projection over the q246 artifact.
+    */
+  def q249Perplexity(s: SparkSession, d: String): DataFrame = {
+    val ent = q246DocEntropy(s, d).withColumn("_x", col("xent_e9"))
+    val withExp = graft.functions.FixedExp.steps("DIV", "_a")
+      .foldLeft(ent) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    withExp
+      .withColumn("ppl_e3", expr(
+        "CAST((2 * _a + 1000000) DIV (2 * 1000000) AS BIGINT)"))
+      .select(col("doc_id"), col("n_tokens"), col("xent_e9"),
+        col("ppl_e3"),
+        // band cuts sit inside the corpus's observed ppl spread (the
+        // 31-word vocabulary centers ppl near 31) so all three bands
+        // are populated — production uses the Wikipedia-reference
+        // head/middle/tail percentile cuts instead
+        when(col("ppl_e3") < 30000L, "head")
+          .when(col("ppl_e3") < 31500L, "middle")
+          .otherwise("tail").as("band"))
+  }
+
   def q246DocEntropy(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .filter(col("text").isNotNull)

@@ -121,6 +121,100 @@ class FixedLnSpec extends AnyFunSuite with SparkTestBase {
       s"mixed js=${mj.head.getLong(3)}")
   }
 
+  test("expE9 tracks Math.exp within 1e-7 relative across [0, 20.7]; " +
+      "SQL steps equal the Scala replay; sigmoid is monotone and " +
+      "symmetric") {
+    import graft.functions.FixedExp
+    val xs = Seq(0L, 1L, 1000L, 693147181L, 1000000000L, 2500000000L,
+      6931471810L, 13800000000L, 19999999999L, FixedExp.MaxX)
+    xs.foreach { x =>
+      val exact = Math.exp(x / 1e9)
+      val fixed = FixedExp.expE9(x) / 1e9
+      assert(math.abs(exact - fixed) / exact < 1e-7, s"exp($x): $exact vs $fixed")
+    }
+    val grid = (0 to 400).map(i => (i * 51715121L) % FixedExp.MaxX)
+    val df = grid.toDF("_x")
+    val got = FixedExp.steps("DIV", "out_e9")
+      .foldLeft(df) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+      .select(col("_x"), col("out_e9"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    grid.foreach { x =>
+      assert(got(x) == FixedExp.expE9(x), s"SQL vs Scala at $x")
+    }
+    // sigmoid: σ(0)=½, symmetric, monotone, saturating
+    assert(FixedExp.sigmoidE9(0L) == 500000000L)
+    val zs = Seq(-25L, -3L, -1L, 0L, 1L, 2L, 10L, 25L).map(_ * 1000000000L)
+    zs.foreach { z =>
+      assert(FixedExp.sigmoidE9(z) + FixedExp.sigmoidE9(-z) == 1000000000L)
+      val exact = 1.0 / (1.0 + Math.exp(-z / 1e9))
+      assert(math.abs(FixedExp.sigmoidE9(z) / 1e9 - exact) < 1e-6)
+    }
+    assert(zs.map(FixedExp.sigmoidE9) == zs.map(FixedExp.sigmoidE9).sorted)
+  }
+
+  test("q247 quality classifier: scores in (0,1), kept ⇔ score ≥ ½, " +
+      "and a local integer replay matches exactly") {
+    import graft.functions.FixedExp
+    val got = TextOps.q247QualityClassifier(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got.nonEmpty)
+    got.values.foreach { case (_, _, s, kept) =>
+      assert(s > 0 && s < 1000000000L)
+      assert(kept == (s >= 500000000L))
+    }
+    // local replay
+    val docs = Tables.documents(spark, Sf).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase)
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    docs.foreach { case (id, txt) =>
+      val tk = txt.split("\\s+").toSeq
+      val t = tk.size.toLong
+      val stopPpm = (2000000L * tk.count(stop) + t) / (2 * t)
+      val distPpm = (2000000L * tk.distinct.size + t) / (2 * t)
+      val lenE2 = (200L * txt.replaceAll("\\s+", "").length + t) / (2 * t)
+      val z = -6000000000L + 4000 * stopPpm + 3000 * distPpm +
+        8000000L * math.min(t, 400) -
+        2000000L * math.min(math.max(t - 400, 0), 2000) +
+        1000000L * math.min(lenE2, 800)
+      val score = FixedExp.sigmoidE9(z)
+      assert(got(id) == ((t, z, score, score >= 500000000L)), s"doc $id")
+    }
+  }
+
+  test("q248 softmax mix: weights sum to ~1e6, order tracks quality, " +
+      "best source holds the largest weight") {
+    val rows = TextOps.q248SoftmaxMix(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length >= 2)
+    val wsum = rows.map(_._4).sum
+    assert(math.abs(wsum - 1000000L) <= rows.length,
+      s"weights sum $wsum")
+    val byQ = rows.sortBy(-_._3).map(_._4).toSeq
+    assert(byQ == byQ.sorted.reverse, "weight order must track quality")
+    assert(rows.maxBy(_._3)._4 == rows.map(_._4).max)
+  }
+
+  test("q249 perplexity: ppl = exp(xent) within integer rounding, " +
+      "bands partition the corpus") {
+    import graft.functions.FixedExp
+    val rows = TextOps.q249Perplexity(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, xent, ppl, band) =>
+      val expPpl = (2 * FixedExp.expE9(xent) + 1000000L) / 2000000L
+      assert(ppl == expPpl)
+      val eb = if (ppl < 30000L) "head"
+        else if (ppl < 31500L) "middle" else "tail"
+      assert(band == eb)
+    }
+    // the band cuts sit inside the observed spread → ≥2 bands populated
+    assert(rows.map(_._5).distinct.size >= 2)
+  }
+
   test("q246 doc entropy: equals a local integer replay; uniform-ish " +
       "docs score near the corpus entropy scale") {
     val got = TextOps.q246DocEntropy(spark, Sf).collect()
