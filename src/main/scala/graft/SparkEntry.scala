@@ -272,6 +272,8 @@ object SparkEntry {
     "q247_quality_classifier" -> (TextOps.q247QualityClassifier _),
     "q248_softmax_mix" -> (TextOps.q248SoftmaxMix _),
     "q249_perplexity" -> (TextOps.q249Perplexity _),
+    "q250_calibration" -> (StatsOps.q250Calibration _),
+    "q251_decayed_engagement" -> (RelationalOps.q251DecayedEngagement _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -611,6 +613,65 @@ object SparkEntry {
                 CAST((2 * 1000000 * _u + SUM(_u) OVER ())
                      // (2 * SUM(_u) OVER ()) AS BIGINT) AS weight_ppm
          FROM u"""
+
+  /** q250 oracle: the q247 score chain + equal-width bins + exact
+    * integer Brier in HUGEINT.
+    */
+  private def calibrationOracleSql: String =
+    s"""WITH $logitCtes, lab AS (
+           SELECT sc.doc_id, sc.score_e9,
+                  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS _y,
+                  LEAST(sc.score_e9 // 100000000, 9) AS bin,
+                  (sc.score_e9 - (CASE WHEN d.lang = 'en' THEN 1 ELSE 0
+                                  END) * 1000000000)
+                  * (sc.score_e9 - (CASE WHEN d.lang = 'en' THEN 1 ELSE 0
+                                    END) * 1000000000) AS _sq
+           FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         ), byb AS (
+           SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST((2 * SUM(score_e9) + COUNT(*) * 1000)
+                       // (2 * COUNT(*) * 1000) AS BIGINT) AS pred_ppm,
+                  CAST((2 * 1000000 * SUM(_y) + COUNT(*))
+                       // (2 * COUNT(*)) AS BIGINT) AS emp_ppm,
+                  SUM(CAST(_sq AS HUGEINT)) AS _sqs
+           FROM lab GROUP BY 1
+         )
+         SELECT bin, n_docs, pred_ppm, emp_ppm,
+                ABS(pred_ppm - emp_ppm) AS gap_ppm,
+                CAST((2 * SUM(_sqs) OVER ()
+                      + SUM(n_docs) OVER () * CAST(1000000000 AS HUGEINT))
+                     // (2 * SUM(n_docs) OVER ()
+                         * CAST(1000000000 AS HUGEINT)) AS BIGINT)
+                  AS brier_e9
+         FROM byb"""
+
+  /** q251 oracle: per-event exact integer decay weight (gap µs DIV
+    * 2592 → e9 argument, clamp, exp steps, long 1e18-inverse), grouped
+    * per user.
+    */
+  private def decayedEngagementOracleSql: String =
+    s"""WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS us
+           FROM events WHERE user_id IS NOT NULL
+         ), mx AS (SELECT MAX(us) AS _mx FROM ev
+         ), b AS (
+           SELECT user_id, us, _mx,
+                  LEAST((_mx - us) // 2592, 20000000000) AS _x
+           FROM ev, mx
+         ), e AS (
+           SELECT user_id, us, _mx,
+                  ${expSelect("_a")}
+           FROM b
+         ), w AS (
+           SELECT user_id, us, _mx,
+                  (2000000000000000000 + _a) // (2 * _a) AS _w
+           FROM e
+         )
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(SUM(_w) AS BIGINT) AS engagement_e9,
+                CAST(MIN(_mx - us) // 86400000000 AS BIGINT)
+                  AS days_since_last
+         FROM w GROUP BY user_id"""
 
   private def perplexityOracleSql: String =
     s"""WITH tok AS (
@@ -6878,5 +6939,7 @@ object SparkEntry {
     "q247_quality_classifier" -> qualityClassifierOracleSql,
     "q248_softmax_mix" -> softmaxMixOracleSql,
     "q249_perplexity" -> perplexityOracleSql,
+    "q250_calibration" -> calibrationOracleSql,
+    "q251_decayed_engagement" -> decayedEngagementOracleSql,
   )
 }

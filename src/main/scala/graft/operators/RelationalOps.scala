@@ -3601,4 +3601,42 @@ object RelationalOps {
       .groupBy(col("trace_len"), col("dist"))
       .agg(count(lit(1)).cast("long").as("n_sessions"))
   }
+
+  /** q251: RECENCY-DECAYED ENGAGEMENT SCORING — per user,
+    * Σ_events exp(−Δt/τ) with τ = 30 days, "now" = the corpus's max
+    * event time: the exponential-recency prior every ranking/
+    * recommendation/churn system keeps per entity (Ding & Li CIKM
+    * 2005's time-weighted collaborative filtering is this weight). A
+    * [[graft.functions.FixedExp]] family operator (r11) — exponential
+    * TIME decay was structurally oracle-blocked while exp went through
+    * libm; q160's EWMA decays by ROW with dyadic weights, this decays
+    * by WALL-CLOCK and is the form product scoring actually uses.
+    *
+    * Engine-exact: gap µs → e9 decay argument by the exact integer
+    * DIV 2592 (τ_µs/1e9), clamped at 20e9 (weight < 2.1e-9 — below
+    * the output quantum), per-event weight = round-half-up 1e18/exp
+    * in pure longs (2e18 + a < 2^63), per-user score = exact integer
+    * sum. The whole chain is codegen'd column arithmetic — one scan,
+    * one map-combined groupBy, a 1-row max broadcast.
+    */
+  def q251DecayedEngagement(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val mx = ev.agg(max(col("us")).as("_mx"))
+    val base = ev.crossJoin(broadcast(mx))
+      .withColumn("_x", expr(
+        "LEAST((_mx - us) DIV 2592, 20000000000)"))
+    val withExp = graft.functions.FixedExp.steps("DIV", "_a")
+      .foldLeft(base) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    withExp
+      // w = round-half-up(1e18 / a): a ≤ exp(20)·1e9 ≈ 4.9e17, so
+      // 2e18 + a stays in long — no decimal in the per-row hot path
+      .withColumn("_w", expr(
+        "(2000000000000000000 + _a) DIV (2 * _a)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("_w")).cast("long").as("engagement_e9"),
+        expr("CAST(min(_mx - us) DIV 86400000000 AS BIGINT)")
+          .as("days_since_last"))
+  }
 }

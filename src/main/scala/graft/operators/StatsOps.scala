@@ -2126,4 +2126,46 @@ object StatsOps {
                 DIV (2 * 1000000) AS BIGINT)"""))
       .drop("_ivc")
   }
+
+  /** q250: CLASSIFIER CALIBRATION REPORT — reliability bins + Brier
+    * score for the q247 quality classifier against a held label
+    * (Niculescu-Mizil & Caruana 2005's calibration audit; the
+    * evaluation companion of q211's isotonic RE-calibration): 10
+    * equal-width score bins, each with count, mean predicted ppm,
+    * empirical rate ppm and |gap| ppm, plus the global Brier score —
+    * "can you trust this model's probabilities" before its keep/drop
+    * threshold filters a corpus. Label = (lang = 'en'), the same
+    * deterministic-label convention as q187/q195 (the audit's math is
+    * label-agnostic).
+    *
+    * Engine-exact: bin = score_e9 DIV 1e8 capped at 9, means in
+    * round-half-up ppm, Brier from exact per-doc (score_e9 − y·1e9)²
+    * longs summed in DECIMAL — one window over the 10-bin artifact
+    * for the global number (the q244 iv_e9 pattern).
+    */
+  def q250Calibration(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = TextOps.logisticQualityScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("score_e9"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("_y"))
+      .withColumn("_bin", expr("LEAST(score_e9 DIV 100000000, 9)"))
+      .withColumn("_sq", expr(
+        "(score_e9 - _y * 1000000000) * (score_e9 - _y * 1000000000)"))
+    scored.groupBy(col("_bin").as("bin"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        expr("""CAST((2 * sum(score_e9) + count(1) * 1000)
+                DIV (2 * count(1) * 1000) AS BIGINT)""").as("pred_ppm"),
+        expr("""CAST((2 * 1000000 * sum(_y) + count(1))
+                DIV (2 * count(1)) AS BIGINT)""").as("emp_ppm"),
+        sum(col("_sq").cast("decimal(38,0)")).as("_sqs"))
+      .withColumn("gap_ppm", abs(col("pred_ppm") - col("emp_ppm")))
+      .withColumn("brier_e9", expr(
+        """CAST((2 * sum(_sqs) OVER ()
+                 + sum(n_docs) OVER () * 1000000000)
+                DIV (2 * sum(n_docs) OVER () * 1000000000)
+                AS BIGINT)"""))
+      .select(col("bin"), col("n_docs"), col("pred_ppm"), col("emp_ppm"),
+        col("gap_ppm"), col("brier_e9"))
+  }
 }

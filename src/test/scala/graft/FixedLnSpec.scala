@@ -215,6 +215,62 @@ class FixedLnSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._5).distinct.size >= 2)
   }
 
+  test("q250 calibration: bins partition by score decile, Brier " +
+      "matches the exact per-doc replay, gaps are |pred − emp|") {
+    val rows = graft.operators.StatsOps.q250Calibration(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (bin, _, pred, emp, gap, _) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(gap == math.abs(pred - emp))
+      assert(pred >= 0 && pred <= 1000000L && emp >= 0 && emp <= 1000000L)
+    }
+    // Brier replay from the classifier output + labels
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scored = TextOps.q247QualityClassifier(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val sq = scored.map { case (id, s) =>
+      val y = if (docs(id) == "en") 1000000000L else 0L
+      BigInt(s - y) * BigInt(s - y) }.sum
+    val n = BigInt(scored.length)
+    val brier = ((2 * sq + n * 1000000000L) /
+      (2 * n * 1000000000L)).toLong
+    assert(rows.map(_._6).distinct == Seq(brier).toList ||
+      rows.map(_._6).distinct.toList == List(brier))
+    assert(rows.map(_._2).sum == scored.length)
+  }
+
+  test("q251 decayed engagement: equals a local FixedExp replay; " +
+      "weights decay with distance from the corpus max time") {
+    import graft.functions.FixedExp
+    val got = graft.operators.RelationalOps
+      .q251DecayedEngagement(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val ev = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mx = ev.map(_._2).max
+    val exp = ev.groupBy(_._1).map { case (u, xs) =>
+      val ws = xs.map { case (_, us) =>
+        val x = math.min((mx - us) / 2592, 20000000000L)
+        val a = FixedExp.expE9(x)
+        (2000000000000000000L + a) / (2 * a)
+      }
+      u -> ((xs.size.toLong, ws.sum,
+        xs.map(mx - _._2).min / 86400000000L))
+    }
+    assert(got == exp && got.nonEmpty)
+    // a user's score is bounded by its event count (each weight ≤ 1e9)
+    got.values.foreach { case (n, s, _) =>
+      assert(s <= n * 1000000000L && s > 0)
+    }
+  }
+
   test("q246 doc entropy: equals a local integer replay; uniform-ish " +
       "docs score near the corpus entropy scale") {
     val got = TextOps.q246DocEntropy(spark, Sf).collect()
