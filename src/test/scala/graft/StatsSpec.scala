@@ -844,18 +844,19 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
 
   test("q172 rolling median matches a local order-statistic replay " +
       "and shrugs off a single outlier day") {
+    // `day` is a DATE since r11 (to_date, matching the oracle's type)
     val got = StatsOps.q172RollingMedian(spark, Sf).collect()
       .map { r =>
         val day = r.get(1) match {
-          case t: java.sql.Timestamp => t.toLocalDateTime
-          case t: java.time.LocalDateTime => t
+          case d: java.sql.Date => d.toLocalDate
+          case d: java.time.LocalDate => d
         }
         (r.getString(0), day) -> ((r.getLong(2), r.getLong(3)))
       }.toMap
     val daily = Tables.lineitem(spark, Sf)
       .filter(col("l_shipdate").isNotNull)
       .selectExpr("l_returnflag",
-        "CAST(date_trunc('day', l_shipdate) AS STRING) AS day",
+        "CAST(to_date(l_shipdate) AS STRING) AS day",
         "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS LONG) AS u")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).sum).toSeq
@@ -866,8 +867,7 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
           .sorted
         val med = win((win.length + 1) / 2 - 1)
         val key = (series(i)._1._1,
-          java.time.LocalDateTime.parse(
-            series(i)._1._2.replace(" ", "T")))
+          java.time.LocalDate.parse(series(i)._1._2))
         assert(got(key) == ((series(i)._2, med)), s"at $key")
       }
     }
