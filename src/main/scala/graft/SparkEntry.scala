@@ -274,6 +274,9 @@ object SparkEntry {
     "q249_perplexity" -> (TextOps.q249Perplexity _),
     "q250_calibration" -> (StatsOps.q250Calibration _),
     "q251_decayed_engagement" -> (RelationalOps.q251DecayedEngagement _),
+    "q252_roc_auc" -> (StatsOps.q252RocAuc _),
+    "q253_l_diversity" -> (RelationalOps.q253LDiversity _),
+    "q254_t_closeness" -> (RelationalOps.q254TCloseness _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -717,6 +720,132 @@ object SparkEntry {
                        THEN 'middle'
                      ELSE 'tail' END AS band
          FROM pex"""
+
+  /** q252 oracle: the q247 score chain + per-(source, score) counts,
+    * exclusive-prefix negatives by window, exact HUGEINT 2U products
+    * and the same round-half-up ppm division.
+    */
+  private def rocAucOracleSql: String =
+    s"""WITH $logitCtes, lab AS (
+           SELECT sc.source, sc.score_e9,
+                  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         ), cnt AS (
+           SELECT source, score_e9,
+                  CAST(SUM(y) AS BIGINT) AS c1,
+                  CAST(SUM(1 - y) AS BIGINT) AS c0
+           FROM lab GROUP BY 1, 2
+         ), cum AS (
+           SELECT source, c1, c0,
+                  COALESCE(SUM(c0) OVER (PARTITION BY source
+                    ORDER BY score_e9
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS e0
+           FROM cnt
+         ), agg AS (
+           SELECT source, CAST(SUM(c1) AS BIGINT) AS n_pos,
+                  CAST(SUM(c0) AS BIGINT) AS n_neg,
+                  SUM(CAST(c1 AS HUGEINT) * (2 * e0 + c0)) AS u2
+           FROM cum GROUP BY 1
+         ), res AS (
+           SELECT source, n_pos, n_neg, CAST(u2 AS BIGINT) AS u_x2,
+                  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                    CAST((2 * 1000000 * u2
+                          + 2 * CAST(n_pos AS HUGEINT) * n_neg)
+                         // (4 * CAST(n_pos AS HUGEINT) * n_neg)
+                         AS BIGINT)
+                  END AS auc_ppm
+           FROM agg
+         )
+         SELECT source, n_pos, n_neg, u_x2, auc_ppm,
+                auc_ppm * 2 - 1000000 AS gini_ppm
+         FROM res"""
+
+  /** The q253/q254 shared (QI class, balance band) cell CTE — exact
+    * DECIMAL threshold cuts, identical to the Spark side.
+    */
+  private def acctBandCellsCte: String =
+    """cells AS (
+           SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                  c_mktsegment AS mktsegment,
+                  CASE WHEN CAST(c_acctbal AS DECIMAL(18,4)) < 0
+                         THEN 'neg'
+                       WHEN CAST(c_acctbal AS DECIMAL(18,4)) < 2500
+                         THEN 'low'
+                       WHEN CAST(c_acctbal AS DECIMAL(18,4)) < 7500
+                         THEN 'mid'
+                       ELSE 'high' END AS band,
+                  CAST(COUNT(*) AS BIGINT) AS n_band
+           FROM customer GROUP BY 1, 2, 3
+         )"""
+
+  /** q253 oracle: the identical ppm-share → fixed-point entropy →
+    * fixed-point exp pipeline on the bounded class×band cells.
+    */
+  private def lDiversityOracleSql: String =
+    s"""WITH $acctBandCellsCte, byc AS (
+           SELECT nationkey, mktsegment,
+                  CAST(SUM(n_band) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) AS BIGINT) AS distinct_l
+           FROM cells GROUP BY 1, 2
+         ), pp AS (
+           SELECT c.nationkey, c.mktsegment,
+                  GREATEST((2000000 * c.n_band + b.n_rows)
+                           // (2 * b.n_rows), 1) AS _ppm
+           FROM cells c JOIN byc b USING (nationkey, mktsegment)
+         ), lnr AS (
+           SELECT nationkey, mktsegment, _ppm,
+                  1000000 AS _p, _ppm AS _q,
+                  ${lnSelect("_nl9")}
+           FROM pp
+         ), ent AS (
+           SELECT nationkey, mktsegment,
+                  CAST((2 * SUM(_ppm * _nl9) + 1000000)
+                       // (2 * 1000000) AS BIGINT) AS entropy_e9
+           FROM lnr GROUP BY 1, 2
+         ), ex AS (
+           SELECT nationkey, mktsegment, entropy_e9,
+                  entropy_e9 AS _x,
+                  ${expSelect("_a")}
+           FROM ent
+         )
+         SELECT b.nationkey, b.mktsegment, b.n_rows, b.distinct_l,
+                e.entropy_e9,
+                (2 * e._a + 1000000) // (2 * 1000000) AS eff_classes_e3,
+                b.distinct_l >= 3 AS ok_l3
+         FROM byc b JOIN ex e USING (nationkey, mktsegment)"""
+
+  /** q254 oracle: same cells, global band ppm, the zero-filled class
+    * × band grid and the round-half-up TV/2.
+    */
+  private def tClosenessOracleSql: String =
+    s"""WITH $acctBandCellsCte, byc AS (
+           SELECT nationkey, mktsegment,
+                  CAST(SUM(n_band) AS BIGINT) AS n_rows
+           FROM cells GROUP BY 1, 2
+         ), gl AS (
+           SELECT band, CAST(SUM(n_band) AS BIGINT) AS _ng
+           FROM cells GROUP BY 1
+         ), gt AS (SELECT CAST(SUM(_ng) AS BIGINT) AS _nt FROM gl
+         ), gp AS (
+           SELECT band, (2000000 * _ng + _nt) // (2 * _nt) AS g_ppm
+           FROM gl, gt
+         ), j AS (
+           SELECT b.nationkey, b.mktsegment, b.n_rows, g.g_ppm,
+                  (2000000 * COALESCE(c.n_band, 0) + b.n_rows)
+                    // (2 * b.n_rows) AS c_ppm
+           FROM byc b CROSS JOIN gp g
+           LEFT JOIN cells c
+             ON c.nationkey = b.nationkey
+            AND c.mktsegment = b.mktsegment AND c.band = g.band
+         )
+         SELECT nationkey, mktsegment,
+                CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+                CAST((SUM(ABS(c_ppm - g_ppm)) + 1) // 2 AS BIGINT)
+                  AS t_ppm,
+                CAST((SUM(ABS(c_ppm - g_ppm)) + 1) // 2 AS BIGINT)
+                  > 200000 AS breach_t02
+         FROM j GROUP BY 1, 2"""
 
   /** The q156 oracle's unrolled greedy MMR replay: the same e4-integer
     * rounded cosines (the q32 recipe — sums over the unnested vector in
@@ -6941,5 +7070,8 @@ object SparkEntry {
     "q249_perplexity" -> perplexityOracleSql,
     "q250_calibration" -> calibrationOracleSql,
     "q251_decayed_engagement" -> decayedEngagementOracleSql,
+    "q252_roc_auc" -> rocAucOracleSql,
+    "q253_l_diversity" -> lDiversityOracleSql,
+    "q254_t_closeness" -> tClosenessOracleSql,
   )
 }

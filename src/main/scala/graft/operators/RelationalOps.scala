@@ -3639,4 +3639,110 @@ object RelationalOps {
         expr("CAST(min(_mx - us) DIV 86400000000 AS BIGINT)")
           .as("days_since_last"))
   }
+
+  /** The (quasi-identifier, sensitive-band) cell counts shared by the
+    * q253/q254 privacy audits: QI = (nation, market segment) — the
+    * same identifier q205's k-anonymity audits — and the SENSITIVE
+    * attribute is the account-balance band (the column a release would
+    * actually leak). Bands are integer threshold cuts on the exact
+    * DECIMAL balance — engine-identical.
+    */
+  private def acctBandCells(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        expr("""CASE WHEN CAST(c_acctbal AS DECIMAL(18,4)) < 0 THEN 'neg'
+                     WHEN CAST(c_acctbal AS DECIMAL(18,4)) < 2500 THEN 'low'
+                     WHEN CAST(c_acctbal AS DECIMAL(18,4)) < 7500 THEN 'mid'
+                     ELSE 'high' END""").as("band"))
+      .groupBy(col("nationkey"), col("mktsegment"), col("band"))
+      .agg(count(lit(1)).cast("long").as("n_band"))
+
+  /** q253: l-DIVERSITY audit (Machanavajjhala et al. ICDE 2006) — the
+    * k-anonymity follow-up q205 stops short of: a group can have k
+    * members yet leak everything if they all share the SENSITIVE
+    * value. Per (nation, segment) QI class over the customer table:
+    * distinct-l (how many balance bands appear), the entropy of the
+    * band distribution, and entropy-l = exp(H) — the "effective number
+    * of sensitive values" an attacker faces (entropy l-diversity holds
+    * iff exp(H) ≥ l). The release gate a per-user training-data export
+    * runs after q205 says the groups are big enough; reference
+    * analogue: the players table (sql/db_creation_script.sql:40-55)
+    * is exactly such a per-user attribute export.
+    *
+    * Engine-exact (FixedLn + FixedExp, both on the BOUNDED class×band
+    * artifact): band shares in round-half-up ppm clamped ≥ 1,
+    * H_e9 = round-half-up Σ ppm·lnE9(1e6, ppm) / 1e6 (each term an
+    * exact long product), eff_classes_e3 = round-half-up expE9(H)/1e6
+    * — H ≤ ln 4 ≪ the 20.7e9 exp domain. Corpus cost = ONE
+    * map-combined groupBy; everything after runs on ≤ |nations|×
+    * |segments|×|bands| rows.
+    */
+  def q253LDiversity(s: SparkSession, d: String): DataFrame = {
+    val cells = acctBandCells(s, d).localCheckpoint(false)
+    val byClass = cells.groupBy(col("nationkey"), col("mktsegment"))
+      .agg(sum(col("n_band")).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("distinct_l"))
+    val ppm = cells.join(byClass, Seq("nationkey", "mktsegment"))
+      .select(col("nationkey"), col("mktsegment"),
+        expr("GREATEST((2000000 * n_band + n_rows) DIV (2 * n_rows), 1)")
+          .as("_ppm"))
+      .withColumn("_p", lit(1000000L))
+      .withColumn("_q", col("_ppm"))
+    val withLn = graft.functions.FixedLn.steps("DIV", "_nl9")
+      .foldLeft(ppm) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    val ent = withLn.groupBy(col("nationkey"), col("mktsegment"))
+      .agg(expr("""CAST((2 * sum(_ppm * _nl9) + 1000000)
+                   DIV (2 * 1000000) AS BIGINT)""").as("entropy_e9"))
+      .withColumn("_x", col("entropy_e9"))
+    val withExp = graft.functions.FixedExp.steps("DIV", "_a")
+      .foldLeft(ent) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    byClass.join(withExp.select(col("nationkey"), col("mktsegment"),
+        col("entropy_e9"),
+        expr("(2 * _a + 1000000) DIV (2 * 1000000)")
+          .as("eff_classes_e3")),
+      Seq("nationkey", "mktsegment"))
+      .select(col("nationkey"), col("mktsegment"), col("n_rows"),
+        col("distinct_l"), col("entropy_e9"), col("eff_classes_e3"),
+        (col("distinct_l") >= 3).as("ok_l3"))
+  }
+
+  /** q254: t-CLOSENESS audit (Li, Li & Venkatasubramanian ICDE 2007)
+    * — the third rung of the release ladder: a group can be l-diverse
+    * yet still leak by SKEW (90% of one band where the population has
+    * 25%). Per QI class, t = total-variation distance between the
+    * class's sensitive-band distribution and the GLOBAL one (TV = the
+    * t-closeness EMD under uniform ground distance on a categorical
+    * domain), flagged at the conventional t > 0.2. Completes
+    * q205 (size) → q253 (diversity) → q254 (representativeness);
+    * the q124/q171 TV machinery pointed at privacy.
+    *
+    * Engine-exact: both distributions in round-half-up ppm over the
+    * SAME band grid (classes × observed bands, built by a broadcast
+    * cross join so zero-count cells contribute their full global
+    * share), t_ppm = round-half-up Σ|Δppm|/2 — pure longs. Corpus
+    * cost = the one shared groupBy; the grid is bounded.
+    */
+  def q254TCloseness(s: SparkSession, d: String): DataFrame = {
+    val cells = acctBandCells(s, d).localCheckpoint(false)
+    val byClass = cells.groupBy(col("nationkey"), col("mktsegment"))
+      .agg(sum(col("n_band")).cast("long").as("n_rows"))
+    val global = cells.groupBy(col("band"))
+      .agg(sum(col("n_band")).cast("long").as("_ng"))
+    val gTot = global.agg(sum(col("_ng")).cast("long").as("_nt"))
+    val gPpm = global.crossJoin(broadcast(gTot))
+      .select(col("band"),
+        expr("(2000000 * _ng + _nt) DIV (2 * _nt)").as("g_ppm"))
+    val grid = byClass.crossJoin(broadcast(gPpm))
+    grid.join(cells, Seq("nationkey", "mktsegment", "band"), "left")
+      .select(col("nationkey"), col("mktsegment"), col("n_rows"),
+        col("g_ppm"),
+        expr("""(2000000 * coalesce(n_band, 0) + n_rows)
+                DIV (2 * n_rows)""").as("c_ppm"))
+      .groupBy(col("nationkey"), col("mktsegment"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        expr("""CAST((sum(abs(c_ppm - g_ppm)) + 1) DIV 2 AS BIGINT)""")
+          .as("t_ppm"))
+      .withColumn("breach_t02", col("t_ppm") > 200000L)
+  }
 }

@@ -2168,4 +2168,58 @@ object StatsOps {
       .select(col("bin"), col("n_docs"), col("pred_ppm"), col("emp_ppm"),
         col("gap_ppm"), col("brier_e9"))
   }
+
+  /** q252: ROC-AUC per source for the q247 quality classifier — the
+    * THRESHOLD-FREE discrimination number that completes the model-
+    * evaluation triptych (q250 asks "are the probabilities honest?",
+    * q165 asks "how much lift at each decile?", this asks "does the
+    * score rank positives above negatives at all?"). AUC computed by
+    * the rank-sum identity AUC = U/(n₁n₀) (Mann–Whitney, the q143
+    * machinery pointed at model scores — Hanley & McNeil 1982): with
+    * per-distinct-score counts (c₁, c₀) and the exclusive prefix
+    * negative count e₀ in ascending score order,
+    * 2U = Σ c₁·(2e₀ + c₀) is an exact INTEGER (the c₀/2 tie credit
+    * never leaves ℤ when doubled), so AUC is engine-exact as
+    * round-half-up ppm; Gini = 2·AUC − 1 follows from the rounded
+    * value identically in both engines. Label = (lang = 'en'), the
+    * q250 convention. A one-class source reports NULL (no ranking to
+    * grade). Reference analogue: the win-rate ranking views
+    * (sql/db_creation_script.sql:185-242) ask which players rank
+    * higher; this grades a MODEL's ranking of its own labels.
+    *
+    * Scale shape: one corpus scan → map-combined (source, score)
+    * counts; prefix sums via [[DistributedRank.withRunningSums]] (one
+    * range exchange, never a per-source single-reducer window); the
+    * U products accumulate in DECIMAL(38,0) (n₁·n₀ overflows a long
+    * at ~3×10⁹ rows per source). u_x2 is emitted as the exact long
+    * audit column (safe below that same bound; the ppm output is the
+    * contract value).
+    */
+  def q252RocAuc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = TextOps.logisticQualityScore(docs)
+      .join(docs.select(col("doc_id"), col("lang"), col("source")),
+        "doc_id")
+      .select(col("source"), col("score_e9"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("_y"))
+    val counts = scored.groupBy(col("source"), col("score_e9"))
+      .agg(sum(col("_y")).cast("long").as("c1"),
+        sum(lit(1L) - col("_y")).cast("long").as("c0"))
+    val cum = DistributedRank.withRunningSums(counts, Seq("source"),
+      Seq("score_e9"), Seq("c0" -> "e0"))
+    cum.groupBy(col("source"))
+      .agg(sum(col("c1")).cast("long").as("n_pos"),
+        sum(col("c0")).cast("long").as("n_neg"),
+        sum(col("c1").cast("decimal(38,0)")
+          * (col("e0") * 2 + col("c0"))).as("_u2"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        col("_u2").cast("long").as("u_x2"),
+        expr("""CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               CAST((2 * 1000000 * _u2
+                     + 2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)
+                    DIV (4 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)
+                    AS BIGINT)
+             END""").as("auc_ppm"))
+      .withColumn("gini_ppm", col("auc_ppm") * 2 - lit(1000000L))
+  }
 }

@@ -300,4 +300,74 @@ class FixedLnSpec extends AnyFunSuite with SparkTestBase {
       assert(got(id) == ((len, x)), s"doc $id: ${got(id)} vs ($len, $x)")
     }
   }
+
+  test("q253 l-diversity: entropy and effective-class count match a " +
+      "local FixedLn/FixedExp replay; single-band classes score H = 0") {
+    import graft.functions.FixedExp
+    val got = graft.operators.RelationalOps.q253LDiversity(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    val cust = Tables.customer(spark, Sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        col("c_acctbal").cast("decimal(18,4)").cast("string"))
+      .collect()
+      .map { r =>
+        val bal = BigDecimal(r.getString(2))
+        val band = if (bal < 0) "neg" else if (bal < 2500) "low"
+          else if (bal < 7500) "mid" else "high"
+        ((r.getLong(0), r.getString(1)), band)
+      }
+    val exp = cust.groupBy(_._1).map { case (k, xs) =>
+      val n = xs.size.toLong
+      val bands = xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val h = bands.values.map { c =>
+        val ppm = math.max((2000000L * c + n) / (2 * n), 1L)
+        ppm * FixedLn.lnE9(1000000L, ppm)
+      }.sum
+      val h9 = (2 * h + 1000000L) / 2000000L
+      val eff = (2 * FixedExp.expE9(h9) + 1000000L) / 2000000L
+      k -> ((n, bands.size.toLong, h9, eff, bands.size >= 3))
+    }
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"class $k") }
+    got.values.foreach { case (_, l, h, eff, _) =>
+      if (l == 1) assert(h == 0L && eff == 1000L)
+      assert(eff >= 1000L && eff <= l * 1000L + 1,
+        s"exp(H) must sit in [1, distinct_l]: l=$l eff=$eff")
+    }
+  }
+
+  test("q254 t-closeness: TV distance matches a local integer replay, " +
+      "is bounded by [0, 1e6], and breach flags t > 0.2") {
+    val got = graft.operators.RelationalOps.q254TCloseness(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val cust = Tables.customer(spark, Sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        col("c_acctbal").cast("decimal(18,4)").cast("string"))
+      .collect()
+      .map { r =>
+        val bal = BigDecimal(r.getString(2))
+        val band = if (bal < 0) "neg" else if (bal < 2500) "low"
+          else if (bal < 7500) "mid" else "high"
+        ((r.getLong(0), r.getString(1)), band)
+      }
+    val nt = cust.size.toLong
+    val gPpm = cust.groupBy(_._2).view.mapValues { xs =>
+      (2000000L * xs.size + nt) / (2 * nt) }.toMap
+    val exp = cust.groupBy(_._1).map { case (k, xs) =>
+      val n = xs.size.toLong
+      val cb = xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val sd = gPpm.map { case (b, g) =>
+        val c = (2000000L * cb.getOrElse(b, 0L) + n) / (2 * n)
+        math.abs(c - g)
+      }.sum
+      val t = (sd + 1) / 2
+      k -> ((n, t, t > 200000L))
+    }
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"class $k") }
+    got.values.foreach { case (_, t, _) => assert(t >= 0 && t <= 1000000L) }
+  }
 }

@@ -1304,4 +1304,44 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     }.toMap
     assert(got == expect && got.nonEmpty)
   }
+
+  test("q252 ROC-AUC: equals a local exact rank-sum replay per source, " +
+      "sits in [0, 1e6], and Gini = 2·AUC − 1") {
+    val got = StatsOps.q252RocAuc(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"), col("source")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val scored = graft.operators.TextOps
+      .q247QualityClassifier(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val bySrc = scored.groupBy { case (id, _) => docs(id)._2 }
+    val exp = bySrc.map { case (src, xs) =>
+      val labeled = xs.map { case (id, s) =>
+        (s, if (docs(id)._1 == "en") 1L else 0L) }
+      val n1 = labeled.count(_._2 == 1L).toLong
+      val n0 = labeled.size - n1
+      // 2U = Σ over positives (2·neg_below + neg_tied)
+      val u2 = labeled.filter(_._2 == 1L).map { case (s, _) =>
+        BigInt(2L * labeled.count(x => x._2 == 0L && x._1 < s)
+          + labeled.count(x => x._2 == 0L && x._1 == s))
+      }.sum
+      val auc = if (n1 > 0 && n0 > 0)
+        Some(((2 * 1000000 * u2 + 2 * BigInt(n1) * n0) /
+          (4 * BigInt(n1) * n0)).toLong)
+      else None
+      src -> ((n1, n0, u2.toLong, auc))
+    }
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"source $k") }
+    StatsOps.q252RocAuc(spark, Sf).collect().foreach { r =>
+      if (!r.isNullAt(4)) {
+        val auc = r.getLong(4)
+        assert(auc >= 0 && auc <= 1000000L)
+        assert(r.getLong(5) == 2 * auc - 1000000L)
+      }
+    }
+  }
 }
