@@ -277,6 +277,8 @@ object SparkEntry {
     "q252_roc_auc" -> (StatsOps.q252RocAuc _),
     "q253_l_diversity" -> (RelationalOps.q253LDiversity _),
     "q254_t_closeness" -> (RelationalOps.q254TCloseness _),
+    "q255_fifo_costing" -> (RelationalOps.q255FifoCosting _),
+    "q256_sprt" -> (StatsOps.q256Sprt _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -846,6 +848,95 @@ object SparkEntry {
                 CAST((SUM(ABS(c_ppm - g_ppm)) + 1) // 2 AS BIGINT)
                   > 200000 AS breach_t02
          FROM j GROUP BY 1, 2"""
+
+  /** q255 oracle: the identical lot cumsum + clamp-against-demand
+    * consumption — same ordering keys, same e4/e8 integer money.
+    */
+  private def fifoCostingOracleSql: String =
+    """WITH li AS (
+           SELECT l_partkey AS partkey, l_linestatus AS st,
+                  l_shipdate AS sd, l_orderkey AS ok,
+                  l_linenumber AS ln,
+                  CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000
+                       AS BIGINT) AS qty_e4,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+                       AS BIGINT) AS price_e4
+           FROM lineitem
+         ), lots AS (
+           SELECT partkey, qty_e4,
+                  SUM(qty_e4) OVER (PARTITION BY partkey
+                    ORDER BY sd, ok, ln, qty_e4, price_e4
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_end,
+                  (2 * price_e4 * 10000 + qty_e4) // (2 * qty_e4)
+                    AS unit_e4
+           FROM li WHERE st = 'F'
+         ), demand AS (
+           SELECT partkey, CAST(COUNT(*) AS BIGINT) AS n_issues,
+                  CAST(SUM(qty_e4) AS BIGINT) AS issued_qty_e4
+           FROM li WHERE st = 'O' GROUP BY 1
+         ), cons AS (
+           SELECT l.partkey, d.n_issues, d.issued_qty_e4, l.qty_e4,
+                  l.unit_e4,
+                  LEAST(l.cum_end, d.issued_qty_e4)
+                    - LEAST(l.cum_end - l.qty_e4, d.issued_qty_e4)
+                    AS c
+           FROM lots l JOIN demand d USING (partkey)
+         )
+         SELECT partkey, CAST(COUNT(*) AS BIGINT) AS n_lots,
+                CAST(MAX(n_issues) AS BIGINT) AS n_issues,
+                CAST(MAX(issued_qty_e4) AS BIGINT) AS issued_qty_e4,
+                CAST(SUM(c) AS BIGINT) AS consumed_qty_e4,
+                CAST((2 * SUM(CAST(c AS HUGEINT) * unit_e4) + 10000)
+                     // (2 * 10000) AS BIGINT) AS cogs_e4,
+                CAST((2 * SUM(CAST(qty_e4 - c AS HUGEINT) * unit_e4)
+                      + 10000)
+                     // (2 * 10000) AS BIGINT) AS end_inventory_e4
+         FROM cons GROUP BY 1"""
+
+  /** q256 oracle: same FixedLn increment constants (generated from the
+    * one Scala definition), same window cumsum and first-crossing
+    * selection via FILTERed arg_min.
+    */
+  private def sprtOracleSql: String = {
+    val l1 = graft.functions.FixedLn.lnE9(5, 3)
+    val l0 = -graft.functions.FixedLn.lnE9(7, 5)
+    val a = graft.functions.FixedLn.lnE9(19, 1)
+    s"""WITH ev AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS x
+           FROM events WHERE user_id IS NOT NULL
+         ), c AS (
+           SELECT user_id, x,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS rn,
+                  SUM(CASE WHEN x = 1 THEN $l1 ELSE $l0 END)
+                    OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS llr
+           FROM ev
+         )
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                CAST(SUM(x) AS BIGINT) AS n_hits,
+                CASE WHEN MIN(CASE WHEN llr >= $a THEN rn END)
+                       IS NOT NULL
+                      AND (MIN(CASE WHEN llr <= -$a THEN rn END) IS NULL
+                        OR MIN(CASE WHEN llr >= $a THEN rn END)
+                         < MIN(CASE WHEN llr <= -$a THEN rn END))
+                  THEN 'accept_h1'
+                WHEN MIN(CASE WHEN llr <= -$a THEN rn END) IS NOT NULL
+                  THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+                CAST(LEAST(MIN(CASE WHEN llr >= $a THEN rn END),
+                           MIN(CASE WHEN llr <= -$a THEN rn END))
+                     AS BIGINT) AS n_at_decision,
+                CAST(COALESCE(
+                       arg_min(llr, rn)
+                         FILTER (WHERE llr >= $a OR llr <= -$a),
+                       arg_max(llr, rn)) AS BIGINT) AS llr_e9
+         FROM c GROUP BY user_id"""
+  }
 
   /** The q156 oracle's unrolled greedy MMR replay: the same e4-integer
     * rounded cosines (the q32 recipe — sums over the unnested vector in
@@ -7073,5 +7164,7 @@ object SparkEntry {
     "q252_roc_auc" -> rocAucOracleSql,
     "q253_l_diversity" -> lDiversityOracleSql,
     "q254_t_closeness" -> tClosenessOracleSql,
+    "q255_fifo_costing" -> fifoCostingOracleSql,
+    "q256_sprt" -> sprtOracleSql,
   )
 }

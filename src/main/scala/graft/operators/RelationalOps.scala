@@ -3745,4 +3745,67 @@ object RelationalOps {
           .as("t_ppm"))
       .withColumn("breach_t02", col("t_ppm") > 200000L)
   }
+
+  /** q255: FIFO INVENTORY COSTING / realized-COGS rollup — per part,
+    * purchase lots are consumed front-to-back by total issue demand
+    * and the cost of goods sold prices each consumed unit at ITS lot's
+    * unit cost (the inventory-valuation method GAAP/IFRS default to;
+    * the lot-matching problem behind every realized-P&L report).
+    * Lots = 'F'-status lineitems, issues = 'O'-status (a documented
+    * deterministic stand-in assignment); lot order = (shipdate,
+    * orderkey, linenumber, qty, price) — multiset-deterministic even
+    * where (orderkey, linenumber) repeats, because equal-key rows are
+    * interchangeable under a cumulative matching. Reference analogue:
+    * the season-partitioned ranking history (sql/db_creation_script
+    * .sql:31-38) is consumed newest-first; this is the costed
+    * oldest-first dual.
+    *
+    * THE SCALE INSIGHT: FIFO needs no lot×issue pair join at all —
+    * consumed(lot) = clamp(cum_end, D) − clamp(cum_start, D) against
+    * the part's total demand D, so the whole operator is ONE window
+    * cumsum over lots + ONE map-combined issue aggregate + a per-part
+    * join (pair enumeration would be quadratic on hot parts). All
+    * money in exact e4/e8 integers: unit cost = round-half-up
+    * extprice/qty e4, per-lot consumed value exact long products
+    * summed in DECIMAL(38,0), final COGS one round-half-up DIV back
+    * to e4.
+    */
+  def q255FifoCosting(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_partkey").as("partkey"), col("l_linestatus").as("st"),
+      col("l_shipdate").as("sd"), col("l_orderkey").as("ok"),
+      col("l_linenumber").as("ln"),
+      expr("CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+        .as("qty_e4"),
+      expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+              AS BIGINT)""").as("price_e4"))
+    val lotW = Window.partitionBy(col("partkey"))
+      .orderBy(col("sd"), col("ok"), col("ln"), col("qty_e4"),
+        col("price_e4"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lots = li.filter(col("st") === "F")
+      .withColumn("cum_end", sum(col("qty_e4")).over(lotW))
+      .withColumn("cum_start", col("cum_end") - col("qty_e4"))
+      .withColumn("unit_e4", expr(
+        "(2 * price_e4 * 10000 + qty_e4) DIV (2 * qty_e4)"))
+    val demand = li.filter(col("st") === "O")
+      .groupBy(col("partkey"))
+      .agg(count(lit(1)).cast("long").as("n_issues"),
+        sum(col("qty_e4")).cast("long").as("issued_qty_e4"))
+    lots.join(demand, Seq("partkey"))
+      .withColumn("_cons", expr(
+        """LEAST(cum_end, issued_qty_e4)
+           - LEAST(cum_start, issued_qty_e4)"""))
+      .groupBy(col("partkey"))
+      .agg(count(lit(1)).cast("long").as("n_lots"),
+        max(col("n_issues")).as("n_issues"),
+        max(col("issued_qty_e4")).as("issued_qty_e4"),
+        sum(col("_cons")).cast("long").as("consumed_qty_e4"),
+        expr("""CAST((2 * sum(CAST(_cons AS DECIMAL(38,0)) * unit_e4)
+                      + 10000)
+                DIV (2 * 10000) AS BIGINT)""").as("cogs_e4"),
+        expr("""CAST((2 * sum(CAST(qty_e4 - _cons AS DECIMAL(38,0))
+                          * unit_e4) + 10000)
+                DIV (2 * 10000) AS BIGINT)""").as("end_inventory_e4"))
+  }
 }

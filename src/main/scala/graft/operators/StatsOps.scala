@@ -2222,4 +2222,58 @@ object StatsOps {
              END""").as("auc_ppm"))
       .withColumn("gini_ppm", col("auc_ppm") * 2 - lit(1000000L))
   }
+
+  /** q256: SEQUENTIAL PROBABILITY RATIO TEST replay (Wald 1945) — per
+    * user, the purchase-rate SPRT of H₀: p ≤ 0.3 vs H₁: p ≥ 0.5 at
+    * α = β = 0.05, replayed over the event stream in arrival order:
+    * the earliest-possible-decision dual of q132's fixed-horizon
+    * z-test (the SPRT is optimal in expected sample size — it's how
+    * an experimentation platform stops early). Reference analogue:
+    * usp_player_win_rate (sql/db_creation_script.sql:209-222) reports
+    * a final win rate; this decides it sequentially, battle by battle.
+    *
+    * Engine-exact: the per-observation LLR increments are the TWO
+    * FixedLn constants ln(p₁/p₀) and ln((1−p₁)/(1−p₀)) (exact e9
+    * longs, same generated definition both engines), so the running
+    * LLR is an exact integer cumsum and the boundary crossings
+    * (±ln 19 e9) are integer compares. The first crossing picks the
+    * decision; LEAST's skip-NULL semantics (identical both engines —
+    * the q179 rule, used INTENTIONALLY here) merge the two one-sided
+    * first-crossing row numbers. Scale shape: one window cumsum per
+    * user (users are many — no single-reducer risk) + a map-combined
+    * group fold; the struct-min trick (the q222 pattern) extracts the
+    * stop-row LLR without a second pass.
+    */
+  def q256Sprt(s: SparkSession, d: String): DataFrame = {
+    val l1 = graft.functions.FixedLn.lnE9(5, 3)
+    val l0 = -graft.functions.FixedLn.lnE9(7, 5)
+    val a = graft.functions.FixedLn.lnE9(19, 1)
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("x"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = ev
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("llr", sum(when(col("x") === 1L, lit(l1))
+          .otherwise(lit(l0)))
+        .over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    cum.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_obs"),
+        sum(col("x")).cast("long").as("n_hits"),
+        min(when(col("llr") >= a, col("rn"))).as("_na"),
+        min(when(col("llr") <= -a, col("rn"))).as("_nb"),
+        max(struct(col("rn"), col("llr"))).getField("llr").as("_lend"),
+        min(when(col("llr") >= a || col("llr") <= -a,
+          struct(col("rn"), col("llr")))).getField("llr").as("_lstop"))
+      .select(col("user_id"), col("n_obs"), col("n_hits"),
+        expr("""CASE WHEN _na IS NOT NULL
+                       AND (_nb IS NULL OR _na < _nb)
+                  THEN 'accept_h1'
+                WHEN _nb IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END""").as("decision"),
+        expr("LEAST(_na, _nb)").as("n_at_decision"),
+        coalesce(col("_lstop"), col("_lend")).as("llr_e9"))
+  }
 }

@@ -2066,4 +2066,50 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     // single-brand share is a share of the season, not 100%
     assert(gotU.head._2 < 100.0)
   }
+
+  test("q255 FIFO costing: equals a local lot-walk replay; COGS + " +
+      "ending inventory reconcile to total lot value within rounding") {
+    val got = RelationalOps.q255FifoCosting(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val li = Tables.lineitem(spark, Sf)
+      .select(col("l_partkey"), col("l_linestatus"),
+        unix_micros(col("l_shipdate").cast("timestamp")), col("l_orderkey"),
+        col("l_linenumber").cast("long"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)"),
+        expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+                AS BIGINT)"""))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val byPart = li.groupBy(_._1)
+    val exp = byPart.flatMap { case (pk, xs) =>
+      val lots = xs.filter(_._2 == "F")
+        .sortBy(x => (x._3, x._4, x._5, x._6, x._7))
+      val issues = xs.filter(_._2 == "O")
+      if (lots.isEmpty || issues.isEmpty) None
+      else {
+        val d = issues.map(_._6).sum
+        var cum = 0L
+        var cogs = BigInt(0); var endv = BigInt(0); var consTot = 0L
+        lots.foreach { case (_, _, _, _, _, q, p) =>
+          val unit = (2 * p * 10000 + q) / (2 * q)
+          val cons = math.min(cum + q, d) - math.min(cum, d)
+          cum += q
+          consTot += cons
+          cogs += BigInt(cons) * unit
+          endv += BigInt(q - cons) * unit
+        }
+        Some(pk -> ((lots.size.toLong, issues.size.toLong, d, consTot,
+          ((2 * cogs + 10000) / 20000).toLong,
+          ((2 * endv + 10000) / 20000).toLong)))
+      }
+    }
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"part $k") }
+    got.values.foreach { case (_, _, issued, cons, cogs, endv) =>
+      assert(cons <= issued)
+      assert(cogs >= 0 && endv >= 0)
+    }
+  }
 }

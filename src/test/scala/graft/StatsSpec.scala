@@ -1344,4 +1344,49 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("q256 SPRT: equals a local sequential walk; decisions stop at " +
+      "the first boundary crossing and never after it") {
+    import graft.functions.FixedLn
+    val l1 = FixedLn.lnE9(5, 3)
+    val l0 = -FixedLn.lnE9(7, 5)
+    val a = FixedLn.lnE9(19, 1)
+    val got = StatsOps.q256Sprt(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5)))).toMap
+    val ev = Tables.events(spark, Sf).filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = ev.groupBy(_._1).map { case (u, xs) =>
+      val ordered = xs.sortBy(x => (x._2, x._3)).map(_._4)
+      var llr = 0L
+      var stop: Option[(Long, Long, String)] = None
+      ordered.zipWithIndex.foreach { case (x, i) =>
+        llr += (if (x == 1L) l1 else l0)
+        if (stop.isEmpty) {
+          if (llr >= a) stop = Some((i + 1L, llr, "accept_h1"))
+          else if (llr <= -a) stop = Some((i + 1L, llr, "accept_h0"))
+        }
+      }
+      val (dec, nAt, lOut) = stop match {
+        case Some((n, l, dcn)) => (dcn, Some(n), l)
+        case None => ("continue", None, llr)
+      }
+      u -> ((ordered.size.toLong, ordered.count(_ == 1L).toLong, dec,
+        nAt, lOut))
+    }
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"user $k") }
+    // at least one decided user and the boundaries are honored
+    assert(got.values.exists(_._3 != "continue"))
+    got.values.foreach { case (_, _, dec, nAt, llr) =>
+      if (dec == "accept_h1") assert(llr >= a && nAt.nonEmpty)
+      if (dec == "accept_h0") assert(llr <= -a && nAt.nonEmpty)
+      if (dec == "continue") assert(llr < a && llr > -a && nAt.isEmpty)
+    }
+  }
 }
