@@ -279,6 +279,9 @@ object SparkEntry {
     "q254_t_closeness" -> (RelationalOps.q254TCloseness _),
     "q255_fifo_costing" -> (RelationalOps.q255FifoCosting _),
     "q256_sprt" -> (StatsOps.q256Sprt _),
+    "q257_naive_bayes" -> (TextOps.q257NaiveBayes _),
+    "q258_zipf_fit" -> (TextOps.q258ZipfFit _),
+    "q259_readability" -> (TextOps.q259Readability _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -937,6 +940,189 @@ object SparkEntry {
                        arg_max(llr, rn)) AS BIGINT) AS llr_e9
          FROM c GROUP BY user_id"""
   }
+
+  /** q257 oracle: the identical train/score split, Laplace-smoothed
+    * FixedLn log-probs at vocab×class scale, and (s DESC, cls) argmax.
+    */
+  private def naiveBayesOracleSql: String =
+    s"""WITH tok AS (
+           SELECT d.doc_id, d.lang, t.term
+           FROM (SELECT doc_id, lang,
+                        string_split_regex(lower(trim(text)), '\\s+')
+                          AS toks
+                 FROM documents WHERE text IS NOT NULL) d,
+                LATERAL unnest(d.toks) AS t(term)
+           WHERE len(t.term) > 0
+         ), train AS (SELECT * FROM tok WHERE doc_id % 2 = 0
+         ), tst AS (SELECT * FROM tok WHERE doc_id % 2 = 1
+         ), tdoc AS (
+           SELECT doc_id, lang FROM documents
+           WHERE text IS NOT NULL AND doc_id % 2 = 0
+         ), cls AS (
+           SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs_c
+           FROM tdoc GROUP BY 1
+         ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM tdoc
+         ), pri AS (
+           SELECT cls, n_docs AS _p, n_docs_c AS _q,
+                  ${lnSelect("_pl9")}
+           FROM cls, tot
+         ), priors AS (SELECT cls, -_pl9 AS prior_e9 FROM pri
+         ), ct AS (
+           SELECT lang AS cls, term, CAST(COUNT(*) AS BIGINT) AS tf_c
+           FROM train GROUP BY 1, 2
+         ), nc AS (
+           SELECT cls, CAST(SUM(tf_c) AS BIGINT) AS n_c
+           FROM ct GROUP BY 1
+         ), vv AS (
+           SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM train
+         ), lnp0 AS (
+           SELECT c.cls, c.term, n.n_c + vv.v AS _p, c.tf_c + 1 AS _q,
+                  ${lnSelect("_l9")}
+           FROM ct c JOIN nc n USING (cls), vv
+         ), lnpt AS (SELECT cls, term, -_l9 AS lnp_e9 FROM lnp0
+         ), un0 AS (
+           SELECT n.cls, n.n_c + vv.v AS _p, 1 AS _q,
+                  ${lnSelect("_u9")}
+           FROM nc n, vv
+         ), unseen AS (SELECT cls, -_u9 AS lnp0_e9 FROM un0
+         ), td AS (
+           SELECT doc_id, lang AS actual, term,
+                  CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tst GROUP BY 1, 2, 3
+         ), sc AS (
+           SELECT t.doc_id, t.actual, u.cls,
+                  MAX(p.prior_e9)
+                    + SUM(t.tf * COALESCE(l.lnp_e9, u.lnp0_e9)) AS s
+           FROM td t
+           CROSS JOIN unseen u
+           LEFT JOIN lnpt l ON l.cls = u.cls AND l.term = t.term
+           JOIN priors p ON p.cls = u.cls
+           GROUP BY t.doc_id, t.actual, u.cls
+         ), win AS (
+           SELECT doc_id, actual, cls AS predicted
+           FROM (SELECT doc_id, actual, cls,
+                        row_number() OVER (PARTITION BY doc_id
+                          ORDER BY s DESC, cls) AS rn
+                 FROM sc)
+           WHERE rn = 1
+         ), conf AS (
+           SELECT actual AS actual_lang, predicted AS predicted_lang,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM win GROUP BY 1, 2
+         )
+         SELECT actual_lang, predicted_lang, n_docs,
+                CAST((2000000 * n_docs
+                      + SUM(n_docs) OVER (PARTITION BY actual_lang))
+                     // (2 * SUM(n_docs) OVER (PARTITION BY actual_lang))
+                     AS BIGINT) AS share_ppm
+         FROM conf"""
+
+  /** q258 oracle: vocab-scale ranked counts, two fixed-point ln
+    * chains, exact HUGEINT OLS moments, signed round-half-up output.
+    */
+  private def zipfFitOracleSql: String =
+    s"""WITH tok AS (
+           SELECT d.source, t.term
+           FROM (SELECT source,
+                        string_split_regex(lower(trim(text)), '\\s+')
+                          AS toks
+                 FROM documents WHERE text IS NOT NULL) d,
+                LATERAL unnest(d.toks) AS t(term)
+           WHERE len(t.term) > 0
+         ), cnt AS (
+           SELECT source, term, CAST(COUNT(*) AS BIGINT) AS freq
+           FROM tok GROUP BY 1, 2
+         ), top AS (
+           SELECT source, freq,
+                  CAST(rnk AS BIGINT) AS rank
+           FROM (SELECT source, term, freq,
+                        row_number() OVER (PARTITION BY source
+                          ORDER BY freq DESC, term) AS rnk
+                 FROM cnt)
+           WHERE rnk <= 300
+         ), lx0 AS (
+           SELECT source, freq, rank AS _p, 1 AS _q,
+                  ${lnSelect("x")}
+           FROM top
+         ), lx AS (
+           -- prune the first chain's step columns: the second chain's
+           -- lateral _p/_q aliases must not collide with base columns
+           -- (DuckDB resolves the BASE column on conflict)
+           SELECT source, freq, x FROM lx0
+         ), ly0 AS (
+           SELECT source, x, freq AS _p, 1 AS _q,
+                  ${lnSelect("y")}
+           FROM lx
+         ), ly AS (
+           SELECT source, x, y FROM ly0
+         ), m AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                  SUM(CAST(x AS HUGEINT)) AS sx,
+                  SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                  SUM(CAST(x AS HUGEINT) * x) AS sxx
+           FROM ly GROUP BY 1
+         ), f AS (
+           SELECT source, n_terms,
+                  n_terms * sxy - sx * sy AS num,
+                  n_terms * sxx - sx * sx AS den, sx, sy
+           FROM m
+         ), sl AS (
+           SELECT source, n_terms, sx, sy,
+                  CASE WHEN num >= 0
+                    THEN CAST((2 * 1000000 * num + den)
+                              // (2 * den) AS BIGINT)
+                    ELSE -CAST((2 * 1000000 * (-num) + den)
+                               // (2 * den) AS BIGINT) END AS slope_e6
+           FROM f WHERE den > 0
+         )
+         SELECT source, n_terms, slope_e6,
+                CASE WHEN 1000000 * sy - slope_e6 * sx >= 0
+                  THEN CAST((2 * (1000000 * sy - slope_e6 * sx)
+                             + 1000000 * n_terms)
+                            // (2 * 1000000 * n_terms) AS BIGINT)
+                  ELSE -CAST((2 * (-(1000000 * sy - slope_e6 * sx))
+                              + 1000000 * n_terms)
+                             // (2 * 1000000 * n_terms) AS BIGINT) END
+                  AS intercept_e9
+         FROM sl"""
+
+  /** q259 oracle: the same three surface counts from the same POSIX
+    * regex semantics, rhu e3 formula terms, exact subtraction.
+    */
+  private def readabilityOracleSql: String =
+    """WITH base AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(tk, x -> len(x) > 0))
+                       AS BIGINT) AS n_words,
+                  CAST(GREATEST(len(regexp_extract_all(nt, '[.!?]+')),
+                       1) AS BIGINT) AS n_sents,
+                  CAST(len(regexp_extract_all(nt, '[aeiou]+'))
+                       + len(list_filter(tk, x -> len(x) > 0
+                           AND NOT regexp_matches(x, '[aeiou]')))
+                       AS BIGINT) AS n_syll
+           FROM (SELECT doc_id, lower(trim(text)) AS nt,
+                        string_split_regex(lower(trim(text)), '\s+')
+                          AS tk
+                 FROM documents WHERE text IS NOT NULL)
+         ), f AS (
+           SELECT doc_id, n_words, n_sents, n_syll,
+                  206835
+                    - (2 * 1015 * n_words + n_sents) // (2 * n_sents)
+                    - (2 * 84600 * n_syll + n_words) // (2 * n_words)
+                    AS fre_e3,
+                  (2 * 390 * n_words + n_sents) // (2 * n_sents)
+                    + (2 * 11800 * n_syll + n_words) // (2 * n_words)
+                    - 15590 AS fk_e3
+           FROM base WHERE n_words > 0
+         )
+         SELECT doc_id, n_words, n_sents, n_syll,
+                CAST(fre_e3 AS BIGINT) AS fre_e3,
+                CAST(fk_e3 AS BIGINT) AS fk_e3,
+                CASE WHEN fre_e3 >= 70000 THEN 'easy'
+                     WHEN fre_e3 >= 50000 THEN 'standard'
+                     ELSE 'difficult' END AS band
+         FROM f"""
 
   /** The q156 oracle's unrolled greedy MMR replay: the same e4-integer
     * rounded cosines (the q32 recipe — sums over the unnested vector in
@@ -7166,5 +7352,8 @@ object SparkEntry {
     "q254_t_closeness" -> tClosenessOracleSql,
     "q255_fifo_costing" -> fifoCostingOracleSql,
     "q256_sprt" -> sprtOracleSql,
+    "q257_naive_bayes" -> naiveBayesOracleSql,
+    "q258_zipf_fit" -> zipfFitOracleSql,
+    "q259_readability" -> readabilityOracleSql,
   )
 }

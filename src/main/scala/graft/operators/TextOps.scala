@@ -1543,4 +1543,200 @@ object TextOps {
         expr("""CAST((2 * sum(tf * _nl9) + sum(tf))
                 DIV (2 * sum(tf)) AS BIGINT)""").as("xent_e9"))
   }
+
+  /** q257: MULTINOMIAL NAIVE BAYES language classifier — train on the
+    * even-doc_id half (Laplace-smoothed per-class token log-probs +
+    * log priors), score the odd half, report the confusion matrix:
+    * the classical supervised baseline a corpus pipeline trains IN
+    * PLACE on its own weak labels (here q27's lang column) before
+    * paying for a real model — McCallum & Nigam 1998's multinomial
+    * event model. The TRAINED complement of q247's frozen-weight
+    * inference, and the supervised sibling of q111's unsupervised LM.
+    * Reference analogue: the is_win flag prediction implicit in the
+    * card-usage views (sql/db_creation_script.sql:224-242).
+    *
+    * ENGINE-EXACT (FixedLn family): every log term is a fixed-point
+    * integer — prior = −lnE9(N, N_c), smoothed likelihood =
+    * −lnE9(n_c + V, tf_c + 1) — so per-(doc, class) scores are exact
+    * long sums and the argmax (ties → lang ascending, the struct-min
+    * trick) is deterministic cross-engine. Long-safety: n_c + V must
+    * stay ≤ ~2.3e9 (the FixedLn bound — quantize to ppm shares first
+    * past that corpus size).
+    *
+    * Scale shape: ln runs at VOCAB×CLASSES scale (never per token);
+    * the test scan expands by |classes| (bounded fan-out) and joins
+    * the class-term table on (class, term) — shuffle-partitioned, not
+    * broadcast, because vocab×classes outgrows a broadcast at corpus
+    * scale; priors/unseen constants are |classes|-row broadcasts.
+    */
+  def q257NaiveBayes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(toks).as("term"))
+      .filter(length(col("term")) > 0)
+    val train = tok.filter(col("doc_id") % 2 === 0)
+    val test = tok.filter(col("doc_id") % 2 === 1)
+    val trainDocs = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+    val classes = trainDocs.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).cast("long").as("n_docs_c"))
+    val tot = trainDocs.agg(count(lit(1)).cast("long").as("n_docs"))
+    val priors = graft.functions.FixedLn.steps("DIV", "_pl9")
+      .foldLeft(classes.crossJoin(broadcast(tot))
+        .withColumn("_p", col("n_docs"))
+        .withColumn("_q", col("n_docs_c"))) {
+        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+      .select(col("cls"), (-col("_pl9")).as("prior_e9"))
+    val ct = train.groupBy(col("lang").as("cls"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf_c"))
+      .localCheckpoint(false)
+    val nc = ct.groupBy(col("cls"))
+      .agg(sum(col("tf_c")).cast("long").as("n_c"))
+    val vocab = ct.select(col("term")).distinct()
+      .agg(count(lit(1)).cast("long").as("v"))
+    val lnp = graft.functions.FixedLn.steps("DIV", "_l9")
+      .foldLeft(ct.join(broadcast(nc), "cls")
+        .crossJoin(broadcast(vocab))
+        .withColumn("_p", col("n_c") + col("v"))
+        .withColumn("_q", col("tf_c") + 1L)) {
+        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+      .select(col("cls"), col("term"), (-col("_l9")).as("lnp_e9"))
+    val unseen = graft.functions.FixedLn.steps("DIV", "_u9")
+      .foldLeft(nc.crossJoin(broadcast(vocab))
+        .withColumn("_p", col("n_c") + col("v"))
+        .withColumn("_q", lit(1L))) {
+        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+      .select(col("cls"), (-col("_u9")).as("lnp0_e9"))
+    val td = test.groupBy(col("doc_id"), col("lang").as("actual"),
+        col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val scores = td
+      .crossJoin(broadcast(unseen))
+      .join(lnp, Seq("cls", "term"), "left")
+      .join(broadcast(priors), "cls")
+      .groupBy(col("doc_id"), col("actual"), col("cls"))
+      .agg((max(col("prior_e9"))
+        + sum(col("tf") * coalesce(col("lnp_e9"), col("lnp0_e9"))))
+        .as("s"))
+    val win = scores.groupBy(col("doc_id"), col("actual"))
+      .agg(min(struct((-col("s")).as("ns"), col("cls")))
+        .getField("cls").as("predicted"))
+    win.groupBy(col("actual").as("actual_lang"),
+        col("predicted").as("predicted_lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("share_ppm", expr(
+        """CAST((2000000 * n_docs
+                 + sum(n_docs) OVER (PARTITION BY actual_lang))
+                DIV (2 * sum(n_docs) OVER (PARTITION BY actual_lang))
+                AS BIGINT)"""))
+  }
+
+  /** q258: ZIPF-LAW FIT per source — the log-log OLS slope of the
+    * term frequency-vs-rank curve over each source's top-300 terms
+    * (Zipf 1949: natural language sits near slope −1; synthetic,
+    * templated or spam-heavy corpora bend away from it — the cheap
+    * corpus-health fingerprint that complements q124's drift TV and
+    * q199's Heaps curve). FixedLn family: x = lnE9(rank), y =
+    * lnE9(freq) are exact e9 integers, the OLS moments accumulate in
+    * DECIMAL(38,0), and slope/intercept emit by signed round-half-up
+    * division (the q148 sign-split rule) — fully oracle-checkable.
+    *
+    * Scale shape: term counting is corpus-scale map-combined; ranking
+    * runs on the VOCAB-scale count table (per-source window over
+    * distinct terms, deterministic (freq DESC, term) order); ln and
+    * the moment fold touch ≤ 300 rows per source.
+    */
+  def q258ZipfFit(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), explode(toks).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).cast("long").as("freq"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("term"))
+    val top = counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 300)
+    val withX = graft.functions.FixedLn.steps("DIV", "x")
+      .foldLeft(top.withColumn("_p", col("rank"))
+        .withColumn("_q", lit(1L))) {
+        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+      .select(col("source"), col("freq"), col("rank"), col("x"))
+    val withY = graft.functions.FixedLn.steps("DIV", "y")
+      .foldLeft(withX.withColumn("_p", col("freq"))
+        .withColumn("_q", lit(1L))) {
+        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+      .select(col("source"), col("x"), col("y"))
+    withY.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(col("x").cast("decimal(38,0)")).as("_sx"),
+        sum(col("y").cast("decimal(38,0)")).as("_sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("_sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("_sxx"))
+      .withColumn("_num",
+        col("n_terms") * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn("_den",
+        col("n_terms") * col("_sxx") - col("_sx") * col("_sx"))
+      .filter(col("_den") > 0)
+      .withColumn("slope_e6", expr(
+        """CASE WHEN _num >= 0
+             THEN CAST((2 * 1000000 * _num + _den)
+                       DIV (2 * _den) AS BIGINT)
+             ELSE -CAST((2 * 1000000 * (-_num) + _den)
+                        DIV (2 * _den) AS BIGINT) END"""))
+      .withColumn("_ti",
+        lit(1000000L).cast("decimal(38,0)") * col("_sy")
+          - col("slope_e6") * col("_sx"))
+      .withColumn("intercept_e9", expr(
+        """CASE WHEN _ti >= 0
+             THEN CAST((2 * _ti + 1000000 * n_terms)
+                       DIV (2 * 1000000 * n_terms) AS BIGINT)
+             ELSE -CAST((2 * (-_ti) + 1000000 * n_terms)
+                        DIV (2 * 1000000 * n_terms) AS BIGINT) END"""))
+      .select(col("source"), col("n_terms"), col("slope_e6"),
+        col("intercept_e9"))
+  }
+
+  /** q259: READABILITY SCORING — Flesch reading ease + Flesch–Kincaid
+    * grade per document (Kincaid et al. 1975), from the three surface
+    * counts every readability formula runs on: words (whitespace
+    * tokens), sentences (runs of [.!?], clamped ≥ 1), syllables
+    * (vowel GROUPS per word, clamped ≥ 1 per word — the standard
+    * dictionary-free approximation). The classic document-audience
+    * filter a training-data pipeline uses to band a corpus by
+    * difficulty (complements q26's generic surface quality and q249's
+    * model-based perplexity banding).
+    *
+    * ENGINE-EXACT: all three counts are integers from the SAME regex
+    * semantics both engines implement (POSIX classes, non-overlapping
+    * matches); the per-word ≥1-syllable clamp folds into counting
+    * vowel-less words once (groups never span whitespace, so the
+    * whole-text group count equals the per-word sum); the formula
+    * terms emit as separate round-half-up e3 integers before exact
+    * subtraction — never ROUND(float). One corpus scan, zero joins,
+    * zero shuffles (PER-DOC output), codegen'd column work only.
+    */
+  def q259Readability(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(filter(toks, t => length(t) > 0)).cast("long")
+          .as("n_words"),
+        greatest(regexp_count(normText, lit("[.!?]+")), lit(1))
+          .cast("long").as("n_sents"),
+        (regexp_count(normText, lit("[aeiou]+")) +
+          size(filter(toks,
+            t => length(t) > 0 && !t.rlike("[aeiou]"))))
+          .cast("long").as("n_syll"))
+      .filter(col("n_words") > 0)
+      .withColumn("fre_e3", expr(
+        """206835
+           - (2 * 1015 * n_words + n_sents) DIV (2 * n_sents)
+           - (2 * 84600 * n_syll + n_words) DIV (2 * n_words)"""))
+      .withColumn("fk_e3", expr(
+        """(2 * 390 * n_words + n_sents) DIV (2 * n_sents)
+           + (2 * 11800 * n_syll + n_words) DIV (2 * n_words)
+           - 15590"""))
+      .withColumn("band", expr(
+        """CASE WHEN fre_e3 >= 70000 THEN 'easy'
+                WHEN fre_e3 >= 50000 THEN 'standard'
+                ELSE 'difficult' END"""))
 }

@@ -701,4 +701,126 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
     // fertility is at least 1 subtoken per word-bearing corpus
     assert(got.values.forall(_._6 > 0))
   }
+
+  private def localDocs(): Array[(Long, String, String, String)] =
+    Tables.documents(spark, Sf).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+
+  private def tks(text: String): Seq[String] =
+    text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  test("q257 naive Bayes: confusion matrix equals a local " +
+      "train/score replay; shares sum to 1e6 per actual class") {
+    import graft.functions.FixedLn
+    val got = TextOps.q257NaiveBayes(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val docs = localDocs()
+    val train = docs.filter(_._1 % 2 == 0)
+    val test = docs.filter(_._1 % 2 == 1)
+    val nDocs = train.length.toLong
+    val clsDocs = train.groupBy(_._3).view.mapValues(_.length.toLong)
+      .toMap
+    val priors = clsDocs.map { case (c, n) =>
+      c -> -FixedLn.lnE9(nDocs, n) }
+    val ct = train.flatMap(d => tks(d._2).map(t => (d._3, t)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nc = ct.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val v = ct.keys.map(_._2).toSet.size.toLong
+    val classes = clsDocs.keys.toSeq.sorted
+    val preds = test.flatMap { d =>
+      val tf = tks(d._2).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap
+      if (tf.isEmpty) None
+      else {
+        val scored = classes.map { c =>
+          val s = priors(c) + tf.map { case (t, f) =>
+            f * -FixedLn.lnE9(nc(c) + v, ct.getOrElse((c, t), 0L) + 1)
+          }.sum
+          (c, s)
+        }
+        val best = scored.minBy { case (c, s) => (-s, c) }._1
+        Some((d._3, best))
+      }
+    }
+    val conf = preds.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val byActual = conf.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val exp = conf.map { case ((a, p), n) =>
+      (a, p) -> ((n, (2000000L * n + byActual(a)) / (2 * byActual(a))))
+    }
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v2) => assert(got(k) == v2, s"cell $k") }
+  }
+
+  test("q258 Zipf fit: slope/intercept equal a local exact-moment " +
+      "replay; natural-ish corpora slope negative") {
+    import graft.functions.FixedLn
+    val got = TextOps.q258ZipfFit(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val docs = localDocs()
+    val exp = docs.flatMap(d => tks(d._2).map(t => (d._4, t)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).flatMap { case (src, m) =>
+        val top = m.toSeq.map { case ((_, t), f) => (t, f) }
+          .sortBy { case (t, f) => (-f, t) }.take(300)
+        val xy = top.zipWithIndex.map { case ((_, f), i) =>
+          (FixedLn.lnE9(i + 1L, 1L), FixedLn.lnE9(f, 1L)) }
+        val n = BigInt(xy.size)
+        val sx = xy.map(p => BigInt(p._1)).sum
+        val sy = xy.map(p => BigInt(p._2)).sum
+        val sxy = xy.map(p => BigInt(p._1) * p._2).sum
+        val sxx = xy.map(p => BigInt(p._1) * p._1).sum
+        val num = n * sxy - sx * sy
+        val den = n * sxx - sx * sx
+        if (den <= 0) None
+        else {
+          def rhuS(a: BigInt, b: BigInt): Long =
+            (if (a >= 0) (2 * a + b) / (2 * b)
+             else -((2 * -a + b) / (2 * b))).toLong
+          val slope = rhuS(1000000 * num, den)
+          val ti = BigInt(1000000) * sy - BigInt(slope) * sx
+          val ic = rhuS(ti, BigInt(1000000) * n)
+          Some(src -> ((n.toLong, slope, ic)))
+        }
+      }
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"source $k") }
+    // token frequencies decay with rank → negative slope everywhere
+    assert(got.values.forall(_._2 < 0))
+  }
+
+  test("q259 readability: counts and banded scores equal a local " +
+      "regex replay") {
+    val got = TextOps.q259Readability(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))))
+      .toMap
+    val exp = localDocs().flatMap { case (id, text, _, _) =>
+      val nt = text.trim.toLowerCase
+      val words = tks(text)
+      val w = words.size.toLong
+      if (w == 0) None
+      else {
+        val s = math.max("[.!?]+".r.findAllIn(nt).size.toLong, 1L)
+        val sy = "[aeiou]+".r.findAllIn(nt).size.toLong +
+          words.count(t => !t.exists("aeiou".contains(_))).toLong
+        def rhu(num: Long, den: Long) = (2 * num + den) / (2 * den)
+        val fre = 206835L - rhu(1015 * w, s) - rhu(84600 * sy, w)
+        val fk = rhu(390 * w, s) + rhu(11800 * sy, w) - 15590L
+        val band = if (fre >= 70000) "easy"
+          else if (fre >= 50000) "standard" else "difficult"
+        Some(id -> ((w, s, sy, fre, fk, band)))
+      }
+    }.toMap
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"doc $k") }
+    assert(got.values.map(_._6).toSet.size >= 2)
+  }
 }
