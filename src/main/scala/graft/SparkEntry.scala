@@ -282,6 +282,9 @@ object SparkEntry {
     "q257_naive_bayes" -> (TextOps.q257NaiveBayes _),
     "q258_zipf_fit" -> (TextOps.q258ZipfFit _),
     "q259_readability" -> (TextOps.q259Readability _),
+    "q260_cuped" -> (StatsOps.q260Cuped _),
+    "q261_hill_tail" -> (StatsOps.q261HillTail _),
+    "q262_jl_projection" -> (SimilarityOps.q262JlProjection _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -1123,6 +1126,149 @@ object SparkEntry {
                      WHEN fre_e3 >= 50000 THEN 'standard'
                      ELSE 'difficult' END AS band
          FROM f"""
+
+  /** q260 oracle: same midpoint split, md5 arms, HUGEINT moments,
+    * signed rhu θ/adjusted mean, double ρ² on the 1-row moments.
+    */
+  private def cupedOracleSql: String =
+    """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS us,
+                  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    AS v_e4
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type = 'purchase'
+         ), mid AS (
+           SELECT (MIN(us) + MAX(us)) // 2 AS _mid FROM ev
+         ), pu AS (
+           SELECT user_id,
+                  CAST(SUM(CASE WHEN us < _mid THEN v_e4 ELSE 0 END)
+                       AS BIGINT) AS x,
+                  CAST(SUM(CASE WHEN us >= _mid THEN v_e4 ELSE 0 END)
+                       AS BIGINT) AS y,
+                  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 'A' ELSE 'B' END AS arm
+           FROM ev, mid GROUP BY user_id, _mid
+         ), pool AS (
+           SELECT CAST(COUNT(*) AS HUGEINT) AS _n,
+                  CAST(SUM(x) AS HUGEINT) AS _sx,
+                  CAST(SUM(y) AS HUGEINT) AS _sy,
+                  SUM(CAST(x AS HUGEINT) * y) AS _sxy,
+                  SUM(CAST(x AS HUGEINT) * x) AS _sxx,
+                  SUM(CAST(y AS HUGEINT) * y) AS _syy
+           FROM pu
+         ), th AS (
+           SELECT _n, _sx,
+                  _n * _sxy - _sx * _sy AS _num,
+                  _n * _sxx - _sx * _sx AS _dx,
+                  _n * _syy - _sy * _sy AS _dy
+           FROM pool
+         ), tr AS (
+           SELECT _n, _sx,
+                  CASE WHEN _dx > 0 THEN
+                    CASE WHEN _num >= 0
+                      THEN CAST((2 * 1000000 * _num + _dx)
+                                // (2 * _dx) AS BIGINT)
+                      ELSE -CAST((2 * 1000000 * (-_num) + _dx)
+                                 // (2 * _dx) AS BIGINT) END
+                  END AS theta_e6,
+                  CASE WHEN _dx > 0 AND _dy > 0 THEN
+                    ROUND(CAST(_num AS DOUBLE) * CAST(_num AS DOUBLE)
+                          / (CAST(_dx AS DOUBLE) * CAST(_dy AS DOUBLE)),
+                          4)
+                  END AS rho2
+           FROM th
+         ), byarm AS (
+           SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                  CAST(SUM(x) AS HUGEINT) AS _sxa,
+                  CAST(SUM(y) AS HUGEINT) AS _sya
+           FROM pu GROUP BY 1
+         ), j AS (
+           SELECT b.arm, b.n_users, b._sxa, b._sya,
+                  t._n, t._sx, t.theta_e6, t.rho2,
+                  1000000 * b._sya * t._n - t.theta_e6 * b._sxa * t._n
+                    + t.theta_e6 * t._sx * b.n_users AS _t
+           FROM byarm b, tr t
+         )
+         SELECT arm, n_users,
+                CAST((2 * _sya + n_users) // (2 * n_users) AS BIGINT)
+                  AS mean_y_e4,
+                CASE WHEN theta_e6 IS NOT NULL THEN
+                  CASE WHEN _t >= 0
+                    THEN CAST((2 * _t + 1000000 * n_users * _n)
+                              // (2 * 1000000 * n_users * _n) AS BIGINT)
+                    ELSE -CAST((2 * (-_t) + 1000000 * n_users * _n)
+                               // (2 * 1000000 * n_users * _n)
+                               AS BIGINT) END
+                END AS mean_adj_e4,
+                theta_e6, rho2
+         FROM j"""
+
+  /** q261 oracle: row_number top-(k+1) per nation, same e3 quantize
+    * and ln fold.
+    */
+  private def hillTailOracleSql: String =
+    s"""WITH vals AS (
+           SELECT n.n_name, o.o_orderkey,
+                  (2 * CAST(CAST(o.o_totalprice AS DECIMAL(18,4))
+                        * 10000 AS BIGINT) + 10) // (2 * 10) AS v_e3
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+         ), top AS (
+           SELECT n_name, v_e3
+           FROM (SELECT n_name, v_e3,
+                        row_number() OVER (PARTITION BY n_name
+                          ORDER BY v_e3 DESC, o_orderkey) AS rn
+                 FROM vals)
+           WHERE rn <= 101
+         ), thr AS (
+           SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_top,
+                  CAST(MIN(v_e3) AS BIGINT) AS thr_e3
+           FROM top GROUP BY 1
+         ), lnr AS (
+           SELECT t.n_name, h.n_top, h.thr_e3,
+                  t.v_e3 AS _p, h.thr_e3 AS _q,
+                  ${lnSelect("_l9")}
+           FROM top t JOIN thr h USING (n_name)
+         ), agg AS (
+           SELECT n_name, MAX(n_top) AS n_top, MAX(thr_e3) AS thr_e3,
+                  CAST(SUM(_l9) AS BIGINT) AS _sl
+           FROM lnr GROUP BY 1
+         )
+         SELECT n_name, n_top, n_top - 1 AS k, thr_e3,
+                CASE WHEN _sl > 0 THEN
+                  CAST((2000000000000000 * (n_top - 1) + _sl)
+                       // (2 * _sl) AS BIGINT)
+                END AS alpha_e6
+         FROM agg WHERE n_top >= 2"""
+
+  /** q262 oracle: same e6 lattice, md5-parity sign matrix from the
+    * distinct element indices, exact integer projections.
+    */
+  private def jlProjectionOracleSql: String =
+    """WITH base AS (
+           SELECT vec_id,
+                  [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                   for x in embedding] AS e6
+           FROM embeddings
+         ), el AS (
+           SELECT vec_id, CAST(i AS BIGINT) AS i, e6[i] AS e
+           FROM (SELECT vec_id, e6,
+                        unnest(generate_series(1, len(e6))) AS i
+                 FROM base)
+         ), dims AS (
+           SELECT unnest(generate_series(0, 15)) AS dim
+         ), signs AS (
+           SELECT ii.i, d.dim,
+                  CASE WHEN substr(md5(CAST(d.dim AS VARCHAR) || '_'
+                         || CAST(ii.i AS VARCHAR)), 1, 1) < '8'
+                       THEN 1 ELSE -1 END AS sgn
+           FROM (SELECT DISTINCT i FROM el) ii, dims d
+         )
+         SELECT el.vec_id, CAST(s.dim AS BIGINT) AS dim,
+                CAST(SUM(s.sgn * el.e) AS BIGINT) AS proj_e6
+         FROM el JOIN signs s ON s.i = el.i
+         GROUP BY 1, 2"""
 
   /** The q156 oracle's unrolled greedy MMR replay: the same e4-integer
     * rounded cosines (the q32 recipe — sums over the unnested vector in
@@ -7355,5 +7501,8 @@ object SparkEntry {
     "q257_naive_bayes" -> naiveBayesOracleSql,
     "q258_zipf_fit" -> zipfFitOracleSql,
     "q259_readability" -> readabilityOracleSql,
+    "q260_cuped" -> cupedOracleSql,
+    "q261_hill_tail" -> hillTailOracleSql,
+    "q262_jl_projection" -> jlProjectionOracleSql,
   )
 }

@@ -2276,4 +2276,142 @@ object StatsOps {
         expr("LEAST(_na, _nb)").as("n_at_decision"),
         coalesce(col("_lstop"), col("_lend")).as("llr_e9"))
   }
+
+  /** q260: CUPED variance-reduced experiment readout (Deng, Xu, Kohavi
+    * & Walker WSDM 2013 — the industry-standard A/B variance shrink):
+    * per md5-hash arm, the post-period purchase metric both RAW and
+    * ADJUSTED by the pre-period covariate, Ŷ = Y − θ(X − X̄), with
+    * θ = cov(X,Y)/var(X) fit POOLED (assignment-independent, so the
+    * adjustment is unbiased), plus ρ² — the fraction of variance CUPED
+    * removes. The q132 z-test reads the arms; this makes the same
+    * readout decisive on a fraction of the data. Reference analogue:
+    * pre-season trophies adjusting post-season win rate
+    * (sql/db_creation_script.sql:40-55's trophy columns).
+    *
+    * Engine-exact: per-user pre/post sums are exact e4 longs (split at
+    * the integer midpoint of the purchase-event time span; arm = first
+    * md5 hex char, the q69 rule), all moments accumulate in
+    * DECIMAL(38,0), θ emits as signed round-half-up e6 and the
+    * adjusted mean evaluates as ONE exact rational over the common
+    * denominator 1e6·n_arm·n_pool before its own signed rhu — never
+    * float math on the corpus. ρ² alone computes in double ON THE
+    * 1-ROW exact-moment result (identical IEEE tree, the q143 rule),
+    * ROUND 4. Scale shape: one event scan → map-combined per-user
+    * sums → two bounded aggregates (pooled + per-arm) + a 1-row
+    * broadcast.
+    */
+  def q260Cuped(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+          .as("v_e4"))
+    val mid = ev.agg(expr("(min(us) + max(us)) DIV 2").as("_mid"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("us") < col("_mid"), col("v_e4"))
+          .otherwise(0L)).cast("long").as("x"),
+        sum(when(col("us") >= col("_mid"), col("v_e4"))
+          .otherwise(0L)).cast("long").as("y"))
+      .withColumn("arm", when(
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+        lit("A")).otherwise(lit("B")))
+      .localCheckpoint(false) // feeds pooled AND per-arm aggregates
+    val pooled = perUser.agg(
+      count(lit(1)).cast("decimal(38,0)").as("_n"),
+      sum(col("x").cast("decimal(38,0)")).as("_sx"),
+      sum(col("y").cast("decimal(38,0)")).as("_sy"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("_sxy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("_sxx"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("_syy"))
+      .withColumn("_num", col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn("_dx", col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("_dy", col("_n") * col("_syy") - col("_sy") * col("_sy"))
+      .withColumn("theta_e6", expr(
+        """CASE WHEN _dx > 0 THEN
+             CASE WHEN _num >= 0
+               THEN CAST((2 * 1000000 * _num + _dx)
+                         DIV (2 * _dx) AS BIGINT)
+               ELSE -CAST((2 * 1000000 * (-_num) + _dx)
+                          DIV (2 * _dx) AS BIGINT) END
+           END"""))
+      .withColumn("rho2", expr(
+        """CASE WHEN _dx > 0 AND _dy > 0 THEN
+             ROUND(CAST(_num AS DOUBLE) * CAST(_num AS DOUBLE)
+                   / (CAST(_dx AS DOUBLE) * CAST(_dy AS DOUBLE)), 4)
+           END"""))
+    perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("x").cast("decimal(38,0)")).as("_sxa"),
+        sum(col("y").cast("decimal(38,0)")).as("_sya"))
+      .crossJoin(broadcast(pooled.select(col("_n"), col("_sx"),
+        col("theta_e6"), col("rho2"))))
+      .withColumn("mean_y_e4", expr(
+        "CAST((2 * _sya + n_users) DIV (2 * n_users) AS BIGINT)"))
+      .withColumn("_t", expr(
+        """1000000 * _sya * _n - theta_e6 * _sxa * _n
+           + theta_e6 * _sx * n_users"""))
+      .withColumn("mean_adj_e4", expr(
+        """CASE WHEN theta_e6 IS NOT NULL THEN
+             CASE WHEN _t >= 0
+               THEN CAST((2 * _t + 1000000 * n_users * _n)
+                         DIV (2 * 1000000 * n_users * _n) AS BIGINT)
+               ELSE -CAST((2 * (-_t) + 1000000 * n_users * _n)
+                          DIV (2 * 1000000 * n_users * _n) AS BIGINT)
+             END
+           END"""))
+      .select(col("arm"), col("n_users"), col("mean_y_e4"),
+        col("mean_adj_e4"), col("theta_e6"), col("rho2"))
+  }
+
+  /** q261: HILL TAIL-INDEX ESTIMATOR per nation (Hill 1975) — the
+    * maximum-likelihood power-law exponent of the spend distribution's
+    * upper tail, α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k largest order
+    * totals: the "how heavy is the whale tail" number that q146's
+    * Pareto/ABC shares describe qualitatively (α ≤ 2 ⇒ infinite
+    * variance — mean-based planning breaks). FixedLn family: values
+    * quantized to e3 (the lnE9 long-safety bound caps p at ~4.6e9;
+    * e4 order totals exceed it — documented round-half-up e3
+    * quantization), threshold terms contribute ln(thr/thr) = 0 so the
+    * sum runs over the whole top-(k+1) block with no rank arithmetic.
+    *
+    * Scale shape: the top-(k+1) block per nation ships through
+    * [[graft.plans.TopK]]'s two-phase heap operator (map-side ≤ k+1
+    * rows per partition×key, no sort, no global window); ln and the
+    * fold run on ≤ 101·|nations| rows.
+    */
+  def q261HillTail(s: SparkSession, d: String): DataFrame = {
+    val vals = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey"),
+        expr("""CAST((2 * CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                       * 10000 AS BIGINT) + 10)
+                DIV (2 * 10) AS BIGINT)""").as("v_e3"))
+    val top = graft.plans.TopK.perKey(vals, Seq("n_name"),
+      Seq(("v_e3", true), ("o_orderkey", false)), 101)
+    val thr = top.groupBy(col("n_name"))
+      .agg(count(lit(1)).cast("long").as("n_top"),
+        min(col("v_e3")).cast("long").as("thr_e3"))
+    val withLn = graft.functions.FixedLn.steps("DIV", "_l9")
+      .foldLeft(top.join(broadcast(thr), "n_name")
+        .withColumn("_p", col("v_e3"))
+        .withColumn("_q", col("thr_e3"))) {
+        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    withLn.groupBy(col("n_name"))
+      .agg(max(col("n_top")).as("n_top"),
+        max(col("thr_e3")).as("thr_e3"),
+        sum(col("_l9")).cast("long").as("_sl"))
+      .filter(col("n_top") >= 2)
+      .select(col("n_name"), col("n_top"),
+        (col("n_top") - 1L).as("k"), col("thr_e3"),
+        // 2·1e6·1e9 folded to one long literal: ANSI parses the
+        // 1000000 * 1000000000 product as INT×INT and throws
+        expr("""CASE WHEN _sl > 0 THEN
+               CAST((2000000000000000 * (n_top - 1) + _sl)
+                    DIV (2 * _sl) AS BIGINT)
+             END""").as("alpha_e6"))
+  }
 }

@@ -710,4 +710,47 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // >= 1e6) — true for every reported max (rank-1 rows exist)
     assert(got.exists(_._4 >= 1000000L))
   }
+
+  test("q262 JL projection: exact md5-sign replay, and pairwise " +
+      "squared distances survive the 16-dim projection (JL gate)") {
+    val got = SimilarityOps.q262JlProjection(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong))
+    def md5hex(s2: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s2.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dIn = vecs.head._2.size
+    val sgn = (for (j <- 0 until 16; i <- 1 to dIn) yield
+      (j.toLong, i.toLong) ->
+        (if (md5hex(s"${j}_$i").head < '8') 1L else -1L)).toMap
+    val exp = vecs.flatMap { case (id, e6) =>
+      (0 until 16).map { j =>
+        (id, j.toLong) ->
+          e6.zipWithIndex.map { case (x, i0) =>
+            sgn((j.toLong, i0 + 1L)) * x }.sum
+      }
+    }.toMap
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"cell $k") }
+    // JL distance gate: for sampled pairs the projected squared
+    // distance / 16 tracks the original within a loose [0.3, 3] band
+    val proj = got.toSeq.groupBy(_._1._1).view
+      .mapValues(_.sortBy(_._1._2).map(_._2)).toMap
+    val sample = vecs.take(12)
+    val ratios = for {
+      (ia, va) <- sample; (ib, vb) <- sample if ia < ib
+      d2 = va.zip(vb).map { case (x, y) =>
+        BigInt(x - y) * BigInt(x - y) }.sum if d2 > 0
+    } yield {
+      val pa = proj(ia); val pb = proj(ib)
+      val pd2 = pa.zip(pb).map { case (x, y) =>
+        BigInt(x - y) * BigInt(x - y) }.sum
+      (BigDecimal(pd2) / BigDecimal(16) / BigDecimal(d2)).toDouble
+    }
+    val med = ratios.sorted.apply(ratios.size / 2)
+    assert(med > 0.3 && med < 3.0, s"median JL ratio $med")
+  }
 }

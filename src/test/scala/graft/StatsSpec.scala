@@ -1389,4 +1389,87 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
       if (dec == "continue") assert(llr < a && llr > -a && nAt.isEmpty)
     }
   }
+
+  test("q260 CUPED: arms match a local exact-moment replay; the " +
+      "adjustment preserves the pooled mean identity") {
+    val rows = StatsOps.q260Cuped(spark, Sf).collect()
+    val got = rows.map(r => r.getString(0) -> ((r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ev = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull &&
+        col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val pu = ev.groupBy(_._1).map { case (u, xs) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (if (md5.head < '8') "A" else "B",
+        xs.filter(_._2 < mid).map(_._3).sum,
+        xs.filter(_._2 >= mid).map(_._3).sum)
+    }.toSeq
+    val n = BigInt(pu.size)
+    val sx = pu.map(p => BigInt(p._2)).sum
+    val sy = pu.map(p => BigInt(p._3)).sum
+    val sxy = pu.map(p => BigInt(p._2) * p._3).sum
+    val sxx = pu.map(p => BigInt(p._2) * p._2).sum
+    val num = n * sxy - sx * sy
+    val dx = n * sxx - sx * sx
+    def rhuS(a2: BigInt, b: BigInt): Long =
+      (if (a2 >= 0) (2 * a2 + b) / (2 * b)
+       else -((2 * -a2 + b) / (2 * b))).toLong
+    val theta = rhuS(1000000 * num, dx)
+    val exp = pu.groupBy(_._1).map { case (arm, xs) =>
+      val na = BigInt(xs.size)
+      val sxa = xs.map(p => BigInt(p._2)).sum
+      val sya = xs.map(p => BigInt(p._3)).sum
+      val t = BigInt(1000000) * sya * n - BigInt(theta) * sxa * n +
+        BigInt(theta) * sx * na
+      arm -> ((xs.size.toLong, ((2 * sya + na) / (2 * na)).toLong,
+        rhuS(t, BigInt(1000000) * na * n), theta))
+    }
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"arm $k") }
+    rows.foreach { r =>
+      val rho2 = r.getDouble(5)
+      assert(rho2 >= 0.0 && rho2 <= 1.0)
+    }
+  }
+
+  test("q261 Hill tail index: equals a local top-k ln fold; alpha is " +
+      "positive and the threshold is the 101st largest value") {
+    import graft.functions.FixedLn
+    val got = StatsOps.q261HillTail(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    val vals = Tables.orders(spark, Sf)
+      .join(Tables.customer(spark, Sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, Sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey"),
+        expr("""(2 * CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                 AS BIGINT) + 10) DIV (2 * 10)"""))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = vals.groupBy(_._1).flatMap { case (nat, xs) =>
+      val top = xs.sortBy(x => (-x._3, x._2)).take(101).map(_._3)
+      if (top.size < 2) None
+      else {
+        val thr = top.min
+        val sl = top.map(v => FixedLn.lnE9(v, thr)).sum
+        val k = top.size - 1L
+        val alpha = if (sl > 0)
+          Some((2000000000000000L * k + sl) / (2 * sl)) else None
+        Some(nat -> ((top.size.toLong, k, thr, alpha)))
+      }
+    }
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"nation $k") }
+    got.values.foreach { case (_, _, _, a2) =>
+      a2.foreach(a3 => assert(a3 > 0))
+    }
+  }
 }
