@@ -285,6 +285,9 @@ object SparkEntry {
     "q260_cuped" -> (StatsOps.q260Cuped _),
     "q261_hill_tail" -> (StatsOps.q261HillTail _),
     "q262_jl_projection" -> (SimilarityOps.q262JlProjection _),
+    "q263_bradley_terry" -> (StatsOps.q263BradleyTerry _),
+    "q264_rendezvous" -> (RelationalOps.q264RendezvousShards _),
+    "q265_scan_cluster" -> (GraphOps.q265Scan _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -1269,6 +1272,188 @@ object SparkEntry {
                 CAST(SUM(s.sgn * el.e) AS BIGINT) AS proj_e6
          FROM el JOIN signs s ON s.i = el.i
          GROUP BY 1, 2"""
+
+  /** q263 oracle: the identical duel construction, then the 15 MM
+    * rounds UNROLLED as generated CTE triples (Sᵢ / p'ᵢ / normalize)
+    * replaying the exact HUGEINT round-half-up recursion — the
+    * q217/q156 iterative-oracle pattern.
+    */
+  private def bradleyTerryOracleSql: String = {
+    val sb = new StringBuilder(
+      """WITH spend AS (
+           SELECT l.l_orderkey AS ok, p.p_brand AS brand,
+                  CAST(SUM(CAST(CAST(l.l_extendedprice
+                        AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                       AS BIGINT) AS sp
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           GROUP BY 1, 2
+         ), rk AS (
+           SELECT ok, brand,
+                  row_number() OVER (PARTITION BY ok
+                    ORDER BY sp DESC, brand) AS rn,
+                  COUNT(*) OVER (PARTITION BY ok) AS nb
+           FROM spend
+         ), duels AS (
+           SELECT w.brand AS winner, l2.brand AS loser
+           FROM rk w JOIN rk l2 ON w.ok = l2.ok
+           WHERE w.rn = 1 AND l2.rn = 2 AND w.nb >= 2
+         ), wmat AS (
+           SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS w
+           FROM duels GROUP BY 1, 2
+         ), wns AS (
+           SELECT winner AS b, CAST(SUM(w) AS BIGINT) AS wn
+           FROM wmat GROUP BY 1
+         ), lss AS (
+           SELECT loser AS b, CAST(SUM(w) AS BIGINT) AS ls
+           FROM wmat GROUP BY 1
+         ), items AS MATERIALIZED (
+           SELECT b, wn, ls FROM wns JOIN lss USING (b)
+         ), kk AS MATERIALIZED (
+           SELECT CAST(COUNT(*) AS HUGEINT) AS k FROM items
+         ), prs AS MATERIALIZED (
+           SELECT t.i, t.j, CAST(SUM(t.w) AS BIGINT) AS n
+           FROM (SELECT winner AS i, loser AS j, w FROM wmat
+                 UNION ALL SELECT loser, winner, w FROM wmat) t
+           WHERE t.i IN (SELECT b FROM items)
+             AND t.j IN (SELECT b FROM items)
+           GROUP BY 1, 2
+         ), p0 AS MATERIALIZED (
+           SELECT b, CAST(1000000000 AS HUGEINT) AS p FROM items
+         )""")
+    for (r <- 1 to 15) {
+      sb.append(s""", s$r AS MATERIALIZED (
+           SELECT pr.i AS b,
+                  SUM((2 * CAST(pr.n AS HUGEINT) * 1000000000000000000
+                       + (pi.p + pj.p)) // (2 * (pi.p + pj.p))) AS sv
+           FROM prs pr
+           JOIN p${r - 1} pi ON pi.b = pr.i
+           JOIN p${r - 1} pj ON pj.b = pr.j
+           GROUP BY 1
+         ), r$r AS MATERIALIZED (
+           SELECT it.b,
+                  (2 * CAST(it.wn AS HUGEINT) * 1000000000000000000
+                   + s.sv) // (2 * s.sv) AS praw
+           FROM items it JOIN s$r s ON s.b = it.b
+         ), t$r AS MATERIALIZED (SELECT SUM(praw) AS tp FROM r$r
+         ), p$r AS MATERIALIZED (
+           SELECT b, (2 * k * 1000000000 * praw + tp)
+                       // (2 * tp) AS p
+           FROM r$r, t$r, kk
+         )""")
+    }
+    sb.append("""
+         SELECT it.b AS brand, it.wn AS n_wins, it.ls AS n_losses,
+                CAST(p.p AS BIGINT) AS strength_e9,
+                CAST(row_number() OVER (ORDER BY p.p DESC, it.b)
+                     AS BIGINT) AS bt_rank
+         FROM items it JOIN p15 p ON p.b = it.b""")
+    sb.toString
+  }
+
+  /** q264 oracle: same md5 weights, FILTERed arg_max assignments. */
+  private def rendezvousOracleSql: String =
+    """WITH shl AS (SELECT unnest(generate_series(0, 8)) AS sh
+         ), sc AS (
+           SELECT c_custkey AS key, sh,
+                  md5(CAST(c_custkey AS VARCHAR) || ':'
+                      || CAST(sh AS VARCHAR)) AS h
+           FROM customer, shl
+         ), asg AS (
+           SELECT key,
+                  arg_max(sh, h) FILTER (WHERE sh <= 7) AS old_shard,
+                  arg_max(sh, h) AS new_shard
+           FROM sc GROUP BY 1
+         )
+         SELECT CAST(old_shard AS BIGINT) AS shard,
+                CAST(COUNT(*) AS BIGINT) AS n_keys,
+                CAST(SUM(CASE WHEN new_shard <> old_shard THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_moved,
+                CAST(SUM(CASE WHEN new_shard <> old_shard
+                           AND new_shard <> 8 THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_moved_elsewhere,
+                CAST((2000000 * SUM(CASE WHEN new_shard <> old_shard
+                                    THEN 1 ELSE 0 END) + COUNT(*))
+                     // (2 * COUNT(*)) AS BIGINT) AS moved_ppm
+         FROM asg GROUP BY 1"""
+
+  /** q265 oracle: list-intersect structural similarity on the same
+    * pruned graph, recursive-closure clusters, min-core borders, the
+    * ≥2-cluster hub test.
+    */
+  private def scanClusterOracleSql: String =
+    """WITH RECURSIVE li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem
+         ), pr AS (
+           SELECT a.pk AS s1, b.pk AS s2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ), e AS (
+           SELECT s1 AS src, s2 AS dst FROM pr
+           UNION ALL SELECT s2, s1 FROM pr
+         ), adj AS (
+           SELECT src, list_sort(list(dst)) AS nb FROM e GROUP BY 1
+         ), deg AS (
+           SELECT src AS node, CAST(len(nb) AS BIGINT) AS deg FROM adj
+         ), sup AS (
+           SELECT p.s1 AS u, p.s2 AS v,
+                  CAST(len(list_intersect(a.nb, b.nb)) AS BIGINT)
+                    AS support,
+                  da.deg AS du, db.deg AS dv
+           FROM pr p
+           JOIN adj a ON a.src = p.s1 JOIN adj b ON b.src = p.s2
+           JOIN deg da ON da.node = p.s1 JOIN deg db ON db.node = p.s2
+         ), eps AS (
+           SELECT u, v FROM sup
+           WHERE 4 * (support + 2) * (support + 2)
+                 >= (du + 1) * (dv + 1)
+         ), es AS (SELECT u, v FROM eps UNION ALL SELECT v, u FROM eps
+         ), neps AS (
+           SELECT u AS node, CAST(COUNT(*) + 1 AS BIGINT) AS n_eps
+           FROM es GROUP BY 1
+         ), nodes AS (
+           SELECT d.node, d.deg,
+                  CAST(COALESCE(n.n_eps, 1) AS BIGINT) AS n_eps
+           FROM deg d LEFT JOIN neps n ON n.node = d.node
+         ), core AS (SELECT node FROM nodes WHERE n_eps >= 4
+         ), ce AS (
+           SELECT s.u AS a, s.v AS b FROM es s
+           WHERE s.u IN (SELECT node FROM core)
+             AND s.v IN (SELECT node FROM core)
+         ), reach(a, b) AS (
+           SELECT a, b FROM ce
+           UNION
+           SELECT r.a, ce.b FROM reach r JOIN ce ON ce.a = r.b
+         ), clab AS (
+           SELECT c.node,
+                  LEAST(c.node, COALESCE(MIN(r.b), c.node)) AS cluster
+           FROM core c LEFT JOIN reach r ON r.a = c.node
+           GROUP BY c.node
+         ), bord AS (
+           SELECT s.u AS node, MIN(l.cluster) AS cluster
+           FROM es s JOIN clab l ON l.node = s.v
+           WHERE s.u NOT IN (SELECT node FROM core)
+           GROUP BY 1
+         ), labeled AS (
+           SELECT node, cluster FROM clab
+           UNION ALL SELECT node, cluster FROM bord
+         ), nbc AS (
+           SELECT e.src AS node,
+                  CAST(COUNT(DISTINCT l.cluster) AS BIGINT) AS ncl
+           FROM e JOIN labeled l ON l.node = e.dst GROUP BY 1
+         )
+         SELECT n.node, n.deg, n.n_eps,
+                CASE WHEN cl.node IS NOT NULL THEN 'core'
+                     WHEN b.node IS NOT NULL THEN 'border'
+                     WHEN COALESCE(nbc.ncl, 0) >= 2 THEN 'hub'
+                     ELSE 'outlier' END AS role,
+                CAST(CASE WHEN cl.node IS NOT NULL THEN cl.cluster
+                          WHEN b.node IS NOT NULL THEN b.cluster
+                     END AS BIGINT) AS cluster
+         FROM nodes n
+         LEFT JOIN clab cl ON cl.node = n.node
+         LEFT JOIN bord b ON b.node = n.node
+         LEFT JOIN nbc ON nbc.node = n.node"""
 
   /** The q156 oracle's unrolled greedy MMR replay: the same e4-integer
     * rounded cosines (the q32 recipe — sums over the unnested vector in
@@ -7504,5 +7689,8 @@ object SparkEntry {
     "q260_cuped" -> cupedOracleSql,
     "q261_hill_tail" -> hillTailOracleSql,
     "q262_jl_projection" -> jlProjectionOracleSql,
+    "q263_bradley_terry" -> bradleyTerryOracleSql,
+    "q264_rendezvous" -> rendezvousOracleSql,
+    "q265_scan_cluster" -> scanClusterOracleSql,
   )
 }

@@ -1252,4 +1252,94 @@ object GraphOps {
       .withColumn("amp_ppm",
         expr("CAST((2 * 1000000 * reach2 + deg) DIV (2 * deg) AS BIGINT)"))
   }
+
+  /** q265: SCAN structural graph clustering (Xu, Yuruk, Feng & Schweiger
+    * KDD 2007) over the pruned co-purchase graph — nodes cluster only
+    * with neighbors whose NEIGHBORHOODS agree (structural similarity
+    * σ(u,v) = |N[u]∩N[v]| / √(|N[u]||N[v]|) ≥ ε over closed
+    * neighborhoods), and the nodes that DON'T cluster are classified as
+    * HUBS (bridging ≥2 clusters — the q126 label-propagation communities
+    * can't say this) or OUTLIERS. ε = ½, μ = 4 (the paper's defaults).
+    *
+    * ENGINE-EXACT, division- and sqrt-free: σ ≥ ½ iff
+    * 4·(support+2)² ≥ (deg_u+1)(deg_v+1) in exact longs — the shared
+    * count comes from [[edgeSupport]]'s O(E^{3/2}) packed-adjacency
+    * intersect kernel (|N[u]∩N[v]| = edge triangle support + 2 for
+    * adjacent u,v), never a neighborhood-pair materialization. Core =
+    * ≥ μ ε-neighbors incl. self; clusters = [[minLabelComponents]] over
+    * the core-core ε-edges (min-node-id labels — deterministic);
+    * borders adopt the min adjacent core cluster; hubs = unclassified
+    * nodes whose plain neighbors span ≥2 clusters.
+    *
+    * Scale shape: everything rides certified kernels — the support
+    * pass (edge grain), node-scale degree/ε-count aggregates, label
+    * propagation with per-round lineage cuts. No stage exceeds edge
+    * grain.
+    */
+  def q265Scan(s: SparkSession, d: String): DataFrame = {
+    val e = prunedCoPurchaseEdges(s, d, minCount = 2)
+      .localCheckpoint(false) // feeds degree, support, hub passes
+    val und = e.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+      .localCheckpoint(false)
+    val eps = und
+      .join(edgeSupport(und), Seq("u", "v"), "left")
+      .withColumn("support", coalesce(col("support"), lit(0L)))
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .filter(expr("""4 * (support + 2) * (support + 2)
+                      >= (du + 1) * (dv + 1)"""))
+      .select(col("u"), col("v"))
+      .localCheckpoint(false) // feeds ε-counts, core edges, borders
+    val epsSym = eps.unionByName(
+      eps.select(col("v").as("u"), col("u").as("v")))
+    val nEps = epsSym.groupBy(col("u").as("node"))
+      .agg((count(lit(1)) + 1L).cast("long").as("n_eps"))
+    val nodes = deg.join(nEps, Seq("node"), "left")
+      .withColumn("n_eps", coalesce(col("n_eps"), lit(1L)))
+      .localCheckpoint(false)
+    val cores = nodes.filter(col("n_eps") >= 4L).select(col("node"))
+      .localCheckpoint(false)
+    val coreEps = epsSym
+      .join(cores.withColumnRenamed("node", "u"), "u")
+      .join(cores.withColumnRenamed("node", "v"), "v")
+      .select(col("u").as("src"), col("v").as("dst"))
+    val cc = minLabelComponents(coreEps)
+    // isolated cores (μ met through non-core ε-neighbors) label
+    // themselves
+    val coreLab = cores.join(cc, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("cluster"))
+      .localCheckpoint(false)
+    val border = epsSym
+      .join(coreLab.select(col("node").as("v"), col("cluster").as("cl")),
+        "v")
+      .join(cores.select(col("node").as("u")), Seq("u"), "left_anti")
+      .groupBy(col("u").as("node"))
+      .agg(min(col("cl")).as("cluster"))
+    val labeled = coreLab
+      .unionByName(border)
+      .localCheckpoint(false) // feeds output AND the hub test
+    val nbClusters = e.select(col("src").as("node"), col("dst").as("nb"))
+      .join(labeled.select(col("node").as("nb"), col("cluster")), "nb")
+      .groupBy(col("node"))
+      .agg(countDistinct(col("cluster")).cast("long").as("ncl"))
+    val rest = nodes.select(col("node"))
+      .join(labeled.select(col("node")), Seq("node"), "left_anti")
+      .join(nbClusters, Seq("node"), "left")
+      .select(col("node"),
+        when(coalesce(col("ncl"), lit(0L)) >= 2L, lit("hub"))
+          .otherwise(lit("outlier")).as("role"),
+        lit(null).cast("long").as("cluster"))
+    val roles = coreLab
+      .select(col("node"), lit("core").as("role"), col("cluster"))
+      .unionByName(border.select(col("node"), lit("border").as("role"),
+        col("cluster")))
+      .unionByName(rest)
+    roles.join(nodes, "node")
+      .select(col("node"), col("deg"), col("n_eps"), col("role"),
+        col("cluster"))
+  }
 }

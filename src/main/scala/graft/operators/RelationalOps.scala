@@ -3808,4 +3808,44 @@ object RelationalOps {
                           * unit_e4) + 10000)
                 DIV (2 * 10000) AS BIGINT)""").as("end_inventory_e4"))
   }
+
+  /** q264: RENDEZVOUS-HASHING RESHARDING AUDIT (highest-random-weight
+    * hashing, Thaler & Ravishankar 1998 — what Riak/Ceph-class systems
+    * use to place keys): every customer key is assigned to
+    * argmax_s md5(key:s) over 8 shards and again over 9, and the
+    * report shows per old shard how many keys MOVE — the rendezvous
+    * guarantee says only ~1/(N+1) of keys move and ALL of them to the
+    * new shard (n_moved_elsewhere is the violation audit column,
+    * identically 0). The capacity-planning dual of q137's skew
+    * profile: q137 asks "are my shards balanced", this asks "what
+    * does adding one cost". Reference analogue: the season-partitioned
+    * rankings (sql/db_creation_script.sql:31-38) reshard every season.
+    *
+    * ENGINE-EXACT: the weight is the md5 hex STRING itself (lexical
+    * argmax — md5 agrees byte-for-byte across engines, the q23 rule);
+    * both assignments come out of ONE 9-way fan-out pass (old = argmax
+    * over s ≤ 7 via a null-skipped struct max). Scale shape: 9×
+    * key-scale fan-out, one map-combined groupBy, bounded output.
+    */
+  def q264RendezvousShards(s: SparkSession, d: String): DataFrame = {
+    val shards = s.range(0, 9).select(col("id").as("sh"))
+    val scored = Tables.customer(s, d).select(col("c_custkey").as("key"))
+      .crossJoin(broadcast(shards))
+      .select(col("key"), col("sh"),
+        md5(concat(col("key").cast("string"), lit(":"),
+          col("sh").cast("string"))).as("h"))
+    val assigned = scored.groupBy(col("key"))
+      .agg(max(when(col("sh") <= 7L, struct(col("h"), col("sh"))))
+          .getField("sh").as("old_shard"),
+        max(struct(col("h"), col("sh"))).getField("sh").as("new_shard"))
+    assigned.groupBy(col("old_shard").as("shard"))
+      .agg(count(lit(1)).cast("long").as("n_keys"),
+        sum(when(col("new_shard") =!= col("old_shard"), 1L)
+          .otherwise(0L)).cast("long").as("n_moved"),
+        sum(when(col("new_shard") =!= col("old_shard")
+            && col("new_shard") =!= 8L, 1L).otherwise(0L))
+          .cast("long").as("n_moved_elsewhere"))
+      .withColumn("moved_ppm", expr(
+        "CAST((2000000 * n_moved + n_keys) DIV (2 * n_keys) AS BIGINT)"))
+  }
 }

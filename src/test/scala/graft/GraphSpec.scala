@@ -583,4 +583,67 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(gotS.keySet == clique.toSet)
     assert(gotS.values.forall(_ == 4L))
   }
+
+  test("q265 SCAN: equals a local structural-similarity replay " +
+      "(cores, clusters, borders, hubs, outliers)") {
+    val got = GraphOps.q265Scan(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    // local graph: distinct co-purchase pairs sharing >= 2 orders
+    val li = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2).distinct.sorted.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val eps = pairs.filter { case (u, v) =>
+      val common = (adj(u) intersect adj(v)).size.toLong
+      4 * (common + 2) * (common + 2) >=
+        (adj(u).size + 1L) * (adj(v).size + 1L)
+    }
+    val epsAdj = (eps ++ eps.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        .withDefaultValue(Set.empty[Long])
+    val nEps = adj.keys.map(n => n -> (epsAdj(n).size + 1L)).toMap
+    val cores = adj.keySet.filter(n => nEps(n) >= 4)
+    // min-label closure over core-core eps edges
+    var lab = cores.map(c => c -> c).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      cores.foreach { c =>
+        val nb = epsAdj(c).filter(cores).map(lab) + lab(c)
+        val m = nb.min
+        if (m < lab(c)) { lab += c -> m; changed = true }
+      }
+    }
+    val borders = adj.keySet.diff(cores).flatMap { n =>
+      val cl = epsAdj(n).filter(cores).map(lab)
+      if (cl.nonEmpty) Some(n -> cl.min) else None
+    }.toMap
+    val labeled = lab ++ borders
+    val exp = adj.keys.map { n =>
+      val (role, cl) =
+        if (cores(n)) ("core", Some(lab(n)))
+        else if (borders.contains(n)) ("border", Some(borders(n)))
+        else {
+          val ncl = adj(n).flatMap(labeled.get).size
+          (if (ncl >= 2) "hub" else "outlier", None)
+        }
+      n -> ((adj(n).size.toLong, nEps(n), role, cl))
+    }.toMap
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"node $k") }
+    // role/cluster contract (at sf0.001 the pruned graph is too
+    // sparse for μ=4 cores — all four roles appear at sf0.01, where
+    // the oracle gate verifies the full labeling)
+    got.values.foreach { case (_, _, role, cl) =>
+      assert(Set("core", "border", "hub", "outlier")(role))
+      assert(cl.isDefined == (role == "core" || role == "border"))
+    }
+  }
 }

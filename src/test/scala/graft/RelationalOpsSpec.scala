@@ -2112,4 +2112,36 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(cogs >= 0 && endv >= 0)
     }
   }
+
+  test("q264 rendezvous resharding: equals a local md5-argmax replay; " +
+      "movement is only toward the new shard and near 1/(N+1)") {
+    val got = RelationalOps.q264RendezvousShards(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keys = Tables.customer(spark, Sf).select(col("c_custkey"))
+      .collect().map(_.getLong(0))
+    val asg = keys.map { k =>
+      val hs = (0L to 8L).map(s => s -> md5hex(s"$k:$s"))
+      val old = hs.filter(_._1 <= 7).maxBy(_._2)._1
+      val nw = hs.maxBy(_._2)._1
+      (old, nw)
+    }
+    val exp = asg.groupBy(_._1).map { case (sh, xs) =>
+      val n = xs.size.toLong
+      val mv = xs.count(x => x._2 != x._1).toLong
+      val elsewhere = xs.count(x => x._2 != x._1 && x._2 != 8L).toLong
+      sh -> ((n, mv, elsewhere, (2000000L * mv + n) / (2 * n)))
+    }
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"shard $k") }
+    // the rendezvous guarantee: nothing moves between OLD shards
+    assert(got.values.forall(_._3 == 0L))
+    // total movement tracks 1/9 of keys (loose band; small-n noise)
+    val tot = got.values.map(_._1).sum.toDouble
+    val mv = got.values.map(_._2).sum.toDouble
+    assert(mv / tot > 0.02 && mv / tot < 0.30, s"moved ${mv / tot}")
+  }
 }

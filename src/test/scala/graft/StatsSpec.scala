@@ -1472,4 +1472,46 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
       a2.foreach(a3 => assert(a3 > 0))
     }
   }
+
+  test("q263 Bradley-Terry: equals a local duel replay through the " +
+      "same MM recursion; strengths normalize to K·1e9 within rounding") {
+    val rows = StatsOps.q263BradleyTerry(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // local duel construction from raw tables
+    val li = Tables.lineitem(spark, Sf)
+      .join(Tables.part(spark, Sf),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"),
+        expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+                AS BIGINT)"""))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val duels = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val byBrand = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy { case (b, sp) => (-sp, b) }
+      if (byBrand.size < 2) None
+      else Some((byBrand(0)._1, byBrand(1)._1))
+    }
+    val w = duels.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wins = w.groupBy(_._1._1).map { case (b, m) => b -> m.values.sum }
+    val losses = w.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val items = (wins.keySet intersect losses.keySet).toSeq.sorted
+    val inI = items.toSet
+    val nij = w.toSeq
+      .flatMap { case ((a, b), n) => Seq((a, b) -> n, (b, a) -> n) }
+      .filter { case ((a, b), _) => inI(a) && inI(b) }
+      .groupBy(_._1).map { case (k2, xs) => k2 -> xs.map(_._2).sum }
+    val p = StatsOps.bradleyTerryMm(items, wins, nij, rounds = 15)
+    val exp = items.map(b => (b, wins(b), losses(b), p(b).toLong))
+      .sortBy { case (b, _, _, st) => (-st, b) }
+      .zipWithIndex
+      .map { case ((b, wn, ls, st), i) => (b, wn, ls, st, i + 1L) }
+    assert(rows.sortBy(_._1).toSeq == exp.sortBy(_._1))
+    // normalization invariant: strengths sum to K·1e9 within K ulps
+    val k = items.size.toLong
+    val tot = rows.map(_._4).sum
+    assert(math.abs(tot - k * 1000000000L) <= k,
+      s"sum $tot vs ${k * 1000000000L}")
+  }
 }
