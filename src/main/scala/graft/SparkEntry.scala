@@ -288,6 +288,8 @@ object SparkEntry {
     "q263_bradley_terry" -> (StatsOps.q263BradleyTerry _),
     "q264_rendezvous" -> (RelationalOps.q264RendezvousShards _),
     "q265_scan_cluster" -> (GraphOps.q265Scan _),
+    "q266_als_rank1" -> (SimilarityOps.q266AlsRank1 _),
+    "q267_sax" -> (StatsOps.q267Sax _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -1454,6 +1456,95 @@ object SparkEntry {
          LEFT JOIN clab cl ON cl.node = n.node
          LEFT JOIN bord b ON b.node = n.node
          LEFT JOIN nbc ON nbc.node = n.node"""
+
+  /** q266 oracle: the 8 alternating half-rounds unrolled as
+    * MATERIALIZED CTE pairs replaying the identical HUGEINT
+    * round-half-up updates (the q263 rule).
+    */
+  private def alsRank1OracleSql: String = {
+    val sb = new StringBuilder(
+      """WITH cells AS MATERIALIZED (
+           SELECT o.o_custkey AS cust, p.p_brand AS brand,
+                  (2 * SUM(CAST(CAST(l.l_extendedprice
+                        AS DECIMAL(18,4)) * 10000 AS BIGINT)) + 100)
+                    // (2 * 100) AS r
+           FROM orders o
+           JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           JOIN part p ON l.l_partkey = p.p_partkey
+           GROUP BY 1, 2
+         ), v0 AS MATERIALIZED (
+           SELECT DISTINCT brand, CAST(1000000 AS HUGEINT) AS v
+           FROM cells
+         )""")
+    for (r <- 1 to 8) {
+      sb.append(s""", u$r AS MATERIALIZED (
+           SELECT c.cust,
+                  LEAST((2 * 1000000000000 *
+                         SUM(CAST(c.r AS HUGEINT) * v.v)
+                         + SUM(v.v * v.v))
+                        // (2 * SUM(v.v * v.v)),
+                        1000000000000000) AS u
+           FROM cells c JOIN v${r - 1} v ON v.brand = c.brand
+           GROUP BY 1
+         ), v$r AS MATERIALIZED (
+           SELECT c.brand,
+                  LEAST((2 * 1000000000000 *
+                         SUM(CAST(c.r AS HUGEINT) * u.u)
+                         + SUM(u.u * u.u))
+                        // (2 * SUM(u.u * u.u)),
+                        1000000000000000) AS v
+           FROM cells c JOIN u$r u ON u.cust = c.cust
+           GROUP BY 1
+         )""")
+    }
+    sb.append("""
+         SELECT v.brand, n.n_raters, CAST(v.v AS BIGINT) AS v_e6,
+                CAST(row_number() OVER (ORDER BY v.v DESC, v.brand)
+                     AS BIGINT) AS brand_rank
+         FROM v8 v
+         JOIN (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_raters
+               FROM cells GROUP BY 1) n USING (brand)""")
+    sb.toString
+  }
+
+  /** q267 oracle: same integer day grid, PAA windows, sorted-list
+    * quartile breakpoints and ordered string_agg.
+    */
+  private def saxOracleSql: String =
+    """WITH ev AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day
+           FROM events
+         ), span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev
+         ), daily AS (
+           SELECT event_type, day - d0 AS idx,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM ev, span GROUP BY 1, 2
+         ), grid AS (
+           SELECT t.event_type, g.idx, s.d1 - s.d0 + 1 AS n_days
+           FROM (SELECT DISTINCT event_type FROM ev) t, span s,
+                LATERAL (SELECT unnest(generate_series(0, s.d1 - s.d0))
+                         AS idx) g
+         ), paa AS (
+           SELECT g.event_type, g.n_days,
+                  g.idx * 16 // g.n_days AS w,
+                  CAST((2 * 100 * SUM(COALESCE(d.cnt, 0)) + COUNT(*))
+                       // (2 * COUNT(*)) AS BIGINT) AS paa_e2
+           FROM grid g
+           LEFT JOIN daily d ON d.event_type = g.event_type
+                            AND d.idx = g.idx
+           GROUP BY 1, 2, 3
+         ), brk AS (
+           SELECT event_type, lst[4] AS q1, lst[8] AS q2, lst[12] AS q3
+           FROM (SELECT event_type, list_sort(list(paa_e2)) AS lst
+                 FROM paa GROUP BY 1)
+         )
+         SELECT p.event_type, CAST(MAX(p.n_days) AS BIGINT) AS n_days,
+                string_agg(CASE WHEN p.paa_e2 < b.q1 THEN 'a'
+                                WHEN p.paa_e2 < b.q2 THEN 'b'
+                                WHEN p.paa_e2 < b.q3 THEN 'c'
+                                ELSE 'd' END, '' ORDER BY p.w) AS sax
+         FROM paa p JOIN brk b USING (event_type)
+         GROUP BY 1"""
 
   /** The q156 oracle's unrolled greedy MMR replay: the same e4-integer
     * rounded cosines (the q32 recipe — sums over the unnested vector in
@@ -7692,5 +7783,7 @@ object SparkEntry {
     "q263_bradley_terry" -> bradleyTerryOracleSql,
     "q264_rendezvous" -> rendezvousOracleSql,
     "q265_scan_cluster" -> scanClusterOracleSql,
+    "q266_als_rank1" -> alsRank1OracleSql,
+    "q267_sax" -> saxOracleSql,
   )
 }

@@ -2507,4 +2507,61 @@ object StatsOps {
     // output name
     rows.toDF("brand", "n_wins", "n_losses", "strength_e9", "bt_rank")
   }
+
+  /** q267: SAX symbolic discretization of the daily event series (Lin,
+    * Keogh, Lonardi & Chiu DMKD 2007) — each event type's gap-filled
+    * daily-count series is PAA-averaged into 16 equal-width windows
+    * and mapped to a 4-symbol string by its own quartile breakpoints:
+    * the dimensionality reduction that turns time series into TEXT, so
+    * the whole string stack (q136 winnowing, q242 edit distance, q104
+    * indexing) applies to telemetry. Classic SAX z-normalizes against
+    * Gaussian breakpoints (a sqrt — not engine-exact); per-series
+    * nearest-rank quartiles give the same equiprobable intent in pure
+    * integers (documented substitution).
+    *
+    * ENGINE-EXACT: days are integer µs-epoch DIV 86400e6, the
+    * calendar grid is generated (missing days count 0 — the q224
+    * density rule), window id = idx·16 DIV n_days, PAA = rhu e2 mean,
+    * breakpoints = sorted-list elements 4/8/12 of the SIXTEEN PAA
+    * values (bounded — the sort is on a 16-element artifact), symbols
+    * by strict < compares. Scale: one event scan; everything after
+    * runs at |types|×16 grain.
+    */
+  def q267Sax(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+    val span = ev.agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+    val daily = ev.crossJoin(broadcast(span))
+      .groupBy(col("event_type"), (col("day") - col("_d0")).as("idx"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(expr("sequence(0, _d1 - _d0)")).as("idx"),
+        (col("_d1") - col("_d0") + 1L).as("n_days"))
+    val paa = grid.join(daily, Seq("event_type", "idx"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy(col("event_type"), col("n_days"),
+        expr("idx * 16 DIV n_days").as("w"))
+      .agg(expr("CAST((2 * 100 * sum(cnt) + count(1)) DIV (2 * count(1)) AS BIGINT)")
+        .as("paa_e2"))
+    val brk = paa.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("paa_e2"))).as("_srt"))
+      .select(col("event_type"),
+        element_at(col("_srt"), 4).as("_q1"),
+        element_at(col("_srt"), 8).as("_q2"),
+        element_at(col("_srt"), 12).as("_q3"))
+    paa.join(broadcast(brk), "event_type")
+      .withColumn("_sym", expr(
+        """CASE WHEN paa_e2 < _q1 THEN 'a'
+                WHEN paa_e2 < _q2 THEN 'b'
+                WHEN paa_e2 < _q3 THEN 'c'
+                ELSE 'd' END"""))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("w"), col("_sym")))),
+          x => x.getField("_sym")), "").as("sax"))
+  }
 }

@@ -753,4 +753,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val med = ratios.sorted.apply(ratios.size / 2)
     assert(med > 0.3 && med < 3.0, s"median JL ratio $med")
   }
+
+  test("q266 rank-1 ALS: equals a local BigInt alternation replay; " +
+      "factors positive and rank ordered by factor") {
+    val got = SimilarityOps.q266AlsRank1(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val cells = Tables.orders(spark, Sf)
+      .join(Tables.lineitem(spark, Sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.part(spark, Sf),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey"), col("p_brand"))
+      .agg(expr("""CAST((2 * sum(CAST(CAST(l_extendedprice
+                     AS DECIMAL(18,4)) * 10000 AS BIGINT)) + 100)
+                   DIV (2 * 100) AS BIGINT)""").as("r"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def rhu(a: BigInt, b: BigInt): BigInt = (2 * a + b) / (2 * b)
+    val clamp = BigInt(1000000000000000L)
+    val e12 = BigInt(1000000000000L)
+    var v = cells.map(_._2).distinct.map(_ -> BigInt(1000000L)).toMap
+    for (_ <- 1 to 8) {
+      val u = cells.groupBy(_._1).map { case (c, xs) =>
+        val num = xs.map(x => BigInt(x._3) * v(x._2)).sum
+        val den = xs.map(x => v(x._2) * v(x._2)).sum
+        c -> rhu(e12 * num, den).min(clamp)
+      }
+      v = cells.groupBy(_._2).map { case (b, xs) =>
+        val num = xs.map(x => BigInt(x._3) * u(x._1)).sum
+        val den = xs.map(x => u(x._1) * u(x._1)).sum
+        b -> rhu(e12 * num, den).min(clamp)
+      }
+    }
+    val nr = cells.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val exp = v.toSeq.sortBy { case (b, f) => (-f, b) }.zipWithIndex
+      .map { case ((b, f), i) => b -> ((nr(b), f.toLong, i + 1L)) }.toMap
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, x) => assert(got(k) == x, s"brand $k") }
+    assert(got.values.forall(_._2 > 0))
+  }
 }

@@ -1514,4 +1514,37 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(tot - k * 1000000000L) <= k,
       s"sum $tot vs ${k * 1000000000L}")
   }
+
+  test("q267 SAX: equals a local PAA/quartile replay; strings are 16 " +
+      "symbols from {a,b,c,d} with every symbol class represented") {
+    val got = StatsOps.q267Sax(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val ev = Tables.events(spark, Sf)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val d0 = ev.map(_._2).min
+    val d1 = ev.map(_._2).max
+    val nDays = d1 - d0 + 1
+    val types = ev.map(_._1).distinct
+    val exp = types.map { t =>
+      val daily = ev.filter(_._1 == t).groupBy(_._2).view
+        .mapValues(_.size.toLong).toMap
+      val paa = (0L until nDays).groupBy(idx => idx * 16 / nDays)
+        .toSeq.sortBy(_._1).map { case (w, idxs) =>
+          val sum2 = idxs.map(i => daily.getOrElse(d0 + i, 0L)).sum
+          (w, (2 * 100 * sum2 + idxs.size) / (2 * idxs.size))
+        }
+      val srt = paa.map(_._2).sorted
+      val (q1, q2, q3) = (srt(3), srt(7), srt(11))
+      val sax = paa.map { case (_, v) =>
+        if (v < q1) 'a' else if (v < q2) 'b'
+        else if (v < q3) 'c' else 'd' }.mkString
+      (t, nDays, sax)
+    }
+    assert(got.toSet == exp.toSet && got.nonEmpty)
+    got.foreach { case (_, _, sax) =>
+      assert(sax.length == 16 && sax.forall("abcd".contains(_)))
+    }
+  }
 }
