@@ -290,6 +290,9 @@ object SparkEntry {
     "q265_scan_cluster" -> (GraphOps.q265Scan _),
     "q266_als_rank1" -> (SimilarityOps.q266AlsRank1 _),
     "q267_sax" -> (StatsOps.q267Sax _),
+    "q268_mutual_info" -> (StatsOps.q268MutualInfo _),
+    "q269_perm_test" -> (StatsOps.q269PermutationTest _),
+    "q270_dp_release" -> (RelationalOps.q270DpRelease _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -1545,6 +1548,207 @@ object SparkEntry {
                                 ELSE 'd' END, '' ORDER BY p.w) AS sax
          FROM paa p JOIN brk b USING (event_type)
          GROUP BY 1"""
+
+  /** q268 oracle: same three cell aggregates, same ppm/e3-quantized
+    * signed ln terms, same entropies and NMI.
+    */
+  private def mutualInfoOracleSql: String =
+    s"""WITH cells AS (
+           SELECT 'returnflag_linestatus' AS pair, l_returnflag AS a,
+                  l_linestatus AS b
+           FROM lineitem
+           UNION ALL
+           SELECT 'priority_status', o_orderpriority, o_orderstatus
+           FROM orders
+           UNION ALL
+           SELECT 'segment_nation', c_mktsegment, n_name
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+         ), cab AS (
+           SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM cells GROUP BY 1, 2, 3
+         ), tot AS (
+           SELECT pair, CAST(SUM(n_ab) AS BIGINT) AS n
+           FROM cab GROUP BY 1
+         ), pma AS (
+           SELECT pair, a, CAST(SUM(n_ab) AS BIGINT) AS n_a
+           FROM cab GROUP BY 1, 2
+         ), pmb AS (
+           SELECT pair, b, CAST(SUM(n_ab) AS BIGINT) AS n_b
+           FROM cab GROUP BY 1, 2
+         ), pp AS (
+           SELECT c.pair, t.n,
+                  GREATEST((2000000 * c.n_ab + t.n) // (2 * t.n), 1)
+                    AS pab,
+                  GREATEST((2000000 * a.n_a + t.n) // (2 * t.n), 1)
+                    AS pav,
+                  GREATEST((2000000 * b.n_b + t.n) // (2 * t.n), 1)
+                    AS pbv
+           FROM cab c JOIN tot t USING (pair)
+           JOIN pma a ON a.pair = c.pair AND a.a = c.a
+           JOIN pmb b ON b.pair = c.pair AND b.b = c.b
+         ), lnr AS (
+           SELECT pair, n, pab,
+                  GREATEST(pab * 1000,
+                    GREATEST((2 * pav * pbv + 1000) // 2000, 1)) AS _p,
+                  LEAST(pab * 1000,
+                    GREATEST((2 * pav * pbv + 1000) // 2000, 1)) AS _q,
+                  CASE WHEN pab * 1000
+                         >= GREATEST((2 * pav * pbv + 1000) // 2000, 1)
+                       THEN 1 ELSE -1 END AS _sgn,
+                  ${lnSelect("_l9")}
+           FROM pp
+         ), mis AS (
+           SELECT pair, MAX(n) AS n_rows,
+                  SUM(pab * _sgn * _l9) AS _mi
+           FROM lnr GROUP BY 1
+         ), mi AS (
+           SELECT pair, CAST(n_rows AS BIGINT) AS n_rows,
+                  CASE WHEN _mi >= 0
+                    THEN CAST((2 * _mi + 1000000) // (2 * 1000000)
+                              AS BIGINT)
+                    ELSE -CAST((2 * (-_mi) + 1000000) // (2 * 1000000)
+                               AS BIGINT) END AS mi_e9
+           FROM mis
+         ), ha1 AS (
+           SELECT p.pair,
+                  GREATEST((2000000 * p.n_a + t.n) // (2 * t.n), 1)
+                    AS _ppm
+           FROM pma p JOIN tot t USING (pair)
+         ), ha2 AS (
+           SELECT pair, _ppm, 1000000 AS _p, _ppm AS _q,
+                  ${lnSelect("_nl9")}
+           FROM ha1
+         ), ha AS (
+           SELECT pair, CAST((2 * SUM(_ppm * _nl9) + 1000000)
+                        // (2 * 1000000) AS BIGINT) AS h_a_e9
+           FROM ha2 GROUP BY 1
+         ), hb1 AS (
+           SELECT p.pair,
+                  GREATEST((2000000 * p.n_b + t.n) // (2 * t.n), 1)
+                    AS _ppm
+           FROM pmb p JOIN tot t USING (pair)
+         ), hb2 AS (
+           SELECT pair, _ppm, 1000000 AS _p, _ppm AS _q,
+                  ${lnSelect("_nl9")}
+           FROM hb1
+         ), hb AS (
+           SELECT pair, CAST((2 * SUM(_ppm * _nl9) + 1000000)
+                        // (2 * 1000000) AS BIGINT) AS h_b_e9
+           FROM hb2 GROUP BY 1
+         )
+         SELECT m.pair, m.n_rows, m.mi_e9, ha.h_a_e9, hb.h_b_e9,
+                CASE WHEN LEAST(ha.h_a_e9, hb.h_b_e9) > 0 THEN
+                  CAST((2 * 1000000 * GREATEST(m.mi_e9, 0)
+                        + LEAST(ha.h_a_e9, hb.h_b_e9))
+                       // (2 * LEAST(ha.h_a_e9, hb.h_b_e9)) AS BIGINT)
+                END AS nmi_ppm
+         FROM mi m JOIN ha USING (pair) JOIN hb USING (pair)"""
+
+  /** q269 oracle: per-user sums, md5 arms, 200 md5(u#b)
+    * pseudo-permutations, HUGEINT cross-multiplied extremeness.
+    */
+  private def permTestOracleSql: String =
+    """WITH pu AS (
+           SELECT user_id,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS BIGINT) AS y
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1
+         ), obs AS (
+           SELECT CAST(SUM(CASE WHEN arm THEN y ELSE 0 END) AS HUGEINT)
+                    AS sa,
+                  CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS HUGEINT)
+                    AS na,
+                  CAST(SUM(CASE WHEN NOT arm THEN y ELSE 0 END)
+                       AS HUGEINT) AS sb,
+                  CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END)
+                       AS HUGEINT) AS nb
+           FROM (SELECT y, substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                          < '8' AS arm
+                 FROM pu)
+         ), ob AS (
+           SELECT sa * nb - sb * na AS onum, na * nb AS oden,
+                  CAST(na + nb AS BIGINT) AS n_users
+           FROM obs
+         ), bs AS (SELECT unnest(generate_series(1, 200)) AS b
+         ), pm AS (
+           SELECT b,
+                  CAST(SUM(CASE WHEN arm THEN y ELSE 0 END) AS HUGEINT)
+                    AS sa,
+                  CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS HUGEINT)
+                    AS na,
+                  CAST(SUM(CASE WHEN NOT arm THEN y ELSE 0 END)
+                       AS HUGEINT) AS sb,
+                  CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END)
+                       AS HUGEINT) AS nb
+           FROM (SELECT pu.y, bs.b,
+                        substr(md5(CAST(pu.user_id AS VARCHAR) || '#'
+                          || CAST(bs.b AS VARCHAR)), 1, 1) < '8' AS arm
+                 FROM pu, bs)
+           GROUP BY 1
+         ), pb2 AS (
+           SELECT b, sa * nb - sb * na AS num, na * nb AS den FROM pm
+         )
+         SELECT o.n_users, CAST(COUNT(*) AS BIGINT) AS n_perms,
+                CAST(SUM(CASE WHEN ABS(p.num) * o.oden
+                                >= ABS(o.onum) * p.den
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+                CASE WHEN o.onum >= 0
+                  THEN CAST((2 * 1000000 * o.onum + o.oden)
+                            // (2 * o.oden) AS BIGINT)
+                  ELSE -CAST((2 * 1000000 * (-o.onum) + o.oden)
+                             // (2 * o.oden) AS BIGINT)
+                END AS obs_diff_e6,
+                CAST((2 * 1000000 *
+                      (1 + SUM(CASE WHEN ABS(p.num) * o.oden
+                                      >= ABS(o.onum) * p.den
+                               THEN 1 ELSE 0 END))
+                      + (COUNT(*) + 1))
+                     // (2 * (COUNT(*) + 1)) AS BIGINT) AS p_ppm
+         FROM pb2 p, ob o
+         GROUP BY o.n_users, o.onum, o.oden"""
+
+  /** q270 oracle: same md5-hex positional decode, same two pruned
+    * FixedLn chains for ⌊−ln U⌋, same clamped release.
+    */
+  private def dpReleaseOracleSql: String = {
+    def hexDecode(c: String): String =
+      (1 to 6).map(i =>
+        s"(instr('0123456789abcdef', substr($c, $i, 1)) - 1) " +
+          s"* ${1L << (4 * (6 - i))}")
+        .mkString("CAST((", " + ", ") % 999999 + 1 AS BIGINT)")
+    s"""WITH counts AS (
+           SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                  c_mktsegment AS mktsegment,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM customer GROUP BY 1, 2
+         ), us AS (
+           SELECT nationkey, mktsegment, n,
+                  ${hexDecode("md5(CAST(nationkey AS VARCHAR) || ':' " +
+                    "|| mktsegment || ':1')")} AS u1,
+                  ${hexDecode("md5(CAST(nationkey AS VARCHAR) || ':' " +
+                    "|| mktsegment || ':2')")} AS u2
+           FROM counts
+         ), l1c AS (
+           SELECT nationkey, mktsegment, n, u2,
+                  1000000 AS _p, u1 AS _q,
+                  ${lnSelect("_l1")}
+           FROM us
+         ), l1p AS (
+           SELECT nationkey, mktsegment, n, u2,
+                  _l1 // 1000000000 AS g1
+           FROM l1c
+         ), l2c AS (
+           SELECT nationkey, mktsegment, n, g1,
+                  1000000 AS _p, u2 AS _q,
+                  ${lnSelect("_l2")}
+           FROM l1p
+         )
+         SELECT nationkey, mktsegment,
+                CAST(g1 - (_l2 // 1000000000) AS BIGINT) AS noise,
+                CAST(GREATEST(n + g1 - (_l2 // 1000000000), 0)
+                     AS BIGINT) AS noisy_n
+         FROM l2c"""
+  }
 
   /** The q156 oracle's unrolled greedy MMR replay: the same e4-integer
     * rounded cosines (the q32 recipe — sums over the unnested vector in
@@ -7785,5 +7989,8 @@ object SparkEntry {
     "q265_scan_cluster" -> scanClusterOracleSql,
     "q266_als_rank1" -> alsRank1OracleSql,
     "q267_sax" -> saxOracleSql,
+    "q268_mutual_info" -> mutualInfoOracleSql,
+    "q269_perm_test" -> permTestOracleSql,
+    "q270_dp_release" -> dpReleaseOracleSql,
   )
 }

@@ -3746,6 +3746,61 @@ object RelationalOps {
       .withColumn("breach_t02", col("t_ppm") > 200000L)
   }
 
+  /** q270: GEOMETRIC-MECHANISM NOISY-COUNT RELEASE (Ghosh, Roughgarden
+    * & Sundararajan STOC 2009 — the UTILITY-OPTIMAL integer mechanism
+    * for ε-differentially-private counting): the (nation, segment)
+    * histogram released with two-sided geometric noise G₁ − G₂,
+    * Gᵢ = ⌊−ln Uᵢ⌋ at ε = 1, clamped at 0 — the final rung of the
+    * privacy ladder (q205 size → q253 diversity → q254
+    * representativeness → RELEASE). IMPORTANT, documented limitation:
+    * the uniforms here derive from md5 of the group key, which makes
+    * the release REPRODUCIBLE (a cross-engine test-harness property)
+    * but NOT differentially private — real DP needs secret fresh
+    * randomness; swap `uniformPpm` for a real RNG in production. The
+    * mechanism algebra (inverse-CDF geometric sampling, exact integer
+    * noise, post-processing clamp) is the genuine article.
+    *
+    * ENGINE-EXACT: the uniform is 6 md5 hex chars decoded by instr
+    * arithmetic (both engines lack a hex→int builtin; the per-char
+    * positional decode is identical), mapped to [1, 999999] ppm;
+    * G = lnE9(1e6, u) DIV 1e9 is the exact ⌊−ln U⌋ via FixedLn (both
+    * operands non-negative — floor = truncate). All on the bounded
+    * cell table; the corpus pays one map-combined groupBy.
+    */
+  def q270DpRelease(s: SparkSession, d: String): DataFrame = {
+    def hexDecode(c: String): String =
+      (1 to 6).map(i =>
+        s"(instr('0123456789abcdef', substring($c, $i, 1)) - 1) " +
+          s"* ${1L << (4 * (6 - i))}")
+        .mkString("CAST((", " + ", ") % 999999 + 1 AS BIGINT)")
+    val counts = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).cast("long").as("_n"))
+      .withColumn("_h1", expr(
+        "md5(concat(cast(nationkey as string), ':', mktsegment, ':1'))"))
+      .withColumn("_h2", expr(
+        "md5(concat(cast(nationkey as string), ':', mktsegment, ':2'))"))
+      .withColumn("_u1", expr(hexDecode("_h1")))
+      .withColumn("_u2", expr(hexDecode("_h2")))
+    val g1 = graft.functions.FixedLn.steps("DIV", "_l1")
+      .foldLeft(counts.withColumn("_p", lit(1000000L))
+        .withColumn("_q", col("_u1"))) {
+        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+      .select(col("nationkey"), col("mktsegment"), col("_n"),
+        col("_u2"), expr("_l1 DIV 1000000000").as("_g1"))
+    val g2 = graft.functions.FixedLn.steps("DIV", "_l2")
+      .foldLeft(g1.withColumn("_p", lit(1000000L))
+        .withColumn("_q", col("_u2"))) {
+        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+      .select(col("nationkey"), col("mktsegment"), col("_n"),
+        col("_g1"), expr("_l2 DIV 1000000000").as("_g2"))
+    g2.select(col("nationkey"), col("mktsegment"),
+      (col("_g1") - col("_g2")).as("noise"),
+      greatest(col("_n") + col("_g1") - col("_g2"), lit(0L))
+        .as("noisy_n"))
+  }
+
   /** q255: FIFO INVENTORY COSTING / realized-COGS rollup — per part,
     * purchase lots are consumed front-to-back by total issue demand
     * and the cost of goods sold prices each consumed unit at ITS lot's

@@ -2564,4 +2564,154 @@ object StatsOps {
           sort_array(collect_list(struct(col("w"), col("_sym")))),
           x => x.getField("_sym")), "").as("sax"))
   }
+
+  /** q268: MUTUAL INFORMATION between categorical column pairs (Cover
+    * & Thomas ch.2) — MI = Σ p_ab·ln(p_ab/(p_a·p_b)) in e9 nats plus
+    * the marginal entropies and NMI = MI/min(H_a, H_b): the
+    * information-theoretic dependence measure beside q155's Cramér's V
+    * (V sees association strength; MI prices it in nats and feeds
+    * feature selection directly). Three audited pairs: return flag ×
+    * line status, order priority × order status, market segment ×
+    * nation.
+    *
+    * ENGINE-EXACT (FixedLn): all three distributions in round-half-up
+    * ppm clamped ≥ 1; the MI log ratio p_ab/(p_a·p_b) would push
+    * lnE9's ~4.6e9 numerator bound at ppm×ppm scale, so the
+    * DENOMINATOR quantizes to e3 (rhu(p_a·p_b, 1000), documented —
+    * identical both engines) giving ln((p_ab·1000)/den3); each term is
+    * a signed exact product, the sum is a signed long, and the final
+    * e9 emission sign-splits (the q148 rule). Everything after the
+    * three map-combined cell aggregates runs at bounded cell grain.
+    */
+  def q268MutualInfo(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(lit("returnflag_linestatus").as("pair"),
+        col("l_returnflag").as("a"), col("l_linestatus").as("b"))
+    val or = Tables.orders(s, d)
+      .select(lit("priority_status").as("pair"),
+        col("o_orderpriority").as("a"), col("o_orderstatus").as("b"))
+    val cu = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(lit("segment_nation").as("pair"),
+        col("c_mktsegment").as("a"), col("n_name").as("b"))
+    val cells = li.unionByName(or).unionByName(cu)
+      .groupBy(col("pair"), col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+      .localCheckpoint(false)
+    val tot = cells.groupBy(col("pair"))
+      .agg(sum(col("n_ab")).cast("long").as("n"))
+    val pa = cells.groupBy(col("pair"), col("a"))
+      .agg(sum(col("n_ab")).cast("long").as("n_a"))
+    val pb = cells.groupBy(col("pair"), col("b"))
+      .agg(sum(col("n_ab")).cast("long").as("n_b"))
+    val ppm = cells.join(broadcast(tot), "pair")
+      .join(pa, Seq("pair", "a")).join(pb, Seq("pair", "b"))
+      .select(col("pair"), col("n"),
+        expr("GREATEST((2000000 * n_ab + n) DIV (2 * n), 1)").as("pab"),
+        expr("GREATEST((2000000 * n_a + n) DIV (2 * n), 1)").as("pa"),
+        expr("GREATEST((2000000 * n_b + n) DIV (2 * n), 1)").as("pb"))
+      .withColumn("_num", col("pab") * 1000L)
+      .withColumn("_den", expr("GREATEST((2 * pa * pb + 1000) DIV (2 * 1000), 1)"))
+      .withColumn("_p", greatest(col("_num"), col("_den")))
+      .withColumn("_q", least(col("_num"), col("_den")))
+      .withColumn("_sgn",
+        when(col("_num") >= col("_den"), 1L).otherwise(-1L))
+    val withLn = graft.functions.FixedLn.steps("DIV", "_l9")
+      .foldLeft(ppm) { case (acc, (nm, e)) =>
+        acc.withColumn(nm, expr(e)) }
+    val mi = withLn.groupBy(col("pair"))
+      .agg(max(col("n")).as("n_rows"),
+        sum(col("pab") * col("_sgn") * col("_l9")).as("_mi"))
+      .withColumn("mi_e9", expr(
+        """CASE WHEN _mi >= 0
+             THEN CAST((2 * _mi + 1000000) DIV (2 * 1000000) AS BIGINT)
+             ELSE -CAST((2 * (-_mi) + 1000000) DIV (2 * 1000000)
+                        AS BIGINT) END"""))
+    def entropy(m: DataFrame, k: String, out: String): DataFrame = {
+      val p = m.join(broadcast(tot), "pair")
+        .select(col("pair"),
+          expr(s"GREATEST((2000000 * n_$k + n) DIV (2 * n), 1)")
+            .as("_ppm"))
+        .withColumn("_p", lit(1000000L)).withColumn("_q", col("_ppm"))
+      graft.functions.FixedLn.steps("DIV", "_nl9")
+        .foldLeft(p) { case (acc, (nm, e)) => acc.withColumn(nm, expr(e)) }
+        .groupBy(col("pair"))
+        .agg(expr("""CAST((2 * sum(_ppm * _nl9) + 1000000)
+                     DIV (2 * 1000000) AS BIGINT)""").as(out))
+    }
+    mi.join(entropy(pa, "a", "h_a_e9"), "pair")
+      .join(entropy(pb, "b", "h_b_e9"), "pair")
+      .select(col("pair"), col("n_rows"), col("mi_e9"),
+        col("h_a_e9"), col("h_b_e9"),
+        expr("""CASE WHEN LEAST(h_a_e9, h_b_e9) > 0 THEN
+               CAST((2 * 1000000 * GREATEST(mi_e9, 0)
+                     + LEAST(h_a_e9, h_b_e9))
+                    DIV (2 * LEAST(h_a_e9, h_b_e9)) AS BIGINT)
+             END""").as("nmi_ppm"))
+  }
+
+  /** q269: EXACT PERMUTATION TEST on the arm difference (Fisher 1935;
+    * the modern B-resample form — Ernst Stat.Sci. 2004): the observed
+    * mean-purchases gap between the two md5 arms is ranked against 200
+    * DETERMINISTIC pseudo-permutations (relabeling by md5(user#b)
+    * parity — reproducible across engines, retries and reruns, the
+    * q50 no-rand rule), p = (1 + #extreme)/(B+1). The
+    * assumption-free companion of q132's normal z and q138's
+    * bootstrap: no variance model at all, just the label-exchange
+    * null.
+    *
+    * ENGINE-EXACT: each permutation's gap is the exact rational
+    * (ΣyA·nB − ΣyB·nA)/(nA·nB); "extreme" compares |gap_b| ≥ |gap|
+    * by DECIMAL cross-multiplication — no division ever happens, so
+    * ties (common on integer counts) resolve identically. Scale
+    * shape: ONE event scan to per-user sums; the B-way fan-out runs
+    * on the per-user AGGREGATE (users × B rows through one
+    * map-combined groupBy), never on raw events.
+    */
+  def q269PermutationTest(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).cast("long").as("y"))
+      .localCheckpoint(false) // feeds the observed AND the B fan-out
+    def moments(df: DataFrame, armCol: Column, keys: Seq[Column]) =
+      df.withColumn("_arm", armCol)
+        .groupBy(keys: _*)
+        .agg(sum(when(col("_arm"), col("y")).otherwise(0L))
+            .cast("decimal(38,0)").as("_sa"),
+          sum(when(col("_arm"), 1L).otherwise(0L))
+            .cast("decimal(38,0)").as("_na"),
+          sum(when(!col("_arm"), col("y")).otherwise(0L))
+            .cast("decimal(38,0)").as("_sb"),
+          sum(when(!col("_arm"), 1L).otherwise(0L))
+            .cast("decimal(38,0)").as("_nb"))
+        .withColumn("_num", col("_sa") * col("_nb") - col("_sb") * col("_na"))
+        .withColumn("_den", col("_na") * col("_nb"))
+    val obs = moments(perUser,
+      substring(md5(col("user_id").cast("string")), 1, 1) < "8", Nil)
+      .select(col("_num").as("_onum"), col("_den").as("_oden"),
+        (col("_na") + col("_nb")).cast("long").as("n_users"))
+    val bs = s.range(1, 201).select(col("id").as("b"))
+    val perm = moments(
+      perUser.crossJoin(broadcast(bs)),
+      substring(md5(concat(col("user_id").cast("string"), lit("#"),
+        col("b").cast("string"))), 1, 1) < "8",
+      Seq(col("b")))
+    perm.crossJoin(broadcast(obs))
+      .groupBy(col("n_users"), col("_onum"), col("_oden"))
+      .agg(count(lit(1)).cast("long").as("n_perms"),
+        sum(when(abs(col("_num")) * col("_oden")
+          >= abs(col("_onum")) * col("_den"), 1L).otherwise(0L))
+          .cast("long").as("n_extreme"))
+      .select(col("n_users"), col("n_perms"), col("n_extreme"),
+        expr("""CASE WHEN _onum >= 0
+               THEN CAST((2 * 1000000 * _onum + _oden)
+                         DIV (2 * _oden) AS BIGINT)
+               ELSE -CAST((2 * 1000000 * (-_onum) + _oden)
+                          DIV (2 * _oden) AS BIGINT)
+             END""").as("obs_diff_e6"),
+        expr("""CAST((2 * 1000000 * (1 + n_extreme) + (n_perms + 1))
+                DIV (2 * (n_perms + 1)) AS BIGINT)""").as("p_ppm"))
+  }
 }

@@ -2144,4 +2144,37 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     val mv = got.values.map(_._2).sum.toDouble
     assert(mv / tot > 0.02 && mv / tot < 0.30, s"moved ${mv / tot}")
   }
+
+  test("q270 geometric-mechanism release: equals a local md5/FixedLn " +
+      "replay; noise is centered and post-processing clamps at 0") {
+    import graft.functions.FixedLn
+    val got = RelationalOps.q270DpRelease(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def u(ppmKey: String): Long = {
+      val h = md5hex(ppmKey)
+      val v = (0 until 6).map { i =>
+        "0123456789abcdef".indexOf(h(i)).toLong << (4 * (5 - i))
+      }.sum
+      v % 999999L + 1L
+    }
+    val counts = Tables.customer(spark, Sf)
+      .groupBy(col("c_nationkey").cast("long"), col("c_mktsegment"))
+      .agg(count(lit(1)).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = counts.map { case (nk, seg, n) =>
+      val g1 = FixedLn.lnE9(1000000L, u(s"$nk:$seg:1")) / 1000000000L
+      val g2 = FixedLn.lnE9(1000000L, u(s"$nk:$seg:2")) / 1000000000L
+      (nk, seg) -> ((g1 - g2, math.max(n + g1 - g2, 0L)))
+    }.toMap
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"cell $k") }
+    // two-sided geometric at eps=1: mean ~0, spread small
+    val noises = got.values.map(_._1).toSeq
+    assert(noises.forall(x => math.abs(x) <= 15))
+    assert(got.values.forall(_._2 >= 0))
+  }
 }

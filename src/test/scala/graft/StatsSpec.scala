@@ -1547,4 +1547,81 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
       assert(sax.length == 16 && sax.forall("abcd".contains(_)))
     }
   }
+
+  test("q268 mutual information: the returnflag×linestatus pair " +
+      "equals a local FixedLn replay; NMI bounded") {
+    import graft.functions.FixedLn
+    val got = StatsOps.q268MutualInfo(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    assert(got.size == 3)
+    val cells = Tables.lineitem(spark, Sf)
+      .select(col("l_returnflag"), col("l_linestatus")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = cells.length.toLong
+    def ppm(c: Long) = math.max((2000000L * c + n) / (2 * n), 1L)
+    val nab = cells.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val na = cells.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nb = cells.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val miSum = nab.map { case ((a, b), c) =>
+      val pab = ppm(c)
+      val den3 = math.max((2 * ppm(na(a)) * ppm(nb(b)) + 1000) / 2000, 1L)
+      pab * FixedLn.lnE9Signed(pab * 1000, den3)
+    }.sum
+    def rhuS(x: Long, dn: Long) =
+      if (x >= 0) (2 * x + dn) / (2 * dn) else -((2 * -x + dn) / (2 * dn))
+    val miE9 = rhuS(miSum, 1000000L)
+    def ent(m: Map[String, Long]) = {
+      val s2 = m.values.map { c =>
+        val p = ppm(c); p * FixedLn.lnE9(1000000L, p) }.sum
+      (2 * s2 + 1000000L) / 2000000L
+    }
+    val (ha, hb) = (ent(na), ent(nb))
+    val nmi = if (math.min(ha, hb) > 0)
+      Some((2 * 1000000L * math.max(miE9, 0L) + math.min(ha, hb)) /
+        (2 * math.min(ha, hb)))
+    else None
+    assert(got("returnflag_linestatus") == ((n, miE9, ha, hb, nmi)))
+    got.values.foreach { case (_, mi, h1, h2, nm) =>
+      assert(mi >= -2000000L && h1 >= 0 && h2 >= 0)
+      nm.foreach(v => assert(v >= 0 && v <= 1100000L))
+    }
+  }
+
+  test("q269 permutation test: equals a full local 200-permutation " +
+      "replay; p in (0, 1]") {
+    val rows = StatsOps.q269PermutationTest(spark, Sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val pu = Tables.events(spark, Sf).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).cast("long")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    def diff(arm: Long => Boolean): (BigInt, BigInt) = {
+      val (aa, bb) = pu.partition(x => arm(x._1))
+      (BigInt(aa.map(_._2).sum) * bb.length -
+        BigInt(bb.map(_._2).sum) * aa.length,
+        BigInt(aa.length) * bb.length)
+    }
+    val (onum, oden) = diff(u => md5hex(u.toString).head < '8')
+    val perms = (1L to 200L).map(b =>
+      diff(u => md5hex(s"$u#$b").head < '8'))
+    val nExt = perms.count { case (nm, dn) =>
+      nm.abs * oden >= onum.abs * dn }.toLong
+    def rhuS(x: BigInt, dn: BigInt) =
+      (if (x >= 0) (2 * x + dn) / (2 * dn)
+       else -((2 * -x + dn) / (2 * dn))).toLong
+    val exp = (pu.length.toLong, 200L, nExt,
+      rhuS(1000000 * onum, oden),
+      (2 * 1000000L * (1 + nExt) + 201) / (2 * 201))
+    assert(got == exp)
+    assert(got._5 > 0 && got._5 <= 1000000L)
+  }
 }
