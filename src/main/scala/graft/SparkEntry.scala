@@ -293,6 +293,10 @@ object SparkEntry {
     "q268_mutual_info" -> (StatsOps.q268MutualInfo _),
     "q269_perm_test" -> (StatsOps.q269PermutationTest _),
     "q270_dp_release" -> (RelationalOps.q270DpRelease _),
+    "q271_partial_corr" -> (StatsOps.q271PartialCorr _),
+    "q272_elasticity" -> (StatsOps.q272Elasticity _),
+    "q273_ams_sketch" -> (StatsOps.q273AmsSketch _),
+    "q274_fano_factor" -> (StatsOps.q274FanoFactor _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -1749,6 +1753,186 @@ object SparkEntry {
                      AS BIGINT) AS noisy_n
          FROM l2c"""
   }
+
+  /** q271 oracle: exact HUGEINT moments, the identical double IEEE
+    * tree for the three r's and the partial, ROUND 4 last.
+    */
+  private def partialCorrOracleSql: String =
+    """WITH m AS (
+           SELECT l_returnflag,
+                  CAST(COUNT(*) AS HUGEINT) AS n,
+                  CAST(SUM(x) AS HUGEINT) AS sx,
+                  CAST(SUM(y) AS HUGEINT) AS sy,
+                  CAST(SUM(z) AS HUGEINT) AS sz,
+                  SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                  SUM(CAST(x AS HUGEINT) * z) AS sxz,
+                  SUM(CAST(y AS HUGEINT) * z) AS syz,
+                  SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                  SUM(CAST(y AS HUGEINT) * y) AS syy,
+                  SUM(CAST(z AS HUGEINT) * z) AS szz
+           FROM (SELECT l_returnflag,
+                        CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * 10000 AS BIGINT) AS x,
+                        CAST(CAST(l_quantity AS DECIMAL(18,4))
+                             * 10000 AS BIGINT) AS y,
+                        CAST(CAST(l_discount AS DECIMAL(18,4))
+                             * 10000 AS BIGINT) AS z
+                 FROM lineitem)
+           GROUP BY 1
+         ), r AS (
+           SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE)) AS rxy,
+                  CAST(n * sxz - sx * sz AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * szz - sz * sz AS DOUBLE)) AS rxz,
+                  CAST(n * syz - sy * sz AS DOUBLE)
+                    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                           * CAST(n * szz - sz * sz AS DOUBLE)) AS ryz
+           FROM m
+         )
+         SELECT l_returnflag, n_rows,
+                ROUND(rxy, 4) AS r_xy, ROUND(rxz, 4) AS r_xz,
+                ROUND(ryz, 4) AS r_yz,
+                ROUND(CASE WHEN ABS(rxz) < 1.0 AND ABS(ryz) < 1.0 THEN
+                        (rxy - rxz * ryz)
+                        / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+                      END, 4) AS r_xy_given_z
+         FROM r"""
+
+  /** q272 oracle: same rhu e4 unit price, two pruned ln chains (the
+    * q258 rule), HUGEINT moments, signed rhu outputs.
+    */
+  private def elasticityOracleSql: String =
+    s"""WITH base AS (
+           SELECT p.p_brand,
+                  CAST(CAST(l.l_quantity AS DECIMAL(18,4)) AS BIGINT)
+                    AS qty,
+                  (2 * CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * 10000 AS BIGINT)
+                   + CAST(CAST(l.l_quantity AS DECIMAL(18,4))
+                          AS BIGINT))
+                    // (2 * CAST(CAST(l.l_quantity AS DECIMAL(18,4))
+                            AS BIGINT)) AS unit_e4
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         ), fy0 AS (
+           SELECT p_brand, unit_e4, qty AS _p, 1 AS _q,
+                  ${lnSelect("y")}
+           FROM base WHERE qty >= 1 AND unit_e4 >= 1
+         ), fy AS (SELECT p_brand, unit_e4, y FROM fy0
+         ), fx0 AS (
+           SELECT p_brand, y, unit_e4 AS _p, 1 AS _q,
+                  ${lnSelect("x")}
+           FROM fy
+         ), fx AS (SELECT p_brand, x, y FROM fx0
+         ), mm AS (
+           SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                  SUM(CAST(x AS HUGEINT)) AS sx,
+                  SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                  SUM(CAST(x AS HUGEINT) * x) AS sxx
+           FROM fx GROUP BY 1
+         ), ff AS (
+           SELECT p_brand, n_obs, sx, sy,
+                  n_obs * sxy - sx * sy AS num,
+                  n_obs * sxx - sx * sx AS den
+           FROM mm
+         ), sl AS (
+           SELECT p_brand, n_obs, sx, sy,
+                  CASE WHEN num >= 0
+                    THEN CAST((2 * 1000000 * num + den)
+                              // (2 * den) AS BIGINT)
+                    ELSE -CAST((2 * 1000000 * (-num) + den)
+                               // (2 * den) AS BIGINT)
+                  END AS elasticity_e6
+           FROM ff WHERE den > 0
+         )
+         SELECT p_brand, n_obs, elasticity_e6,
+                CASE WHEN 1000000 * sy - elasticity_e6 * sx >= 0
+                  THEN CAST((2 * (1000000 * sy - elasticity_e6 * sx)
+                             + 1000000 * n_obs)
+                            // (2 * 1000000 * n_obs) AS BIGINT)
+                  ELSE -CAST((2 * (-(1000000 * sy
+                                     - elasticity_e6 * sx))
+                              + 1000000 * n_obs)
+                             // (2 * 1000000 * n_obs) AS BIGINT)
+                END AS intercept_e9
+         FROM sl"""
+
+  /** q273 oracle: same md5-parity signs, exact Z sums, sorted-16
+    * round-half-up median.
+    */
+  private def amsSketchOracleSql: String =
+    """WITH freq AS (
+           SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS f
+           FROM lineitem GROUP BY 1
+         ), ex AS (
+           SELECT CAST(SUM(f) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) AS BIGINT) AS n_keys,
+                  CAST(SUM(CAST(f AS HUGEINT) * f) AS BIGINT)
+                    AS f2_exact
+           FROM freq
+         ), js AS (SELECT unnest(generate_series(1, 16)) AS j
+         ), z AS (
+           SELECT j,
+                  CAST(SUM(CASE WHEN substr(md5(CAST(j AS VARCHAR)
+                             || ':' || CAST(l_partkey AS VARCHAR)),
+                             1, 1) < '8'
+                           THEN f ELSE -f END) AS BIGINT) AS zv
+           FROM freq, js GROUP BY 1
+         ), zz AS (
+           SELECT list_sort(list(zv * zv)) AS srt FROM z
+         ), est AS (
+           SELECT CAST((2 * (srt[8] + srt[9]) + 2) // (2 * 2)
+                       AS BIGINT) AS f2_est
+           FROM zz
+         )
+         SELECT e.n_rows, e.n_keys, e.f2_exact, s.f2_est,
+                CAST((2 * 1000000 * ABS(s.f2_est - e.f2_exact)
+                      + e.f2_exact)
+                     // (2 * e.f2_exact) AS BIGINT) AS err_ppm
+         FROM ex e, est s"""
+
+  /** q274 oracle: the q267 day grid, exact HUGEINT moment Fano. */
+  private def fanoFactorOracleSql: String =
+    """WITH ev AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day
+           FROM events
+         ), span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev
+         ), daily AS (
+           SELECT event_type, day - d0 AS idx,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM ev, span GROUP BY 1, 2
+         ), grid AS (
+           SELECT t.event_type, g.idx
+           FROM (SELECT DISTINCT event_type FROM ev) t, span s,
+                LATERAL (SELECT unnest(generate_series(0, s.d1 - s.d0))
+                         AS idx) g
+         ), agg AS (
+           SELECT g.event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n_days,
+                  CAST(SUM(COALESCE(d.cnt, 0)) AS BIGINT) AS sx,
+                  SUM(CAST(COALESCE(d.cnt, 0) AS HUGEINT)
+                      * COALESCE(d.cnt, 0)) AS sxx
+           FROM grid g
+           LEFT JOIN daily d ON d.event_type = g.event_type
+                            AND d.idx = g.idx
+           GROUP BY 1
+         ), f AS (
+           SELECT event_type, n_days,
+                  CAST((2 * 100 * sx + n_days) // (2 * n_days)
+                       AS BIGINT) AS mean_e2,
+                  CAST((2 * 1000000 * (n_days * sxx - sx * sx)
+                        + n_days * sx)
+                       // (2 * n_days * sx) AS BIGINT) AS fano_e6
+           FROM agg WHERE sx > 0
+         )
+         SELECT event_type, n_days, mean_e2, fano_e6,
+                CASE WHEN fano_e6 > 1200000 THEN 'overdispersed'
+                     WHEN fano_e6 >= 800000 THEN 'poisson-like'
+                     ELSE 'underdispersed' END AS regime
+         FROM f"""
 
   /** The q156 oracle's unrolled greedy MMR replay: the same e4-integer
     * rounded cosines (the q32 recipe — sums over the unnested vector in
@@ -7992,5 +8176,9 @@ object SparkEntry {
     "q268_mutual_info" -> mutualInfoOracleSql,
     "q269_perm_test" -> permTestOracleSql,
     "q270_dp_release" -> dpReleaseOracleSql,
+    "q271_partial_corr" -> partialCorrOracleSql,
+    "q272_elasticity" -> elasticityOracleSql,
+    "q273_ams_sketch" -> amsSketchOracleSql,
+    "q274_fano_factor" -> fanoFactorOracleSql,
   )
 }

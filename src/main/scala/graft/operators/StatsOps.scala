@@ -2651,6 +2651,224 @@ object StatsOps {
              END""").as("nmi_ppm"))
   }
 
+  /** q271: PARTIAL CORRELATION per return flag (Fisher 1924's partial
+    * r): r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) for
+    * (price, quantity) controlling discount — "is the price–quantity
+    * link real or is discount driving both?", the confounder screen
+    * q93's raw correlation matrix can't answer (and the 1-control
+    * special case of regression adjustment). Grouped by return flag so
+    * the Simpson-style flip is visible per stratum (q243's theme at
+    * correlation grain).
+    *
+    * ENGINE-EXACT (the q93/q143 double discipline): all five moment
+    * sums accumulate as exact e4-integer DECIMAL(38,0)s; the three
+    * raw r's and the partial evaluate in DOUBLE only on the bounded
+    * per-group moment row through one identical IEEE expression tree,
+    * ROUND(…, 4) last. Degenerate strata (zero variance, |r| = 1
+    * collinearity) emit NULL, not a blow-up.
+    */
+  def q271PartialCorr(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+          .as("x"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+          .as("y"),
+        expr("CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+          .as("z"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(col("x").cast("decimal(38,0)")).as("_sx"),
+        sum(col("y").cast("decimal(38,0)")).as("_sy"),
+        sum(col("z").cast("decimal(38,0)")).as("_sz"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("_sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("z")).as("_sxz"),
+        sum(col("y").cast("decimal(38,0)") * col("z")).as("_syz"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("_sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("_syy"),
+        sum(col("z").cast("decimal(38,0)") * col("z")).as("_szz"))
+    m.select(col("l_returnflag"), col("_n").cast("long").as("n_rows"),
+      expr("""CAST(_n * _sxy - _sx * _sy AS DOUBLE)
+              / sqrt(CAST(_n * _sxx - _sx * _sx AS DOUBLE)
+                     * CAST(_n * _syy - _sy * _sy AS DOUBLE))""")
+        .as("_rxy"),
+      expr("""CAST(_n * _sxz - _sx * _sz AS DOUBLE)
+              / sqrt(CAST(_n * _sxx - _sx * _sx AS DOUBLE)
+                     * CAST(_n * _szz - _sz * _sz AS DOUBLE))""")
+        .as("_rxz"),
+      expr("""CAST(_n * _syz - _sy * _sz AS DOUBLE)
+              / sqrt(CAST(_n * _syy - _sy * _sy AS DOUBLE)
+                     * CAST(_n * _szz - _sz * _sz AS DOUBLE))""")
+        .as("_ryz"))
+      .select(col("l_returnflag"), col("n_rows"),
+        round(col("_rxy"), 4).as("r_xy"),
+        round(col("_rxz"), 4).as("r_xz"),
+        round(col("_ryz"), 4).as("r_yz"),
+        round(
+          when(abs(col("_rxz")) < 1.0 && abs(col("_ryz")) < 1.0,
+            (col("_rxy") - col("_rxz") * col("_ryz")) /
+              sqrt((lit(1.0) - col("_rxz") * col("_rxz")) *
+                (lit(1.0) - col("_ryz") * col("_ryz")))), 4)
+          .as("r_xy_given_z"))
+  }
+
+  /** q272: PRICE-ELASTICITY estimation per brand — the log-log OLS
+    * slope of quantity on unit price over line items (the constant-
+    * elasticity demand model ln q = α + ε·ln p; Marshall's ε, how
+    * every pricing team reads it): the CAUSAL-flavored cousin of
+    * q130's linear trend, and the business twin of q258's Zipf fit
+    * (same FixedLn + exact-moment machinery, different economics).
+    *
+    * ENGINE-EXACT: quantities are integral (pinned by the decimal
+    * cast), unit price = round-half-up e4 of extprice/qty (exact
+    * rational, documented quantization), y = lnE9(qty), x =
+    * lnE9(unit_e4) — e4 units shift the intercept only, the slope is
+    * scale-invariant; moments in DECIMAL(38,0), slope/intercept by
+    * signed round-half-up (q148). One scan + a map-combined groupBy;
+    * ln is per-row column work (codegen'd integer arithmetic).
+    */
+  def q272Elasticity(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT)")
+          .as("qty"),
+        expr("""(2 * CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * 10000 AS BIGINT)
+                + CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT))
+                DIV (2 * CAST(CAST(l_quantity AS DECIMAL(18,4))
+                  AS BIGINT))""").as("unit_e4"))
+      .filter(col("qty") >= 1L && col("unit_e4") >= 1L)
+    val withY = graft.functions.FixedLn.steps("DIV", "y")
+      .foldLeft(base.withColumn("_p", col("qty"))
+        .withColumn("_q", lit(1L))) {
+        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+      .select(col("p_brand"), col("unit_e4"), col("y"))
+    val withX = graft.functions.FixedLn.steps("DIV", "x")
+      .foldLeft(withY.withColumn("_p", col("unit_e4"))
+        .withColumn("_q", lit(1L))) {
+        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+      .select(col("p_brand"), col("x"), col("y"))
+    withX.groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast("long").as("n_obs"),
+        sum(col("x").cast("decimal(38,0)")).as("_sx"),
+        sum(col("y").cast("decimal(38,0)")).as("_sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("_sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("_sxx"))
+      .withColumn("_num",
+        col("n_obs") * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn("_den",
+        col("n_obs") * col("_sxx") - col("_sx") * col("_sx"))
+      .filter(col("_den") > 0)
+      .withColumn("elasticity_e6", expr(
+        """CASE WHEN _num >= 0
+             THEN CAST((2 * 1000000 * _num + _den)
+                       DIV (2 * _den) AS BIGINT)
+             ELSE -CAST((2 * 1000000 * (-_num) + _den)
+                        DIV (2 * _den) AS BIGINT) END"""))
+      .withColumn("_ti",
+        lit(1000000L).cast("decimal(38,0)") * col("_sy")
+          - col("elasticity_e6") * col("_sx"))
+      .withColumn("intercept_e9", expr(
+        """CASE WHEN _ti >= 0
+             THEN CAST((2 * _ti + 1000000 * n_obs)
+                       DIV (2 * 1000000 * n_obs) AS BIGINT)
+             ELSE -CAST((2 * (-_ti) + 1000000 * n_obs)
+                        DIV (2 * 1000000 * n_obs) AS BIGINT) END"""))
+      .select(col("p_brand"), col("n_obs"), col("elasticity_e6"),
+        col("intercept_e9"))
+  }
+
+  /** q273: AMS F₂ SKETCH vs exact second frequency moment (Alon,
+    * Matias & Szegedy STOC 1996 — the Gödel-prize streaming sketch):
+    * 16 independent ±1-sign estimators Z_j = Σ_k s_j(k)·f_k,
+    * F̂₂ = median(Z_j²), reported against the exact F₂ = Σ f_k² of the
+    * part-key frequency vector with the error in ppm. F₂ is the
+    * self-join size (q145's estimator IS F₂ when A = B) and the skew
+    * number behind q137 — this is the O(1)-memory way to keep it on a
+    * stream, next to q237's Count-Min (point queries) and q162's NDV
+    * sketch (distinct counts). Signs are md5(j:key) parity —
+    * engine-identical, retry-safe, no seed state.
+    *
+    * ENGINE-EXACT: f_k are exact counts, each Z_j an exact signed long
+    * sum, the 16 Z_j² exact longs; the even-count median is the
+    * round-half-up mean of elements 8 and 9 of the SORTED 16-element
+    * artifact. Scale shape: one map-combined key-count aggregate, a
+    * 16× fan-out of the KEY table (never the rows), one bounded sort.
+    */
+  def q273AmsSketch(s: SparkSession, d: String): DataFrame = {
+    val freq = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).cast("long").as("f"))
+      .localCheckpoint(false) // feeds the exact moment AND the fan-out
+    val exact = freq.agg(sum(col("f")).cast("long").as("n_rows"),
+      count(lit(1)).cast("long").as("n_keys"),
+      sum(col("f").cast("decimal(38,0)") * col("f")).cast("long")
+        .as("f2_exact"))
+    val js = s.range(1, 17).select(col("id").as("j"))
+    val z = freq.crossJoin(broadcast(js))
+      .select(col("j"),
+        when(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("l_partkey").cast("string"))), 1, 1) < "8",
+          col("f")).otherwise(-col("f")).as("_sf"))
+      .groupBy(col("j"))
+      .agg(sum(col("_sf")).cast("long").as("_z"))
+      .select(col("j"), (col("_z") * col("_z")).as("_z2"))
+    val est = z.agg(sort_array(collect_list(col("_z2"))).as("_srt"))
+      .select(expr("""CAST((2 * (element_at(_srt, 8)
+                       + element_at(_srt, 9)) + 2)
+                      DIV (2 * 2) AS BIGINT)""").as("f2_est"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_rows"), col("n_keys"), col("f2_exact"),
+        col("f2_est"),
+        expr("""CAST((2 * 1000000 * abs(f2_est - f2_exact) + f2_exact)
+                DIV (2 * f2_exact) AS BIGINT)""").as("err_ppm"))
+  }
+
+  /** q274: FANO-FACTOR OVERDISPERSION AUDIT of the daily event series
+    * (Fano 1947; Cox & Lewis 1966's dispersion test): F = Var/Mean of
+    * gap-filled daily counts per event type — F ≈ 1 is Poisson
+    * (independent arrivals), F ≫ 1 is bursty/clustered (bots, batch
+    * jobs, incident storms), F ≪ 1 is regularized (rate-limited) —
+    * the distributional companion of q133's day-of-week anomaly and
+    * q129's concurrency sweep. ENGINE-EXACT: the calendar grid is the
+    * q267 integer day lattice (missing days count 0 — dropping them
+    * biases F down), F_e6 = round-half-up of the exact rational
+    * (nΣx² − (Σx)²)/(n·Σx) in longs, mean in rhu e2; regime cut at
+    * 0.8/1.2. One scan + bounded type×day grid.
+    */
+  def q274FanoFactor(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+    val span = ev.agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+    val daily = ev.crossJoin(broadcast(span))
+      .groupBy(col("event_type"), (col("day") - col("_d0")).as("idx"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(expr("sequence(0, _d1 - _d0)")).as("idx"))
+    grid.join(daily, Seq("event_type", "idx"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("cnt")).cast("long").as("_sx"),
+        // DECIMAL: 2e6·n·Σx² passes 2^63 at sf1 day volumes
+        sum(col("cnt").cast("decimal(38,0)") * col("cnt")).as("_sxx"))
+      .filter(col("_sx") > 0)
+      .select(col("event_type"), col("n_days"),
+        expr("CAST((2 * 100 * _sx + n_days) DIV (2 * n_days) AS BIGINT)")
+          .as("mean_e2"),
+        expr("""CAST((2 * 1000000 * (n_days * _sxx - _sx * _sx)
+                      + n_days * _sx)
+                DIV (2 * n_days * _sx) AS BIGINT)""").as("fano_e6"))
+      .withColumn("regime", expr(
+        """CASE WHEN fano_e6 > 1200000 THEN 'overdispersed'
+                WHEN fano_e6 >= 800000 THEN 'poisson-like'
+                ELSE 'underdispersed' END"""))
+  }
+
   /** q269: EXACT PERMUTATION TEST on the arm difference (Fisher 1935;
     * the modern B-resample form — Ernst Stat.Sci. 2004): the observed
     * mean-purchases gap between the two md5 arms is ranked against 200

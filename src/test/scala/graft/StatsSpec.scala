@@ -1624,4 +1624,139 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == exp)
     assert(got._5 > 0 && got._5 <= 1000000L)
   }
+
+  test("q271 partial correlation: matches a local BigInt-moment " +
+      "double replay; all r's in [-1, 1]") {
+    val got = StatsOps.q271PartialCorr(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val rows = Tables.lineitem(spark, Sf)
+      .select(col("l_returnflag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)"),
+        expr("CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = rows.groupBy(_._1).map { case (k, xs) =>
+      val n = BigInt(xs.size)
+      def s1(f: ((String, Long, Long, Long)) => Long) =
+        xs.map(x => BigInt(f(x))).sum
+      def s2(f: ((String, Long, Long, Long)) => Long,
+          g: ((String, Long, Long, Long)) => Long) =
+        xs.map(x => BigInt(f(x)) * g(x)).sum
+      val (sx, sy, sz) = (s1(_._2), s1(_._3), s1(_._4))
+      def r(sab: BigInt, sa: BigInt, sb: BigInt, saa: BigInt,
+          sbb: BigInt) =
+        (n * sab - sa * sb).toDouble /
+          math.sqrt((n * saa - sa * sa).toDouble *
+            (n * sbb - sb * sb).toDouble)
+      val rxy = r(s2(_._2, _._3), sx, sy, s2(_._2, _._2), s2(_._3, _._3))
+      val rxz = r(s2(_._2, _._4), sx, sz, s2(_._2, _._2), s2(_._4, _._4))
+      val ryz = r(s2(_._3, _._4), sy, sz, s2(_._3, _._3), s2(_._4, _._4))
+      val part = (rxy - rxz * ryz) /
+        math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+      k -> ((xs.size.toLong, rxy, rxz, ryz, part))
+    }
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, (n, rxy, rxz, ryz, part)) =>
+      val g = got(k)
+      assert(g._1 == n)
+      assert(math.abs(g._2 - rxy) < 1e-3 && math.abs(g._5 - part) < 1e-3)
+      Seq(g._2, g._3, g._4, g._5).foreach(v =>
+        assert(v >= -1.0001 && v <= 1.0001))
+    }
+  }
+
+  test("q272 elasticity: equals a local FixedLn OLS replay") {
+    import graft.functions.FixedLn
+    val got = StatsOps.q272Elasticity(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val obs = Tables.lineitem(spark, Sf)
+      .join(Tables.part(spark, Sf),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT)"),
+        expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+                AS BIGINT)"""))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter(_._2 >= 1)
+      .map { case (b, q, p) =>
+        (b, FixedLn.lnE9((2 * p + q) / (2 * q), 1L),
+          FixedLn.lnE9(q, 1L)) }
+    val exp = obs.groupBy(_._1).flatMap { case (b, xs) =>
+      val n = BigInt(xs.size)
+      val sx = xs.map(x => BigInt(x._2)).sum
+      val sy = xs.map(x => BigInt(x._3)).sum
+      val sxy = xs.map(x => BigInt(x._2) * x._3).sum
+      val sxx = xs.map(x => BigInt(x._2) * x._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      if (den <= 0) None
+      else {
+        def rhuS(a: BigInt, b2: BigInt): Long =
+          (if (a >= 0) (2 * a + b2) / (2 * b2)
+           else -((2 * -a + b2) / (2 * b2))).toLong
+        val sl = rhuS(1000000 * num, den)
+        val ic = rhuS(BigInt(1000000) * sy - BigInt(sl) * sx,
+          BigInt(1000000) * n)
+        Some(b -> ((xs.size.toLong, sl, ic)))
+      }
+    }
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"brand $k") }
+  }
+
+  test("q273 AMS sketch: exact md5-sign replay; the 16-estimator " +
+      "median lands within 3x of the true F2") {
+    val rows = StatsOps.q273AmsSketch(spark, Sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val freq = Tables.lineitem(spark, Sf)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val f2 = freq.map(x => BigInt(x._2) * x._2).sum.toLong
+    val z2 = (1L to 16L).map { j =>
+      val z = freq.map { case (k, f) =>
+        if (md5hex(s"$j:$k").head < '8') f else -f }.sum
+      z * z
+    }.sorted
+    val est = (2 * (z2(7) + z2(8)) + 2) / 4
+    val exp = (freq.map(_._2).sum, freq.length.toLong, f2, est,
+      (2 * 1000000L * math.abs(est - f2) + f2) / (2 * f2))
+    assert(got == exp)
+    assert(got._4 > got._3 / 3 && got._4 < got._3 * 3,
+      s"AMS estimate ${got._4} vs exact ${got._3}")
+  }
+
+  test("q274 Fano factor: equals a local gap-filled moment replay; " +
+      "regimes follow the cuts") {
+    val got = StatsOps.q274FanoFactor(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val ev = Tables.events(spark, Sf)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val d0 = ev.map(_._2).min; val d1 = ev.map(_._2).max
+    val n = d1 - d0 + 1
+    val exp = ev.groupBy(_._1).map { case (t, xs) =>
+      val daily = xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val cnts = (d0 to d1).map(dd => daily.getOrElse(dd, 0L))
+      val sx = cnts.sum
+      val sxx = cnts.map(c => BigInt(c) * c).sum
+      val fano = ((2 * 1000000 * (n * sxx - BigInt(sx) * sx)
+        + BigInt(n) * sx) / (2 * BigInt(n) * sx)).toLong
+      val reg = if (fano > 1200000) "overdispersed"
+        else if (fano >= 800000) "poisson-like" else "underdispersed"
+      (t, n, (2 * 100 * sx + n) / (2 * n), fano, reg)
+    }.toSet
+    assert(got.toSet == exp && got.nonEmpty)
+  }
 }
