@@ -297,6 +297,9 @@ object SparkEntry {
     "q272_elasticity" -> (StatsOps.q272Elasticity _),
     "q273_ams_sketch" -> (StatsOps.q273AmsSketch _),
     "q274_fano_factor" -> (StatsOps.q274FanoFactor _),
+    "q275_single_linkage" -> (SimilarityOps.q275SingleLinkage _),
+    "q276_rolling_ols" -> (StatsOps.q276RollingOls _),
+    "q277_retention_halflife" -> (RelationalOps.q277RetentionHalflife _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -1933,6 +1936,185 @@ object SparkEntry {
                      WHEN fano_e6 >= 800000 THEN 'poisson-like'
                      ELSE 'underdispersed' END AS regime
          FROM f"""
+
+  /** q275 oracle: same ppm grid and edge lattice; the 24 Kruskal
+    * picks unrolled as MATERIALIZED (pick, relabel, emit) CTE
+    * triples — the q263 iterative-oracle rule.
+    */
+  private def singleLinkageOracleSql: String = {
+    val sb = new StringBuilder(
+      """WITH cells AS MATERIALIZED (
+           SELECT p.p_brand, o.o_orderpriority AS prio,
+                  CAST(SUM(CAST(CAST(l.l_extendedprice
+                        AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                       AS HUGEINT) AS sp
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN part p ON l.l_partkey = p.p_partkey
+           GROUP BY 1, 2
+         ), tot AS (
+           SELECT p_brand, SUM(sp) AS tt FROM cells GROUP BY 1
+         ), grid AS MATERIALIZED (
+           SELECT b.p_brand, pr.prio,
+                  CAST((2000000 * COALESCE(c.sp, 0) + t.tt)
+                       // (2 * t.tt) AS BIGINT) AS ppm
+           FROM (SELECT DISTINCT p_brand FROM cells) b
+           CROSS JOIN (SELECT DISTINCT prio FROM cells) pr
+           LEFT JOIN cells c ON c.p_brand = b.p_brand
+                            AND c.prio = pr.prio
+           JOIN tot t ON t.p_brand = b.p_brand
+         ), edges AS MATERIALIZED (
+           SELECT ga.p_brand AS a, gb.p_brand AS b,
+                  CAST(SUM((ga.ppm - gb.ppm) * (ga.ppm - gb.ppm))
+                       AS BIGINT) AS d2
+           FROM grid ga JOIN grid gb
+             ON ga.prio = gb.prio AND ga.p_brand < gb.p_brand
+           GROUP BY 1, 2
+         ), l0 AS MATERIALIZED (
+           SELECT DISTINCT p_brand AS brand, p_brand AS label
+           FROM cells
+         )""")
+    for (k <- 1 to 24) {
+      sb.append(s""", pk$k AS MATERIALIZED (
+           SELECT la.label AS lla, lb.label AS llb, e.d2
+           FROM edges e
+           JOIN l${k - 1} la ON la.brand = e.a
+           JOIN l${k - 1} lb ON lb.brand = e.b
+           WHERE la.label <> lb.label
+           ORDER BY e.d2, e.a, e.b LIMIT 1
+         ), l$k AS MATERIALIZED (
+           SELECT brand,
+                  CASE WHEN label = (SELECT GREATEST(lla, llb)
+                                     FROM pk$k)
+                       THEN (SELECT LEAST(lla, llb) FROM pk$k)
+                       ELSE label END AS label
+           FROM l${k - 1}
+         ), o$k AS MATERIALIZED (
+           SELECT CAST($k AS BIGINT) AS step,
+                  p.d2 AS d2_units,
+                  LEAST(p.lla, p.llb) AS left_brand,
+                  GREATEST(p.lla, p.llb) AS right_brand,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM l$k
+                   WHERE label = LEAST(p.lla, p.llb)) AS merged_size
+           FROM pk$k p
+         )""")
+    }
+    sb.append("\n         ")
+    sb.append((1 to 24).map(k => s"SELECT * FROM o$k")
+      .mkString("", "\n         UNION ALL ", ""))
+    sb.toString
+  }
+
+  /** q276 oracle: same gap-filled grid, HUGEINT window moments,
+    * signed rhu slope.
+    */
+  private def rollingOlsOracleSql: String =
+    """WITH ev AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    AS v
+           FROM events WHERE event_type = 'purchase'
+         ), span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev
+         ), daily AS (
+           SELECT day - d0 AS idx, CAST(SUM(v) AS BIGINT) AS rev
+           FROM ev, span GROUP BY 1
+         ), grid AS (
+           SELECT g.idx, COALESCE(d.rev, 0) AS rev_e4
+           FROM (SELECT unnest(generate_series(0, d1 - d0)) AS idx
+                 FROM span) g
+           LEFT JOIN daily d ON d.idx = g.idx
+         ), wsum AS (
+           SELECT idx, rev_e4,
+                  COUNT(*) OVER w AS n, SUM(idx) OVER w AS sx,
+                  SUM(rev_e4) OVER w AS sy,
+                  SUM(idx * rev_e4) OVER w AS sxy,
+                  SUM(idx * idx) OVER w AS sxx
+           FROM grid
+           WINDOW w AS (ORDER BY idx
+             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+         ), f AS (
+           SELECT idx AS day_idx, rev_e4,
+                  CAST(n AS HUGEINT) * sxy
+                    - CAST(sx AS HUGEINT) * sy AS num,
+                  CAST(n AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * sx AS den
+           FROM wsum WHERE n = 30
+         )
+         SELECT day_idx, CAST(rev_e4 AS BIGINT) AS rev_e4,
+                CASE WHEN num >= 0
+                  THEN CAST((2 * 10000 * num + den) // (2 * den)
+                            AS BIGINT)
+                  ELSE -CAST((2 * 10000 * (-num) + den) // (2 * den)
+                             AS BIGINT)
+                END AS slope30_e4
+         FROM f"""
+
+  /** q277 oracle: integer epoch weeks, distinct cohort activity,
+    * FixedLn retention logs, per-cohort HUGEINT OLS, half-life from
+    * the e9 ln 2 constant.
+    */
+  private def retentionHalflifeOracleSql: String =
+    s"""WITH wk AS (
+           SELECT user_id, epoch_us(ts) // 604800000000 AS week
+           FROM events WHERE user_id IS NOT NULL
+         ), coh AS (
+           SELECT user_id, MIN(week) AS cw FROM wk GROUP BY 1
+         ), act AS (
+           SELECT DISTINCT c.cw AS cohort_week, w.week - c.cw AS off,
+                  w.user_id
+           FROM wk w JOIN coh c ON c.user_id = w.user_id
+         ), sz AS (
+           SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+           FROM act WHERE off = 0 GROUP BY 1
+         ), ret AS (
+           SELECT a.cohort_week, s.n_users, a.off,
+                  CAST(COUNT(*) AS BIGINT) AS n_active
+           FROM act a JOIN sz s USING (cohort_week)
+           WHERE a.off BETWEEN 1 AND 8 GROUP BY 1, 2, 3
+         ), pp AS (
+           SELECT cohort_week, n_users, off,
+                  GREATEST((2000000 * n_active + n_users)
+                           // (2 * n_users), 1) AS _ppm
+           FROM ret
+         ), lnr AS (
+           SELECT cohort_week, n_users, off,
+                  GREATEST(_ppm, 1000000) AS _p,
+                  LEAST(_ppm, 1000000) AS _q,
+                  CASE WHEN _ppm >= 1000000 THEN 1 ELSE -1 END AS _sgn,
+                  ${lnSelect("_l9")}
+           FROM pp
+         ), ys AS (
+           SELECT cohort_week, n_users, off, _sgn * _l9 AS y FROM lnr
+         ), mm AS (
+           SELECT cohort_week, MAX(n_users) AS n_users,
+                  CAST(COUNT(*) AS BIGINT) AS n_points,
+                  CAST(SUM(off) AS HUGEINT) AS sx,
+                  CAST(SUM(y) AS HUGEINT) AS sy,
+                  SUM(CAST(off AS HUGEINT) * y) AS sxy,
+                  SUM(CAST(off AS HUGEINT) * off) AS sxx
+           FROM ys GROUP BY 1 HAVING COUNT(*) >= 3
+         ), ff AS (
+           SELECT cohort_week, n_users, n_points,
+                  n_points * sxy - sx * sy AS num,
+                  n_points * sxx - sx * sx AS den
+           FROM mm
+         ), sl AS (
+           SELECT cohort_week, CAST(n_users AS BIGINT) AS n_users,
+                  n_points,
+                  CASE WHEN num >= 0
+                    THEN CAST((2 * num + den) // (2 * den) AS BIGINT)
+                    ELSE -CAST((2 * (-num) + den) // (2 * den)
+                               AS BIGINT)
+                  END AS slope_e9
+           FROM ff WHERE den > 0
+         )
+         SELECT cohort_week, n_users, n_points, slope_e9,
+                CASE WHEN slope_e9 < 0 THEN
+                  CAST((2 * 100 * ${graft.functions.FixedLn.Ln2E9}
+                        + (-slope_e9))
+                       // (2 * (-slope_e9)) AS BIGINT)
+                END AS halflife_weeks_e2
+         FROM sl"""
 
   /** The q156 oracle's unrolled greedy MMR replay: the same e4-integer
     * rounded cosines (the q32 recipe — sums over the unnested vector in
@@ -8180,5 +8362,8 @@ object SparkEntry {
     "q272_elasticity" -> elasticityOracleSql,
     "q273_ams_sketch" -> amsSketchOracleSql,
     "q274_fano_factor" -> fanoFactorOracleSql,
+    "q275_single_linkage" -> singleLinkageOracleSql,
+    "q276_rolling_ols" -> rollingOlsOracleSql,
+    "q277_retention_halflife" -> retentionHalflifeOracleSql,
   )
 }

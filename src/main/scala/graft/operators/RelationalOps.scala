@@ -3746,6 +3746,82 @@ object RelationalOps {
       .withColumn("breach_t02", col("t_ppm") > 200000L)
   }
 
+  /** q277: RETENTION HALF-LIFE per signup cohort — fit the exponential
+    * decay retention(t) = r₀·e^{−λt} by log-linear OLS over week
+    * offsets 1..8 and report the half-life ln2/λ in weeks: the ONE
+    * number a growth team quotes from q81's whole retention grid
+    * (exponential decay is the standard churn shape — the discrete
+    * dual of q149's Kaplan–Meier curve). Cohort weeks are integer
+    * µs-epoch DIV 604800e6 (Thursday-anchored like Unix weeks —
+    * consistent within the query, engine-identical; q81's calendar
+    * date_trunc is Monday-anchored and feeds the human-facing grid).
+    *
+    * ENGINE-EXACT (FixedLn): retention in rhu ppm clamped ≥ 1,
+    * y = signed lnE9(ppm vs 1e6) (retention ≤ 100% ⇒ y ≤ 0 — the
+    * sign-split rule), x = offset 1..8; OLS in exact longs on ≤ 8
+    * points per cohort; slope_e9 signed rhu; half-life only for
+    * genuinely decaying cohorts (slope < 0) = rhu(100·ln2E9, −slope).
+    * Scale shape: one min-week window per user + one distinct to
+    * (cohort, offset, user) grain; everything after is
+    * cohort×8-bounded.
+    */
+  def q277RetentionHalflife(s: SparkSession, d: String): DataFrame = {
+    val wk = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 604800000000").as("week"))
+    val w = Window.partitionBy(col("user_id"))
+    val act = wk.withColumn("cohort_week", min(col("week")).over(w))
+      .select(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("off"), col("user_id"))
+      .distinct()
+      .localCheckpoint(false) // feeds cohort sizes AND offset counts
+    val size = act.filter(col("off") === 0L)
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+    val ret = act.filter(col("off").between(1L, 8L))
+      .groupBy(col("cohort_week"), col("off"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+      .join(broadcast(size), "cohort_week")
+      .select(col("cohort_week"), col("n_users"), col("off"),
+        expr("""GREATEST((2000000 * n_active + n_users)
+                DIV (2 * n_users), 1)""").as("_ppm"))
+      .withColumn("_p", greatest(col("_ppm"), lit(1000000L)))
+      .withColumn("_q", least(col("_ppm"), lit(1000000L)))
+      .withColumn("_sgn", when(col("_ppm") >= 1000000L, 1L)
+        .otherwise(-1L))
+    val withLn = graft.functions.FixedLn.steps("DIV", "_l9")
+      .foldLeft(ret) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+      .select(col("cohort_week"), col("n_users"), col("off"),
+        (col("_sgn") * col("_l9")).as("y"))
+    withLn.groupBy(col("cohort_week"))
+      .agg(max(col("n_users")).as("n_users"),
+        count(lit(1)).cast("long").as("n_points"),
+        sum(col("off")).cast("long").as("_sx"),
+        sum(col("y")).cast("long").as("_sy"),
+        sum(col("off") * col("y")).cast("long").as("_sxy"),
+        sum(col("off") * col("off")).cast("long").as("_sxx"))
+      .filter(col("n_points") >= 3L)
+      .withColumn("_num", expr(
+        """CAST(n_points AS DECIMAL(38,0)) * _sxy
+           - CAST(_sx AS DECIMAL(38,0)) * _sy"""))
+      .withColumn("_den", expr(
+        """CAST(n_points AS DECIMAL(38,0)) * _sxx
+           - CAST(_sx AS DECIMAL(38,0)) * _sx"""))
+      .filter(col("_den") > 0)
+      .withColumn("slope_e9", expr(
+        """CASE WHEN _num >= 0
+             THEN CAST((2 * _num + _den) DIV (2 * _den) AS BIGINT)
+             ELSE -CAST((2 * (-_num) + _den) DIV (2 * _den) AS BIGINT)
+           END"""))
+      .select(col("cohort_week"), col("n_users"), col("n_points"),
+        col("slope_e9"),
+        expr(s"""CASE WHEN slope_e9 < 0 THEN
+               CAST((2 * 100 * ${graft.functions.FixedLn.Ln2E9}
+                     + (-slope_e9))
+                    DIV (2 * (-slope_e9)) AS BIGINT)
+             END""").as("halflife_weeks_e2"))
+  }
+
   /** q270: GEOMETRIC-MECHANISM NOISY-COUNT RELEASE (Ghosh, Roughgarden
     * & Sundararajan STOC 2009 — the UTILITY-OPTIMAL integer mechanism
     * for ε-differentially-private counting): the (nation, segment)

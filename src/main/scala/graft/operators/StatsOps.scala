@@ -2869,6 +2869,57 @@ object StatsOps {
                 ELSE 'underdispersed' END"""))
   }
 
+  /** q276: 30-DAY ROLLING OLS TREND of daily purchase revenue — per
+    * day, the least-squares slope over the trailing 30-day window (the
+    * "momentum" line every operations dashboard draws; the ROLLING
+    * form of q130's static trend fit, and the regression upgrade of
+    * q160's EWMA level). ENGINE-EXACT: daily revenue in exact e4 longs
+    * on the gap-filled calendar lattice (a missing day is a ZERO-sale
+    * day — skipping it tilts the slope), x = the absolute day index,
+    * all five window sums exact longs (30·Σxy tops ~3e15 at sf1 —
+    * long-safe), slope = signed round-half-up e4/day. The series is
+    * CALENDAR-BOUNDED (~hundreds of rows at any SF), so the single
+    * global window is an artifact sort, not a corpus sort; the corpus
+    * pays one map-combined day aggregate.
+    */
+  def q276RollingOls(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+          .as("v"))
+    val span = ev.agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+    val daily = ev.crossJoin(broadcast(span))
+      .groupBy((col("day") - col("_d0")).as("idx"))
+      .agg(sum(col("v")).cast("long").as("rev_e4"))
+    val grid = span
+      .select(explode(expr("sequence(0, _d1 - _d0)")).as("idx"))
+      .join(daily, Seq("idx"), "left")
+      .withColumn("rev_e4", coalesce(col("rev_e4"), lit(0L)))
+    val w = Window.orderBy(col("idx")).rowsBetween(-29, 0)
+    grid
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_sx", sum(col("idx")).over(w))
+      .withColumn("_sy", sum(col("rev_e4")).over(w))
+      .withColumn("_sxy", sum(col("idx") * col("rev_e4")).over(w))
+      .withColumn("_sxx", sum(col("idx") * col("idx")).over(w))
+      .filter(col("_n") === 30L)
+      // DECIMAL: 2e4·(30Σxy − ΣxΣy) passes 2^63 at sf1 daily volumes
+      .withColumn("_num", expr(
+        """CAST(_n AS DECIMAL(38,0)) * _sxy
+           - CAST(_sx AS DECIMAL(38,0)) * _sy"""))
+      .withColumn("_den", expr(
+        """CAST(_n AS DECIMAL(38,0)) * _sxx
+           - CAST(_sx AS DECIMAL(38,0)) * _sx"""))
+      .select(col("idx").as("day_idx"), col("rev_e4"),
+        expr("""CASE WHEN _num >= 0
+               THEN CAST((2 * 10000 * _num + _den)
+                         DIV (2 * _den) AS BIGINT)
+               ELSE -CAST((2 * 10000 * (-_num) + _den)
+                          DIV (2 * _den) AS BIGINT) END""")
+          .as("slope30_e4"))
+  }
+
   /** q269: EXACT PERMUTATION TEST on the arm difference (Fisher 1935;
     * the modern B-resample form — Ernst Stat.Sci. 2004): the observed
     * mean-purchases gap between the two md5 arms is ranked against 200

@@ -2177,4 +2177,55 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(noises.forall(x => math.abs(x) <= 15))
     assert(got.values.forall(_._2 >= 0))
   }
+
+  test("q277 retention half-life: equals a local FixedLn OLS replay; " +
+      "decaying cohorts get positive half-lives") {
+    import graft.functions.FixedLn
+    val got = RelationalOps.q277RetentionHalflife(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    val wk = Tables.events(spark, Sf).filter(col("user_id").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 604800000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val coh = wk.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val act = wk.map { case (u, w) => (coh(u), w - coh(u), u) }.distinct
+    val size = act.filter(_._2 == 0L).groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    val exp = act.filter(x => x._2 >= 1 && x._2 <= 8)
+      .groupBy(_._1).flatMap { case (cw, xs) =>
+        val nU = size(cw)
+        val pts = xs.groupBy(_._2).toSeq.map { case (off, ys) =>
+          val ppm = math.max(
+            (2000000L * ys.size + nU) / (2 * nU), 1L)
+          val y = if (ppm >= 1000000L) FixedLn.lnE9(ppm, 1000000L)
+            else -FixedLn.lnE9(1000000L, ppm)
+          (off, y)
+        }
+        if (pts.size < 3) None
+        else {
+          val n = BigInt(pts.size)
+          val sx = pts.map(p => BigInt(p._1)).sum
+          val sy = pts.map(p => BigInt(p._2)).sum
+          val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+          val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+          val num = n * sxy - sx * sy
+          val den = n * sxx - sx * sx
+          if (den <= 0) None
+          else {
+            val sl = (if (num >= 0) (2 * num + den) / (2 * den)
+              else -((2 * -num + den) / (2 * den))).toLong
+            val hl = if (sl < 0)
+              Some((2 * 100 * FixedLn.Ln2E9 + -sl) / (2 * -sl))
+            else None
+            Some(cw -> ((nU, pts.size.toLong, sl, hl)))
+          }
+        }
+      }
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"cohort $k") }
+    got.values.foreach { case (_, _, sl, hl) =>
+      if (sl < 0) assert(hl.exists(_ > 0)) else assert(hl.isEmpty)
+    }
+  }
 }

@@ -792,4 +792,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     exp.foreach { case (k, x) => assert(got(k) == x, s"brand $k") }
     assert(got.values.forall(_._2 > 0))
   }
+
+  test("q275 single linkage: equals a local profile+Kruskal replay; " +
+      "dendrogram heights are non-decreasing and end in one cluster") {
+    val got = SimilarityOps.q275SingleLinkage(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val cells = Tables.lineitem(spark, Sf)
+      .join(Tables.orders(spark, Sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, Sf),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("o_orderpriority"),
+        expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+                AS BIGINT)"""))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), BigInt(r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val brands = cells.keys.map(_._1).toSeq.distinct.sorted
+    val prios = cells.keys.map(_._2).toSeq.distinct.sorted
+    val tot = brands.map(b =>
+      b -> prios.map(p => cells.getOrElse((b, p), BigInt(0))).sum).toMap
+    val ppm = (for (b <- brands; p <- prios) yield (b, p) ->
+      ((2000000 * cells.getOrElse((b, p), BigInt(0)) + tot(b)) /
+        (2 * tot(b))).toLong).toMap
+    val edges = for (a <- brands; b <- brands if a < b) yield {
+      val d2 = prios.map { p =>
+        val dd = ppm((a, p)) - ppm((b, p)); dd * dd }.sum
+      (a, b, d2)
+    }
+    val exp = SimilarityOps.singleLinkageMerges(edges)
+    assert(got.toSeq.sortBy(_._1) == exp.sortBy(_._1))
+    assert(got.length == brands.length - 1)
+    val hs = got.sortBy(_._1).map(_._2)
+    assert(hs.zip(hs.tail).forall { case (a, b) => a <= b })
+    assert(got.maxBy(_._1)._5 == brands.length.toLong)
+  }
 }

@@ -1759,4 +1759,33 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     }.toSet
     assert(got.toSet == exp && got.nonEmpty)
   }
+
+  test("q276 rolling OLS: equals a local windowed-moment replay") {
+    val got = StatsOps.q276RollingOls(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_micros(ts) DIV 86400000000"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val d0 = ev.map(_._1).min; val d1 = ev.map(_._1).max
+    val daily = ev.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val series = (0L to (d1 - d0)).map(i =>
+      (i, daily.getOrElse(d0 + i, 0L)))
+    val exp = series.indices.filter(_ >= 29).map { i =>
+      val win = series.slice(i - 29, i + 1)
+      val n = BigInt(30)
+      val sx = win.map(w => BigInt(w._1)).sum
+      val sy = win.map(w => BigInt(w._2)).sum
+      val sxy = win.map(w => BigInt(w._1) * w._2).sum
+      val sxx = win.map(w => BigInt(w._1) * w._1).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val sl = (if (num >= 0) (2 * 10000 * num + den) / (2 * den)
+        else -((2 * 10000 * -num + den) / (2 * den))).toLong
+      series(i)._1 -> ((series(i)._2, sl))
+    }.toMap
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"day $k") }
+  }
 }
