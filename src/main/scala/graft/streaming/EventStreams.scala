@@ -239,6 +239,58 @@ object EventStreams {
       }
   }
 
+  // ---- Sequential testing ----------------------------------------------
+
+  // NOT private (same encoder-visibility rule as SessionState)
+  case class SprtState(nObs: Long, nHits: Long, llr: Long,
+      decision: String, nAt: Long, llrStop: Long)
+  case class SprtStatus(user_id: Long, n_obs: Long, n_hits: Long,
+      decision: String, n_at_decision: Option[Long], llr_e9: Long)
+
+  /** q256's Wald SPRT as LIVE streaming state — the early-stopping
+    * monitor an experimentation platform actually runs (decide each
+    * user's H₀ p ≤ 0.3 vs H₁ p ≥ 0.5 the moment the log-likelihood
+    * random walk crosses ±ln 19, then FREEZE — later events update
+    * counters but never reopen the decision, exactly like the batch
+    * replay's first-crossing rule). Same FixedLn integer increments,
+    * same boundaries, so batch execution replays q256 row-for-row and
+    * the file-stream run must carry (llr, decision) state across
+    * micro-batches. State = one 6-field struct per user; update-mode
+    * emissions are monotone in n_obs, so max-n_obs per user is the
+    * current truth (the q228 limiter contract).
+    */
+  def sprtStateful(events: Dataset[Event]): Dataset[SprtStatus] = {
+    import events.sparkSession.implicits._
+    val l1 = graft.functions.FixedLn.lnE9(5, 3)
+    val l0 = -graft.functions.FixedLn.lnE9(7, 5)
+    val bound = graft.functions.FixedLn.lnE9(19, 1)
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SprtState, SprtStatus](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SprtState]) =>
+          var st = state.getOption
+            .getOrElse(SprtState(0L, 0L, 0L, "continue", 0L, 0L))
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val x = if (e.event_type == "purchase") 1L else 0L
+            val llr = st.llr + (if (x == 1L) l1 else l0)
+            val (dec, nAt, lStop) =
+              if (st.decision != "continue")
+                (st.decision, st.nAt, st.llrStop)
+              else if (llr >= bound) ("accept_h1", st.nObs + 1, llr)
+              else if (llr <= -bound) ("accept_h0", st.nObs + 1, llr)
+              else ("continue", 0L, 0L)
+            st = SprtState(st.nObs + 1, st.nHits + x, llr, dec, nAt,
+              lStop)
+          }
+          state.update(st)
+          SprtStatus(uid, st.nObs, st.nHits, st.decision,
+            if (st.decision == "continue") None else Some(st.nAt),
+            if (st.decision == "continue") st.llr else st.llrStop)
+      }
+  }
+
   /** 144 (stage 1). Tumbling-hour per-user event counts with a
     * watermark — the streaming aggregate feeding [[trendingTopK]].
     * State is (open windows × active users) and the watermark evicts

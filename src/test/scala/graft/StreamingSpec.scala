@@ -437,4 +437,77 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == exp, "time-ordered streaming replay must equal the " +
       "batch token-bucket fold")
   }
+
+  private def q256Rows(): Map[Long, (Long, Long, String, Option[Long],
+      Long)] =
+    graft.operators.StatsOps.q256Sprt(spark, Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5)))).toMap
+
+  test("stateful SPRT (batch execution) equals the q256 replay") {
+    val ev = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+    val got = EventStreams.sprtStateful(ev)
+      .collect().map(s => s.user_id -> ((s.n_obs, s.n_hits, s.decision,
+        s.n_at_decision, s.llr_e9))).toMap
+    assert(got == q256Rows(), "batch execution of the streaming SPRT " +
+      "must replay q256 exactly")
+  }
+
+  test("streaming SPRT freezes decisions across time-ordered " +
+      "micro-batches and matches the q256 batch replay") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sprt")
+      .toString
+    def addFile(name: String, rows: org.apache.spark.sql.DataFrame)
+        : Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sprt_w")
+      rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(srcDir, name))
+    }
+    val ev = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val cuts = ev.selectExpr(
+      "percentile_approx(unix_micros(ts), 0.34) AS a",
+      "percentile_approx(unix_micros(ts), 0.67) AS b").collect()(0)
+    val (ca, cb) = (cuts.getLong(0), cuts.getLong(1))
+    addFile("f1.parquet", ev.filter(unix_micros(col("ts")) <= ca))
+    Thread.sleep(1200)
+    addFile("f2.parquet", ev.filter(unix_micros(col("ts")) > ca &&
+      unix_micros(col("ts")) <= cb))
+    Thread.sleep(1200)
+    addFile("f3.parquet", ev.filter(unix_micros(col("ts")) > cb))
+
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Event].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .as[Event]
+    val q = EventStreams.sprtStateful(stream)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sprt_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // n_obs is monotone — the max-n_obs emission per user is current
+    val got = spark.table("sprt_out")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_obs"), col("n_hits"), col("decision"),
+        col("n_at_decision"), col("llr_e9"))).as("s"))
+      .select(col("user_id"), col("s.*"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5)))).toMap
+    assert(got == q256Rows(), "time-ordered streaming SPRT must equal " +
+      "the q256 first-crossing replay")
+  }
 }
