@@ -300,6 +300,8 @@ object SparkEntry {
     "q275_single_linkage" -> (SimilarityOps.q275SingleLinkage _),
     "q276_rolling_ols" -> (StatsOps.q276RollingOls _),
     "q277_retention_halflife" -> (RelationalOps.q277RetentionHalflife _),
+    "q278_srm_check" -> (StatsOps.q278SrmCheck _),
+    "q279_seasonality_strength" -> (StatsOps.q279SeasonalityStrength _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -2115,6 +2117,106 @@ object SparkEntry {
                        // (2 * (-slope_e9)) AS BIGINT)
                 END AS halflife_weeks_e2
          FROM sl"""
+
+  /** q278 oracle: same distinct users, salted md5 arms, two-cell χ²
+    * identity and literal critical values.
+    */
+  private def srmCheckOracleSql: String =
+    """WITH users AS (
+           SELECT DISTINCT user_id FROM events
+           WHERE user_id IS NOT NULL
+         ), arms AS (
+           SELECT s.salt AS experiment,
+                  CAST(SUM(CASE WHEN substr(md5(
+                         CAST(u.user_id AS VARCHAR) || ':' || s.salt),
+                         1, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_a,
+                  CAST(SUM(CASE WHEN substr(md5(
+                         CAST(u.user_id AS VARCHAR) || ':' || s.salt),
+                         1, 1) < '8' THEN 0 ELSE 1 END) AS BIGINT)
+                    AS n_b
+           FROM users u,
+                (SELECT unnest(['exp1', 'exp2', 'exp3']) AS salt) s
+           GROUP BY 1
+         )
+         SELECT experiment, n_a, n_b,
+                CAST((2 * 1000000 * (n_a - n_b) * (n_a - n_b)
+                      + (n_a + n_b))
+                     // (2 * (n_a + n_b)) AS BIGINT) AS chi2_e6,
+                CAST((2 * 1000000 * (n_a - n_b) * (n_a - n_b)
+                      + (n_a + n_b))
+                     // (2 * (n_a + n_b)) AS BIGINT) > 3841459
+                  AS suspicious_05,
+                CAST((2 * 1000000 * (n_a - n_b) * (n_a - n_b)
+                      + (n_a + n_b))
+                     // (2 * (n_a + n_b)) AS BIGINT) > 10827566
+                  AS srm_alert_001
+         FROM arms"""
+
+  /** q279 oracle: the q267 day lattice, e2 dow/overall means, HUGEINT
+    * residual SSEs, row_number peak/trough ties.
+    */
+  private def seasonalityStrengthOracleSql: String =
+    """WITH ev AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day
+           FROM events
+         ), span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev
+         ), daily AS (
+           SELECT event_type, day - d0 AS idx,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM ev, span GROUP BY 1, 2
+         ), grid0 AS (
+           SELECT t.event_type, g.idx
+           FROM (SELECT DISTINCT event_type FROM ev) t, span s,
+                LATERAL (SELECT unnest(generate_series(0, s.d1 - s.d0))
+                         AS idx) g
+         ), grid AS (
+           SELECT g.event_type, g.idx, COALESCE(d.cnt, 0) AS cnt,
+                  g.idx % 7 AS dow
+           FROM grid0 g
+           LEFT JOIN daily d ON d.event_type = g.event_type
+                            AND d.idx = g.idx
+         ), dm AS (
+           SELECT event_type, dow,
+                  CAST((2 * 100 * SUM(cnt) + COUNT(*))
+                       // (2 * COUNT(*)) AS BIGINT) AS dm_e2
+           FROM grid GROUP BY 1, 2
+         ), am AS (
+           SELECT event_type,
+                  CAST((2 * 100 * SUM(cnt) + COUNT(*))
+                       // (2 * COUNT(*)) AS BIGINT) AS am_e2
+           FROM grid GROUP BY 1
+         ), sse AS (
+           SELECT g.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                  MAX(a.am_e2) AS mean_e2,
+                  SUM(CAST(100 * g.cnt - d.dm_e2 AS HUGEINT)
+                      * (100 * g.cnt - d.dm_e2)) AS sr,
+                  SUM(CAST(100 * g.cnt - a.am_e2 AS HUGEINT)
+                      * (100 * g.cnt - a.am_e2)) AS st
+           FROM grid g JOIN dm d USING (event_type, dow)
+           JOIN am a USING (event_type)
+           GROUP BY 1
+         ), pk AS (
+           SELECT event_type, CAST(dow AS BIGINT) AS peak_dow
+           FROM (SELECT event_type, dow,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY dm_e2 DESC, dow) AS rn
+                 FROM dm) WHERE rn = 1
+         ), tr AS (
+           SELECT event_type, CAST(dow AS BIGINT) AS trough_dow
+           FROM (SELECT event_type, dow,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY dm_e2, dow) AS rn
+                 FROM dm) WHERE rn = 1
+         )
+         SELECT s.event_type, s.n_days, s.mean_e2,
+                CASE WHEN s.st > 0 THEN
+                  GREATEST(1000000 - CAST((2 * 1000000 * s.sr + s.st)
+                           // (2 * s.st) AS BIGINT), 0)
+                END AS strength_ppm,
+                pk.peak_dow, tr.trough_dow
+         FROM sse s JOIN pk USING (event_type)
+         JOIN tr USING (event_type)"""
 
   /** The q156 oracle's unrolled greedy MMR replay: the same e4-integer
     * rounded cosines (the q32 recipe — sums over the unnested vector in
@@ -8365,5 +8467,7 @@ object SparkEntry {
     "q275_single_linkage" -> singleLinkageOracleSql,
     "q276_rolling_ols" -> rollingOlsOracleSql,
     "q277_retention_halflife" -> retentionHalflifeOracleSql,
+    "q278_srm_check" -> srmCheckOracleSql,
+    "q279_seasonality_strength" -> seasonalityStrengthOracleSql,
   )
 }

@@ -2869,6 +2869,102 @@ object StatsOps {
                 ELSE 'underdispersed' END"""))
   }
 
+  /** q278: SAMPLE-RATIO-MISMATCH guardrail (Fabijan et al. KDD 2019 —
+    * "the most useful A/B diagnostic"): for each of three md5
+    * experiment assignments, χ² of the observed arm split against the
+    * designed 50/50 — an SRM means the RANDOMIZATION is broken
+    * (bot filtering, redirect loss, logging bias) and every readout
+    * downstream (q132/q260/q269) is invalid, which is why platforms
+    * alert at α = 0.001 rather than estimate. Two-cell identity keeps
+    * it exact: χ² = (n_a − n_b)²/n, emitted as round-half-up e6 and
+    * compared against the literal χ²₁ critical values (3.841459,
+    * 10.827566 — constants, the BenfordPpm rule). One user-table scan
+    * (the per-user frame is reused across the three salts), bounded
+    * output.
+    */
+  def q278SrmCheck(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct()
+      .localCheckpoint(false) // three salted passes over one frame
+    Seq("exp1", "exp2", "exp3").map { salt =>
+      users
+        .select(when(substring(md5(concat(col("user_id").cast("string"),
+          lit(":"), lit(salt))), 1, 1) < "8", 1L).otherwise(0L)
+          .as("_a"))
+        .agg(sum(col("_a")).cast("long").as("n_a"),
+          sum(lit(1L) - col("_a")).cast("long").as("n_b"))
+        .withColumn("experiment", lit(salt))
+    }.reduce(_ unionByName _)
+      .withColumn("chi2_e6", expr(
+        """CAST((2 * 1000000 * (n_a - n_b) * (n_a - n_b)
+                 + (n_a + n_b))
+                DIV (2 * (n_a + n_b)) AS BIGINT)"""))
+      .select(col("experiment"), col("n_a"), col("n_b"), col("chi2_e6"),
+        (col("chi2_e6") > 3841459L).as("suspicious_05"),
+        (col("chi2_e6") > 10827566L).as("srm_alert_001"))
+  }
+
+  /** q279: WEEKLY SEASONALITY STRENGTH per event type (Hyndman &
+    * Athanasopoulos FPP's Fs = 1 − Var(remainder)/Var(detrended)) —
+    * how much of the daily series' variance the day-of-week pattern
+    * explains, plus the peak/trough weekdays: the one-number "is this
+    * series weekly-periodic" gate that decides whether q224's
+    * seasonal-naive forecast or q133's weekday baseline applies at
+    * all. ENGINE-EXACT: e2 fixed-point on the gap-filled day lattice
+    * (q267's grid), dow = idx mod 7 (an INDEX-anchored week — phase
+    * doesn't matter for variance shares), residual SSEs as exact
+    * DECIMAL sums of integer squares, strength_ppm = clamp(1e6 −
+    * rhu(1e6·SSE_dow, SSE_total), ≥0); peak/trough by (mean, dow)
+    * struct extrema. Corpus pays one scan; all math at type×day
+    * grain.
+    */
+  def q279SeasonalityStrength(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+    val span = ev.agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+    val daily = ev.crossJoin(broadcast(span))
+      .groupBy(col("event_type"), (col("day") - col("_d0")).as("idx"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(expr("sequence(0, _d1 - _d0)")).as("idx"))
+      .join(daily, Seq("event_type", "idx"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("dow", expr("idx % 7"))
+      .localCheckpoint(false) // feeds dow means AND both SSE passes
+    val dowMean = grid.groupBy(col("event_type"), col("dow"))
+      .agg(expr("CAST((2 * 100 * sum(cnt) + count(1)) DIV (2 * count(1)) AS BIGINT)")
+        .as("dm_e2"))
+    val allMean = grid.groupBy(col("event_type"))
+      .agg(expr("CAST((2 * 100 * sum(cnt) + count(1)) DIV (2 * count(1)) AS BIGINT)")
+        .as("am_e2"))
+    val sse = grid.join(dowMean, Seq("event_type", "dow"))
+      .join(broadcast(allMean), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        max(col("am_e2")).as("mean_e2"),
+        sum(expr("""CAST((100 * cnt - dm_e2) AS DECIMAL(38,0))
+                    * (100 * cnt - dm_e2)""")).as("_sr"),
+        sum(expr("""CAST((100 * cnt - am_e2) AS DECIMAL(38,0))
+                    * (100 * cnt - am_e2)""")).as("_st"))
+    val peaks = dowMean.groupBy(col("event_type"))
+      .agg(max(struct(col("dm_e2"), (-col("dow")).as("nd")))
+          .getField("nd").as("_pk"),
+        min(struct(col("dm_e2"), col("dow"))).getField("dow")
+          .as("trough_dow"))
+      .select(col("event_type"), (-col("_pk")).as("peak_dow"),
+        col("trough_dow"))
+    sse.join(peaks, "event_type")
+      .select(col("event_type"), col("n_days"), col("mean_e2"),
+        expr("""CASE WHEN _st > 0 THEN
+               GREATEST(1000000 - CAST((2 * 1000000 * _sr + _st)
+                        DIV (2 * _st) AS BIGINT), 0)
+             END""").as("strength_ppm"),
+        col("peak_dow"), col("trough_dow"))
+  }
+
   /** q276: 30-DAY ROLLING OLS TREND of daily purchase revenue — per
     * day, the least-squares slope over the trailing 30-day window (the
     * "momentum" line every operations dashboard draws; the ROLLING

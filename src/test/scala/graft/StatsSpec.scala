@@ -1788,4 +1788,65 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == exp.size && got.nonEmpty)
     exp.foreach { case (k, v) => assert(got(k) == v, s"day $k") }
   }
+
+  test("q278 SRM check: equals a local md5-arm replay; balanced md5 " +
+      "splits never trip the 0.001 alert") {
+    val got = StatsOps.q278SrmCheck(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val users = Tables.events(spark, Sf).filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+    val exp = Seq("exp1", "exp2", "exp3").map { salt =>
+      val na = users.count(u => md5hex(s"$u:$salt").head < '8').toLong
+      val nb = users.length - na
+      val chi2 = (2 * 1000000L * (na - nb) * (na - nb) + (na + nb)) /
+        (2 * (na + nb))
+      salt -> ((na, nb, chi2, chi2 > 3841459L, chi2 > 10827566L))
+    }.toMap
+    assert(got == exp)
+    // md5 is a fair coin — the hard alert must not fire on real splits
+    assert(got.values.forall(!_._5))
+  }
+
+  test("q279 seasonality strength: equals a local lattice replay; " +
+      "strength in [0, 1e6] and peak beats trough") {
+    val got = StatsOps.q279SeasonalityStrength(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4), r.getLong(5)))).toMap
+    val ev = Tables.events(spark, Sf)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val d0 = ev.map(_._2).min; val d1 = ev.map(_._2).max
+    val exp = ev.groupBy(_._1).map { case (t, xs) =>
+      val daily = xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val series = (0L to (d1 - d0)).map(i =>
+        (i % 7, daily.getOrElse(d0 + i, 0L)))
+      val n = series.size.toLong
+      def rhu(a: Long, b: Long) = (2 * a + b) / (2 * b)
+      val am = rhu(100 * series.map(_._2).sum, n)
+      val dms = series.groupBy(_._1).view.mapValues { ys =>
+        rhu(100 * ys.map(_._2).sum, ys.size.toLong) }.toMap
+      val sr = series.map { case (dw, c) =>
+        BigInt(100 * c - dms(dw)) * (100 * c - dms(dw)) }.sum
+      val st = series.map { case (_, c) =>
+        BigInt(100 * c - am) * (100 * c - am) }.sum
+      val strength = if (st > 0)
+        Some(math.max(1000000L -
+          ((2 * 1000000 * sr + st) / (2 * st)).toLong, 0L))
+      else None
+      val peak = dms.toSeq.minBy { case (dw, m) => (-m, dw) }._1
+      val trough = dms.toSeq.minBy { case (dw, m) => (m, dw) }._1
+      t -> ((n, am, strength, peak, trough))
+    }
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"type $k") }
+    got.values.foreach { case (_, _, st, _, _) =>
+      st.foreach(v => assert(v >= 0 && v <= 1000000L))
+    }
+  }
 }
