@@ -302,6 +302,7 @@ object SparkEntry {
     "q277_retention_halflife" -> (RelationalOps.q277RetentionHalflife _),
     "q278_srm_check" -> (StatsOps.q278SrmCheck _),
     "q279_seasonality_strength" -> (StatsOps.q279SeasonalityStrength _),
+    "q280_segmental_ttr" -> (TextOps.q280SegmentalTtr _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -2217,6 +2218,43 @@ object SparkEntry {
                 pk.peak_dow, tr.trough_dow
          FROM sse s JOIN pk USING (event_type)
          JOIN tr USING (event_type)"""
+
+  /** q280 oracle: raw-array subscript positions (filtered AFTER — so
+    * positions agree with Spark's posexplode), same segment cuts and
+    * rhu ppm chain.
+    */
+  private def segmentalTtrOracleSql: String =
+    """WITH tok AS (
+           SELECT doc_id, tk[i] AS term, i - 1 AS p
+           FROM (SELECT doc_id, tk,
+                        unnest(generate_series(1, len(tk))) AS i
+                 FROM (SELECT doc_id,
+                              string_split_regex(lower(trim(text)),
+                                '\s+') AS tk
+                       FROM documents WHERE text IS NOT NULL))
+           WHERE len(tk[i]) > 0
+         ), ds AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  CAST(COUNT(DISTINCT term) AS BIGINT) AS n_types
+           FROM tok GROUP BY 1
+         ), st AS (
+           SELECT doc_id, p // 50 AS seg,
+                  CAST(COUNT(*) AS BIGINT) AS _n,
+                  CAST(COUNT(DISTINCT term) AS BIGINT) AS _t
+           FROM tok GROUP BY 1, 2
+         ), ms AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+                  CAST((2 * SUM((2000000 * _t + 50) // (2 * 50))
+                        + COUNT(*))
+                       // (2 * COUNT(*)) AS BIGINT) AS msttr_ppm
+           FROM st WHERE _n = 50 GROUP BY 1
+         )
+         SELECT d.doc_id, d.n_tokens, d.n_types,
+                CAST((2000000 * d.n_types + d.n_tokens)
+                     // (2 * d.n_tokens) AS BIGINT) AS ttr_ppm,
+                CAST(COALESCE(m.n_segments, 0) AS BIGINT) AS n_segments,
+                m.msttr_ppm
+         FROM ds d LEFT JOIN ms m USING (doc_id)"""
 
   /** The q156 oracle's unrolled greedy MMR replay: the same e4-integer
     * rounded cosines (the q32 recipe — sums over the unnested vector in
@@ -8469,5 +8507,6 @@ object SparkEntry {
     "q277_retention_halflife" -> retentionHalflifeOracleSql,
     "q278_srm_check" -> srmCheckOracleSql,
     "q279_seasonality_strength" -> seasonalityStrengthOracleSql,
+    "q280_segmental_ttr" -> segmentalTtrOracleSql,
   )
 }

@@ -1631,6 +1631,54 @@ object TextOps {
                 AS BIGINT)"""))
   }
 
+  /** q280: SEGMENTAL TYPE-TOKEN RATIO — lexical diversity as the mean
+    * TTR over non-overlapping 50-token segments (the MSTTR of Johnson
+    * 1944; the length-robust form of raw TTR, whose denominator makes
+    * long documents look artificially repetitive — Covington &
+    * McFall JQL 2010 motivate the windowed family). Low MSTTR flags
+    * template/boilerplate text that q52's repetition filters and
+    * q26's surface stats each see only partially — the three together
+    * are the standard lexical-quality battery. Per doc: token count,
+    * full-doc distinct types, raw TTR ppm, segment count and MSTTR
+    * ppm over COMPLETE segments (the ragged tail segment is dropped —
+    * the standard MSTTR rule; docs shorter than one segment report
+    * NULL).
+    *
+    * ENGINE-EXACT: segment id = (pos − 1) DIV 50 from posexplode
+    * (1-based in DuckDB — aligned by the −1), per-segment distinct
+    * counts are exact integers, ratios round-half-up ppm, the mean
+    * over segments one more rhu. One corpus scan; everything after is
+    * (doc × segment) grain, map-combined.
+    */
+  def q280SegmentalTtr(s: SparkSession, d: String): DataFrame = {
+    // toks keeps empty strings out via the trim; positions come
+    // straight from posexplode (0-based; DuckDB ordinality is 1-based
+    // — the oracle subtracts 1), so no window pass is needed
+    val tok = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(toks))
+      .filter(length(col("col")) > 0)
+      .select(col("doc_id"), col("col").as("term"), col("pos").as("p"))
+    val docStats = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        countDistinct(col("term")).cast("long").as("n_types"))
+    val segTtr = tok.withColumn("seg", expr("p DIV 50"))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(count(lit(1)).cast("long").as("_n"),
+        countDistinct(col("term")).cast("long").as("_t"))
+      .filter(col("_n") === 50L)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_segments"),
+        expr("""CAST((2 * sum((2000000 * _t + 50) DIV (2 * 50))
+                      + count(1))
+                DIV (2 * count(1)) AS BIGINT)""").as("msttr_ppm"))
+    docStats.join(segTtr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("""CAST((2000000 * n_types + n_tokens)
+                DIV (2 * n_tokens) AS BIGINT)""").as("ttr_ppm"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        col("msttr_ppm"))
+  }
+
   /** q258: ZIPF-LAW FIT per source — the log-log OLS slope of the
     * term frequency-vs-rank curve over each source's top-300 terms
     * (Zipf 1949: natural language sits near slope −1; synthetic,

@@ -823,4 +823,33 @@ class TextSpec extends AnyFunSuite with SparkTestBase {
     exp.foreach { case (k, v) => assert(got(k) == v, s"doc $k") }
     assert(got.values.map(_._6).toSet.size >= 2)
   }
+
+  test("q280 segmental TTR: equals a local 50-token-window replay; " +
+      "MSTTR is length-robust where raw TTR is not") {
+    val got = TextOps.q280SegmentalTtr(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    val exp = localDocs().map { case (id, text, _, _) =>
+      val ts = tks(text)
+      val n = ts.size.toLong
+      val types = ts.distinct.size.toLong
+      val ttr = (2000000L * types + n) / (2 * n)
+      val segs = ts.grouped(50).filter(_.size == 50).toSeq
+      val ms = if (segs.isEmpty) None
+        else {
+          val sum2 = segs.map { s2 =>
+            (2000000L * s2.distinct.size + 50) / 100 }.sum
+          Some((2 * sum2 + segs.size) / (2L * segs.size))
+        }
+      id -> ((n, types, ttr, segs.size.toLong, ms))
+    }.toMap
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"doc $k") }
+    // windowed TTR ≥ raw TTR on any multi-segment doc (repetition
+    // accumulates with length; 50-token windows don't see it)
+    got.values.filter(_._4 >= 2).foreach { case (_, _, ttr, _, ms) =>
+      ms.foreach(m => assert(m >= ttr))
+    }
+  }
 }
