@@ -303,6 +303,7 @@ object SparkEntry {
     "q278_srm_check" -> (StatsOps.q278SrmCheck _),
     "q279_seasonality_strength" -> (StatsOps.q279SeasonalityStrength _),
     "q280_segmental_ttr" -> (TextOps.q280SegmentalTtr _),
+    "q281_diff_in_diff" -> (StatsOps.q281DiffInDiff _),
   )
 
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
@@ -2255,6 +2256,80 @@ object SparkEntry {
                 CAST(COALESCE(m.n_segments, 0) AS BIGINT) AS n_segments,
                 m.msttr_ppm
          FROM ds d LEFT JOIN ms m USING (doc_id)"""
+
+  /** q281 oracle: same midpoints, md5 arms, HUGEINT cell sums and
+    * signed rhu rational DiD/placebo.
+    */
+  private def diffInDiffOracleSql: String = {
+    def did(a: String, b: String, c: String, e: String) =
+      s"""CASE WHEN (($a - $b) * nc - ($c - $e) * nt) >= 0
+             THEN CAST((2 * (($a - $b) * nc - ($c - $e) * nt)
+                        + nt * nc)
+                       // (2 * nt * nc) AS BIGINT)
+             ELSE -CAST((2 * (-(($a - $b) * nc - ($c - $e) * nt))
+                         + nt * nc)
+                        // (2 * nt * nc) AS BIGINT) END"""
+    s"""WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS us,
+                  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    AS v
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type = 'purchase'
+         ), mids AS (
+           SELECT (MIN(us) + MAX(us)) // 2 AS mid,
+                  (3 * MIN(us) + MAX(us)) // 4 AS pmid
+           FROM ev
+         ), pu AS (
+           SELECT user_id,
+                  CAST(SUM(CASE WHEN us < mid THEN v ELSE 0 END)
+                       AS BIGINT) AS pre,
+                  CAST(SUM(CASE WHEN us >= mid THEN v ELSE 0 END)
+                       AS BIGINT) AS post,
+                  CAST(SUM(CASE WHEN us < pmid THEN v ELSE 0 END)
+                       AS BIGINT) AS pre1,
+                  CAST(SUM(CASE WHEN us >= pmid AND us < mid THEN v
+                           ELSE 0 END) AS BIGINT) AS pre2,
+                  substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                    AS treated
+           FROM ev, mids GROUP BY user_id, mid, pmid
+         ), cells AS (
+           SELECT
+             CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS HUGEINT)
+               AS nt,
+             CAST(SUM(CASE WHEN treated THEN 0 ELSE 1 END) AS HUGEINT)
+               AS nc,
+             CAST(SUM(CASE WHEN treated THEN pre ELSE 0 END)
+                  AS HUGEINT) AS tpre,
+             CAST(SUM(CASE WHEN treated THEN post ELSE 0 END)
+                  AS HUGEINT) AS tpost,
+             CAST(SUM(CASE WHEN treated THEN 0 ELSE pre END)
+                  AS HUGEINT) AS cpre,
+             CAST(SUM(CASE WHEN treated THEN 0 ELSE post END)
+                  AS HUGEINT) AS cpost,
+             CAST(SUM(CASE WHEN treated THEN pre1 ELSE 0 END)
+                  AS HUGEINT) AS tp1,
+             CAST(SUM(CASE WHEN treated THEN pre2 ELSE 0 END)
+                  AS HUGEINT) AS tp2,
+             CAST(SUM(CASE WHEN treated THEN 0 ELSE pre1 END)
+                  AS HUGEINT) AS cp1,
+             CAST(SUM(CASE WHEN treated THEN 0 ELSE pre2 END)
+                  AS HUGEINT) AS cp2
+           FROM pu
+         )
+         SELECT CAST(nt AS BIGINT) AS n_treated,
+                CAST(nc AS BIGINT) AS n_control,
+                CAST((2 * tpre + nt) // (2 * nt) AS BIGINT)
+                  AS t_pre_e4,
+                CAST((2 * tpost + nt) // (2 * nt) AS BIGINT)
+                  AS t_post_e4,
+                CAST((2 * cpre + nc) // (2 * nc) AS BIGINT)
+                  AS c_pre_e4,
+                CAST((2 * cpost + nc) // (2 * nc) AS BIGINT)
+                  AS c_post_e4,
+                ${did("tpost", "tpre", "cpost", "cpre")} AS did_e4,
+                ${did("tp2", "tp1", "cp2", "cp1")} AS placebo_e4
+         FROM cells"""
+  }
 
   /** The q156 oracle's unrolled greedy MMR replay: the same e4-integer
     * rounded cosines (the q32 recipe — sums over the unnested vector in
@@ -8508,5 +8583,6 @@ object SparkEntry {
     "q278_srm_check" -> srmCheckOracleSql,
     "q279_seasonality_strength" -> seasonalityStrengthOracleSql,
     "q280_segmental_ttr" -> segmentalTtrOracleSql,
+    "q281_diff_in_diff" -> diffInDiffOracleSql,
   )
 }

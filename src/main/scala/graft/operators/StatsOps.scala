@@ -2869,6 +2869,85 @@ object StatsOps {
                 ELSE 'underdispersed' END"""))
   }
 
+  /** q281: DIFFERENCE-IN-DIFFERENCES estimate (the canonical
+    * two-group/two-period causal design — Card & Krueger 1994's
+    * workhorse): (ΔT − ΔC) of mean per-user purchase value across the
+    * time-span midpoint, treatment = the md5 arm, plus a PLACEBO
+    * re-estimate entirely inside the pre-period (split at the pre
+    * midpoint) — the standard parallel-trends falsification: a
+    * non-zero placebo says the arms were already diverging and the
+    * headline DiD is confounded. Completes the causal shelf: q132
+    * tests, q260 shrinks variance, q269 frees the null, q278 guards
+    * the randomization, THIS estimates an effect against a trend.
+    *
+    * ENGINE-EXACT: per-user per-period sums are exact e4 longs
+    * (panel construction — every user contributes to both periods,
+    * zero-filled); each DiD is ONE exact rational
+    * (ΔS_T·n_C − ΔS_C·n_T)/(n_T·n_C) in DECIMAL(38,0), emitted by
+    * signed round-half-up e4; the four cell means are rhu e4. One
+    * event scan → per-user sums → two bounded aggregates.
+    */
+  def q281DiffInDiff(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+          .as("v"))
+    val mids = ev.agg(expr("(min(us) + max(us)) DIV 2").as("_mid"),
+      expr("(3 * min(us) + max(us)) DIV 4").as("_pmid"))
+    val perUser = ev.crossJoin(broadcast(mids))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("us") < col("_mid"), col("v")).otherwise(0L))
+          .cast("long").as("pre"),
+        sum(when(col("us") >= col("_mid"), col("v")).otherwise(0L))
+          .cast("long").as("post"),
+        sum(when(col("us") < col("_pmid"), col("v")).otherwise(0L))
+          .cast("long").as("pre1"),
+        sum(when(col("us") >= col("_pmid") && col("us") < col("_mid"),
+          col("v")).otherwise(0L)).cast("long").as("pre2"))
+      .withColumn("treated",
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    val cells = perUser.agg(
+      sum(when(col("treated"), 1L).otherwise(0L))
+        .cast("decimal(38,0)").as("_nt"),
+      sum(when(!col("treated"), 1L).otherwise(0L))
+        .cast("decimal(38,0)").as("_nc"),
+      sum(when(col("treated"), col("pre")).otherwise(0L))
+        .cast("decimal(38,0)").as("_tpre"),
+      sum(when(col("treated"), col("post")).otherwise(0L))
+        .cast("decimal(38,0)").as("_tpost"),
+      sum(when(!col("treated"), col("pre")).otherwise(0L))
+        .cast("decimal(38,0)").as("_cpre"),
+      sum(when(!col("treated"), col("post")).otherwise(0L))
+        .cast("decimal(38,0)").as("_cpost"),
+      sum(when(col("treated"), col("pre1")).otherwise(0L))
+        .cast("decimal(38,0)").as("_tp1"),
+      sum(when(col("treated"), col("pre2")).otherwise(0L))
+        .cast("decimal(38,0)").as("_tp2"),
+      sum(when(!col("treated"), col("pre1")).otherwise(0L))
+        .cast("decimal(38,0)").as("_cp1"),
+      sum(when(!col("treated"), col("pre2")).otherwise(0L))
+        .cast("decimal(38,0)").as("_cp2"))
+    def meanE4(sc: String, nc: String) =
+      expr(s"CAST((2 * $sc + $nc) DIV (2 * $nc) AS BIGINT)")
+    def didE4(a: String, b: String, c: String, e: String) =
+      expr(s"""CASE WHEN (($a - $b) * _nc - ($c - $e) * _nt) >= 0
+             THEN CAST((2 * (($a - $b) * _nc - ($c - $e) * _nt)
+                        + _nt * _nc)
+                       DIV (2 * _nt * _nc) AS BIGINT)
+             ELSE -CAST((2 * (-(($a - $b) * _nc - ($c - $e) * _nt))
+                         + _nt * _nc)
+                        DIV (2 * _nt * _nc) AS BIGINT) END""")
+    cells.select(col("_nt").cast("long").as("n_treated"),
+      col("_nc").cast("long").as("n_control"),
+      meanE4("_tpre", "_nt").as("t_pre_e4"),
+      meanE4("_tpost", "_nt").as("t_post_e4"),
+      meanE4("_cpre", "_nc").as("c_pre_e4"),
+      meanE4("_cpost", "_nc").as("c_post_e4"),
+      didE4("_tpost", "_tpre", "_cpost", "_cpre").as("did_e4"),
+      didE4("_tp2", "_tp1", "_cp2", "_cp1").as("placebo_e4"))
+  }
+
   /** q278: SAMPLE-RATIO-MISMATCH guardrail (Fabijan et al. KDD 2019 —
     * "the most useful A/B diagnostic"): for each of three md5
     * experiment assignments, χ² of the observed arm split against the

@@ -1849,4 +1849,51 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
       st.foreach(v => assert(v >= 0 && v <= 1000000L))
     }
   }
+
+  test("q281 difference-in-differences: equals a local BigInt replay; " +
+      "the DiD identity (T gap minus C gap) holds to rounding") {
+    val rows = StatsOps.q281DiffInDiff(spark, Sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull &&
+        col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    val mid = (lo + hi) / 2; val pmid = (3 * lo + hi) / 4
+    val pu = ev.groupBy(_._1).map { case (u, xs) =>
+      (md5hex(u.toString).head < '8',
+        xs.filter(_._2 < mid).map(_._3).sum,
+        xs.filter(_._2 >= mid).map(_._3).sum,
+        xs.filter(_._2 < pmid).map(_._3).sum,
+        xs.filter(x => x._2 >= pmid && x._2 < mid).map(_._3).sum)
+    }.toSeq
+    val (t, c) = pu.partition(_._1)
+    val (nt, nc) = (BigInt(t.size), BigInt(c.size))
+    def s2(xs: Seq[(Boolean, Long, Long, Long, Long)],
+        f: ((Boolean, Long, Long, Long, Long)) => Long) =
+      xs.map(x => BigInt(f(x))).sum
+    def rhu(a: BigInt, b: BigInt) = ((2 * a + b) / (2 * b)).toLong
+    def rhuS(a: BigInt, b: BigInt) =
+      (if (a >= 0) (2 * a + b) / (2 * b)
+       else -((2 * -a + b) / (2 * b))).toLong
+    def did(ta: BigInt, tb: BigInt, ca: BigInt, cb: BigInt) =
+      rhuS((ta - tb) * nc - (ca - cb) * nt, nt * nc)
+    val exp = (t.size.toLong, c.size.toLong,
+      rhu(s2(t, _._2), nt), rhu(s2(t, _._3), nt),
+      rhu(s2(c, _._2), nc), rhu(s2(c, _._3), nc),
+      did(s2(t, _._3), s2(t, _._2), s2(c, _._3), s2(c, _._2)),
+      did(s2(t, _._5), s2(t, _._4), s2(c, _._5), s2(c, _._4)))
+    assert(got == exp)
+    // identity check vs the rounded cell means (within rounding slack)
+    val approx = (got._4 - got._3) - (got._6 - got._5)
+    assert(math.abs(approx - got._7) <= 2)
+  }
 }
