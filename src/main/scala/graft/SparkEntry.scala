@@ -2262,7 +2262,8 @@ object SparkEntry {
     */
   private def diffInDiffOracleSql: String = {
     def did(a: String, b: String, c: String, e: String) =
-      s"""CASE WHEN (($a - $b) * nc - ($c - $e) * nt) >= 0
+      s"""CASE WHEN nt = 0 OR nc = 0 THEN NULL
+             WHEN (($a - $b) * nc - ($c - $e) * nt) >= 0
              THEN CAST((2 * (($a - $b) * nc - ($c - $e) * nt)
                         + nt * nc)
                        // (2 * nt * nc) AS BIGINT)
@@ -2318,13 +2319,17 @@ object SparkEntry {
          )
          SELECT CAST(nt AS BIGINT) AS n_treated,
                 CAST(nc AS BIGINT) AS n_control,
-                CAST((2 * tpre + nt) // (2 * nt) AS BIGINT)
+                CASE WHEN nt > 0 THEN
+                  CAST((2 * tpre + nt) // (2 * nt) AS BIGINT) END
                   AS t_pre_e4,
-                CAST((2 * tpost + nt) // (2 * nt) AS BIGINT)
+                CASE WHEN nt > 0 THEN
+                  CAST((2 * tpost + nt) // (2 * nt) AS BIGINT) END
                   AS t_post_e4,
-                CAST((2 * cpre + nc) // (2 * nc) AS BIGINT)
+                CASE WHEN nc > 0 THEN
+                  CAST((2 * cpre + nc) // (2 * nc) AS BIGINT) END
                   AS c_pre_e4,
-                CAST((2 * cpost + nc) // (2 * nc) AS BIGINT)
+                CASE WHEN nc > 0 THEN
+                  CAST((2 * cpost + nc) // (2 * nc) AS BIGINT) END
                   AS c_post_e4,
                 ${did("tpost", "tpre", "cpost", "cpre")} AS did_e4,
                 ${did("tp2", "tp1", "cp2", "cp1")} AS placebo_e4

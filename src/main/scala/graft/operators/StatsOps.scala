@@ -2491,7 +2491,18 @@ object StatsOps {
       b -> m.values.sum }
     val losses = w.groupBy(_._1._2).map { case (b, m) =>
       b -> m.values.sum }
-    val items = (wins.keySet intersect losses.keySet).toSeq.sorted
+    // ADVICE r11: a brand with ≥1 win and ≥1 loss whose duels are ALL
+    // against non-item brands would enter with sI(i)=0 (MM division by
+    // zero) while the oracle's inner joins silently drop it — require
+    // ≥1 item-item duel so both engines drop the degenerate brand the
+    // same way. Unreachable on the real 25-brand data (every brand
+    // duels every other).
+    val items0 = (wins.keySet intersect losses.keySet).toSeq.sorted
+    val inI0 = items0.toSet
+    val hasItemDuel = w.keysIterator
+      .collect { case (a, b) if inI0(a) && inI0(b) => Seq(a, b) }
+      .flatten.toSet
+    val items = items0.filter(hasItemDuel)
     val inI = items.toSet
     val nij = w.toSeq
       .flatMap { case ((a, b), n) => Seq((a, b) -> n, (b, a) -> n) }
@@ -2548,10 +2559,15 @@ object StatsOps {
         .as("paa_e2"))
     val brk = paa.groupBy(col("event_type"))
       .agg(sort_array(collect_list(col("paa_e2"))).as("_srt"))
+      // try_element_at (ADVICE r11): a global event span < 16 days
+      // yields < 12 PAA windows — DuckDB's lst[12] subscript returns
+      // NULL there while ANSI element_at throws; try_element_at keeps
+      // the degrade identical (NULL breakpoints skip their CASE arm in
+      // both engines). Never fires at any tested SF.
       .select(col("event_type"),
-        element_at(col("_srt"), 4).as("_q1"),
-        element_at(col("_srt"), 8).as("_q2"),
-        element_at(col("_srt"), 12).as("_q3"))
+        try_element_at(col("_srt"), lit(4)).as("_q1"),
+        try_element_at(col("_srt"), lit(8)).as("_q2"),
+        try_element_at(col("_srt"), lit(12)).as("_q3"))
     paa.join(broadcast(brk), "event_type")
       .withColumn("_sym", expr(
         """CASE WHEN paa_e2 < _q1 THEN 'a'
@@ -2928,10 +2944,17 @@ object StatsOps {
         .cast("decimal(38,0)").as("_cp1"),
       sum(when(!col("treated"), col("pre2")).otherwise(0L))
         .cast("decimal(38,0)").as("_cp2"))
+    // one-arm guard (ADVICE r11): if the md5 hash assigned every user
+    // to a single arm, the divisions below hit a zero denominator in
+    // BOTH engines — emit NULL instead so the degenerate panel is
+    // reported, not thrown. Statistically impossible at any real user
+    // count; mirrored in the oracle (diffInDiffOracleSql).
     def meanE4(sc: String, nc: String) =
-      expr(s"CAST((2 * $sc + $nc) DIV (2 * $nc) AS BIGINT)")
+      expr(s"""CASE WHEN $nc > 0
+             THEN CAST((2 * $sc + $nc) DIV (2 * $nc) AS BIGINT) END""")
     def didE4(a: String, b: String, c: String, e: String) =
-      expr(s"""CASE WHEN (($a - $b) * _nc - ($c - $e) * _nt) >= 0
+      expr(s"""CASE WHEN _nt = 0 OR _nc = 0 THEN NULL
+             WHEN (($a - $b) * _nc - ($c - $e) * _nt) >= 0
              THEN CAST((2 * (($a - $b) * _nc - ($c - $e) * _nt)
                         + _nt * _nc)
                        DIV (2 * _nt * _nc) AS BIGINT)
