@@ -5467,6 +5467,58 @@ object SparkEntry {
 
     "q156_mmr" -> mmrOracleSql,
 
+    // two-stage truncated-dim ANN is deterministic end to end (ROUND-4
+    // prefix cosines cut at rank 100 with nid tie-breaks, then ROUND-4
+    // full-vector re-rank — the q32 cosine recipe twice), so the oracle
+    // replays the exact pipeline: no float-library internals anywhere
+    "q158_trunc_ann" ->
+      """WITH pre AS (
+           SELECT vec_id, embedding[1:32] AS pe FROM embeddings
+         ), q AS (
+           SELECT vec_id AS qid, pe AS qp FROM pre WHERE vec_id < 10
+         ), cand AS (
+           SELECT q.qid, p.vec_id AS nid, q.qp, p.pe AS np
+           FROM q, pre p WHERE p.vec_id <> q.qid
+         ), un AS (
+           SELECT qid, nid, CAST(unnest(qp) AS DOUBLE) AS x,
+                  CAST(unnest(np) AS DOUBLE) AS y
+           FROM cand
+         ), dots AS (
+           SELECT qid, nid, SUM(x*y) AS dot, SUM(x*x) AS na,
+                  SUM(y*y) AS nb
+           FROM un GROUP BY qid, nid
+         ), pres AS (
+           SELECT qid, nid,
+                  ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS pre_cos
+           FROM dots
+         ), short AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (PARTITION BY qid
+               ORDER BY pre_cos DESC, nid) AS rn FROM pres)
+           WHERE rn <= 100
+         ), fu AS (
+           SELECT s.qid, s.nid, eq.embedding AS qe, en.embedding AS ne
+           FROM short s
+           JOIN embeddings eq ON eq.vec_id = s.qid
+           JOIN embeddings en ON en.vec_id = s.nid
+         ), un2 AS (
+           SELECT qid, nid, CAST(unnest(qe) AS DOUBLE) AS x,
+                  CAST(unnest(ne) AS DOUBLE) AS y
+           FROM fu
+         ), dots2 AS (
+           SELECT qid, nid, SUM(x*y) AS dot, SUM(x*x) AS na,
+                  SUM(y*y) AS nb
+           FROM un2 GROUP BY qid, nid
+         ), scored AS (
+           SELECT qid, nid,
+                  ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+           FROM dots2
+         )
+         SELECT qid, nid, cos_sim FROM (
+           SELECT qid, nid, cos_sim, row_number() OVER (PARTITION BY qid
+             ORDER BY cos_sim DESC, nid) AS rn FROM scored)
+         WHERE rn <= 5""",
+
     "q155_cramers_v" ->
       """WITH base AS (
            SELECT lang AS a, source AS b FROM documents
