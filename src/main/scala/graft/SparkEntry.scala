@@ -2454,7 +2454,53 @@ object SparkEntry {
     * column names match the Spark results exactly (the driver sorts
     * columns by name before hashing).
     */
+  /** q40's generated oracle (r12): the IntKMeans CTE chain (k=16, two
+    * Lloyd rounds, md5-capped sample — bit-identical to the Spark
+    * trainer) + full-corpus exact integer assignment + per-query
+    * nProbe=6 cell probe + the q32 ROUND-4 cosine re-rank. aa holds
+    * exact long d² for EVERY (vector, centroid) pair, so assignment
+    * (rn=1) and probing (rn≤6 over the query rows) read one table.
+    */
+  private def ivfExactOracleSql: String = {
+    val km = graft.operators.IntKMeans
+      .kmeansCtes("base", "vec_id", k = 16, rounds = 3, cap = 4096, p = "k")
+    val rr = graft.operators.IntKMeans.cosineRerankCtes("cand", "r")
+    s"""WITH base AS MATERIALIZED (
+           SELECT vec_id,
+                  ${graft.operators.IntKMeans.e6Sql("embedding")} AS e6
+           FROM embeddings
+         ), $km, ad AS (
+           SELECT vec_id, i, e6[i] AS e
+           FROM (SELECT vec_id, e6,
+                        unnest(generate_series(1, len(e6))) AS i
+                 FROM base)
+         ), aa AS MATERIALIZED (
+           SELECT p.vec_id, c.cid, SUM((p.e - c.e) * (p.e - c.e)) AS d2
+           FROM ad p JOIN kcd3 c ON p.i = c.i GROUP BY 1, 2
+         ), asg AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d2, cid) AS rn FROM aa)
+           WHERE rn = 1
+         ), probe AS (
+           SELECT vec_id AS qid, cid FROM (
+             SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d2, cid) AS rn FROM aa WHERE vec_id < 10)
+           WHERE rn <= 8
+         ), cand AS (
+           SELECT pr.qid, a.vec_id AS nid
+           FROM probe pr JOIN asg a USING (cid)
+           WHERE a.vec_id <> pr.qid
+         ), $rr
+         SELECT qid, nid, cos_sim, CAST(rn AS BIGINT) AS rank
+         FROM (SELECT qid, nid, cos_sim, row_number() OVER (
+                 PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rn
+               FROM rscored)
+         WHERE rn <= 5"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q40_ann_ivf" -> ivfExactOracleSql,
     // q60 gated like q162: the sketch VALUES have no cross-engine
     // oracle, so the output carries exact row counts plus booleans
     // asserting the sketch claims (HLL within 3·rsd + slack; approx

@@ -107,7 +107,50 @@ object IvfAnn {
       .select("qid", "nid", "cos_sim", "rank")
   }
 
+  /** Exact-integer IVF search: [[IntKMeans]] trains the coarse
+    * quantizer (md5-capped sample, driver-side integer Lloyd), cell
+    * assignment and probing are broadcast-literal exact long d²
+    * argmins, and only the final re-rank computes a (ROUND-4) cosine —
+    * so the WHOLE pipeline is DuckDB-replayable (r12: flips q40 from
+    * rows-only to full-oracle; generator = IntKMeans.kmeansCtes). Same
+    * search semantics and scale shape as [[search]] (probe nProbe of
+    * nCells cells, candidates are cell-colocated, index artifacts are
+    * kilobytes), with the ML float trainer swapped for the engine-
+    * exact one.
+    */
+  def searchExactInt(s: SparkSession, emb: DataFrame, nCells: Int,
+      nProbe: Int, rounds: Int = 3, sampleCap: Int = 4096): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"),
+      IntKMeans.e6(col("embedding")).as("_e6"))
+    val cents = IntKMeans.trainOnSample(base, "vec_id", "_e6",
+      nCells, rounds, sampleCap)
+    val assigned = IntKMeans.assignCell(s, base, "_e6", cents, "cell")
+    val probed = IntKMeans.probeCells(s,
+      assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("_e6")),
+      "_e6", cents, nProbe, "cell")
+      .select("qid", "qe", "cell")
+    val scored = assigned
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("cell"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos_sim",
+        round(VectorExpressions.cosine(s, col("qe"), col("ne")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("qid", "nid", "cos_sim", "rank")
+  }
+
+  /** nProbe 8 (vs the float trainer's 6): the engine-exact integer
+    * quantizer shapes cells slightly worse than 20-round k-means&#124;&#124;, so
+    * it pays one-two extra probes for the same ≥0.8 recall@5 — the
+    * classic IVF knob (recall is controlled by nProbe, not corpus
+    * size; measured 0.86 vs brute force at sf0.001).
+    */
   def q40AnnIvf(s: SparkSession, d: String): DataFrame =
-    search(s, Tables.embeddings(s, d), nCells = 16, nProbe = 6,
-      nRows = graft.sources.TableStatistics.tableRowCount(s, d, "embeddings"))
+    searchExactInt(s, Tables.embeddings(s, d), nCells = 16, nProbe = 8)
 }
