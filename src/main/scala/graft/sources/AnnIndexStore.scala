@@ -18,24 +18,32 @@ import org.apache.spark.sql.functions._
   * BitmapIndex / BloomSkipIndex artifacts are this library's
   * precedent). Layout under `dir`:
   *
-  *   - `centroids.parquet`  — (cell, centroid array<double>); nCells×dim
-  *   - `codebooks.parquet`  — (m, code, centroid array<double>); M·SubK
+  *   - `centroids.parquet`  — (cell, centroid array&lt;long&gt;); ≤nCells×dim
+  *     e6-lattice integers (the r12 engine-exact format — fmt 2)
+  *   - `codebooks.parquet`  — (m, code, centroid array&lt;long&gt;); ≤M·SubK
   *   - `codes.parquet/cell=N/` — (vec_id, code0..code{M-1}),
   *     PARTITIONED BY cell: a probe of nProbe cells is partition
   *     pruning on the artifact, not a scan — the 100 TB read shape
-  *   - `meta.json`          — dims + geometry, written last (its
+  *   - `meta.json`          — fmt + dims + geometry, written last (its
   *     presence marks a complete build, the _SUCCESS convention)
   *
-  * Everything about the build is deterministic (hash-ordered capped
-  * sample, seeded local Lloyd's — IvfPq.train), so a rebuild from the
-  * same corpus reproduces the artifact content exactly; the suite
-  * asserts both that and search-over-artifact ≡ the in-memory path
-  * (both run [[IvfPq.searchEncoded]], which never trains).
+  * Everything about the build is deterministic (md5-ordered capped
+  * sample, exact integer Lloyd — IvfPq.train/IntKMeans), so a rebuild
+  * from the same corpus reproduces the artifact content exactly; the
+  * suite asserts both that and search-over-artifact ≡ the in-memory
+  * path (both run [[IvfPq.searchEncoded]], which never trains).
   */
 object AnnIndexStore {
 
+  /** Artifact format version: bump when the persisted layout changes
+    * so stale /tmp artifacts from an older build rebuild instead of
+    * mis-loading (fmt 2 = r12 integer-lattice centroids/codebooks).
+    */
+  private val Fmt = 2
+
   case class IvfPqIndex(dim: Int, nCells: Int,
-      coarse: Array[Array[Double]], pq: Array[Array[Array[Double]]],
+      coarse: Array[(Int, Array[Long])],
+      pq: Array[Array[(Int, Array[Long])]],
       codes: DataFrame)
 
   /** Train on `emb`, encode it, persist the artifact. Returns the
@@ -51,16 +59,16 @@ object AnnIndexStore {
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$dir/codes.parquet")
     import spark.implicits._
-    coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+    coarse.map { case (cid, c) => (cid, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.parquet")
-    (for { m <- 0 until IvfPq.M; k <- 0 until IvfPq.SubK }
-      yield (m, k, pq(m)(k).toSeq)).toDF("m", "code", "centroid")
+    (for { m <- 0 until IvfPq.M; (code, c) <- pq(m) }
+      yield (m, code, c.toSeq)).toDF("m", "code", "centroid")
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks.parquet")
-    val meta = s"""{"kind":"ivfpq","dim":$dim,"n_cells":$nCells,""" +
-      s""""m":${IvfPq.M},"sub_k":${IvfPq.SubK}}"""
+    val meta = s"""{"kind":"ivfpq","fmt":$Fmt,"dim":$dim,""" +
+      s""""n_cells":$nCells,"m":${IvfPq.M},"sub_k":${IvfPq.SubK}}"""
     val p = new Path(dir, "meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -68,16 +76,24 @@ object AnnIndexStore {
     load(spark, dir)
   }
 
-  /** True when `dir` holds a complete artifact (meta.json is written
-    * last, so its presence implies the parquet parts).
+  /** True when `dir` holds a complete CURRENT-format artifact
+    * (meta.json is written last, so its presence implies the parquet
+    * parts; a fmt mismatch means a stale artifact → rebuild).
     */
   def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir, "meta.json")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val in = fs.open(p)
+      val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      s""""fmt":(\\d+)""".r.findFirstMatchIn(meta)
+        .exists(_.group(1).toInt == Fmt)
+    }
   }
 
   /** Load the artifact: the codebooks are bounded driver artifacts
-    * (nCells×dim + M·SubK·subDim doubles — the q194 codebook rule);
+    * (≤nCells×dim + M·SubK·subDim longs — the q194 codebook rule);
     * the codes stay a cell-partitioned DataFrame, never collected.
     */
   def load(spark: SparkSession, dir: String): IvfPqIndex = {
@@ -90,19 +106,23 @@ object AnnIndexStore {
       s""""$k":(\\d+)""".r.findFirstMatchIn(meta)
         .getOrElse(sys.error(s"AnnIndexStore: no $k in $metaPath"))
         .group(1).toInt
+    require(intField("fmt") == Fmt,
+      s"AnnIndexStore: stale artifact format at $dir — rebuild")
     val dim = intField("dim"); val nCells = intField("n_cells")
     val m = intField("m"); val subK = intField("sub_k")
     val coarse = spark.read.parquet(s"$dir/centroids.parquet")
       .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
-    require(coarse.length == nCells,
-      s"AnnIndexStore: ${coarse.length} centroids, meta says $nCells")
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    require(coarse.length <= nCells && coarse.nonEmpty,
+      s"AnnIndexStore: ${coarse.length} centroids, meta says ≤$nCells")
     val cbRows = spark.read.parquet(s"$dir/codebooks.parquet")
       .orderBy("m", "code").collect()
-    require(cbRows.length == m * subK,
-      s"AnnIndexStore: ${cbRows.length} codebook rows, want ${m * subK}")
-    val pq = cbRows.grouped(subK)
-      .map(_.map(_.getSeq[Double](2).toArray).toArray).toArray
+    require(cbRows.length <= m * subK && cbRows.nonEmpty,
+      s"AnnIndexStore: ${cbRows.length} codebook rows, want ≤${m * subK}")
+    val pq = (0 until m).map { mi =>
+      cbRows.filter(_.getInt(0) == mi)
+        .map(r => (r.getInt(1), r.getSeq[Long](2).toArray))
+    }.toArray
     IvfPqIndex(dim, nCells, coarse, pq,
       spark.read.parquet(s"$dir/codes.parquet"))
   }
@@ -119,10 +139,11 @@ object AnnIndexStore {
 
   /** 227. Index-backed ANN search as a driver-gate query: builds the
     * artifact once per SF dir (meta.json marks completeness; later
-    * runs are pure search), then searches it. Rows-only by design —
-    * the shortlist cut is on float ADC distances (the q120/q121
-    * class); the suite pins search-over-artifact ≡ in-memory q121 and
-    * the deterministic rebuild.
+    * runs are pure search), then searches it. Full-oracle since r12:
+    * the search result is identical to the in-memory q121 pipeline
+    * (same exact-integer kernel, same parameters), so its oracle is
+    * q121's generated SQL — the DuckDB replay recomputes from the base
+    * table what the artifact caches.
     */
   def q227AnnIndexSearch(s: SparkSession, d: String): DataFrame = {
     val sfName = new java.io.File(d).getName
@@ -131,6 +152,6 @@ object AnnIndexStore {
     val idx =
       if (exists(s, dir)) load(s, dir)
       else build(s, emb, dir)
-    search(s, idx, emb, nProbe = 6)
+    search(s, idx, emb, nProbe = 8)
   }
 }

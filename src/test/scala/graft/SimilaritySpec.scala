@@ -95,8 +95,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.7, s"recall@5 = $recall")
     // codes are 4-bit by construction
     val emb = Tables.embeddings(spark, Sf)
-    val n = emb.count()
-    val cb = graft.operators.PqAnn.trainCodebooks(emb, 64, n)
+    val cb = graft.operators.PqAnn.trainCodebooks(emb, 64)
     val coded = graft.operators.PqAnn.encode(emb, cb, 64)
     (0 until 4).foreach { m =>
       val mx = coded.agg(max(col(s"code$m")), min(col(s"code$m"))).first()
@@ -143,7 +142,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(AnnIndexStore.exists(spark, dir))
     // search-over-artifact ≡ the in-memory path (same kernel, same
     // deterministic training) — exact triple equality, not recall
-    val fromIdx = AnnIndexStore.search(spark, idx, emb, nProbe = 6)
+    val fromIdx = AnnIndexStore.search(spark, idx, emb, nProbe = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val inMem = graft.operators.IvfPq.q121IvfPq(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -153,14 +152,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // dynamic join, so assert on the artifact layout instead)
     val cellDirs = new java.io.File(s"$dir/codes.parquet")
       .listFiles().filter(_.getName.startsWith("cell=")).map(_.getName)
-    assert(cellDirs.length == 16)
+    // one directory per NON-EMPTY cell (the integer trainer may drop
+    // empty clusters or leave a cell with no corpus members)
+    val nCellsUsed = idx.codes.select("cell").distinct().count()
+    assert(cellDirs.length.toLong == nCellsUsed && nCellsUsed >= 8)
     // deterministic rebuild: content-identical artifact
     val dir2 = java.nio.file.Files
       .createTempDirectory("graft_ann_idx_spec2").toString
     val idx2 = AnnIndexStore.build(spark, emb, dir2)
-    assert(idx2.coarse.map(_.toSeq).toSeq == idx.coarse.map(_.toSeq).toSeq)
-    assert(idx2.pq.map(_.map(_.toSeq).toSeq).toSeq ==
-      idx.pq.map(_.map(_.toSeq).toSeq).toSeq)
+    def centsSeq(a: Array[(Int, Array[Long])]) =
+      a.map { case (c, v) => (c, v.toSeq) }.toSeq
+    assert(centsSeq(idx2.coarse) == centsSeq(idx.coarse))
+    assert(idx2.pq.map(centsSeq).toSeq == idx.pq.map(centsSeq).toSeq)
     def codesSet(i: AnnIndexStore.IvfPqIndex) = i.codes
       .collect().map(r => r.toSeq).toSet
     assert(codesSet(idx2) == codesSet(idx))
