@@ -2673,8 +2673,56 @@ object SparkEntry {
     sb.toString
   }
 
+  /** q75's generated oracle (r12): the IntKMeans chain (k=32, 2
+    * rounds), exact corpus assignment, then each vector's ROUND-4
+    * cosine against its own integer centroid and the rn=1 cut per
+    * cell — the SemDeDup representative pick replayed exactly.
+    */
+  private def semDedupOracleSql: String = {
+    val km = graft.operators.IntKMeans
+      .kmeansCtes("base", "vec_id", k = 32, rounds = 2, cap = 4096, p = "k")
+    s"""WITH base AS MATERIALIZED (
+           SELECT vec_id, embedding,
+                  ${graft.operators.IntKMeans.e6Sql("embedding")} AS e6
+           FROM embeddings
+         ), $km, ad AS (
+           SELECT vec_id, i, e6[i] AS e
+           FROM (SELECT vec_id, e6,
+                        unnest(generate_series(1, len(e6))) AS i
+                 FROM base)
+         ), aa AS (
+           SELECT p.vec_id, c.cid, SUM((p.e - c.e) * (p.e - c.e)) AS d2
+           FROM ad p JOIN kcd2 c ON p.i = c.i GROUP BY 1, 2
+         ), asg AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d2, cid) AS rn FROM aa)
+           WHERE rn = 1
+         ), un AS (
+           SELECT b.vec_id, g.cid AS cell,
+                  CAST(b.embedding[c.i] AS DOUBLE) AS x,
+                  CAST(c.e AS DOUBLE) AS y
+           FROM base b JOIN asg g USING (vec_id)
+           JOIN kcd2 c ON c.cid = g.cid
+         ), dots AS (
+           SELECT vec_id, cell, SUM(x*y) AS dot, SUM(x*x) AS na,
+                  SUM(y*y) AS nb
+           FROM un GROUP BY 1, 2
+         ), scored AS (
+           SELECT vec_id, cell,
+                  ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_r
+           FROM dots
+         )
+         SELECT vec_id, cell, cos_r FROM (
+           SELECT vec_id, cell, cos_r, ROW_NUMBER() OVER (
+             PARTITION BY cell ORDER BY cos_r DESC, vec_id) AS rn
+           FROM scored)
+         WHERE rn = 1"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q40_ann_ivf" -> ivfExactOracleSql,
+    "q75_semdedup" -> semDedupOracleSql,
     "q120_pq_ann" -> pqExactOracleSql,
     "q121_ivfpq" -> ivfPqExactOracleSql,
     "q227_ann_index_search" -> ivfPqExactOracleSql,

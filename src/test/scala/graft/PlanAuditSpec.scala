@@ -184,11 +184,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Window"), p.take(2000))
   }
 
-  test("q75 semantic dedup: centroids broadcast; representative choice " +
-      "is the heap operator") {
+  test("q75 semantic dedup: centroids are codegen literals (no join " +
+      "at all); representative choice is the heap operator") {
     val p = plan(SimilarityOps.q75SemDedup(spark, Sf))
     assert(p.contains("TopKPerKey"), p.take(2000))
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 

@@ -319,20 +319,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows.nonEmpty && rows.length <= 32)
     assert(rows.map(_.getAs[Int]("cell")).distinct.length == rows.length,
       "exactly one representative per cluster")
-    // re-derive assignments with the same seeded quantizer: the kept
-    // vec must score >= every other member of its cell (rounded cosine,
-    // vec_id tie-break)
-    val emb = Tables.embeddings(spark, Sf)
-    val nRows = graft.sources.TableStatistics
-      .tableRowCount(spark, Sf, "embeddings")
-    val (assigned, centers) =
-      graft.operators.IvfAnn.assignCells(emb, nCells = 32, nRows,
-        initMode = "random", maxIter = 8)
-    val centroidDf = centers.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
-    val scored = assigned.join(broadcast(centroidDf), Seq("cell"))
+    // re-derive assignments with the same exact integer quantizer: the
+    // kept vec must score >= every other member of its cell (rounded
+    // cosine, vec_id tie-break)
+    val base = Tables.embeddings(spark, Sf).select(col("vec_id"),
+      col("embedding"),
+      graft.operators.IntKMeans.e6(col("embedding")).as("_e6"))
+    val cents = graft.operators.IntKMeans.trainOnSample(
+      base, "vec_id", "_e6", k = 32, rounds = 2, cap = 4096)
+    val centMap = map_from_arrays(
+      typedlit(cents.map(_._1).toSeq),
+      array(cents.map(kc => typedlit(kc._2.map(_.toDouble).toSeq)): _*))
+    val scored = graft.operators.IntKMeans
+      .assignCell(spark, base, "_e6", cents, "cell")
       .withColumn("cos_r", round(
-        VectorExpressions.cosine(spark, col("embedding"), col("centroid")), 4))
+        VectorExpressions.cosine(spark, col("embedding"),
+          element_at(centMap, col("cell"))), 4))
       .select(col("cell"), col("vec_id"), col("cos_r"))
       .collect()
       .groupBy(_.getAs[Int]("cell"))
