@@ -2,121 +2,46 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorExpressions
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor — the alternative
-  * scale path to sign-LSH: a KMeans coarse quantizer assigns every
-  * vector to a cell; a query probes only its `nProbe` nearest cells.
+  * scale path to sign-LSH: a coarse quantizer assigns every vector to
+  * a cell; a query probes only its `nProbe` nearest cells.
   *
   * The index (centroid set) is O(nCells × dim) — kilobytes — so it
-  * broadcasts; the corpus stays partitioned by cell. Search touches
-  * nProbe/nCells of the data: at 100 TB with 4096 cells and nProbe=8,
-  * that's ~0.2% of the corpus per query, with recall controlled by
-  * nProbe rather than corpus size.
+  * rides codegen literals; the corpus stays partitioned by cell.
+  * Search touches nProbe/nCells of the data: at 100 TB with 4096 cells
+  * and a proportional probe count, a query reads a fixed fraction of
+  * the corpus, with recall controlled by nProbe rather than corpus
+  * size.
+  *
+  * ENGINE-EXACT since r12: the quantizer is [[IntKMeans]] (md5-capped
+  * sample, driver-side integer Lloyd on the floor-e6 lattice), cell
+  * assignment and probing are broadcast-literal exact long-d² argmins,
+  * and only the final re-rank computes a ROUND-4 cosine — the whole
+  * pipeline (training included) replays in DuckDB via generated CTEs
+  * (SparkEntry.ivfExactOracleSql), flipping q40 from rows-only to
+  * full-oracle. The former Spark-ML k-means&#124;&#124; float trainer is gone:
+  * no other engine can replay float-library cell assignments.
+  *
+  * Reference anchor: the reference scans per-deck aggregate usage
+  * vectors exhaustively (helper_functions.py:27-52); this is the
+  * sub-linear index replacing exhaustive scans when the vector table
+  * is the corpus.
   */
 object IvfAnn {
 
   private val K = 5
 
-  /** Assign each row a `cell` id using a deterministic KMeans quantizer
-    * trained on a SEEDED SAMPLE of the corpus — never the full corpus:
-    * KMeans is iterative (maxIter full passes), so training on
-    * everything inside the query path is a multi-pass driver-coordinated
-    * job per query at 100 TB. The quantizer only needs the density
-    * shape, which a sample captures; the fitted model is returned so
-    * callers reuse it across queries instead of re-fitting.
-    *
-    * @param nRows corpus row count (from catalog/footer stats) — gates
-    *   the small-sample fallback WITHOUT an eager count() job in the
-    *   query path (at 100 TB that count is a full scan per plan build)
-    * @param sampleFraction fraction used for training (falls back to the
-    *   full corpus only when the sample is too small to support k cells)
-    */
-  /** @param initMode / maxIter quantizer cost dials: ANN search (q40)
-    *   keeps the k-means&#124;&#124; default for cell balance (recall depends on
-    *   it); semantic dedup (q75) only needs a stable space partition, so
-    *   it passes "random" + fewer iterations — k-means&#124;&#124; init alone is
-    *   several extra passes over the sample.
-    */
-  def assignCells(emb: DataFrame, nCells: Int, nRows: Long,
-      sampleFraction: Double = 0.25, initMode: String = "k-means||",
-      maxIter: Int = 20): (DataFrame, Array[Array[Double]]) = {
-    val withVec = emb.withColumn("features",
-      array_to_vector(transform(col("embedding"), x => x.cast("double"))))
-    val sample = withVec.select("features")
-      .sample(withReplacement = false, sampleFraction, seed = 42L)
-    val trainSet =
-      if (nRows * sampleFraction >= nCells * 4L) sample
-      else withVec.select("features")
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(maxIter)
-      .setInitMode(initMode)
-      .fit(trainSet)
-    val assigned = model.transform(withVec)
-      .withColumnRenamed("prediction", "cell")
-      .drop("features")
-    (assigned, model.clusterCenters.map(_.toArray))
-  }
-
-  /** Top-k cosine neighbors for queries (vec_id < 10), searching only
-    * the nProbe cells nearest each query.
-    */
-  def search(spark: SparkSession, emb: DataFrame, nCells: Int, nProbe: Int,
-      nRows: Long): DataFrame = {
-    val (assigned, centers) = assignCells(emb, nCells, nRows)
-
-    // tiny centroid table → broadcast; each query scores all centroids
-    // (nCells × dim flops) and keeps its nProbe nearest cells
-    import spark.implicits._
-    val centroidDf = centers.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
-
-    val queries = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val probeW = Window.partitionBy(col("qid"))
-      .orderBy(col("cdist").asc, col("cell"))
-    // probe ranking must use the SAME metric as the quantizer (KMeans
-    // assigns by Euclidean distance) — ranking cells by cosine sends
-    // queries to cells their Euclidean-assigned neighbors aren't in
-    val dist2 = aggregate(
-      zip_with(transform(col("qe"), x => x.cast("double")), col("centroid"),
-        (a, b) => (a - b) * (a - b)),
-      lit(0.0d), (acc, x) => acc + x)
-    val probed = queries.crossJoin(broadcast(centroidDf))
-      .withColumn("cdist", dist2)
-      .withColumn("crank", row_number().over(probeW))
-      .filter(col("crank") <= nProbe)
-      .select("qid", "qe", "cell")
-
-    // no pair dedup needed: KMeans assigns each vector to exactly ONE
-    // cell, so the cell join can't produce a (qid, nid) twice — a
-    // dropDuplicates here would be a redundant shuffle carrying vectors
-    val scored = probed.join(
-        assigned.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-          col("cell")), Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("cos_sim",
-        round(VectorExpressions.cosine(spark, col("qe"), col("ne")), 4))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos_sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
-      .select("qid", "nid", "cos_sim", "rank")
-  }
-
   /** Exact-integer IVF search: [[IntKMeans]] trains the coarse
-    * quantizer (md5-capped sample, driver-side integer Lloyd), cell
-    * assignment and probing are broadcast-literal exact long d²
-    * argmins, and only the final re-rank computes a (ROUND-4) cosine —
-    * so the WHOLE pipeline is DuckDB-replayable (r12: flips q40 from
-    * rows-only to full-oracle; generator = IntKMeans.kmeansCtes). Same
-    * search semantics and scale shape as [[search]] (probe nProbe of
-    * nCells cells, candidates are cell-colocated, index artifacts are
-    * kilobytes), with the ML float trainer swapped for the engine-
-    * exact one.
+    * quantizer, cell assignment and probing are exact long d² argmins,
+    * and the final re-rank is the ROUND-4 cosine with (cos, nid)
+    * tie-breaks. Scale shape: training is ONE TakeOrdered sample pass;
+    * assignment/probing are codegen passes with zero joins; the
+    * candidate join broadcasts the |queries|·nProbe probe set against
+    * the cell-partitioned corpus.
     */
   def searchExactInt(s: SparkSession, emb: DataFrame, nCells: Int,
       nProbe: Int, rounds: Int = 3, sampleCap: Int = 4096): DataFrame = {
@@ -145,11 +70,11 @@ object IvfAnn {
       .select("qid", "nid", "cos_sim", "rank")
   }
 
-  /** nProbe 8 (vs the float trainer's 6): the engine-exact integer
-    * quantizer shapes cells slightly worse than 20-round k-means&#124;&#124;, so
-    * it pays one-two extra probes for the same ≥0.8 recall@5 — the
-    * classic IVF knob (recall is controlled by nProbe, not corpus
-    * size; measured 0.86 vs brute force at sf0.001).
+  /** nProbe 8 (vs the former float trainer's 6): the engine-exact
+    * integer quantizer shapes cells slightly worse than 20-round
+    * k-means&#124;&#124;, so it pays two extra probes for the same ≥0.8 recall@5
+    * — the classic IVF knob (measured 0.86 vs brute force at
+    * sf0.001).
     */
   def q40AnnIvf(s: SparkSession, d: String): DataFrame =
     searchExactInt(s, Tables.embeddings(s, d), nCells = 16, nProbe = 8)

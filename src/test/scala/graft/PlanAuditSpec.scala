@@ -780,6 +780,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         p186.take(2500))
   }
 
+  test("q186/q187 candidate stage picks by footer row count: exact " +
+      "broadcast all-pairs at gate scale, IVF cell join (no broadcast " +
+      "of the corpus, no nested loop) when the threshold is exceeded") {
+    // default threshold (100k) >> every tested SF → the exact stage:
+    // an all-pairs BroadcastNestedLoopJoin over the broadcast corpus
+    val pExact = plan(SimilarityOps.annCandidateScores(spark, Sf))
+    assert(pExact.contains("BroadcastNestedLoopJoin"), pExact.take(2500))
+    // force the scale path: the candidate stage must become the
+    // co-partitioned cell equi-join — NO nested loop, NO cartesian
+    spark.conf.set("spark.graft.ann.exactMaxRows", "1")
+    try {
+      val pIvf = plan(SimilarityOps.annCandidateScores(spark, Sf))
+      assert(!pIvf.contains("BroadcastNestedLoopJoin") &&
+        !pIvf.contains("CartesianProduct"), pIvf.take(2500))
+      assert(pIvf.contains("cell"), pIvf.take(2500))
+      // both consumers run on the swapped stage unchanged
+      assert(SimilarityOps.q187KnnPurity(spark, Sf).count() > 0)
+    } finally spark.conf.unset("spark.graft.ann.exactMaxRows")
+  }
+
   test("q188 seasonal decomposition: the unpartitioned 7-day window " +
       "runs on the AGGREGATED daily artifact (partial aggregation " +
       "collapsed the fact scan first), seasonal means broadcast back") {

@@ -179,10 +179,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   test("ANN-ladder swap: q186/q187 over IVF candidates reach the " +
       "promised ≥0.8 recall vs the exact brute-force path") {
     val emb = Tables.embeddings(spark, Sf)
-    val nRows = graft.sources.TableStatistics
-      .tableRowCount(spark, Sf, "embeddings")
     val cand = SimilarityOps.ivfCandidateScores(spark, emb,
-      nCells = 16, nProbe = 6, nRows = nRows)
+      nCells = 16, nProbe = 10)
     // q186: mutual-NN pair recall over the candidate stage
     val exactPairs = SimilarityOps.q186MutualNn(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -223,7 +221,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val annPurity = SimilarityOps.knnPurityFrom(cand)
     assert(annPurity.columns.toSeq ==
       Seq("vec_id", "label", "n_same", "purity_ppm"))
-    assert(annPurity.count() == nRows)
+    assert(annPurity.count() == emb.count())
   }
 
   test("q125 item-item similarity matches a local basket replay") {
