@@ -3088,15 +3088,53 @@ object SparkEntry {
                 ROUND(sqrt(SUM(x*x)), 4) AS l2_norm,
                 ROUND(SUM(x*y), 4) AS dot_rev
          FROM un GROUP BY vec_id""",
+    // the synthesis→decode composition has a closed form over
+    // (doc_id, text): format by md5 digit (the q209 recipe), image
+    // geometry/strides from the byte length, pixel/sample statistics
+    // from per-character code sums (the corpus is ASCII — one byte per
+    // char). The Spark side REALLY decodes the synthesized container;
+    // this replays what that decode must yield.
     "q35_multimodal" ->
-      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
-                  AS byte_len,
-                md5(text) AS checksum,
-                CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INTEGER)
-                  AS frame_w,
-                CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INTEGER)
-                  AS frame_h
-         FROM documents""",
+      """WITH d AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+                  CAST(list_sum(list_transform(
+                    string_split_regex(text, ''), c -> ascii(c)))
+                    AS BIGINT) AS bsum,
+                  CAST(list_sum(list_transform(
+                    string_split_regex(text, ''),
+                    c -> abs(ascii(c) - 128))) AS BIGINT) AS asum,
+                  (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 3
+                    AS pick
+           FROM documents
+           WHERE text IS NOT NULL AND length(text) > 0
+         ), g AS (
+           SELECT doc_id, L, bsum, asum, pick,
+                  (L % 31) + 1 AS w,
+                  (L + 3 * ((L % 31) + 1) - 1)
+                    // (3 * ((L % 31) + 1)) AS h
+           FROM d
+         )
+         SELECT doc_id,
+                CASE pick WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                  ELSE 'wav' END AS fmt,
+                CAST(CASE pick
+                  WHEN 0 THEN 54 + ((3 * w + 3) // 4) * 4 * h
+                  WHEN 1 THEN 9 + length(CAST(w AS VARCHAR))
+                    + length(CAST(h AS VARCHAR)) + 3 * w * h
+                  ELSE 44 + 2 * L END AS BIGINT) AS byte_len,
+                CAST(CASE WHEN pick < 2 THEN w END AS INTEGER) AS width,
+                CAST(CASE WHEN pick < 2 THEN h END AS INTEGER)
+                  AS height,
+                CAST(CASE WHEN pick = 2 THEN 8000 END AS INTEGER)
+                  AS rate,
+                CAST(CASE WHEN pick < 2 THEN w * h ELSE L END AS BIGINT)
+                  AS n_units,
+                CAST(CASE WHEN pick < 2
+                  THEN (2 * 100 * bsum + 3 * w * h) // (2 * 3 * w * h)
+                  ELSE (2 * 100 * asum * 256 + L) // (2 * L) END
+                  AS BIGINT) AS mean_e2
+         FROM g""",
     "q36_embed_neardup" ->
       """WITH c AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
