@@ -1399,8 +1399,18 @@ object GraphOps {
     * propagation with per-round lineage cuts. No stage exceeds edge
     * grain.
     */
-  def q265Scan(s: SparkSession, d: String): DataFrame = {
-    val e = prunedCoPurchaseEdges(s, d, minCount = 2)
+  def q265Scan(s: SparkSession, d: String): DataFrame =
+    scanCluster(prunedCoPurchaseEdges(s, d, minCount = 2))
+
+  /** The SCAN kernel over ANY symmetric (src, dst) edge list — split
+    * from [[q265Scan]] so the suite can differential-test it against a
+    * local naive SCAN on synthetic graphs with planted ε-clusters,
+    * hubs and outliers (the q109 pattern): the DuckDB closure oracle
+    * dies beyond gate scale (>80 GB at sf0.1), so exactness beyond the
+    * gate is suite-pinned instead (r12, the r11 ask).
+    */
+  private[graft] def scanCluster(symEdges: DataFrame): DataFrame = {
+    val e = symEdges
       .localCheckpoint(false) // feeds degree, support, hub passes
     val und = e.filter(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v"))

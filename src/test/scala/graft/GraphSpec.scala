@@ -584,20 +584,12 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(gotS.values.forall(_ == 4L))
   }
 
-  test("q265 SCAN: equals a local structural-similarity replay " +
-      "(cores, clusters, borders, hubs, outliers)") {
-    val got = GraphOps.q265Scan(spark, Sf).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        r.getString(3),
-        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
-    // local graph: distinct co-purchase pairs sharing >= 2 orders
-    val li = Tables.lineitem(spark, Sf)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
-      val ps = xs.map(_._2).distinct.sorted.toSeq
-      for (a <- ps; b <- ps if a < b) yield (a, b)
-    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+  /** Local naive SCAN over an undirected (a<b) pair list — the shared
+    * replay for the real-graph q265 test and the planted beyond-gate
+    * differential.
+    */
+  private def localScanReplay(pairs: Seq[(Long, Long)])
+      : Map[Long, (Long, Long, String, Option[Long])] = {
     val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val eps = pairs.filter { case (u, v) =>
@@ -626,7 +618,7 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       if (cl.nonEmpty) Some(n -> cl.min) else None
     }.toMap
     val labeled = lab ++ borders
-    val exp = adj.keys.map { n =>
+    adj.keys.map { n =>
       val (role, cl) =
         if (cores(n)) ("core", Some(lab(n)))
         else if (borders.contains(n)) ("border", Some(borders(n)))
@@ -636,6 +628,23 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
         }
       n -> ((adj(n).size.toLong, nEps(n), role, cl))
     }.toMap
+  }
+
+  test("q265 SCAN: equals a local structural-similarity replay " +
+      "(cores, clusters, borders, hubs, outliers)") {
+    val got = GraphOps.q265Scan(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    // local graph: distinct co-purchase pairs sharing >= 2 orders
+    val li = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2).distinct.sorted.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val exp = localScanReplay(pairs)
     assert(got.size == exp.size && got.nonEmpty)
     exp.foreach { case (k, v) => assert(got(k) == v, s"node $k") }
     // role/cluster contract (at sf0.001 the pruned graph is too
@@ -644,6 +653,70 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     got.values.foreach { case (_, _, role, cl) =>
       assert(Set("core", "border", "hub", "outlier")(role))
       assert(cl.isDefined == (role == "core" || role == "border"))
+    }
+  }
+
+  test("q265 SCAN kernel beyond gate scale: a planted ~50k-edge " +
+      "synthetic graph (80 cliques + hubs + outliers) matches the " +
+      "local naive replay with all four roles present") {
+    // the DuckDB closure oracle dies >80 GB at sf0.1, so exactness
+    // beyond the gate is pinned here instead (r11 ask): 80 planted
+    // ε-clusters (cliques, every member a core), 30 bridge nodes
+    // touching 3 cliques (never ε-similar → hubs), 100 single-edge
+    // stragglers (→ outliers)
+    val rnd = new scala.util.Random(20260816L)
+    val und = scala.collection.mutable.LinkedHashSet[(Long, Long)]()
+    def add(a: Long, b: Long): Unit =
+      if (a != b) und += (if (a < b) (a, b) else (b, a))
+    var next = 0L
+    val cliques = (1 to 80).map { _ =>
+      val ids = (0 until 20 + rnd.nextInt(16)).map { _ =>
+        next += 1; next }
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        add(ids(i), ids(j))
+      ids
+    }
+    (1 to 30).foreach { _ =>
+      next += 1; val h = next
+      rnd.shuffle(cliques).take(3).foreach(c =>
+        rnd.shuffle(c).take(3).foreach(n => add(h, n)))
+    }
+    (1 to 100).foreach { _ =>
+      next += 1; val o = next
+      val c = cliques(rnd.nextInt(cliques.size))
+      add(o, c(rnd.nextInt(c.size)))
+    }
+    // borders: small 5-cliques with a 2-edge satellite — ε-similar to
+    // both attachment points (4·(1+2)² = 36 ≥ 3·6) but only 3
+    // ε-neighbors incl. self, below the μ=4 core bar
+    val smallCliques = (1 to 40).map { _ =>
+      val ids = (0 until 5).map { _ => next += 1; next }
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        add(ids(i), ids(j))
+      next += 1
+      add(next, ids(0)); add(next, ids(1))
+      ids
+    }
+    val pairs = und.toSeq
+    val sym = pairs ++ pairs.map(p => (p._2, p._1))
+    info(s"planted graph: ${pairs.size} undirected / ${sym.size} " +
+      "symmetric edges")
+    assert(sym.size >= 40000, s"graph too small: ${sym.size}")
+    val got = GraphOps.scanCluster(sym.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    val exp = localScanReplay(pairs)
+    assert(got.size == exp.size && got.nonEmpty)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"node $k") }
+    val byRole = got.values.groupBy(_._3).view.mapValues(_.size).toMap
+    info(s"roles: $byRole")
+    assert(byRole.keySet == Set("core", "border", "hub", "outlier"),
+      byRole.toString)
+    // every planted clique resolved to ONE cluster (its min id)
+    cliques.foreach { ids =>
+      val cls = ids.map(got(_)._4).toSet
+      assert(cls == Set(Some(ids.min)), s"clique ${ids.min}: $cls")
     }
   }
 }
