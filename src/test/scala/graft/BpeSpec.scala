@@ -191,6 +191,37 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q106 encode equals the independent reference at the ScaleUp " +
+      "sf1 world — the 100×-scale tokenizer-path claim, tested",
+      org.scalatest.Tag("graft.Sf1")) {
+    // content-deterministic sf1-shaped world (50k documents); reuse a
+    // cached generation — ScaleUp is documented content-deterministic,
+    // so any prior build of the same (src, factors) is byte-equivalent
+    // in CONTENT (footer bytes are not pinned, content is)
+    val sf1 = sys.props("java.io.tmpdir") + "/graft_sf1_bpe"
+    if (!new java.io.File(s"$sf1/documents.parquet").exists())
+      graft.ScaleUp.run(spark, "/root/testdata/sf0.1", sf1, 10, 4)
+    val docs = Tables.documents(spark, sf1).filter(col("text").isNotNull)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.length >= 40000, s"sf1 world too small: ${docs.length}")
+    val wordMap = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.foreach(_._2.split("\\s+").foreach(w =>
+      if (w.nonEmpty) wordMap.update(w, wordMap.getOrElse(w, 0L) + 1L)))
+    val merges = localBpe(wordMap.toMap, 12).map(m => (m._2, m._3))
+    val expected = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty)
+        .flatMap(localEncode(merges, _)).toSeq
+    }.toMap
+    val got = BpeTrain.q106BpeEncode(spark, sf1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (n, subtoks)) =>
+      assert(n == expected(id).length, s"doc $id count")
+      assert(subtoks == expected(id).mkString(" "), s"doc $id tokens")
+    }
+  }
+
   test("misra-gries: superset of true heavy hitters under merge") {
     // skewed synthetic stream: token i appears ~n/i times (zipf-ish)
     val items = (1 to 40).flatMap(i => Seq.fill(4000 / i)(s"t$i"))
