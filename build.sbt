@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share one SparkSession; running them concurrently can deadlock
+// Spark's GLOBAL RDDCheckpointData$ monitor against a per-RDD lock when
+// a broadcast-exchange thread materializes a lazy localCheckpoint while
+// another suite's job submission walks the same lock order (observed
+// r12: DAGScheduler.getCacheLocs vs RDD.doCheckpoint, JVM-reported
+// deadlock). The driver gates run queries sequentially and are safe;
+// make the suite sequential too.
+Test / parallelExecution := false
 // Forked run output goes straight to stdout (no "[info]" prefix) so the
 // bench JSON line is machine-parseable.
 outputStrategy := Some(StdoutOutput)
