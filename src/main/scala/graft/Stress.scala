@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
   *     doc count at the real corpus's feature density); 500 planted
   *     verbatim twins must all surface — the zero-miss guarantee of
   *     the r11 prefix⋈prefix candidate join.
+  *   - CC convergence (r13): minLabelComponents over a 1M-node
+  *     id-shuffled PATH (diameter n-1, the r12 q239 failure shape) —
+  *     the SV hook+compress kernel throws if its 25-round cap is hit,
+  *     and every label must equal the true component min.
   *
   * Usage: `sbt 'runMain graft.Stress [nRows] [nDocs]'` — defaults
   * 20M / 4M. Prints one JSON line like Bench.
@@ -193,6 +197,31 @@ object Stress {
     }
     val cosOk = twinFound == nTwin
 
+    // ---- 7. CC convergence on a worst-case diameter graph -------------
+    // a PATH over id-shuffled nodes (diameter n-1 — the r12 q239
+    // failure shape at 50× the sf0.1 ε-graph's node count): the
+    // SV hook+compress kernel must reach the exact fixpoint inside its
+    // 25-round cap (it THROWS otherwise, so completing IS the
+    // assertion) and every node must carry the true component min
+    val nCc = math.min(1000000L, n)
+    val ccNodes = spark.range(nCc).select(col("id").as("node"),
+      xxhash64(col("id"), lit(20)).as("h"))
+    val ccRanked = graft.operators.DistributedRank
+      .withRank(ccNodes, Seq.empty, Seq("h", "node"), "rn")
+      .select(col("node"), col("rn")).localCheckpoint()
+    val ccEdges = ccRanked.as("a")
+      .join(ccRanked.as("b"), col("a.rn") + 1 === col("b.rn"))
+      .select(col("a.node").as("src"), col("b.node").as("dst"))
+    val ccSym = ccEdges.unionByName(
+      ccEdges.select(col("dst").as("src"), col("src").as("dst")))
+    val ((ccOk, ccDiag), tCc) = timed {
+      val lbl = graft.operators.GraphOps.minLabelComponents(ccSym)
+      val a = lbl.agg(count(lit(1)), min(col("component")),
+        max(col("component"))).head()
+      (a.getLong(0) == nCc && a.getLong(1) == 0L && a.getLong(2) == 0L,
+        s"[${a.getLong(0)},${a.getLong(1)},${a.getLong(2)}]")
+    }
+
     def f(d: Double): String = BigDecimal(d)
       .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     println(s"""{"stress":{"n":$n,"n_docs":$nDocs,""" +
@@ -204,8 +233,10 @@ object Stress {
       s""""epsjoin":{"sec":${f(tEps)},"pairs":$nEpsPairs,""" +
       s""""planted_found":$plantedEps,"ok":$epsOk},""" +
       s""""cosallpairs":{"sec":${f(tCos)},"n_docs":${nCos + nTwin},""" +
-      s""""pairs":$nCosPairs,"planted_found":$twinFound,"ok":$cosOk}}}""")
-    val allOk = topOk && rankOk && bmOk && shOk && epsOk && cosOk
+      s""""pairs":$nCosPairs,"planted_found":$twinFound,"ok":$cosOk},""" +
+      s""""ccpath":{"sec":${f(tCc)},"n_nodes":$nCc,""" +
+      s""""cnt_min_max":$ccDiag,"ok":$ccOk}}}""")
+    val allOk = topOk && rankOk && bmOk && shOk && epsOk && cosOk && ccOk
     spark.stop()
     if (!allOk) sys.exit(1)
   }

@@ -741,14 +741,40 @@ object GraphOps {
 
   /** Converged min-label connected components over a SYMMETRIC edge
     * table: every node labeled with the smallest node id in its
-    * component — the generic core of q61's near-dup clustering (the
-    * same accumulator-fixpoint loop: per round ONE edges⋈labels join +
-    * per-node min, lineage cut by an eager checkpoint that also
-    * flushes the changed-counter; the loop exits the round nothing
-    * improves, so the label table is the exact fixpoint, not a capped
-    * approximation). The per-row `udf` exists only to tick the
-    * accumulator — no built-in expression can — and runs on the
-    * node-scale label table, never the corpus.
+    * component. Each round is a Shiloach–Vishkin-style HOOK — per-node
+    * neighbor-min (one edges⋈labels join), AGGREGATED UP TO THE TREE
+    * ROOT (group the members' neighbor-mins by their label: a root
+    * must learn what its members discovered, or trees only merge at
+    * their graph boundary and propagation degrades to O(diameter)
+    * again — measured: the member-only hook left a shuffled 5000-path
+    * unconverged at 25 rounds, +2 nodes/round; the tree hook closes a
+    * 1000-path in 7) — followed by PATH COMPRESSION TO FIXPOINT
+    * (label := label(label), a node-scale self-join, repeated until no
+    * pointer moves). Full compression leaves every label pointing at
+    * its forest root, so each hook merges whole trees and the outer
+    * loop is O(log n) rounds. Compression passes halve forest depth,
+    * so the inner loop is ~log₂(depth) passes (measured 2–4).
+    *
+    * Labels are monotone (label(v) ≤ v always, updates only decrease),
+    * so the pointers form a forest toward smaller ids and
+    * label(label(v)) stays inside v's component — the outer fixpoint
+    * (a round that changes nothing) implies labels constant along
+    * every edge, hence exactly the component min. Exiting
+    * non-converged THROWS: a warning that the answer is wrong is not a
+    * failure mode (r12 verdict — q239 emitted non-transitive labels at
+    * sf0.1 under the old warn-and-return).
+    *
+    * Intermediates use lazy Dataset.localCheckpoint (plan truncation —
+    * the compression self-join would otherwise replay its input's plan
+    * on both sides), but every MATERIALIZED cut is the stats-free
+    * [[graft.plans.LineageCut]]: Dataset.localCheckpoint carries plan
+    * Statistics onto the LogicalRDD, and iterated self-joins MULTIPLY
+    * them — sizeInBytes bit-length doubles per join until a single
+    * driver-side BigInt stats product runs for hours BEFORE any job
+    * starts (the r13 planning hang; see LineageCut's scaladoc). The
+    * per-row `udf`s exist only to tick the changed-accumulators — no
+    * built-in expression can — and run on the node-scale label table,
+    * never the corpus.
     */
   def minLabelComponents(symEdges: DataFrame, maxRounds: Int = 25)
       : DataFrame = {
@@ -758,6 +784,29 @@ object GraphOps {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(false)
+    // label := label(label) until no pointer moves (depth halves per
+    // pass, so the 64-pass cap is unreachable for any graph that fits
+    // in storage); each pass materializes via the stats-free cut
+    def compress(l0: DataFrame): DataFrame = {
+      var cur = l0
+      var moved = 1L
+      var passes = 0
+      while (moved > 0 && passes < 64) {
+        val acc = spark.sparkContext.longAccumulator("graft.cc.jump")
+        val mark = udf { c: Boolean => if (c) acc.add(1L); c }
+        val nxt = graft.plans.LineageCut.cut(
+          cur.join(cur.select(col("node").as("label"),
+              col("label").as("l2")), Seq("label"), "left")
+            .select(col("node"),
+              coalesce(col("l2"), col("label")).as("label"),
+              mark(coalesce(col("l2") < col("label"), lit(false)))
+                .as("_j")))
+        moved = acc.value
+        cur = nxt.drop("_j")
+        passes += 1
+      }
+      cur
+    }
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -766,21 +815,35 @@ object GraphOps {
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(min(col("label")).as("nl"))
-      val updated = labels.join(nbrMin, Seq("node"), "left")
+        .localCheckpoint(false) // read twice: member hook + root hook
+      // tree hook: the min neighbor-label seen by ANY member of root
+      // r's tree, applied to node r itself (rmin values are node ids
+      // inside r's component, so monotone-safe like nl)
+      val rootMin = labels.join(nbrMin, Seq("node"))
+        .groupBy(col("label").as("node")).agg(min(col("nl")).as("rmin"))
+      val hooked = labels
+        .join(nbrMin, Seq("node"), "left")
+        .join(rootMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label")))
-            .as("label"),
-          mark(coalesce(col("nl") < col("label"), lit(false))).as("_chg"))
-        .localCheckpoint() // eager: materializes the round, flushes acc
+          least(col("label"),
+            coalesce(col("nl"), col("label")),
+            coalesce(col("rmin"), col("label"))).as("label"))
+        .localCheckpoint(false)
+      val jumped = compress(hooked)
+      val updated = graft.plans.LineageCut.cut( // eager: flushes acc
+        labels.select(col("node"), col("label").as("_old"))
+          .join(jumped, Seq("node"))
+          .select(col("node"), col("label"),
+            mark(col("label") < col("_old")).as("_chg")))
       changed = acc.value
       labels = updated.drop("_chg")
       rounds += 1
     }
     if (changed > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      throw new IllegalStateException(
         s"minLabelComponents: fixpoint NOT reached after $maxRounds " +
-          s"rounds ($changed labels still improving) — labels are not " +
-          "fully transitive; raise maxRounds")
+          s"hook+compress rounds ($changed labels still improving) — " +
+          "refusing to return non-transitive component labels")
     labels.select(col("node"), col("label").as("component"))
   }
 
@@ -1217,12 +1280,39 @@ object GraphOps {
     * integer counts — oracle replays the peel as a recursive CTE
     * whose per-level support is the same triangle enumeration.
     */
-  def kTruss(symEdges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+  def kTruss(symEdges: DataFrame, k: Int, rounds: Int = 64): DataFrame = {
     var und = symEdges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") < col("v")).distinct()
       .localCheckpoint(false)
+    // (k-1)-CORE PRE-PRUNE (r13): every k-truss edge sits in ≥ k-2
+    // triangles, so both its endpoints keep degree ≥ k-1 inside the
+    // truss — peeling sub-(k-1)-degree nodes can NEVER remove a truss
+    // edge, and it shrinks the graph BEFORE the O(E^{3/2}) triangle
+    // enumeration at DEGREE grain (one groupBy + two anti-joins per
+    // round, no intersect work). Any prefix of the peel is a valid
+    // over-approximation, so the loop exits when the drop goes quiet
+    // instead of chasing a long-chain fixpoint; the truss peel below
+    // owns exact convergence either way.
+    var nEdges = und.count()
+    var coreDrop = Long.MaxValue
+    var coreRounds = 0
+    while (coreDrop > math.max(1024L, nEdges / 100) && coreRounds < 8) {
+      val low = und.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") < k - 1).select(col("n"))
+      val kept = und
+        .join(low.select(col("n").as("u")), Seq("u"), "left_anti")
+        .join(low.select(col("n").as("v")), Seq("v"), "left_anti")
+        .select(col("u"), col("v"))
+        .localCheckpoint(false)
+      val nKept = kept.count()
+      coreDrop = nEdges - nKept
+      nEdges = nKept
+      und = kept
+      coreRounds += 1
+    }
     // round 1 pays the one full triangle enumeration; rounds 2+ are
     // INCREMENTAL (r11, the r10 verdict's peel ask): when D edges drop,
     // the only triangles that disappear are those CONTAINING a dropped
@@ -1275,6 +1365,10 @@ object GraphOps {
       }
       r += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"kTruss: peel NOT at fixpoint after $rounds rounds — refusing " +
+          "to return a non-truss edge set (raise `rounds`)")
     und.join(sup, Seq("u", "v"), "left")
       .select(col("u"), col("v"),
         coalesce(col("support"), lit(0L)).as("support"))

@@ -237,6 +237,31 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
   private def sym(es: Seq[(Long, Long)]) =
     (es ++ es.map(e => (e._2, e._1))).toDF("src", "dst")
 
+  test("minLabelComponents: high-diameter graphs converge (pointer " +
+      "jumping) — a 5000-node path plus a 4096-node binary-mirror " +
+      "chain label exactly, within the 25-round cap") {
+    // a path graph has diameter n-1: plain min-label propagation needs
+    // ~n rounds (the r12 q239 failure shape); pointer jumping must
+    // close it in O(log n). Node ids are SHUFFLED (md5-ordered) so the
+    // min label sits mid-path, not at an endpoint.
+    val n = 5000L
+    val ids = spark.range(n).select(col("id"))
+      .orderBy(md5(col("id").cast("string")))
+      .collect().map(_.getLong(0))
+    val path = sym((1 until n.toInt).map(i => (ids(i - 1), ids(i))))
+    val got = GraphOps.minLabelComponents(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L))
+    // second shape: two interleaved combs (even/odd chains) bridged at
+    // one end — two components, verified against a driver union-find
+    val m = 4096
+    val comb = sym((2 until m).map(i => (i.toLong, (i - 2).toLong)))
+    val got2 = GraphOps.minLabelComponents(comb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.size == m.toLong &&
+      (0 until m).forall(i => got2(i.toLong) == (i % 2).toLong))
+  }
+
   test("incrementalComponents: delta edges merge components, extend " +
       "them with new nodes, and mint new ones — equal to the full " +
       "recompute") {
