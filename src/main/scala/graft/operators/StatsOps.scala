@@ -21,10 +21,13 @@ object StatsOps {
     * Cross-engine determinism: `corr` is scale-invariant, so values are
     * first scaled by 10⁴ to EXACT integers (the testdata is 4-decimal;
     * the double → DECIMAL cast pins the value, ×10⁴ and the cast to
-    * DECIMAL(19,0) are exact), and every moment accumulates in decimal
-    * integer arithmetic — order-independent, engine-identical (Spark's
-    * (19,0)×(19,0) product re-types to (38,0) with scale intact, and the
-    * ~10¹⁸-scale products and ~10²³-scale sums fit). Only then does the
+    * BIGINT are exact), per-row PRODUCTS multiply in LONG (codegen'd —
+    * the r12 shape multiplied DECIMAL(19,0)s per row, interpreted
+    * BigDecimal work; callers must keep |x·10⁴| ≤ ~3·10⁹ so x·y fits
+    * 2⁶³ — ANSI throws rather than wraps if violated, and q93's widest
+    * column, extprice e4 ≤ ~1.05e9, squares to 1.1e18), and only the
+    * SUM input casts to decimal — order-independent, engine-identical,
+    * and the ~10²³-scale sums fit DECIMAL(38,0). Only then does the
     * moment row cast to double, and the final formula is the same
     * correctly-rounded IEEE expression tree the DuckDB oracle evaluates
     * — bit-identical inputs, bit-identical arithmetic, ROUND(…, 4) last
@@ -36,14 +39,16 @@ object StatsOps {
     // complete-case analysis: a row with ANY null would otherwise count
     // toward n but not toward the sums — silently skewing every moment
     val scaled = df.select(cols.zipWithIndex.map { case (c, i) =>
-      (col(c).cast("decimal(18,4)") * 10000).cast("decimal(19,0)")
+      (col(c).cast("decimal(18,4)") * 10000).cast("bigint")
         .as(s"_x$i")
     }: _*).na.drop()
     val momentExprs =
       Seq(count(lit(1)).cast("double").as("_n")) ++
-      (0 until k).map(i => sum(col(s"_x$i")).cast("double").as(s"_s$i")) ++
+      (0 until k).map(i => sum(col(s"_x$i").cast("decimal(38,0)"))
+        .cast("double").as(s"_s$i")) ++
       (for (i <- 0 until k; j <- i until k) yield
-        sum(col(s"_x$i") * col(s"_x$j")).cast("double").as(s"_s${i}_$j"))
+        sum((col(s"_x$i") * col(s"_x$j")).cast("decimal(38,0)"))
+          .cast("double").as(s"_s${i}_$j"))
     val moments = scaled.agg(momentExprs.head, momentExprs.tail: _*)
     def variance(i: Int) =
       col("_n") * col(s"_s${i}_$i") - col(s"_s$i") * col(s"_s$i")
@@ -489,18 +494,34 @@ object StatsOps {
     * f·Σ i whatever the order). NULL keys are excluded: they never
     * participate in a join shuffle.
     */
-  def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
-    val freq = df.filter(col(keyCol).isNotNull)
-      .groupBy(col(keyCol).as("_k"))
+  def skewProfile(df: DataFrame, keyCol: String): DataFrame =
+    skewProfileMulti(df, Seq(keyCol))
+
+  /** Multi-key [[skewProfile]] in ONE table scan: the (key_col, key)
+    * pairs unfold by explode (keys unified as strings — bijective per
+    * column, and the Gini rank's tie-break order is output-invariant
+    * per the scaladoc above, so the retype changes nothing), then one
+    * grouped frequency pass and one grouped rank serve every profiled
+    * column. Profiling k columns of a 100-TB fact table costs one scan,
+    * not k (the r12 verdict: q137 scanned `events` twice).
+    */
+  def skewProfileMulti(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val pairs = df.select(explode(array(keyCols.map(k =>
+        struct(lit(k).as("key_col"), col(k).cast("string").as("_k"))): _*))
+        .as("_p"))
+      .select(col("_p.key_col").as("key_col"), col("_p._k").as("_k"))
+      .filter(col("_k").isNotNull)
+    val freq = pairs.groupBy(col("key_col"), col("_k"))
       .agg(count(lit(1)).as("f"))
     val ranked =
-      DistributedRank.withRank(freq, Nil, Seq("f", "_k"), "i")
-    ranked.agg(
+      DistributedRank.withRank(freq, Seq("key_col"), Seq("f", "_k"), "i")
+    ranked.groupBy(col("key_col")).agg(
         count(lit(1)).as("n_keys"),
         sum(col("f")).cast("long").as("n_rows"),
         max(col("f")).as("max_freq"),
         sum(col("i").cast("decimal(38,0)") * col("f")).as("s1"))
-      .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+      .select(col("key_col"), col("n_rows"), col("n_keys"),
         col("max_freq"),
         expr("""CAST((CAST(max_freq AS DECIMAL(38,0)) * 2000000 + n_rows)
           DIV (2 * CAST(n_rows AS DECIMAL(38,0))) AS BIGINT)""")
@@ -515,12 +536,9 @@ object StatsOps {
     * on — events.user_id (uniform-ish), events.event_type (few huge
     * keys — the salt-me case), lineitem.l_partkey.
     */
-  def q137SkewProfile(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    skewProfile(ev, "user_id")
-      .unionByName(skewProfile(ev, "event_type"))
+  def q137SkewProfile(s: SparkSession, d: String): DataFrame =
+    skewProfileMulti(Tables.events(s, d), Seq("user_id", "event_type"))
       .unionByName(skewProfile(Tables.lineitem(s, d), "l_partkey"))
-  }
 
   /** Exact-integer Poisson(1) inverse-CDF thresholds at 2⁶⁰ scale:
     * t(k) = floor(P(X<=k)·2⁶⁰). A 60-bit md5 draw u < t(k) first at
@@ -2693,16 +2711,22 @@ object StatsOps {
         expr("CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)")
           .as("z"))
       .groupBy(col("l_returnflag"))
+      // per-row products in LONG (extprice e4 ≤ ~1.05e9 → x² ≤ 1.1e18,
+      // qty e4 ≤ 5e5, discount e4 ≤ 1e3 — every pair fits 2⁶³ with 3+
+      // digits of headroom; ANSI throws rather than wraps if the data
+      // contract breaks); only the SUM input casts to decimal — the
+      // r12 shape multiplied DECIMAL(38,0)s per row, interpreted
+      // BigDecimal work that cost 20× vs the oracle
       .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
         sum(col("x").cast("decimal(38,0)")).as("_sx"),
         sum(col("y").cast("decimal(38,0)")).as("_sy"),
         sum(col("z").cast("decimal(38,0)")).as("_sz"),
-        sum(col("x").cast("decimal(38,0)") * col("y")).as("_sxy"),
-        sum(col("x").cast("decimal(38,0)") * col("z")).as("_sxz"),
-        sum(col("y").cast("decimal(38,0)") * col("z")).as("_syz"),
-        sum(col("x").cast("decimal(38,0)") * col("x")).as("_sxx"),
-        sum(col("y").cast("decimal(38,0)") * col("y")).as("_syy"),
-        sum(col("z").cast("decimal(38,0)") * col("z")).as("_szz"))
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("_sxy"),
+        sum((col("x") * col("z")).cast("decimal(38,0)")).as("_sxz"),
+        sum((col("y") * col("z")).cast("decimal(38,0)")).as("_syz"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("_sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("_syy"),
+        sum((col("z") * col("z")).cast("decimal(38,0)")).as("_szz"))
     m.select(col("l_returnflag"), col("_n").cast("long").as("n_rows"),
       expr("""CAST(_n * _sxy - _sx * _sy AS DOUBLE)
               / sqrt(CAST(_n * _sxx - _sx * _sx AS DOUBLE)
@@ -2766,12 +2790,30 @@ object StatsOps {
         .withColumn("_q", lit(1L))) {
         case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
       .select(col("p_brand"), col("x"), col("y"))
-    withX.groupBy(col("p_brand"))
+    // per-row products in LONG via a hi/lo split: x = lnE9(unit_e4) ≤
+    // ~2.1e10 and y = lnE9(qty ≤ 50) ≤ ~3.92e9, so x·y (≤ 8.2e19) and
+    // x·x (≤ 4.4e20) overflow 2⁶³ directly — but with x = xh·10⁶ + xl
+    // (xh ≤ 2.1e4, xl < 10⁶, x ≥ 0) every partial product fits with
+    // room (xh·x ≤ 4.4e14, xl·x ≤ 2.1e16, xh·y ≤ 8.3e13, xl·y ≤ 3.9e15)
+    // and Σx·y = 10⁶·Σxh·y + Σxl·y recombines EXACTLY post-aggregate —
+    // bit-identical sums, oracle unchanged, no per-row BigDecimal
+    // multiply (the r12 shape that cost 20× vs the oracle on q271)
+    withX
+      .withColumn("_xh", expr("x DIV 1000000"))
+      .withColumn("_xl", expr("x % 1000000"))
+      .groupBy(col("p_brand"))
       .agg(count(lit(1)).cast("long").as("n_obs"),
         sum(col("x").cast("decimal(38,0)")).as("_sx"),
         sum(col("y").cast("decimal(38,0)")).as("_sy"),
-        sum(col("x").cast("decimal(38,0)") * col("y")).as("_sxy"),
-        sum(col("x").cast("decimal(38,0)") * col("x")).as("_sxx"))
+        sum((col("_xh") * col("y")).cast("decimal(38,0)")).as("_sxyh"),
+        sum((col("_xl") * col("y")).cast("decimal(38,0)")).as("_sxyl"),
+        sum((col("_xh") * col("x")).cast("decimal(38,0)")).as("_sxxh"),
+        sum((col("_xl") * col("x")).cast("decimal(38,0)")).as("_sxxl"))
+      .withColumn("_sxy",
+        lit(1000000L).cast("decimal(38,0)") * col("_sxyh") + col("_sxyl"))
+      .withColumn("_sxx",
+        lit(1000000L).cast("decimal(38,0)") * col("_sxxh") + col("_sxxl"))
+      .drop("_sxyh", "_sxyl", "_sxxh", "_sxxl")
       .withColumn("_num",
         col("n_obs") * col("_sxy") - col("_sx") * col("_sy"))
       .withColumn("_den",
