@@ -306,6 +306,182 @@ object SparkEntry {
     "q281_diff_in_diff" -> (StatsOps.q281DiffInDiff _),
   )
 
+  /** q29's generated oracle (r13): the q31 md5-MinHash replay widened
+    * to the full 32-hash / 8-band family — 32 `list_min(md5('j|'||x))`
+    * minima, comma-joined 4-minima band keys, the bucket-join distinct
+    * pairs, and the signature-agreement estimate as 32 exact equality
+    * terms; the 0.5 threshold is the integer compare agree·2 ≥ 32 and
+    * est_jaccard = ROUND(agree/32, 3) rounds an exact dyadic on both
+    * engines. `sigs` is MATERIALIZED (read by the band explode and both
+    * pair-side joins — the q263 CTE-inlining rule).
+    */
+  private def minhashLshOracleSql: String = {
+    val minima = (0 until 32).map(j =>
+      s"list_min(list_transform(sh, x -> md5('$j|' || x))) AS m$j")
+      .mkString(",\n                  ")
+    val bandIds = (0 until 8).mkString(", ")
+    val bandKeys = (0 until 8).map(b =>
+      s"m${4 * b} || ',' || m${4 * b + 1} || ',' || " +
+        s"m${4 * b + 2} || ',' || m${4 * b + 3}")
+      .mkString(",\n                          ")
+    val agree = (0 until 32).map(j =>
+      s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END")
+      .mkString("\n                    + ")
+    s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
+           FROM documents
+         ), base AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+           FROM corpus
+         ), shs AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) >= 3 THEN
+                    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                   for i in range(1, len(tk) - 1)])
+                  ELSE [array_to_string(tk, ' ')] END AS sh
+           FROM base
+         ), sigs AS MATERIALIZED (
+           SELECT doc_id,
+                  $minima
+           FROM shs
+         ), banded AS (
+           SELECT doc_id,
+                  unnest([$bandIds]) AS band_id,
+                  unnest([$bandKeys]) AS band_key
+           FROM sigs
+         ), pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+         ), ag AS (
+           SELECT p.doc_a, p.doc_b,
+                  ($agree) AS agree
+           FROM pairs p
+           JOIN sigs sa ON sa.doc_id = p.doc_a
+           JOIN sigs sb ON sb.doc_id = p.doc_b
+         )
+         SELECT doc_a, doc_b, ROUND(agree / 32.0, 3) AS est_jaccard
+         FROM ag WHERE agree * 2 >= 32"""
+  }
+
+  /** q51's generated oracle (r13): the md5-SimHash bit family replayed
+    * in ANSI SQL — per token, 16 hex-nibble values of md5(t); per doc,
+    * 64 ±1 vote sums; per bit, sign (tie → 1); candidates from the
+    * PINNED 4×16 band plan (valid for any corpus ≤ 2²¹ rows — see
+    * simhashNearDupMd5) as 16-char bit-string keys; exact Hamming as
+    * 64 sign-disagreement terms, ≤ 12. All-integer end to end.
+    */
+  private def simhashNearDupOracleSql: String = {
+    val nibs = (0 until 16).map(p =>
+      s"strpos('0123456789abcdef', substr(hx, ${p + 1}, 1)) - 1 AS n$p")
+      .mkString(",\n                  ")
+    val votes = (0 until 64).map { b =>
+      val p = b / 4
+      val m = 1 << (b % 4)
+      s"SUM(CASE WHEN ((n$p // $m) % 2) = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n                  ")
+    val signs = (0 until 64).map(b =>
+      s"CASE WHEN v$b >= 0 THEN 1 ELSE 0 END AS s$b")
+      .mkString(",\n                  ")
+    val bandKeys = (0 until 4).map(t =>
+      s"concat(${(16 * t until 16 * t + 16).map(b => s"s$b")
+        .mkString(", ")})")
+      .mkString(",\n                          ")
+    val ham = (0 until 64).map(b =>
+      s"CASE WHEN sa.s$b <> sb.s$b THEN 1 ELSE 0 END")
+      .mkString("\n                    + ")
+    s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
+           FROM documents
+         ), tkn AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+           FROM corpus
+         ), hxs AS (
+           SELECT doc_id, md5(t) AS hx FROM tkn
+         ), nib AS (
+           SELECT doc_id,
+                  $nibs
+           FROM hxs
+         ), votes AS (
+           SELECT doc_id,
+                  $votes
+           FROM nib GROUP BY doc_id
+         ), sigs AS MATERIALIZED (
+           SELECT doc_id,
+                  $signs
+           FROM votes
+         ), banded AS (
+           SELECT doc_id,
+                  unnest([0, 1, 2, 3]) AS band_id,
+                  unnest([$bandKeys]) AS band_key
+           FROM sigs
+         ), pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+         )
+         SELECT p.doc_a, p.doc_b,
+                CAST($ham AS BIGINT) AS hamming
+         FROM pairs p
+         JOIN sigs sa ON sa.doc_id = p.doc_a
+         JOIN sigs sb ON sb.doc_id = p.doc_b
+         WHERE ($ham) <= 12"""
+  }
+
+  /** q30's generated oracle (r13): the md5-SimHash vote/sign replay of
+    * q51's (over the raw documents table, no planted corpus), with the
+    * SIGNED 64-bit signature rebuilt entirely in BIGINT as
+    * Σ_{b<63} s_b·2^b − s63·2^63 (−2⁶³ is representable; no HUGEINT
+    * in the output path). Docs whose text is NULL never reach the
+    * token unnest, so the final LEFT JOIN restores them with a NULL
+    * signature — matching Spark's null-in/null-out expression.
+    */
+  private def simhashSigOracleSql: String = {
+    val nibs = (0 until 16).map(p =>
+      s"strpos('0123456789abcdef', substr(hx, ${p + 1}, 1)) - 1 AS n$p")
+      .mkString(",\n                  ")
+    val votes = (0 until 64).map { b =>
+      val p = b / 4
+      val m = 1 << (b % 4)
+      s"SUM(CASE WHEN ((n$p // $m) % 2) = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n                  ")
+    val low = (0 until 63).map(b =>
+      s"CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END")
+      .mkString("\n                    + ")
+    s"""WITH tkn AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+           FROM documents
+         ), hxs AS (
+           SELECT doc_id, md5(t) AS hx FROM tkn
+         ), nib AS (
+           SELECT doc_id,
+                  $nibs
+           FROM hxs
+         ), votes AS (
+           SELECT doc_id,
+                  $votes
+           FROM nib GROUP BY doc_id
+         ), sigs AS (
+           SELECT doc_id,
+                  CAST(($low)
+                    + CASE WHEN v63 >= 0
+                        THEN (-9223372036854775807 - 1) ELSE 0 END
+                    AS BIGINT)
+                    AS simhash
+           FROM votes
+         )
+         SELECT d.doc_id, s.simhash
+         FROM documents d LEFT JOIN sigs s ON s.doc_id = d.doc_id"""
+  }
+
   /** The q217 oracle's unrolled greedy farthest-point traversal — the
     * same e6 lattice, seed rule and (md DESC, vec_id) tie order as the
     * operator, one (pick, running-min) CTE pair per round so DuckDB
@@ -2454,12 +2630,13 @@ object SparkEntry {
     * column names match the Spark results exactly (the driver sorts
     * columns by name before hashing).
     */
-  /** q40's generated oracle (r12): the IntKMeans CTE chain (k=16, two
-    * Lloyd rounds, md5-capped sample — bit-identical to the Spark
-    * trainer) + full-corpus exact integer assignment + per-query
-    * nProbe=6 cell probe + the q32 ROUND-4 cosine re-rank. aa holds
-    * exact long d² for EVERY (vector, centroid) pair, so assignment
-    * (rn=1) and probing (rn≤6 over the query rows) read one table.
+  /** q40's generated oracle (r12): the IntKMeans CTE chain (k=16,
+    * THREE Lloyd rounds, md5-capped sample — bit-identical to the
+    * Spark trainer) + full-corpus exact integer assignment + per-query
+    * nProbe=8 cell probe (rn <= 8 below) + the q32 ROUND-4 cosine
+    * re-rank. aa holds exact long d² for EVERY (vector, centroid)
+    * pair, so assignment (rn=1) and probing (rn≤8 over the query rows)
+    * read one table.
     */
   private def ivfExactOracleSql: String = {
     val km = graft.operators.IntKMeans
@@ -3011,6 +3188,9 @@ object SparkEntry {
     // full LSH-candidates → exact-verify pipeline: md5 minhash minima are
     // engine-identical hex strings, so DuckDB reproduces the candidate
     // set exactly — never all-pairs on either side
+    "q29_minhash_lsh" -> minhashLshOracleSql,
+    "q30_simhash" -> simhashSigOracleSql,
+    "q51_simhash_neardup" -> simhashNearDupOracleSql,
     "q31_ngram_jaccard" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
@@ -3108,6 +3288,7 @@ object SparkEntry {
                     AS pick
            FROM documents
            WHERE text IS NOT NULL AND length(text) > 0
+             AND strlen(text) = length(text)
          ), g AS (
            SELECT doc_id, L, bsum, asum, pick,
                   (L % 31) + 1 AS w,
@@ -6720,6 +6901,14 @@ object SparkEntry {
 
     // full-corpus top-1 (the q32 ROUND-4 cosine pattern) then the
     // reciprocity self-join; each mutual pair emitted once (id_a<id_b)
+    // q186/q187 ORACLE CEILING (r12 advice): these replay the EXACT
+    // all-pairs branch, which annCandidateScores selects only while the
+    // embeddings footer count ≤ spark.graft.ann.exactMaxRows (100k —
+    // every tested SF qualifies; the ScaleUp sf1 world is 80k). Beyond
+    // that the Spark side switches to the IVF candidate stage BY DESIGN
+    // and these oracles no longer apply — `graft.AnnIvfCheck` is the
+    // certification for that branch (recall + rounded-cos agreement vs
+    // the exact path on the same world).
     "q186_mutual_nn" ->
       """WITH pairs AS (
            SELECT a.vec_id AS qid, b.vec_id AS nid,

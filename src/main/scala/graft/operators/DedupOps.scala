@@ -140,8 +140,69 @@ object DedupOps {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** q29's md5-MinHash twin (r13, closing VERDICT r12 #4): the same
+    * 32-hash / 8-band LSH shape as [[minhashCandidates]], with the
+    * engine-identical md5 hash family (min over md5 hex strings — the
+    * q31/q218 precedent) in place of xxhash64, which makes the WHOLE
+    * pipeline (band keys, candidate pairs, signature-agreement
+    * estimate) replayable in ANSI SQL and flips q29 from rows-only to
+    * FULL oracle. Band keys are the comma-joined minima themselves
+    * (strings — no engine-private band hash), the 0.5 threshold is the
+    * integer compare agree·2 ≥ 32 (no float boundary), and the
+    * agreement count runs only on the candidate-bounded pair table
+    * (the zip_with HOF is interpreted — fine at pair grain, never
+    * corpus grain). est_jaccard = ROUND(agree/32, 3) is exact-dyadic
+    * before rounding, so both engines round the same true value.
+    */
+  def minhashCandidatesMd5(docs: DataFrame, minAgree: Int): DataFrame = {
+    val s = docs.sparkSession
+    val sig = docs
+      .select(col("doc_id"), tokens(normText).as("tk"))
+      .select(col("doc_id"), shingles(col("tk"), ShingleSize).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.Md5MinHashExpression
+          .md5MinHash(s, col("sh"), NumHashes).as("sig"))
+      .localCheckpoint(false)
+    val bandKeys = array((0 until Bands).map { b =>
+      concat_ws(",", (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
+    }: _*)
+    val banded = sig.select(col("doc_id"),
+      posexplode(bandKeys).as(Seq("band_id", "band_key")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("band_id"),
+      col("band_key"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band_id"),
+      col("band_key"))
+    val pairs = a.join(b, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val agree = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      bb => bb))
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .withColumn("_agree", agree)
+      .filter(col("_agree") * 2 >= lit(2 * minAgree))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("_agree").cast("double") / NumHashes, 3)
+          .as("est_jaccard"))
+  }
+
+  /** q29 default family is the oracle-checkable md5-MinHash; the
+    * xxhash64 signatures ([[minhashCandidates]]) stay as the
+    * documented fast path behind `spark.graft.minhash.family=xxhash64`
+    * (the q76 localTrainMaxWords conf-gate pattern — same LSH shape,
+    * ~2.5× less per-shingle hash cost, engine-private values).
+    */
   def q29MinhashLsh(s: SparkSession, d: String): DataFrame =
-    minhashCandidates(corpusWithPlantedDups(s, d), threshold = 0.5)
+    if (s.conf.getOption("spark.graft.minhash.family")
+        .contains("xxhash64"))
+      minhashCandidates(corpusWithPlantedDups(s, d), threshold = 0.5)
+    else minhashCandidatesMd5(corpusWithPlantedDups(s, d), minAgree = 16)
 
   /** 30. SimHash: 64-bit signature from token hashes; bit i is the sign
     * of the ±1 vote sum at position i. The vote loop is the native
@@ -152,9 +213,18 @@ object DedupOps {
     graft.functions.SimHashExpression.simhash(s, hashes)
   }
 
+  /** q30 default family is the oracle-checkable md5-SimHash signature
+    * (r13 — the oracle rebuilds the signed long as
+    * Σ_{b<63} s_b·2^b − s63·2^63, all BIGINT); xxhash64 behind
+    * `spark.graft.simhash.family=xxhash64` (shared with q51).
+    */
   def q30Simhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), simhashCol(s, col("text")).as("simhash"))
+    Tables.documents(s, d).select(col("doc_id"),
+      if (s.conf.getOption("spark.graft.simhash.family")
+          .contains("xxhash64"))
+        simhashCol(s, col("text")).as("simhash")
+      else graft.functions.Md5SimHashExpression
+        .md5SimHash(s, tokens(normText)).as("simhash"))
 
   /** Band plan for a 64-bit simhash at corpus size `nRows`: disjoint
     * bands sized so the band keyspace 2^bits stays ≥ nRows/32 — i.e.
@@ -197,9 +267,18 @@ object DedupOps {
   def simhashNearDup(s: SparkSession, docs: DataFrame, maxHamming: Int,
       nRows: Long): DataFrame = {
     val (bands, bits) = simhashBandPlan(nRows)
-    val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val sigs = docs.select(col("doc_id"),
       simhashCol(s, col("text")).as("simhash"))
+    bandedHammingPairs(sigs, bands, bits, maxHamming)
+  }
+
+  /** Shared banded bucket join over a (doc_id, simhash) table: explode
+    * to `bands` disjoint `bits`-wide band values, self-join on
+    * (band, value), dedup pairs, exact `bit_count` Hamming filter.
+    */
+  private def bandedHammingPairs(sigs: DataFrame, bands: Int, bits: Int,
+      maxHamming: Int): DataFrame = {
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("simhash"), b * bits).bitwiseAND(mask)): _*))
@@ -211,15 +290,46 @@ object DedupOps {
     a.join(b, Seq("band_id", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        // long, not int: the driver gate type-checks against the
+        // oracle's BIGINT (the row_number precedent)
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
+          .as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** q51's md5-SimHash twin (r13, closing VERDICT r12 #4): the same
+    * banded near-dup shape with the engine-identical md5 bit family
+    * ([[graft.functions.Md5SimHashExpression]] — bit b of token t is
+    * bit b%4 of hex char b/4 of md5(t), replayable in ANSI SQL), which
+    * flips q51 from rows-only to FULL oracle. The band plan is PINNED
+    * at (4 bands × 16 bits) — [[simhashBandPlan]] returns exactly that
+    * for every corpus ≤ 2²¹ rows, and [[corpusWithPlantedDups]]
+    * asserts doc_id < 10⁶ (corpus ≤ 2·10⁶), so the pin is the plan;
+    * a >2M-doc corpus must use the auto-widening xxhash64 path (conf
+    * below), whose band keyspace grows with the corpus.
+    */
+  def simhashNearDupMd5(s: SparkSession, docs: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.Md5SimHashExpression
+        .md5SimHash(s, tokens(normText)).as("simhash"))
+    bandedHammingPairs(sigs, bands = 4, bits = 16, maxHamming)
+  }
+
+  /** q51 default family is the oracle-checkable md5-SimHash; the
+    * xxhash64 signatures with the corpus-sized auto-widening band plan
+    * stay as the scale path behind
+    * `spark.graft.simhash.family=xxhash64`.
+    */
   def q51SimhashNearDup(s: SparkSession, d: String): DataFrame =
-    simhashNearDup(s, corpusWithPlantedDups(s, d), maxHamming = 12,
-      nRows = 2 * graft.sources.TableStatistics
-        .tableRowCount(s, d, "documents"))
+    if (s.conf.getOption("spark.graft.simhash.family")
+        .contains("xxhash64"))
+      simhashNearDup(s, corpusWithPlantedDups(s, d), maxHamming = 12,
+        nRows = 2 * graft.sources.TableStatistics
+          .tableRowCount(s, d, "documents"))
+    else simhashNearDupMd5(s, corpusWithPlantedDups(s, d),
+      maxHamming = 12)
 
   // ---- Exact-Jaccard verify over LSH candidates (q31) -------------------
 

@@ -27,6 +27,57 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"found $planted of $nDocs planted pairs")
   }
 
+  test("md5-minhash LSH (q29 oracle family) finds the planted " +
+      "near-duplicates; the conf flips back to the xxhash64 fast path") {
+    val nDocs = Tables.documents(spark, Sf).count()
+    val md5 = DedupOps.q29MinhashLsh(spark, Sf)
+    val planted = md5.filter(col("doc_b") === col("doc_a") + 1000000L)
+      .count()
+    assert(planted >= (nDocs * 0.9).toLong,
+      s"md5 family found $planted of $nDocs planted pairs")
+    spark.conf.set("spark.graft.minhash.family", "xxhash64")
+    try {
+      val fast = DedupOps.q29MinhashLsh(spark, Sf)
+      val planted2 = fast.filter(col("doc_b") === col("doc_a") + 1000000L)
+        .count()
+      assert(planted2 >= (nDocs * 0.9).toLong,
+        s"xxhash64 family found $planted2 of $nDocs planted pairs")
+    } finally spark.conf.unset("spark.graft.minhash.family")
+  }
+
+  test("md5-simhash banded near-dup (q51 oracle family) finds planted " +
+      "pairs; the Md5SimHash bit layout matches an independent " +
+      "hex-nibble replay") {
+    val corpus = DedupOps.corpusWithPlantedDups(spark, Sf)
+    val nDocs = Tables.documents(spark, Sf).count()
+    val cands = DedupOps.simhashNearDupMd5(spark, corpus, maxHamming = 12)
+    val planted = cands.filter(col("doc_b") === col("doc_a") + 1000000L)
+      .count()
+    assert(planted >= (nDocs * 0.8).toLong,
+      s"found $planted of $nDocs planted pairs")
+    assert(cands.filter(col("hamming") > 12).count() == 0)
+    // bit-layout differential: replay the documented definition (bit b
+    // = bit b%4 of hex char b/4 of md5(token), tie -> 1) in plain
+    // Scala and compare against the codegen expression
+    val text = "alpha beta gamma alpha"
+    val got = Seq((1L, text)).toDF("doc_id", "text")
+      .select(graft.functions.Md5SimHashExpression.md5SimHash(spark,
+        split(lower(trim(col("text"))), "\\s+")))
+      .head().getLong(0)
+    val votes = new Array[Int](64)
+    for (t <- text.split("\\s+")) {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+        .take(8).flatMap(x => Seq((x >> 4) & 0xF, x & 0xF))
+      for (b <- 0 until 64)
+        votes(b) += (if (((hex(b / 4) >> (b % 4)) & 1) == 1) 1 else -1)
+    }
+    val want = (0 until 64).map(b =>
+      if (votes(b) >= 0) 1L << b else 0L).reduce(_ | _)
+    assert(got == want,
+      f"simhash bit layout mismatch: got $got%016x want $want%016x")
+  }
+
   test("minhash est_jaccard is high for planted pairs, bounded for others") {
     val cands = DedupOps.minhashCandidates(
       DedupOps.corpusWithPlantedDups(spark, Sf), threshold = 0.5)
