@@ -145,19 +145,27 @@ object MultimodalOps {
 
   private def rhu(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
 
-  /** REAL BMP decode: header fields, stride-walked pixel rows. */
+  /** REAL BMP decode: header fields, stride-walked pixel rows. Header
+    * fields are untrusted (r12 advice): dims/offset are bounds-checked
+    * against the blob, so a malformed header degrades to a partial (or
+    * zero-pixel) read instead of an AIOOBE or a negative-size loop.
+    */
   private[graft] def decodeBmp(id: Long, b: Array[Byte]): MediaFeatures = {
     val off = rdLe32(b, 10)
     val w = rdLe32(b, 18)
     val h = rdLe32(b, 22)
     val bpp = rdLe16(b, 28)
+    if (w <= 0 || h <= 0 || bpp <= 0 || off < 0 || off >= b.length ||
+        w.toLong * bpp > Int.MaxValue - 64)
+      return MediaFeatures(id, "bmp", b.length.toLong, Some(w), Some(h),
+        None, 0L, 0L)
     val rowBytes = w * bpp / 8
     val stride = ((rowBytes + 3) / 4) * 4
     var sum = 0L
     var r = 0
-    while (r < h) {
+    while (r < h && off.toLong + r.toLong * stride < b.length) {
       var i = off + r * stride
-      val end = i + rowBytes
+      val end = math.min(b.length, i + rowBytes)
       while (i < end) { sum += (b(i) & 0xff); i += 1 }
       r += 1
     }
@@ -179,6 +187,9 @@ object MultimodalOps {
     }
     val w = tok(); val h = tok(); tok() // maxval
     i += 1 // the single whitespace after maxval
+    if (w <= 0 || h <= 0) // untrusted header (r12 advice): no /0 below
+      return MediaFeatures(id, "ppm", b.length.toLong, Some(w), Some(h),
+        None, 0L, 0L)
     var sum = 0L
     var j = i
     val end = math.min(b.length, i + 3 * w * h)
@@ -188,26 +199,37 @@ object MultimodalOps {
   }
 
   /** REAL RIFF/WAVE decode: chunk walk to `fmt `/`data`, signed 16-bit
-    * LE samples, mean |amplitude|.
+    * LE samples, mean |amplitude|. Chunk lengths are untrusted (r12
+    * advice): a negative or oversized `clen` aborts the walk (the
+    * naive `i += 8 + clen` loops forever at clen = -8), fmt fields are
+    * range-guarded, and the sample count is clamped to the blob.
     */
   private[graft] def decodeWav(id: Long, b: Array[Byte]): MediaFeatures = {
     var rate = 0; var bits = 0; var channels = 1
     var dataOff = -1; var dataLen = 0
     var i = 12
-    while (i + 8 <= b.length) {
+    var walking = true
+    while (walking && i + 8 <= b.length) {
       val cid = new String(b, i, 4, "US-ASCII")
       val clen = rdLe32(b, i + 4)
-      if (cid == "fmt ") {
-        channels = rdLe16(b, i + 10)
-        rate = rdLe32(b, i + 12)
-        bits = rdLe16(b, i + 22)
-      } else if (cid == "data") { dataOff = i + 8; dataLen = clen }
-      i += 8 + clen + (clen & 1)
+      if (clen < 0) walking = false
+      else {
+        if (cid == "fmt " && i + 24 <= b.length) {
+          channels = rdLe16(b, i + 10)
+          rate = rdLe32(b, i + 12)
+          bits = rdLe16(b, i + 22)
+        } else if (cid == "data") {
+          dataOff = i + 8
+          dataLen = math.min(clen, b.length - dataOff)
+        }
+        i += 8 + clen + (clen & 1)
+      }
     }
-    val n = dataLen / (bits / 8) / channels
+    val n = if (bits < 8 || channels < 1 || dataOff < 0) 0
+      else dataLen / (bits / 8) / channels
     var sum = 0L
     var j = 0
-    while (j < n) {
+    while (j < n && dataOff + 2 * j + 1 < b.length) {
       val raw = rdLe16(b, dataOff + 2 * j)
       val s = (raw << 16) >> 16 // sign-extend
       sum += math.abs(s.toLong)
@@ -248,8 +270,16 @@ object MultimodalOps {
     */
   def q35Multimodal(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // ASCII-parity guard (r12 advice): the closed-form oracle models
+    // the payload via DuckDB's per-CHARACTER length/ascii(), while the
+    // synthesized container carries UTF-8 BYTES — a non-ASCII char
+    // would silently diverge byte_len and mean_e2. Both sides filter
+    // octet_length = char length, so a future non-ASCII corpus drops
+    // those rows on BOTH engines instead of hash-mismatching (a no-op
+    // on every tested SF: the testdata corpus is pure ASCII).
     val blobs = Tables.documents(s, d)
-      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .filter(col("text").isNotNull && length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
       .as[MediaBlob]
       .mapPartitions(_.map(m =>
