@@ -784,6 +784,16 @@ object GraphOps {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(false)
+    // ONE accumulator per loop, read by DELTA per iteration (values
+    // only grow): a fresh accumulator per round gets GC'd the moment
+    // the round ends, and any straggling task-status update then logs
+    // a spurious "non-existent accumulator" DAGScheduler ERROR per
+    // round (observed on the q239 bench) — the long-lived pair stays
+    // registered for the whole call
+    val jumpAcc = spark.sparkContext.longAccumulator("graft.cc.jump")
+    val jmark = udf { c: Boolean => if (c) jumpAcc.add(1L); c }
+    val chgAcc = spark.sparkContext.longAccumulator("graft.cc.changed")
+    val mark = udf { chg: Boolean => if (chg) chgAcc.add(1L); chg }
     // label := label(label) until no pointer moves (depth halves per
     // pass, so the 64-pass cap is unreachable for any graph that fits
     // in storage); each pass materializes via the stats-free cut
@@ -792,16 +802,15 @@ object GraphOps {
       var moved = 1L
       var passes = 0
       while (moved > 0 && passes < 64) {
-        val acc = spark.sparkContext.longAccumulator("graft.cc.jump")
-        val mark = udf { c: Boolean => if (c) acc.add(1L); c }
+        val before = jumpAcc.value
         val nxt = graft.plans.LineageCut.cut(
           cur.join(cur.select(col("node").as("label"),
               col("label").as("l2")), Seq("label"), "left")
             .select(col("node"),
               coalesce(col("l2"), col("label")).as("label"),
-              mark(coalesce(col("l2") < col("label"), lit(false)))
+              jmark(coalesce(col("l2") < col("label"), lit(false)))
                 .as("_j")))
-        moved = acc.value
+        moved = jumpAcc.value - before
         cur = nxt.drop("_j")
         passes += 1
       }
@@ -810,8 +819,7 @@ object GraphOps {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
-      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
-      val mark = udf { chg: Boolean => if (chg) acc.add(1L); chg }
+      val before = chgAcc.value
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(min(col("label")).as("nl"))
@@ -835,7 +843,7 @@ object GraphOps {
           .join(jumped, Seq("node"))
           .select(col("node"), col("label"),
             mark(col("label") < col("_old")).as("_chg")))
-      changed = acc.value
+      changed = chgAcc.value - before
       labels = updated.drop("_chg")
       rounds += 1
     }
@@ -1281,55 +1289,208 @@ object GraphOps {
     * whose per-level support is the same triangle enumeration.
     */
   def kTruss(symEdges: DataFrame, k: Int, rounds: Int = 64): DataFrame = {
-    var und = symEdges
+    val und = symEdges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") < col("v")).distinct()
       .localCheckpoint(false)
-    // (k-1)-CORE PRE-PRUNE (r13): every k-truss edge sits in ≥ k-2
-    // triangles, so both its endpoints keep degree ≥ k-1 inside the
-    // truss — peeling sub-(k-1)-degree nodes can NEVER remove a truss
-    // edge, and it shrinks the graph BEFORE the O(E^{3/2}) triangle
-    // enumeration at DEGREE grain (one groupBy + two anti-joins per
-    // round, no intersect work). Any prefix of the peel is a valid
-    // over-approximation, so the loop exits when the drop goes quiet
-    // instead of chasing a long-chain fixpoint; the truss peel below
-    // owns exact convergence either way.
-    var nEdges = und.count()
-    var coreDrop = Long.MaxValue
-    var coreRounds = 0
-    while (coreDrop > math.max(1024L, nEdges / 100) && coreRounds < 8) {
-      val low = und.select(explode(array(col("u"), col("v"))).as("n"))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-        .filter(col("d") < k - 1).select(col("n"))
-      val kept = und
-        .join(low.select(col("n").as("u")), Seq("u"), "left_anti")
-        .join(low.select(col("n").as("v")), Seq("v"), "left_anti")
-        .select(col("u"), col("v"))
+    // The peel cascade's state is edge-scale and already crosses the
+    // driver inside every per-round broadcast — so below the driver
+    // gate the WHOLE decomposition runs driver-side (the q266/q105
+    // DriverStateRounds rule): one collected slim edge list, oriented
+    // O(αE) triangle counting and the exact queue-driven peel on
+    // primitive CSR arrays (r13: the relational loop paid a ~1.5–3 s
+    // scheduling floor per cascade round for drops of 268, 9 and 1
+    // edges — ~20 s total where the in-memory peel is milliseconds).
+    // The truss fixpoint is unique whatever the peel order, so both
+    // paths are bit-identical; the distributed loop below remains the
+    // >gate scale path (conf spark.graft.ktruss.driverPeelMaxEdges,
+    // default 8M edges ≈ 128 MB of driver ints).
+    val maxDriver = symEdges.sparkSession.conf
+      .getOption("spark.graft.ktruss.driverPeelMaxEdges")
+      .map(_.toLong).getOrElse(8000000L)
+    val nE = und.count()
+    if (nE <= maxDriver) driverPeel(und, k)
+    else {
+      val scored0 = und.join(edgeSupport(und), Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("support"), lit(0L)).as("support"))
         .localCheckpoint(false)
-      val nKept = kept.count()
-      coreDrop = nEdges - nKept
-      nEdges = nKept
-      und = kept
-      coreRounds += 1
+      kTrussRelational(scored0, k, rounds)
     }
-    // round 1 pays the one full triangle enumeration; rounds 2+ are
-    // INCREMENTAL (r11, the r10 verdict's peel ask): when D edges drop,
-    // the only triangles that disappear are those CONTAINING a dropped
-    // edge — enumerate exactly those (common-neighbor intersect over
-    // |D| edges, deduped by canonical triple so a triangle with 2+
-    // dropped edges decrements once), subtract from the surviving
-    // supports. Each later round costs O(|D|·d̄) intersect work instead
-    // of re-enumerating all O(E^{3/2}) triangles ≤ 8×.
-    var sup = edgeSupport(und)
+  }
+
+  /** Exact in-memory k-truss of a collected (u, v) edge table:
+    * dense-index the nodes, CSR adjacency with each slice sorted by
+    * neighbor, initial supports by DEGREE-ORIENTED intersect (each
+    * triangle found exactly once at its two lowest-rank endpoints'
+    * edge — the q107 orientation, O(αE) total, never hub-quadratic),
+    * then the queue-driven cascade — pop an under-support edge,
+    * merge-scan its endpoints' slices, decrement the two other edges
+    * of each LIVE lost triangle, enqueue any that cross the threshold.
+    * Final supports equal the triangle counts INSIDE the surviving
+    * subgraph — exactly the distributed loop's output.
+    */
+  private def driverPeel(und: DataFrame, k: Int): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val rows = und.select(col("u"), col("v"))
+      .as[(Long, Long)].collect()
+    val n = rows.length
+    val nodeIdx = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+    val us = new Array[Int](n); val vs = new Array[Int](n)
+    val sup = new Array[Long](n)
+    def idxOf(id: Long): Int = {
+      val got = nodeIdx.get(id)
+      if (got != null) got.intValue
+      else { val ix = nodeIdx.size; nodeIdx.put(id, ix); ix }
+    }
+    var i = 0
+    while (i < n) {
+      val (u, v) = rows(i)
+      us(i) = idxOf(u); vs(i) = idxOf(v)
+      i += 1
+    }
+    val nNodes = nodeIdx.size
+    // CSR adjacency, each node's slice sorted by neighbor (packed
+    // (nbr, edgeId) longs) — removed edges stay in the arrays and are
+    // skipped via the alive flag, so a removal's triangle scan is one
+    // primitive merge-scan of the two endpoint slices
+    val off = new Array[Int](nNodes + 1)
+    i = 0
+    while (i < n) { off(us(i) + 1) += 1; off(vs(i) + 1) += 1; i += 1 }
+    i = 0
+    while (i < nNodes) { off(i + 1) += off(i); i += 1 }
+    val pos = java.util.Arrays.copyOf(off, nNodes)
+    val packed = new Array[Long](2 * n)
+    i = 0
+    while (i < n) {
+      packed(pos(us(i))) = (vs(i).toLong << 32) | i.toLong
+      pos(us(i)) += 1
+      packed(pos(vs(i))) = (us(i).toLong << 32) | i.toLong
+      pos(vs(i)) += 1
+      i += 1
+    }
+    var v0 = 0
+    while (v0 < nNodes) {
+      java.util.Arrays.sort(packed, off(v0), off(v0 + 1)); v0 += 1
+    }
+    // initial supports via the DEGREE-ORIENTED intersect: orient every
+    // edge low-rank → high-rank (rank = (degree, id)); a triangle with
+    // ranks r1<r2<r3 is found exactly once, intersecting out(r1) ∩
+    // out(r2) while scanning edge (r1,r2) — Σ(dout+dout) ≤ O(αE)
+    val degF = new Array[Int](nNodes)
+    i = 0
+    while (i < nNodes) { degF(i) = off(i + 1) - off(i); i += 1 }
+    def rankLt(x: Int, y: Int): Boolean =
+      degF(x) < degF(y) || (degF(x) == degF(y) && x < y)
+    val off2 = new Array[Int](nNodes + 1)
+    i = 0
+    while (i < n) {
+      val s = if (rankLt(us(i), vs(i))) us(i) else vs(i)
+      off2(s + 1) += 1
+      i += 1
+    }
+    i = 0
+    while (i < nNodes) { off2(i + 1) += off2(i); i += 1 }
+    val pos2 = java.util.Arrays.copyOf(off2, nNodes)
+    val packed2 = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      val (s, t) =
+        if (rankLt(us(i), vs(i))) (us(i), vs(i)) else (vs(i), us(i))
+      packed2(pos2(s)) = (t.toLong << 32) | i.toLong
+      pos2(s) += 1
+      i += 1
+    }
+    v0 = 0
+    while (v0 < nNodes) {
+      java.util.Arrays.sort(packed2, off2(v0), off2(v0 + 1)); v0 += 1
+    }
+    i = 0
+    while (i < n) {
+      val s = if (rankLt(us(i), vs(i))) us(i) else vs(i)
+      val t = if (rankLt(us(i), vs(i))) vs(i) else us(i)
+      var pa = off2(s); var pb = off2(t)
+      val ea = off2(s + 1); val eb = off2(t + 1)
+      while (pa < ea && pb < eb) {
+        val wa = (packed2(pa) >>> 32).toInt
+        val wb = (packed2(pb) >>> 32).toInt
+        if (wa < wb) pa += 1
+        else if (wb < wa) pb += 1
+        else {
+          sup(i) += 1
+          sup(packed2(pa).toInt) += 1
+          sup(packed2(pb).toInt) += 1
+          pa += 1; pb += 1
+        }
+      }
+      i += 1
+    }
+    val alive = Array.fill(n)(true)
+    var stack = new Array[Int](math.max(16, n / 4)); var top = 0
+    def push(e: Int): Unit = {
+      if (top == stack.length)
+        stack = java.util.Arrays.copyOf(stack, stack.length * 2)
+      stack(top) = e; top += 1
+    }
+    i = 0
+    while (i < n) { if (sup(i) < k - 2) push(i); i += 1 }
+    while (top > 0) {
+      top -= 1
+      val e = stack(top)
+      if (alive(e) && sup(e) < k - 2) {
+        alive(e) = false
+        val a = us(e); val b = vs(e)
+        var pa = off(a); var pb = off(b)
+        val ea = off(a + 1); val eb = off(b + 1)
+        while (pa < ea && pb < eb) {
+          val wa = (packed(pa) >>> 32).toInt
+          val wb = (packed(pb) >>> 32).toInt
+          if (wa < wb) pa += 1
+          else if (wb < wa) pb += 1
+          else {
+            val e1 = packed(pa).toInt; val e2 = packed(pb).toInt
+            if (alive(e1) && alive(e2)) {
+              sup(e1) -= 1; sup(e2) -= 1
+              if (sup(e1) < k - 2) push(e1)
+              if (sup(e2) < k - 2) push(e2)
+            }
+            pa += 1; pb += 1
+          }
+        }
+      }
+    }
+    val ids = new Array[Long](nNodes)
+    nodeIdx.forEach((id, ix) => ids(ix.intValue) = id.longValue)
+    val out = (0 until n).iterator.filter(alive)
+      .map(e => (ids(us(e)), ids(vs(e)), sup(e))).toSeq
+    spark.createDataFrame(out).toDF("u", "v", "support")
+  }
+
+  /** The distributed peel loop — the >8M-edge scale path. Round 1 pays
+    * the (already computed) full triangle enumeration; rounds 2+ are
+    * INCREMENTAL (r11): when D edges drop, the only triangles that
+    * disappear are those CONTAINING a dropped edge — enumerate exactly
+    * those, deduped by canonical triple so a triangle with 2+ dropped
+    * edges decrements once, subtract from the surviving supports —
+    * O(|D|·d̄) intersect work instead of O(E^{3/2}) per round.
+    */
+  private def kTrussRelational(scored0: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    require(rounds > 0, "kTruss needs at least one peel round")
+    var und = scored0.select(col("u"), col("v"))
+    var sup = scored0.select(col("u"), col("v"), col("support"))
     var r = 0
     var done = false
+    var lastScored: DataFrame = null
     val t0 = System.nanoTime()
     while (r < rounds && !done) {
       val scored = und.join(sup, Seq("u", "v"), "left")
         .select(col("u"), col("v"),
           coalesce(col("support"), lit(0L)).as("support"))
         .localCheckpoint(false)
+      lastScored = scored
       val dropped = scored.filter(col("support") < k - 2)
         .select(col("u"), col("v"))
       val kept = scored.filter(col("support") >= k - 2)
@@ -1347,16 +1508,22 @@ object GraphOps {
         // cascade rounds that follow.
         und = kept.select(col("u"), col("v"))
         sup =
-          // incremental ONLY on the tiny cascade tail (the measured
-          // sf0.1 peel drops 368k/141k/9.6k/268/9/1 per round): the
-          // delta is worth it exactly when `dropped` and its wedges
-          // BROADCAST, making the round two map-side scans of the
-          // checkpointed edge table instead of a full re-enumeration;
-          // a shuffle-join delta costs as much as the recount it saves
-          if (nDrop > 2048L) edgeSupport(und)
+          // three delta tiers (the measured sf0.1 peel drops
+          // 368k/141k/9.6k/268/9/1 per round): tiny cascades broadcast
+          // BOTH the dropped set and its wedges (two map-side scans of
+          // the checkpointed edge table); mid-size drops broadcast only
+          // `dropped` and close the triangles with a SHUFFLE join (the
+          // wedge set is |D|·d̄ — too big to broadcast, still far
+          // cheaper than re-enumerating all O(E^{3/2}) triangles; r13:
+          // the 9.6k-drop round recounted 687k edges for 2.7 s where
+          // the shuffle delta does it in ~1 s); only bulk drops
+          // (>64k) re-enumerate, where the wedge volume rivals the
+          // full intersect anyway
+          if (nDrop > 65536L) edgeSupport(und)
           else {
             val delta = droppedTriangleDelta(
-              scored.select(col("u"), col("v")), dropped)
+              scored.select(col("u"), col("v")), dropped,
+              broadcastWedges = nDrop <= 2048L)
             kept.join(delta, Seq("u", "v"), "left")
               .select(col("u"), col("v"),
                 (col("support") - coalesce(col("delta"), lit(0L)))
@@ -1369,9 +1536,10 @@ object GraphOps {
       throw new IllegalStateException(
         s"kTruss: peel NOT at fixpoint after $rounds rounds — refusing " +
           "to return a non-truss edge set (raise `rounds`)")
-    und.join(sup, Seq("u", "v"), "left")
-      .select(col("u"), col("v"),
-        coalesce(col("support"), lit(0L)).as("support"))
+    // the fixpoint round's `scored` (already checkpointed) IS the
+    // output — rebuilding und⋈sup here replayed the whole lazy delta
+    // chain once more (r13: ~4 s of the q240 record)
+    lastScored
   }
 
   /** Per surviving edge, the number of DISTINCT triangles of `undOld`
@@ -1385,17 +1553,21 @@ object GraphOps {
     * credit each of its 3 edges (triple sorted ⇒ already u < v).
     */
   private def droppedTriangleDelta(undOld: DataFrame,
-      dropped: DataFrame): DataFrame = {
+      dropped: DataFrame, broadcastWedges: Boolean): DataFrame = {
     val sym = undOld.select(col("u").as("a"), col("v").as("b"))
       .unionByName(undOld.select(col("v").as("a"), col("u").as("b")))
-    // both joins broadcast the SMALL side (dropped, then the wedge
-    // set), so the big edge table is only map-side-scanned twice —
-    // never shuffled; the caller gates on |dropped| to keep this true
-    val wedges = sym.select(col("a").as("u"), col("b").as("w"))
+    // `dropped` always broadcasts (caller gates its size); the wedge
+    // set broadcasts only on tiny cascades — mid-size drops produce
+    // |D|·d̄ wedges, which close against the edge table via a shuffle
+    // join instead (localCheckpoint: the wedge side would otherwise
+    // re-run its own build on both shuffle branches)
+    val wedges0 = sym.select(col("a").as("u"), col("b").as("w"))
       .join(broadcast(dropped), "u")
       .filter(col("w") =!= col("v"))
+    val wedges =
+      if (broadcastWedges) broadcast(wedges0) else wedges0
     val tri = sym.select(col("a").as("v"), col("b").as("w"))
-      .join(broadcast(wedges), Seq("v", "w"))
+      .join(wedges, Seq("v", "w"))
       .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
       .distinct()
     val a = col("t").getItem(0)

@@ -607,6 +607,23 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     // the strip is fully peeled, the clique fully kept
     assert(gotS.keySet == clique.toSet)
     assert(gotS.values.forall(_ == 4L))
+    // driver-peel ≡ relational-loop differential (r13): force the
+    // >gate distributed path via the conf and compare bit for bit on
+    // the real graph — the fixpoint is unique, so both paths must
+    // agree on edges AND final supports
+    spark.conf.set("spark.graft.ktruss.driverPeelMaxEdges", "0")
+    try {
+      val rel = GraphOps.kTruss(raw, k = 6).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val drv = {
+        spark.conf.unset("spark.graft.ktruss.driverPeelMaxEdges")
+        GraphOps.kTruss(raw, k = 6).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      }
+      assert(rel == drv,
+        s"relational≠driver: extra=${(rel.toSet -- drv.toSet).take(5)} " +
+          s"missing=${(drv.toSet -- rel.toSet).take(5)}")
+    } finally spark.conf.unset("spark.graft.ktruss.driverPeelMaxEdges")
   }
 
   /** Local naive SCAN over an undirected (a<b) pair list — the shared
