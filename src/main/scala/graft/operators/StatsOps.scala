@@ -38,9 +38,11 @@ object StatsOps {
     val k = cols.size
     // complete-case analysis: a row with ANY null would otherwise count
     // toward n but not toward the sums — silently skewing every moment
+    // e4 via ROUND, not a decimal cast (the q271 rule): the input is
+    // 4-decimal exact, so ROUND(x·10⁴) recovers the exact integer the
+    // decimal pin yields, without per-row BigDecimal conversions
     val scaled = df.select(cols.zipWithIndex.map { case (c, i) =>
-      (col(c).cast("decimal(18,4)") * 10000).cast("bigint")
-        .as(s"_x$i")
+      round(col(c) * 10000, 0).cast("bigint").as(s"_x$i")
     }: _*).na.drop()
     val momentExprs =
       Seq(count(lit(1)).cast("double").as("_n")) ++
@@ -2702,14 +2704,16 @@ object StatsOps {
     * collinearity) emit NULL, not a blow-up.
     */
   def q271PartialCorr(s: SparkSession, d: String): DataFrame = {
+    // e4 extraction via ROUND, not a DECIMAL(18,4) cast: the data is
+    // 4-decimal exact, so x·10⁴ sits within ~10⁻⁶ of the true integer
+    // and ROUND recovers it exactly — same value the decimal pin
+    // yields, without the per-row BigDecimal conversion (the decimal
+    // casts were the residual hot cost after the r13 long-multiply fix)
     val m = Tables.lineitem(s, d)
       .select(col("l_returnflag"),
-        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)")
-          .as("x"),
-        expr("CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)")
-          .as("y"),
-        expr("CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)")
-          .as("z"))
+        expr("CAST(ROUND(l_extendedprice * 10000, 0) AS BIGINT)").as("x"),
+        expr("CAST(ROUND(l_quantity * 10000, 0) AS BIGINT)").as("y"),
+        expr("CAST(ROUND(l_discount * 10000, 0) AS BIGINT)").as("z"))
       .groupBy(col("l_returnflag"))
       // per-row products in LONG (extprice e4 ≤ ~1.05e9 → x² ≤ 1.1e18,
       // qty e4 ≤ 5e5, discount e4 ≤ 1e3 — every pair fits 2⁶³ with 3+
