@@ -435,6 +435,68 @@ object SparkEntry {
          WHERE ($ham) <= 12"""
   }
 
+  /** q33's oracle (r13): the sign-LSH replay from first principles —
+    * bits from the same integer rule (smallest b ∈ [4,24] with
+    * 2^b·32 ≥ count(*)), ±1 planes regenerated by md5("t:i:k") over a
+    * range unnest, signatures as sign bits of exact integer dots on
+    * the floor-e6 lattice, bucket-mate candidates, and the q32 ROUND-4
+    * cosine re-rank. `sigs` is MATERIALIZED (both candidate sides).
+    */
+  private def annLshOracleSql: String =
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+         bb AS (SELECT MIN(b) AS bits FROM range(4, 25) t(b), nn
+                WHERE b = 24 OR (1::BIGINT << b) * 32 >= nn.n),
+         planes AS (
+           SELECT CAST(t.range AS INT) AS t, CAST(i.range AS INT) AS i,
+                  CAST(k.range AS INT) AS k,
+                  CASE WHEN substr(md5(t.range || ':' || i.range || ':'
+                                       || k.range), 1, 1) < '8'
+                    THEN 1 ELSE -1 END AS s
+           FROM range(8) t, bb, range(24) i, range(64) k
+           WHERE i.range < bb.bits
+         ), q6 AS (
+           SELECT vec_id,
+                  CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS k,
+                  CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qv
+           FROM embeddings
+         ), dots AS (
+           SELECT v.vec_id, p.t, p.i, SUM(p.s * v.qv) AS dot
+           FROM q6 v JOIN planes p ON p.k = v.k
+           GROUP BY 1, 2, 3
+         ), sigs AS MATERIALIZED (
+           SELECT vec_id, t,
+                  CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << i)
+                    ELSE 0 END) AS BIGINT) AS sig
+           FROM dots GROUP BY 1, 2
+         ), cand AS (
+           SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+           FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+         ), pairs AS (
+           SELECT cand.qid, cand.nid, a.embedding AS qe, b2.embedding AS ne
+           FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+                     JOIN embeddings b2 ON b2.vec_id = cand.nid
+         ), un AS (
+           SELECT qid, nid, CAST(unnest(qe) AS DOUBLE) AS x,
+                  CAST(unnest(ne) AS DOUBLE) AS y
+           FROM pairs
+         ), dd AS (
+           SELECT qid, nid, SUM(x*y) AS dot, SUM(x*x) AS na,
+                  SUM(y*y) AS nb
+           FROM un GROUP BY qid, nid
+         ), scored AS (
+           SELECT qid, nid, ROUND(dot / (sqrt(na) * sqrt(nb)), 4)
+                    AS cos_sim
+           FROM dd
+         ), ranked AS (
+           SELECT qid, nid, cos_sim,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY cos_sim DESC, nid) AS BIGINT) AS rank
+           FROM scored
+         )
+         SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 5"""
+
   /** q30's generated oracle (r13): the md5-SimHash vote/sign replay of
     * q51's (over the raw documents table, no planted corpus), with the
     * SIGNED 64-bit signature rebuilt entirely in BIGINT as
@@ -3190,6 +3252,7 @@ object SparkEntry {
     // set exactly — never all-pairs on either side
     "q29_minhash_lsh" -> minhashLshOracleSql,
     "q30_simhash" -> simhashSigOracleSql,
+    "q33_ann_lsh" -> annLshOracleSql,
     "q51_simhash_neardup" -> simhashNearDupOracleSql,
     "q31_ngram_jaccard" ->
       """WITH corpus AS (
