@@ -155,7 +155,11 @@ object MultimodalOps {
     val w = rdLe32(b, 18)
     val h = rdLe32(b, 22)
     val bpp = rdLe16(b, 28)
-    if (w <= 0 || h <= 0 || bpp <= 0 || off < 0 || off >= b.length ||
+    // bpp < 8 would give rowBytes = 0 and stride 0 — the row walk
+    // below would then spin up to h (≤ 2³¹) empty iterations on a
+    // malformed header (r13 advice), so sub-byte depths are rejected
+    // with the other header lies
+    if (w <= 0 || h <= 0 || bpp < 8 || off < 0 || off >= b.length ||
         w.toLong * bpp > Int.MaxValue - 64)
       return MediaFeatures(id, "bmp", b.length.toLong, Some(w), Some(h),
         None, 0L, 0L)
@@ -165,7 +169,9 @@ object MultimodalOps {
     var r = 0
     while (r < h && off.toLong + r.toLong * stride < b.length) {
       var i = off + r * stride
-      val end = math.min(b.length, i + rowBytes)
+      // Long min: i + rowBytes can exceed Int.MaxValue on a huge
+      // claimed width even though i itself is in-blob
+      val end = math.min(b.length.toLong, i.toLong + rowBytes).toInt
       while (i < end) { sum += (b(i) & 0xff); i += 1 }
       r += 1
     }
@@ -222,7 +228,13 @@ object MultimodalOps {
           dataOff = i + 8
           dataLen = math.min(clen, b.length - dataOff)
         }
-        i += 8 + clen + (clen & 1)
+        // next offset in LONG (r13 advice): clen near Int.MaxValue
+        // overflowed the Int add to a negative i that still passed the
+        // `i + 8 <= b.length` guard and blew up the chunk-id read —
+        // any next offset past the blob (or Int range) ends the walk
+        val nx = i.toLong + 8L + clen.toLong + (clen & 1).toLong
+        if (nx > b.length) walking = false
+        else i = nx.toInt
       }
     }
     val n = if (bits < 8 || channels < 1 || dataOff < 0) 0
