@@ -214,12 +214,21 @@ object Stress {
       .select(col("a.node").as("src"), col("b.node").as("dst"))
     val ccSym = ccEdges.unionByName(
       ccEdges.select(col("dst").as("src"), col("src").as("dst")))
-    val ((ccOk, ccDiag), tCc) = timed {
+    // both kernels must label the path exactly: the r14 one-job driver
+    // forest path (the default below its node gate) AND the relational
+    // SV hook+compress kernel (the >gate scale path, forced via conf)
+    def ccCheck(): (Boolean, String) = {
       val lbl = graft.operators.GraphOps.minLabelComponents(ccSym)
       val a = lbl.agg(count(lit(1)), min(col("component")),
         max(col("component"))).head()
       (a.getLong(0) == nCc && a.getLong(1) == 0L && a.getLong(2) == 0L,
         s"[${a.getLong(0)},${a.getLong(1)},${a.getLong(2)}]")
+    }
+    val ((ccOk, ccDiag), tCc) = timed(ccCheck())
+    val ((ccOkRel, _), tCcRel) = timed {
+      spark.conf.set("spark.graft.cc.driverMaxNodes", "0")
+      try ccCheck()
+      finally spark.conf.unset("spark.graft.cc.driverMaxNodes")
     }
 
     def f(d: Double): String = BigDecimal(d)
@@ -234,9 +243,11 @@ object Stress {
       s""""planted_found":$plantedEps,"ok":$epsOk},""" +
       s""""cosallpairs":{"sec":${f(tCos)},"n_docs":${nCos + nTwin},""" +
       s""""pairs":$nCosPairs,"planted_found":$twinFound,"ok":$cosOk},""" +
-      s""""ccpath":{"sec":${f(tCc)},"n_nodes":$nCc,""" +
-      s""""cnt_min_max":$ccDiag,"ok":$ccOk}}}""")
-    val allOk = topOk && rankOk && bmOk && shOk && epsOk && cosOk && ccOk
+      s""""ccpath":{"sec":${f(tCc)},"sec_relational":${f(tCcRel)},""" +
+      s""""n_nodes":$nCc,"cnt_min_max":$ccDiag,""" +
+      s""""ok":${ccOk && ccOkRel}}}}""")
+    val allOk = topOk && rankOk && bmOk && shOk && epsOk && cosOk &&
+      ccOk && ccOkRel
     spark.stop()
     if (!allOk) sys.exit(1)
   }

@@ -659,7 +659,25 @@ object GraphOps {
     * round — the q105 lineage-cut rule.
     */
   def labelPropagation(symEdges: DataFrame, rounds: Int): DataFrame = {
-    val edges0 = symEdges.localCheckpoint(false)
+    val edges0 = symEdges.select(col("src"), col("dst"))
+      .localCheckpoint(false)
+    // r14 (the q240/q266 driver-state rule): below the driver edge
+    // gate the whole synchronous cascade runs in memory on a CSR of
+    // the collected slim edge list — 5 relational rounds were pure
+    // job floor (4.64 s at sf0.1 for a graph that labels in
+    // milliseconds). Bit-identical: the per-round rule (most frequent
+    // neighbor label, smallest label on ties, computed from the
+    // PREVIOUS round's labels for every node at once) is a pure
+    // function of the graph, spelled identically here and in
+    // [[lpRound]]'s count+TopK form.
+    val maxDriver = symEdges.sparkSession.conf
+      .getOption("spark.graft.lpa.driverMaxEdges")
+      .map(_.toLong).getOrElse(8000000L)
+    val longIds = edges0.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val nE = edges0.count()
+    if (longIds && nE <= maxDriver)
+      return driverLpa(edges0, rounds, nE.toInt)
     val labels0 = edges0.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint(false)
     // gate on the node count; fallback mode persists the edge table
@@ -673,6 +691,91 @@ object GraphOps {
       labels
     }
     if (bc) loop(edges0) else withBucketedEdges(edges0)(loop)
+  }
+
+  /** In-memory synchronous LPA over a collected symmetric edge list —
+    * the below-gate path of [[labelPropagation]]. CSR by dst; each
+    * round sorts every node's neighbor-label slice and scans for the
+    * (max count, min label) winner — O(E log d̄) per round.
+    */
+  private def driverLpa(edges: DataFrame, rounds: Int,
+      n: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val nodeIdx = new java.util.HashMap[java.lang.Long, Integer]()
+    var ids = new Array[Long](1024)
+    val ss = new Array[Int](n); val ds = new Array[Int](n)
+    def idOf(x: Long): Int = {
+      val got = nodeIdx.get(x)
+      if (got != null) got.intValue
+      else {
+        val ix = nodeIdx.size
+        if (ix == ids.length) ids = java.util.Arrays.copyOf(ids, ix * 2)
+        ids(ix) = x; nodeIdx.put(x, ix); ix
+      }
+    }
+    var i = 0
+    val it = edges.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      ss(i) = idOf(row.getLong(0)); ds(i) = idOf(row.getLong(1))
+      i += 1
+    }
+    require(i == n, s"driverLpa: edge count drifted ($i vs $n)")
+    val nN = nodeIdx.size
+    // CSR by dst: each node's slice lists its neighbors (the srcs
+    // whose labels it counts — mirrors lpRound's groupBy(dst, lbl))
+    val off = new Array[Int](nN + 1)
+    i = 0
+    while (i < n) { off(ds(i) + 1) += 1; i += 1 }
+    i = 0
+    while (i < nN) { off(i + 1) += off(i); i += 1 }
+    val pos = java.util.Arrays.copyOf(off, nN)
+    val nbr = new Array[Int](n)
+    i = 0
+    while (i < n) { nbr(pos(ds(i))) = ss(i); pos(ds(i)) += 1; i += 1 }
+    var lbl = new Array[Long](nN)
+    i = 0
+    while (i < nN) { lbl(i) = ids(i); i += 1 }
+    val scratch = new Array[Long](
+      (0 until nN).map(v => off(v + 1) - off(v)).foldLeft(0)(math.max))
+    for (_ <- 0 until rounds) {
+      val nxt = new Array[Long](nN)
+      var v = 0
+      while (v < nN) {
+        val s0 = off(v); val e0 = off(v + 1)
+        val d = e0 - s0
+        if (d == 0) { nxt(v) = lbl(v); v += 1 } // unreachable for
+        else { // symmetric input, kept for API safety
+        var j = 0
+        while (j < d) { scratch(j) = lbl(nbr(s0 + j)); j += 1 }
+        java.util.Arrays.sort(scratch, 0, d)
+        // first-best scan of the sorted run-lengths: ties go to the
+        // SMALLEST label, which sorts first — strict > keeps it
+        var best = scratch(0); var bestC = 0
+        var j2 = 0
+        while (j2 < d) {
+          var k = j2
+          while (k < d && scratch(k) == scratch(j2)) k += 1
+          if (k - j2 > bestC) { best = scratch(j2); bestC = k - j2 }
+          j2 = k
+        }
+        nxt(v) = best
+        v += 1
+        }
+      }
+      lbl = nxt
+    }
+    val lblF = lbl
+    val rows = new java.util.AbstractList[org.apache.spark.sql.Row] {
+      override def size(): Int = nN
+      override def get(ix: Int): org.apache.spark.sql.Row =
+        org.apache.spark.sql.Row(ids(ix), lblF(ix))
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lbl",
+        org.apache.spark.sql.types.LongType))))
   }
 
   /** One synchronous LPA round over a `(node, lbl)` label table —
@@ -778,9 +881,153 @@ object GraphOps {
     */
   def minLabelComponents(symEdges: DataFrame, maxRounds: Int = 25)
       : DataFrame = {
-    val spark = symEdges.sparkSession
     val edges = symEdges.select(col("src"), col("dst"))
       .localCheckpoint(false)
+    // Driver forest path (r14, the q61/q157 CC-safety-tax claw-back):
+    // when node ids are longs and the node count fits the driver gate,
+    // connectivity resolves in ONE Spark job — each partition union-
+    // finds its own edges and emits a star forest (node → local root,
+    // ≤ one pair per distinct node in the partition), and a driver
+    // union-find over the collected forests is EXACTLY global
+    // connectivity: every edge lives in some partition whose local
+    // forest preserves it, and forest edges are real connections, so
+    // the union of forests has the same transitive closure as the
+    // graph. Replaces the O(log n) hook+compress rounds (each a
+    // multi-join, multi-job round — the r13 safety tax) below the
+    // gate; the relational kernel stays as the >gate scale path and
+    // keeps its throw-on-cap semantics. Exactness does not depend on
+    // the path: the output is the component-min labeling, a pure
+    // function of the graph.
+    val spark0 = symEdges.sparkSession
+    val gate = spark0.conf.getOption("spark.graft.cc.driverMaxNodes")
+      .map(_.toLong).getOrElse(8000000L)
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && gate > 0) {
+      // one scan, no shuffle; 5% rsd sketch with a 20% safety margin
+      val approxNodes = edges
+        .agg(approx_count_distinct(col("src")).as("n"))
+        .collect()(0).getLong(0)
+      if (approxNodes <= (gate * 5) / 6) return driverForestComponents(edges)
+    }
+    relationalComponents(edges, maxRounds)
+  }
+
+  /** ONE-job gated CC: partition-local union-find → star forests →
+    * driver union-find → (node, component-min) LocalRelation. See the
+    * dispatch comment in [[minLabelComponents]] for the exactness
+    * argument. Driver memory is node-scale (the same class as the
+    * broadcast label table the relational bc rounds already collect).
+    */
+  private def driverForestComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val forests: Array[Array[Long]] = edges.rdd.mapPartitions { it =>
+      val nodeIdx = new java.util.HashMap[java.lang.Long, Integer]()
+      var ids = new Array[Long](1024)
+      var parent = new Array[Int](1024)
+      def idOf(x: Long): Int = {
+        val got = nodeIdx.get(x)
+        if (got != null) got.intValue
+        else {
+          val ix = nodeIdx.size
+          if (ix == ids.length) {
+            ids = java.util.Arrays.copyOf(ids, ix * 2)
+            parent = java.util.Arrays.copyOf(parent, ix * 2)
+          }
+          ids(ix) = x; parent(ix) = ix
+          nodeIdx.put(x, ix); ix
+        }
+      }
+      def find(a0: Int): Int = { // path halving
+        var a = a0
+        while (parent(a) != a) {
+          parent(a) = parent(parent(a)); a = parent(a)
+        }
+        a
+      }
+      it.foreach { row =>
+        val ra = find(idOf(row.getLong(0)))
+        val rb = find(idOf(row.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val n = nodeIdx.size
+      val out = new Array[Long](2 * n)
+      var o = 0
+      var i = 0
+      while (i < n) {
+        val r = find(i)
+        if (r != i) { out(o) = ids(i); out(o + 1) = ids(r); o += 2 }
+        i += 1
+      }
+      Iterator.single(java.util.Arrays.copyOf(out, o))
+    }.collect()
+    // driver union-find over the forest pairs (size-bounded by
+    // Σ_p distinct-nodes(p)), then component min per root
+    val nodeIdx = new java.util.HashMap[java.lang.Long, Integer]()
+    var ids = new Array[Long](1024)
+    var parent = new Array[Int](1024)
+    def idOf(x: Long): Int = {
+      val got = nodeIdx.get(x)
+      if (got != null) got.intValue
+      else {
+        val ix = nodeIdx.size
+        if (ix == ids.length) {
+          ids = java.util.Arrays.copyOf(ids, ix * 2)
+          parent = java.util.Arrays.copyOf(parent, ix * 2)
+        }
+        ids(ix) = x; parent(ix) = ix
+        nodeIdx.put(x, ix); ix
+      }
+    }
+    def find(a0: Int): Int = {
+      var a = a0
+      while (parent(a) != a) {
+        parent(a) = parent(parent(a)); a = parent(a)
+      }
+      a
+    }
+    forests.foreach { pairs =>
+      var i = 0
+      while (i < pairs.length) {
+        val ra = find(idOf(pairs(i)))
+        val rb = find(idOf(pairs(i + 1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        i += 2
+      }
+    }
+    val n = nodeIdx.size
+    val minOf = new Array[Long](n)
+    java.util.Arrays.fill(minOf, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      if (ids(i) < minOf(r)) minOf(r) = ids(i)
+      i += 1
+    }
+    val idsF = ids; val parentF = parent // stable refs for the closure
+    val rows = new java.util.AbstractList[org.apache.spark.sql.Row] {
+      override def size(): Int = n
+      override def get(ix: Int): org.apache.spark.sql.Row = {
+        var a = ix
+        while (parentF(a) != a) a = parentF(a)
+        org.apache.spark.sql.Row(idsF(ix), minOf(a))
+      }
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.LongType))))
+  }
+
+  /** The relational SV-style hook+compress kernel — the >gate scale
+    * path (and the kernel for non-long node ids). See the class
+    * scaladoc above [[minLabelComponents]] for the algorithm.
+    */
+  private[graft] def relationalComponents(edges0: DataFrame,
+      maxRounds: Int): DataFrame = {
+    val spark = edges0.sparkSession
+    val edges = edges0
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(false)
@@ -1190,10 +1437,28 @@ object GraphOps {
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
       .localCheckpoint(false) // feeds all 8 hop passes and degrees
+    // r14 (the q240/q266 driver-state rule, the r13 verdict's top
+    // item): the hub/authority vectors are node-scale and the edge
+    // list is SLIM (two longs) — below the driver gate the whole
+    // 4-round mutual reinforcement runs in memory on primitive
+    // arrays, killing the 8 join+agg stages whose per-round job floor
+    // driver-condition contention amplified to 10.5 s. Bit-identical:
+    // every per-round value is an order-free integer sum (h ≤ Σa =
+    // 10¹²; araw ≤ |E|·10¹² < 2⁶³ under the 8M gate, guarded by
+    // addExact) and the ppt normalization is the same floor division
+    // on non-negatives — the HUGEINT oracle replays unchanged. The
+    // relational two-hop loop below stays as the >gate scale path.
+    val maxDriver = s.conf
+      .getOption("spark.graft.hits.driverMaxEdges")
+      .map(_.toLong).getOrElse(8000000L)
+    val nE = e.count()
+    require(nE > 0, "q214Hits needs a non-empty purchase graph")
+    val longIds = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && nE <= maxDriver) return q214HitsDriver(s, e, nE.toInt)
     val nodes = e.select(col("p").as("node")).distinct()
       .localCheckpoint(false)
     val n = nodes.count()
-    require(n > 0, "q214Hits needs a non-empty purchase graph")
     val bc = n <= maxBroadcastNodes(e)
     var a = nodes.select(col("node"), lit(1000000000000L / n).as("a"))
     for (_ <- 0 until 4) {
@@ -1217,6 +1482,84 @@ object GraphOps {
       .join(a, col("p") === col("node"))
       .select(col("p").as("partkey"), col("n_buyers"),
         col("a").as("auth_ppt"))
+  }
+
+  /** In-memory 4-round HITS over a collected (customer, part) edge
+    * list — the below-gate path of [[q214Hits]]; see the dispatch
+    * comment there for the exactness argument. Streaming fill via
+    * toLocalIterator (the r13 driverPeel advice applied from the
+    * start), araw sums via addExact so a bound breach fails loud
+    * instead of wrapping.
+    */
+  private def q214HitsDriver(spark: SparkSession, e: DataFrame,
+      n: Int): DataFrame = {
+    val custIdx = new java.util.HashMap[java.lang.Long, Integer]()
+    val partIdx = new java.util.HashMap[java.lang.Long, Integer]()
+    var partIds = new Array[Long](1024)
+    val cs = new Array[Int](n); val ps = new Array[Int](n)
+    def cOf(x: Long): Int = {
+      val got = custIdx.get(x)
+      if (got != null) got.intValue
+      else { val ix = custIdx.size; custIdx.put(x, ix); ix }
+    }
+    def pOf(x: Long): Int = {
+      val got = partIdx.get(x)
+      if (got != null) got.intValue
+      else {
+        val ix = partIdx.size
+        if (ix == partIds.length)
+          partIds = java.util.Arrays.copyOf(partIds, ix * 2)
+        partIds(ix) = x; partIdx.put(x, ix); ix
+      }
+    }
+    var i = 0
+    val it = e.select(col("c"), col("p")).toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      cs(i) = cOf(row.getLong(0)); ps(i) = pOf(row.getLong(1))
+      i += 1
+    }
+    require(i == n, s"q214HitsDriver: edge count drifted ($i vs $n)")
+    val nP = partIdx.size; val nC = custIdx.size
+    val TT = java.math.BigInteger.valueOf(1000000000000L)
+    val a = new Array[Long](nP)
+    java.util.Arrays.fill(a, 1000000000000L / nP)
+    for (_ <- 0 until 4) {
+      val h = new Array[Long](nC)
+      i = 0
+      while (i < n) { h(cs(i)) += a(ps(i)); i += 1 } // h ≤ Σa = 10¹²
+      val araw = new Array[Long](nP)
+      var tot = 0L
+      i = 0
+      while (i < n) {
+        araw(ps(i)) = Math.addExact(araw(ps(i)), h(cs(i)))
+        tot = Math.addExact(tot, h(cs(i)))
+        i += 1
+      }
+      val totB = java.math.BigInteger.valueOf(tot)
+      i = 0
+      while (i < nP) {
+        // araw·10¹² tops 2⁶³ — the one step that needs wide math
+        a(i) = java.math.BigInteger.valueOf(araw(i))
+          .multiply(TT).divide(totB).longValueExact()
+        i += 1
+      }
+    }
+    val buyers = new Array[Long](nP)
+    i = 0
+    while (i < n) { buyers(ps(i)) += 1; i += 1 }
+    val rows = new java.util.AbstractList[org.apache.spark.sql.Row] {
+      override def size(): Int = nP
+      override def get(ix: Int): org.apache.spark.sql.Row =
+        org.apache.spark.sql.Row(partIds(ix), buyers(ix), a(ix))
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("partkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_buyers",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("auth_ppt",
+        org.apache.spark.sql.types.LongType))))
   }
 
   /** q223: LOCAL clustering coefficient per node (Watts–Strogatz
@@ -1310,7 +1653,7 @@ object GraphOps {
       .getOption("spark.graft.ktruss.driverPeelMaxEdges")
       .map(_.toLong).getOrElse(8000000L)
     val nE = und.count()
-    if (nE <= maxDriver) driverPeel(und, k)
+    if (nE <= maxDriver) driverPeel(und, k, nE.toInt)
     else {
       val scored0 = und.join(edgeSupport(und), Seq("u", "v"), "left")
         .select(col("u"), col("v"),
@@ -1331,12 +1674,13 @@ object GraphOps {
     * Final supports equal the triangle counts INSIDE the surviving
     * subgraph — exactly the distributed loop's output.
     */
-  private def driverPeel(und: DataFrame, k: Int): DataFrame = {
+  private def driverPeel(und: DataFrame, k: Int, n: Int): DataFrame = {
     val spark = und.sparkSession
-    import spark.implicits._
-    val rows = und.select(col("u"), col("v"))
-      .as[(Long, Long)].collect()
-    val n = rows.length
+    // fill the primitive edge arrays STREAMING via toLocalIterator
+    // (r13 advice: a boxed (Long, Long) collect held ~0.5 GB transient
+    // at the 8M-edge gate on top of the ints the estimate budgeted) —
+    // one partition of Rows in flight at a time, ids dense-indexed on
+    // the fly
     val nodeIdx = new java.util.HashMap[java.lang.Long, Integer](n * 2)
     val us = new Array[Int](n); val vs = new Array[Int](n)
     val sup = new Array[Long](n)
@@ -1346,11 +1690,13 @@ object GraphOps {
       else { val ix = nodeIdx.size; nodeIdx.put(id, ix); ix }
     }
     var i = 0
-    while (i < n) {
-      val (u, v) = rows(i)
-      us(i) = idxOf(u); vs(i) = idxOf(v)
+    val edgeIt = und.select(col("u"), col("v")).toLocalIterator()
+    while (edgeIt.hasNext) {
+      val row = edgeIt.next()
+      us(i) = idxOf(row.getLong(0)); vs(i) = idxOf(row.getLong(1))
       i += 1
     }
+    require(i == n, s"driverPeel: edge count drifted ($i vs $n)")
     val nNodes = nodeIdx.size
     // CSR adjacency, each node's slice sorted by neighbor (packed
     // (nbr, edgeId) longs) — removed edges stay in the arrays and are
@@ -1463,9 +1809,35 @@ object GraphOps {
     }
     val ids = new Array[Long](nNodes)
     nodeIdx.forEach((id, ix) => ids(ix.intValue) = id.longValue)
-    val out = (0 until n).iterator.filter(alive)
-      .map(e => (ids(us(e)), ids(vs(e)), sup(e))).toSeq
-    spark.createDataFrame(out).toDF("u", "v", "support")
+    // survivors into compact primitive arrays, exposed to Spark as a
+    // lazily-mapped List — Rows materialize one at a time during the
+    // LocalRelation conversion instead of as a strict boxed Seq
+    var nOut = 0
+    i = 0
+    while (i < n) { if (alive(i)) nOut += 1; i += 1 }
+    val uOut = new Array[Long](nOut); val vOut = new Array[Long](nOut)
+    val sOut = new Array[Long](nOut)
+    var o = 0
+    i = 0
+    while (i < n) {
+      if (alive(i)) {
+        uOut(o) = ids(us(i)); vOut(o) = ids(vs(i)); sOut(o) = sup(i)
+        o += 1
+      }
+      i += 1
+    }
+    val rows = new java.util.AbstractList[org.apache.spark.sql.Row] {
+      override def size(): Int = nOut
+      override def get(ix: Int): org.apache.spark.sql.Row =
+        org.apache.spark.sql.Row(uOut(ix), vOut(ix), sOut(ix))
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("support",
+        org.apache.spark.sql.types.LongType))))
   }
 
   /** The distributed peel loop — the >8M-edge scale path. Round 1 pays

@@ -262,6 +262,40 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       (0 until m).forall(i => got2(i.toLong) == (i % 2).toLong))
   }
 
+  test("minLabelComponents: the one-job driver forest path and the " +
+      "relational SV kernel agree exactly — shuffled path, comb, and " +
+      "a seeded random multi-component graph") {
+    def both(edges: org.apache.spark.sql.DataFrame)
+        : (Map[Long, Long], Map[Long, Long]) = {
+      val drv = GraphOps.minLabelComponents(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set("spark.graft.cc.driverMaxNodes", "0")
+      val rel =
+        try GraphOps.minLabelComponents(edges).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally spark.conf.unset("spark.graft.cc.driverMaxNodes")
+      (drv, rel)
+    }
+    // shuffled 800-node path (high diameter), repartitioned so the
+    // partition forests genuinely have to merge across partitions
+    val ids = spark.range(800).select(col("id"))
+      .orderBy(md5(col("id").cast("string"))).collect().map(_.getLong(0))
+    val (dp, rp) = both(
+      sym((1 until 800).map(i => (ids(i - 1), ids(i)))).repartition(16))
+    assert(dp == rp && dp.size == 800 && dp.values.forall(_ == 0L))
+    // seeded random graph: ~70 components of mixed shape (md5-derived
+    // edges over 3000 nodes — deterministic, no Random)
+    val rnd = spark.range(4000).select(
+        (conv(substring(md5(col("id").cast("string")), 1, 7), 16, 10)
+          .cast("long") % 3000).as("src"),
+        (conv(substring(md5(concat(col("id").cast("string"), lit("b"))),
+          1, 7), 16, 10).cast("long") % 3000).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val (dr, rr) = both(rnd.unionByName(
+      rnd.select(col("dst").as("src"), col("src").as("dst"))))
+    assert(dr == rr && dr.nonEmpty)
+  }
+
   test("incrementalComponents: delta edges merge components, extend " +
       "them with new nodes, and mint new ones — equal to the full " +
       "recompute") {
@@ -517,6 +551,27 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val mass = got.values.map(_._2).sum
     assert(mass <= 1000000000000L &&
       mass > 1000000000000L - nodes.size)
+  }
+
+  test("q214 HITS and q126 LPA: the in-memory driver paths and the " +
+      "relational loops agree exactly") {
+    def rows3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        (1 until r.length).map(i =>
+          r.get(i).asInstanceOf[Number].longValue).toList)).toMap
+    val hitsDrv = rows3(GraphOps.q214Hits(spark, Sf))
+    val lpaDrv = rows3(GraphOps.q126LabelProp(spark, Sf))
+    spark.conf.set("spark.graft.hits.driverMaxEdges", "0")
+    spark.conf.set("spark.graft.lpa.driverMaxEdges", "0")
+    try {
+      val hitsRel = rows3(GraphOps.q214Hits(spark, Sf))
+      val lpaRel = rows3(GraphOps.q126LabelProp(spark, Sf))
+      assert(hitsDrv == hitsRel && hitsDrv.nonEmpty)
+      assert(lpaDrv == lpaRel && lpaDrv.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.hits.driverMaxEdges")
+      spark.conf.unset("spark.graft.lpa.driverMaxEdges")
+    }
   }
 
   test("q223 local clustering coefficient equals an adjacency-set " +
