@@ -367,12 +367,15 @@ object SparkEntry {
          FROM ag WHERE agree * 2 >= 32"""
   }
 
-  /** q51's generated oracle (r13): the md5-SimHash bit family replayed
-    * in ANSI SQL — per token, 16 hex-nibble values of md5(t); per doc,
-    * 64 ±1 vote sums; per bit, sign (tie → 1); candidates from the
-    * PINNED 4×16 band plan (valid for any corpus ≤ 2²¹ rows — see
-    * simhashNearDupMd5) as 16-char bit-string keys; exact Hamming as
-    * 64 sign-disagreement terms, ≤ 12. All-integer end to end.
+  /** q51's generated oracle (r13; r14 footer-adaptive): the md5-SimHash
+    * bit family replayed in ANSI SQL — per token, 16 hex-nibble values
+    * of md5(t); per doc, 64 ±1 vote sums; per bit, sign (tie → 1).
+    * Candidates come from the simhashBandPlan integer rule replayed on
+    * `2·count(*)`: (4 bands × 16 bits) ≤ 2²¹ corpus rows,
+    * (3 × 21) ≤ 2²⁶, else (2 × 32) — the CASE picks the matching
+    * bit-string key list, so the oracle survives any corpus size
+    * instead of assuming the 4×16 pin. Exact Hamming as 64
+    * sign-disagreement terms, ≤ 12. All-integer end to end.
     */
   private def simhashNearDupOracleSql: String = {
     val nibs = (0 until 16).map(p =>
@@ -386,10 +389,10 @@ object SparkEntry {
     val signs = (0 until 64).map(b =>
       s"CASE WHEN v$b >= 0 THEN 1 ELSE 0 END AS s$b")
       .mkString(",\n                  ")
-    val bandKeys = (0 until 4).map(t =>
-      s"concat(${(16 * t until 16 * t + 16).map(b => s"s$b")
+    def keys(bands: Int, bits: Int): String = (0 until bands).map(t =>
+      s"concat(${(bits * t until bits * t + bits).map(b => s"s$b")
         .mkString(", ")})")
-      .mkString(",\n                          ")
+      .mkString(",\n                            ")
     val ham = (0 until 64).map(b =>
       s"CASE WHEN sa.s$b <> sb.s$b THEN 1 ELSE 0 END")
       .mkString("\n                    + ")
@@ -397,6 +400,11 @@ object SparkEntry {
            SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
+           FROM documents
+         ), plan AS (
+           SELECT CASE WHEN 2 * count(*) <= 2097152 THEN 4
+                       WHEN 2 * count(*) <= 67108864 THEN 3
+                       ELSE 2 END AS bands
            FROM documents
          ), tkn AS (
            SELECT doc_id,
@@ -418,9 +426,15 @@ object SparkEntry {
            FROM votes
          ), banded AS (
            SELECT doc_id,
-                  unnest([0, 1, 2, 3]) AS band_id,
-                  unnest([$bandKeys]) AS band_key
-           FROM sigs
+                  unnest(CASE p.bands
+                    WHEN 4 THEN [0, 1, 2, 3]
+                    WHEN 3 THEN [0, 1, 2]
+                    ELSE [0, 1] END) AS band_id,
+                  unnest(CASE p.bands
+                    WHEN 4 THEN [${keys(4, 16)}]
+                    WHEN 3 THEN [${keys(3, 21)}]
+                    ELSE [${keys(2, 32)}] END) AS band_key
+           FROM sigs, plan p
          ), pairs AS (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM banded a JOIN banded b
@@ -433,6 +447,182 @@ object SparkEntry {
          JOIN sigs sa ON sa.doc_id = p.doc_a
          JOIN sigs sb ON sb.doc_id = p.doc_b
          WHERE ($ham) <= 12"""
+  }
+
+  /** q76/q106's shared merge-round CTE chain (r14, VERDICT r13 #3):
+    * the 12-round BPE training recursion unrolled as MATERIALIZED
+    * per-round CTEs (the q217/q156/q263 pattern). Round state
+    * st_r = (word, cnt, pos, sym); each round's OVERLAPPING adjacent
+    * pair count takes its argmax under the total order
+    * (weight DESC, l ASC, r ASC) — exactly trainLocal's queue order —
+    * and the leftmost-non-overlapping rewrite is run-parity selection:
+    * consecutive candidate positions (possible only when l = r) keep
+    * odd ranks, selected positions fuse with their right neighbor,
+    * consumed ones drop via NOT EXISTS. Caveat (documented, shared
+    * with every char-indexing oracle here): DuckDB subscripts by
+    * codepoint, Spark's split("") by UTF-16 code unit — identical on
+    * BMP-only corpora like the testdata.
+    */
+  private def bpeMergeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """wc AS MATERIALIZED (
+           SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split_regex(lower(trim(text)),
+                          '\s+')) AS tok
+                 FROM documents WHERE text IS NOT NULL)
+           WHERE len(tok) > 0 GROUP BY 1
+         ), st0 AS MATERIALIZED (
+           SELECT word, cnt, CAST(i AS BIGINT) AS pos, word[i] AS sym
+           FROM (SELECT word, cnt,
+                        unnest(generate_series(1, length(word))) AS i
+                 FROM wc)
+         )""")
+    for (r <- 0 until rounds) sb.append(s""", pc$r AS (
+           SELECT a.sym AS l, b.sym AS r, SUM(a.cnt) AS w
+           FROM st$r a JOIN st$r b
+             ON b.word = a.word AND b.pos = a.pos + 1
+           GROUP BY 1, 2
+         ), top$r AS MATERIALIZED (
+           SELECT l, r, CAST(w AS BIGINT) AS w FROM pc$r
+           ORDER BY w DESC, l ASC, r ASC LIMIT 1
+         ), sel$r AS MATERIALIZED (
+           SELECT word, pos FROM (
+             SELECT word, pos,
+                    ROW_NUMBER() OVER (PARTITION BY word, pos - rn
+                                       ORDER BY pos) AS k
+             FROM (SELECT a.word, a.pos,
+                          ROW_NUMBER() OVER (PARTITION BY a.word
+                                             ORDER BY a.pos) AS rn
+                   FROM st$r a JOIN st$r b
+                     ON b.word = a.word AND b.pos = a.pos + 1
+                   JOIN top$r t ON a.sym = t.l AND b.sym = t.r)
+           ) WHERE k % 2 = 1
+         ), st${r + 1} AS MATERIALIZED (
+           SELECT word, cnt,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY word
+                                          ORDER BY pos) AS BIGINT) AS pos,
+                  sym
+           FROM (
+             SELECT s.word, s.cnt, s.pos,
+                    CASE WHEN x.pos IS NOT NULL THEN s.sym || nx.sym
+                         ELSE s.sym END AS sym
+             FROM st$r s
+             LEFT JOIN sel$r x ON x.word = s.word AND x.pos = s.pos
+             LEFT JOIN st$r nx ON nx.word = s.word AND nx.pos = s.pos + 1
+             WHERE NOT EXISTS (SELECT 1 FROM sel$r c
+                               WHERE c.word = s.word
+                                 AND c.pos = s.pos - 1)
+           )
+         )""")
+    sb.toString
+  }
+
+  private val BpeRounds = 12
+
+  /** q76 oracle: the merge rows themselves — one per unrolled round. */
+  private def bpeTrainOracleSql: String = {
+    val rows = (0 until BpeRounds).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS step, l AS "left", r AS "right",
+                l || r AS merged, w AS weight FROM top$r""")
+      .mkString("\n         UNION ALL\n         ")
+    s"""WITH ${bpeMergeCtes(BpeRounds)}
+         $rows"""
+  }
+
+  /** q106 oracle: encode the corpus under q76's learned table — the
+    * canonical min-rank loop (per word: fuse ALL leftmost
+    * non-overlapping occurrences of the LOWEST-RANK applicable pair,
+    * repeat), unrolled to $BpeEncodeRounds fixed rounds over the
+    * DISTINCT-word state (a round with no applicable pair is the
+    * identity, so extra rounds are free). SOUNDNESS GUARD: if any
+    * word still has an applicable pair after the last round, a
+    * sentinel row (doc_id −1) is emitted — the driver's compare then
+    * fails LOUDLY instead of silently passing a truncated replay.
+    */
+  private val BpeEncodeRounds = 24
+
+  private def bpeEncodeOracleSql: String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH ${bpeMergeCtes(BpeRounds)}, mg AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT step, l, r,
+                    ROW_NUMBER() OVER (PARTITION BY l, r
+                                       ORDER BY step) AS dup
+             FROM (${(0 until BpeRounds).map(r =>
+               s"SELECT CAST($r AS BIGINT) AS step, l, r FROM top$r")
+               .mkString("\n                   UNION ALL\n                   ")})
+           ) WHERE dup = 1
+         ), est0 AS MATERIALIZED (
+           SELECT word, pos, sym FROM st0
+         )""")
+    for (t <- 0 until BpeEncodeRounds) sb.append(s""", bs$t AS MATERIALIZED (
+           SELECT a.word, MIN(m.step) AS step
+           FROM est$t a JOIN est$t b
+             ON b.word = a.word AND b.pos = a.pos + 1
+           JOIN mg m ON m.l = a.sym AND m.r = b.sym
+           GROUP BY 1
+         ), es$t AS MATERIALIZED (
+           SELECT a.word, a.pos FROM (
+             SELECT a.word, a.pos,
+                    ROW_NUMBER() OVER (PARTITION BY a.word
+                                       ORDER BY a.pos) AS rn
+             FROM est$t a JOIN est$t b
+               ON b.word = a.word AND b.pos = a.pos + 1
+             JOIN bs$t x ON x.word = a.word
+             JOIN mg m ON m.step = x.step
+                      AND m.l = a.sym AND m.r = b.sym) a
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY a.word, a.pos - a.rn
+                                      ORDER BY a.pos) % 2 = 1
+         ), est${t + 1} AS MATERIALIZED (
+           SELECT word,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY word
+                                          ORDER BY pos) AS BIGINT) AS pos,
+                  sym
+           FROM (
+             SELECT s.word, s.pos,
+                    CASE WHEN x.pos IS NOT NULL THEN s.sym || nx.sym
+                         ELSE s.sym END AS sym
+             FROM est$t s
+             LEFT JOIN es$t x ON x.word = s.word AND x.pos = s.pos
+             LEFT JOIN est$t nx ON nx.word = s.word AND nx.pos = s.pos + 1
+             WHERE NOT EXISTS (SELECT 1 FROM es$t c
+                               WHERE c.word = s.word
+                                 AND c.pos = s.pos - 1)
+           )
+         )""")
+    val T = BpeEncodeRounds
+    sb.append(s""", enc AS MATERIALIZED (
+           SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub,
+                  string_agg(sym, ' ' ORDER BY pos) AS esub
+           FROM est$T GROUP BY word
+         ), dtok AS (
+           SELECT doc_id, i AS tpos, tk[i] AS word
+           FROM (SELECT doc_id, tk,
+                        unnest(generate_series(1, len(tk))) AS i
+                 FROM (SELECT doc_id,
+                              string_split_regex(lower(trim(text)),
+                                '\\s+') AS tk
+                       FROM documents WHERE text IS NOT NULL))
+           WHERE len(tk[i]) > 0
+         ), leftover AS (
+           SELECT COUNT(*) AS n
+           FROM est$T a JOIN est$T b
+             ON b.word = a.word AND b.pos = a.pos + 1
+           JOIN mg m ON m.l = a.sym AND m.r = b.sym
+         )
+         SELECT d.doc_id,
+                CAST(COALESCE(SUM(e.n_sub), 0) AS BIGINT) AS n_subtok,
+                COALESCE(string_agg(e.esub, ' ' ORDER BY t.tpos), '')
+                  AS subtoks
+         FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+         LEFT JOIN dtok t ON t.doc_id = d.doc_id
+         LEFT JOIN enc e ON e.word = t.word
+         GROUP BY 1
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), n, 'ENCODE UNCONVERGED AFTER $T'
+         FROM leftover WHERE n > 0""")
+    sb.toString
   }
 
   /** q33's oracle (r13): the sign-LSH replay from first principles —
@@ -3247,6 +3437,26 @@ object SparkEntry {
                      WHEN best > 0 AND sc_en = best THEN 'en'
                      ELSE 'und' END AS predicted_lang
          FROM g""",
+    // r14: the default md5 position-tagged family — token t at 1-based
+    // position i contributes its first-13-hex-digit md5 int; Σ mod 10¹⁸.
+    // Spark folds with a per-step mod (bounded long), the oracle sums in
+    // HUGEINT then mods once — equal because every term is non-negative.
+    "q28_fingerprint" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5(tk[i] || ':'
+                         || CAST(i AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+           FROM (SELECT doc_id, tk,
+                        unnest(generate_series(1, len(tk))) AS i
+                 FROM (SELECT doc_id,
+                              string_split_regex(lower(trim(text)),
+                                '\s+') AS tk
+                       FROM documents WHERE text IS NOT NULL))
+         )
+         SELECT doc_id,
+                CAST(SUM(CAST(h AS HUGEINT))
+                     % 1000000000000000000 AS BIGINT) AS fingerprint
+         FROM tok GROUP BY 1""",
     // full LSH-candidates → exact-verify pipeline: md5 minhash minima are
     // engine-identical hex strings, so DuckDB reproduces the candidate
     // set exactly — never all-pairs on either side
@@ -3917,6 +4127,11 @@ object SparkEntry {
                            * 1000 * 2 + len(bg)) // (2 * len(bg))
                 END AS cov_ppt
          FROM bgs, hot""",
+    // r14 (VERDICT r13 #3): the 12 merge rounds unrolled as
+    // MATERIALIZED CTEs — see bpeMergeCtes. Flips the BPE family from
+    // no-oracle to full oracle.
+    "q76_bpe" -> bpeTrainOracleSql,
+    "q106_bpe_encode" -> bpeEncodeOracleSql,
     // the sketch-pruned output is EXACT heavy hitters (> n/64), so the
     // oracle is the plain groupBy it avoids at scale
     "q77_hh" ->

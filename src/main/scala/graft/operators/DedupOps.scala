@@ -302,34 +302,38 @@ object DedupOps {
     * banded near-dup shape with the engine-identical md5 bit family
     * ([[graft.functions.Md5SimHashExpression]] — bit b of token t is
     * bit b%4 of hex char b/4 of md5(t), replayable in ANSI SQL), which
-    * flips q51 from rows-only to FULL oracle. The band plan is PINNED
-    * at (4 bands × 16 bits) — [[simhashBandPlan]] returns exactly that
-    * for every corpus ≤ 2²¹ rows, and [[corpusWithPlantedDups]]
-    * asserts doc_id < 10⁶ (corpus ≤ 2·10⁶), so the pin is the plan;
-    * a >2M-doc corpus must use the auto-widening xxhash64 path (conf
-    * below), whose band keyspace grows with the corpus.
+    * flips q51 from rows-only to FULL oracle. r14 (VERDICT r13 #5):
+    * the band plan is no longer pinned at 4×16 — it derives from the
+    * corpus row count via the SAME [[simhashBandPlan]] integer rule as
+    * the xxhash64 path, and the oracle regenerates the identical plan
+    * from `count(*)` with a CASE over the rule's three regimes
+    * ((4,16) ≤ 2²¹ rows, (3,21) ≤ 2²⁶, else (2,32)) — so the
+    * full-oracle family survives corpus growth instead of handing
+    * >2M-doc corpora to the rows-only path.
     */
   def simhashNearDupMd5(s: SparkSession, docs: DataFrame,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, nRows: Long): DataFrame = {
+    val (bands, bits) = simhashBandPlan(nRows)
     val sigs = docs.select(col("doc_id"),
       graft.functions.Md5SimHashExpression
         .md5SimHash(s, tokens(normText)).as("simhash"))
-    bandedHammingPairs(sigs, bands = 4, bits = 16, maxHamming)
+    bandedHammingPairs(sigs, bands, bits, maxHamming)
   }
 
-  /** q51 default family is the oracle-checkable md5-SimHash; the
-    * xxhash64 signatures with the corpus-sized auto-widening band plan
-    * stay as the scale path behind
-    * `spark.graft.simhash.family=xxhash64`.
+  /** q51 default family is the oracle-checkable md5-SimHash (band plan
+    * footer-sized, never scanned); the xxhash64 signatures stay as the
+    * fast path behind `spark.graft.simhash.family=xxhash64`.
     */
-  def q51SimhashNearDup(s: SparkSession, d: String): DataFrame =
+  def q51SimhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val nRows = 2 * graft.sources.TableStatistics
+      .tableRowCount(s, d, "documents")
     if (s.conf.getOption("spark.graft.simhash.family")
         .contains("xxhash64"))
       simhashNearDup(s, corpusWithPlantedDups(s, d), maxHamming = 12,
-        nRows = 2 * graft.sources.TableStatistics
-          .tableRowCount(s, d, "documents"))
+        nRows = nRows)
     else simhashNearDupMd5(s, corpusWithPlantedDups(s, d),
-      maxHamming = 12)
+      maxHamming = 12, nRows = nRows)
+  }
 
   // ---- Exact-Jaccard verify over LSH candidates (q31) -------------------
 

@@ -50,12 +50,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "hex-nibble replay") {
     val corpus = DedupOps.corpusWithPlantedDups(spark, Sf)
     val nDocs = Tables.documents(spark, Sf).count()
-    val cands = DedupOps.simhashNearDupMd5(spark, corpus, maxHamming = 12)
+    val cands = DedupOps.simhashNearDupMd5(spark, corpus,
+      maxHamming = 12, nRows = 2 * nDocs)
     val planted = cands.filter(col("doc_b") === col("doc_a") + 1000000L)
       .count()
     assert(planted >= (nDocs * 0.8).toLong,
       s"found $planted of $nDocs planted pairs")
     assert(cands.filter(col("hamming") > 12).count() == 0)
+    // r14 footer-adaptive plan: force the (3, 21) regime (as if the
+    // corpus had 2^24 rows) — the pigeonhole guarantee (any pair
+    // within Hamming bands-1 shares a band) must still hold, so every
+    // ≤2-Hamming pair of the 4×16 run reappears
+    val wide = DedupOps.simhashNearDupMd5(spark, corpus,
+      maxHamming = 12, nRows = 1L << 24)
+    val widePairs = wide.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tight = cands.filter(col("hamming") <= 2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(widePairs),
+      s"${(tight -- widePairs).size} close pairs lost under the 3x21 plan")
     // bit-layout differential: replay the documented definition (bit b
     // = bit b%4 of hex char b/4 of md5(token), tie -> 1) in plain
     // Scala and compare against the codegen expression
@@ -200,6 +214,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
+  }
+
+  test("md5 fingerprint family (the r14 oracle default): order-" +
+      "sensitive, and the per-step-mod fold equals a posexplode " +
+      "SUM-then-mod replay") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a"),
+      (4L, "a a a"), (5L, "")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      TextOps.md5FingerprintCol(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L)) // position tag is inside the hash
+    // independent spelling: explode to (pos, token), hash, exact SUM
+    // in decimal, one mod at the end
+    val replay = df
+      .select(col("doc_id"), posexplode(
+        split(lower(trim(col("text"))), "\\s+")).as(Seq("i", "t")))
+      .select(col("doc_id"),
+        expr("""CAST(conv(substring(md5(concat(t, ':',
+                CAST(i + 1 AS STRING))), 1, 13), 16, 10) AS LONG)""")
+          .as("h"))
+      .groupBy("doc_id")
+      .agg(expr("""CAST(SUM(CAST(h AS DECIMAL(38,0)))
+                   % 1000000000000000000 AS LONG)""").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps == replay)
   }
 
   test("incremental dedup: rejects corpus near-dups and later internal " +
