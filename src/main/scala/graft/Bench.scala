@@ -9,6 +9,10 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // sampled BEFORE this JVM generates its own load — external
+    // contention at launch is what invalidates an idle-record claim
+    val startLoadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = GraftSession.get()
 
     // a failing query must be VISIBLE in the JSON (null + errors list),
@@ -77,9 +81,26 @@ object Bench {
     try {
       val sfName = new java.io.File(sfDir).getName
       val dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ".")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir, s"BENCH_LOCAL_$sfName.json"),
-        (line + "\n").getBytes("UTF-8"))
+      val path = java.nio.file.Paths.get(dir, s"BENCH_LOCAL_$sfName.json")
+      // condition guard (r14, VERDICT r13 #1/#8): the per-SF name
+      // protects the durable record from SF clobbering but not from
+      // CONDITION clobbering — r13's driver gate run (loadavg ≈ a full
+      // verify pipeline) overwrote the idle 346.6 s record with a
+      // 393.6 s contended one. If the 1-min loadavg at START exceeded
+      // the threshold (external load beyond this JVM's own 32 threads)
+      // and a record already exists, keep the record and write the
+      // contended run to a sidecar instead. The stdout line (what the
+      // driver parses) is always printed unconditionally above.
+      val contended = startLoadAvg > sys.env
+        .getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "8.0").toDouble
+      if (contended && java.nio.file.Files.exists(path)) {
+        System.err.println(f"[bench] loadavg $startLoadAvg%.1f at start " +
+          "— keeping the existing idle record, writing .contended sidecar")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"BENCH_LOCAL_$sfName.contended.json"),
+          (line + "\n").getBytes("UTF-8"))
+      } else
+        java.nio.file.Files.write(path, (line + "\n").getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
