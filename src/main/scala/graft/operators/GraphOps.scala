@@ -80,6 +80,19 @@ object GraphOps {
     // per-iteration join — without the cut, an upstream self-join (the
     // q105 pair build) would re-execute for every consumer
     val edges = symEdges.localCheckpoint(false)
+    // r14: below the driver edge gate the whole 15-round loop runs on
+    // primitive arrays in memory (the q214/q126 rule) — one collect
+    // job instead of one job per round. Long node ids only (q139's
+    // word graph ranks strings and stays on the bc-mode rounds).
+    val slim = edges.select(col("src"), col("dst"))
+    val maxDrv = driverMaxEdges(edges, "pagerank")
+    if (allLongIds(slim) && maxDrv > 0) {
+      val nE = edges.count()
+      if (nE <= maxDrv)
+        return pageRankDriver(edges.sparkSession,
+          new CollectedEdges(slim, nE.toInt, weighted = false),
+          iters, total)
+    }
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .localCheckpoint(false)
     val n = deg.count()
@@ -195,6 +208,353 @@ object GraphOps {
     }
 
     def unpersist(): Unit = { rdd.unpersist(false); () }
+  }
+
+  /** Per-operator conf gate for the in-memory driver kernels (the
+    * q214/q126/q61 precedent, extended r14 to the whole iterative
+    * family): below `spark.graft.<op>.driverMaxEdges` collected edges
+    * (default 8M ≈ 128 MB of driver ints — the same class as the
+    * node-scale broadcasts the bc-mode rounds already collect), the
+    * whole round loop runs on primitive arrays in ONE collect job,
+    * killing the per-round job floor that dominates every iterative
+    * graph query at local scale. 0 disables (the suite's equivalence
+    * tests force the relational path this way). Past the gate the
+    * relational loops below are THE path — they are the 100 TB shape.
+    */
+  private def driverMaxEdges(df: DataFrame, op: String): Long =
+    math.min(df.sparkSession.conf
+        .getOption(s"spark.graft.$op.driverMaxEdges")
+        .map(_.toLong).getOrElse(8000000L),
+      Int.MaxValue - 8L) // primitive-array kernels index edges by Int
+
+  private def allLongIds(df: DataFrame): Boolean =
+    df.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+
+  /** Collected slim long-id edge list for the driver kernels: dense
+    * node index + parallel primitive edge arrays. Filled by ONE
+    * parallel job of per-partition packed long arrays (the
+    * driverForestComponents shape — toLocalIterator would run one
+    * SERIAL job per partition, which cost more than the round loop it
+    * replaced when first measured). `weighted` additionally captures a
+    * long weight column at row position 2. Seeds may be interned AFTER
+    * the fill (a seed without edges still indexes); size per-node
+    * arrays by [[nN]] only after all interning is done.
+    */
+  private final class CollectedEdges(edges: DataFrame, nE: Int,
+      weighted: Boolean) {
+    private val nodeIdx = new java.util.HashMap[java.lang.Long, Integer]()
+    private var ids0 = new Array[Long](1024)
+    val ss = new Array[Int](nE); val ds = new Array[Int](nE)
+    val ws: Array[Long] = if (weighted) new Array[Long](nE) else null
+    def idOf(x: Long): Int = {
+      val got = nodeIdx.get(x)
+      if (got != null) got.intValue
+      else {
+        val ix = nodeIdx.size
+        if (ix == ids0.length) ids0 = java.util.Arrays.copyOf(ids0, ix * 2)
+        ids0(ix) = x; nodeIdx.put(x, ix); ix
+      }
+    }
+    locally {
+      val width = if (weighted) 3 else 2
+      val packed: Array[Array[Long]] = edges.rdd.mapPartitions { it =>
+        var buf = new Array[Long](width * 1024)
+        var o = 0
+        it.foreach { row =>
+          if (o == buf.length)
+            buf = java.util.Arrays.copyOf(buf, o * 2)
+          buf(o) = row.getLong(0); buf(o + 1) = row.getLong(1)
+          if (width == 3) buf(o + 2) = row.getLong(2)
+          o += width
+        }
+        Iterator.single(java.util.Arrays.copyOf(buf, o))
+      }.collect()
+      var i = 0
+      packed.foreach { part =>
+        var p = 0
+        while (p < part.length) {
+          ss(i) = idOf(part(p)); ds(i) = idOf(part(p + 1))
+          if (weighted) ws(i) = part(p + 2)
+          p += width; i += 1
+        }
+      }
+      require(i == nE, s"CollectedEdges: edge count drifted ($i vs $nE)")
+    }
+    def nN: Int = nodeIdx.size
+    def id(ix: Int): Long = ids0(ix)
+    /** CSR by src: (off, adj). */
+    def csrBySrc(): (Array[Int], Array[Int]) = {
+      val n = nN
+      val off = new Array[Int](n + 1)
+      var i = 0
+      while (i < ss.length) { off(ss(i) + 1) += 1; i += 1 }
+      i = 0
+      while (i < n) { off(i + 1) += off(i); i += 1 }
+      val pos = java.util.Arrays.copyOf(off, n)
+      val adj = new Array[Int](ss.length)
+      i = 0
+      while (i < ss.length) {
+        adj(pos(ss(i))) = ds(i); pos(ss(i)) += 1; i += 1
+      }
+      (off, adj)
+    }
+  }
+
+  /** `(node, value)` long-pair LocalRelation over compacted arrays —
+    * the driver kernels' output shape.
+    */
+  private def longPairDf(spark: SparkSession, n: Int, aName: String,
+      bName: String, a: Array[Long], b: Array[Long]): DataFrame = {
+    val rows = new java.util.AbstractList[org.apache.spark.sql.Row] {
+      override def size(): Int = n
+      override def get(ix: Int): org.apache.spark.sql.Row =
+        org.apache.spark.sql.Row(a(ix), b(ix))
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(bName,
+        org.apache.spark.sql.types.LongType)))).withColumnRenamed("node", aName)
+  }
+
+  /** In-memory PageRank rounds — the below-gate path of [[pageRank]].
+    * Bit-identical to the bc-mode [[DriverStateRounds]] spelling: the
+    * same truncating long division per edge, order-free integer adds,
+    * and the same presence semantics (round k's rank keys are exactly
+    * the dsts reachable from round k−1's keys — on the documented
+    * symmetric input that is every node from round 0 on).
+    */
+  private def pageRankDriver(spark: SparkSession, g: CollectedEdges,
+      iters: Int, total: Long): DataFrame = {
+    val nN = g.nN; val nE = g.ss.length
+    val od = new Array[Long](nN)
+    var i = 0
+    while (i < nE) { od(g.ss(i)) += 1; i += 1 }
+    var present = new Array[Boolean](nN)
+    i = 0
+    while (i < nE) { present(g.ss(i)) = true; i += 1 }
+    var nPresent = 0
+    i = 0
+    while (i < nN) { if (present(i)) nPresent += 1; i += 1 }
+    require(nPresent > 0, "pageRank needs a non-empty edge list")
+    val init = total / nPresent
+    val base = (15L * init) / 100L
+    var r = new Array[Long](nN)
+    i = 0
+    while (i < nN) { if (present(i)) r(i) = init; i += 1 }
+    for (_ <- 0 until iters) {
+      val cs = new Array[Long](nN)
+      val touched = new Array[Boolean](nN)
+      i = 0
+      while (i < nE) {
+        val s = g.ss(i)
+        if (present(s)) {
+          cs(g.ds(i)) += r(s) / od(s); touched(g.ds(i)) = true
+        }
+        i += 1
+      }
+      val nxt = new Array[Long](nN)
+      i = 0
+      while (i < nN) {
+        if (touched(i)) nxt(i) = base + (85L * cs(i)) / 100L
+        i += 1
+      }
+      r = nxt; present = touched
+    }
+    var o = 0
+    val oa = new Array[Long](nN); val ob = new Array[Long](nN)
+    i = 0
+    while (i < nN) {
+      if (present(i)) { oa(o) = g.id(i); ob(o) = r(i); o += 1 }
+      i += 1
+    }
+    longPairDf(spark, o, "node", "r", oa, ob)
+  }
+
+  /** In-memory personalized-PageRank rounds — the below-gate path of
+    * [[personalizedPageRank]]; same presence semantics as the bc-mode
+    * HashMap spelling (teleport unioned AFTER the contribution pass,
+    * so every seed is present every round).
+    */
+  private def pprDriver(spark: SparkSession, g: CollectedEdges,
+      seedIx: Array[Int], iters: Int, total: Long): DataFrame = {
+    val nN = g.nN; val nE = g.ss.length
+    val od = new Array[Long](nN)
+    var i = 0
+    while (i < nE) { od(g.ss(i)) += 1; i += 1 }
+    val init = total / seedIx.length
+    val sb = (15L * init) / 100L
+    var present = new Array[Boolean](nN)
+    var r = new Array[Long](nN)
+    seedIx.foreach { sIx => present(sIx) = true; r(sIx) = init }
+    for (_ <- 0 until iters) {
+      val cs = new Array[Long](nN)
+      val touched = new Array[Boolean](nN)
+      i = 0
+      while (i < nE) {
+        val s = g.ss(i)
+        if (present(s)) {
+          // od(s) ≥ 1: s is present only as a seed or a reached dst,
+          // and contributes only through its out-edges
+          cs(g.ds(i)) += r(s) / od(s); touched(g.ds(i)) = true
+        }
+        i += 1
+      }
+      val nxt = new Array[Long](nN)
+      i = 0
+      while (i < nN) {
+        if (touched(i)) nxt(i) = (85L * cs(i)) / 100L
+        i += 1
+      }
+      seedIx.foreach { sIx => nxt(sIx) += sb; touched(sIx) = true }
+      r = nxt; present = touched
+    }
+    var o = 0
+    val oa = new Array[Long](nN); val ob = new Array[Long](nN)
+    i = 0
+    while (i < nN) {
+      if (present(i)) { oa(o) = g.id(i); ob(o) = r(i); o += 1 }
+      i += 1
+    }
+    longPairDf(spark, o, "node", "r", oa, ob)
+  }
+
+  /** In-memory synchronized k-core peel — the below-gate path of
+    * [[kCore]]; replays the relational loop round for round (survivor
+    * set from the CURRENT edge set, early exit on an unchanged
+    * survivor COUNT — the set only shrinks, so count equality is set
+    * equality — and the same `peels` cap).
+    */
+  private def kCoreDriver(spark: SparkSession, g: CollectedEdges,
+      k: Int, peels: Int): DataFrame = {
+    val nN = g.nN; val nE = g.ss.length
+    val alive = new Array[Boolean](nE)
+    java.util.Arrays.fill(alive, true)
+    val deg = new Array[Long](nN)
+    var i = 0
+    while (i < nE) { deg(g.ss(i)) += 1; i += 1 }
+    var prevNodes = -1L
+    var round = 0
+    var done = false
+    while (round < peels && !done) {
+      val surv = new Array[Boolean](nN)
+      var n = 0L
+      i = 0
+      while (i < nN) { if (deg(i) >= k) { surv(i) = true; n += 1 }; i += 1 }
+      if (n == prevNodes) done = true
+      else {
+        prevNodes = n
+        java.util.Arrays.fill(deg, 0L)
+        i = 0
+        while (i < nE) {
+          if (alive(i) && surv(g.ss(i)) && surv(g.ds(i))) deg(g.ss(i)) += 1
+          else alive(i) = false
+          i += 1
+        }
+        round += 1
+      }
+    }
+    var o = 0
+    val oa = new Array[Long](nN); val ob = new Array[Long](nN)
+    i = 0
+    while (i < nN) {
+      if (deg(i) >= 1) { oa(o) = g.id(i); ob(o) = deg(i); o += 1 }
+      i += 1
+    }
+    longPairDf(spark, o, "node", "core_deg", oa, ob)
+  }
+
+  /** In-memory frontier BFS — the below-gate path of [[bfsHops]]: a
+    * node enters `visited` exactly once at its first (= minimum) hop,
+    * the same invariant the relational anti-join enforces.
+    */
+  private def bfsDriver(spark: SparkSession, g: CollectedEdges,
+      seedIx: Array[Int], maxHops: Int): DataFrame = {
+    val nN = g.nN
+    val (off, adj) = g.csrBySrc()
+    val hops = new Array[Long](nN)
+    java.util.Arrays.fill(hops, -1L)
+    var frontier = new Array[Int](seedIx.length)
+    var fN = 0
+    seedIx.foreach { sIx =>
+      if (hops(sIx) < 0) { hops(sIx) = 0L; frontier(fN) = sIx; fN += 1 }
+    }
+    var h = 0L
+    while (h < maxHops && fN > 0) {
+      h += 1
+      val next = new Array[Int](nN)
+      var nN2 = 0
+      var fi = 0
+      while (fi < fN) {
+        val u = frontier(fi)
+        var j = off(u)
+        while (j < off(u + 1)) {
+          val v = adj(j)
+          if (hops(v) < 0) { hops(v) = h; next(nN2) = v; nN2 += 1 }
+          j += 1
+        }
+        fi += 1
+      }
+      frontier = next; fN = nN2
+    }
+    var o = 0
+    val oa = new Array[Long](nN); val ob = new Array[Long](nN)
+    var i = 0
+    while (i < nN) {
+      if (hops(i) >= 0) { oa(o) = g.id(i); ob(o) = hops(i); o += 1 }
+      i += 1
+    }
+    longPairDf(spark, o, "node", "hops", oa, ob)
+  }
+
+  /** In-memory hop-bounded Bellman–Ford — the below-gate path of
+    * [[weightedSssp]]: synchronized full relaxation from the improved
+    * frontier per round, `addExact` so an overflow fails loud exactly
+    * like the relational ANSI add.
+    */
+  private def ssspDriver(spark: SparkSession, g: CollectedEdges,
+      seedIx: Array[Int], maxRounds: Int): DataFrame = {
+    val nN = g.nN; val nE = g.ss.length
+    val dist = new Array[Long](nN)
+    val has = new Array[Boolean](nN)
+    var frontier = new Array[Boolean](nN)
+    seedIx.foreach { sIx => has(sIx) = true; frontier(sIx) = true }
+    var fN = seedIx.length
+    var r = 0
+    while (r < maxRounds && fN > 0) {
+      r += 1
+      val candV = new Array[Long](nN)
+      val candHas = new Array[Boolean](nN)
+      var i = 0
+      while (i < nE) {
+        val s = g.ss(i)
+        if (frontier(s)) {
+          val c = Math.addExact(dist(s), g.ws(i))
+          val d = g.ds(i)
+          if (!candHas(d) || c < candV(d)) { candHas(d) = true; candV(d) = c }
+        }
+        i += 1
+      }
+      val nf = new Array[Boolean](nN)
+      fN = 0
+      i = 0
+      while (i < nN) {
+        if (candHas(i) && (!has(i) || candV(i) < dist(i))) {
+          dist(i) = candV(i); has(i) = true; nf(i) = true; fN += 1
+        }
+        i += 1
+      }
+      frontier = nf
+    }
+    var o = 0
+    val oa = new Array[Long](nN); val ob = new Array[Long](nN)
+    var i = 0
+    while (i < nN) {
+      if (has(i)) { oa(o) = g.id(i); ob(o) = dist(i); o += 1 }
+      i += 1
+    }
+    longPairDf(spark, o, "node", "dist", oa, ob)
   }
 
   /** One PageRank round over a `(src, dst, od)` edge table and a
@@ -351,6 +711,18 @@ object GraphOps {
     */
   def kCore(symEdges: DataFrame, k: Int, peels: Int = 15): DataFrame = {
     var cur = symEdges.localCheckpoint(false)
+    // r14: below the driver edge gate the synchronized peel runs on
+    // primitive arrays (the q240 driverPeel / q214 rule) — the
+    // relational loop pays count + two semi-joins + checkpoint PER
+    // ROUND of a cascade that settles in milliseconds in memory.
+    val slim = cur.select(col("src"), col("dst"))
+    val maxDrv = driverMaxEdges(cur, "kcore")
+    if (allLongIds(slim) && maxDrv > 0) {
+      val nE = cur.count()
+      if (nE <= maxDrv)
+        return kCoreDriver(cur.sparkSession,
+          new CollectedEdges(slim, nE.toInt, weighted = false), k, peels)
+    }
     var prevNodes = -1L
     var round = 0
     var done = false
@@ -405,6 +777,20 @@ object GraphOps {
       maxHops: Int = 8): DataFrame = {
     val spark = symEdges.sparkSession
     val edges = symEdges.localCheckpoint(false)
+    // r14: below the driver edge gate the whole frontier expansion is
+    // one in-memory CSR walk (the q214/q126 rule) — the relational
+    // loop pays two joins + distinct + count + checkpoint per hop.
+    val slim = edges.select(col("src"), col("dst"))
+    val maxDrv = driverMaxEdges(edges, "bfs")
+    val seedTab = seeds.select(col("node")).distinct()
+    if (allLongIds(slim) && allLongIds(seedTab) && maxDrv > 0) {
+      val nE = edges.count()
+      if (nE <= maxDrv) {
+        val g = new CollectedEdges(slim, nE.toInt, weighted = false)
+        val seedIx = seedTab.collect().map(r => g.idOf(r.getLong(0)))
+        return bfsDriver(spark, g, seedIx, maxHops)
+      }
+    }
     val maxB = maxBroadcastNodes(symEdges)
     // the frontier starts seed-sized and the visited set grows toward
     // node scale, and every round already counts both (the early-exit
@@ -518,6 +904,20 @@ object GraphOps {
     require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
     val init = total / nSeeds
     val sb = (15L * init) / 100L
+    // r14: same driver-kernel gate as [[pageRank]] (bit-identical —
+    // order-free integer adds, the teleport union applied after the
+    // contribution pass exactly as the HashMap spelling does)
+    val slim = edges.select(col("src"), col("dst"))
+    val maxDrv = driverMaxEdges(edges, "ppr")
+    if (allLongIds(slim) &&
+        allLongIds(seedTab.select(col("node"))) && maxDrv > 0) {
+      val nE = edges.count()
+      if (nE <= maxDrv) {
+        val g = new CollectedEdges(slim, nE.toInt, weighted = false)
+        val seedIx = seedTab.collect().map(r => g.idOf(r.getLong(0)))
+        return pprDriver(edges.sparkSession, g, seedIx, iters, total)
+      }
+    }
     val seedBase = seedTab.select(col("node"), lit(sb).as("v"))
     // the rank vector grows toward the reached-set scale, bounded by
     // |nodes| — gate on the graph's node count like pageRank
@@ -587,11 +987,14 @@ object GraphOps {
     * happens before symmetrize so the iteration graph is minimal.
     */
   private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("s1"), col("b.pk").as("s2")).distinct()
+    // r14: built from [[coPurchaseRawPairs]] (one groupBy shuffle +
+    // bounded per-order explode) instead of the lineitem self-join —
+    // the same unique pair set (collect_set dedups (ok, pk) within the
+    // order exactly like the self-join's DISTINCT did), measured 2.2 s
+    // → 1.4 s at sf0.1 across every consumer of this graph
+    val pairs = coPurchaseRawPairs(s, d)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("s1"), col("dst").as("s2")).distinct()
     pairs.select(col("s1").as("src"), col("s2").as("dst"))
       .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
   }
@@ -626,12 +1029,13 @@ object GraphOps {
     */
   private[graft] def prunedCoPurchaseEdges(s: SparkSession, d: String,
       minCount: Int): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("s1"), col("b.pk").as("s2"))
+    // r14: same raw-pairs rebase as [[coPurchaseEdges]] — each order
+    // contributes each unordered pair exactly once to the raw explode
+    // (collect_set dedups within the order, as the li.distinct()
+    // self-join did), so the per-pair count IS the shared-order count
+    val pairs = coPurchaseRawPairs(s, d)
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src").as("s1"), col("dst").as("s2"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
       .select("s1", "s2")
@@ -714,11 +1118,24 @@ object GraphOps {
       }
     }
     var i = 0
-    val it = edges.toLocalIterator()
-    while (it.hasNext) {
-      val row = it.next()
-      ss(i) = idOf(row.getLong(0)); ds(i) = idOf(row.getLong(1))
-      i += 1
+    // packed-collect fill (r14) — toLocalIterator ran one serial job
+    // per partition; see [[CollectedEdges]]
+    val packedParts: Array[Array[Long]] = edges.rdd.mapPartitions { it =>
+      var buf = new Array[Long](2048)
+      var o = 0
+      it.foreach { row =>
+        if (o == buf.length) buf = java.util.Arrays.copyOf(buf, o * 2)
+        buf(o) = row.getLong(0); buf(o + 1) = row.getLong(1)
+        o += 2
+      }
+      Iterator.single(java.util.Arrays.copyOf(buf, o))
+    }.collect()
+    packedParts.foreach { part =>
+      var p = 0
+      while (p < part.length) {
+        ss(i) = idOf(part(p)); ds(i) = idOf(part(p + 1))
+        p += 2; i += 1
+      }
     }
     require(i == n, s"driverLpa: edge count drifted ($i vs $n)")
     val nN = nodeIdx.size
@@ -1311,6 +1728,20 @@ object GraphOps {
       maxRounds: Int = 8): DataFrame = {
     val spark = wEdges.sparkSession
     val edges = wEdges.localCheckpoint(false)
+    // r14: below the driver edge gate the ≤k-hop relaxation runs as
+    // in-memory synchronized Bellman–Ford rounds (the q214/q126 rule;
+    // addExact fails loud exactly like the relational ANSI add).
+    val slim = edges.select(col("src"), col("dst"), col("w"))
+    val maxDrv = driverMaxEdges(edges, "sssp")
+    val seedTab = seeds.select(col("node")).distinct()
+    if (allLongIds(slim) && allLongIds(seedTab) && maxDrv > 0) {
+      val nE = edges.count()
+      if (nE <= maxDrv) {
+        val g = new CollectedEdges(slim, nE.toInt, weighted = true)
+        val seedIx = seedTab.collect().map(r => g.idOf(r.getLong(0)))
+        return ssspDriver(spark, g, seedIx, maxRounds)
+      }
+    }
     val maxB = maxBroadcastNodes(wEdges)
     var bucketTable: Option[String] = None
     def srcEdges(): DataFrame = {
@@ -1513,11 +1944,25 @@ object GraphOps {
       }
     }
     var i = 0
-    val it = e.select(col("c"), col("p")).toLocalIterator()
-    while (it.hasNext) {
-      val row = it.next()
-      cs(i) = cOf(row.getLong(0)); ps(i) = pOf(row.getLong(1))
-      i += 1
+    // packed-collect fill (r14) — toLocalIterator ran one serial job
+    // per partition; see [[CollectedEdges]]
+    val packedParts: Array[Array[Long]] = e.select(col("c"), col("p"))
+      .rdd.mapPartitions { it =>
+        var buf = new Array[Long](2048)
+        var o = 0
+        it.foreach { row =>
+          if (o == buf.length) buf = java.util.Arrays.copyOf(buf, o * 2)
+          buf(o) = row.getLong(0); buf(o + 1) = row.getLong(1)
+          o += 2
+        }
+        Iterator.single(java.util.Arrays.copyOf(buf, o))
+      }.collect()
+    packedParts.foreach { part =>
+      var p = 0
+      while (p < part.length) {
+        cs(i) = cOf(part(p)); ps(i) = pOf(part(p + 1))
+        p += 2; i += 1
+      }
     }
     require(i == n, s"q214HitsDriver: edge count drifted ($i vs $n)")
     val nP = partIdx.size; val nC = custIdx.size
@@ -1676,11 +2121,11 @@ object GraphOps {
     */
   private def driverPeel(und: DataFrame, k: Int, n: Int): DataFrame = {
     val spark = und.sparkSession
-    // fill the primitive edge arrays STREAMING via toLocalIterator
-    // (r13 advice: a boxed (Long, Long) collect held ~0.5 GB transient
-    // at the 8M-edge gate on top of the ints the estimate budgeted) —
-    // one partition of Rows in flight at a time, ids dense-indexed on
-    // the fly
+    // fill the primitive edge arrays from ONE parallel job of
+    // per-partition packed long arrays (r14: the prior streaming
+    // toLocalIterator fill ran one SERIAL job per partition — measured
+    // as a multi-second tax at sf0.1; the packed arrays keep the r13
+    // no-boxed-collect property at 16 bytes/edge transient)
     val nodeIdx = new java.util.HashMap[java.lang.Long, Integer](n * 2)
     val us = new Array[Int](n); val vs = new Array[Int](n)
     val sup = new Array[Long](n)
@@ -1690,11 +2135,23 @@ object GraphOps {
       else { val ix = nodeIdx.size; nodeIdx.put(id, ix); ix }
     }
     var i = 0
-    val edgeIt = und.select(col("u"), col("v")).toLocalIterator()
-    while (edgeIt.hasNext) {
-      val row = edgeIt.next()
-      us(i) = idxOf(row.getLong(0)); vs(i) = idxOf(row.getLong(1))
-      i += 1
+    val packedParts: Array[Array[Long]] = und.select(col("u"), col("v"))
+      .rdd.mapPartitions { it =>
+        var buf = new Array[Long](2048)
+        var o = 0
+        it.foreach { row =>
+          if (o == buf.length) buf = java.util.Arrays.copyOf(buf, o * 2)
+          buf(o) = row.getLong(0); buf(o + 1) = row.getLong(1)
+          o += 2
+        }
+        Iterator.single(java.util.Arrays.copyOf(buf, o))
+      }.collect()
+    packedParts.foreach { part =>
+      var p = 0
+      while (p < part.length) {
+        us(i) = idxOf(part(p)); vs(i) = idxOf(part(p + 1))
+        p += 2; i += 1
+      }
     }
     require(i == n, s"driverPeel: edge count drifted ($i vs $n)")
     val nNodes = nodeIdx.size

@@ -574,6 +574,33 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("r14 driver kernels (PageRank, PPR, k-core, BFS, SSSP) and the " +
+      "relational loops agree exactly") {
+    def rows2(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val confs = Seq("pagerank", "ppr", "kcore", "bfs", "sssp")
+      .map(op => s"spark.graft.$op.driverMaxEdges")
+    // q109's k=80 core is empty at sf0.001 — run the k-core kernel at
+    // k=10 here so the equivalence check is non-trivial
+    def all() = Seq(
+      rows2(GraphOps.q105PageRank(spark, Sf)),
+      rows2(GraphOps.q116Ppr(spark, Sf)),
+      rows2(GraphOps.kCore(
+        GraphOps.coPurchaseEdges(spark, Sf), k = 10, peels = 15)),
+      rows2(GraphOps.q110BfsHops(spark, Sf)),
+      rows2(GraphOps.q193Sssp(spark, Sf)))
+    val drv = all()
+    confs.foreach(c => spark.conf.set(c, "0"))
+    try {
+      val rel = all()
+      drv.zip(rel).zipWithIndex.foreach { case ((d, rl), i) =>
+        assert(d == rl && d.nonEmpty, s"driver≠relational for kernel #$i:" +
+          s" extra=${(d.toSet -- rl.toSet).take(3)}" +
+          s" missing=${(rl.toSet -- d.toSet).take(3)}")
+      }
+    } finally confs.foreach(spark.conf.unset)
+  }
+
   test("q223 local clustering coefficient equals an adjacency-set " +
       "replay; cc is a ppm in [0, 1e6]") {
     val got = GraphOps.q223ClusteringCoef(spark, Sf).collect()
