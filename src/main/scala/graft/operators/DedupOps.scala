@@ -825,8 +825,17 @@ object DedupOps {
   def setSimilarityJoin(rows: DataFrame, id: String, setCol: String,
       tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    // r14: checkpoint the (id, set) table ONCE — it feeds four plan
+    // branches (df count + prefix regroup via the exploded tokens,
+    // and both attach sides), and each replay re-ran the upstream
+    // tokenize+shingle projection (the q47 HOF-cost class; q96
+    // measured 7.3 s with 4 shingle passes, 4.1 s with one)
     val base = rows.select(col(id).as("_ss_id"), col(setCol).as("_ss_set"))
       .filter(size(col("_ss_set")) > 0)
+      .localCheckpoint(false)
+    // NOTE (r14, measured): checkpointing pfx here looks like the r9
+    // reuse fix but A/B-measured +1.5 s — the twice-run prefix tower is
+    // cheaper than the materialization it saves. Left UNcut deliberately.
     val pfx = dfOrderedPrefixes(explodedTokens(base), tNum, tDen)
     val cand = pfx.select(col("_ss_id").as("id_a"), col("_tok"))
       .join(pfx.select(col("_ss_id").as("id_b"), col("_tok")), Seq("_tok"))
@@ -888,8 +897,12 @@ object DedupOps {
   def containmentJoin(rows: DataFrame, id: String, setCol: String,
       tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    // r14: same one-materialization rule as [[setSimilarityJoin]] —
+    // five consumers (prefix df+regroup, posting relation, both
+    // attach sides) each re-ran the shingle projection before
     val base = rows.select(col(id).as("_ss_id"), col(setCol).as("_ss_set"))
       .filter(size(col("_ss_set")) > 0)
+      .localCheckpoint(false)
     val toks = explodedTokens(base)
     val pfx = dfOrderedPrefixes(toks, tNum, tDen)
     val posting = toks

@@ -1569,13 +1569,20 @@ object GraphOps {
   def q157IncrCc(s: SparkSession, d: String): DataFrame = {
     val n = graft.sources.TableStatistics.tableRowCount(s, d, "orders")
     val t = 4L * n / 5L
+    // r14: the groupBy+explode pair build (the coPurchaseEdges rebase
+    // — same unique pair set, collect_set dedups (ok, pk) so the
+    // upstream DISTINCT drops too: one shuffle instead of three)
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
     def sym(part: DataFrame): DataFrame = {
-      val pairs = part.as("a").join(part.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("s1"), col("b.pk").as("s2")).distinct()
+      val orders = part.groupBy(col("ok"))
+        .agg(collect_set(col("pk")).as("ps"))
+        .select(col("ps")).filter(size(col("ps")) > 1)
+      val pairs = orders
+        .select(col("ps"), explode(col("ps")).as("s1"))
+        .select(col("s1"),
+          explode(array_remove(col("ps"), col("s1"))).as("s2"))
+        .filter(col("s1") < col("s2")).distinct()
       pairs.select(col("s1").as("src"), col("s2").as("dst"))
         .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
     }
@@ -2471,6 +2478,176 @@ object GraphOps {
         expr("CAST((2 * 1000000 * reach2 + deg) DIV (2 * deg) AS BIGINT)"))
   }
 
+  /** In-memory SCAN — the below-gate path of [[scanCluster]]; replays
+    * the relational steps exactly: per-und-edge common-neighbor count
+    * (sorted-adjacency merge), the sqrt-free σ ≥ ½ integer test, min-
+    * label components over core-core ε-edges, min-cluster borders,
+    * ≥2-distinct-cluster hubs.
+    */
+  private def scanDriver(spark: SparkSession, g: CollectedEdges)
+      : DataFrame = {
+    val nN = g.nN
+    val (off, adj) = g.csrBySrc()
+    // sort each adjacency slice for the merge-intersect
+    var v0 = 0
+    while (v0 < nN) {
+      java.util.Arrays.sort(adj, off(v0), off(v0 + 1)); v0 += 1
+    }
+    val deg = new Array[Long](nN)
+    var i = 0
+    while (i < nN) { deg(i) = off(i + 1) - off(i); i += 1 }
+    // ε-test per undirected edge (u < v by DENSE index is NOT the
+    // relational u < v by id — but σ is symmetric, so testing each
+    // unordered pair once is identical); ε-adjacency collected as a
+    // second CSR
+    val epsCnt = new Array[Int](nN)
+    val epsHeads = new Array[Int](nN)
+    java.util.Arrays.fill(epsHeads, -1)
+    var epsU = new Array[Int](1024); var epsV = new Array[Int](1024)
+    var nEps = 0
+    def addEps(u: Int, v: Int): Unit = {
+      if (nEps == epsU.length) {
+        epsU = java.util.Arrays.copyOf(epsU, nEps * 2)
+        epsV = java.util.Arrays.copyOf(epsV, nEps * 2)
+      }
+      epsU(nEps) = u; epsV(nEps) = v; nEps += 1
+    }
+    var u = 0
+    while (u < nN) {
+      var j = off(u)
+      while (j < off(u + 1)) {
+        val v = adj(j)
+        if (u < v) {
+          // merge-count common neighbors
+          var pa = off(u); var pb = off(v)
+          var support = 0L
+          while (pa < off(u + 1) && pb < off(v + 1)) {
+            val wa = adj(pa); val wb = adj(pb)
+            if (wa < wb) pa += 1
+            else if (wb < wa) pb += 1
+            else { support += 1; pa += 1; pb += 1 }
+          }
+          val s2 = support + 2
+          if (4 * s2 * s2 >= (deg(u) + 1) * (deg(v) + 1)) {
+            addEps(u, v)
+            epsCnt(u) += 1; epsCnt(v) += 1
+          }
+        }
+        j += 1
+      }
+      u += 1
+    }
+    val nepsOf = new Array[Long](nN)
+    i = 0
+    while (i < nN) { nepsOf(i) = epsCnt(i) + 1L; i += 1 }
+    val isCore = new Array[Boolean](nN)
+    i = 0
+    while (i < nN) { isCore(i) = nepsOf(i) >= 4L; i += 1 }
+    // min-label components over core-core ε-edges: union-find, then
+    // the component label is the min node ID in the component
+    val parent = new Array[Int](nN)
+    i = 0
+    while (i < nN) { parent(i) = i; i += 1 }
+    def find(a0: Int): Int = {
+      var a = a0
+      while (parent(a) != a) { parent(a) = parent(parent(a)); a = parent(a) }
+      a
+    }
+    i = 0
+    while (i < nEps) {
+      if (isCore(epsU(i)) && isCore(epsV(i))) {
+        val ra = find(epsU(i)); val rb = find(epsV(i))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      i += 1
+    }
+    val minId = new Array[Long](nN)
+    java.util.Arrays.fill(minId, Long.MaxValue)
+    i = 0
+    while (i < nN) {
+      if (isCore(i)) {
+        val r = find(i)
+        if (g.id(i) < minId(r)) minId(r) = g.id(i)
+      }
+      i += 1
+    }
+    // cluster per core: component min id (isolated cores self-label —
+    // covered: their component is themselves)
+    val NoCluster = Long.MinValue
+    val cluster = new Array[Long](nN)
+    java.util.Arrays.fill(cluster, NoCluster)
+    i = 0
+    while (i < nN) {
+      if (isCore(i)) cluster(i) = minId(find(i))
+      i += 1
+    }
+    // borders: non-core with an ε-edge to a core — min adjacent core
+    // cluster
+    val isBorder = new Array[Boolean](nN)
+    val borderCl = new Array[Long](nN)
+    java.util.Arrays.fill(borderCl, Long.MaxValue)
+    i = 0
+    while (i < nEps) {
+      val a = epsU(i); val b = epsV(i)
+      if (isCore(b) && !isCore(a)) {
+        isBorder(a) = true
+        if (cluster(b) < borderCl(a)) borderCl(a) = cluster(b)
+      }
+      if (isCore(a) && !isCore(b)) {
+        isBorder(b) = true
+        if (cluster(a) < borderCl(b)) borderCl(b) = cluster(a)
+      }
+      i += 1
+    }
+    i = 0
+    while (i < nN) {
+      if (isBorder(i)) cluster(i) = borderCl(i)
+      i += 1
+    }
+    // hubs: unclassified with plain neighbors spanning ≥2 distinct
+    // clusters (labeled = cores ∪ borders)
+    val roles = new Array[String](nN)
+    i = 0
+    while (i < nN) {
+      if (isCore(i)) roles(i) = "core"
+      else if (isBorder(i)) roles(i) = "border"
+      else {
+        var c1 = NoCluster; var c2 = NoCluster
+        var j = off(i)
+        while (j < off(i + 1) && c2 == NoCluster) {
+          val nb = adj(j)
+          val cl = cluster(nb)
+          if (cl != NoCluster) {
+            if (c1 == NoCluster) c1 = cl
+            else if (cl != c1) c2 = cl
+          }
+          j += 1
+        }
+        roles(i) = if (c2 != NoCluster) "hub" else "outlier"
+      }
+      i += 1
+    }
+    val rows = new java.util.AbstractList[org.apache.spark.sql.Row] {
+      override def size(): Int = nN
+      override def get(ix: Int): org.apache.spark.sql.Row =
+        org.apache.spark.sql.Row(g.id(ix), deg(ix), nepsOf(ix), roles(ix),
+          if (cluster(ix) == NoCluster ||
+              (!isCore(ix) && !isBorder(ix))) null
+          else java.lang.Long.valueOf(cluster(ix)))
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("deg",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_eps",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("role",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType))))
+  }
+
   /** q265: SCAN structural graph clustering (Xu, Yuruk, Feng & Schweiger
     * KDD 2007) over the pruned co-purchase graph — nodes cluster only
     * with neighbors whose NEIGHBORHOODS agree (structural similarity
@@ -2507,6 +2684,21 @@ object GraphOps {
   private[graft] def scanCluster(symEdges: DataFrame): DataFrame = {
     val e = symEdges
       .localCheckpoint(false) // feeds degree, support, hub passes
+    // r14: below the driver edge gate the whole SCAN (support
+    // intersects, σ tests, core CC, border/hub classification) runs on
+    // primitive arrays — the relational spelling pays ~45 jobs of
+    // checkpoint/aggregate floor on a pruned graph that is node-scale
+    // by construction. Bit-identical: every step is exact integer and
+    // deterministic (min-label components, min border cluster); the
+    // conf-gated suite differential pins driver ≡ relational.
+    val maxDrv = driverMaxEdges(e, "scan")
+    if (allLongIds(e.select(col("src"), col("dst"))) && maxDrv > 0) {
+      val nE = e.count()
+      if (nE <= maxDrv)
+        return scanDriver(e.sparkSession,
+          new CollectedEdges(e.select(col("src"), col("dst")), nE.toInt,
+            weighted = false))
+    }
     val und = e.filter(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v"))
     val deg = e.groupBy(col("src").as("node"))

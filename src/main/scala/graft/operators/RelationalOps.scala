@@ -869,18 +869,86 @@ object RelationalOps {
   def q83Outliers(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_type"),
       col("event_id"), col("value"))
-    val med = groupMedian(ev.select(col("event_type"), col("value")),
-      "event_type", "value", "med")
-    val devs = ev.join(broadcast(med), "event_type")
-      .withColumn("dev", abs(col("value") - col("med")))
-    val mad = groupMedian(devs.select(col("event_type"), col("dev")),
-      "event_type", "dev", "mad")
-    devs.join(broadcast(mad), "event_type")
-      .withColumn("dev_i", round(col("dev") * 10000).cast("long"))
-      .withColumn("mad_i", round(col("mad") * 10000).cast("long"))
-      .filter(col("dev_i") * 6745 > col("mad_i") * 35000)
-      .select(col("event_type"), col("event_id"), col("value"),
-        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
+    // r14: both exact medians (value, then |value − med|) derive from
+    // ONE map-combined (type, value) HISTOGRAM whenever its row count
+    // fits the driver gate — the two DistributedRank passes cost 36
+    // jobs of scheduling floor for order statistics a weighted-median
+    // walk over the bounded histogram reproduces exactly (ranks among
+    // equal values share the value, and the interpolation is the same
+    // IEEE double tree: vLo + (pos − ⌊pos⌋)·(vHi − vLo)). Null values
+    // would change rank accounting — any null routes to the relational
+    // path rather than replicating null-first ordering driver-side.
+    val maxHist = s.conf.getOption("spark.graft.outliers.driverMaxHist")
+      .map(_.toLong).getOrElse(1000000L)
+    val medMad: Option[DataFrame] = if (maxHist <= 0) None else {
+      val hist = ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("_c"))
+        .localCheckpoint(false)
+      if (hist.count() > maxHist) None
+      else {
+        val rows = hist.collect()
+        if (rows.exists(_.isNullAt(1))) None
+        else {
+          // weighted lower/upper-rank median with linear interpolation
+          // — identical arithmetic to groupMedian's target/interp exprs
+          def wMedian(vc: Seq[(Double, Long)]): Double = {
+            val sorted = vc.sortBy(_._1)
+            val n = sorted.map(_._2).sum
+            val pos = (n - 1) * 0.5
+            val loRn = math.floor(pos).toLong + 1
+            val hiRn = math.ceil(pos).toLong + 1
+            var cum = 0L
+            var vLo = 0.0; var vHi = 0.0
+            sorted.foreach { case (v, c) =>
+              if (cum < loRn && loRn <= cum + c) vLo = v
+              if (cum < hiRn && hiRn <= cum + c) vHi = v
+              cum += c
+            }
+            vLo + (pos - math.floor(pos)) * (vHi - vLo)
+          }
+          val byType = rows.map(r => (r.getString(0),
+            r.getDouble(1), r.getLong(2))).groupBy(_._1)
+          val out = byType.toSeq.map { case (t, vs) =>
+            val med = wMedian(vs.toSeq.map(v => (v._2, v._3)))
+            val mad = wMedian(vs.toSeq.map(v =>
+              (math.abs(v._2 - med), v._3)))
+            org.apache.spark.sql.Row(t, med, mad)
+          }
+          import scala.jdk.CollectionConverters._
+          Some(s.createDataFrame(out.asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("event_type",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("med",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("mad",
+                org.apache.spark.sql.types.DoubleType)))))
+        }
+      }
+    }
+    medMad match {
+      case Some(mm) =>
+        ev.join(broadcast(mm), "event_type")
+          .withColumn("dev", abs(col("value") - col("med")))
+          .withColumn("dev_i", round(col("dev") * 10000).cast("long"))
+          .withColumn("mad_i", round(col("mad") * 10000).cast("long"))
+          .filter(col("dev_i") * 6745 > col("mad_i") * 35000)
+          .select(col("event_type"), col("event_id"), col("value"),
+            round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
+      case None =>
+        val med = groupMedian(ev.select(col("event_type"), col("value")),
+          "event_type", "value", "med")
+        val devs = ev.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("value") - col("med")))
+        val mad = groupMedian(devs.select(col("event_type"), col("dev")),
+          "event_type", "dev", "mad")
+        devs.join(broadcast(mad), "event_type")
+          .withColumn("dev_i", round(col("dev") * 10000).cast("long"))
+          .withColumn("mad_i", round(col("mad") * 10000).cast("long"))
+          .filter(col("dev_i") * 6745 > col("mad_i") * 35000)
+          .select(col("event_type"), col("event_id"), col("value"),
+            round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
+    }
   }
 
   /** Exact per-group median (linear interpolation) via DistributedRank —

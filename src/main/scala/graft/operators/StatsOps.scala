@@ -941,6 +941,42 @@ object StatsOps {
     val s = series.select(col(tCol).cast("decimal(19,0)").as("_t"),
       col(vCol).cast("decimal(19,0)").as("_v"))
       .localCheckpoint(false)
+    // r14 (the q240/q266 driver-state rule): the series is CALENDAR-
+    // bounded (one row per day at any corpus scale), so below
+    // spark.graft.theilsen.driverMaxPoints the whole pair build + both
+    // nearest-rank medians run on primitive arrays — the relational
+    // spelling paid ~23 jobs of DistributedRank machinery for a
+    // ~3M-long sort that takes milliseconds in memory. Bit-identical:
+    // same sign-split round-half-up slope per pair (truncating long
+    // division ≡ Spark DIV on non-negatives), the k-th smallest VALUE
+    // is engine-independent, residuals in BigInteger ≡ DECIMAL(38,0).
+    // The long-bound precheck routes any series whose slope numerator
+    // could overflow a long back to the decimal relational path.
+    val maxPts = series.sparkSession.conf
+      .getOption("spark.graft.theilsen.driverMaxPoints")
+      .map(_.toLong).getOrElse(5000L)
+    if (maxPts > 0) {
+      val nRows = s.count()
+      if (nRows <= maxPts && nRows <= Int.MaxValue / 4) {
+        // bound check BEFORE the long collect (an out-of-long decimal
+        // would throw in the ANSI cast): values must fit longs and the
+        // slope numerator 2·Δv·1e6 + Δt must fit a long
+        val mm = s.agg(min(col("_t")).as("t0"), max(col("_t")).as("t1"),
+          min(col("_v")).as("v0"), max(col("_v")).as("v1")).collect()(0)
+        def bi(ix: Int): BigInt =
+          if (mm.isNullAt(ix)) BigInt(0)
+          else BigInt(mm.getDecimal(ix).toBigInteger)
+        val lMax = BigInt(Long.MaxValue); val lMin = BigInt(Long.MinValue)
+        val ok = nRows == 0 ||
+          (Seq(0, 1, 2, 3).forall(ix => bi(ix) <= lMax && bi(ix) >= lMin) &&
+            BigInt(2) * (bi(3) - bi(2)) * 1000000 + (bi(1) - bi(0)) <= lMax)
+        if (ok) {
+          val pts = s.select(col("_t").cast("long"), col("_v").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          return theilSenDriver(series.sparkSession, pts)
+        }
+      }
+    }
     val a = s.select(col("_t").as("t1"), col("_v").as("v1"))
     val b = s.select(col("_t").as("t2"), col("_v").as("v2"))
     val slopes = a.join(broadcast(b), col("t1") < col("t2"))
@@ -967,6 +1003,78 @@ object StatsOps {
         col("_n").as("n_pairs"))))
       .select(col("n_pairs"), col("slope_e6"),
         col("resid_e6").cast("long").as("icept_e6"))
+  }
+
+  /** In-memory Theil–Sen — the below-gate path of [[theilSen]]: all
+    * t1 < t2 pair slopes (the join's condition, so duplicate-t rows
+    * pair exactly as the relational spelling pairs them), lower
+    * nearest-rank medians by sort + index, residuals in BigInteger
+    * (≡ DECIMAL(38,0)), `longValueExact` ≡ the ANSI long cast.
+    */
+  private def theilSenDriver(spark: SparkSession,
+      pts: Array[(Long, Long)]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_pairs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("slope_e6",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("icept_e6",
+        org.apache.spark.sql.types.LongType)))
+    val n = pts.length
+    var nPairs = 0L
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (pts(i)._1 != pts(j)._1) nPairs += 1
+        j += 1
+      }
+      i += 1
+    }
+    if (nPairs == 0)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val slopes = new Array[Long](nPairs.toInt)
+    var o = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val (ta, va) = pts(i); val (tb, vb) = pts(j)
+        if (ta != tb) {
+          // orient to the join's t1 < t2
+          val (t1, v1, t2, v2) =
+            if (ta < tb) (ta, va, tb, vb) else (tb, vb, ta, va)
+          val dt = t2 - t1
+          slopes(o) =
+            if (v2 >= v1)
+              (Math.multiplyExact(2L * (v2 - v1), 1000000L) + dt) / (2 * dt)
+            else
+              -((Math.multiplyExact(2L * (v1 - v2), 1000000L) + dt) /
+                (2 * dt))
+          o += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(slopes)
+    val slope = slopes(((nPairs + 1) / 2 - 1).toInt)
+    val resids = new Array[java.math.BigInteger](n)
+    val e6 = java.math.BigInteger.valueOf(1000000L)
+    val slopeB = java.math.BigInteger.valueOf(slope)
+    i = 0
+    while (i < n) {
+      resids(i) = java.math.BigInteger.valueOf(pts(i)._2).multiply(e6)
+        .subtract(slopeB.multiply(java.math.BigInteger.valueOf(pts(i)._1)))
+      i += 1
+    }
+    java.util.Arrays.sort(resids,
+      java.util.Comparator.naturalOrder[java.math.BigInteger]())
+    val icept = resids(((n + 1) / 2 - 1).toInt).longValueExact()
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(nPairs, slope, icept)), schema)
   }
 
   /** q153: robust daily-revenue trend in µ-cents/day. */
@@ -2007,7 +2115,15 @@ object StatsOps {
     * is a broadcast of 20×4 bucket keys.
     */
   def q237CountMin(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_partkey"))
+    // r14: the 4 md5 bucket hashes per row dominate, and the slim
+    // one-column scan arrives in ≤4 parquet tasks locally — spread it
+    // ONLY when the scan's own parallelism is below the session's
+    // (at cluster scale the scan already has more partitions and the
+    // condition is false, so no extra shuffle is ever added there)
+    val li0 = Tables.lineitem(s, d).select(col("l_partkey"))
+    val li = if (li0.rdd.getNumPartitions <
+        s.sparkContext.defaultParallelism)
+      li0.repartition(s.sparkContext.defaultParallelism) else li0
     val rows = array((0 until 4).map(lit): _*)
     val keyed = li.select(col("l_partkey"),
       explode(rows).as("j"))
@@ -2772,7 +2888,14 @@ object StatsOps {
     * ln is per-row column work (codegen'd integer arithmetic).
     */
   def q272Elasticity(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.lineitem(s, d)
+    // r14: spread the fact scan when parquet under-parallelizes it
+    // locally (the q237 partition-aware gate — no-op at cluster scale)
+    val li0 = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val li = if (li0.rdd.getNumPartitions <
+        s.sparkContext.defaultParallelism)
+      li0.repartition(s.sparkContext.defaultParallelism) else li0
+    val base = li
       .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"),
@@ -2784,16 +2907,20 @@ object StatsOps {
                 DIV (2 * CAST(CAST(l_quantity AS DECIMAL(18,4))
                   AS BIGINT))""").as("unit_e4"))
       .filter(col("qty") >= 1L && col("unit_e4") >= 1L)
-    val withY = graft.functions.FixedLn.steps("DIV", "y")
-      .foldLeft(base.withColumn("_p", col("qty"))
-        .withColumn("_q", lit(1L))) {
-        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
-      .select(col("p_brand"), col("unit_e4"), col("y"))
-    val withX = graft.functions.FixedLn.steps("DIV", "x")
-      .foldLeft(withY.withColumn("_p", col("unit_e4"))
-        .withColumn("_q", lit(1L))) {
-        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
-      .select(col("p_brand"), col("x"), col("y"))
+    // r14: the per-ROW ln runs as the native codegen expression
+    // (functions/FixedPointExpressions — bit-identical to the step
+    // fold by construction, suite-pinned): the two 16-step withColumn
+    // chains stacked ~30 interpreted Project operators over the fact
+    // scan and cost 7.4 s steady at sf0.1 with zero WholeStageCodegen;
+    // one codegen'd expression keeps the scan in a single stage. The
+    // domain filter above (qty ≥ 1, unit_e4 ≥ 1) is unchanged; the
+    // oracle still replays the step CTEs.
+    val withX = base
+      .select(col("p_brand"),
+        graft.functions.FixedPointExpressions
+          .lnE9(s, col("unit_e4"), lit(1L)).as("x"),
+        graft.functions.FixedPointExpressions
+          .lnE9(s, col("qty"), lit(1L)).as("y"))
     // per-row products in LONG via a hi/lo split: x = lnE9(unit_e4) ≤
     // ~2.1e10 and y = lnE9(qty ≤ 50) ≤ ~3.92e9, so x·y (≤ 8.2e19) and
     // x·x (≤ 4.4e20) overflow 2⁶³ directly — but with x = xh·10⁶ + xl

@@ -49,6 +49,30 @@ class FixedLnSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("r14 native graft_ln_e9 / graft_exp_e9 expressions equal the " +
+      "Scala kernels (hence the SQL step lists) on the value grids") {
+    val grid = (1 to 500).map(i => (i * 997L % 4099 + 1, i * 31L % 211 + 1))
+      .map { case (a, b) => (math.max(a, b), math.min(a, b)) }
+    val gotLn = grid.toDF("_p", "_q")
+      .select(col("_p"), col("_q"), graft.functions.FixedPointExpressions
+        .lnE9(spark, col("_p"), col("_q")).as("out_e9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    grid.foreach { case (p, q) =>
+      assert(gotLn((p, q)) == FixedLn.lnE9(p, q), s"expr vs Scala $p/$q")
+    }
+    val xs = (0 to 500)
+      .map(i => i * 41399999L % graft.functions.FixedExp.MaxX)
+    val gotExp = xs.toDF("_x")
+      .select(col("_x"), graft.functions.FixedPointExpressions
+        .expE9(spark, col("_x")).as("out_e9"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      assert(gotExp(x) == graft.functions.FixedExp.expE9(x),
+        s"expr vs Scala at $x")
+    }
+  }
+
   test("q244 WOE/IV: signs track class shares, IV is non-negative, " +
       "and a local integer replay matches exactly") {
     val rows = StatsOps.q244WoeIv(spark, Sf).collect()

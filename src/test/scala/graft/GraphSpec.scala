@@ -601,6 +601,21 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     } finally confs.foreach(spark.conf.unset)
   }
 
+  test("r14 SCAN driver kernel and the relational spelling agree " +
+      "exactly (conf-gated differential)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    val drv = rows(GraphOps.q265Scan(spark, Sf))
+    spark.conf.set("spark.graft.scan.driverMaxEdges", "0")
+    try {
+      val rel = rows(GraphOps.q265Scan(spark, Sf))
+      assert(drv == rel && drv.nonEmpty,
+        s"extra=${(drv.toSet -- rel.toSet).take(3)} " +
+          s"missing=${(rel.toSet -- drv.toSet).take(3)}")
+    } finally spark.conf.unset("spark.graft.scan.driverMaxEdges")
+  }
+
   test("q223 local clustering coefficient equals an adjacency-set " +
       "replay; cc is a ppm in [0, 1e6]") {
     val got = GraphOps.q223ClusteringCoef(spark, Sf).collect()

@@ -202,11 +202,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       p.take(2000))
   }
 
-  test("q83 outliers: medians range-partitioned, caps broadcast back") {
-    val p = plan(RelationalOps.q83Outliers(spark, Sf))
-    assert(p.contains("Scan ExistingRDD"), p.take(2500)) // checkpointed range slices
-    assert(p.contains("BroadcastHashJoin"), p.take(2500))
-    assert(!p.contains("CartesianProduct"), p.take(2500))
+  test("q83 outliers: medians range-partitioned, caps broadcast back " +
+      "(relational path); driver path broadcasts the med/mad table") {
+    // >gate (the 100 TB shape): range-partitioned rank medians
+    spark.conf.set("spark.graft.outliers.driverMaxHist", "0")
+    try {
+      val p = plan(RelationalOps.q83Outliers(spark, Sf))
+      assert(p.contains("Scan ExistingRDD"), p.take(2500)) // checkpointed range slices
+      assert(p.contains("BroadcastHashJoin"), p.take(2500))
+      assert(!p.contains("CartesianProduct"), p.take(2500))
+    } finally spark.conf.unset("spark.graft.outliers.driverMaxHist")
+    // ≤gate: one histogram aggregate feeds a driver walk; the fact
+    // scan joins the broadcast (type, med, mad) LocalRelation
+    val pd = plan(RelationalOps.q83Outliers(spark, Sf))
+    assert(pd.contains("BroadcastHashJoin"), pd.take(2500))
+    assert(!pd.contains("rangepartitioning"), pd.take(2500))
+    assert(!pd.contains("CartesianProduct"), pd.take(2500))
   }
 
   test("q84 cross-corpus contamination: best-match on the heap operator, " +

@@ -372,6 +372,19 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("r14 q83 histogram-median driver path and the relational rank " +
+      "path agree exactly (conf-gated differential)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val drv = rows(RelationalOps.q83Outliers(spark, Sf))
+    spark.conf.set("spark.graft.outliers.driverMaxHist", "0")
+    try {
+      val rel = rows(RelationalOps.q83Outliers(spark, Sf))
+      assert(drv == rel && drv.nonEmpty)
+    } finally spark.conf.unset("spark.graft.outliers.driverMaxHist")
+  }
+
   test("scd2: runs collapse to intervals; re-appearing value opens a " +
       "NEW version; same-instant updates ordered by the tie-break") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)

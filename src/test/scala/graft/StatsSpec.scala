@@ -678,6 +678,19 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.getLong(2) == icept.toLong)
   }
 
+  test("r14 theilSen driver kernel and the relational spelling agree " +
+      "exactly (conf-gated differential)") {
+    def row3(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect()(0); (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val drv = row3(StatsOps.q153TheilSen(spark, Sf))
+    spark.conf.set("spark.graft.theilsen.driverMaxPoints", "0")
+    try {
+      val rel = row3(StatsOps.q153TheilSen(spark, Sf))
+      assert(drv == rel, s"driver $drv vs relational $rel")
+    } finally spark.conf.unset("spark.graft.theilsen.driverMaxPoints")
+  }
+
   test("wilsonLcb: a 2-of-2 group cannot outrank 180-of-200; values " +
       "match the closed-form replay") {
     import spark.implicits._
