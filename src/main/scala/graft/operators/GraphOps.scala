@@ -2084,11 +2084,6 @@ object GraphOps {
     * whose per-level support is the same triangle enumeration.
     */
   def kTruss(symEdges: DataFrame, k: Int, rounds: Int = 64): DataFrame = {
-    val und = symEdges
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") < col("v")).distinct()
-      .localCheckpoint(false)
     // The peel cascade's state is edge-scale and already crosses the
     // driver inside every per-round broadcast — so below the driver
     // gate the WHOLE decomposition runs driver-side (the q266/q105
@@ -2100,19 +2095,72 @@ object GraphOps {
     // The truss fixpoint is unique whatever the peel order, so both
     // paths are bit-identical; the distributed loop below remains the
     // >gate scale path (conf spark.graft.ktruss.driverPeelMaxEdges,
-    // default 8M edges ≈ 128 MB of driver ints).
-    val maxDriver = symEdges.sparkSession.conf
+    // default 8M UNDIRECTED edges ≈ 128 MB of driver ints). r14: the
+    // driver path collects the RAW symmetric rows and dedups while
+    // interning (sort+unique on dense-index pairs) — the relational
+    // least/greatest + DISTINCT shuffle bought nothing the in-memory
+    // dedup doesn't do for free; gate on raw rows ≤ 2·maxDriver
+    // (= maxDriver undirected edges on deduped-symmetric input,
+    // conservative when duplicates exist).
+    val spark = symEdges.sparkSession
+    val maxDriver = spark.conf
       .getOption("spark.graft.ktruss.driverPeelMaxEdges")
       .map(_.toLong).getOrElse(8000000L)
-    val nE = und.count()
-    if (nE <= maxDriver) driverPeel(und, k, nE.toInt)
-    else {
-      val scored0 = und.join(edgeSupport(und), Seq("u", "v"), "left")
-        .select(col("u"), col("v"),
-          coalesce(col("support"), lit(0L)).as("support"))
-        .localCheckpoint(false)
-      kTrussRelational(scored0, k, rounds)
+    val slim = symEdges.select(col("src"), col("dst"))
+    if (allLongIds(slim) && maxDriver > 0) {
+      val sym = slim.localCheckpoint(false)
+      val nRaw = sym.count()
+      if (nRaw <= 2L * math.min(maxDriver, (Int.MaxValue - 8L) / 2)) {
+        val g = new CollectedEdges(sym, nRaw.toInt, weighted = false)
+        // normalize each pair to dense-index (lo, hi), drop self-loops,
+        // sort + unique — dense pairs biject to id pairs, so this is
+        // EXACTLY the relational u<v DISTINCT
+        val packed0 = new Array[Long](g.ss.length)
+        var m = 0
+        var i = 0
+        while (i < g.ss.length) {
+          val a = g.ss(i); val b = g.ds(i)
+          if (a != b) {
+            packed0(m) = (math.min(a, b).toLong << 32) |
+              math.max(a, b).toLong
+            m += 1
+          }
+          i += 1
+        }
+        java.util.Arrays.sort(packed0, 0, m)
+        var nUnd = 0
+        i = 0
+        while (i < m) {
+          if (i == 0 || packed0(i) != packed0(i - 1)) {
+            packed0(nUnd) = packed0(i); nUnd += 1
+          }
+          i += 1
+        }
+        val us = new Array[Int](nUnd); val vs = new Array[Int](nUnd)
+        val ids = new Array[Long](g.nN)
+        i = 0
+        while (i < g.nN) { ids(i) = g.id(i); i += 1 }
+        i = 0
+        while (i < nUnd) {
+          val x = (packed0(i) >>> 32).toInt; val y = packed0(i).toInt
+          // orient by ORIGINAL id (the relational u < v contract)
+          if (ids(x) < ids(y)) { us(i) = x; vs(i) = y }
+          else { us(i) = y; vs(i) = x }
+          i += 1
+        }
+        return driverPeel(spark, ids, us, vs, k)
+      }
     }
+    val und = symEdges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") < col("v")).distinct()
+      .localCheckpoint(false)
+    val scored0 = und.join(edgeSupport(und), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .localCheckpoint(false)
+    kTrussRelational(scored0, k, rounds)
   }
 
   /** Exact in-memory k-truss of a collected (u, v) edge table:
@@ -2126,42 +2174,12 @@ object GraphOps {
     * Final supports equal the triangle counts INSIDE the surviving
     * subgraph — exactly the distributed loop's output.
     */
-  private def driverPeel(und: DataFrame, k: Int, n: Int): DataFrame = {
-    val spark = und.sparkSession
-    // fill the primitive edge arrays from ONE parallel job of
-    // per-partition packed long arrays (r14: the prior streaming
-    // toLocalIterator fill ran one SERIAL job per partition — measured
-    // as a multi-second tax at sf0.1; the packed arrays keep the r13
-    // no-boxed-collect property at 16 bytes/edge transient)
-    val nodeIdx = new java.util.HashMap[java.lang.Long, Integer](n * 2)
-    val us = new Array[Int](n); val vs = new Array[Int](n)
+  private def driverPeel(spark: SparkSession, ids: Array[Long],
+      us: Array[Int], vs: Array[Int], k: Int): DataFrame = {
+    val n = us.length
     val sup = new Array[Long](n)
-    def idxOf(id: Long): Int = {
-      val got = nodeIdx.get(id)
-      if (got != null) got.intValue
-      else { val ix = nodeIdx.size; nodeIdx.put(id, ix); ix }
-    }
     var i = 0
-    val packedParts: Array[Array[Long]] = und.select(col("u"), col("v"))
-      .rdd.mapPartitions { it =>
-        var buf = new Array[Long](2048)
-        var o = 0
-        it.foreach { row =>
-          if (o == buf.length) buf = java.util.Arrays.copyOf(buf, o * 2)
-          buf(o) = row.getLong(0); buf(o + 1) = row.getLong(1)
-          o += 2
-        }
-        Iterator.single(java.util.Arrays.copyOf(buf, o))
-      }.collect()
-    packedParts.foreach { part =>
-      var p = 0
-      while (p < part.length) {
-        us(i) = idxOf(part(p)); vs(i) = idxOf(part(p + 1))
-        p += 2; i += 1
-      }
-    }
-    require(i == n, s"driverPeel: edge count drifted ($i vs $n)")
-    val nNodes = nodeIdx.size
+    val nNodes = ids.length
     // CSR adjacency, each node's slice sorted by neighbor (packed
     // (nbr, edgeId) longs) — removed edges stay in the arrays and are
     // skipped via the alive flag, so a removal's triangle scan is one
@@ -2271,8 +2289,6 @@ object GraphOps {
         }
       }
     }
-    val ids = new Array[Long](nNodes)
-    nodeIdx.forEach((id, ix) => ids(ix.intValue) = id.longValue)
     // survivors into compact primitive arrays, exposed to Spark as a
     // lazily-mapped List — Rows materialize one at a time during the
     // LocalRelation conversion instead of as a strict boxed Seq
