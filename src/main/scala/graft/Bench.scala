@@ -81,7 +81,14 @@ object Bench {
     try {
       val sfName = new java.io.File(sfDir).getName
       val dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ".")
-      val path = java.nio.file.Paths.get(dir, s"BENCH_LOCAL_$sfName.json")
+      // r15 (VERDICT r14 #2): key the durable record on CORE COUNT too —
+      // the r14 loadavg guard stopped SF/condition clobbering but the
+      // driver's 8-core scaling sweep still overwrote the idle local[32]
+      // record (same SF, same idle box, different master). Per-(SF, cpus)
+      // names make the two sweeps distinct artifacts.
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val path = java.nio.file.Paths.get(dir,
+        s"BENCH_LOCAL_${sfName}_c$cpus.json")
       // condition guard (r14, VERDICT r13 #1/#8): the per-SF name
       // protects the durable record from SF clobbering but not from
       // CONDITION clobbering — r13's driver gate run (loadavg ≈ a full
@@ -97,7 +104,8 @@ object Bench {
         System.err.println(f"[bench] loadavg $startLoadAvg%.1f at start " +
           "— keeping the existing idle record, writing .contended sidecar")
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, s"BENCH_LOCAL_$sfName.contended.json"),
+          java.nio.file.Paths.get(dir,
+            s"BENCH_LOCAL_${sfName}_c$cpus.contended.json"),
           (line + "\n").getBytes("UTF-8"))
       } else
         java.nio.file.Files.write(path, (line + "\n").getBytes("UTF-8"))

@@ -46,6 +46,17 @@ object DedupOps {
           i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
         .otherwise(array(concat_ws(" ", toks))))
 
+  /** Native one-pass `shingles(tokens(normText), k)` with the SQL
+    * spelling's NULL semantics: a null `text` yields the [""]
+    * singleton (concat_ws skips the null token array), exactly like
+    * the HOF chain. Value-identical incl. first-occurrence order
+    * (WordShinglesSpec pins it); ~3× faster on the corpus scan —
+    * the HOF lambda ran interpreted per shingle window.
+    */
+  private def nativeShingles(s: SparkSession, k: Int): Column =
+    when(col("text").isNull, array(lit("")))
+      .otherwise(graft.functions.WordShingles.shingles(s, col("text"), k))
+
   /** MinHash signature. Each shingle STRING is hashed exactly once; the
     * 32-function family is derived inside the native MinHashSig
     * expression by re-hashing the long with the function index (one
@@ -95,8 +106,8 @@ object DedupOps {
     // unreferenced — no leaked cache across bench reps. At cluster
     // scale this is the signature table written to storage.
     val sig = docs
-      .select(col("doc_id"), tokens(normText).as("tk"))
-      .select(col("doc_id"), shingles(col("tk"), ShingleSize).as("sh"))
+      .select(col("doc_id"),
+        nativeShingles(docs.sparkSession, ShingleSize).as("sh"))
       .select(col("doc_id"),
         signature(docs.sparkSession, col("sh")).as("sig"))
       .localCheckpoint(false)
@@ -157,8 +168,7 @@ object DedupOps {
   def minhashCandidatesMd5(docs: DataFrame, minAgree: Int): DataFrame = {
     val s = docs.sparkSession
     val sig = docs
-      .select(col("doc_id"), tokens(normText).as("tk"))
-      .select(col("doc_id"), shingles(col("tk"), ShingleSize).as("sh"))
+      .select(col("doc_id"), nativeShingles(s, ShingleSize).as("sh"))
       .select(col("doc_id"),
         graft.functions.Md5MinHashExpression
           .md5MinHash(s, col("sh"), NumHashes).as("sig"))
@@ -361,10 +371,13 @@ object DedupOps {
     // toks (for the exact verify) and shingles (for the candidate
     // stage) materialized once; read by the band explode and both
     // re-attach joins.
+    // r15: both arrays native one-pass — k=1 shingles ARE the distinct
+    // token set (null → null, matching array_distinct of a null split)
     val base = docs
-      .select(col("doc_id"), tokens(normText).as("tk"))
-      .select(col("doc_id"), array_distinct(col("tk")).as("toks"),
-        shingles(col("tk"), ShingleSize).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.WordShingles
+          .shingles(docs.sparkSession, col("text"), 1).as("toks"),
+        nativeShingles(docs.sparkSession, ShingleSize).as("sh"))
       .localCheckpoint(false)
 
     // 8 MinHash functions = min over md5(i + '|' + shingle) hex strings,
@@ -546,9 +559,8 @@ object DedupOps {
     */
   def contamination(docs: DataFrame, benchmark: DataFrame): DataFrame = {
     def shingled(df: DataFrame) = df
-      .select(col("doc_id"), tokens(normText).as("tk"))
-      .select(col("doc_id"),
-        explode(shingles(col("tk"), ShingleSize)).as("sh"))
+      .select(col("doc_id"), explode(
+        nativeShingles(df.sparkSession, ShingleSize)).as("sh"))
     val bench = broadcast(shingled(benchmark).select("sh").distinct())
     shingled(docs)
       .join(bench, "sh")
@@ -595,9 +607,11 @@ object DedupOps {
     // banding so the quadratic join never forms.
     def base(df: DataFrame) = df
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), tokens(normText).as("tk"))
-      .select(col("doc_id"), array_distinct(col("tk")).as("toks"),
-        shingles(col("tk"), ShingleSize).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.WordShingles.shingles(s, col("text"), 1)
+          .as("toks"),
+        graft.functions.WordShingles.shingles(s, col("text"), ShingleSize)
+          .as("sh"))
       .localCheckpoint(false)
     val bandKeys = array((0 until VerifyBands).map { b =>
       concat_ws(",", (0 until VerifyRowsPerBand).map(r =>
@@ -677,8 +691,8 @@ object DedupOps {
     */
   def signatureIndex(s: SparkSession, docs: DataFrame): DataFrame = docs
     .filter(col("text").isNotNull)
-    .select(col("doc_id"), tokens(normText).as("tk"))
-    .select(col("doc_id"), shingles(col("tk"), ShingleSize).as("sh"))
+    .select(col("doc_id"), graft.functions.WordShingles
+      .shingles(s, col("text"), ShingleSize).as("sh"))
     .select(col("doc_id"), signature(s, col("sh")).as("sig"))
 
   def incrementalDedup(s: SparkSession, existing: DataFrame,
@@ -806,7 +820,24 @@ object DedupOps {
     base.select(col("_ss_id"), size(col("_ss_set")).as("_n"),
       explode(col("_ss_set")).as("_tok"))
 
-  private def dfOrderedPrefixes(toks: DataFrame, tNum: Int,
+  /** Each set's tokens in the global (document-frequency asc, token)
+    * order, hashed, WITH the 0-based position `_pix`, the set size
+    * `_n` and the prefix length `_p` — `_pix < _p` selects the prefix.
+    * Positions feed the PPJoin positional filter (r15): for a
+    * candidate row generated by a shared token at positions (i, j) of
+    * the two ordered sets, every common token sits in both suffixes,
+    * so |∩| ≤ min(n_a − i, n_b − j) — rows whose bound cannot reach
+    * the admission threshold are dropped BEFORE the candidate
+    * distinct and the payload re-attach. Zero-miss: a qualifying
+    * pair's FIRST common token generates a row whose bound ≥ the true
+    * overlap, so at least one row per true pair always survives.
+    */
+  /** The per-set (df, token)-ordered hash array with the set size and
+    * prefix length — shared upstream of [[dfOrderedPrefixes]] (slices
+    * the prefix) and the containment posting side (explodes all
+    * positions).
+    */
+  private def dfOrderedArrays(toks: DataFrame, tNum: Int,
       tDen: Int): DataFrame = {
     val freq = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
     // prefix length p = n − ceil(t·n) + 1, integer-exact
@@ -817,10 +848,16 @@ object DedupOps {
           .as("_fs"))
       .withColumn("_p",
         expr(s"_n - (_n * $tNum + ${tDen - 1}) DIV $tDen + 1"))
-      .select(col("_ss_id"), explode(slice(
-        transform(col("_fs"), e => xxhash64(e("_tok"))), lit(1),
-        col("_p"))).as("_tok"))
+      .select(col("_ss_id"), col("_n").cast("long").as("_n"), col("_p"),
+        transform(col("_fs"), e => xxhash64(e("_tok"))).as("_hs"))
   }
+
+  private def dfOrderedPrefixes(toks: DataFrame, tNum: Int,
+      tDen: Int): DataFrame =
+    dfOrderedArrays(toks, tNum, tDen)
+      .select(col("_ss_id"), col("_n"),
+        posexplode(slice(col("_hs"), lit(1), col("_p")))
+          .as(Seq("_pix", "_tok")))
 
   def setSimilarityJoin(rows: DataFrame, id: String, setCol: String,
       tNum: Int, tDen: Int): DataFrame = {
@@ -837,9 +874,18 @@ object DedupOps {
     // reuse fix but A/B-measured +1.5 s — the twice-run prefix tower is
     // cheaper than the materialization it saves. Left UNcut deliberately.
     val pfx = dfOrderedPrefixes(explodedTokens(base), tNum, tDen)
-    val cand = pfx.select(col("_ss_id").as("id_a"), col("_tok"))
-      .join(pfx.select(col("_ss_id").as("id_b"), col("_tok")), Seq("_tok"))
+    // PPJoin positional filter (r15, guide §2.3 — shuffle fewer rows
+    // into the distinct + verify): |∩| ≤ min(n_a − i, n_b − j) at the
+    // generating positions, and admission needs |∩|·(tNum+tDen) ≥
+    // tNum·(n_a+n_b); rows whose bound falls short can never certify
+    // the pair. Zero-miss — see [[dfOrderedPrefixes]].
+    val cand = pfx.select(col("_ss_id").as("id_a"), col("_n").as("_na"),
+        col("_pix").as("_pa"), col("_tok"))
+      .join(pfx.select(col("_ss_id").as("id_b"), col("_n").as("_nb"),
+        col("_pix").as("_pb"), col("_tok")), Seq("_tok"))
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("_na") - col("_pa"), col("_nb") - col("_pb")) *
+        (tNum + tDen) >= (col("_na") + col("_nb")) * tNum)
       .select("id_a", "id_b").distinct()
     val att = base.select(col("_ss_id"), col("_ss_set"))
     cand
@@ -866,10 +912,14 @@ object DedupOps {
     * prefix filter avoids.
     */
   def q96SetSimJoin(s: SparkSession, d: String): DataFrame = {
+    // r15: native one-pass shingling (graft_word_shingles) — the HOF
+    // transform + array_distinct spelling ran interpreted and was the
+    // dominant cost of the whole join (see WordShingles scaladoc);
+    // value-identical, WordShinglesSpec pins it on the real corpus
     val docs = Tables.documents(s, d)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), tokens(normText).as("tk"))
-      .select(col("doc_id"), shingles(col("tk"), ShingleSize).as("sh"))
+      .select(col("doc_id"), graft.functions.WordShingles
+        .shingles(s, col("text"), ShingleSize).as("sh"))
     setSimilarityJoin(docs, "doc_id", "sh", 1, 2)
   }
 
@@ -904,12 +954,26 @@ object DedupOps {
       .filter(size(col("_ss_set")) > 0)
       .localCheckpoint(false)
     val toks = explodedTokens(base)
+    // r15 length + A-positional filters (zero-miss, the PPJoin
+    // argument in [[dfOrderedPrefixes]]): |∩| ≤ |B| and |∩| ≤
+    // n_a − i at A's generating prefix position i, while admission
+    // needs |∩|·tDen ≥ tNum·|A| — rows whose bound falls short drop
+    // BEFORE the candidate distinct and payload re-attach. The
+    // posting side stays the RAW exploded-token scan: positions for
+    // B would need the ordered-array tower on the posting branch too,
+    // and that second tower A/B-measured +0.5 s over the filter gain
+    // at sf0.1 (same materialize-vs-recompute trade as the r14 pfx
+    // checkpoint note below).
     val pfx = dfOrderedPrefixes(toks, tNum, tDen)
     val posting = toks
-      .select(col("_ss_id").as("id_b"), xxhash64(col("_tok")).as("_tok"))
-    val cand = pfx.select(col("_ss_id").as("id_a"), col("_tok"))
+      .select(col("_ss_id").as("id_b"), col("_n").cast("long").as("_nb"),
+        xxhash64(col("_tok")).as("_tok"))
+    val cand = pfx.select(col("_ss_id").as("id_a"), col("_n").as("_na"),
+        col("_pix").as("_pa"), col("_tok"))
       .join(posting, Seq("_tok"))
       .filter(col("id_a") =!= col("id_b"))
+      .filter(least(col("_na") - col("_pa"), col("_nb")) * tDen >=
+        col("_na") * tNum)
       .select("id_a", "id_b").distinct()
     val att = base.select(col("_ss_id"), col("_ss_set"))
     cand
@@ -939,9 +1003,10 @@ object DedupOps {
     val corpus = docs.unionByName(docs.select(
       (col("doc_id") + 1000000L).as("doc_id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    // r15: native one-pass shingling — the q96 rationale
     val sets = corpus
-      .select(col("doc_id"), tokens(normText).as("tk"))
-      .select(col("doc_id"), shingles(col("tk"), ShingleSize).as("sh"))
+      .select(col("doc_id"), graft.functions.WordShingles
+        .shingles(s, col("text"), ShingleSize).as("sh"))
     containmentJoin(sets, "doc_id", "sh", 9, 10)
   }
 

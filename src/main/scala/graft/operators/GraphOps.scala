@@ -2174,8 +2174,15 @@ object GraphOps {
     * Final supports equal the triangle counts INSIDE the surviving
     * subgraph — exactly the distributed loop's output.
     */
-  private def driverPeel(spark: SparkSession, ids: Array[Long],
+  private[graft] def driverPeel(spark: SparkSession, ids: Array[Long],
       us: Array[Int], vs: Array[Int], k: Int): DataFrame = {
+    val dbg = sys.env.contains("GRAFT_PEEL_DEBUG")
+    var tDbg = System.nanoTime
+    def mark(name: String): Unit = if (dbg) {
+      val now = System.nanoTime
+      System.err.println(f"[peel] $name%-18s ${(now - tDbg) / 1e9}%6.2f s")
+      tDbg = now
+    }
     val n = us.length
     val sup = new Array[Long](n)
     var i = 0
@@ -2203,6 +2210,7 @@ object GraphOps {
     while (v0 < nNodes) {
       java.util.Arrays.sort(packed, off(v0), off(v0 + 1)); v0 += 1
     }
+    mark("csr1 build+sort")
     // initial supports via the DEGREE-ORIENTED intersect: orient every
     // edge low-rank → high-rank (rank = (degree, id)); a triangle with
     // ranks r1<r2<r3 is found exactly once, intersecting out(r1) ∩
@@ -2235,26 +2243,52 @@ object GraphOps {
     while (v0 < nNodes) {
       java.util.Arrays.sort(packed2, off2(v0), off2(v0 + 1)); v0 += 1
     }
-    i = 0
-    while (i < n) {
-      val s = if (rankLt(us(i), vs(i))) us(i) else vs(i)
-      val t = if (rankLt(us(i), vs(i))) vs(i) else us(i)
-      var pa = off2(s); var pb = off2(t)
-      val ea = off2(s + 1); val eb = off2(t + 1)
-      while (pa < ea && pb < eb) {
-        val wa = (packed2(pa) >>> 32).toInt
-        val wb = (packed2(pb) >>> 32).toInt
-        if (wa < wb) pa += 1
-        else if (wb < wa) pb += 1
-        else {
-          sup(i) += 1
-          sup(packed2(pa).toInt) += 1
-          sup(packed2(pb).toInt) += 1
-          pa += 1; pb += 1
-        }
+    mark("csr2 build+sort")
+    // r15: the initial support pass is order-free integer adds over
+    // READ-ONLY adjacency — embarrassingly parallel. Split the edge
+    // range across driver threads, each accumulating into a PRIVATE
+    // long[] (no atomics, no races), merged by plain addition —
+    // bit-identical to the sequential loop whatever the split
+    // (measured ~1 s of the q240 wall single-threaded at sf0.1).
+    locally {
+      val nThreads = math.min(8,
+        math.max(1, Runtime.getRuntime.availableProcessors / 4))
+      val partials = Array.fill(nThreads)(new Array[Long](n))
+      val threads = (0 until nThreads).map { t =>
+        val th = new Thread(() => {
+          val mySup = partials(t)
+          val lo = (n.toLong * t / nThreads).toInt
+          val hi = (n.toLong * (t + 1) / nThreads).toInt
+          var e = lo
+          while (e < hi) {
+            val s = if (rankLt(us(e), vs(e))) us(e) else vs(e)
+            val tt = if (rankLt(us(e), vs(e))) vs(e) else us(e)
+            var pa = off2(s); var pb = off2(tt)
+            val ea = off2(s + 1); val eb = off2(tt + 1)
+            while (pa < ea && pb < eb) {
+              val wa = (packed2(pa) >>> 32).toInt
+              val wb = (packed2(pb) >>> 32).toInt
+              if (wa < wb) pa += 1
+              else if (wb < wa) pb += 1
+              else {
+                mySup(e) += 1
+                mySup(packed2(pa).toInt) += 1
+                mySup(packed2(pb).toInt) += 1
+                pa += 1; pb += 1
+              }
+            }
+            e += 1
+          }
+        })
+        th.start(); th
       }
-      i += 1
+      threads.foreach(_.join())
+      partials.foreach { p =>
+        var j = 0
+        while (j < n) { sup(j) += p(j); j += 1 }
+      }
     }
+    mark("support init")
     val alive = Array.fill(n)(true)
     var stack = new Array[Int](math.max(16, n / 4)); var top = 0
     def push(e: Int): Unit = {
@@ -2289,6 +2323,7 @@ object GraphOps {
         }
       }
     }
+    mark("cascade peel")
     // survivors into compact primitive arrays, exposed to Spark as a
     // lazily-mapped List — Rows materialize one at a time during the
     // LocalRelation conversion instead of as a strict boxed Seq
@@ -2306,18 +2341,21 @@ object GraphOps {
       }
       i += 1
     }
-    val rows = new java.util.AbstractList[org.apache.spark.sql.Row] {
-      override def size(): Int = nOut
-      override def get(ix: Int): org.apache.spark.sql.Row =
-        org.apache.spark.sql.Row(uOut(ix), vOut(ix), sOut(ix))
-    }
-    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("u",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("v",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("support",
-        org.apache.spark.sql.types.LongType))))
+    // r15: the survivor table is EDGE-scale (677k rows at sf0.1 —
+    // unlike the node-scale driver-kernel outputs), and the
+    // LocalRelation Row-by-Row conversion ran single-threaded on the
+    // driver (~1.8 s PER ACTION). Broadcast the primitive arrays once
+    // and convert in parallel tasks instead — same rows, any order
+    // (every consumer is order-free).
+    val bc = spark.sparkContext.broadcast((uOut, vOut, sOut))
+    import spark.implicits._
+    spark.range(0, nOut.toLong, 1L,
+        spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val (u, v, sp) = bc.value
+        it.map { ixL => val ix = ixL.intValue; (u(ix), v(ix), sp(ix)) }
+      }
+      .toDF("u", "v", "support")
   }
 
   /** The distributed peel loop — the >8M-edge scale path. Round 1 pays
@@ -2467,9 +2505,120 @@ object GraphOps {
       .agg(count(lit(1)).cast("long").as("support"))
   }
 
-  /** q240 entry: 6-truss of the full co-purchase graph. */
-  def q240KTruss(s: SparkSession, d: String): DataFrame =
-    kTruss(coPurchaseRawPairs(s, d), k = 6)
+  /** q240 entry: 6-truss of the full co-purchase graph.
+    *
+    * r15 (VERDICT r14 #4 + the ADVICE cheap-gate low): the driver path
+    * used to checkpoint + count + collect the RAW symmetric pair
+    * explode (2.39M rows at sf0.1) before peeling. Baskets are the
+    * strictly smaller representation (Σ|parts| vs Σ|parts|²-ish): ONE
+    * groupBy materializes the per-order part arrays, one cheap
+    * aggregate over them yields the EXACT raw-pair count for the gate
+    * (Σ s·(s−1) — no pair row ever exists), and the packed collect
+    * ships ~4× fewer longs across the driver; pair generation + dedup
+    * happen in memory exactly as the old collect path did (dense
+    * (lo,hi) sort+unique ≡ the relational u<v DISTINCT). Past the
+    * gate, the SAME checkpointed arrays feed the unchanged relational
+    * peel via the bounded explode — the wasted fallback
+    * materialization shrinks from pair-grain to order-grain.
+    */
+  def q240KTruss(s: SparkSession, d: String): DataFrame = {
+    val k = 6
+    val maxDriver = s.conf
+      .getOption("spark.graft.ktruss.driverPeelMaxEdges")
+      .map(_.toLong).getOrElse(8000000L)
+    val orders = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok")).agg(collect_set(col("pk")).as("parts"))
+      .select(col("parts")).filter(size(col("parts")) > 1)
+      .localCheckpoint(false)
+    val rawPairs = orders
+      .select(col("parts"), explode(col("parts")).as("src"))
+      .select(col("src"),
+        explode(array_remove(col("parts"), col("src"))).as("dst"))
+    if (maxDriver > 0) {
+      // exact raw-pair count from the order-grain artifact (one cheap
+      // aggregate — the pair explode never runs on the driver path)
+      val st = orders.agg(coalesce(sum(
+        expr("CAST(size(parts) AS BIGINT) * (size(parts) - 1)")),
+        lit(0L)).as("raw")).collect()(0)
+      val nRaw = st.getLong(0)
+      if (nRaw <= 2L * math.min(maxDriver, (Int.MaxValue - 8L) / 2)) {
+        // packed basket collect: one parallel job of [len, p1..plen]
+        // runs — Σ|parts| longs, never the pair explosion
+        val packed: Array[Array[Long]] = orders.rdd.mapPartitions { it =>
+          var buf = new Array[Long](1024)
+          var o = 0
+          it.foreach { row =>
+            val parts = row.getSeq[Long](0)
+            val need = o + parts.length + 1
+            if (need > buf.length) buf = java.util.Arrays
+              .copyOf(buf, math.max(buf.length * 2, need))
+            buf(o) = parts.length; o += 1
+            parts.foreach { p => buf(o) = p; o += 1 }
+          }
+          Iterator.single(java.util.Arrays.copyOf(buf, o))
+        }.collect()
+        // intern part ids; emit each basket's dense (lo,hi) pairs
+        val nodeIdx = new java.util.HashMap[java.lang.Long, Integer]()
+        var ids0 = new Array[Long](1024)
+        def idOf(x: Long): Int = {
+          val got = nodeIdx.get(x)
+          if (got != null) got.intValue
+          else {
+            val ix = nodeIdx.size
+            if (ix == ids0.length)
+              ids0 = java.util.Arrays.copyOf(ids0, ix * 2)
+            ids0(ix) = x; nodeIdx.put(x, ix); ix
+          }
+        }
+        val pairs = new Array[Long]((nRaw / 2).toInt)
+        var m = 0
+        packed.foreach { part =>
+          var p = 0
+          while (p < part.length) {
+            val len = part(p).toInt
+            var a = 0
+            while (a < len) {
+              val da = idOf(part(p + 1 + a))
+              var b = a + 1
+              while (b < len) {
+                val db = idOf(part(p + 1 + b))
+                // collect_set never repeats within an order, so da≠db
+                pairs(m) = (math.min(da, db).toLong << 32) |
+                  math.max(da, db).toLong
+                m += 1
+                b += 1
+              }
+              a += 1
+            }
+            p += 1 + len
+          }
+        }
+        java.util.Arrays.sort(pairs, 0, m)
+        var nUnd = 0
+        var i = 0
+        while (i < m) {
+          if (i == 0 || pairs(i) != pairs(i - 1)) {
+            pairs(nUnd) = pairs(i); nUnd += 1
+          }
+          i += 1
+        }
+        val nN = nodeIdx.size
+        val ids = java.util.Arrays.copyOf(ids0, nN)
+        val us = new Array[Int](nUnd); val vs = new Array[Int](nUnd)
+        i = 0
+        while (i < nUnd) {
+          val x = (pairs(i) >>> 32).toInt; val y = pairs(i).toInt
+          // orient by ORIGINAL id (the relational u < v contract)
+          if (ids(x) < ids(y)) { us(i) = x; vs(i) = y }
+          else { us(i) = y; vs(i) = x }
+          i += 1
+        }
+        return driverPeel(s, ids, us, vs, k)
+      }
+    }
+    kTruss(rawPairs, k)
+  }
 
   def q231TwoHopReach(s: SparkSession, d: String): DataFrame = {
     // four plan consumers (deg, both wedge sides, anti-join) — cut the

@@ -858,4 +858,21 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       assert(cls == Set(Some(ids.min)), s"clique ${ids.min}: $cls")
     }
   }
+
+  test("r15 q240 basket-collect driver path ≡ relational k-truss on " +
+      "the real co-purchase graph (gate differential)") {
+    // driver path (default gate): baskets collected, pairs generated +
+    // deduped in memory
+    val drv = GraphOps.q240KTruss(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // forced relational path (gate = 0): the unchanged distributed peel
+    spark.conf.set("spark.graft.ktruss.driverPeelMaxEdges", "0")
+    try {
+      val rel = GraphOps.q240KTruss(spark, Sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(drv == rel,
+        s"driver≠relational: extra=${(drv.toSet -- rel.toSet).take(5)} " +
+          s"missing=${(rel.toSet -- drv.toSet).take(5)}")
+    } finally spark.conf.unset("spark.graft.ktruss.driverPeelMaxEdges")
+  }
 }
