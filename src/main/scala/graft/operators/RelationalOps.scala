@@ -2769,6 +2769,9 @@ object RelationalOps {
       .select(col("event_type").as("from_type"), col("_nt").as("to_type"),
         (col("_nus") - unix_micros(col("ts"))).as("_gap_us"),
         col("user_id"), col("event_id"))
+      // r15: two consumers (the rank pass and the per-edge counts)
+      // each re-ran the events scan + user window — materialize once
+      .localCheckpoint(false)
     val ranked = DistributedRank.withRank(gaps,
       Seq("from_type", "to_type"),
       Seq("_gap_us", "user_id", "event_id"), "_rk")
@@ -3477,25 +3480,20 @@ object RelationalOps {
           col("event_type").as("t")))),
         e => e.getField("t")).as("arr"))
       .select(col("arr"), array_distinct(col("arr")).as("d"))
-    // greedy earliest-match containment over the session's type array
-    def after(arr: Column, p: Column): Column =
-      slice(arr, (p + 1).cast("int"), size(arr))
-    val contained = sess.select(concat(
-      transform(col("d"), a => a),
-      filter(flatten(transform(col("d"), a =>
-        transform(col("d"), b =>
-          when(array_position(
-            after(col("arr"), array_position(col("arr"), a)), b) > 0,
-            concat(a, lit(">"), b))))), x => x.isNotNull),
-      filter(flatten(flatten(transform(col("d"), a =>
-        transform(col("d"), b =>
-          transform(col("d"), c => {
-            val r1 = after(col("arr"), array_position(col("arr"), a))
-            val p2 = array_position(r1, b)
-            when(p2 > 0 && array_position(after(r1, p2), c) > 0,
-              concat(a, lit(">"), b, lit(">"), c))
-          }))))), x => x.isNotNull)).as("pats"))
-    val tot = contained.agg(count(lit(1)).cast("long").as("_n"))
+      // r15: materialize the session arrays ONCE — the interpreted
+      // containment tower below ran twice (total-count branch +
+      // pattern explode); the total is now counted from this cheap
+      // artifact and the tower runs once
+      .localCheckpoint(false)
+    // greedy earliest-match containment over the session's type array.
+    // r15: native graft_seq_patterns — the nested transform/slice HOF
+    // tower ran interpreted per element and dominated the query;
+    // SeqPatternsSpec pins native ≡ HOF (multiset) on real sessions
+    val contained = sess.select(graft.functions.SeqPatterns
+      .patterns(s, col("arr")).as("pats"))
+    // contained is row-for-row sess (a projection) — count the cheap
+    // side, never the HOF tower
+    val tot = sess.agg(count(lit(1)).cast("long").as("_n"))
     contained.select(explode(col("pats")).as("pattern"))
       .groupBy(col("pattern"))
       .agg(count(lit(1)).cast("long").as("n_sessions"))
@@ -3694,8 +3692,9 @@ object RelationalOps {
     val base = ev.crossJoin(broadcast(mx))
       .withColumn("_x", expr(
         "LEAST((_mx - us) DIV 2592, 20000000000)"))
-    val withExp = graft.functions.FixedExp.steps("DIV", "_a")
-      .foldLeft(base) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    // r15: native graft_exp_e9 — per-EVENT scan, the q272 shape
+    val withExp = base.withColumn("_a",
+      graft.functions.FixedPointExpressions.expE9(s, col("_x")))
     withExp
       // w = round-half-up(1e18 / a): a ≤ exp(20)·1e9 ≈ 4.9e17, so
       // 2e18 + a stays in long — no decimal in the per-row hot path
@@ -3757,14 +3756,15 @@ object RelationalOps {
           .as("_ppm"))
       .withColumn("_p", lit(1000000L))
       .withColumn("_q", col("_ppm"))
-    val withLn = graft.functions.FixedLn.steps("DIV", "_nl9")
-      .foldLeft(ppm) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    // r15: native graft_ln_e9 / graft_exp_e9 (band-cell scale)
+    val withLn = ppm.withColumn("_nl9",
+      graft.functions.FixedPointExpressions.lnE9(s, col("_p"), col("_q")))
     val ent = withLn.groupBy(col("nationkey"), col("mktsegment"))
       .agg(expr("""CAST((2 * sum(_ppm * _nl9) + 1000000)
                    DIV (2 * 1000000) AS BIGINT)""").as("entropy_e9"))
       .withColumn("_x", col("entropy_e9"))
-    val withExp = graft.functions.FixedExp.steps("DIV", "_a")
-      .foldLeft(ent) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    val withExp = ent.withColumn("_a",
+      graft.functions.FixedPointExpressions.expE9(s, col("_x")))
     byClass.join(withExp.select(col("nationkey"), col("mktsegment"),
         col("entropy_e9"),
         expr("(2 * _a + 1000000) DIV (2 * 1000000)")
@@ -3857,8 +3857,9 @@ object RelationalOps {
       .withColumn("_q", least(col("_ppm"), lit(1000000L)))
       .withColumn("_sgn", when(col("_ppm") >= 1000000L, 1L)
         .otherwise(-1L))
-    val withLn = graft.functions.FixedLn.steps("DIV", "_l9")
-      .foldLeft(ret) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    // r15: native graft_ln_e9
+    val withLn = ret.withColumn("_l9",
+      graft.functions.FixedPointExpressions.lnE9(s, col("_p"), col("_q")))
       .select(col("cohort_week"), col("n_users"), col("off"),
         (col("_sgn") * col("_l9")).as("y"))
     withLn.groupBy(col("cohort_week"))
@@ -3927,16 +3928,15 @@ object RelationalOps {
         "md5(concat(cast(nationkey as string), ':', mktsegment, ':2'))"))
       .withColumn("_u1", expr(hexDecode("_h1")))
       .withColumn("_u2", expr(hexDecode("_h2")))
-    val g1 = graft.functions.FixedLn.steps("DIV", "_l1")
-      .foldLeft(counts.withColumn("_p", lit(1000000L))
-        .withColumn("_q", col("_u1"))) {
-        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    // r15: native graft_ln_e9 for both geometric draws
+    val g1 = counts
+      .withColumn("_l1", graft.functions.FixedPointExpressions
+        .lnE9(s, lit(1000000L), col("_u1")))
       .select(col("nationkey"), col("mktsegment"), col("_n"),
         col("_u2"), expr("_l1 DIV 1000000000").as("_g1"))
-    val g2 = graft.functions.FixedLn.steps("DIV", "_l2")
-      .foldLeft(g1.withColumn("_p", lit(1000000L))
-        .withColumn("_q", col("_u2"))) {
-        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    val g2 = g1
+      .withColumn("_l2", graft.functions.FixedPointExpressions
+        .lnE9(s, lit(1000000L), col("_u2")))
       .select(col("nationkey"), col("mktsegment"), col("_n"),
         col("_g1"), expr("_l2 DIV 1000000000").as("_g2"))
     g2.select(col("nationkey"), col("mktsegment"),

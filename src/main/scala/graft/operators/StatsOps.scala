@@ -2249,8 +2249,9 @@ object StatsOps {
       .withColumn("_q", least(col("pg_ppm"), col("pb_ppm")))
       .withColumn("_sgn",
         when(col("pg_ppm") >= col("pb_ppm"), 1L).otherwise(-1L))
-    val withLn = graft.functions.FixedLn.steps("DIV", "_ln9")
-      .foldLeft(ppm) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    // r15: native graft_ln_e9 replaces the interpreted step fold
+    val withLn = ppm.withColumn("_ln9",
+      graft.functions.FixedPointExpressions.lnE9(s, col("_p"), col("_q")))
     withLn
       .select(col("bucket"), col("n_good"), col("n_bad"),
         col("pg_ppm"), col("pb_ppm"),
@@ -2531,11 +2532,10 @@ object StatsOps {
     val thr = top.groupBy(col("n_name"))
       .agg(count(lit(1)).cast("long").as("n_top"),
         min(col("v_e3")).cast("long").as("thr_e3"))
-    val withLn = graft.functions.FixedLn.steps("DIV", "_l9")
-      .foldLeft(top.join(broadcast(thr), "n_name")
-        .withColumn("_p", col("v_e3"))
-        .withColumn("_q", col("thr_e3"))) {
-        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    // r15: native graft_ln_e9 replaces the interpreted step fold
+    val withLn = top.join(broadcast(thr), "n_name")
+      .withColumn("_l9", graft.functions.FixedPointExpressions
+        .lnE9(s, col("v_e3"), col("thr_e3")))
     withLn.groupBy(col("n_name"))
       .agg(max(col("n_top")).as("n_top"),
         max(col("thr_e3")).as("thr_e3"),
@@ -2769,9 +2769,9 @@ object StatsOps {
       .withColumn("_q", least(col("_num"), col("_den")))
       .withColumn("_sgn",
         when(col("_num") >= col("_den"), 1L).otherwise(-1L))
-    val withLn = graft.functions.FixedLn.steps("DIV", "_l9")
-      .foldLeft(ppm) { case (acc, (nm, e)) =>
-        acc.withColumn(nm, expr(e)) }
+    // r15: native graft_ln_e9 replaces the interpreted step fold
+    val withLn = ppm.withColumn("_l9",
+      graft.functions.FixedPointExpressions.lnE9(s, col("_p"), col("_q")))
     val mi = withLn.groupBy(col("pair"))
       .agg(max(col("n")).as("n_rows"),
         sum(col("pab") * col("_sgn") * col("_l9")).as("_mi"))
@@ -2786,8 +2786,9 @@ object StatsOps {
           expr(s"GREATEST((2000000 * n_$k + n) DIV (2 * n), 1)")
             .as("_ppm"))
         .withColumn("_p", lit(1000000L)).withColumn("_q", col("_ppm"))
-      graft.functions.FixedLn.steps("DIV", "_nl9")
-        .foldLeft(p) { case (acc, (nm, e)) => acc.withColumn(nm, expr(e)) }
+      // r15: native graft_ln_e9
+      p.withColumn("_nl9", graft.functions.FixedPointExpressions
+          .lnE9(s, col("_p"), col("_q")))
         .groupBy(col("pair"))
         .agg(expr("""CAST((2 * sum(_ppm * _nl9) + 1000000)
                      DIV (2 * 1000000) AS BIGINT)""").as(out))

@@ -636,10 +636,20 @@ object TextOps {
     invertedIndex(Tables.documents(s, d), blockSize = 64)
 
   /** [[q104InvertedIndex]]'s core over any (doc_id, text) frame. */
-  def invertedIndex(documents: DataFrame, blockSize: Int): DataFrame = {
-    val tf = documents.filter(col("text").isNotNull)
+  def invertedIndex(documents: DataFrame, blockSize: Int): DataFrame =
+    invertedIndexFromTf(docTermTf(documents), blockSize)
+
+  /** The (term, doc_id, tf) table both index builders start from —
+    * split out (r15) so q118 tokenizes the corpus ONCE and feeds the
+    * standing build and the delta from the same checkpointed table.
+    */
+  private[graft] def docTermTf(documents: DataFrame): DataFrame =
+    documents.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+
+  private[graft] def invertedIndexFromTf(tf: DataFrame,
+      blockSize: Int): DataFrame =
     DistributedRank.withRank(tf, Seq("term"), Seq("doc_id"), "rk")
       .withColumn("block_id", expr(s"(rk - 1) div ${blockSize.toLong}"))
       .groupBy(col("term"), col("block_id"))
@@ -648,7 +658,6 @@ object TextOps {
           array_sort(collect_list(struct(col("doc_id"), col("tf")))),
           p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))), ",")
           .as("postings"))
-  }
 
   /** 134. Incremental inverted-index maintenance: fold an APPEND-ONLY
     * batch of new documents into an existing blocked postings index
@@ -677,11 +686,12 @@ object TextOps {
     * equal the full rebuild, so q104's oracle IS the oracle.
     */
   def invertedIndexDelta(existing: DataFrame, newDocs: DataFrame,
-      blockSize: Int): DataFrame = {
+      blockSize: Int): DataFrame =
+    invertedIndexDeltaFromTf(existing, docTermTf(newDocs), blockSize)
+
+  private[graft] def invertedIndexDeltaFromTf(existing: DataFrame,
+      newTf: DataFrame, blockSize: Int): DataFrame = {
     val bs = blockSize.toLong
-    val newTf = newDocs.filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(toks).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
     val ranked = DistributedRank.withRank(newTf, Seq("term"),
       Seq("doc_id"), "rk")
     val prior = existing.groupBy(col("term"))
@@ -716,9 +726,13 @@ object TextOps {
   def q118IncrIndex(s: SparkSession, d: String): DataFrame = {
     val n = graft.sources.TableStatistics.tableRowCount(s, d, "documents")
     val t = 4L * n / 5L
-    val docs = Tables.documents(s, d)
-    val standing = invertedIndex(docs.filter(col("doc_id") < t), 64)
-    invertedIndexDelta(standing, docs.filter(col("doc_id") >= t), 64)
+    // r15: ONE corpus tokenize pass — tf is doc-local, so the full
+    // (term, doc_id, tf) table filtered by the doc_id threshold equals
+    // the per-slice tokenize the two builders used to run separately
+    // (the standing build and the delta each re-scanned the text).
+    val tf = docTermTf(Tables.documents(s, d)).localCheckpoint(false)
+    val standing = invertedIndexFromTf(tf.filter(col("doc_id") < t), 64)
+    invertedIndexDeltaFromTf(standing, tf.filter(col("doc_id") >= t), 64)
   }
 
   /** 126. Bigram-LM fluency scoring (the CCNet/Wenzek et al. 2020
@@ -856,13 +870,17 @@ object TextOps {
       keys = Seq("query_id"), order = Seq(("df", false), ("term", false)),
       k = qTerms).select(col("query_id"), col("term"), col("df"))
     // score candidates: postings of query terms only (broadcast probe);
-    // per-term contribution in exact e9 integers (see [[bm25LnSteps]])
-    val withIdf = bm25LnSteps("DIV").foldLeft(
-      tf.join(broadcast(qterms), Seq("term"))
-        .crossJoin(broadcast(stats))
-        .withColumn("_p", expr("2 * n_docs + 2"))
-        .withColumn("_q", expr("2 * df + 1"))
-    ) { case (acc, (name, e)) => acc.withColumn(name, expr(e)) }
+    // per-term contribution in exact e9 integers. r15: the ~16-step
+    // interpreted fold (see [[bm25LnSteps]], still the oracle's
+    // spelling) became the native graft_ln_e9 expression — same
+    // integer kernel, one codegen'd Project (the q272 swap, VERDICT
+    // r14 #6); FixedLnSpec pins expression ≡ step list.
+    val withIdf = tf.join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_p", expr("2 * n_docs + 2"))
+      .withColumn("_q", expr("2 * df + 1"))
+      .withColumn("idf_e9", graft.functions.FixedPointExpressions
+        .lnE9(documents.sparkSession, col("_p"), col("_q")))
     val contrib = withIdf
       .withColumn("_num", expr("88 * total_len * tf"))
       .withColumn("_den",
@@ -1371,9 +1389,11 @@ object TextOps {
         least(col("e.num"), col("e.den")).as("_q"),
         when(col("e.num") >= col("e.den"), 1L).otherwise(-1L)
           .as("_sgn"))
-    val withLn = graft.functions.FixedLn.steps("DIV", "_ln9")
-      .foldLeft(pairRows) { case (acc, (n, e)) =>
-        acc.withColumn(n, expr(e)) }
+    // r15: native graft_ln_e9 replaces the interpreted step fold (the
+    // q272/q112 swap — same integer kernel, oracle unchanged)
+    val withLn = pairRows.withColumn("_ln9",
+      graft.functions.FixedPointExpressions.lnE9(docs.sparkSession,
+        col("_p"), col("_q")))
     val shared = withLn.groupBy(col("src_a"), col("src_b"))
       .agg((count(lit(1)) / 2).cast("long").as("n_common"),
         sum(col("w") * col("_sgn") * col("_ln9")).as("_inner"),
@@ -1460,8 +1480,10 @@ object TextOps {
            + 1000000 * LEAST(len_e2, 800)"""))
       .withColumn("_x", expr(
         "LEAST(ABS(z_e9), 20000000000)"))
-    val withExp = graft.functions.FixedExp.steps("DIV", "_a")
-      .foldLeft(f) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    // r15: native graft_exp_e9 replaces the interpreted step fold —
+    // this is a per-ROW corpus scan, the q272 shape (VERDICT r14 #6)
+    val withExp = f.withColumn("_a", graft.functions
+      .FixedPointExpressions.expE9(documents.sparkSession, col("_x")))
     withExp
       .withColumn("_pos", expr(
         """CAST((2 * 1000000000 * CAST(_a AS DECIMAL(38,0))
@@ -1502,8 +1524,9 @@ object TextOps {
     val z = bySrc.withColumn("_z", col("q_e9") * 20L)
       .withColumn("_x", expr(
         """LEAST(MAX(_z) OVER () - _z, 20000000000)"""))
-    val withExp = graft.functions.FixedExp.steps("DIV", "_a")
-      .foldLeft(z) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    // r15: native graft_exp_e9 (bounded artifact — plan-size win)
+    val withExp = z.withColumn("_a", graft.functions
+      .FixedPointExpressions.expE9(s, col("_x")))
     withExp
       // u = exp(−gap)·1e9 = round(1e18/a); a ≥ 1e9 so u ≤ 1e9
       .withColumn("_u", expr(
@@ -1527,8 +1550,9 @@ object TextOps {
     */
   def q249Perplexity(s: SparkSession, d: String): DataFrame = {
     val ent = q246DocEntropy(s, d).withColumn("_x", col("xent_e9"))
-    val withExp = graft.functions.FixedExp.steps("DIV", "_a")
-      .foldLeft(ent) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    // r15: native graft_exp_e9 — per-DOC scan, the q272 shape
+    val withExp = ent.withColumn("_a",
+      graft.functions.FixedPointExpressions.expE9(s, col("_x")))
     withExp
       .withColumn("ppl_e3", expr(
         "CAST((2 * _a + 1000000) DIV (2 * 1000000) AS BIGINT)"))
@@ -1558,9 +1582,9 @@ object TextOps {
         greatest(expr("(2000000 * n_t + n_c) DIV (2 * n_c)"), lit(1L))
           .as("_q"))
       .withColumn("_p", lit(1000000L))
-    val lnTerm = graft.functions.FixedLn.steps("DIV", "_nl9")
-      .foldLeft(termPpm) { case (acc, (n, e)) =>
-        acc.withColumn(n, expr(e)) }
+    // r15: native graft_ln_e9 (vocab-scale — plan-size win)
+    val lnTerm = termPpm.withColumn("_nl9",
+      graft.functions.FixedPointExpressions.lnE9(s, col("_p"), col("_q")))
       .select(col("term"), col("_nl9"))
     tf.join(broadcast(lnTerm), "term")
       .groupBy(col("doc_id"))
@@ -1606,11 +1630,11 @@ object TextOps {
     val classes = trainDocs.groupBy(col("lang").as("cls"))
       .agg(count(lit(1)).cast("long").as("n_docs_c"))
     val tot = trainDocs.agg(count(lit(1)).cast("long").as("n_docs"))
-    val priors = graft.functions.FixedLn.steps("DIV", "_pl9")
-      .foldLeft(classes.crossJoin(broadcast(tot))
-        .withColumn("_p", col("n_docs"))
-        .withColumn("_q", col("n_docs_c"))) {
-        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    // r15: the three ln sites below are native graft_ln_e9 (class/
+    // vocab×class scale — the interpreted step folds tripled the plan)
+    val priors = classes.crossJoin(broadcast(tot))
+      .withColumn("_pl9", graft.functions.FixedPointExpressions
+        .lnE9(s, col("n_docs"), col("n_docs_c")))
       .select(col("cls"), (-col("_pl9")).as("prior_e9"))
     val ct = train.groupBy(col("lang").as("cls"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf_c"))
@@ -1619,18 +1643,14 @@ object TextOps {
       .agg(sum(col("tf_c")).cast("long").as("n_c"))
     val vocab = ct.select(col("term")).distinct()
       .agg(count(lit(1)).cast("long").as("v"))
-    val lnp = graft.functions.FixedLn.steps("DIV", "_l9")
-      .foldLeft(ct.join(broadcast(nc), "cls")
-        .crossJoin(broadcast(vocab))
-        .withColumn("_p", col("n_c") + col("v"))
-        .withColumn("_q", col("tf_c") + 1L)) {
-        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    val lnp = ct.join(broadcast(nc), "cls")
+      .crossJoin(broadcast(vocab))
+      .withColumn("_l9", graft.functions.FixedPointExpressions
+        .lnE9(s, col("n_c") + col("v"), col("tf_c") + 1L))
       .select(col("cls"), col("term"), (-col("_l9")).as("lnp_e9"))
-    val unseen = graft.functions.FixedLn.steps("DIV", "_u9")
-      .foldLeft(nc.crossJoin(broadcast(vocab))
-        .withColumn("_p", col("n_c") + col("v"))
-        .withColumn("_q", lit(1L))) {
-        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    val unseen = nc.crossJoin(broadcast(vocab))
+      .withColumn("_u9", graft.functions.FixedPointExpressions
+        .lnE9(s, col("n_c") + col("v"), lit(1L)))
       .select(col("cls"), (-col("_u9")).as("lnp0_e9"))
     val td = test.groupBy(col("doc_id"), col("lang").as("actual"),
         col("term"))
@@ -1729,15 +1749,13 @@ object TextOps {
       .orderBy(col("freq").desc, col("term"))
     val top = counts.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 300)
-    val withX = graft.functions.FixedLn.steps("DIV", "x")
-      .foldLeft(top.withColumn("_p", col("rank"))
-        .withColumn("_q", lit(1L))) {
-        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
-      .select(col("source"), col("freq"), col("rank"), col("x"))
-    val withY = graft.functions.FixedLn.steps("DIV", "y")
-      .foldLeft(withX.withColumn("_p", col("freq"))
-        .withColumn("_q", lit(1L))) {
-        case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
+    // r15: native graft_ln_e9 for both axes (≤300 rows/source — the
+    // win is the two collapsed step towers in the plan)
+    val withY = top
+      .withColumn("x", graft.functions.FixedPointExpressions
+        .lnE9(s, col("rank"), lit(1L)))
+      .withColumn("y", graft.functions.FixedPointExpressions
+        .lnE9(s, col("freq"), lit(1L)))
       .select(col("source"), col("x"), col("y"))
     withY.groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_terms"),
