@@ -222,10 +222,152 @@ object GraphOps {
     * relational loops below are THE path — they are the 100 TB shape.
     */
   private def driverMaxEdges(df: DataFrame, op: String): Long =
-    math.min(df.sparkSession.conf
+    driverMaxEdgesConf(df.sparkSession, op)
+
+  private def driverMaxEdgesConf(s: SparkSession, op: String): Long =
+    math.min(s.conf
         .getOption(s"spark.graft.$op.driverMaxEdges")
         .map(_.toLong).getOrElse(8000000L),
       Int.MaxValue - 8L) // primitive-array kernels index edges by Int
+
+  /** The co-purchase fast path shared by the driver-kernel entries
+    * (r15): collect baskets with no distributed pair build at all
+    * (see [[collectBasketPairs]]) when the op's edge gate passes —
+    * 2·|undirected| is the symmetric row count the DataFrame gate
+    * would have seen. None ⇒ caller runs the unchanged relational
+    * build + gate.
+    */
+  private def coPurchaseCollected(s: SparkSession, d: String,
+      op: String): Option[CollectedEdges] = {
+    val maxE = driverMaxEdgesConf(s, op)
+    collectBasketPairs(s, d, maxE / 2)
+      .map(bp => CollectedEdges.fromSym(bp.ids, bp.us, bp.vs))
+  }
+
+  /** The PRUNED (shared-orders ≥ minCount) symmetric co-purchase edge
+    * table as a LocalRelation built from the driver-collected baskets
+    * (r15): the pruned graph is tiny (7,146 und edges at sf0.1), so
+    * consumers that stay RELATIONAL (q151 wedge join, q174 moments,
+    * q231) or collect internally (q126 LPA, q265 SCAN) keep their
+    * exact plans while the corpus-scale groupBy+explode+count build
+    * disappears. None past the collect gates ⇒ caller uses the
+    * unchanged [[prunedCoPurchaseEdges]].
+    */
+  private def prunedCoPurchaseEdgeDf(s: SparkSession, d: String,
+      minCount: Int): Option[DataFrame] =
+    collectBasketPairs(s, d, driverMaxEdgesConf(s, "copurchase"))
+      .map { bp0 =>
+        val bp = bp0.pruned(minCount)
+        val n = bp.us.length
+        val rows = new java.util.AbstractList[org.apache.spark.sql.Row] {
+          override def size(): Int = 2 * n
+          override def get(ix: Int): org.apache.spark.sql.Row =
+            if (ix < n)
+              org.apache.spark.sql.Row(bp.ids(bp.us(ix)), bp.ids(bp.vs(ix)))
+            else
+              org.apache.spark.sql.Row(bp.ids(bp.vs(ix - n)),
+                bp.ids(bp.us(ix - n)))
+        }
+        s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dst",
+            org.apache.spark.sql.types.LongType))))
+      }
+
+  /** Per-node EXACT triangle counts of collected undirected pairs —
+    * the degree-oriented intersect (the q107 orientation) counted at
+    * node grain, parallel across driver threads with private
+    * accumulators (order-free integer adds — bit-identical to the
+    * relational kernel, which the GraphSpec differential pins).
+    * Returns (nodeTri, deg): triangles and distinct-neighbor degree
+    * per dense node index.
+    */
+  private def driverTriangles(us: Array[Int], vs: Array[Int],
+      nN: Int): (Array[Long], Array[Long]) = {
+    val n = us.length
+    val off = new Array[Int](nN + 1)
+    var i = 0
+    while (i < n) { off(us(i) + 1) += 1; off(vs(i) + 1) += 1; i += 1 }
+    i = 0
+    while (i < nN) { off(i + 1) += off(i); i += 1 }
+    val deg = new Array[Long](nN)
+    i = 0
+    while (i < nN) { deg(i) = (off(i + 1) - off(i)).toLong; i += 1 }
+    // orient every edge low-rank → high-rank, rank = (degree, id):
+    // each triangle found exactly once, at its two lowest-rank corners
+    def rankLt(x: Int, y: Int): Boolean =
+      deg(x) < deg(y) || (deg(x) == deg(y) && x < y)
+    val off2 = new Array[Int](nN + 1)
+    i = 0
+    while (i < n) {
+      val s = if (rankLt(us(i), vs(i))) us(i) else vs(i)
+      off2(s + 1) += 1
+      i += 1
+    }
+    i = 0
+    while (i < nN) { off2(i + 1) += off2(i); i += 1 }
+    val pos2 = java.util.Arrays.copyOf(off2, nN)
+    val adj2 = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      val (s, t) =
+        if (rankLt(us(i), vs(i))) (us(i), vs(i)) else (vs(i), us(i))
+      adj2(pos2(s)) = t
+      pos2(s) += 1
+      i += 1
+    }
+    var v0 = 0
+    while (v0 < nN) {
+      java.util.Arrays.sort(adj2, off2(v0), off2(v0 + 1)); v0 += 1
+    }
+    val nThreads = math.min(8,
+      math.max(1, Runtime.getRuntime.availableProcessors / 4))
+    val partials = Array.fill(nThreads)(new Array[Long](nN))
+    val threads = (0 until nThreads).map { th =>
+      val t0 = new Thread(() => {
+        val tri = partials(th)
+        val lo = (n.toLong * th / nThreads).toInt
+        val hi = (n.toLong * (th + 1) / nThreads).toInt
+        var e = lo
+        while (e < hi) {
+          val s = if (rankLt(us(e), vs(e))) us(e) else vs(e)
+          val t = if (rankLt(us(e), vs(e))) vs(e) else us(e)
+          var pa = off2(s); var pb = off2(t)
+          val ea = off2(s + 1); val eb = off2(t + 1)
+          while (pa < ea && pb < eb) {
+            val wa = adj2(pa); val wb = adj2(pb)
+            if (wa < wb) pa += 1
+            else if (wb < wa) pb += 1
+            else {
+              tri(s) += 1; tri(t) += 1; tri(wa) += 1
+              pa += 1; pb += 1
+            }
+          }
+          e += 1
+        }
+      })
+      t0.start(); t0
+    }
+    threads.foreach(_.join())
+    val nodeTri = new Array[Long](nN)
+    partials.foreach { p =>
+      var j = 0
+      while (j < nN) { nodeTri(j) += p(j); j += 1 }
+    }
+    (nodeTri, deg)
+  }
+
+  /** Top-k hub seeds by (symmetric-degree desc, id asc) over a
+    * collected graph — the in-memory replica of
+    * `edges.groupBy(src).count.orderBy(d desc, src).limit(k)`.
+    */
+  private def hubSeedIx(g: CollectedEdges, k: Int): Array[Int] = {
+    val deg = new Array[Long](g.nN)
+    var i = 0
+    while (i < g.ss.length) { deg(g.ss(i)) += 1; i += 1 }
+    (0 until g.nN).sortBy(ix => (-deg(ix), g.id(ix))).take(k).toArray
+  }
 
   private def allLongIds(df: DataFrame): Boolean =
     df.schema.fields.forall(
@@ -241,8 +383,7 @@ object GraphOps {
     * the fill (a seed without edges still indexes); size per-node
     * arrays by [[nN]] only after all interning is done.
     */
-  private final class CollectedEdges(edges: DataFrame, nE: Int,
-      weighted: Boolean) {
+  private final class CollectedEdges private (nE: Int, weighted: Boolean) {
     private val nodeIdx = new java.util.HashMap[java.lang.Long, Integer]()
     private var ids0 = new Array[Long](1024)
     val ss = new Array[Int](nE); val ds = new Array[Int](nE)
@@ -256,7 +397,8 @@ object GraphOps {
         ids0(ix) = x; nodeIdx.put(x, ix); ix
       }
     }
-    locally {
+    def this(edges: DataFrame, nE: Int, weighted: Boolean) = {
+      this(nE, weighted)
       val width = if (weighted) 3 else 2
       val packed: Array[Array[Long]] = edges.rdd.mapPartitions { it =>
         var buf = new Array[Long](width * 1024)
@@ -299,6 +441,228 @@ object GraphOps {
       }
       (off, adj)
     }
+  }
+
+  private object CollectedEdges {
+    /** A CollectedEdges over ALREADY-COLLECTED undirected pairs (dense
+      * indices + id table, the [[collectBasketPairs]] output): emits
+      * both orientations so the kernels see exactly the symmetric
+      * deduped edge list [[coPurchaseEdges]] would have produced.
+      */
+    def fromSym(ids: Array[Long], us: Array[Int],
+        vs: Array[Int]): CollectedEdges = {
+      val nUnd = us.length
+      val g = new CollectedEdges(2 * nUnd, weighted = false)
+      var i = 0
+      while (i < ids.length) { g.idOf(ids(i)); i += 1 }
+      i = 0
+      while (i < nUnd) {
+        g.ss(i) = us(i); g.ds(i) = vs(i)
+        g.ss(nUnd + i) = vs(i); g.ds(nUnd + i) = us(i)
+        i += 1
+      }
+      g
+    }
+
+    /** [[fromSym]] with a per-undirected-pair weight (both
+      * orientations carry it).
+      */
+    def fromSymWeighted(ids: Array[Long], us: Array[Int],
+        vs: Array[Int], w: Array[Long]): CollectedEdges = {
+      val nUnd = us.length
+      val g = new CollectedEdges(2 * nUnd, weighted = true)
+      var i = 0
+      while (i < ids.length) { g.idOf(ids(i)); i += 1 }
+      i = 0
+      while (i < nUnd) {
+        g.ss(i) = us(i); g.ds(i) = vs(i); g.ws(i) = w(i)
+        g.ss(nUnd + i) = vs(i); g.ds(nUnd + i) = us(i)
+        g.ws(nUnd + i) = w(i)
+        i += 1
+      }
+      g
+    }
+  }
+
+  /** Driver-collected co-purchase pairs: dense-indexed undirected
+    * edges (ids(us) < ids(vs)) with the per-pair shared-order count.
+    */
+  private final class BasketPairs(val ids: Array[Long],
+      val us: Array[Int], val vs: Array[Int], val counts: Array[Int]) {
+    /** Pairs with count ≥ minCount, compacted (the
+      * [[prunedCoPurchaseEdges]] prune).
+      */
+    def pruned(minCount: Int): BasketPairs = {
+      var n = 0
+      var i = 0
+      while (i < counts.length) { if (counts(i) >= minCount) n += 1; i += 1 }
+      val u2 = new Array[Int](n); val v2 = new Array[Int](n)
+      val c2 = new Array[Int](n)
+      var o = 0
+      i = 0
+      while (i < counts.length) {
+        if (counts(i) >= minCount) {
+          u2(o) = us(i); v2(o) = vs(i); c2(o) = counts(i); o += 1
+        }
+        i += 1
+      }
+      new BasketPairs(ids, u2, v2, c2)
+    }
+  }
+
+  /** The co-purchase pair build with NO DISTRIBUTED WORK at all below
+    * the gate (r15, guide §2.4 taken to its limit for the driver-kernel
+    * family): the slim (l_orderkey, l_partkey) scan is packed-collected
+    * in one job — no groupBy, no DISTINCT, no explode ever runs — and
+    * baskets are grouped, deduped and paired on the driver (sort +
+    * unique on packed (ok,pk) then (lo,hi) longs — exactly the
+    * relational collect_set + u<v DISTINCT). Returns None past any
+    * gate, and the caller falls back to the UNCHANGED relational build
+    * (the 100 TB path):
+    *   - parquet-footer row count > spark.graft.copurchase.driverMaxRows
+    *     (default 16M rows ≈ 256 MB packed — checked BEFORE any job);
+    *   - a key outside [0, 2^32) (packing would alias — checked during
+    *     the collect, per partition);
+    *   - undirected pair count > maxPairs (the caller's per-op
+    *     driverMaxEdges budget — exact, computed from basket sizes
+    *     before the pair array is allocated).
+    */
+  /** `withMultiplicity = true` skips the within-order (ok,pk) dedup:
+    * a pair shared by rows with multiplicities m_x, m_y contributes
+    * m_x·m_y to its count — the row-pair count of the q193 self-join
+    * spelling (`a.pk < b.pk`, no distinct). Default (false) dedups
+    * like collect_set: count = number of SHARED ORDERS.
+    */
+  private def collectBasketPairs(s: SparkSession, d: String,
+      maxPairs: Long, withMultiplicity: Boolean = false)
+      : Option[BasketPairs] = {
+    val maxRows = s.conf
+      .getOption("spark.graft.copurchase.driverMaxRows")
+      .map(_.toLong).getOrElse(16000000L)
+    if (maxPairs <= 0 || maxRows <= 0) return None
+    val nRows = graft.sources.TableStatistics
+      .tableRowCount(s, d, "lineitem")
+    if (nRows > maxRows) return None
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+    // packed collect with a per-partition max-key header (slot 0)
+    val packed: Array[Array[Long]] = li.rdd.mapPartitions { it =>
+      var buf = new Array[Long](2 * 1024 + 1)
+      var o = 1
+      var mx = 0L
+      it.foreach { row =>
+        if (o + 2 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        val ok = row.getLong(0); val pk = row.getLong(1)
+        mx = math.max(mx, math.max(ok, pk))
+        if (ok < 0 || pk < 0) mx = Long.MaxValue // negatives can't pack
+        buf(0) = mx
+        buf(o) = ok; buf(o + 1) = pk
+        o += 2
+      }
+      buf(0) = mx
+      Iterator.single(java.util.Arrays.copyOf(buf, o))
+    }.collect()
+    if (packed.exists(p => p.nonEmpty && p(0) >= (1L << 32))) return None
+    // group by order: sort packed (ok<<32 | pk), dedup (collect_set)
+    val total = packed.map(p => (p.length - 1) / 2).sum
+    val rows = new Array[Long](total)
+    var m = 0
+    packed.foreach { part =>
+      var p = 1
+      while (p + 1 < part.length) {
+        rows(m) = (part(p) << 32) | part(p + 1)
+        m += 1; p += 2
+      }
+    }
+    java.util.Arrays.sort(rows, 0, m)
+    var nDedup = 0
+    var i = 0
+    if (withMultiplicity) nDedup = m
+    else while (i < m) {
+      if (i == 0 || rows(i) != rows(i - 1)) {
+        rows(nDedup) = rows(i); nDedup += 1
+      }
+      i += 1
+    }
+    // exact undirected-pair budget from the (deduped) basket sizes
+    var nPairs = 0L
+    i = 0
+    var runStart = 0
+    while (i <= nDedup) {
+      if (i == nDedup || (rows(i) >>> 32) != (rows(runStart) >>> 32)) {
+        val sz = (i - runStart).toLong
+        nPairs += sz * (sz - 1) / 2
+        runStart = i
+      }
+      i += 1
+    }
+    if (nPairs > math.min(maxPairs, (Int.MaxValue - 8L))) return None
+    // intern parts, emit dense (lo, hi) pairs per basket
+    val nodeIdx = new java.util.HashMap[java.lang.Long, Integer]()
+    var ids0 = new Array[Long](1024)
+    def idOf(x: Long): Int = {
+      val got = nodeIdx.get(x)
+      if (got != null) got.intValue
+      else {
+        val ix = nodeIdx.size
+        if (ix == ids0.length) ids0 = java.util.Arrays.copyOf(ids0, ix * 2)
+        ids0(ix) = x; nodeIdx.put(x, ix); ix
+      }
+    }
+    val pairs = new Array[Long](nPairs.toInt)
+    var o = 0
+    i = 0
+    runStart = 0
+    while (i <= nDedup) {
+      if (i == nDedup || (rows(i) >>> 32) != (rows(runStart) >>> 32)) {
+        var a = runStart
+        while (a < i) {
+          val da = idOf(rows(a) & 0xFFFFFFFFL)
+          var b = a + 1
+          while (b < i) {
+            // multiplicity mode keeps duplicate basket entries —
+            // equal-pk row pairs never join (a.pk < b.pk)
+            if (rows(b) != rows(a)) {
+              val db = idOf(rows(b) & 0xFFFFFFFFL)
+              pairs(o) = (math.min(da, db).toLong << 32) |
+                math.max(da, db).toLong
+              o += 1
+            }
+            b += 1
+          }
+          a += 1
+        }
+        runStart = i
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(pairs, 0, o)
+    // dedup with counts (count = shared-order count per pair)
+    var nUnd = 0
+    i = 0
+    while (i < o) {
+      if (i == 0 || pairs(i) != pairs(i - 1)) nUnd += 1
+      i += 1
+    }
+    val nN = nodeIdx.size
+    val ids = java.util.Arrays.copyOf(ids0, nN)
+    val us = new Array[Int](nUnd); val vs = new Array[Int](nUnd)
+    val counts = new Array[Int](nUnd)
+    var w = -1
+    i = 0
+    while (i < o) {
+      if (i == 0 || pairs(i) != pairs(i - 1)) {
+        w += 1
+        val x = (pairs(i) >>> 32).toInt; val y = pairs(i).toInt
+        // orient by ORIGINAL id (the relational u < v contract)
+        if (ids(x) < ids(y)) { us(w) = x; vs(w) = y }
+        else { us(w) = y; vs(w) = x }
+      }
+      counts(w) += 1
+      i += 1
+    }
+    Some(new BasketPairs(ids, us, vs, counts))
   }
 
   /** `(node, value)` long-pair LocalRelation over compacted arrays —
@@ -686,8 +1050,19 @@ object GraphOps {
     * [[coPurchaseEdges]] is skipped.
     */
   def q107Triangles(s: SparkSession, d: String): DataFrame =
-    triangleCounts(coPurchaseRawPairs(s, d))
-      .select(col("node").as("partkey"), col("n_tri"))
+    // r15: driver triangle kernel below the gate (no distributed pair
+    // build, no adjacency shuffle); counts are orientation-invariant,
+    // so the basket-deduped graph gives the identical node totals —
+    // the GraphSpec differential pins driver ≡ relational
+    collectBasketPairs(s, d, driverMaxEdgesConf(s, "triangles") / 2)
+      .map { bp =>
+        val (tri, _) = driverTriangles(bp.us, bp.vs, bp.ids.length)
+        val keep = (0 until bp.ids.length).filter(tri(_) > 0)
+        longPairDf(s, keep.length, "partkey", "n_tri",
+          keep.map(bp.ids(_)).toArray, keep.map(tri(_)).toArray)
+      }
+      .getOrElse(triangleCounts(coPurchaseRawPairs(s, d))
+        .select(col("node").as("partkey"), col("n_tri")))
 
   /** k-core of a SYMMETRIC edge list by iterative peeling (Seidman
     * 1983): repeatedly drop nodes whose degree within the SURVIVING
@@ -752,7 +1127,10 @@ object GraphOps {
     * its neighbors' in-core degrees).
     */
   def q109KCore(s: SparkSession, d: String): DataFrame =
-    kCore(coPurchaseEdges(s, d), k = 80, peels = 15)
+    // r15: basket fast path — no distributed pair build below the gate
+    coPurchaseCollected(s, d, "kcore")
+      .map(g => kCoreDriver(s, g, k = 80, peels = 15))
+      .getOrElse(kCore(coPurchaseEdges(s, d), k = 80, peels = 15))
       .select(col("node").as("partkey"), col("core_deg"))
 
   /** Minimum hop distance from a SEED set over a symmetric edge list —
@@ -858,12 +1236,20 @@ object GraphOps {
     * exactly replayable by the oracle's bounded recursion.
     */
   def q110BfsHops(s: SparkSession, d: String): DataFrame = {
-    val edges = coPurchaseEdges(s, d).localCheckpoint(false)
-    val seeds = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .orderBy(col("d").desc, col("src")).limit(3)
-      .select(col("src").as("node"))
-    bfsHops(edges, seeds, maxHops = 8)
-      .select(col("node").as("partkey"), col("hops"))
+    // r15: basket fast path — seeds replicated in memory (top-3 by
+    // symmetric degree, id-ascending ties — [[hubSeedIx]])
+    coPurchaseCollected(s, d, "bfs") match {
+      case Some(g) =>
+        bfsDriver(s, g, hubSeedIx(g, 3), maxHops = 8)
+          .select(col("node").as("partkey"), col("hops"))
+      case None =>
+        val edges = coPurchaseEdges(s, d).localCheckpoint(false)
+        val seeds = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .orderBy(col("d").desc, col("src")).limit(3)
+          .select(col("src").as("node"))
+        bfsHops(edges, seeds, maxHops = 8)
+          .select(col("node").as("partkey"), col("hops"))
+    }
   }
 
   /** 120. Part-importance rank over the co-purchase graph: parts are
@@ -871,7 +1257,10 @@ object GraphOps {
     * centrality behind "customers also bought" ranking).
     */
   def q105PageRank(s: SparkSession, d: String): DataFrame =
-    pageRank(coPurchaseEdges(s, d), 15)
+    // r15: basket fast path — no distributed pair build below the gate
+    coPurchaseCollected(s, d, "pagerank")
+      .map(g => pageRankDriver(s, g, 15, 1000000000000L))
+      .getOrElse(pageRank(coPurchaseEdges(s, d), 15))
       .select(col("node").as("partkey"), col("r").as("rank_ppt"))
 
   /** Personalized PageRank (seeded teleport — Page et al. 1999 §6, the
@@ -973,12 +1362,20 @@ object GraphOps {
     * importance and q110's hop distance.
     */
   def q116Ppr(s: SparkSession, d: String): DataFrame = {
-    val edges = coPurchaseEdges(s, d).localCheckpoint(false)
-    val seeds = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .orderBy(col("d").desc, col("src")).limit(3)
-      .select(col("src").as("node"))
-    personalizedPageRank(edges, seeds, iters = 10)
-      .select(col("node").as("partkey"), col("r").as("ppr_ppt"))
+    // r15: basket fast path (seeds via [[hubSeedIx]], the q110 rule)
+    coPurchaseCollected(s, d, "ppr") match {
+      case Some(g) =>
+        pprDriver(s, g, hubSeedIx(g, 3), iters = 10,
+            total = 1000000000000L)
+          .select(col("node").as("partkey"), col("r").as("ppr_ppt"))
+      case None =>
+        val edges = coPurchaseEdges(s, d).localCheckpoint(false)
+        val seeds = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .orderBy(col("d").desc, col("src")).limit(3)
+          .select(col("src").as("node"))
+        personalizedPageRank(edges, seeds, iters = 10)
+          .select(col("node").as("partkey"), col("r").as("ppr_ppt"))
+    }
   }
 
   /** Symmetric part co-purchase edges (parts sharing an order); the
@@ -1211,7 +1608,11 @@ object GraphOps {
   }
 
   def q126LabelProp(s: SparkSession, d: String): DataFrame =
-    labelPropagation(prunedCoPurchaseEdges(s, d, minCount = 2), rounds = 5)
+    labelPropagation(
+        // r15: driver-collected pruned build below the gate
+        prunedCoPurchaseEdgeDf(s, d, minCount = 2)
+          .getOrElse(prunedCoPurchaseEdges(s, d, minCount = 2)),
+        rounds = 5)
       .select(col("node").as("partkey"), col("lbl").as("community"))
 
   /** 168. q151: common-neighbor link prediction (Liben-Nowell &
@@ -1257,7 +1658,9 @@ object GraphOps {
   /** q151: top-5 predicted next co-purchases per part on the ≥2-shared-
     * orders graph. */
   def q151LinkPredict(s: SparkSession, d: String): DataFrame =
-    linkPredict(prunedCoPurchaseEdges(s, d, minCount = 2), k = 5)
+    linkPredict( // r15: driver-collected pruned build below the gate
+      prunedCoPurchaseEdgeDf(s, d, minCount = 2)
+        .getOrElse(prunedCoPurchaseEdges(s, d, minCount = 2)), k = 5)
 
   /** Converged min-label connected components over a SYMMETRIC edge
     * table: every node labeled with the smallest node id in its
@@ -1572,13 +1975,17 @@ object GraphOps {
     // r14: the groupBy+explode pair build (the coPurchaseEdges rebase
     // — same unique pair set, collect_set dedups (ok, pk) so the
     // upstream DISTINCT drops too: one shuffle instead of three)
-    val li = Tables.lineitem(s, d)
+    // r15: ONE groupBy for both sides — the standing/delta split is by
+    // whole ORDER (ok threshold), so filtering the per-order arrays
+    // equals filtering the rows before grouping; the two separate
+    // groupBys collapse into one checkpointed artifact
+    val orders = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok")).agg(collect_set(col("pk")).as("ps"))
+      .filter(size(col("ps")) > 1)
+      .localCheckpoint(false)
     def sym(part: DataFrame): DataFrame = {
-      val orders = part.groupBy(col("ok"))
-        .agg(collect_set(col("pk")).as("ps"))
-        .select(col("ps")).filter(size(col("ps")) > 1)
-      val pairs = orders
+      val pairs = part
         .select(col("ps"), explode(col("ps")).as("s1"))
         .select(col("s1"),
           explode(array_remove(col("ps"), col("s1"))).as("s2"))
@@ -1586,8 +1993,8 @@ object GraphOps {
       pairs.select(col("s1").as("src"), col("s2").as("dst"))
         .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
     }
-    val standing = minLabelComponents(sym(li.filter(col("ok") < t)))
-    incrementalComponents(standing, sym(li.filter(col("ok") >= t)))
+    val standing = minLabelComponents(sym(orders.filter(col("ok") < t)))
+    incrementalComponents(standing, sym(orders.filter(col("ok") >= t)))
       .select(col("node").as("partkey"), col("component"))
   }
 
@@ -1652,8 +2059,10 @@ object GraphOps {
   /** q167: modularity of the q126 label-propagation communities over
     * the pruned co-purchase graph — top 25 communities by size. */
   def q167Modularity(s: SparkSession, d: String): DataFrame = {
-    val edges = prunedCoPurchaseEdges(s, d, minCount = 2)
-      .localCheckpoint(false)
+    // r15: driver-collected pruned build below the gate
+    val edges = prunedCoPurchaseEdgeDf(s, d, minCount = 2)
+      .getOrElse(prunedCoPurchaseEdges(s, d, minCount = 2)
+        .localCheckpoint(false))
     val labels = labelPropagation(edges, rounds = 5)
       .select(col("node"), col("lbl").as("community"))
     modularity(edges, labels, topK = 25)
@@ -1709,7 +2118,9 @@ object GraphOps {
 
   /** q174: degree assortativity of the pruned co-purchase graph. */
   def q174Assortativity(s: SparkSession, d: String): DataFrame =
-    assortativity(prunedCoPurchaseEdges(s, d, minCount = 2))
+    assortativity( // r15: driver-collected pruned build below the gate
+      prunedCoPurchaseEdgeDf(s, d, minCount = 2)
+        .getOrElse(prunedCoPurchaseEdges(s, d, minCount = 2)))
 
   /** Hop-bounded weighted single-source shortest paths — Bellman–Ford
     * label-correcting relaxation (Bellman 1958), the WEIGHTED upgrade
@@ -1819,6 +2230,24 @@ object GraphOps {
     * deterministic end-to-end.
     */
   def q193Sssp(s: SparkSession, d: String): DataFrame = {
+    // r15: driver-collected basket build below the gate — weights are
+    // per-pair ceil(1000 / shared-order-count), straight from the
+    // collected counts; seeds replicate the top-3-by-degree rule in
+    // memory ([[hubSeedIx]]). The relational self-join build + gate
+    // below stays the unchanged 100 TB path.
+    collectBasketPairs(s, d, driverMaxEdgesConf(s, "sssp") / 2,
+        withMultiplicity = true) match {
+      case Some(bp) =>
+        val w = new Array[Long](bp.counts.length)
+        var i = 0
+        while (i < w.length) {
+          w(i) = (1000L + bp.counts(i) - 1) / bp.counts(i); i += 1
+        }
+        val g = CollectedEdges.fromSymWeighted(bp.ids, bp.us, bp.vs, w)
+        return ssspDriver(s, g, hubSeedIx(g, 3), 8)
+          .select(col("node").as("partkey"), col("dist").as("cost"))
+      case None =>
+    }
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val pairs = li.as("a").join(li.as("b"),
@@ -2031,9 +2460,32 @@ object GraphOps {
     * filtered, triangle-free nodes report 0.
     */
   def q223ClusteringCoef(s: SparkSession, d: String): DataFrame = {
+    // r15: driver triangle kernel below the gate (the q107 rationale);
+    // degree = the deduped distinct-neighbor count, exactly the
+    // relational kernel's size(nbrs)
+    val base = collectBasketPairs(s, d,
+        driverMaxEdgesConf(s, "triangles") / 2)
+      .map { bp =>
+        val nN = bp.ids.length
+        val (tri, deg) = driverTriangles(bp.us, bp.vs, nN)
+        val rows = new java.util.AbstractList[org.apache.spark.sql.Row] {
+          override def size(): Int = nN
+          override def get(ix: Int): org.apache.spark.sql.Row =
+            org.apache.spark.sql.Row(bp.ids(ix), deg(ix), tri(ix))
+        }
+        s.createDataFrame(rows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("degree",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_tri",
+              org.apache.spark.sql.types.LongType))))
+      }
+      .getOrElse(triangleCountsWithDegree(coPurchaseRawPairs(s, d)))
     // degree rides along free: it's size(nbrs) of the kernel's own
     // deduped adjacency — no separate edge materialization or agg
-    triangleCountsWithDegree(coPurchaseRawPairs(s, d))
+    base
       .filter(col("degree") >= 2)
       .select(col("node").as("partkey"), col("degree"), col("n_tri"),
         expr("""CAST((2 * 2000000 * CAST(n_tri AS DECIMAL(38,0))
@@ -2526,104 +2978,19 @@ object GraphOps {
     val maxDriver = s.conf
       .getOption("spark.graft.ktruss.driverPeelMaxEdges")
       .map(_.toLong).getOrElse(8000000L)
-    val orders = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy(col("ok")).agg(collect_set(col("pk")).as("parts"))
-      .select(col("parts")).filter(size(col("parts")) > 1)
-      .localCheckpoint(false)
-    val rawPairs = orders
-      .select(col("parts"), explode(col("parts")).as("src"))
-      .select(col("src"),
-        explode(array_remove(col("parts"), col("src"))).as("dst"))
-    if (maxDriver > 0) {
-      // exact raw-pair count from the order-grain artifact (one cheap
-      // aggregate — the pair explode never runs on the driver path)
-      val st = orders.agg(coalesce(sum(
-        expr("CAST(size(parts) AS BIGINT) * (size(parts) - 1)")),
-        lit(0L)).as("raw")).collect()(0)
-      val nRaw = st.getLong(0)
-      if (nRaw <= 2L * math.min(maxDriver, (Int.MaxValue - 8L) / 2)) {
-        // packed basket collect: one parallel job of [len, p1..plen]
-        // runs — Σ|parts| longs, never the pair explosion
-        val packed: Array[Array[Long]] = orders.rdd.mapPartitions { it =>
-          var buf = new Array[Long](1024)
-          var o = 0
-          it.foreach { row =>
-            val parts = row.getSeq[Long](0)
-            val need = o + parts.length + 1
-            if (need > buf.length) buf = java.util.Arrays
-              .copyOf(buf, math.max(buf.length * 2, need))
-            buf(o) = parts.length; o += 1
-            parts.foreach { p => buf(o) = p; o += 1 }
-          }
-          Iterator.single(java.util.Arrays.copyOf(buf, o))
-        }.collect()
-        // intern part ids; emit each basket's dense (lo,hi) pairs
-        val nodeIdx = new java.util.HashMap[java.lang.Long, Integer]()
-        var ids0 = new Array[Long](1024)
-        def idOf(x: Long): Int = {
-          val got = nodeIdx.get(x)
-          if (got != null) got.intValue
-          else {
-            val ix = nodeIdx.size
-            if (ix == ids0.length)
-              ids0 = java.util.Arrays.copyOf(ids0, ix * 2)
-            ids0(ix) = x; nodeIdx.put(x, ix); ix
-          }
-        }
-        val pairs = new Array[Long]((nRaw / 2).toInt)
-        var m = 0
-        packed.foreach { part =>
-          var p = 0
-          while (p < part.length) {
-            val len = part(p).toInt
-            var a = 0
-            while (a < len) {
-              val da = idOf(part(p + 1 + a))
-              var b = a + 1
-              while (b < len) {
-                val db = idOf(part(p + 1 + b))
-                // collect_set never repeats within an order, so da≠db
-                pairs(m) = (math.min(da, db).toLong << 32) |
-                  math.max(da, db).toLong
-                m += 1
-                b += 1
-              }
-              a += 1
-            }
-            p += 1 + len
-          }
-        }
-        java.util.Arrays.sort(pairs, 0, m)
-        var nUnd = 0
-        var i = 0
-        while (i < m) {
-          if (i == 0 || pairs(i) != pairs(i - 1)) {
-            pairs(nUnd) = pairs(i); nUnd += 1
-          }
-          i += 1
-        }
-        val nN = nodeIdx.size
-        val ids = java.util.Arrays.copyOf(ids0, nN)
-        val us = new Array[Int](nUnd); val vs = new Array[Int](nUnd)
-        i = 0
-        while (i < nUnd) {
-          val x = (pairs(i) >>> 32).toInt; val y = pairs(i).toInt
-          // orient by ORIGINAL id (the relational u < v contract)
-          if (ids(x) < ids(y)) { us(i) = x; vs(i) = y }
-          else { us(i) = y; vs(i) = x }
-          i += 1
-        }
-        return driverPeel(s, ids, us, vs, k)
-      }
+    // r15: shared no-shuffle basket collect (the raw-pair budget is
+    // Σ s·(s−1)/2 ≤ maxDriver — the old 2·maxDriver raw-row gate)
+    collectBasketPairs(s, d, maxDriver) match {
+      case Some(bp) => driverPeel(s, bp.ids, bp.us, bp.vs, k)
+      case None => kTruss(coPurchaseRawPairs(s, d), k)
     }
-    kTruss(rawPairs, k)
   }
 
   def q231TwoHopReach(s: SparkSession, d: String): DataFrame = {
     // four plan consumers (deg, both wedge sides, anti-join) — cut the
     // self-join replay with one checkpoint of the slim edge table
-    val e = prunedCoPurchaseEdges(s, d, minCount = 2)
+    val e = prunedCoPurchaseEdgeDf(s, d, minCount = 2)
+      .getOrElse(prunedCoPurchaseEdges(s, d, minCount = 2))
       .localCheckpoint(false)
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("deg"))
@@ -2837,7 +3204,9 @@ object GraphOps {
     * grain.
     */
   def q265Scan(s: SparkSession, d: String): DataFrame =
-    scanCluster(prunedCoPurchaseEdges(s, d, minCount = 2))
+    scanCluster( // r15: driver-collected pruned build below the gate
+      prunedCoPurchaseEdgeDf(s, d, minCount = 2)
+        .getOrElse(prunedCoPurchaseEdges(s, d, minCount = 2)))
 
   /** The SCAN kernel over ANY symmetric (src, dst) edge list — split
     * from [[q265Scan]] so the suite can differential-test it against a

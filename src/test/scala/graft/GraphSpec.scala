@@ -859,6 +859,29 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("r15 basket-collect fast paths ≡ the relational builds on the " +
+      "real co-purchase graph (gate differential, whole family)") {
+    val qs = Seq("q105_pagerank", "q109_kcore", "q110_bfs_hops",
+      "q116_ppr", "q193_sssp", "q107_triangles", "q223_clustering_coef",
+      "q126_label_prop", "q151_link_predict", "q167_modularity",
+      "q174_assortativity", "q231_two_hop_reach", "q265_scan_cluster")
+    def rset(name: String): Set[String] =
+      SparkEntry.queries(name)(spark, Sf).collect()
+        .map(_.toSeq.mkString("|")).toSet
+    qs.foreach { name =>
+      val fast = rset(name)
+      // force every basket collect off → the unchanged relational
+      // builds (whose own driver gates still apply, as before r15)
+      spark.conf.set("spark.graft.copurchase.driverMaxRows", "0")
+      val rel = try rset(name)
+        finally spark.conf.unset("spark.graft.copurchase.driverMaxRows")
+      assert(fast == rel, s"$name: fast≠relational " +
+        s"extra=${(fast -- rel).take(3)} missing=${(rel -- fast).take(3)}")
+      // the 80-core is legitimately empty at sf0.001
+      if (name != "q109_kcore") assert(fast.nonEmpty, s"$name: empty")
+    }
+  }
+
   test("r15 q240 basket-collect driver path ≡ relational k-truss on " +
       "the real co-purchase graph (gate differential)") {
     // driver path (default gate): baskets collected, pairs generated +
