@@ -3015,6 +3015,18 @@ object GraphOps {
     * (sorted-adjacency merge), the sqrt-free σ ≥ ½ integer test, min-
     * label components over core-core ε-edges, min-cluster borders,
     * ≥2-distinct-cluster hubs.
+    *
+    * PRECONDITION (r15, the ADVICE note — shared with the
+    * pageRank/kCore driver kernels): the collected edge list must be
+    * DEDUPED and FULLY SYMMETRIC long-id input. A duplicate adjacency
+    * entry would inflate the support merge-count, and a one-directional
+    * edge is skipped when dense(u) > dense(v) — both silently diverge
+    * from the relational src<dst spelling. Every caller satisfies it
+    * by construction ([[coPurchaseEdges]]/[[prunedCoPurchaseEdges]]
+    * DISTINCT + symmetrize; [[CollectedEdges.fromSym]] emits each
+    * deduped pair in both orientations); the relational fallback
+    * tolerates such input differently, so route any new caller with
+    * weaker guarantees there.
     */
   private def scanDriver(spark: SparkSession, g: CollectedEdges)
       : DataFrame = {

@@ -883,10 +883,15 @@ object RelationalOps {
     val medMad: Option[DataFrame] = if (maxHist <= 0) None else {
       val hist = ev.groupBy(col("event_type"), col("value"))
         .agg(count(lit(1)).as("_c"))
-        .localCheckpoint(false)
-      if (hist.count() > maxHist) None
+      // r15 (ADVICE low): ONE limit-bounded collect decides the gate
+      // AND carries the histogram — the old localCheckpoint+count
+      // fully materialized a histogram the fallback path then threw
+      // away (a large wasted write at the 100 TB shape). The wasted
+      // work past the gate is now capped at maxHist+1 driver rows.
+      val lim = math.min(maxHist + 1, Int.MaxValue.toLong - 8).toInt
+      val rows = hist.limit(lim).collect()
+      if (rows.length > maxHist) None
       else {
-        val rows = hist.collect()
         if (rows.exists(_.isNullAt(1))) None
         else {
           // weighted lower/upper-rank median with linear interpolation

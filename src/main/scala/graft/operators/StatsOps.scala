@@ -573,10 +573,16 @@ object StatsOps {
     // (key, price) projection across cores first (the Tables.events
     // rebalance rationale — at production scale multi-row-group files
     // make this a no-op-cost shuffle of a 2-column table)
-    val orders = Tables.orders(s, d)
+    val orders0 = Tables.orders(s, d)
       .select(col("o_orderkey"),
         col("o_totalprice").cast("decimal(18,4)").as("price"))
-      .repartition(s.sparkContext.defaultParallelism)
+    // r15: partition-count + size gate (the q237 rule) — the spread
+    // was unconditional before
+    val orders = if (orders0.rdd.getNumPartitions <
+          s.sparkContext.defaultParallelism &&
+        graft.sources.TableStatistics.tableRowCount(s, d, "orders")
+          <= 64000000L)
+      orders0.repartition(s.sparkContext.defaultParallelism) else orders0
     val thresholds = PoissonT.zipWithIndex
       .foldRight(lit(PoissonT.size)) { case ((t, k), els) =>
         when(col("hx") < t, lit(k)).otherwise(els) }
@@ -957,7 +963,12 @@ object StatsOps {
       .map(_.toLong).getOrElse(5000L)
     if (maxPts > 0) {
       val nRows = s.count()
-      if (nRows <= maxPts && nRows <= Int.MaxValue / 4) {
+      // r15 (ADVICE low): the slopes array is ~n²/2 entries — a raised
+      // driverMaxPoints past ~65k points would overflow its Int length
+      // (NegativeArraySizeException); bound the PAIR count here so
+      // oversized series route to the relational path instead
+      if (nRows <= maxPts && nRows <= Int.MaxValue / 4 &&
+          nRows * (nRows - 1) / 2 <= Int.MaxValue - 8L) {
         // bound check BEFORE the long collect (an out-of-long decimal
         // would throw in the ANSI cast): values must fit longs and the
         // slope numerator 2·Δv·1e6 + Δt must fit a long
@@ -1034,6 +1045,13 @@ object StatsOps {
     if (nPairs == 0)
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    // r15 (ADVICE low): a raised driverMaxPoints past ~65k points makes
+    // nPairs (~n²/2) overflow Int — fail loud instead of a silent
+    // NegativeArraySizeException; the caller's gate should route such
+    // series to the relational path
+    require(nPairs <= Int.MaxValue - 8L,
+      s"theilSenDriver: $nPairs pair slopes exceed the in-memory bound" +
+        " — lower spark.graft.theilsen.driverMaxPoints")
     val slopes = new Array[Long](nPairs.toInt)
     var o = 0
     i = 0
@@ -2121,8 +2139,13 @@ object StatsOps {
     // (at cluster scale the scan already has more partitions and the
     // condition is false, so no extra shuffle is ever added there)
     val li0 = Tables.lineitem(s, d).select(col("l_partkey"))
+    // r15 (ADVICE low): ALSO size-gate the spread (footer row count,
+    // no job) — partition-count-vs-core-count alone would full-shuffle
+    // a moderately-split corpus scan on a many-core cluster
     val li = if (li0.rdd.getNumPartitions <
-        s.sparkContext.defaultParallelism)
+          s.sparkContext.defaultParallelism &&
+        graft.sources.TableStatistics.tableRowCount(s, d, "lineitem")
+          <= 64000000L)
       li0.repartition(s.sparkContext.defaultParallelism) else li0
     val rows = array((0 until 4).map(lit): _*)
     val keyed = li.select(col("l_partkey"),
@@ -2893,8 +2916,11 @@ object StatsOps {
     // locally (the q237 partition-aware gate — no-op at cluster scale)
     val li0 = Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    // r15 (ADVICE low): size-gated like q237 — see the note there
     val li = if (li0.rdd.getNumPartitions <
-        s.sparkContext.defaultParallelism)
+          s.sparkContext.defaultParallelism &&
+        graft.sources.TableStatistics.tableRowCount(s, d, "lineitem")
+          <= 64000000L)
       li0.repartition(s.sparkContext.defaultParallelism) else li0
     val base = li
       .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
