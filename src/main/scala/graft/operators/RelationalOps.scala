@@ -223,6 +223,7 @@ object RelationalOps {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
+    // global window over the LIMIT-100 artifact — bounded, benign
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("o_totalprice").desc,
           col("o_orderkey"))).cast("long"))
@@ -1349,6 +1350,8 @@ object RelationalOps {
     val part = Tables.part(s, d)
     val stairs = part.groupBy("p_size")
       .agg(min(col("p_retailprice")).as("mp"))
+    // global window over the distinct-p_size stairs (≤ |sizes| rows
+    // at any scale) — bounded, benign
     val w = Window.orderBy(col("p_size").desc)
       .rangeBetween(Window.unboundedPreceding, -1)
     val frontier = stairs.withColumn("hi_mp", min(col("mp")).over(w))
@@ -1752,7 +1755,7 @@ object RelationalOps {
       // Spark dayofweek: 1=Sun..7=Sat; Monday = 2
       .withColumn("_bday", dayofweek(col("day")).between(2, 6) &&
         !(dayofweek(col("day")) === 2 && dayofmonth(col("day")) <= 7))
-      .withColumn("bd_count",
+      .withColumn("bd_count", // calendar-bounded global window
         sum(when(col("_bday"), 1L).otherwise(0L)).over(
           Window.orderBy(col("day"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -3110,6 +3113,7 @@ object RelationalOps {
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("_n"))
       .orderBy(col("_n").desc, col("l_partkey").asc).limit(10)
       .select(col("l_partkey").as("_rec"), row_number().over(
+        // global window over the LIMIT-10 artifact — bounded, benign
         Window.orderBy(col("_n").desc, col("l_partkey").asc))
         .cast("long").as("_rnk"))
     val testParts = od.filter(col("day") >= col("_split"))
@@ -3406,6 +3410,7 @@ object RelationalOps {
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("_n"))
       .orderBy(col("_n").desc, col("l_partkey").asc).limit(10)
       .select(col("l_partkey").as("_rec"), row_number().over(
+        // global window over the LIMIT-10 artifact — bounded, benign
         Window.orderBy(col("_n").desc, col("l_partkey").asc))
         .cast("long").as("_rnk"))
     val testParts = od.filter(col("day") >= col("_split"))

@@ -1521,6 +1521,7 @@ object StatsOps {
         (col("o_totalprice").cast("decimal(18,4)") * 10000)
           .cast("long").as("v"))
       .groupBy(col("day")).agg(sum(col("v")).cast("long").as("value_e4"))
+    // calendar-bounded global window (~2.4k day rows at ANY scale)
     val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
     val trended = daily
       .withColumn("_s7", sum(col("value_e4")).over(w7))
@@ -3294,6 +3295,7 @@ object StatsOps {
       .select(explode(expr("sequence(0, _d1 - _d0)")).as("idx"))
       .join(daily, Seq("idx"), "left")
       .withColumn("rev_e4", coalesce(col("rev_e4"), lit(0L)))
+    // calendar-bounded global window (day-grid rows) — benign
     val w = Window.orderBy(col("idx")).rowsBetween(-29, 0)
     grid
       .withColumn("_n", count(lit(1)).over(w))

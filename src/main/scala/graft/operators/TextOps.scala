@@ -1060,6 +1060,8 @@ object TextOps {
       .select(col(stratumCol).as("_s"), col(idCol).as("_id"))
     val counts = base.groupBy(col("_s")).agg(count(lit(1)).as("_n"))
     val tot = counts.agg(sum(col("_n")).cast("long").as("_tot"))
+    // global window over the per-stratum counts artifact (bounded by
+    // stratum cardinality) — benign
     val kWin = Window.orderBy(col("_rem").desc, col("_s"))
     val quotas = counts.crossJoin(broadcast(tot))
       .withColumn("_K", expr(s"(2 * _tot * $num + $den) DIV (2 * $den)"))
