@@ -214,6 +214,13 @@ object IvfPq {
       .select("qid", "nid", "cos_sim")
   }
 
-  def q121IvfPq(s: SparkSession, d: String): DataFrame =
-    search(s, Tables.embeddings(s, d), nCells = 16, nProbe = 8)
+  def q121IvfPq(s: SparkSession, d: String): DataFrame = {
+    // r15: size-gated scan spread — the q120 rationale
+    val emb = Tables.embeddings(s, d)
+    val spread = if (graft.sources.TableStatistics
+          .tableRowCount(s, d, "embeddings") <= 1000000L &&
+        emb.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      emb.repartition(s.sparkContext.defaultParallelism) else emb
+    search(s, spread, nCells = 16, nProbe = 8)
+  }
 }

@@ -154,6 +154,16 @@ object PqAnn {
       .select("qid", "nid", "cos_sim")
   }
 
-  def q120PqAnn(s: SparkSession, d: String): DataFrame =
-    search(s, Tables.embeddings(s, d))
+  def q120PqAnn(s: SparkSession, d: String): DataFrame = {
+    // r15: the encode + ADC scan inherits the one-file parquet split
+    // (≤4 tasks carried the whole per-row subArgmin/map-lookup work) —
+    // spread it, SIZE-GATED like q36 (footer stat, no job; past 1M
+    // rows the round-robin is a real shuffle the scan doesn't need)
+    val emb = Tables.embeddings(s, d)
+    val spread = if (graft.sources.TableStatistics
+          .tableRowCount(s, d, "embeddings") <= 1000000L &&
+        emb.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      emb.repartition(s.sparkContext.defaultParallelism) else emb
+    search(s, spread)
+  }
 }
