@@ -2401,7 +2401,19 @@ object GraphOps {
       }
     }
     require(i == n, s"q214HitsDriver: edge count drifted ($i vs $n)")
-    val nP = partIdx.size; val nC = custIdx.size
+    hitsRoundsOut(spark, cs, ps,
+      java.util.Arrays.copyOf(partIds, partIdx.size), custIdx.size)
+  }
+
+  /** The 4 in-memory HITS rounds + output assembly over dense
+    * (customer, part) edge arrays — shared by [[q214HitsDriver]] and
+    * the r15 driver-join fast path (factored so they cannot diverge).
+    */
+  private def hitsRoundsOut(spark: SparkSession, cs: Array[Int],
+      ps: Array[Int], partIds: Array[Long], nC: Int): DataFrame = {
+    val n = cs.length
+    val nP = partIds.length
+    var i = 0
     val TT = java.math.BigInteger.valueOf(1000000000000L)
     val a = new Array[Long](nP)
     java.util.Arrays.fill(a, 1000000000000L / nP)
